@@ -1,0 +1,668 @@
+"""Query catalog: one (Spark callable, DuckDB oracle SQL) pair per
+implemented operator from SURVEY §2, exercised on the driver's
+synthetic tables (TESTDATA.md).
+
+Cross-engine exactness rules (so order-insensitive value hashes match
+bit-for-bit between Spark and DuckDB):
+  - SUM over doubles is order-dependent, and double→DECIMAL casts
+    round differently across engines for arbitrary doubles.  So sums
+    are defined as SUM(CAST(FLOOR(x * 10000.0) AS BIGINT)) / 1e4:
+    the scale-multiply and FLOOR are deterministic IEEE ops on the
+    identical input double, the integer sum is exact and
+    order-independent, and the final division is deterministic.
+  - AVG is expressed as exact-sum / count (IEEE division of identical
+    operands is deterministic); never engine AVG.
+  - Time-bucket arithmetic is integer microseconds (unix_micros /
+    epoch_us), never floating point.
+  - Window orderings always carry a unique tie-breaker column.
+  - Hashing that must agree across engines is md5-based
+    (functions.md5_int63 / md5_int63_sql), never engine hash().
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from stampede_to_fresco_etl_spark.functions import (
+    finalize_jid,
+    md5_int63,
+    md5_int63_sql,
+    midpoint,
+    normalize_job_id,
+    safe_div,
+)
+from stampede_to_fresco_etl_spark.operators.interval_join import interval_join
+from stampede_to_fresco_etl_spark.operators.rates import lag_deltas, valid_rate_rows
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+#: Timestamp columns per table.  The driver's parquet stores
+#: TIMESTAMP(NANOS) which Spark's vectorized reader rejects, so we
+#: read nanos as long (legacy conf) and convert with exact integer
+#: division (never float: 1.7e18 ns exceeds double's 2^53 exactness).
+TS_COLS = {
+    "events": ["ts"],
+    "orders": ["o_orderdate"],
+    "lineitem": ["l_shipdate"],
+}
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    dtypes = dict(df.dtypes)
+    for c in TS_COLS.get(name, []):
+        if dtypes.get(c) == "bigint":
+            df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+    return df
+
+
+def fsum(col: F.Column) -> F.Column:
+    """Order-independent, cross-engine-exact sum of a double
+    expression (4 implied decimal places), as a bigint."""
+    return F.sum(F.floor(col * F.lit(10000.0)).cast("long"))
+
+
+def dsum(col: F.Column) -> F.Column:
+    """fsum scaled back to a double."""
+    return fsum(col).cast("double") / F.lit(10000.0)
+
+
+FSUM = "SUM(CAST(FLOOR(({x}) * 10000.0) AS BIGINT))"
+DSUM = "(CAST(SUM(CAST(FLOOR(({x}) * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0)"
+
+
+# ---------------------------------------------------------------------------
+# S1-S3/P1/P3/P4/P5 — scan with projection + membership & range filters
+# ---------------------------------------------------------------------------
+
+def q_scan_filter_project(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    return (
+        e.filter(
+            F.col("event_type").isin("click", "purchase")
+            & (F.col("ts") >= F.lit("2024-01-02 00:00:00").cast("timestamp"))
+            & (F.col("ts") < F.lit("2024-01-09 00:00:00").cast("timestamp"))
+        )
+        .dropna(subset=["user_id", "value"])
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
+
+
+SQL_SCAN = """
+SELECT event_id, ts, user_id, event_type, value
+FROM events
+WHERE event_type IN ('click', 'purchase')
+  AND ts >= TIMESTAMP '2024-01-02 00:00:00'
+  AND ts <  TIMESTAMP '2024-01-09 00:00:00'
+  AND user_id IS NOT NULL AND value IS NOT NULL
+"""
+
+
+# ---------------------------------------------------------------------------
+# U1/U2/P8 — union + dedup (vertical concat with drop_duplicates)
+# ---------------------------------------------------------------------------
+
+def q_union_dedup(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_shipdate") < F.lit("1997-06-01").cast("timestamp"))
+    b = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    return a.unionByName(b).dropDuplicates()
+
+
+SQL_UNION_DEDUP = """
+SELECT DISTINCT * FROM (
+  SELECT * FROM lineitem WHERE l_shipdate < TIMESTAMP '1997-06-01'
+  UNION ALL
+  SELECT * FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# J2/F7 — fuzzy job-id normalization (messy ids → digits w/ fallback)
+# ---------------------------------------------------------------------------
+
+_MESSY = (
+    "CASE CAST(event_id % 5 AS INTEGER) "
+    "WHEN 0 THEN CAST(user_id AS STRING) "
+    "WHEN 1 THEN 'job' || CAST(user_id AS STRING) "
+    "WHEN 2 THEN 'jobID' || CAST(user_id AS STRING) "
+    "WHEN 3 THEN 'JOB' || CAST(user_id AS STRING) "
+    "ELSE 'anon' END"
+)
+
+
+def q_normalize_jid(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    messy = F.expr(_MESSY)
+    return (
+        e.withColumn("jid", normalize_job_id(messy))
+        .groupBy("jid")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+SQL_NORMALIZE_JID = f"""
+WITH m AS (SELECT {_MESSY} AS messy FROM events),
+n AS (
+  SELECT COALESCE(NULLIF(regexp_extract(messy, '(\\d+)$', 1), ''), messy) AS jid
+  FROM m
+)
+SELECT jid, count(*) AS n FROM n GROUP BY jid
+"""
+
+
+# ---------------------------------------------------------------------------
+# F5/F6/F8/F9 — step-3 string finalizer (first-occurrence replaces + _S)
+# ---------------------------------------------------------------------------
+
+def q_string_finalize(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    messy = F.expr(_MESSY)
+    return e.select(
+        F.col("event_id"), finalize_jid(messy).alias("jid_final")
+    )
+
+
+SQL_STRING_FINALIZE = f"""
+SELECT event_id,
+       regexp_replace(regexp_replace({_MESSY}, 'ID', ''), 'job', 'JOB')
+       || '_S' AS jid_final
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# P10/P11/F12 — safe division + clip guards
+# ---------------------------------------------------------------------------
+
+def q_safe_div_clip(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    ratio = safe_div(F.col("l_extendedprice"), F.col("l_quantity"))
+    clipped = F.least(F.lit(3000.0), F.greatest(F.lit(0.0), ratio))
+    return li.select(
+        "l_orderkey", "l_linenumber", clipped.alias("unit_price_clipped")
+    )
+
+
+SQL_SAFE_DIV_CLIP = """
+SELECT l_orderkey, l_linenumber,
+       LEAST(3000.0, GREATEST(0.0,
+         CASE WHEN l_quantity <> 0 THEN l_extendedprice / l_quantity
+              ELSE 0.0 END)) AS unit_price_clipped
+FROM lineitem
+"""
+
+
+# ---------------------------------------------------------------------------
+# W1/W2/P7/O1 — the lag-diff rate kernel on the events stream
+# ---------------------------------------------------------------------------
+
+def q_rate_kernel(spark, sf_dir):
+    e = load(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    d = lag_deltas(
+        e,
+        partition_cols=["user_id"],
+        ts_col="ts",
+        value_cols=["value"],
+        order_cols=["ts", "event_id"],
+    )
+    d = valid_rate_rows(d, ["value_delta"])
+    return d.select(
+        "user_id",
+        "event_id",
+        (F.col("value_delta") / F.col("dt_seconds")).alias("rate_per_sec"),
+    )
+
+
+SQL_RATE_KERNEL = """
+WITH s AS (
+  SELECT user_id, event_id,
+         value - lag(value) OVER w AS delta,
+         (epoch_us(ts) - lag(epoch_us(ts)) OVER w) / 1000000.0 AS dt
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, event_id, delta / dt AS rate_per_sec
+FROM s
+WHERE dt IS NOT NULL AND dt >= 0.1 AND delta IS NOT NULL AND delta >= 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# A1/A2 — hash group-by SUM (TPC-H Q1 shape, exact decimal sums)
+# ---------------------------------------------------------------------------
+
+def q_groupby_sum(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    out = li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum(F.col("l_quantity")).alias("sum_qty"),
+        dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+        dsum(disc_price).alias("sum_disc_price"),
+        dsum(charge).alias("sum_charge"),
+        F.count("*").alias("count_order"),
+    )
+    return out.withColumn(
+        "avg_qty", F.col("sum_qty") / F.col("count_order").cast("double")
+    )
+
+
+SQL_GROUPBY_SUM = f"""
+SELECT l_returnflag, l_linestatus,
+       {DSUM.format(x='l_quantity')} AS sum_qty,
+       {DSUM.format(x='l_extendedprice')} AS sum_base_price,
+       {DSUM.format(x='l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+       {DSUM.format(x='l_extendedprice * (1 - l_discount) * (1 + l_tax)')}
+         AS sum_charge,
+       count(*) AS count_order,
+       {DSUM.format(x='l_quantity')} / CAST(count(*) AS DOUBLE) AS avg_qty
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# A3 — group-by MEAN as exact-sum / count
+# ---------------------------------------------------------------------------
+
+def q_groupby_mean(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        (dsum(F.col("value")) / F.count("value").cast("double")).alias(
+            "mean_value"
+        ),
+        F.count("*").alias("n"),
+    )
+
+
+SQL_GROUPBY_MEAN = f"""
+SELECT event_type,
+       {DSUM.format(x='value')} / CAST(count(value) AS DOUBLE) AS mean_value,
+       count(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# A4/A5 — scalar min/max bounds + exact distinct counts
+# ---------------------------------------------------------------------------
+
+def q_minmax_distinct(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.min("ts").alias("min_ts"),
+        F.max("ts").alias("max_ts"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+SQL_MINMAX = """
+SELECT event_type, min(ts) AS min_ts, max(ts) AS max_ts,
+       min(value) AS min_value, max(value) AS max_value,
+       count(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# A6/A7 — pivot long→wide with fixed value list + typed-null backfill
+# ---------------------------------------------------------------------------
+
+def q_pivot_events(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    wide = (
+        e.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.sum(F.floor(F.col("value") * F.lit(10000.0)).cast("long")))
+    )
+    cols = [F.col("user_id")]
+    cols += [
+        (F.col(t).cast("double") / F.lit(10000.0)).alias(f"value_{t}")
+        for t in EVENT_TYPES
+    ]
+    cols.append(F.lit(None).cast("double").alias("value_gpu"))
+    return wide.select(*cols)
+
+
+_PIVOT_CELLS = ",\n       ".join(
+    "(CAST(SUM(CAST(FLOOR(value * 10000.0) AS BIGINT)) "
+    f"FILTER (WHERE event_type = '{t}') AS DOUBLE) / 10000.0) AS value_{t}"
+    for t in EVENT_TYPES
+)
+
+SQL_PIVOT = f"""
+SELECT user_id,
+       {_PIVOT_CELLS},
+       CAST(NULL AS DOUBLE) AS value_gpu
+FROM events GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# A8 — horizontal (row-wise) sum
+# ---------------------------------------------------------------------------
+
+def q_horizontal_sum(spark, sf_dir):
+    from stampede_to_fresco_etl_spark.functions import horizontal_sum
+
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        horizontal_sum(
+            ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+        ).alias("hsum"),
+    )
+
+
+SQL_HSUM = """
+SELECT l_orderkey, l_linenumber,
+       l_quantity + l_extendedprice + l_discount + l_tax AS hsum
+FROM lineitem
+"""
+
+
+# ---------------------------------------------------------------------------
+# J1/J3 — interval (point-in-range) join: events × per-(user,day) jobs
+# ---------------------------------------------------------------------------
+
+def _jobs(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    return e.groupBy(
+        F.col("user_id").alias("j_user"), F.to_date("ts").alias("day")
+    ).agg(
+        F.min("ts").alias("jstart"),
+        F.timestamp_micros(F.unix_micros(F.max("ts")) + 1).alias("jend"),
+    )
+
+
+def q_interval_join(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    jobs = _jobs(spark, sf_dir)
+    joined = interval_join(
+        e, jobs,
+        event_key="user_id", interval_key="j_user",
+        ts_col="ts", start_col="jstart", end_col="jend",
+    )
+    return joined.groupBy("j_user", "day").agg(
+        F.count("*").alias("n_events"),
+        dsum(F.col("value")).alias("sum_value"),
+    ).withColumnRenamed("j_user", "user_id")
+
+
+SQL_INTERVAL_JOIN = f"""
+WITH jobs AS (
+  SELECT user_id AS j_user, CAST(ts AS DATE) AS day,
+         min(ts) AS jstart,
+         max(ts) + INTERVAL 1 MICROSECOND AS jend
+  FROM events GROUP BY user_id, CAST(ts AS DATE)
+)
+SELECT j.j_user AS user_id, j.day,
+       count(*) AS n_events,
+       {DSUM.format(x='e.value')} AS sum_value
+FROM events e
+JOIN jobs j
+  ON e.user_id = j.j_user AND e.ts >= j.jstart AND e.ts < j.jend
+GROUP BY j.j_user, j.day
+"""
+
+
+# ---------------------------------------------------------------------------
+# T1 — wall-clock tumbling window (1 minute)
+# ---------------------------------------------------------------------------
+
+def q_tumbling_window(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    return e.groupBy(
+        F.date_trunc("minute", F.col("ts")).alias("minute"), "event_type"
+    ).agg(
+        F.count("*").alias("n"),
+        dsum(F.col("value")).alias("sum_value"),
+    )
+
+
+SQL_TUMBLING = f"""
+SELECT date_trunc('minute', ts) AS minute, event_type,
+       count(*) AS n, {DSUM.format(x='value')} AS sum_value
+FROM events GROUP BY date_trunc('minute', ts), event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# T4/T5/F2 — calendar day/month split keys
+# ---------------------------------------------------------------------------
+
+def q_calendar_split(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    return e.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.date_format("ts", "yyyy-MM").alias("year_month"),
+    ).agg(F.count("*").alias("n"), dsum(F.col("value")).alias("sum_value"))
+
+
+SQL_CALENDAR = f"""
+SELECT strftime(ts, '%Y-%m-%d') AS day, strftime(ts, '%Y-%m') AS year_month,
+       count(*) AS n, {DSUM.format(x='value')} AS sum_value
+FROM events GROUP BY strftime(ts, '%Y-%m-%d'), strftime(ts, '%Y-%m')
+"""
+
+
+# ---------------------------------------------------------------------------
+# J4/O3/F14 — sorted distinct collection, comma-joined (host_list)
+# ---------------------------------------------------------------------------
+
+def q_collect_sorted_list(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.array_join(F.sort_array(F.collect_set("event_type")), ",").alias(
+            "type_list"
+        )
+    )
+
+
+SQL_COLLECT_LIST = """
+SELECT user_id, string_agg(event_type, ',' ORDER BY event_type) AS type_list
+FROM (SELECT DISTINCT user_id, event_type FROM events)
+GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Multi-join aggregate with broadcast dimension (TPC-H Q3 shape)
+# ---------------------------------------------------------------------------
+
+def q_join_agg(spark, sf_dir):
+    cust = load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "HOUSEHOLD"
+    )
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    return (
+        li.join(
+            F.broadcast(orders), li.l_orderkey == orders.o_orderkey
+        )
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+SQL_JOIN_AGG = f"""
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       {DSUM.format(x='l_extendedprice * (1 - l_discount)')} AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'HOUSEHOLD'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate  > TIMESTAMP '1998-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# Flagship: the full step-2 dataflow shape on the events table —
+# interval join × job-aligned clamped 1-min buckets × μs-floor midpoint
+# × mean × fixed-list pivot × sorted host_list × null backfill.
+# (J1+J2+J4+T1+T3+A3+A6+A7+O3 in one plan.)
+# ---------------------------------------------------------------------------
+
+def q_fresco_wide(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    jobs = _jobs(spark, sf_dir)
+    j = interval_join(
+        e, jobs,
+        event_key="user_id", interval_key="j_user",
+        ts_col="ts", start_col="jstart", end_col="jend",
+    )
+    us = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("jstart"))
+    lo_us = F.unix_micros(F.col("jstart")) + (us - us % F.lit(60_000_000))
+    hi_us = F.least(lo_us + F.lit(60_000_000), F.unix_micros(F.col("jend")))
+    j = (
+        j.withColumn(
+            "jid",
+            F.concat(
+                F.col("j_user").cast("string"),
+                F.lit("-"),
+                F.date_format("day", "yyyy-MM-dd"),
+            ),
+        )
+        .withColumn("time", midpoint(F.timestamp_micros(lo_us), F.timestamp_micros(hi_us)))
+        .withColumn("start_time", F.col("jstart"))
+        .withColumn("end_time", F.col("jend"))
+    )
+    w_job = Window.partitionBy("jid")
+    j = j.withColumn(
+        "host_list",
+        F.array_join(F.sort_array(F.collect_set("event_type").over(w_job)), ","),
+    )
+    wide = (
+        j.groupBy("jid", "time", "start_time", "end_time", "host_list")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(
+            F.sum(F.floor(F.col("value") * F.lit(10000.0)).cast("long")).alias("s"),
+            F.count("value").alias("c"),
+        )
+    )
+    cols = [
+        F.col("jid"), F.col("time"), F.col("start_time"),
+        F.col("end_time"), F.col("host_list"),
+    ]
+    for t in EVENT_TYPES:
+        cols.append(
+            (
+                (F.col(f"{t}_s").cast("double") / F.lit(10000.0))
+                / F.col(f"{t}_c").cast("double")
+            ).alias(f"value_{t}")
+        )
+    cols.append(F.lit(None).cast("double").alias("value_gpu"))
+    return wide.select(*cols)
+
+
+_WIDE_CELLS = ",\n       ".join(
+    "(CAST(SUM(CAST(FLOOR(value * 10000.0) AS BIGINT)) "
+    f"FILTER (WHERE event_type = '{t}') AS DOUBLE) / 10000.0) / "
+    f"CAST(COUNT(value) FILTER (WHERE event_type = '{t}') AS DOUBLE) "
+    f"AS value_{t}"
+    for t in EVENT_TYPES
+)
+
+SQL_FRESCO_WIDE = f"""
+WITH jobs AS (
+  SELECT user_id AS j_user, CAST(ts AS DATE) AS day,
+         min(ts) AS jstart,
+         max(ts) + INTERVAL 1 MICROSECOND AS jend
+  FROM events GROUP BY user_id, CAST(ts AS DATE)
+),
+joined AS (
+  SELECT j.j_user, j.day, j.jstart, j.jend, e.ts, e.event_type, e.value
+  FROM events e
+  JOIN jobs j
+    ON e.user_id = j.j_user AND e.ts >= j.jstart AND e.ts < j.jend
+),
+b AS (
+  SELECT *,
+         epoch_us(jstart)
+           + ((epoch_us(ts) - epoch_us(jstart))
+              - ((epoch_us(ts) - epoch_us(jstart)) % 60000000)) AS lo_us
+  FROM joined
+),
+b2 AS (
+  SELECT *, LEAST(lo_us + 60000000, epoch_us(jend)) AS hi_us FROM b
+),
+g AS (
+  SELECT CAST(j_user AS VARCHAR) || '-' || strftime(day, '%Y-%m-%d') AS jid,
+         make_timestamp((lo_us + hi_us) // 2) AS time,
+         jstart AS start_time, jend AS end_time,
+         event_type, value
+  FROM b2
+),
+hl AS (
+  SELECT jid, string_agg(event_type, ',' ORDER BY event_type) AS host_list
+  FROM (SELECT DISTINCT jid, event_type FROM g)
+  GROUP BY jid
+)
+SELECT g.jid, g.time, g.start_time, g.end_time, hl.host_list,
+       {_WIDE_CELLS},
+       CAST(NULL AS DOUBLE) AS value_gpu
+FROM g JOIN hl ON g.jid = hl.jid
+GROUP BY g.jid, g.time, g.start_time, g.end_time, hl.host_list
+"""
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+#: name → (spark callable, oracle SQL or None)
+REGISTRY: dict[
+    str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
+] = {
+    "s1_scan_filter_project": (q_scan_filter_project, SQL_SCAN),
+    "p8_union_dedup": (q_union_dedup, SQL_UNION_DEDUP),
+    "f7_normalize_jid": (q_normalize_jid, SQL_NORMALIZE_JID),
+    "f6_string_finalize": (q_string_finalize, SQL_STRING_FINALIZE),
+    "p10_safe_div_clip": (q_safe_div_clip, SQL_SAFE_DIV_CLIP),
+    "w1_rate_kernel": (q_rate_kernel, SQL_RATE_KERNEL),
+    "a1_groupby_sum": (q_groupby_sum, SQL_GROUPBY_SUM),
+    "a3_groupby_mean": (q_groupby_mean, SQL_GROUPBY_MEAN),
+    "a4_minmax_distinct": (q_minmax_distinct, SQL_MINMAX),
+    "a6_pivot_events": (q_pivot_events, SQL_PIVOT),
+    "a8_horizontal_sum": (q_horizontal_sum, SQL_HSUM),
+    "j1_interval_join": (q_interval_join, SQL_INTERVAL_JOIN),
+    "t1_tumbling_window": (q_tumbling_window, SQL_TUMBLING),
+    "t4_calendar_split": (q_calendar_split, SQL_CALENDAR),
+    "j4_collect_sorted_list": (q_collect_sorted_list, SQL_COLLECT_LIST),
+    "q3_join_agg_broadcast": (q_join_agg, SQL_JOIN_AGG),
+    "step2_fresco_wide": (q_fresco_wide, SQL_FRESCO_WIDE),
+}

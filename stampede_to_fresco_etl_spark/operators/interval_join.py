@@ -1,0 +1,96 @@
+"""Interval (point-in-range) join — SURVEY §2.3 J1/J2/J3.
+
+The reference hand-rolls this as a per-accounting-row loop of
+equality+range filters over the metric frame
+(step-2/consumer.py:340-394).  The Spark-first formulation is a single
+declarative join:
+
+    metrics ⋈ accounting  ON  m.jid = a.jid
+                          AND m.ts >= a.start AND m.ts < a.end
+
+written so Catalyst sees the equi-key (`jid`) and plans a hash join
+with the range as a residual predicate — a range-condition-only join
+would degenerate to BroadcastNestedLoop.
+
+Scale strategy (100 TB metrics):
+  - accounting is small (10⁴-10⁵ rows/month) → `broadcast()` the
+    parsed accounting side; zero shuffle of the metric table.
+  - if the dim side ever outgrows broadcast, the same expression
+    compiles to a shuffled hash / sort-merge join on `jid`; time-range
+    stays residual.  Month-partitioned storage gives partition pruning
+    on top.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from stampede_to_fresco_etl_spark.functions import normalize_job_id
+
+
+def interval_join(
+    events: DataFrame,
+    intervals: DataFrame,
+    event_key: str,
+    interval_key: str,
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    how: str = "inner",
+    broadcast_intervals: bool = True,
+    inclusive_end: bool = False,
+) -> DataFrame:
+    """Generic point-in-interval equi-join.
+
+    Exclusive end (`[start, end)`) is the canonical reference semantic
+    (step-2/consumer.py:363,393,419 — SURVEY §7.3 trap 5);
+    `inclusive_end=True` reproduces the legacy consumer_2 behavior.
+    """
+    right = F.broadcast(intervals) if broadcast_intervals else intervals
+    upper = (
+        events[ts_col] <= intervals[end_col]
+        if inclusive_end
+        else events[ts_col] < intervals[end_col]
+    )
+    cond = (
+        (events[event_key] == intervals[interval_key])
+        & (events[ts_col] >= intervals[start_col])
+        & upper
+    )
+    return events.join(right, cond, how)
+
+
+def join_metrics_to_accounting(
+    metrics: DataFrame,
+    accounting: DataFrame,
+    broadcast_accounting: bool = True,
+) -> DataFrame:
+    """FRESCO metrics × job accounting with fuzzy-id normalization.
+
+    Both sides' job ids pass through normalize_job_id (trailing-digit
+    extraction with original-string fallback, step-2/consumer.py:161-174
+    applied at :208,273) and join on the normalized key `jid`; rows
+    with start >= end or null bounds are dropped
+    (step-2/consumer.py:384-386,210).
+    """
+    m = metrics.withColumn("jid", normalize_job_id(F.col("Job Id")))
+    a = (
+        accounting.withColumn("jid", normalize_job_id(F.col("jobID")))
+        .filter(
+            F.col("start").isNotNull()
+            & F.col("end").isNotNull()
+            & (F.col("start") < F.col("end"))
+        )
+        .drop("jobID")
+    )
+    return interval_join(
+        m.drop("Job Id"),
+        a,
+        event_key="jid",
+        interval_key="jid",
+        ts_col="Timestamp",
+        start_col="start",
+        end_col="end",
+        broadcast_intervals=broadcast_accounting,
+    ).drop(a["jid"])

@@ -1,0 +1,85 @@
+"""Time bucketing — SURVEY §2.6 T1-T5.
+
+The reference emulates tumbling windows with a per-job while-loop
+slicing `[start, start + 1min)` clamped to the job end
+(step-2/consumer.py:406-424).  Two subtleties survive into the Spark
+version (SURVEY §7.3 traps 4/5):
+
+  - buckets are aligned to EACH JOB'S start, not wall-clock minutes,
+    so `F.window()`'s default alignment is wrong; bucketing is integer
+    μs arithmetic keyed per job;
+  - the last bucket is truncated (clamped) at the job end, and the
+    output `time` is the μs-floor midpoint of the CLAMPED interval.
+
+All of it is pure column arithmetic — no shuffle beyond the groupBy
+that consumes the bucket column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from stampede_to_fresco_etl_spark.functions import aligned_bucket_start, midpoint
+
+#: Canonical aggregation window (step-2/consumer.py:27); legacy 5-min
+#: variant at step-3.1/old/consumer_2.py:26.
+DEFAULT_WINDOW_SECONDS = 60
+
+
+def with_job_aligned_window(
+    df: DataFrame,
+    ts_col: str = "Timestamp",
+    anchor_col: str = "start",
+    end_col: str = "end",
+    duration_sec: int = DEFAULT_WINDOW_SECONDS,
+    out_start: str = "bucket_start",
+    out_end: str = "bucket_end",
+    out_time: str = "time",
+) -> DataFrame:
+    """Add job-aligned tumbling-bucket columns + clamped midpoint.
+
+    bucket_start = anchor + floor((ts-anchor)/dur)*dur
+    bucket_end   = min(bucket_start + dur, job end)   (clamp)
+    time         = μs-floor midpoint of [bucket_start, bucket_end)
+    (step-2/consumer.py:406-424,412-414)
+    """
+    dur = F.lit(duration_sec)
+    b0 = aligned_bucket_start(F.col(ts_col), F.col(anchor_col), duration_sec)
+    df = df.withColumn(out_start, b0)
+    df = df.withColumn(
+        out_end,
+        F.least(
+            F.timestamp_micros(
+                F.unix_micros(F.col(out_start))
+                + dur.cast("long") * F.lit(1_000_000)
+            ),
+            F.col(end_col),
+        ),
+    )
+    return df.withColumn(out_time, midpoint(F.col(out_start), F.col(out_end)))
+
+
+def with_tumbling_window(
+    df: DataFrame,
+    ts_col: str,
+    duration: str = "1 minute",
+    out: str = "window",
+) -> DataFrame:
+    """Wall-clock-aligned tumbling window via native F.window — the
+    streaming-friendly variant (used where job alignment is not
+    required; cf. legacy 5-min consumer labeling buckets by start,
+    step-3.1/old/consumer_2.py:439-450)."""
+    return df.withColumn(out, F.window(F.col(ts_col), duration))
+
+
+def with_day(df: DataFrame, ts_col: str, out: str = "date") -> DataFrame:
+    """Calendar day key for partitioned writes
+    (step-1/transformer.py:394-401)."""
+    return df.withColumn(out, F.to_date(F.col(ts_col)))
+
+
+def with_month(df: DataFrame, ts_col: str, out: str = "year_month") -> DataFrame:
+    """Calendar month key 'yyyy-MM'
+    (utils/organize_parquet_files_into_month_dirs.py:21-47)."""
+    return df.withColumn(out, F.date_format(F.col(ts_col), "yyyy-MM"))

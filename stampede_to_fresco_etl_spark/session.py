@@ -1,0 +1,61 @@
+"""SparkSession factory with the engine's canonical configuration.
+
+The reference pipeline hand-rolled memory watermarks, thread pools and
+zstd parquet writing (step-2/consumer.py:26,556-562); here those become
+session configs: unified memory manager + AQE + zstd codec. Timestamps
+in the reference are naive strings parsed without timezone
+(step-1/data_processor.py:102), so the session timezone is pinned to
+UTC to make parsing deterministic.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Defaults sized for the local[32] test harness; on a real cluster the
+# submitter overrides master/shuffle partitions.  AQE re-coalesces
+# shuffle partitions at runtime, so a generous static number is safe.
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "stampede-to-fresco-etl-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the canonical SparkSession.
+
+    Scale-relevant choices, in one place:
+      - AQE on: runtime shuffle-partition coalescing, skew-join
+        splitting, dynamic broadcast conversion — replaces the
+        reference's hand-tuned batch sizes (step-2/consumer.py:329-343).
+      - zstd parquet: matches the reference sink
+        (step-2/consumer.py:556-562) and is the right codec at 100 TB.
+      - UTC session timezone: naive-timestamp determinism.
+      - Arrow enabled: fast toPandas / pandas-UDF exchange.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or os.environ.get("SPARK_MASTER", f"local[{cpus}]"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.mergeSchema", "false")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,15 @@
+from __future__ import annotations
+
+import pytest
+
+from stampede_to_fresco_etl_spark.session import get_spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(
+        app_name="tests",
+        master="local[4]",
+        shuffle_partitions=4,
+    )
+    yield s
