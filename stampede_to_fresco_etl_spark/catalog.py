@@ -666,3 +666,360 @@ REGISTRY: dict[
     "q3_join_agg_broadcast": (q_join_agg, SQL_JOIN_AGG),
     "step2_fresco_wide": (q_fresco_wide, SQL_FRESCO_WIDE),
 }
+
+
+# ===========================================================================
+# Training-data pipeline operators (BASELINE.json north-star): dedup,
+# text analysis, similarity search, multimodal plumbing — over the
+# `documents` and `embeddings` tables.
+# ===========================================================================
+
+#: DuckDB twin of operators.text.tokens
+_D_TOKS = "regexp_split_to_array(trim(text), '\\s+')"
+#: DuckDB twin of operators.text.word_shingles (k=3, 1-based lists)
+_D_SHINGLES = (
+    "CASE WHEN len(t) >= 3 THEN "
+    "list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) "
+    "ELSE [] END"
+)
+
+MINHASH_K = 6
+MINHASH_BANDS = 3
+
+
+def _d_mh(j: int) -> str:
+    return md5_int63_sql("s", salt=str(j))
+
+
+# ---------------------------------------------------------------------------
+# D1 — exact dedup via content digest (hash-groupBy; never shuffles text)
+# ---------------------------------------------------------------------------
+
+def q_exact_dedup(spark, sf_dir):
+    from stampede_to_fresco_etl_spark.operators.dedup import (
+        exact_duplicate_groups,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return exact_duplicate_groups(docs, "doc_id", "text")
+
+
+SQL_EXACT_DEDUP = """
+SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_dups
+FROM documents GROUP BY md5(text)
+"""
+
+
+# ---------------------------------------------------------------------------
+# D2 — MinHash + LSH banding near-dup candidates (Broder sketches)
+# ---------------------------------------------------------------------------
+
+def q_minhash_lsh(spark, sf_dir):
+    from stampede_to_fresco_etl_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=MINHASH_K, bands=MINHASH_BANDS
+    )
+
+
+def _sql_minhash() -> str:
+    k, bands = MINHASH_K, MINHASH_BANDS
+    rows = k // bands
+    mh_cols = ",\n         ".join(
+        f"min({_d_mh(j)}) AS mh{j}" for j in range(k)
+    )
+    band_selects = "\n  UNION ALL\n  ".join(
+        f"SELECT doc, {b} AS band_idx, "
+        + " || '_' || ".join(
+            f"CAST(mh{b * rows + r} AS VARCHAR)" for r in range(rows)
+        )
+        + " AS band_key FROM mh"
+        for b in range(bands)
+    )
+    eqs = " + ".join(
+        f"(CASE WHEN a.mh{j} = b.mh{j} THEN 1 ELSE 0 END)" for j in range(k)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS doc, {_D_TOKS} AS t FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc, u.s
+  FROM toks, UNNEST({_D_SHINGLES}) AS u(s)
+),
+mh AS (
+  SELECT doc, {mh_cols}
+  FROM sh GROUP BY doc
+),
+bands AS (
+  {band_selects}
+),
+pairs AS (
+  SELECT DISTINCT l.doc AS doc_a, r.doc AS doc_b
+  FROM bands l
+  JOIN bands r
+    ON l.band_idx = r.band_idx AND l.band_key = r.band_key
+   AND l.doc < r.doc
+)
+SELECT p.doc_a, p.doc_b, ({eqs}) / {float(k)} AS est_jaccard
+FROM pairs p
+JOIN mh a ON p.doc_a = a.doc
+JOIN mh b ON p.doc_b = b.doc
+"""
+
+
+# ---------------------------------------------------------------------------
+# D3 — SimHash sketch (Charikar hyperplane rounding over tokens)
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 16
+
+
+def q_simhash(spark, sf_dir):
+    from stampede_to_fresco_etl_spark.operators.dedup import simhash
+
+    docs = load(spark, sf_dir, "documents")
+    return simhash(docs, "doc_id", "text", bits=SIMHASH_BITS)
+
+
+def _sql_simhash() -> str:
+    hv = md5_int63_sql("tok")
+    sums = ",\n         ".join(
+        f"SUM(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    bits = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS doc, u.tok
+  FROM documents, UNNEST({_D_TOKS}) AS u(tok)
+),
+h AS (SELECT doc, {hv} AS hv FROM toks),
+s AS (SELECT doc, {sums} FROM h GROUP BY doc)
+SELECT doc, CAST({bits} AS BIGINT) AS simhash FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
+# D4 — exact n-gram Jaccard over the shingle inverted index
+# ---------------------------------------------------------------------------
+
+def q_ngram_jaccard(spark, sf_dir):
+    from stampede_to_fresco_etl_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "doc_id", "text", min_jaccard=0.05)
+
+
+SQL_NGRAM_JACCARD = f"""
+WITH toks AS (
+  SELECT doc_id AS doc, {_D_TOKS} AS t FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc, u.s
+  FROM toks, UNNEST({_D_SHINGLES}) AS u(s)
+),
+sizes AS (SELECT doc, count(*) AS sz FROM sh GROUP BY doc),
+inter AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc < b.doc
+  GROUP BY a.doc, b.doc
+)
+SELECT i.doc_a, i.doc_b,
+       CAST(i.inter AS DOUBLE)
+         / CAST(sa.sz + sb.sz - i.inter AS DOUBLE) AS jaccard
+FROM inter i
+JOIN sizes sa ON i.doc_a = sa.doc
+JOIN sizes sb ON i.doc_b = sb.doc
+WHERE CAST(i.inter AS DOUBLE)
+        / CAST(sa.sz + sb.sz - i.inter AS DOUBLE) >= 0.05
+"""
+
+
+# ---------------------------------------------------------------------------
+# X1/X2 — token statistics, quality scoring, language ID
+# ---------------------------------------------------------------------------
+
+def q_token_stats(spark, sf_dir):
+    from stampede_to_fresco_etl_spark.operators import text as T
+
+    docs = load(spark, sf_dir, "documents")
+    toks = T.tokens("text")
+    return docs.select(
+        "doc_id",
+        T.token_count("text").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_unique"),
+        T.distinct_token_ratio("text").alias("distinct_ratio"),
+    )
+
+
+SQL_TOKEN_STATS = f"""
+SELECT doc_id,
+       CAST(len({_D_TOKS}) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct({_D_TOKS})) AS BIGINT) AS n_unique,
+       CAST(len(list_distinct({_D_TOKS})) AS DOUBLE)
+         / CAST(len({_D_TOKS}) AS DOUBLE) AS distinct_ratio
+FROM documents
+"""
+
+
+def q_quality_lang(spark, sf_dir):
+    from stampede_to_fresco_etl_spark.operators import text as T
+
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.stopword_count("text").alias("n_stopwords"),
+        T.stopword_ratio("text").alias("stopword_ratio"),
+        T.lang_id("text").alias("lang_pred"),
+    )
+
+
+def _sql_quality() -> str:
+    from stampede_to_fresco_etl_spark.operators.text import STOPWORDS
+
+    cond = " OR ".join(f"x = '{w}'" for w in STOPWORDS)
+    n_stop = f"CAST(len(list_filter({_D_TOKS}, x -> {cond})) AS BIGINT)"
+    n_tok = f"CAST(len({_D_TOKS}) AS BIGINT)"
+    ratio = f"(CAST({n_stop} AS DOUBLE) / CAST({n_tok} AS DOUBLE))"
+    return f"""
+SELECT doc_id,
+       {n_stop} AS n_stopwords,
+       {ratio} AS stopword_ratio,
+       CASE WHEN {ratio} >= 0.05 THEN 'en' ELSE 'unk' END AS lang_pred
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# X3 — document fingerprint (min-shingle-hash blocking key)
+# ---------------------------------------------------------------------------
+
+def q_fingerprint(spark, sf_dir):
+    from stampede_to_fresco_etl_spark.operators import text as T
+
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.min_shingle_fingerprint(T.tokens("text")).alias("fingerprint"),
+    )
+
+
+SQL_FINGERPRINT = f"""
+WITH toks AS (SELECT doc_id, {_D_TOKS} AS t FROM documents)
+SELECT doc_id,
+       list_aggregate(list_transform({_D_SHINGLES}, s -> md5(s)), 'min')
+         AS fingerprint
+FROM toks
+"""
+
+
+# ---------------------------------------------------------------------------
+# V1 — brute-force cosine top-k (exact ANN baseline)
+# ---------------------------------------------------------------------------
+
+TOPK_K = 10
+N_PROBES = 5
+
+_D_DOT = (
+    "list_reduce(list_transform(range(1, len({a}) + 1), "
+    "i -> {a}[i] * {b}[i]), (x, y) -> x + y)"
+)
+
+
+def q_cosine_topk(spark, sf_dir):
+    from stampede_to_fresco_etl_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    out = brute_force_topk(emb, probes, k=TOPK_K)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+def _sql_topk() -> str:
+    dot_pc = _D_DOT.format(a="c.v", b="p.pv")
+    n_c = _D_DOT.format(a="c.v", b="c.v")
+    n_p = _D_DOT.format(a="p.pv", b="p.pv")
+    return f"""
+WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+p AS (
+  SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pv
+  FROM embeddings WHERE vec_id < {N_PROBES}
+),
+s AS (
+  SELECT p.probe_id, c.vec_id,
+         {dot_pc} / (sqrt({n_p}) * sqrt({n_c})) AS cos_sim
+  FROM c, p
+),
+r AS (
+  SELECT probe_id, vec_id, cos_sim,
+         CAST(row_number() OVER (
+           PARTITION BY probe_id ORDER BY cos_sim DESC, vec_id
+         ) AS BIGINT) AS rank
+  FROM s
+)
+SELECT probe_id, vec_id, cos_sim, rank FROM r WHERE rank <= {TOPK_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# V2 — LSH-bucketed approximate top-k (rows-only: approximation has no
+# SQL oracle; recall is asserted against V1 in tests)
+# ---------------------------------------------------------------------------
+
+def q_lsh_topk(spark, sf_dir):
+    from stampede_to_fresco_etl_spark.operators.similarity import lsh_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    return lsh_topk(emb, probes, k=TOPK_K, num_planes=3)
+
+
+# ---------------------------------------------------------------------------
+# MM1 — binary-column metadata (multimodal fast path, no decode)
+# ---------------------------------------------------------------------------
+
+def q_binary_meta(spark, sf_dir):
+    from stampede_to_fresco_etl_spark.operators.multimodal import binary_meta
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "payload", F.col("text").cast("binary")
+    )
+    return binary_meta(docs, "doc_id", "payload")
+
+
+SQL_BINARY_META = """
+SELECT doc_id,
+       CAST(octet_length(text::BLOB) AS BIGINT) AS n_bytes,
+       lower(substr(hex(text::BLOB), 1, 16)) AS prefix_hex,
+       md5(text) AS digest
+FROM documents
+"""
+
+
+REGISTRY.update(
+    {
+        "d1_exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
+        "d2_minhash_lsh": (q_minhash_lsh, _sql_minhash()),
+        "d3_simhash": (q_simhash, _sql_simhash()),
+        "d4_ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
+        "x1_token_stats": (q_token_stats, SQL_TOKEN_STATS),
+        "x2_quality_lang": (q_quality_lang, _sql_quality()),
+        "x3_fingerprint": (q_fingerprint, SQL_FINGERPRINT),
+        "v1_cosine_topk": (q_cosine_topk, _sql_topk()),
+        "v2_lsh_topk": (q_lsh_topk, None),
+        "mm1_binary_meta": (q_binary_meta, SQL_BINARY_META),
+    }
+)

@@ -1,0 +1,220 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram
+Jaccard — the core scrubbing passes of a training-data pipeline.
+
+Design for 100 TB:
+  - exact dedup is a single hash-aggregate on a 128-bit digest (never
+    on the raw text — shuffle bytes drop ~100×);
+  - near-dup avoids the O(n²) pair space via LSH banding: only docs
+    sharing a band key meet in the join, and the band join is an
+    equi-join Catalyst can shuffle-hash on the band key;
+  - all hashes are md5-derived (functions.md5_int63) so signatures
+    are reproducible in any engine (and testable against DuckDB).
+
+SimHash/MinHash math follows the published constructions (Broder '97
+resemblance sketches; Charikar '02 random hyperplane rounding).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from stampede_to_fresco_etl_spark.functions import md5_int63
+from stampede_to_fresco_etl_spark.operators.text import tokens, word_shingles
+
+
+def exact_duplicate_groups(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Group identical texts by md5 digest: (fingerprint, keep_id,
+    n_dups).  keep_id = min id is the canonical survivor."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("n_dups"),
+        )
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep one row (min id) per distinct text."""
+    w_min = exact_duplicate_groups(df, id_col, text_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    return df.join(w_min, on=id_col, how="inner")
+
+
+def _shingled(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """(id, shingle) exploded distinct shingle sets."""
+    return (
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.explode(word_shingles(tokens(F.col(text_col)), k)).alias(
+                "shingle"
+            ),
+        )
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """MinHash signature per doc: mh_j = min over shingles of the
+    j-salted md5 hash.  One explode + one hash-aggregate; num_hashes
+    min-aggregations ride the same shuffle."""
+    sh = _shingled(df, id_col, text_col, shingle_k)
+    aggs = [
+        F.min(md5_int63(F.col("shingle"), salt=str(j))).alias(f"mh{j}")
+        for j in range(num_hashes)
+    ]
+    return sh.groupBy("doc").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """LSH banding: docs sharing any band of the signature become a
+    candidate pair.  Output: (doc_a, doc_b, est_jaccard) with
+    doc_a < doc_b; est_jaccard = fraction of equal signature slots.
+
+    The band table is built with one `stack` (no N self-unions), and
+    the pair join is an equi-join on (band_idx, band_key)."""
+    rows = num_hashes // bands
+    band_keys = [
+        F.concat_ws("_", *[F.col(f"mh{b * rows + r}") for r in range(rows)])
+        for b in range(bands)
+    ]
+    banded = signatures.select(
+        F.col("doc"),
+        *[F.col(f"mh{j}") for j in range(num_hashes)],
+        F.posexplode(F.array(*band_keys)).alias("band_idx", "band_key"),
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col("l.doc") < F.col("r.doc")),
+        )
+        .select(
+            F.col("l.doc").alias("doc_a"),
+            F.col("r.doc").alias("doc_b"),
+            *[
+                (F.col(f"l.mh{j}") == F.col(f"r.mh{j}"))
+                .cast("int")
+                .alias(f"eq{j}")
+                for j in range(num_hashes)
+            ],
+        )
+        .distinct()
+    )
+    est = sum(F.col(f"eq{j}") for j in range(num_hashes)) / F.lit(
+        float(num_hashes)
+    )
+    return pairs.select("doc_a", "doc_b", est.alias("est_jaccard"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
+    return lsh_candidate_pairs(sigs, num_hashes, bands)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 3,
+    min_jaccard: float = 0.0,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for candidate pairs that share
+    at least one shingle.  |A∩B| via a self-equi-join on the shingle,
+    |A∪B| = |A| + |B| - |A∩B|.  At scale the shingle join is the
+    standard inverted-index pattern; hot shingles should be capped
+    (stopword shingles removed) before joining."""
+    sh = _shingled(df, id_col, text_col, shingle_k)
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(
+            F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter.join(
+            sizes.select(
+                F.col("doc").alias("doc_a"), F.col("sz").alias("sz_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            sizes.select(
+                F.col("doc").alias("doc_b"), F.col("sz").alias("sz_b")
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast(
+                    "double"
+                )
+            ).alias("jaccard"),
+        )
+    )
+    if min_jaccard > 0.0:
+        out = out.filter(F.col("jaccard") >= min_jaccard)
+    return out
+
+
+def simhash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 16,
+) -> DataFrame:
+    """SimHash per doc (Charikar random-hyperplane sketch over the
+    token multiset): bit b is the sign of Σ_tokens ±1 where the sign
+    comes from bit b of the token's md5 hash.  One explode + one
+    aggregate; `bits` sums ride the same shuffle."""
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(tokens(F.col(text_col))).alias("tok"),
+    )
+    h = md5_int63(F.col("tok"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
+                -1
+            )
+        ).alias(f"s{b}")
+        for b in range(bits)
+    ]
+    sums = toks.groupBy("doc").agg(*aggs)
+    sim: Column = F.lit(0).cast("long")
+    for b in range(bits):
+        sim = sim + F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(0)
+    return sums.select("doc", sim.alias("simhash"))

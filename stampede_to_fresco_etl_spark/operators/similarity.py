@@ -1,0 +1,175 @@
+"""Similarity search over embedding columns (`array<float>`):
+brute-force cosine top-k as the exact baseline, and a sign-LSH
+(random-hyperplane) bucketed variant as the scale path.
+
+Determinism: dot products are left-to-right folds (F.aggregate over
+zip_with) so results are bit-reproducible and checkable against a
+DuckDB list_reduce oracle.  LSH hyperplanes are derived from md5
+(functions.md5_int63), not an RNG, so bucket assignments are stable
+across runs and engines.
+
+Scale notes (100 TB / 10⁹ vectors):
+  - brute force is a broadcast of the (small) probe set against the
+    corpus — one scan, no shuffle, top-k via per-probe window;
+  - sign-LSH cuts the candidate set ~2^planes×; buckets become the
+    equi-join key so Catalyst shuffles only bucket-matched pairs;
+    recall is tuned by planes (fewer planes = bigger buckets) and by
+    probing neighboring buckets (multi-probe) if needed;
+  - for IVF-style partitioning, replace the bucket id with a learned
+    centroid id — the dataflow (bucket equi-join + window top-k) is
+    identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+import hashlib
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Left-to-right fold dot product — deterministic double sum."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def as_double_vec(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("array<double>")
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "probe_id",
+    k: int = 10,
+) -> DataFrame:
+    """Exact cosine top-k: broadcast probes × corpus, rank per probe.
+    Ties broken by corpus id for determinism.
+
+    Output: (probe_id, vec_id, cos_sim, rank)."""
+    p = probes.select(
+        F.col(probe_id_col),
+        as_double_vec(vec_col).alias("p_vec"),
+    )
+    c = corpus.select(
+        F.col(id_col), as_double_vec(vec_col).alias("c_vec")
+    )
+    scored = c.crossJoin(F.broadcast(p)).select(
+        probe_id_col,
+        id_col,
+        cosine(F.col("p_vec"), F.col("c_vec")).alias("cos_sim"),
+    )
+    w = Window.partitionBy(probe_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def hyperplanes(num_planes: int, dim: int, seed: str = "lsh") -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes from md5 — no RNG
+    state, reproducible across engines and runs."""
+    planes = []
+    for p in range(num_planes):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"{seed}:{p}:{d}".encode()).hexdigest()
+            v = int(h[:15], 16) % 2001 - 1000
+            row.append(v / 1000.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-LSH bucket id: bit p = (vec · plane_p) > 0."""
+    bucket: Column = F.lit(0).cast("long")
+    for p, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(float(w)) for w in plane])
+        bucket = bucket + F.when(
+            _dot(vec, lit_plane) > 0, F.lit(1 << p)
+        ).otherwise(0)
+    return bucket
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "probe_id",
+    k: int = 10,
+    num_planes: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate cosine top-k: bucket both sides with sign-LSH,
+    equi-join on the bucket, rank within it.  Recall < 1 by design;
+    the exact variant is the oracle for recall measurement."""
+    planes = hyperplanes(num_planes, dim)
+    c = corpus.select(
+        F.col(id_col), as_double_vec(vec_col).alias("c_vec")
+    ).withColumn("bucket", lsh_bucket(F.col("c_vec"), planes))
+    p = probes.select(
+        F.col(probe_id_col), as_double_vec(vec_col).alias("p_vec")
+    ).withColumn("bucket", lsh_bucket(F.col("p_vec"), planes))
+    scored = c.join(F.broadcast(p), "bucket").select(
+        probe_id_col,
+        id_col,
+        cosine(F.col("p_vec"), F.col("c_vec")).alias("cos_sim"),
+    )
+    w = Window.partitionBy(probe_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 8,
+    dim: int = 64,
+    min_cosine: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH self-join:
+    (id_a, id_b, cos_sim) with id_a < id_b and cos_sim >= threshold.
+    The bucket equi-join bounds the pair space; exactness within a
+    bucket is full cosine."""
+    planes = hyperplanes(num_planes, dim)
+    v = df.select(
+        F.col(id_col).alias("vid"), as_double_vec(vec_col).alias("vec")
+    ).withColumn("bucket", lsh_bucket(F.col("vec"), planes))
+    a = v.alias("a")
+    b = v.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vid") < F.col("b.vid")),
+        )
+        .select(
+            F.col("a.vid").alias("id_a"),
+            F.col("b.vid").alias("id_b"),
+            cosine(F.col("a.vec"), F.col("b.vec")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= min_cosine)
+    )

@@ -1,0 +1,115 @@
+"""Unit tests for the dedup + text-analysis operators on tiny
+hand-checked corpora."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from stampede_to_fresco_etl_spark.operators import text as T
+from stampede_to_fresco_etl_spark.operators.dedup import (
+    exact_dedup,
+    exact_duplicate_groups,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+
+
+def docs_df(spark, texts):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+
+
+def test_exact_dedup(spark):
+    df = docs_df(spark, ["aa bb", "aa bb", "cc dd", "aa bb"])
+    groups = exact_duplicate_groups(df, "doc_id", "text").collect()
+    by_keep = {r["keep_id"]: r["n_dups"] for r in groups}
+    assert by_keep == {0: 3, 2: 1}
+    kept = exact_dedup(df, "doc_id", "text")
+    assert sorted(r["doc_id"] for r in kept.collect()) == [0, 2]
+
+
+def test_word_shingles_and_fingerprint(spark):
+    df = docs_df(spark, ["a b c d", "x y"])
+    out = df.select(
+        "doc_id", T.word_shingles(T.tokens("text")).alias("sh")
+    ).collect()
+    sh = {r["doc_id"]: r["sh"] for r in out}
+    assert sh[0] == ["a b c", "b c d"]
+    assert sh[1] == []  # shorter than k -> empty, not descending-seq junk
+    fp = df.select(
+        T.min_shingle_fingerprint(T.tokens("text")).alias("f")
+    ).collect()
+    assert fp[0]["f"] is not None and fp[1]["f"] is None
+
+
+def test_minhash_identical_docs_full_signature_match(spark):
+    df = docs_df(
+        spark,
+        [
+            "the quick brown fox jumps over the lazy dog",
+            "the quick brown fox jumps over the lazy dog",
+            "completely different words appear in this one here",
+        ],
+    )
+    sigs = minhash_signatures(df, "doc_id", "text", num_hashes=6)
+    rows = {r["doc"]: [r[f"mh{j}"] for j in range(6)] for r in sigs.collect()}
+    assert rows[0] == rows[1]
+    assert rows[0] != rows[2]
+    pairs = minhash_lsh_pairs(df, "doc_id", "text", num_hashes=6, bands=3)
+    got = {(r["doc_a"], r["doc_b"]): r["est_jaccard"] for r in pairs.collect()}
+    assert got[(0, 1)] == 1.0
+    assert (0, 2) not in got and (1, 2) not in got
+
+
+def test_ngram_jaccard_exact_value(spark):
+    # doc0 shingles: {a b c, b c d}; doc1: {a b c, b c x}
+    # inter=1, union=3 -> 1/3
+    df = docs_df(spark, ["a b c d", "a b c x"])
+    out = ngram_jaccard_pairs(df, "doc_id", "text").collect()
+    assert len(out) == 1
+    assert math.isclose(out[0]["jaccard"], 1 / 3, rel_tol=1e-12)
+
+
+def test_simhash_similar_docs_close(spark):
+    df = docs_df(
+        spark,
+        [
+            "alpha beta gamma delta epsilon zeta eta theta",
+            "alpha beta gamma delta epsilon zeta eta iota",
+            "one two three four five six seven eight",
+        ],
+    )
+    rows = {r["doc"]: r["simhash"] for r in simhash(df, "doc_id", "text").collect()}
+
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+
+    assert hamming(rows[0], rows[1]) < hamming(rows[0], rows[2])
+
+
+def test_stopword_and_lang(spark):
+    df = docs_df(spark, ["the cat is on the mat", "xyz qrs tuv"])
+    out = df.select(
+        "doc_id",
+        T.stopword_count("text").alias("n"),
+        T.lang_id("text").alias("lang"),
+    ).collect()
+    got = {r["doc_id"]: (r["n"], r["lang"]) for r in out}
+    assert got[0] == (3, "en")  # the, is, the
+    assert got[1] == (0, "unk")
+
+
+def test_token_stats(spark):
+    df = docs_df(spark, ["a a b"])
+    r = df.select(
+        T.token_count("text").alias("n"),
+        T.distinct_token_ratio("text").alias("r"),
+    ).first()
+    assert r["n"] == 3
+    assert math.isclose(r["r"], 2 / 3, rel_tol=1e-12)

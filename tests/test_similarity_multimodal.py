@@ -1,0 +1,115 @@
+"""Unit tests for similarity search (exact vs LSH recall) and the
+multimodal mapInPandas plumbing."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from stampede_to_fresco_etl_spark.operators.multimodal import (
+    FEATURE_DIM,
+    binary_meta,
+    decode_image_meta,
+    extract_features,
+)
+from stampede_to_fresco_etl_spark.operators.similarity import (
+    brute_force_topk,
+    embedding_near_dups,
+    lsh_topk,
+)
+
+
+def _vecs(spark, vectors):
+    return spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in v])
+         for i, v in enumerate(vectors)]
+    )
+
+
+def test_brute_force_topk_exact(spark):
+    corpus = _vecs(
+        spark,
+        [[1, 0, 0], [0.9, 0.1, 0], [0, 1, 0], [-1, 0, 0]],
+    )
+    probes = corpus.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    out = brute_force_topk(corpus, probes, k=2).collect()
+    ranked = sorted(out, key=lambda r: r["rank"])
+    assert [r["vec_id"] for r in ranked] == [0, 1]
+    assert math.isclose(ranked[0]["cos_sim"], 1.0, rel_tol=1e-12)
+
+
+def test_lsh_recall_against_exact(spark, tmp_path):
+    # On the real embeddings table, LSH top-k with few planes should
+    # recover a large fraction of the exact top-k (same-bucket bias).
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    probes = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    exact = brute_force_topk(emb, probes, k=5).collect()
+    approx = lsh_topk(emb, probes, k=5, num_planes=2).collect()
+    exact_set = {(r["probe_id"], r["vec_id"]) for r in exact}
+    approx_set = {(r["probe_id"], r["vec_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.4, f"LSH recall too low: {recall}"
+    # the probe itself always lands in its own bucket at rank 1
+    own = [r for r in approx if r["vec_id"] == r["probe_id"]]
+    assert all(r["rank"] == 1 for r in own) and len(own) == 3
+
+
+def test_embedding_near_dups_finds_duplicate_vector(spark):
+    base = [0.1 * i for i in range(8)]
+    near = [0.1 * i + (0.001 if i == 0 else 0.0) for i in range(8)]
+    far = [1.0, -1.0, 0.5, -0.5, 0.2, -0.2, 0.9, -0.9]
+    df = _vecs(spark, [base, near, far])
+    out = embedding_near_dups(df, num_planes=4, dim=8, min_cosine=0.99)
+    pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert (0, 1) in pairs
+    assert all(2 not in p for p in pairs)
+
+
+def test_decode_image_meta_plumbing(spark):
+    rows = [
+        Row(media_id=1, kind="image", payload=b"\x89PNG fake bytes",
+            mime="image/png"),
+        Row(media_id=2, kind="image", payload=None, mime=None),
+    ]
+    df = spark.createDataFrame(rows)
+    out = {r["media_id"]: r for r in decode_image_meta(df).collect()}
+    r1 = out[1]
+    assert r1["n_bytes"] == 15
+    assert len(r1["digest"]) == 32
+    assert 16 <= r1["width"] <= 4096 and 16 <= r1["height"] <= 4096
+    r2 = out[2]
+    assert r2["n_bytes"] is None and r2["digest"] is None
+
+    # deterministic: same payload -> same fake dimensions
+    again = {r["media_id"]: r for r in decode_image_meta(df).collect()}
+    assert again[1]["width"] == r1["width"]
+
+
+def test_extract_features_shape(spark):
+    from stampede_to_fresco_etl_spark.operators.multimodal import MEDIA_SCHEMA
+
+    df = spark.createDataFrame(
+        [Row(media_id=1, kind="image", payload=b"abc", mime=None)],
+        schema=MEDIA_SCHEMA,
+    )
+    r = extract_features(df).first()
+    assert len(r["feature"]) == FEATURE_DIM
+    assert all(-1.0 <= x <= 1.0 for x in r["feature"])
+
+
+def test_binary_meta_sql_path(spark):
+    df = spark.createDataFrame([Row(doc_id=1, text="hello")]).withColumn(
+        "payload", F.col("text").cast("binary")
+    )
+    r = binary_meta(df, "doc_id", "payload").first()
+    assert r["n_bytes"] == 5
+    assert r["prefix_hex"] == "68656c6c6f"
+    import hashlib
+
+    assert r["digest"] == hashlib.md5(b"hello").hexdigest()
