@@ -28,6 +28,11 @@ HEADLINE = [
     "q3_join_agg_broadcast",
     "p8_union_dedup",
     "step2_fresco_wide",
+    "d1_exact_dedup",
+    "d2_minhash_lsh",
+    "d3_simhash",
+    "v1_cosine_topk",
+    "x1_token_stats",
 ]
 
 

@@ -905,9 +905,12 @@ def q_fingerprint(spark, sf_dir):
     from stampede_to_fresco_etl_spark.operators import text as T
 
     docs = load(spark, sf_dir, "documents")
-    return docs.select(
+    # materialize the token array first — no CSE inside lambdas, so an
+    # inlined split() would re-run per element_at (see dedup._shingled)
+    toks = docs.select("doc_id", T.tokens("text").alias("t"))
+    return toks.select(
         "doc_id",
-        T.min_shingle_fingerprint(T.tokens("text")).alias("fingerprint"),
+        T.min_shingle_fingerprint(F.col("t")).alias("fingerprint"),
     )
 
 

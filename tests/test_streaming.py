@@ -1,0 +1,106 @@
+"""Streaming-mode tests: exactly-once incremental ingest, watermarked
+dedup, and the windowed rollup — all with availableNow triggers so
+they run deterministically in CI."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import Row
+
+from stampede_to_fresco_etl_spark.schemas import FRESCO_LONG
+from stampede_to_fresco_etl_spark.streaming.ingest import (
+    minute_rollup,
+    read_event_stream,
+    run_incremental_pipeline,
+)
+
+
+def event(jid, host, t, ev, val):
+    return Row(**{"Job Id": jid, "Host": host, "Timestamp": t,
+                  "Event": ev, "Value": val, "Units": "GB"})
+
+
+def ts(m, s=0):
+    return dt.datetime(2013, 3, 1, 10, m, s)
+
+
+def _write_batch(spark, path, rows, mode="append"):
+    spark.createDataFrame(rows, schema=FRESCO_LONG).coalesce(1).write.mode(
+        mode
+    ).parquet(path)
+
+
+def test_incremental_exactly_once(spark, tmp_path):
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    batch1 = [
+        event("JOB1", "h1", ts(0), "memused", 1.0),
+        event("JOB1", "h1", ts(1), "memused", 2.0),
+        # duplicate row in the same batch -> dropped by dedup
+        event("JOB1", "h1", ts(1), "memused", 2.0),
+    ]
+    _write_batch(spark, landing, batch1)
+    q = run_incremental_pipeline(spark, landing, out, ckpt)
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == 2
+    assert set(got.select("date").distinct().toPandas()["date"].astype(str)) == {
+        "2013-03-01"
+    }
+
+    # second arrival: one new row; rerun drains ONLY the new file
+    _write_batch(spark, landing, [event("JOB1", "h2", ts(2), "memused", 3.0)])
+    q2 = run_incremental_pipeline(spark, landing, out, ckpt)
+    q2.awaitTermination(120)
+    got2 = spark.read.parquet(out)
+    assert got2.count() == 3  # old rows not re-ingested (exactly-once)
+
+    # third run with nothing new: no change
+    q3 = run_incremental_pipeline(spark, landing, out, ckpt)
+    q3.awaitTermination(120)
+    assert spark.read.parquet(out).count() == 3
+
+
+def test_minute_rollup_stream(spark, tmp_path):
+    landing = str(tmp_path / "landing")
+    _write_batch(
+        spark,
+        landing,
+        [
+            event("JOB1", "h1", ts(0, 10), "memused", 2.0),
+            event("JOB1", "h1", ts(0, 50), "memused", 4.0),
+            event("JOB1", "h1", ts(1, 10), "memused", 10.0),
+        ],
+    )
+    stream = read_event_stream(spark, landing)
+    rollup = minute_rollup(stream)
+    q = (
+        rollup.writeStream.format("memory")
+        .queryName("rollup_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # append mode + availableNow: windows whose watermark passed are
+    # emitted; with a 10-minute watermark the first window closes once
+    # the 10:01 event arrives... final watermark = max_ts - 10min,
+    # so no window is final yet -> rows may be 0.  Use complete-mode
+    # run to check the aggregation itself.
+    q2 = (
+        rollup.writeStream.format("memory")
+        .queryName("rollup_complete")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    rows = spark.sql(
+        "select * from rollup_complete order by window_start"
+    ).collect()
+    assert len(rows) == 2
+    assert rows[0]["avg_value"] == 3.0 and rows[0]["n_samples"] == 2
+    assert rows[1]["avg_value"] == 10.0 and rows[1]["n_samples"] == 1
