@@ -1026,3 +1026,176 @@ REGISTRY.update(
         "mm1_binary_meta": (q_binary_meta, SQL_BINARY_META),
     }
 )
+
+
+# ===========================================================================
+# Remaining SURVEY §2 coverage: anti-filter, global sort, legacy 5-min
+# window, the block-rate formula (W2/F11/P10), multi-column group sums
+# (A2), and multi-format timestamp parsing (F1).
+# ===========================================================================
+
+def q_anti_filter(spark, sf_dir):
+    """P6 — inequality anti-filter (host removal,
+    rough-drafts/s3_data_cleanup.py:107)."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.filter(F.col("event_type") != "error")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+SQL_ANTI_FILTER = """
+SELECT event_type, count(*) AS n FROM events
+WHERE event_type <> 'error' GROUP BY event_type
+"""
+
+
+def q_global_sort(spark, sf_dir):
+    """O2 — global multi-key sort of final output
+    (rough_transform...py:120).  Hash compare is order-insensitive;
+    the operator under test is the total ordering itself, surfaced as
+    a dense rank column."""
+    e = load(spark, sf_dir, "events")
+    w = Window.orderBy("ts", "event_id")
+    return (
+        e.orderBy("ts", "event_id")
+        .select(
+            "event_id", "ts",
+            F.row_number().over(w).cast("long").alias("pos"),
+        )
+    )
+
+
+SQL_GLOBAL_SORT = """
+SELECT event_id, ts,
+       CAST(row_number() OVER (ORDER BY ts, event_id) AS BIGINT) AS pos
+FROM events ORDER BY ts, event_id
+"""
+
+
+def q_tumbling_5min_legacy(spark, sf_dir):
+    """T2 — legacy 5-minute window labeled by bucket START
+    (step-3.1/old/consumer_2.py:26,439-450), wall-clock aligned."""
+    e = load(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    bucket = F.timestamp_micros(us - us % F.lit(300_000_000))
+    return e.groupBy(bucket.alias("bucket_start"), "event_type").agg(
+        F.count("*").alias("n"), dsum(F.col("value")).alias("sum_value")
+    )
+
+
+SQL_TUMBLING_5MIN = f"""
+SELECT make_timestamp(epoch_us(ts) - epoch_us(ts) % 300000000)
+         AS bucket_start,
+       event_type, count(*) AS n, {DSUM.format(x='value')} AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_block_rate_formula(spark, sf_dir):
+    """W2/F11/P10 — the block-rate unit math (Δ×512/Δt/2^30, clip ≥0,
+    step-1/data_processor.py:123-129) applied to the events stream as
+    a cumulative counter per user."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    d = lag_deltas(
+        e, ["user_id"], "ts", ["value"], order_cols=["ts", "event_id"]
+    )
+    d = d.filter(
+        F.col("dt_seconds").isNotNull() & (F.col("dt_seconds") >= 0.1)
+        & F.col("value_delta").isNotNull()
+    )
+    rate = F.col("value_delta") * F.lit(512.0) / F.col("dt_seconds") / F.lit(
+        float(2**30)
+    )
+    return d.select(
+        "user_id", "event_id",
+        F.greatest(rate, F.lit(0.0)).alias("gb_per_sec"),
+    )
+
+
+SQL_BLOCK_RATE = """
+WITH s AS (
+  SELECT user_id, event_id,
+         value - lag(value) OVER w AS d,
+         (epoch_us(ts) - lag(epoch_us(ts)) OVER w) / 1000000.0 AS dt
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, event_id,
+       GREATEST(d * 512.0 / dt / 1073741824.0, 0.0) AS gb_per_sec
+FROM s WHERE dt IS NOT NULL AND dt >= 0.1 AND d IS NOT NULL
+"""
+
+
+def q_multicol_group_sum(spark, sf_dir):
+    """A2 — multi-column group-by SUM (7 jiffy columns rolled up per
+    key, step-1/data_processor.py:169-174) — several sums riding one
+    shuffle."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_suppkey").agg(
+        dsum(F.col("l_quantity")).alias("sum_qty"),
+        dsum(F.col("l_extendedprice")).alias("sum_price"),
+        dsum(F.col("l_discount")).alias("sum_disc"),
+        dsum(F.col("l_tax")).alias("sum_tax"),
+        F.count("*").alias("n"),
+    )
+
+
+SQL_MULTICOL_SUM = f"""
+SELECT l_suppkey,
+       {DSUM.format(x='l_quantity')} AS sum_qty,
+       {DSUM.format(x='l_extendedprice')} AS sum_price,
+       {DSUM.format(x='l_discount')} AS sum_disc,
+       {DSUM.format(x='l_tax')} AS sum_tax,
+       count(*) AS n
+FROM lineitem GROUP BY l_suppkey
+"""
+
+
+def q_multiformat_parse(spark, sf_dir):
+    """F1 — non-strict multi-format timestamp parse cascade
+    (step-3.1/old/consumer_2.py:175-215): serialize ts into two
+    string formats by row parity, reparse with the coalesce cascade,
+    unparseable → null."""
+    e = load(spark, sf_dir, "events")
+    ts_str = F.when(
+        F.col("event_id") % 3 == 0, F.date_format("ts", "MM/dd/yyyy HH:mm:ss")
+    ).when(
+        F.col("event_id") % 3 == 1, F.date_format("ts", "yyyy-MM-dd HH:mm:ss")
+    ).otherwise(F.lit("not a time"))
+    from stampede_to_fresco_etl_spark.functions import parse_timestamp
+
+    return e.select(
+        "event_id", parse_timestamp(ts_str).alias("parsed_ts")
+    )
+
+
+SQL_MULTIFORMAT = """
+WITH s AS (
+  SELECT event_id,
+         CASE CAST(event_id % 3 AS INTEGER)
+           WHEN 0 THEN strftime(ts, '%m/%d/%Y %H:%M:%S')
+           WHEN 1 THEN strftime(ts, '%Y-%m-%d %H:%M:%S')
+           ELSE 'not a time' END AS ts_str
+  FROM events
+)
+SELECT event_id,
+       COALESCE(try_strptime(ts_str, '%m/%d/%Y %H:%M:%S'),
+                try_strptime(ts_str, '%Y-%m-%d %H:%M:%S')) AS parsed_ts
+FROM s
+"""
+
+
+REGISTRY.update(
+    {
+        "p6_anti_filter": (q_anti_filter, SQL_ANTI_FILTER),
+        "o2_global_sort": (q_global_sort, SQL_GLOBAL_SORT),
+        "t2_tumbling_5min_legacy": (q_tumbling_5min_legacy, SQL_TUMBLING_5MIN),
+        "w2_block_rate_formula": (q_block_rate_formula, SQL_BLOCK_RATE),
+        "a2_multicol_group_sum": (q_multicol_group_sum, SQL_MULTICOL_SUM),
+        "f1_multiformat_parse": (q_multiformat_parse, SQL_MULTIFORMAT),
+    }
+)
