@@ -46,9 +46,14 @@ def main() -> None:
     # Warm the JVM/codegen path once with a trivial action.
     spark.range(1000).count()
 
+    warmup = int(os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn, _sql = REGISTRY[name]
+        # untimed warmup run(s): measure the engine, not first-query
+        # codegen/plan-compilation overhead
+        for _ in range(warmup):
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         timings[name] = round(time.perf_counter() - t0, 3)
