@@ -561,18 +561,21 @@ def q_fresco_wide(spark, sf_dir):
         .withColumn("start_time", F.col("jstart"))
         .withColumn("end_time", F.col("jend"))
     )
+    # Aggregate FIRST, then derive host_list from the (small) agg
+    # frame: the jid window shuffles buckets, not raw joined rows.
+    agg = j.groupBy("jid", "time", "start_time", "end_time", "event_type").agg(
+        F.sum(F.floor(F.col("value") * F.lit(10000.0)).cast("long")).alias("s"),
+        F.count("value").alias("c"),
+    )
     w_job = Window.partitionBy("jid")
-    j = j.withColumn(
+    agg = agg.withColumn(
         "host_list",
         F.array_join(F.sort_array(F.collect_set("event_type").over(w_job)), ","),
     )
     wide = (
-        j.groupBy("jid", "time", "start_time", "end_time", "host_list")
+        agg.groupBy("jid", "time", "start_time", "end_time", "host_list")
         .pivot("event_type", EVENT_TYPES)
-        .agg(
-            F.sum(F.floor(F.col("value") * F.lit(10000.0)).cast("long")).alias("s"),
-            F.count("value").alias("c"),
-        )
+        .agg(F.sum("s").alias("s"), F.sum("c").alias("c"))
     )
     cols = [
         F.col("jid"), F.col("time"), F.col("start_time"),
@@ -1199,3 +1202,26 @@ REGISTRY.update(
         "f1_multiformat_parse": (q_multiformat_parse, SQL_MULTIFORMAT),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Engine extension beyond reference parity: grouping-set rollup
+# (SURVEY §2.4 notes these come free with Catalyst).
+# ---------------------------------------------------------------------------
+
+def q_rollup(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        dsum(F.col("l_quantity")).alias("sum_qty"),
+    )
+
+
+SQL_ROLLUP = f"""
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       {DSUM.format(x='l_quantity')} AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+REGISTRY.update({"a10_rollup": (q_rollup, SQL_ROLLUP)})

@@ -71,21 +71,11 @@ def join_and_widen(
         duration_sec=window_sec,
     )
 
-    # host_list: sorted unique hosts of the job's metric rows, attached
-    # to every row of the job (consumer.py:403-404) — window aggregate,
-    # reusing the join's partitioning.
-    w_job = Window.partitionBy("jid")
-    joined = joined.withColumn(
-        "host_list",
-        F.array_join(F.sort_array(F.collect_set("Host").over(w_job)), ","),
-    )
-
     # mean(Value) per (job, host, bucket, Event) (consumer.py:428-430).
     agg = joined.groupBy(
         "jid",
         F.col("Host").alias("host"),
         "time",
-        "host_list",
         F.col("submit").alias("submit_time"),
         F.col("start").alias("start_time"),
         F.col("end").alias("end_time"),
@@ -105,6 +95,17 @@ def join_and_widen(
     keys = [c for c in agg.columns if c not in ("Event", "avg_value")]
     wide = pivot_events(agg, keys, events=FRESCO_EVENTS)
     wide = with_null_column(wide, "value_gpu", "double")
+
+    # host_list: sorted unique hosts of the job, attached to every row
+    # (consumer.py:403-404).  Computed POST-aggregation: hosts survive
+    # as group keys, and the jid window now shuffles the small wide
+    # frame instead of every joined metric row — same result, ~|rows|/
+    # |buckets| less shuffle volume at scale.
+    w_job = Window.partitionBy("jid")
+    wide = wide.withColumn(
+        "host_list",
+        F.array_join(F.sort_array(F.collect_set("host").over(w_job)), ","),
+    )
     return wide.select(*OUTPUT_COLUMNS)
 
 

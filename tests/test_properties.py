@@ -1,0 +1,85 @@
+"""Property-based tests (hypothesis) for the semantic-trap functions
+of SURVEY §7.3 — each Spark expression is checked against a plain
+Python reference implementation over generated inputs."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from stampede_to_fresco_etl_spark import functions as ef
+
+ids = st.one_of(
+    st.from_regex(r"(job|jobID|JOB)?[0-9]{0,6}", fullmatch=True),
+    st.text(
+        alphabet="abcXYZ0123456789_",
+        min_size=0,
+        max_size=12,
+    ),
+)
+
+
+def py_normalize(s: str) -> str:
+    m = re.search(r"(\d+)$", s)
+    return m.group(1) if m else s
+
+
+def py_replace_first(s: str, old: str, new: str) -> str:
+    return s.replace(old, new, 1)
+
+
+@pytest.fixture(scope="module")
+def run_batch(spark):
+    def fn(values, expr_builder):
+        df = spark.createDataFrame([(v,) for v in values], ["s"])
+        return [r["v"] for r in df.select(expr_builder(F.col("s")).alias("v")).collect()]
+
+    return fn
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(ids, min_size=1, max_size=30, unique=True))
+def test_normalize_job_id_property(run_batch, values):
+    got = run_batch(values, ef.normalize_job_id)
+    assert got == [py_normalize(v) for v in values]
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(ids, min_size=1, max_size=30, unique=True))
+def test_finalize_jid_property(run_batch, values):
+    got = run_batch(values, ef.finalize_jid)
+    want = [
+        py_replace_first(py_replace_first(v, "ID", ""), "job", "JOB") + "_S"
+        for v in values
+    ]
+    assert got == want
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.text(alphabet="abcdIDjob ", min_size=0, max_size=20),
+        min_size=1,
+        max_size=30,
+        unique=True,
+    )
+)
+def test_replace_first_property(run_batch, values):
+    got = run_batch(values, lambda c: ef.replace_first(c, "ID", "#"))
+    assert got == [py_replace_first(v, "ID", "#") for v in values]
