@@ -1225,3 +1225,61 @@ FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 
 
 REGISTRY.update({"a10_rollup": (q_rollup, SQL_ROLLUP)})
+
+
+# ---------------------------------------------------------------------------
+# V3 — embedding-cosine near-duplicate pairs via deterministic sign-LSH
+# (md5-derived hyperplanes are reproducible in SQL, so even the
+# APPROXIMATE operator has an exact oracle).
+# ---------------------------------------------------------------------------
+
+ND_PLANES = 4
+ND_DIM = 64
+ND_MIN_COS = 0.3
+
+
+def q_embedding_near_dups(spark, sf_dir):
+    from stampede_to_fresco_etl_spark.operators.similarity import (
+        embedding_near_dups,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    return embedding_near_dups(
+        emb, num_planes=ND_PLANES, dim=ND_DIM, min_cosine=ND_MIN_COS
+    )
+
+
+def _sql_near_dups() -> str:
+    from stampede_to_fresco_etl_spark.operators.similarity import hyperplanes
+
+    planes = hyperplanes(ND_PLANES, ND_DIM)
+
+    def dot(a: str, lit: list[float]) -> str:
+        arr = "[" + ", ".join(repr(w) for w in lit) + "]"
+        return (
+            f"list_reduce(list_transform(range(1, {ND_DIM} + 1), "
+            f"i -> {a}[i] * ({arr})[i]), (x, y) -> x + y)"
+        )
+
+    bucket = " + ".join(
+        f"(CASE WHEN {dot('v', pl)} > 0 THEN {1 << p} ELSE 0 END)"
+        for p, pl in enumerate(planes)
+    )
+    pair_dot = _D_DOT.format(a="a.v", b="b.v")
+    na = _D_DOT.format(a="a.v", b="a.v")
+    nb = _D_DOT.format(a="b.v", b="b.v")
+    cos = f"{pair_dot} / (sqrt({na}) * sqrt({nb}))"
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+bk AS (SELECT vec_id, v, {bucket} AS bucket FROM e),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS cos_sim
+  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= {ND_MIN_COS}
+"""
+
+
+REGISTRY.update(
+    {"v3_embedding_near_dups": (q_embedding_near_dups, _sql_near_dups())}
+)

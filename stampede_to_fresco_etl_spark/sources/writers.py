@@ -33,6 +33,30 @@ def write_parquet(
     writer.parquet(path)
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int = 64,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed (and optionally sorted) managed table — the
+    co-located-join layout for repeated large joins on the same key
+    (SURVEY M6: bucket metrics by jid/month so the step-2 join and
+    re-derivations shuffle neither side).  Two tables bucketed the
+    same way join with ZERO Exchange in the plan."""
+    writer = (
+        df.write.mode(mode)
+        .format("parquet")
+        .option("compression", "zstd")
+        .bucketBy(num_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """CSV sink (rough-drafts/combine_transformed_monthly_data.py:119)."""
     df.write.mode(mode).option("header", "true").csv(path)
