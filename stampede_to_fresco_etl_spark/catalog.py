@@ -1283,3 +1283,91 @@ SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= {ND_MIN_COS}
 REGISTRY.update(
     {"v3_embedding_near_dups": (q_embedding_near_dups, _sql_near_dups())}
 )
+
+
+# ---------------------------------------------------------------------------
+# Deep multi-way join trees over the full star schema (broadcast dims
+# chained: region ⋈ nation ⋈ customer/supplier ⋈ orders ⋈ lineitem ⋈
+# part) — the TPC-H Q5/Q9 shapes, exercising join reordering and
+# multi-level broadcast planning.
+# ---------------------------------------------------------------------------
+
+def q_nation_revenue(spark, sf_dir):
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load(spark, sf_dir, "nation")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(
+            F.broadcast(cust),
+            (orders.o_custkey == cust.c_custkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+SQL_NATION_REVENUE = f"""
+SELECT n_name,
+       {DSUM.format(x='l_extendedprice * (1 - l_discount)')} AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY n_name
+"""
+
+
+def q_brand_revenue(spark, sf_dir):
+    part = load(spark, sf_dir, "part")
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+SQL_BRAND_REVENUE = f"""
+SELECT p_brand, p_type,
+       {DSUM.format(x='l_extendedprice * (1 - l_discount)')} AS revenue,
+       {DSUM.format(x='l_quantity')} AS sum_qty,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand, p_type
+"""
+
+
+REGISTRY.update(
+    {
+        "q5_nation_revenue": (q_nation_revenue, SQL_NATION_REVENUE),
+        "q9_brand_revenue": (q_brand_revenue, SQL_BRAND_REVENUE),
+    }
+)

@@ -159,6 +159,56 @@ def process_mem(raw: DataFrame) -> DataFrame:
     return used.unionByName(minus_cache)
 
 
+def run_step1(
+    spark,
+    input_dir: str,
+    output_dir: str | None = None,
+):
+    """Directory-level step-1 (the transformer.py:342-470 Spark
+    shape, SURVEY §3.1): read every node's block/cpu/llite/mem CSVs
+    with one globbed scan per metric type, derive all events, and
+    (optionally) write the FRESCO long table partitioned by day.
+
+    Layout: ``{input_dir}/<NODE>/{block,cpu,llite,mem}.csv`` — the
+    glob replaces the reference's per-node loop; Spark's task
+    scheduling replaces the 500-node write batching; missing files
+    for a metric type simply contribute nothing (tolerant dispatch,
+    data_processor.py:365-414)."""
+    from stampede_to_fresco_etl_spark.schemas import (
+        BLOCK_RAW,
+        CPU_RAW,
+        LLITE_RAW,
+        MEM_RAW,
+    )
+    from stampede_to_fresco_etl_spark.sources.readers import read_csv_robust
+
+    def _try_read(name, schema):
+        import glob as _glob
+
+        paths = sorted(_glob.glob(f"{input_dir}/*/{name}.csv"))
+        if not paths:
+            return None
+        return read_csv_robust(spark, paths, schema)
+
+    out = transform_node_data(
+        block=_try_read("block", BLOCK_RAW),
+        cpu=_try_read("cpu", CPU_RAW),
+        llite=_try_read("llite", LLITE_RAW),
+        mem=_try_read("mem", MEM_RAW),
+    )
+    if output_dir is not None:
+        from stampede_to_fresco_etl_spark.operators.windows import with_day
+        from stampede_to_fresco_etl_spark.sources.writers import write_parquet
+
+        write_parquet(
+            with_day(out, "Timestamp"),
+            output_dir,
+            partition_by=["date"],
+            sort_within_partitions=["Job Id", "Host", "Timestamp"],
+        )
+    return out
+
+
 def transform_node_data(
     block: DataFrame | None = None,
     cpu: DataFrame | None = None,
