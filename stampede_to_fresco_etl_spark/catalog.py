@@ -1371,3 +1371,22 @@ REGISTRY.update(
         "q9_brand_revenue": (q_brand_revenue, SQL_BRAND_REVENUE),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# V4 — IVF-partitioned ANN (KMeans cells, the production ANN layout).
+# Rows-only: centroid training isn't SQL-expressible; recall is
+# asserted against the exact searcher in tests.
+# ---------------------------------------------------------------------------
+
+def q_ivf_topk(spark, sf_dir):
+    from stampede_to_fresco_etl_spark.operators.similarity import ivf_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    return ivf_topk(emb, probes, k=TOPK_K, n_centroids=16, n_probe=4)
+
+
+REGISTRY.update({"v4_ivf_topk": (q_ivf_topk, None)})

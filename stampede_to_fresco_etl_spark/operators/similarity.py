@@ -142,6 +142,85 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "probe_id",
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 7,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: cluster the corpus with
+    seeded KMeans, assign every vector to its nearest centroid, and
+    search each probe only in its `n_probe` nearest cells.
+
+    This is the production-scale ANN layout: the centroid id becomes
+    a partition/bucket key, so a query touches n_probe/n_centroids of
+    the corpus.  Recall is tuned by n_probe; n_probe == n_centroids
+    degrades gracefully to exact search.  Deterministic via the seed.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    c = corpus.select(
+        F.col(id_col), as_double_vec(vec_col).alias("c_vec")
+    ).withColumn("features", array_to_vector(F.col("c_vec")))
+    model = KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(c)
+    assigned = model.transform(c).select(
+        id_col, "c_vec", F.col("prediction").alias("cell")
+    )
+
+    centroids = [
+        [float(x) for x in center] for center in model.clusterCenters()
+    ]
+    cent_lits = F.array(
+        *[F.array(*[F.lit(x) for x in ctr]) for ctr in centroids]
+    )
+
+    p = probes.select(
+        F.col(probe_id_col), as_double_vec(vec_col).alias("p_vec")
+    )
+    # distance of the probe to every centroid -> n_probe nearest cells
+    dists = F.transform(
+        cent_lits,
+        lambda ctr: F.aggregate(
+            F.zip_with(F.col("p_vec"), ctr, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    p = p.withColumn("d", dists)
+    p = p.withColumn(
+        "cells",
+        F.expr(
+            "slice(transform(array_sort("
+            "transform(sequence(0, size(d) - 1), "
+            "          i -> struct(element_at(d, i + 1) AS dist, i AS idx)), "
+            "(l, r) -> CASE WHEN l.dist < r.dist THEN -1 "
+            "          WHEN l.dist > r.dist THEN 1 ELSE 0 END), "
+            f"s -> s.idx), 1, {n_probe})"
+        ),
+    )
+    p = p.select(
+        probe_id_col, "p_vec", F.explode("cells").alias("cell")
+    )
+    scored = assigned.join(F.broadcast(p), "cell").select(
+        probe_id_col,
+        id_col,
+        cosine(F.col("p_vec"), F.col("c_vec")).alias("cos_sim"),
+    )
+    w = Window.partitionBy(probe_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def embedding_near_dups(
     df: DataFrame,
     id_col: str = "vec_id",

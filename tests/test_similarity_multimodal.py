@@ -60,6 +60,28 @@ def test_lsh_recall_against_exact(spark, tmp_path):
     assert all(r["rank"] == 1 for r in own) and len(own) == 3
 
 
+def test_ivf_recall_and_determinism(spark):
+    from pyspark.sql import functions as F
+
+    from stampede_to_fresco_etl_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    probes = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    exact = brute_force_topk(emb, probes, k=5).collect()
+    approx = ivf_topk(emb, probes, k=5, n_centroids=8, n_probe=3).collect()
+    es = {(r["probe_id"], r["vec_id"]) for r in exact}
+    asx = {(r["probe_id"], r["vec_id"]) for r in approx}
+    assert len(asx) == 15  # k results per probe
+    assert len(es & asx) / len(es) >= 0.5
+    again = ivf_topk(emb, probes, k=5, n_centroids=8, n_probe=3).collect()
+    assert sorted(map(tuple, approx)) == sorted(map(tuple, again))
+    # full probe sweep degrades to exact search
+    full = ivf_topk(emb, probes, k=5, n_centroids=8, n_probe=8).collect()
+    assert {(r["probe_id"], r["vec_id"]) for r in full} == es
+
+
 def test_embedding_near_dups_finds_duplicate_vector(spark):
     base = [0.1 * i for i in range(8)]
     near = [0.1 * i + (0.001 if i == 0 else 0.0) for i in range(8)]
