@@ -41,8 +41,19 @@ def _norm(a: Column) -> Column:
     return F.sqrt(_dot(a, a))
 
 
+def cosine_with_norms(
+    a: Column, b: Column, a_nrm: Column, b_nrm: Column
+) -> Column:
+    """Cosine from precomputed norms.  The denominator is nullif-
+    guarded: a zero-norm (all-zero) vector yields null similarity
+    instead of an ANSI DIVIDE_BY_ZERO error (Spark 4 runs ANSI mode
+    by default); nulls sort last / fail thresholds, so zero vectors
+    simply never match."""
+    return _dot(a, b) / F.nullif(a_nrm * b_nrm, F.lit(0.0))
+
+
 def cosine(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    return cosine_with_norms(a, b, _norm(a), _norm(b))
 
 
 def as_double_vec(col: Column | str) -> Column:
@@ -74,8 +85,10 @@ def brute_force_topk(
     scored = c.crossJoin(F.broadcast(p)).select(
         probe_id_col,
         id_col,
-        (_dot(F.col("p_vec"), F.col("c_vec"))
-         / (F.col("p_nrm") * F.col("c_nrm"))).alias("cos_sim"),
+        cosine_with_norms(
+            F.col("p_vec"), F.col("c_vec"),
+            F.col("p_nrm"), F.col("c_nrm"),
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy(probe_id_col).orderBy(
         F.col("cos_sim").desc(), F.col(id_col)
@@ -138,8 +151,10 @@ def lsh_topk(
     scored = c.join(F.broadcast(p), "bucket").select(
         probe_id_col,
         id_col,
-        (_dot(F.col("p_vec"), F.col("c_vec"))
-         / (F.col("p_nrm") * F.col("c_nrm"))).alias("cos_sim"),
+        cosine_with_norms(
+            F.col("p_vec"), F.col("c_vec"),
+            F.col("p_nrm"), F.col("c_nrm"),
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy(probe_id_col).orderBy(
         F.col("cos_sim").desc(), F.col(id_col)
@@ -190,7 +205,7 @@ def ivf_topk(
 
     p = probes.select(
         F.col(probe_id_col), as_double_vec(vec_col).alias("p_vec")
-    )
+    ).withColumn("p_nrm", _norm(F.col("p_vec")))  # once, BEFORE explode
     # distance of the probe to every centroid -> n_probe nearest cells
     dists = F.transform(
         cent_lits,
@@ -213,15 +228,17 @@ def ivf_topk(
         ),
     )
     p = p.select(
-        probe_id_col, "p_vec", F.explode("cells").alias("cell")
+        probe_id_col, "p_vec", "p_nrm", F.explode("cells").alias("cell")
     )
     scored = assigned.withColumn("c_nrm", _norm(F.col("c_vec"))).join(
-        F.broadcast(p.withColumn("p_nrm", _norm(F.col("p_vec")))), "cell"
+        F.broadcast(p), "cell"
     ).select(
         probe_id_col,
         id_col,
-        (_dot(F.col("p_vec"), F.col("c_vec"))
-         / (F.col("p_nrm") * F.col("c_nrm"))).alias("cos_sim"),
+        cosine_with_norms(
+            F.col("p_vec"), F.col("c_vec"),
+            F.col("p_nrm"), F.col("c_nrm"),
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy(probe_id_col).orderBy(
         F.col("cos_sim").desc(), F.col(id_col)
@@ -261,8 +278,10 @@ def embedding_near_dups(
         .select(
             F.col("a.vid").alias("id_a"),
             F.col("b.vid").alias("id_b"),
-            (_dot(F.col("a.vec"), F.col("b.vec"))
-             / (F.col("a.nrm") * F.col("b.nrm"))).alias("cos_sim"),
+            cosine_with_norms(
+                F.col("a.vec"), F.col("b.vec"),
+                F.col("a.nrm"), F.col("b.nrm"),
+            ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= min_cosine)
     )

@@ -42,6 +42,19 @@ def test_brute_force_topk_exact(spark):
     assert math.isclose(ranked[0]["cos_sim"], 1.0, rel_tol=1e-12)
 
 
+def test_zero_norm_vector_yields_null_not_error(spark):
+    # ANSI mode raises DIVIDE_BY_ZERO on x/0; the nullif guard must
+    # turn zero-norm vectors into null similarity instead of a crash
+    corpus = _vecs(spark, [[1, 0, 0], [0, 0, 0]])
+    probes = corpus.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    rows = brute_force_topk(corpus, probes, k=5).collect()
+    by_vec = {r["vec_id"]: r["cos_sim"] for r in rows}
+    assert by_vec[0] == 1.0
+    assert by_vec.get(1) is None or 1 not in by_vec
+
+
 def test_lsh_recall_against_exact(spark, tmp_path):
     # On the real embeddings table, LSH top-k with few planes should
     # recover a large fraction of the exact top-k (same-bucket bias).
