@@ -1,0 +1,79 @@
+"""Stateful streaming rate kernel: deltas must be continuous ACROSS
+micro-batches (the whole point of keeping lag state)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import Row
+
+from stampede_to_fresco_etl_spark.schemas import FRESCO_LONG
+from stampede_to_fresco_etl_spark.streaming.ingest import read_event_stream
+from stampede_to_fresco_etl_spark.streaming.stateful import streaming_rate
+
+
+def event(jid, host, t, val):
+    return Row(**{"Job Id": jid, "Host": host, "Timestamp": t,
+                  "Event": "block", "Value": val, "Units": "GB"})
+
+
+def ts(s):
+    return dt.datetime(2013, 3, 1, 10, 0, s)
+
+
+def _run(spark, landing, ckpt, out_dir):
+    stream = read_event_stream(spark, landing)
+    rates = streaming_rate(stream)
+    q = (
+        rates.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def _read(spark, out_dir):
+    return {
+        (r["job_id"], r["ts_us"]): r["rate_per_sec"]
+        for r in spark.read.parquet(out_dir).collect()
+    }
+
+
+def test_rate_state_crosses_microbatches(spark, tmp_path):
+    landing = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+
+    batch1 = [
+        event("JOB1", "h1", ts(0), 100.0),
+        event("JOB1", "h1", ts(10), 200.0),   # rate 10/s
+        event("JOB2", "h2", ts(0), 50.0),     # first sample only
+    ]
+    spark.createDataFrame(batch1, FRESCO_LONG).coalesce(1).write.mode(
+        "append"
+    ).parquet(landing)
+    out_dir = str(tmp_path / "rates_out")
+    _run(spark, landing, ckpt, out_dir)
+    got = _read(spark, out_dir)
+    # first samples emit nothing; one valid pair
+    assert len(got) == 1
+    assert got[("JOB1", 1362132010000000)] == 10.0
+
+    # batch 2: continuation for both keys + a counter reset
+    batch2 = [
+        event("JOB1", "h1", ts(20), 150.0),   # reset: delta<0 dropped
+        event("JOB1", "h1", ts(30), 250.0),   # vs post-reset state: 10/s
+        event("JOB2", "h2", ts(20), 90.0),    # vs batch-1 state: 2/s
+    ]
+    spark.createDataFrame(batch2, FRESCO_LONG).coalesce(1).write.mode(
+        "append"
+    ).parquet(landing)
+    _run(spark, landing, ckpt, out_dir)
+    got2 = _read(spark, out_dir)
+    # cumulative output: batch-1 pair plus the new batch's rows
+    assert got2[("JOB2", 1362132020000000)] == 2.0   # state crossed batches
+    assert got2[("JOB1", 1362132030000000)] == 10.0  # post-reset delta
+    assert ("JOB1", 1362132020000000) not in got2    # reset dropped
+    assert len(got2) == 3
