@@ -32,6 +32,8 @@ HEADLINE = [
     "d2_minhash_lsh",
     "d3_simhash",
     "v1_cosine_topk",
+    "v3_embedding_near_dups",
+    "q5_nation_revenue",
     "x1_token_stats",
 ]
 

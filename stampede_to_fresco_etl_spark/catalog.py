@@ -979,9 +979,54 @@ SELECT probe_id, vec_id, cos_sim, rank FROM r WHERE rank <= {TOPK_K}
 
 
 # ---------------------------------------------------------------------------
-# V2 — LSH-bucketed approximate top-k (rows-only: approximation has no
-# SQL oracle; recall is asserted against V1 in tests)
+# V2 — LSH-bucketed approximate top-k.  Even the approximation has an
+# exact oracle: the md5-derived hyperplanes are reproduced in SQL, so
+# DuckDB computes the identical buckets, cosines, and ranking.
 # ---------------------------------------------------------------------------
+
+LSH_TOPK_PLANES = 3
+
+
+def _sql_lsh_topk() -> str:
+    from stampede_to_fresco_etl_spark.operators.similarity import hyperplanes
+
+    planes = hyperplanes(LSH_TOPK_PLANES, 64)
+
+    def dot_lit(a: str, lit: list[float]) -> str:
+        arr = "[" + ", ".join(repr(w) for w in lit) + "]"
+        return (
+            f"list_reduce(list_transform(range(1, 65), "
+            f"i -> {a}[i] * ({arr})[i]), (x, y) -> x + y)"
+        )
+
+    bucket = " + ".join(
+        f"(CASE WHEN {dot_lit('v', pl)} > 0 THEN {1 << p} ELSE 0 END)"
+        for p, pl in enumerate(planes)
+    )
+    pair_dot = _D_DOT.format(a="p.v", b="c.v")
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+n AS (
+  SELECT vec_id, v, {bucket} AS bucket,
+         sqrt({_D_DOT.format(a='v', b='v')}) AS nrm
+  FROM e
+),
+s AS (
+  SELECT p.vec_id AS probe_id, c.vec_id,
+         {pair_dot} / NULLIF(p.nrm * c.nrm, 0.0) AS cos_sim
+  FROM n c JOIN n p ON c.bucket = p.bucket
+  WHERE p.vec_id < {N_PROBES}
+),
+r AS (
+  SELECT probe_id, vec_id, cos_sim,
+         CAST(row_number() OVER (
+           PARTITION BY probe_id ORDER BY cos_sim DESC, vec_id
+         ) AS BIGINT) AS rank
+  FROM s
+)
+SELECT probe_id, vec_id, cos_sim, rank FROM r WHERE rank <= {TOPK_K}
+"""
+
 
 def q_lsh_topk(spark, sf_dir):
     from stampede_to_fresco_etl_spark.operators.similarity import lsh_topk
@@ -990,7 +1035,8 @@ def q_lsh_topk(spark, sf_dir):
     probes = emb.filter(F.col("vec_id") < N_PROBES).select(
         F.col("vec_id").alias("probe_id"), "embedding"
     )
-    return lsh_topk(emb, probes, k=TOPK_K, num_planes=3)
+    out = lsh_topk(emb, probes, k=TOPK_K, num_planes=LSH_TOPK_PLANES)
+    return out.withColumn("rank", F.col("rank").cast("long"))
 
 
 # ---------------------------------------------------------------------------
@@ -1025,7 +1071,7 @@ REGISTRY.update(
         "x2_quality_lang": (q_quality_lang, _sql_quality()),
         "x3_fingerprint": (q_fingerprint, SQL_FINGERPRINT),
         "v1_cosine_topk": (q_cosine_topk, _sql_topk()),
-        "v2_lsh_topk": (q_lsh_topk, None),
+        "v2_lsh_topk": (q_lsh_topk, _sql_lsh_topk()),
         "mm1_binary_meta": (q_binary_meta, SQL_BINARY_META),
     }
 )
