@@ -691,7 +691,9 @@ MINHASH_BANDS = 3
 
 
 def _d_mh(j: int) -> str:
-    return md5_int63_sql("s", salt=str(j))
+    from stampede_to_fresco_etl_spark.functions import minhash_slot_sql
+
+    return minhash_slot_sql("s", j)
 
 
 # ---------------------------------------------------------------------------

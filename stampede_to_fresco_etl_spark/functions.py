@@ -184,3 +184,22 @@ def md5_int63_sql(expr: str, salt: str | None = None) -> str:
     """DuckDB-side twin of md5_int63 for oracle queries."""
     inner = f"concat('{salt}:', {expr})" if salt is not None else expr
     return f"(('0x' || substr(md5({inner}), 1, 15))::BIGINT)"
+
+
+def minhash_slot(col: Column | str, j: int) -> Column:
+    """The j-th MinHash hash function: a 60-bit window of a salted
+    md5 digest.  Each 32-hex digest yields TWO disjoint 15-hex
+    windows (bits of a cryptographic digest are independent), so k
+    hash functions cost ceil(k/2) md5 evaluations instead of k."""
+    salt_idx, win = divmod(j, 2)
+    c = F.concat(F.lit(f"{salt_idx}:"), _col(col).cast("string"))
+    return F.conv(
+        F.substring(F.md5(c), 1 + 15 * win, 15), 16, 10
+    ).cast("long")
+
+
+def minhash_slot_sql(expr: str, j: int) -> str:
+    """DuckDB twin of minhash_slot."""
+    salt_idx, win = divmod(j, 2)
+    inner = f"concat('{salt_idx}:', {expr})"
+    return f"(('0x' || substr(md5({inner}), {1 + 15 * win}, 15))::BIGINT)"

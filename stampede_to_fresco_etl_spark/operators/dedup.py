@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from stampede_to_fresco_etl_spark.functions import md5_int63
+from stampede_to_fresco_etl_spark.functions import md5_int63, minhash_slot
 from stampede_to_fresco_etl_spark.operators.text import tokens, word_shingles
 
 
@@ -74,9 +74,17 @@ def minhash_signatures(
     """MinHash signature per doc: mh_j = min over shingles of the
     j-salted md5 hash.  One explode + one hash-aggregate; num_hashes
     min-aggregations ride the same shuffle."""
-    sh = _shingled(df, id_col, text_col, shingle_k)
+    # NOT _shingled: MIN is duplicate-insensitive, so the distinct's
+    # extra shuffle is pure waste here — aggregate straight off the
+    # explode (map-side partial min, one shuffle of 8-byte partials).
+    toks = df.select(
+        F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("t")
+    )
+    sh = toks.select(
+        "doc", F.explode(word_shingles(F.col("t"), shingle_k)).alias("shingle")
+    )
     aggs = [
-        F.min(md5_int63(F.col("shingle"), salt=str(j))).alias(f"mh{j}")
+        F.min(minhash_slot(F.col("shingle"), j)).alias(f"mh{j}")
         for j in range(num_hashes)
     ]
     return sh.groupBy("doc").agg(*aggs)
