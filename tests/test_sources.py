@@ -33,6 +33,26 @@ def test_read_csv_robust_null_tokens_and_subset(spark, tmp_path):
     assert rows["job1"]["MemUsed"] == 60.0
 
 
+def test_read_csv_robust_malformed_rows_permissive(spark, tmp_path):
+    # PERMISSIVE mode: malformed numeric fields become nulls, the scan
+    # never fails (reference ignore_errors, data_processor.py:62-66)
+    p = tmp_path / "block.csv"
+    from stampede_to_fresco_etl_spark.schemas import BLOCK_RAW
+
+    p.write_text(
+        "jobID,node,timestamp,device,rd_sectors,wr_sectors\n"
+        "job1,n1,02/27/2013 13:00:00,sda,100,200\n"
+        "job2,n2,02/27/2013 13:00:10,sdb,not_a_number,300\n"
+        "job3,n3,02/27/2013 13:00:20,sdc,400\n"  # short row
+    )
+    df = read_csv_robust(spark, str(p), BLOCK_RAW)
+    rows = {r["jobID"]: r for r in df.collect()}
+    assert len(rows) == 3  # nothing dropped at scan time
+    assert rows["job1"]["rd_sectors"] == 100.0
+    assert rows["job2"]["rd_sectors"] is None  # malformed -> null
+    assert rows["job3"]["wr_sectors"] is None  # missing -> null
+
+
 def test_read_parquet_case_insensitive_resolution(spark, tmp_path):
     p = str(tmp_path / "metrics")
     spark.createDataFrame(
