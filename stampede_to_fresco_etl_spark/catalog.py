@@ -66,6 +66,14 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def register_tables(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view so users can run
+    plain spark.sql(...) over the same data the catalog queries use
+    (nanos-timestamp conversion included)."""
+    for t in TABLES:
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
 def fsum(col: F.Column) -> F.Column:
     """Order-independent, cross-engine-exact sum of a double
     expression (4 implied decimal places), as a bigint."""

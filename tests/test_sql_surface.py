@@ -1,0 +1,44 @@
+"""SQL-surface and interval-join variant tests."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import Row
+
+from stampede_to_fresco_etl_spark.catalog import register_tables
+from stampede_to_fresco_etl_spark.operators.interval_join import interval_join
+
+
+def test_register_tables_sql_surface(spark):
+    register_tables(spark, "/root/testdata/sf0.001")
+    got = spark.sql(
+        "SELECT event_type, count(*) AS n FROM events GROUP BY event_type"
+    ).collect()
+    assert sum(r["n"] for r in got) == spark.table("events").count()
+    # timestamps were converted from nanos -> usable in SQL predicates
+    n = spark.sql(
+        "SELECT count(*) AS n FROM events "
+        "WHERE ts >= TIMESTAMP '2024-01-02 00:00:00'"
+    ).first()["n"]
+    assert 0 < n < spark.table("events").count()
+
+
+def test_interval_join_inclusive_end_legacy(spark):
+    # legacy consumer_2 used inclusive ends (SURVEY §7.3 trap 5)
+    base = dt.datetime(2013, 3, 1, 10, 0, 0)
+    events = spark.createDataFrame(
+        [Row(k=1, ts=base + dt.timedelta(seconds=s)) for s in (0, 30, 60)]
+    )
+    iv = spark.createDataFrame(
+        [Row(ik=1, lo=dt.datetime(2013, 3, 1, 10, 0, 0),
+             hi=dt.datetime(2013, 3, 1, 10, 1, 0))]
+    )
+    exclusive = interval_join(
+        events, iv, "k", "ik", "ts", "lo", "hi"
+    ).count()
+    inclusive = interval_join(
+        events, iv, "k", "ik", "ts", "lo", "hi", inclusive_end=True
+    ).count()
+    assert exclusive == 2   # :60 excluded
+    assert inclusive == 3   # :60 included
