@@ -1446,3 +1446,36 @@ def q_ivf_topk(spark, sf_dir):
 
 
 REGISTRY.update({"v4_ivf_topk": (q_ivf_topk, None)})
+
+
+# ---------------------------------------------------------------------------
+# MM2 — the Arrow-batched mapInPandas decode path itself, oracle-checked:
+# the stub derives dimensions from the payload md5, which DuckDB can
+# reproduce, so the Python batch plumbing gets an exact cross-engine gate.
+# ---------------------------------------------------------------------------
+
+def q_decode_meta(spark, sf_dir):
+    from stampede_to_fresco_etl_spark.operators.multimodal import (
+        decode_image_meta,
+    )
+
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.col("text").cast("binary").alias("payload"),
+    )
+    return decode_image_meta(docs)
+
+
+SQL_DECODE_META = """
+SELECT doc_id AS media_id,
+       CAST(octet_length(text::BLOB) AS BIGINT) AS n_bytes,
+       md5(text) AS digest,
+       CAST(16 + ('0x' || substr(md5(text), 1, 4))::BIGINT % 4080 AS BIGINT)
+         AS width,
+       CAST(16 + ('0x' || substr(md5(text), 5, 4))::BIGINT % 4080 AS BIGINT)
+         AS height
+FROM documents
+"""
+
+
+REGISTRY.update({"mm2_decode_meta": (q_decode_meta, SQL_DECODE_META)})

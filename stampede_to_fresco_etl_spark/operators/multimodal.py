@@ -18,10 +18,6 @@ bounds batch size for large blobs.
 
 from __future__ import annotations
 
-import hashlib
-from collections.abc import Iterator
-
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -64,41 +60,44 @@ FEATURE_SCHEMA = StructType(
 FEATURE_DIM = 8
 
 
-def _fake_decode(payload: bytes | None) -> tuple[int | None, int | None, str | None]:
-    """Deterministic stand-in for a real image decode.  A real
-    implementation would call PIL.Image.open here; the container has
-    no imaging libraries, so dimensions are derived from the digest.
-    Raises nothing — bad payloads yield nulls, mirroring PERMISSIVE
-    source semantics."""
-    if payload is None:
-        return None, None, None
-    digest = hashlib.md5(payload).hexdigest()
-    width = 16 + int(digest[:4], 16) % 4080
-    height = 16 + int(digest[4:8], 16) % 4080
-    return width, height, digest
-
-
 def decode_image_meta(df: DataFrame) -> DataFrame:
     """payload → (n_bytes, digest, width, height) via mapInPandas.
     Arrow-batched: each pandas chunk is one Arrow batch, so memory is
-    bounded regardless of partition size."""
+    bounded regardless of partition size.
 
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    The batch function is deliberately SELF-CONTAINED (local imports,
+    no references to module globals): Spark pickles closure globals as
+    (module, name) references, and Python workers may not have this
+    package on their path when the driving process imported it from a
+    bare file path.  A real implementation would call PIL.Image.open
+    where the md5-derived fake dimensions are computed."""
+
+    def fn(batches):
+        import hashlib as _hashlib
+
+        import pandas as _pd
+
         for pdf in batches:
-            out = pd.DataFrame()
+            out = _pd.DataFrame()
             out["media_id"] = pdf["media_id"]
             payloads = pdf["payload"]
-            out["n_bytes"] = [
-                len(p) if p is not None else None for p in payloads
-            ]
-            decoded = [_fake_decode(p) for p in payloads]
-            out["digest"] = [d[2] for d in decoded]
-            out["width"] = pd.array(
-                [d[0] for d in decoded], dtype="Int64"
-            )
-            out["height"] = pd.array(
-                [d[1] for d in decoded], dtype="Int64"
-            )
+            n_bytes, digests, widths, heights = [], [], [], []
+            for p in payloads:
+                if p is None:
+                    n_bytes.append(None)
+                    digests.append(None)
+                    widths.append(None)
+                    heights.append(None)
+                    continue
+                d = _hashlib.md5(p).hexdigest()
+                n_bytes.append(len(p))
+                digests.append(d)
+                widths.append(16 + int(d[:4], 16) % 4080)
+                heights.append(16 + int(d[4:8], 16) % 4080)
+            out["n_bytes"] = _pd.array(n_bytes, dtype="Int64")
+            out["digest"] = digests
+            out["width"] = _pd.array(widths, dtype="Int64")
+            out["height"] = _pd.array(heights, dtype="Int64")
             yield out[["media_id", "n_bytes", "digest", "width", "height"]]
 
     return df.select("media_id", "payload").mapInPandas(
@@ -111,14 +110,19 @@ def extract_features(df: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
     a vision encoder).  Demonstrates the feature-extraction batch
     contract: array<double> output column of constant length."""
 
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def fn(batches):
+        # self-contained closure — see decode_image_meta
+        import hashlib as _hashlib
+
+        import pandas as _pd
+
         for pdf in batches:
             feats = []
             for p in pdf["payload"]:
                 if p is None:
                     feats.append(None)
                     continue
-                digest = hashlib.md5(p).hexdigest()
+                digest = _hashlib.md5(p).hexdigest()
                 feats.append(
                     [
                         (int(digest[i * 4 : i * 4 + 4], 16) % 2001 - 1000)
@@ -126,7 +130,7 @@ def extract_features(df: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
                         for i in range(dim)
                     ]
                 )
-            yield pd.DataFrame(
+            yield _pd.DataFrame(
                 {"media_id": pdf["media_id"], "feature": feats}
             )
 
