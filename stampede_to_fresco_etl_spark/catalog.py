@@ -1479,3 +1479,36 @@ FROM documents
 
 
 REGISTRY.update({"mm2_decode_meta": (q_decode_meta, SQL_DECODE_META)})
+
+
+# ---------------------------------------------------------------------------
+# T3 standalone — μs-floor interval midpoints (clamped bucket ends),
+# isolated from the flagship for line-item checkability.
+# ---------------------------------------------------------------------------
+
+def q_midpoint(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    lo = F.timestamp_micros(
+        F.unix_micros(F.col("ts")) - F.unix_micros(F.col("ts")) % F.lit(60_000_000)
+    )
+    hi = F.timestamp_micros(F.unix_micros(lo) + F.lit(60_000_000))
+    hi_clamped = F.least(hi, F.timestamp_micros(F.unix_micros(F.col("ts")) + F.lit(1)))
+    return e.select(
+        "event_id",
+        midpoint(lo, hi_clamped).alias("mid_ts"),
+    )
+
+
+SQL_MIDPOINT = """
+WITH s AS (
+  SELECT event_id,
+         epoch_us(ts) - epoch_us(ts) % 60000000 AS lo_us,
+         LEAST(epoch_us(ts) - epoch_us(ts) % 60000000 + 60000000,
+               epoch_us(ts) + 1) AS hi_us
+  FROM events
+)
+SELECT event_id, make_timestamp((lo_us + hi_us) // 2) AS mid_ts FROM s
+"""
+
+
+REGISTRY.update({"t3_midpoint": (q_midpoint, SQL_MIDPOINT)})

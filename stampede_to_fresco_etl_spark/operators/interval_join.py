@@ -61,6 +61,60 @@ def interval_join(
     return events.join(right, cond, how)
 
 
+def bucketed_interval_join(
+    events: DataFrame,
+    intervals: DataFrame,
+    event_key: str,
+    interval_key: str,
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_seconds: int = 86_400,
+    inclusive_end: bool = False,
+) -> DataFrame:
+    """Interval join for when the interval side is too big to
+    broadcast (SURVEY §4.1 fallback): both sides get a coarse time
+    bucket — events by truncation, intervals EXPLODED across every
+    bucket they overlap — and the join becomes a plain shuffled
+    equi-join on (key, bucket) with the exact range as residual.
+
+    Each event matches a given interval in exactly one bucket (the
+    event's own), so no dedup is needed.  Interval replication factor
+    = interval length / bucket size; pick the bucket near the typical
+    interval length (days-long HPC jobs → daily buckets)."""
+    bucket_us = int(bucket_seconds) * 1_000_000
+
+    e_us = F.unix_micros(events[ts_col])
+    e = events.withColumn("__bucket", (e_us - e_us % bucket_us))
+
+    lo_us = F.unix_micros(intervals[start_col])
+    hi_us = F.unix_micros(intervals[end_col])
+    # buckets overlapped by [start, end) (or [start, end] inclusive)
+    last = hi_us if inclusive_end else hi_us - 1
+    i = intervals.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                lo_us - lo_us % bucket_us,
+                last - last % bucket_us,
+                F.lit(bucket_us),
+            )
+        ),
+    )
+    upper = (
+        events[ts_col] <= intervals[end_col]
+        if inclusive_end
+        else events[ts_col] < intervals[end_col]
+    )
+    cond = (
+        (e["__bucket"] == i["__bucket"])
+        & (events[event_key] == intervals[interval_key])
+        & (events[ts_col] >= intervals[start_col])
+        & upper
+    )
+    return e.join(i, cond, "inner").drop("__bucket")
+
+
 def join_metrics_to_accounting(
     metrics: DataFrame,
     accounting: DataFrame,

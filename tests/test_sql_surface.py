@@ -24,6 +24,30 @@ def test_register_tables_sql_surface(spark):
     assert 0 < n < spark.table("events").count()
 
 
+def test_bucketed_interval_join_equals_broadcast(spark):
+    # the shuffled fallback must produce exactly the broadcast result
+    from stampede_to_fresco_etl_spark.catalog import _jobs, load
+
+    sf = "/root/testdata/sf0.001"
+    e = load(spark, sf, "events")
+    jobs = _jobs(spark, sf)
+    from stampede_to_fresco_etl_spark.operators.interval_join import (
+        bucketed_interval_join,
+    )
+
+    broad = interval_join(
+        e, jobs, "user_id", "j_user", "ts", "jstart", "jend"
+    )
+    buck = bucketed_interval_join(
+        e, jobs, "user_id", "j_user", "ts", "jstart", "jend",
+        bucket_seconds=6 * 3600,
+    )
+    cols = ["event_id", "j_user", "day"]
+    a = sorted(tuple(r) for r in broad.select(*cols).collect())
+    b = sorted(tuple(r) for r in buck.select(*cols).collect())
+    assert a == b and len(a) > 0
+
+
 def test_interval_join_inclusive_end_legacy(spark):
     # legacy consumer_2 used inclusive ends (SURVEY §7.3 trap 5)
     base = dt.datetime(2013, 3, 1, 10, 0, 0)

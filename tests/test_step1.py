@@ -124,6 +124,19 @@ def test_mem_golden(spark):
     assert out.count() == 4
 
 
+def test_union_relaxed_missing_columns(spark):
+    # U1 vertical_relaxed: frames with missing columns union with
+    # typed nulls (data_processor.py:419-420)
+    from pyspark.sql import Row as R
+
+    a = spark.createDataFrame([R(x=1, y="a")])
+    b = spark.createDataFrame([R(x=2, z=3.5)])
+    out = a.unionByName(b, allowMissingColumns=True)
+    rows = {r["x"]: r for r in out.collect()}
+    assert rows[1]["y"] == "a" and rows[1]["z"] is None
+    assert rows[2]["y"] is None and rows[2]["z"] == 3.5
+
+
 def test_union_schema(spark):
     block = spark.createDataFrame(_block_rows())
     mem_rows = [
