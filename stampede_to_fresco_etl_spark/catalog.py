@@ -1512,3 +1512,33 @@ SELECT event_id, make_timestamp((lo_us + hi_us) // 2) AS mid_ts FROM s
 
 
 REGISTRY.update({"t3_midpoint": (q_midpoint, SQL_MIDPOINT)})
+
+
+# ---------------------------------------------------------------------------
+# J1b — the same interval-join semantics through the SHUFFLED bucketed
+# strategy (non-broadcastable interval sides).  Shares J1's oracle:
+# two physical plans, one semantic contract.
+# ---------------------------------------------------------------------------
+
+def q_interval_join_bucketed(spark, sf_dir):
+    from stampede_to_fresco_etl_spark.operators.interval_join import (
+        bucketed_interval_join,
+    )
+
+    e = load(spark, sf_dir, "events")
+    jobs = _jobs(spark, sf_dir)
+    joined = bucketed_interval_join(
+        e, jobs,
+        event_key="user_id", interval_key="j_user",
+        ts_col="ts", start_col="jstart", end_col="jend",
+        bucket_seconds=6 * 3600,
+    )
+    return joined.groupBy("j_user", "day").agg(
+        F.count("*").alias("n_events"),
+        dsum(F.col("value")).alias("sum_value"),
+    ).withColumnRenamed("j_user", "user_id")
+
+
+REGISTRY.update(
+    {"j1b_interval_join_bucketed": (q_interval_join_bucketed, SQL_INTERVAL_JOIN)}
+)
