@@ -1542,3 +1542,38 @@ def q_interval_join_bucketed(spark, sf_dir):
 REGISTRY.update(
     {"j1b_interval_join_bucketed": (q_interval_join_bucketed, SQL_INTERVAL_JOIN)}
 )
+
+
+# ---------------------------------------------------------------------------
+# Semi-structured JSON columns (events.props): JSON-path extraction +
+# typed cast + aggregation — the engine's semi-structured surface.
+# ---------------------------------------------------------------------------
+
+def q_json_extract(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        e.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+SQL_JSON_EXTRACT = """
+WITH s AS (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type, count(k) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
+       min(k) AS min_k, max(k) AS max_k
+FROM s GROUP BY event_type
+"""
+
+
+REGISTRY.update({"f16_json_extract": (q_json_extract, SQL_JSON_EXTRACT)})
