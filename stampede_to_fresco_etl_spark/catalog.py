@@ -1430,10 +1430,20 @@ REGISTRY.update(
 
 
 # ---------------------------------------------------------------------------
-# V4 — IVF-partitioned ANN (KMeans cells, the production ANN layout).
-# Rows-only: centroid training isn't SQL-expressible; recall is
-# asserted against the exact searcher in tests.
+# V4 — IVF-partitioned ANN (the production ANN layout).  Centroids are
+# a deterministic md5-ordered corpus sample (similarity.seed_centroids)
+# instead of KMeans.fit, so cell assignment — and therefore the whole
+# query — has an exact DuckDB oracle.
 # ---------------------------------------------------------------------------
+
+IVF_CENTROIDS = 16
+IVF_NPROBE = 4
+
+_D_SQDIST = (
+    "list_reduce(list_transform(range(1, len({a}) + 1), "
+    "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), (x, y) -> x + y)"
+)
+
 
 def q_ivf_topk(spark, sf_dir):
     from stampede_to_fresco_etl_spark.operators.similarity import ivf_topk
@@ -1442,10 +1452,62 @@ def q_ivf_topk(spark, sf_dir):
     probes = emb.filter(F.col("vec_id") < N_PROBES).select(
         F.col("vec_id").alias("probe_id"), "embedding"
     )
-    return ivf_topk(emb, probes, k=TOPK_K, n_centroids=16, n_probe=4)
+    out = ivf_topk(
+        emb, probes, k=TOPK_K, n_centroids=IVF_CENTROIDS, n_probe=IVF_NPROBE
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
 
 
-REGISTRY.update({"v4_ivf_topk": (q_ivf_topk, None)})
+def _sql_ivf_topk() -> str:
+    sq_cs = _D_SQDIST.format(a="e.v", b="s.cv")
+    sq_ps = _D_SQDIST.format(a="p.pv", b="s.cv")
+    pair_dot = _D_DOT.format(a="pc.pv", b="a.v")
+    n_c = _D_DOT.format(a="a.v", b="a.v")
+    n_p = _D_DOT.format(a="pc.pv", b="pc.pv")
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+seeds AS (
+  SELECT CAST(row_number() OVER (ORDER BY h) - 1 AS INTEGER) AS cell, v AS cv
+  FROM (SELECT v, md5(CAST(vec_id AS VARCHAR)) AS h
+        FROM e ORDER BY h LIMIT {IVF_CENTROIDS})
+),
+assigned AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, s.cell,
+           row_number() OVER (
+             PARTITION BY e.vec_id ORDER BY {sq_cs}, s.cell
+           ) AS rn
+    FROM e CROSS JOIN seeds s
+  ) WHERE rn = 1
+),
+pcells AS (
+  SELECT probe_id, pv, cell FROM (
+    SELECT p.probe_id, p.pv, s.cell,
+           row_number() OVER (
+             PARTITION BY p.probe_id ORDER BY {sq_ps}, s.cell
+           ) AS rn
+    FROM (SELECT vec_id AS probe_id, v AS pv
+          FROM e WHERE vec_id < {N_PROBES}) p
+    CROSS JOIN seeds s
+  ) WHERE rn <= {IVF_NPROBE}
+),
+s AS (
+  SELECT pc.probe_id, a.vec_id,
+         {pair_dot} / NULLIF(sqrt({n_p}) * sqrt({n_c}), 0.0) AS cos_sim
+  FROM assigned a JOIN pcells pc ON a.cell = pc.cell
+),
+r AS (
+  SELECT probe_id, vec_id, cos_sim,
+         CAST(row_number() OVER (
+           PARTITION BY probe_id ORDER BY cos_sim DESC, vec_id
+         ) AS BIGINT) AS rank
+  FROM s
+)
+SELECT probe_id, vec_id, cos_sim, rank FROM r WHERE rank <= {TOPK_K}
+"""
+
+
+REGISTRY.update({"v4_ivf_topk": (q_ivf_topk, _sql_ivf_topk())})
 
 
 # ---------------------------------------------------------------------------

@@ -91,15 +91,16 @@ def bucketed_interval_join(
     hi_us = F.unix_micros(intervals[end_col])
     # buckets overlapped by [start, end) (or [start, end] inclusive)
     last = hi_us if inclusive_end else hi_us - 1
+    lo_bucket = lo_us - lo_us % bucket_us
+    # Degenerate intervals (start == end with exclusive end, or end
+    # inside the start's bucket) would make sequence() see a
+    # descending range and throw; clamp the upper bound so they
+    # replicate into one bucket and fall out of the residual range
+    # predicate as zero matches instead of crashing the job.
+    last_bucket = F.greatest(last - last % bucket_us, lo_bucket)
     i = intervals.withColumn(
         "__bucket",
-        F.explode(
-            F.sequence(
-                lo_us - lo_us % bucket_us,
-                last - last % bucket_us,
-                F.lit(bucket_us),
-            )
-        ),
+        F.explode(F.sequence(lo_bucket, last_bucket, F.lit(bucket_us))),
     )
     upper = (
         events[ts_col] <= intervals[end_col]

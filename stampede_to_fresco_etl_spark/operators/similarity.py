@@ -10,19 +10,26 @@ across runs and engines.
 
 Scale notes (100 TB / 10⁹ vectors):
   - brute force is a broadcast of the (small) probe set against the
-    corpus — one scan, no shuffle, top-k via per-probe window;
+    corpus — one scan, no shuffle of the corpus;
+  - top-k is a TWO-STAGE PARTIAL aggregation, not a per-probe window:
+    each input partition reduces its candidates to k rows
+    (groupBy(probe, partition_id)), and only num_partitions × k rows
+    per probe cross the network to the final merge.  A
+    Window.partitionBy(probe) + row_number would instead shuffle
+    EVERY scored pair into one reducer per probe — the whole corpus
+    on one task when probes are broadcast — which is the classic
+    top-k scale killer;
   - sign-LSH cuts the candidate set ~2^planes×; buckets become the
     equi-join key so Catalyst shuffles only bucket-matched pairs;
     recall is tuned by planes (fewer planes = bigger buckets) and by
     probing neighboring buckets (multi-probe) if needed;
-  - for IVF-style partitioning, replace the bucket id with a learned
-    centroid id — the dataflow (bucket equi-join + window top-k) is
-    identical.
+  - IVF replaces the bucket id with a centroid cell id — same
+    dataflow (cell equi-join + partial top-k).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 import hashlib
@@ -61,6 +68,59 @@ def as_double_vec(col: Column | str) -> Column:
     return c.cast("array<double>")
 
 
+def partial_topk(
+    scored: DataFrame,
+    probe_id_col: str,
+    id_col: str,
+    k: int,
+    sim_col: str = "cos_sim",
+) -> DataFrame:
+    """Scale-safe top-k per probe: two-stage partial aggregation.
+
+    Stage 1 groups by (probe, input-partition) — each group lives
+    entirely inside one input partition, so the aggregation completes
+    map-side and emits at most k candidates per (probe, partition).
+    Stage 2 merges those k-lists per probe.  Only num_partitions × k
+    rows per probe are shuffled; the full candidate set never crosses
+    the network (unlike Window.partitionBy(probe) + row_number, which
+    funnels every scored pair into one reducer per probe).
+
+    Ordering matches the window formulation exactly: sim DESC with
+    nulls last, then id ASC — encoded as an ascending struct sort on
+    (is_null, -sim, id).
+
+    Output: (probe_id, id, sim, rank), rank ∈ [1, k].
+    """
+    # Sort key is (is_null, -sim, id); the trailing `sim` field rides
+    # along untouched (never compared — `cid` is unique per probe) so
+    # the emitted similarity is bit-identical to the input.
+    cand = F.struct(
+        F.when(F.col(sim_col).isNull(), 1).otherwise(0).alias("n"),
+        F.coalesce(-F.col(sim_col), F.lit(0.0)).alias("neg"),
+        F.col(id_col).alias("cid"),
+        F.col(sim_col).alias("sim"),
+    )
+    partial = (
+        scored.withColumn("__pid", F.spark_partition_id())
+        .groupBy(probe_id_col, "__pid")
+        .agg(F.slice(F.array_sort(F.collect_list(cand)), 1, k).alias("cands"))
+    )
+    merged = partial.groupBy(probe_id_col).agg(
+        F.slice(
+            F.array_sort(F.flatten(F.collect_list("cands"))), 1, k
+        ).alias("cands")
+    )
+    exploded = merged.select(
+        probe_id_col, F.posexplode("cands").alias("pos", "cand")
+    )
+    return exploded.select(
+        probe_id_col,
+        F.col("cand.cid").alias(id_col),
+        F.col("cand.sim").alias(sim_col),
+        (F.col("pos") + 1).cast("int").alias("rank"),
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     probes: DataFrame,
@@ -69,8 +129,8 @@ def brute_force_topk(
     probe_id_col: str = "probe_id",
     k: int = 10,
 ) -> DataFrame:
-    """Exact cosine top-k: broadcast probes × corpus, rank per probe.
-    Ties broken by corpus id for determinism.
+    """Exact cosine top-k: broadcast probes × corpus, partial top-k
+    per probe.  Ties broken by corpus id for determinism.
 
     Output: (probe_id, vec_id, cos_sim, rank)."""
     p = probes.select(
@@ -90,13 +150,7 @@ def brute_force_topk(
             F.col("p_nrm"), F.col("c_nrm"),
         ).alias("cos_sim"),
     )
-    w = Window.partitionBy(probe_id_col).orderBy(
-        F.col("cos_sim").desc(), F.col(id_col)
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    return partial_topk(scored, probe_id_col, id_col, k)
 
 
 def hyperplanes(num_planes: int, dim: int, seed: str = "lsh") -> list[list[float]]:
@@ -135,8 +189,8 @@ def lsh_topk(
     dim: int = 64,
 ) -> DataFrame:
     """Approximate cosine top-k: bucket both sides with sign-LSH,
-    equi-join on the bucket, rank within it.  Recall < 1 by design;
-    the exact variant is the oracle for recall measurement."""
+    equi-join on the bucket, partial top-k within it.  Recall < 1 by
+    design; the exact variant is the oracle for recall measurement."""
     planes = hyperplanes(num_planes, dim)
     c = corpus.select(
         F.col(id_col), as_double_vec(vec_col).alias("c_vec")
@@ -156,12 +210,54 @@ def lsh_topk(
             F.col("p_nrm"), F.col("c_nrm"),
         ).alias("cos_sim"),
     )
-    w = Window.partitionBy(probe_id_col).orderBy(
-        F.col("cos_sim").desc(), F.col(id_col)
+    return partial_topk(scored, probe_id_col, id_col, k)
+
+
+def _nearest_cells(vec_col: str, dist_col: str, n: int) -> Column:
+    """Indexes of the `n` nearest centroids given a per-centroid
+    distance array, ties broken by centroid index — deterministic and
+    reproducible in SQL (`row_number OVER (ORDER BY dist, cell)`)."""
+    return F.expr(
+        f"slice(transform(array_sort("
+        f"transform(sequence(0, size({dist_col}) - 1), "
+        f"          i -> struct(element_at({dist_col}, i + 1) AS dist, "
+        f"                      i AS idx)), "
+        f"(l, r) -> CASE WHEN l.dist < r.dist THEN -1 "
+        f"          WHEN l.dist > r.dist THEN 1 "
+        f"          WHEN l.idx < r.idx THEN -1 ELSE 1 END), "
+        f"s -> s.idx), 1, {n})"
     )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+
+
+def seed_centroids(
+    corpus: DataFrame, id_col: str, vec_col: str, n_centroids: int
+) -> list[list[float]]:
+    """Deterministic IVF centroids: the `n_centroids` corpus vectors
+    whose md5(id) sorts first.  md5 ordering is a uniform pseudo-
+    random sample that any engine can reproduce (ORDER BY md5(id)
+    LIMIT n), so cell assignments — unlike KMeans.fit — have an exact
+    SQL oracle.  Collecting n rows to the driver is how every IVF
+    build ends (centroids must become literals/broadcast state); this
+    skips the Lloyd iterations, trading some cell balance for full
+    cross-engine determinism.  Recall is tuned by n_probe as usual."""
+    rows = (
+        corpus.select(
+            as_double_vec(vec_col).alias("v"),
+            F.md5(F.col(id_col).cast("string")).alias("__h"),
+        )
+        .orderBy("__h")
+        .limit(n_centroids)
+        .collect()
+    )
+    return [[float(x) for x in r["v"]] for r in rows]
+
+
+def _sqdist(a: Column, b: Column) -> Column:
+    """Left-fold squared euclidean distance (deterministic sum)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
     )
 
 
@@ -174,58 +270,41 @@ def ivf_topk(
     k: int = 10,
     n_centroids: int = 16,
     n_probe: int = 4,
-    seed: int = 7,
 ) -> DataFrame:
-    """IVF (inverted-file) approximate top-k: cluster the corpus with
-    seeded KMeans, assign every vector to its nearest centroid, and
-    search each probe only in its `n_probe` nearest cells.
+    """IVF (inverted-file) approximate top-k: partition the corpus
+    into cells around deterministic seed centroids, assign every
+    vector to its nearest centroid, and search each probe only in its
+    `n_probe` nearest cells.
 
     This is the production-scale ANN layout: the centroid id becomes
-    a partition/bucket key, so a query touches n_probe/n_centroids of
-    the corpus.  Recall is tuned by n_probe; n_probe == n_centroids
-    degrades gracefully to exact search.  Deterministic via the seed.
+    a partition/bucket key, so a query touches ~n_probe/n_centroids
+    of the corpus.  Recall is tuned by n_probe; n_probe ==
+    n_centroids degrades gracefully to exact search.  Centroids come
+    from `seed_centroids` (md5-ordered corpus sample) rather than
+    KMeans.fit so the whole query — including cell assignment — is
+    deterministic and SQL-checkable.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    centroids = seed_centroids(corpus, id_col, vec_col, n_centroids)
+    cent_lits = F.array(
+        *[F.array(*[F.lit(x) for x in ctr]) for ctr in centroids]
+    )
 
     c = corpus.select(
         F.col(id_col), as_double_vec(vec_col).alias("c_vec")
-    ).withColumn("features", array_to_vector(F.col("c_vec")))
-    model = KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(c)
-    assigned = model.transform(c).select(
-        id_col, "c_vec", F.col("prediction").alias("cell")
     )
-
-    centroids = [
-        [float(x) for x in center] for center in model.clusterCenters()
-    ]
-    cent_lits = F.array(
-        *[F.array(*[F.lit(x) for x in ctr]) for ctr in centroids]
+    c_dists = F.transform(cent_lits, lambda ctr: _sqdist(F.col("c_vec"), ctr))
+    assigned = (
+        c.withColumn("d", c_dists)
+        .withColumn("cell", _nearest_cells("c_vec", "d", 1)[0])
+        .drop("d")
     )
 
     p = probes.select(
         F.col(probe_id_col), as_double_vec(vec_col).alias("p_vec")
     ).withColumn("p_nrm", _norm(F.col("p_vec")))  # once, BEFORE explode
-    # distance of the probe to every centroid -> n_probe nearest cells
-    dists = F.transform(
-        cent_lits,
-        lambda ctr: F.aggregate(
-            F.zip_with(F.col("p_vec"), ctr, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
-    )
-    p = p.withColumn("d", dists)
-    p = p.withColumn(
-        "cells",
-        F.expr(
-            "slice(transform(array_sort("
-            "transform(sequence(0, size(d) - 1), "
-            "          i -> struct(element_at(d, i + 1) AS dist, i AS idx)), "
-            "(l, r) -> CASE WHEN l.dist < r.dist THEN -1 "
-            "          WHEN l.dist > r.dist THEN 1 ELSE 0 END), "
-            f"s -> s.idx), 1, {n_probe})"
-        ),
+    p_dists = F.transform(cent_lits, lambda ctr: _sqdist(F.col("p_vec"), ctr))
+    p = p.withColumn("d", p_dists).withColumn(
+        "cells", _nearest_cells("p_vec", "d", n_probe)
     )
     p = p.select(
         probe_id_col, "p_vec", "p_nrm", F.explode("cells").alias("cell")
@@ -240,13 +319,7 @@ def ivf_topk(
             F.col("p_nrm"), F.col("c_nrm"),
         ).alias("cos_sim"),
     )
-    w = Window.partitionBy(probe_id_col).orderBy(
-        F.col("cos_sim").desc(), F.col(id_col)
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    return partial_topk(scored, probe_id_col, id_col, k)
 
 
 def embedding_near_dups(

@@ -93,15 +93,21 @@ def process_cpu(raw: DataFrame) -> DataFrame:
     (step-1/data_processor.py:146-230).
 
     Σ_cores per (job,node,ts) of 7 jiffy counters → per-column Δ over
-    (job,node) → user_Δ / Σ(all 7 Δ) × 100, clip [0,100]; rows with
-    total Δ <= 0 dropped (:209-211)."""
+    (job,node) → user_Δ / Σ(all 7 Δ) × 100, clip [0,100].
+
+    Filter parity (:164-166, :209-211): rows with a null device are
+    dropped BEFORE the core rollup; the ONLY delta filter is
+    `total_jiffies_delta > 0` — unlike the rate kernels there is no
+    Δt threshold and no per-column negative-delta drop (a negative
+    individual jiffy delta, e.g. after a core-count change, is kept
+    and the ratio is clipped into [0,100])."""
     df = _clean(raw, JIFFY_COLS)
+    df = df.dropna(subset=["device"])
     df = df.groupBy("jobID", "node", "ts").agg(
         *[F.sum(c).alias(c) for c in JIFFY_COLS]
     )
     df = lag_deltas(df, KEYS, "ts", JIFFY_COLS)
     delta_cols = [c + "_delta" for c in JIFFY_COLS]
-    df = valid_rate_rows(df, delta_cols)
     df = df.withColumn("total_delta", horizontal_sum(delta_cols))
     df = df.filter(F.col("total_delta") > 0)
     value = validate_metric(

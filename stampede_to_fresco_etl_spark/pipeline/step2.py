@@ -43,14 +43,16 @@ from stampede_to_fresco_etl_spark.schemas import FRESCO_EVENTS, OUTPUT_COLUMNS
 def parse_accounting(raw: DataFrame) -> DataFrame:
     """Parse raw accounting strings → typed table
     (load_accounting_data, step-2/consumer.py:178-223): timestamp
-    parse (%m/%d/%Y %H:%M:%S, non-strict), drop rows missing
-    essential columns."""
+    parse (%m/%d/%Y %H:%M:%S, non-strict), drop rows missing any
+    essential column — the reference's drop_nulls subset is
+    ["start", "end", "submit", "jid"] (consumer.py:211), so a row
+    with an unparseable submit time is discarded too."""
     df = (
         raw.withColumn("start", parse_timestamp("start"))
         .withColumn("end", parse_timestamp("end"))
         .withColumn("submit", parse_timestamp("submit"))
     )
-    return df.dropna(subset=["jobID", "start", "end"])
+    return df.dropna(subset=["jobID", "start", "end", "submit"])
 
 
 def join_and_widen(
@@ -96,15 +98,25 @@ def join_and_widen(
     wide = pivot_events(agg, keys, events=FRESCO_EVENTS)
     wide = with_null_column(wide, "value_gpu", "double")
 
-    # host_list: sorted unique hosts of the job, attached to every row
-    # (consumer.py:403-404).  Computed POST-aggregation: hosts survive
-    # as group keys, and the jid window now shuffles the small wide
-    # frame instead of every joined metric row — same result, ~|rows|/
-    # |buckets| less shuffle volume at scale.
-    w_job = Window.partitionBy("jid")
+    # host_list: sorted unique hosts of the JOB RECORD, attached to
+    # every row (consumer.py:403-404).  The reference builds it per
+    # accounting row, so the window partitions on (jid, start, end) —
+    # two jobs whose ids normalize to the same jid keep separate host
+    # lists — and empty/null hosts are dropped (filter(None, hosts)).
+    # Computed POST-aggregation: hosts survive as group keys, and the
+    # window shuffles the small wide frame instead of every joined
+    # metric row — same result, ~|rows|/|buckets| less shuffle volume.
+    w_job = Window.partitionBy("jid", "start_time", "end_time")
     wide = wide.withColumn(
         "host_list",
-        F.array_join(F.sort_array(F.collect_set("host").over(w_job)), ","),
+        F.array_join(
+            F.sort_array(
+                F.collect_set(
+                    F.when(F.col("host") != "", F.col("host"))
+                ).over(w_job)
+            ),
+            ",",
+        ),
     )
     return wide.select(*OUTPUT_COLUMNS)
 

@@ -14,10 +14,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StringType, StructType
 
-#: Null tokens accepted in raw CSVs (step-1/data_processor.py:60-66).
-NULL_VALUES = ["", "NA", "NULL", "null", "N/A"]
+#: Null tokens accepted in raw CSVs (step-1/data_processor.py:63 —
+#: ``null_values=["", "NA", "NULL"]``).
+NULL_VALUES = ["", "NA", "NULL"]
 
 
 def read_csv_robust(
@@ -31,14 +32,32 @@ def read_csv_robust(
     bad-record handling, and optional column-subset projection
     (step-1/data_processor.py:53-84).  Missing files / empty files
     surface as empty DataFrames rather than errors when the glob
-    matches nothing is left to the caller."""
+    matches nothing is left to the caller.
+
+    Null-token emulation: Spark's csv reader takes a single
+    ``nullValue``, so the reference's multi-token list is reproduced
+    as (a) the default empty-string → null rule, (b) PERMISSIVE
+    parse-failure → null for non-string columns ("NA"/"NULL" don't
+    parse as numbers), and (c) an explicit post-read token → null
+    rewrite for string columns."""
     reader = (
         spark.read.schema(schema)
         .option("header", str(header).lower())
         .option("mode", "PERMISSIVE")
-        .option("nullValue", "NA")
     )
     df = reader.csv(paths)
+    tokens = [t for t in NULL_VALUES if t]  # "" is the reader default
+    string_cols = {
+        f.name for f in schema.fields if isinstance(f.dataType, StringType)
+    }
+    df = df.select(
+        *[
+            F.when(~F.col(c).isin(tokens), F.col(c)).alias(c)
+            if c in string_cols
+            else F.col(c)
+            for c in df.columns
+        ]
+    )
     if select:
         present = set(df.columns)
         df = df.select(*[c for c in select if c in present])

@@ -143,8 +143,12 @@ bucketed2 AS (
   SELECT *, LEAST(lo_us + 60000000, epoch_us(jend)) AS hi_us FROM bucketed
 ),
 hl AS (
-  SELECT jid, string_agg(host, ',' ORDER BY host) AS host_list
-  FROM (SELECT DISTINCT jid, host FROM joined) GROUP BY jid
+  -- per accounting row (jid, start, end), empty hosts dropped
+  SELECT jid, jstart, jend,
+         string_agg(host, ',' ORDER BY host) AS host_list
+  FROM (SELECT DISTINCT jid, jstart, jend, host FROM joined
+        WHERE host IS NOT NULL AND host <> '')
+  GROUP BY jid, jstart, jend
 ),
 agg AS (
   SELECT jid, host, make_timestamp((lo_us + hi_us) // 2) AS time,
@@ -155,7 +159,8 @@ agg AS (
   GROUP BY ALL
 )
 SELECT make_timestamp(epoch_us(agg.time)) AS time,
-       jsubmit AS submit_time, jstart AS start_time, jend AS end_time,
+       jsubmit AS submit_time, agg.jstart AS start_time,
+       agg.jend AS end_time,
        walltime AS timelimit, nnodes AS nhosts, ncpus AS ncores,
        account, queue,
        host || '_S' AS host,
@@ -172,6 +177,7 @@ SELECT make_timestamp(epoch_us(agg.time)) AS time,
        avg(CASE WHEN event = 'nfs' THEN avg_value END) AS value_nfs,
        avg(CASE WHEN event = 'block' THEN avg_value END) AS value_block
 FROM agg JOIN hl ON agg.jid = hl.jid
+                AND agg.jstart = hl.jstart AND agg.jend = hl.jend
 GROUP BY ALL
 """
 

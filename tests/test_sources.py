@@ -22,6 +22,7 @@ def test_read_csv_robust_null_tokens_and_subset(spark, tmp_path):
         "jobID,node,timestamp,MemTotal,MemFree,MemUsed,FilePages\n"
         "job1,n1,02/27/2013 13:00:00,100,NA,60,10\n"
         "job2,n2,02/27/2013 13:00:10,,50,40,5\n"
+        "NULL,n3,02/27/2013 13:00:20,1,NULL,2,3\n"
     )
     df = read_csv_robust(
         spark, str(p), MEM_RAW, select=["jobID", "MemFree", "MemUsed"]
@@ -31,6 +32,9 @@ def test_read_csv_robust_null_tokens_and_subset(spark, tmp_path):
     assert rows["job1"]["MemFree"] is None  # NA token -> null
     assert rows["job2"]["MemFree"] == 50.0
     assert rows["job1"]["MemUsed"] == 60.0
+    # "NULL" token nulls both string and numeric columns (reference
+    # null_values=["", "NA", "NULL"]); the row survives with jobID null
+    assert None in rows and rows[None]["MemFree"] is None
 
 
 def test_read_csv_robust_malformed_rows_permissive(spark, tmp_path):

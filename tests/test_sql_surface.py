@@ -48,6 +48,28 @@ def test_bucketed_interval_join_equals_broadcast(spark):
     assert a == b and len(a) > 0
 
 
+def test_bucketed_interval_join_degenerate_interval(spark):
+    # start == end (exclusive end) must yield zero matches, not a
+    # sequence() crash from a descending bucket range.
+    from stampede_to_fresco_etl_spark.operators.interval_join import (
+        bucketed_interval_join,
+    )
+
+    base = dt.datetime(2013, 3, 1, 10, 0, 0)
+    events = spark.createDataFrame([Row(k=1, ts=base)])
+    iv = spark.createDataFrame(
+        [
+            Row(ik=1, lo=base, hi=base),  # degenerate
+            # end lands at the very start of the lo bucket
+            Row(ik=1, lo=base, hi=base + dt.timedelta(microseconds=1)),
+        ]
+    )
+    out = bucketed_interval_join(
+        events, iv, "k", "ik", "ts", "lo", "hi", bucket_seconds=3600
+    )
+    assert out.count() == 1  # only the 1-μs interval matches ts == lo
+
+
 def test_interval_join_inclusive_end_legacy(spark):
     # legacy consumer_2 used inclusive ends (SURVEY §7.3 trap 5)
     base = dt.datetime(2013, 3, 1, 10, 0, 0)

@@ -88,6 +88,44 @@ def test_cpu_golden(spark):
     assert r["Job Id"] == "77"
 
 
+def test_cpu_negative_individual_delta_kept(spark):
+    # Reference parity (data_processor.py:209-211): the ONLY delta
+    # filter is total > 0 — a negative single-column delta (e.g. after
+    # a core-count change) is KEPT and the ratio clipped into [0,100].
+    def snap(ts, user, idle):
+        return Row(jobID="77", node="n1", timestamp=ts, device="cpu0",
+                   user=user, nice=0.0, system=0.0, idle=idle,
+                   iowait=0.0, irq=0.0, softirq=0.0)
+
+    rows = [
+        snap("02/27/2013 13:00:00", 100.0, 100.0),
+        # user -50, idle +150 => total +100 > 0; user ratio clips to 0
+        snap("02/27/2013 13:00:10", 50.0, 250.0),
+    ]
+    out = step1.process_cpu(spark.createDataFrame(rows)).collect()
+    assert len(out) == 1
+    assert out[0]["Value"] == 0.0
+
+
+def test_cpu_null_device_dropped(spark):
+    # Reference drops null-device rows before the core rollup
+    # (data_processor.py:164-166).
+    def snap(ts, dev, user):
+        return Row(jobID="77", node="n1", timestamp=ts, device=dev,
+                   user=user, nice=0.0, system=0.0, idle=0.0,
+                   iowait=0.0, irq=0.0, softirq=0.0)
+
+    rows = [
+        snap("02/27/2013 13:00:00", "cpu0", 100.0),
+        snap("02/27/2013 13:00:10", "cpu0", 150.0),
+        # null device: excluded from the rollup entirely
+        snap("02/27/2013 13:00:10", None, 1000.0),
+    ]
+    out = step1.process_cpu(spark.createDataFrame(rows)).collect()
+    assert len(out) == 1
+    assert out[0]["Value"] == 100.0  # 50/50, not polluted by the null row
+
+
 def test_llite_golden(spark):
     rows = [
         Row(jobID="job9", node="n2", timestamp="02/27/2013 13:00:00",

@@ -76,6 +76,45 @@ def test_step2_end_to_end(spark):
     assert r3["value_cpuuser"] is None
 
 
+def test_host_list_per_job_record(spark):
+    # '123' and 'job123' both normalize to jid '123' (the collision
+    # normalize_job_id is designed for) but are distinct accounting
+    # rows with different windows — host lists must NOT merge across
+    # them (consumer.py:403-404 builds the list per job record).
+    # Empty-string hosts are dropped (filter(None, hosts)).
+    metrics = spark.createDataFrame(
+        [
+            metric("123", "a1", ts(0, 40), "cpuuser", 1.0),
+            metric("123", "", ts(0, 50), "cpuuser", 2.0),     # empty host
+            metric("job123", "b1", ts(10, 10), "cpuuser", 3.0),
+            metric("job123", "b2", ts(10, 20), "cpuuser", 4.0),
+        ]
+    )
+    accounting = spark.createDataFrame(
+        [
+            acct("123", ts(0, 30), ts(2, 0)),
+            acct("job123", ts(10, 0), ts(12, 0), user="bob"),
+        ]
+    )
+    out = run_step2(metrics, accounting)
+    lists = {
+        (r["start_time"], r["host"]): r["host_list"] for r in out.collect()
+    }
+    assert lists[(ts(0, 30), "a1")] == "a1"       # not merged with b*
+    assert lists[(ts(0, 30), "")] == "a1"         # empty host filtered
+    assert lists[(ts(10, 0), "b1")] == "b1,b2"
+    assert lists[(ts(10, 0), "b2")] == "b1,b2"
+
+
+def test_parse_accounting_null_submit_dropped(spark):
+    from stampede_to_fresco_etl_spark.pipeline.step2 import parse_accounting
+
+    good = acct("1", ts(0, 0), ts(1, 0))
+    bad = Row(**{**good.asDict(), "jobID": "2", "submit": "not-a-time"})
+    out = parse_accounting(spark.createDataFrame([good, bad]))
+    assert [r["jobID"] for r in out.collect()] == ["1"]
+
+
 def test_step3_finalize(spark):
     from stampede_to_fresco_etl_spark.pipeline.step3 import finalize
 
