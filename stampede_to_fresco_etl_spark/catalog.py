@@ -1639,3 +1639,221 @@ FROM s GROUP BY event_type
 
 
 REGISTRY.update({"f16_json_extract": (q_json_extract, SQL_JSON_EXTRACT)})
+
+
+# ===========================================================================
+# §2.11 derivation-formula parity: cpuuser / nfs / memused run through
+# the ACTUAL pipeline functions (process_cpu / process_llite /
+# process_mem) on a cpu.csv/llite.csv/mem.csv-shaped frame synthesized
+# from `events`.  All synthetic counters are integer-valued doubles so
+# every SUM/lag/ratio is exact in both engines; the only division is a
+# single IEEE op on identical operands (deterministic), so the full
+# business formulas — not re-implementations — get exact oracles.
+# ===========================================================================
+
+#: 2013-01-01 00:00:00 UTC in microseconds (synthetic counter clock).
+_T0_US = 1_356_998_400_000_000
+
+
+def q_cpuuser_formula(spark, sf_dir):
+    """§2.11 cpuuser (step-1/data_processor.py:146-230) end-to-end:
+    null-device drop, zero-fill, per-core→node jiffy rollup, 7-column
+    lag deltas, total>0 filter, user/total×100 clipped to [0,100]."""
+    from stampede_to_fresco_etl_spark.pipeline.step1 import process_cpu
+
+    e = load(spark, sf_dir, "events")
+    # paired event_ids share a timestamp -> exercises the device rollup
+    ts_us = (
+        F.lit(_T0_US)
+        + F.floor(F.col("event_id") / 2).cast("long") * F.lit(30_000_000)
+    )
+    raw = e.select(
+        F.col("user_id").cast("string").alias("jobID"),
+        F.col("event_type").alias("node"),
+        F.date_format(
+            F.timestamp_micros(ts_us), "MM/dd/yyyy HH:mm:ss"
+        ).alias("timestamp"),
+        F.when(F.col("event_id") % 11 == 0, F.lit(None).cast("string"))
+        .otherwise(
+            F.concat(F.lit("cpu"), (F.col("event_id") % 2).cast("string"))
+        )
+        .alias("device"),
+        F.floor(F.col("value") * 1000).cast("double").alias("user"),
+        (F.col("event_id") % 7).cast("double").alias("nice"),
+        F.floor(F.col("value") * 500).cast("double").alias("system"),
+        (F.floor(F.col("value") * 2000) + 7).cast("double").alias("idle"),
+        (F.col("event_id") % 3).cast("double").alias("iowait"),
+        F.when(F.col("event_id") % 5 == 0, F.lit(None).cast("double"))
+        .otherwise(F.lit(2.0))
+        .alias("irq"),
+        F.lit(1.0).alias("softirq"),
+    )
+    out = process_cpu(raw)
+    return out.select(
+        F.col("Job Id").alias("job_id"),
+        F.col("Host").alias("host"),
+        F.col("Timestamp").alias("ts"),
+        F.col("Value").alias("cpuuser"),
+    )
+
+
+SQL_CPUUSER_FORMULA = f"""
+WITH raw AS (
+  SELECT CAST(user_id AS VARCHAR) AS jobid, event_type AS node,
+         strftime(make_timestamp(CAST({_T0_US} + (event_id // 2) * 30000000
+                                      AS BIGINT)),
+                  '%m/%d/%Y %H:%M:%S') AS ts_str,
+         CASE WHEN event_id % 11 = 0 THEN NULL
+              ELSE 'cpu' || CAST(event_id % 2 AS VARCHAR) END AS device,
+         CAST(COALESCE(FLOOR(value * 1000), 0) AS DOUBLE) AS c_user,
+         CAST(event_id % 7 AS DOUBLE) AS c_nice,
+         CAST(COALESCE(FLOOR(value * 500), 0) AS DOUBLE) AS c_system,
+         CAST(COALESCE(FLOOR(value * 2000) + 7, 0) AS DOUBLE) AS c_idle,
+         CAST(event_id % 3 AS DOUBLE) AS c_iowait,
+         CASE WHEN event_id % 5 = 0 THEN 0.0 ELSE 2.0 END AS c_irq,
+         1.0 AS c_softirq
+  FROM events
+),
+clean AS (
+  SELECT jobid, node, strptime(ts_str, '%m/%d/%Y %H:%M:%S') AS ts,
+         c_user, c_nice, c_system, c_idle, c_iowait, c_irq, c_softirq
+  FROM raw
+  WHERE jobid IS NOT NULL AND node IS NOT NULL AND device IS NOT NULL
+),
+rolled AS (
+  SELECT jobid, node, ts,
+         SUM(c_user) AS u, SUM(c_nice) AS ni, SUM(c_system) AS sy,
+         SUM(c_idle) AS idl, SUM(c_iowait) AS io, SUM(c_irq) AS irq,
+         SUM(c_softirq) AS si
+  FROM clean GROUP BY jobid, node, ts
+),
+d AS (
+  SELECT jobid, node, ts,
+         u - lag(u) OVER w AS du,
+         (u - lag(u) OVER w) + (ni - lag(ni) OVER w) + (sy - lag(sy) OVER w)
+           + (idl - lag(idl) OVER w) + (io - lag(io) OVER w)
+           + (irq - lag(irq) OVER w) + (si - lag(si) OVER w) AS dtot
+  FROM rolled WINDOW w AS (PARTITION BY jobid, node ORDER BY ts)
+)
+SELECT jobid AS job_id, node AS host, ts,
+       LEAST(100.0, GREATEST(0.0, COALESCE(du / dtot * 100.0, 0.0)))
+         AS cpuuser
+FROM d WHERE dtot > 0
+"""
+
+
+def q_nfs_rate_formula(spark, sf_dir):
+    """§2.11 nfs (step-1/data_processor.py:232-296) end-to-end:
+    read+write byte counters, per-(job,node) lag deltas WITHOUT a
+    duplicate-timestamp rollup (the executed reference skips it),
+    dt>=0.1 / delta>=0 validity filter, Δ/Δt/2^20 in MB/s, clip >=0."""
+    from stampede_to_fresco_etl_spark.pipeline.step1 import process_llite
+
+    e = load(spark, sf_dir, "events")
+    # unique per-row timestamps (event_id is unique) -> deterministic
+    # lag ordering without a rollup, as the llite path requires
+    ts_us = F.lit(_T0_US) + F.col("event_id").cast("long") * F.lit(15_000_000)
+    raw = e.select(
+        F.col("user_id").cast("string").alias("jobID"),
+        F.col("event_type").alias("node"),
+        F.date_format(
+            F.timestamp_micros(ts_us), "MM/dd/yyyy HH:mm:ss"
+        ).alias("timestamp"),
+        F.floor(F.col("value") * 1_000_000).cast("double").alias("read_bytes"),
+        F.floor(F.col("value") * 31337).cast("double").alias("write_bytes"),
+    )
+    out = process_llite(raw)
+    return out.select(
+        F.col("Job Id").alias("job_id"),
+        F.col("Host").alias("host"),
+        F.col("Timestamp").alias("ts"),
+        F.col("Value").alias("mb_per_sec"),
+    )
+
+
+SQL_NFS_RATE_FORMULA = f"""
+WITH raw AS (
+  SELECT CAST(user_id AS VARCHAR) AS jobid, event_type AS node,
+         strptime(strftime(make_timestamp(CAST({_T0_US}
+                    + event_id * 15000000 AS BIGINT)),
+                  '%m/%d/%Y %H:%M:%S'), '%m/%d/%Y %H:%M:%S') AS ts,
+         CAST(COALESCE(FLOOR(value * 1000000), 0) AS DOUBLE)
+           + CAST(COALESCE(FLOOR(value * 31337), 0) AS DOUBLE) AS total_bytes
+  FROM events
+),
+d AS (
+  SELECT jobid, node, ts,
+         total_bytes - lag(total_bytes) OVER w AS d,
+         (epoch_us(ts) - lag(epoch_us(ts)) OVER w) / 1000000.0 AS dt
+  FROM raw WINDOW w AS (PARTITION BY jobid, node ORDER BY ts)
+)
+SELECT jobid AS job_id, node AS host, ts,
+       GREATEST(0.0, COALESCE(d * (1.0 / 1048576.0) / dt, 0.0)) AS mb_per_sec
+FROM d WHERE dt IS NOT NULL AND dt >= 0.1 AND d IS NOT NULL AND d >= 0
+"""
+
+
+def q_mem_gauges_formula(spark, sf_dir):
+    """§2.11 memused / memused_minus_diskcache
+    (step-1/data_processor.py:298-363) end-to-end: zero-filled gauges,
+    MemUsed/2^30 and (MemUsed-FilePages)/2^30, both clipped >=0, two
+    events per sample row."""
+    from stampede_to_fresco_etl_spark.pipeline.step1 import process_mem
+
+    e = load(spark, sf_dir, "events")
+    raw = e.select(
+        F.col("user_id").cast("string").alias("jobID"),
+        F.col("event_type").alias("node"),
+        F.date_format("ts", "MM/dd/yyyy HH:mm:ss").alias("timestamp"),
+        F.floor(F.col("value") * 300_000_000).cast("double").alias("MemTotal"),
+        F.floor(F.col("value") * 100_000_000).cast("double").alias("MemFree"),
+        F.when(F.col("event_id") % 13 == 0, F.lit(None).cast("double"))
+        .otherwise(F.floor(F.col("value") * 100_000_000).cast("double"))
+        .alias("MemUsed"),
+        (F.floor(F.col("value") * 10_000_000)
+         + (F.col("event_id") % 3).cast("double") * F.lit(50_000_000.0))
+        .cast("double")
+        .alias("FilePages"),
+    )
+    out = process_mem(raw)
+    return out.select(
+        F.col("Job Id").alias("job_id"),
+        F.col("Host").alias("host"),
+        F.col("Timestamp").alias("ts"),
+        F.col("Event").alias("event"),
+        F.col("Value").alias("gb"),
+    )
+
+
+SQL_MEM_GAUGES_FORMULA = """
+WITH raw AS (
+  SELECT CAST(user_id AS VARCHAR) AS jobid, event_type AS node,
+         strptime(strftime(ts, '%m/%d/%Y %H:%M:%S'),
+                  '%m/%d/%Y %H:%M:%S') AS pts,
+         CASE WHEN event_id % 13 = 0 THEN 0.0
+              ELSE COALESCE(FLOOR(value * 100000000), 0) END AS mem_used,
+         COALESCE(FLOOR(value * 10000000)
+                  + CAST(event_id % 3 AS DOUBLE) * 50000000.0, 0)
+           AS file_pages
+  FROM events
+),
+gauges AS (
+  SELECT jobid, node, pts, 'memused' AS event,
+         GREATEST(0.0, mem_used / 1073741824.0) AS gb
+  FROM raw
+  UNION ALL
+  SELECT jobid, node, pts, 'memused_minus_diskcache' AS event,
+         GREATEST(0.0, (mem_used - file_pages) / 1073741824.0) AS gb
+  FROM raw
+)
+SELECT jobid AS job_id, node AS host, pts AS ts, event, gb FROM gauges
+"""
+
+
+REGISTRY.update(
+    {
+        "c1_cpuuser_formula": (q_cpuuser_formula, SQL_CPUUSER_FORMULA),
+        "n1_nfs_rate_formula": (q_nfs_rate_formula, SQL_NFS_RATE_FORMULA),
+        "m1_mem_gauges": (q_mem_gauges_formula, SQL_MEM_GAUGES_FORMULA),
+    }
+)
