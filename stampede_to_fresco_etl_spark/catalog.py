@@ -827,17 +827,21 @@ def q_ngram_jaccard(spark, sf_dir):
     )
 
     docs = load(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(docs, "doc_id", "text", min_jaccard=0.05)
+    return ngram_jaccard_pairs(
+        docs, "doc_id", "text", min_jaccard=0.05, max_shingle_df=100
+    )
 
 
 SQL_NGRAM_JACCARD = f"""
 WITH toks AS (
   SELECT doc_id AS doc, {_D_TOKS} AS t FROM documents
 ),
-sh AS (
+sh0 AS (
   SELECT DISTINCT doc, u.s
   FROM toks, UNNEST({_D_SHINGLES}) AS u(s)
 ),
+keep AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 100),
+sh AS (SELECT sh0.doc, sh0.s FROM sh0 JOIN keep USING (s)),
 sizes AS (SELECT doc, count(*) AS sz FROM sh GROUP BY doc),
 inter AS (
   SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS inter

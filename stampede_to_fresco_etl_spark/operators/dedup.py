@@ -165,15 +165,37 @@ def ngram_jaccard_pairs(
     text_col: str,
     shingle_k: int = 3,
     min_jaccard: float = 0.0,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for candidate pairs that share
     at least one shingle.  |A∩B| via a self-equi-join on the shingle,
-    |A∪B| = |A| + |B| - |A∩B|.  At scale the shingle join is the
-    standard inverted-index pattern; hot shingles should be capped
-    (stopword shingles removed) before joining."""
+    |A∪B| = |A| + |B| - |A∩B|.
+
+    `max_shingle_df` caps the inverted index: shingles appearing in
+    more than that many documents (boilerplate, stopword n-grams) are
+    removed from the shingle universe BEFORE the self-join.  A hot
+    shingle with document frequency f contributes f(f-1)/2 rows to
+    the join — one boilerplate header shared by 10⁶ docs would emit
+    5·10¹¹ pairs — so at scale the cap is what keeps the join
+    output linear.  Semantics stay EXACT over the filtered universe:
+    the df filter is applied to sizes and intersections alike, so
+    jaccard values for surviving shingle sets are true Jaccard
+    similarities of (set minus hot shingles), and any engine can
+    reproduce the result with the same HAVING df <= cap filter."""
     # the shingle set feeds three plan branches (sizes + both join
     # sides) — materialize once instead of recomputing the explode
-    sh = _shingled(df, id_col, text_col, shingle_k).localCheckpoint()
+    sh = _shingled(df, id_col, text_col, shingle_k)
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_shingle_df)
+            .select("shingle")
+        )
+        # broadcast anti-join: the hot set is tiny by construction
+        # (few shingles exceed a sane cap), so no extra shuffle
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    sh = sh.localCheckpoint()
     sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")

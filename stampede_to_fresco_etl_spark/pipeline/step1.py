@@ -189,12 +189,19 @@ def run_step1(
     from stampede_to_fresco_etl_spark.sources.readers import read_csv_robust
 
     def _try_read(name, schema):
-        import glob as _glob
+        # ONE glob pattern handed to Spark's DataSource: file listing
+        # (and locality planning) happens distributed in the reader,
+        # not as a driver-side per-node glob — at 6k nodes the driver
+        # never touches the filesystem.  A pattern with no matches
+        # raises at analysis time -> that metric contributes nothing.
+        from pyspark.errors import AnalysisException
 
-        paths = sorted(_glob.glob(f"{input_dir}/*/{name}.csv"))
-        if not paths:
+        try:
+            return read_csv_robust(
+                spark, f"{input_dir}/*/{name}.csv", schema
+            )
+        except AnalysisException:
             return None
-        return read_csv_robust(spark, paths, schema)
 
     out = transform_node_data(
         block=_try_read("block", BLOCK_RAW),

@@ -13,6 +13,29 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+class SchemaMismatchError(Exception):
+    """Appending a frame whose column set differs from the target's
+    (step-1/appender.py:241-249) — raised BEFORE any data is written
+    so a drifted producer can't corrupt a curated table."""
+
+
+def _check_append_schema(df: DataFrame, path: str) -> None:
+    """Reference parity for append safety: the column SETS of the
+    incoming frame and the existing target must match exactly
+    (step-1/appender.py:241-249).  Parquet's schema merge would
+    otherwise silently null-fill missing/new columns."""
+    try:
+        existing = df.sparkSession.read.parquet(path).columns
+    except Exception:
+        return  # no target yet — first append creates it
+    new_cols, old_cols = set(df.columns), set(existing)
+    if new_cols != old_cols:
+        raise SchemaMismatchError(
+            f"Column mismatch appending to {path}: "
+            f"new {sorted(new_cols)} vs existing {sorted(old_cols)}"
+        )
+
+
 def write_parquet(
     df: DataFrame,
     path: str,
@@ -24,7 +47,10 @@ def write_parquet(
     """zstd parquet sink with optional Hive partitioning and
     within-partition sort (keeps (job,node,ts) runs contiguous so
     downstream window shuffles read pre-clustered data —
-    step-1/transformer.py:323; step-2/consumer.py:556-562)."""
+    step-1/transformer.py:323; step-2/consumer.py:556-562).  Appends
+    are schema-guarded (SchemaMismatchError on column-set drift)."""
+    if mode == "append":
+        _check_append_schema(df, path)
     if sort_within_partitions:
         df = df.sortWithinPartitions(*sort_within_partitions)
     writer = df.write.mode(mode).option("compression", compression)
@@ -68,14 +94,19 @@ def convert_csv_to_parquet(
     """CSV→Parquet conversion (S7,
     rough-drafts/combine_transformed_monthly_data.py:189-212).  The
     reference's write-temp/re-read-validate/atomic-replace dance is
-    subsumed by Spark's output committer; we validate by re-reading
-    the row count."""
+    subsumed by Spark's output committer.  Row-count validation rides
+    the write itself via an Observation (metrics collected as the
+    tasks run), so the CSV is scanned exactly ONCE; the re-read count
+    comes from parquet footers, not a data scan."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
     reader = spark.read.option("header", "true")
     if schema is not None:
         reader = reader.schema(schema)
     else:
         reader = reader.option("inferSchema", "true")
-    df = reader.csv(csv_path)
-    n = df.count()
+    obs = Observation("convert_rows")
+    df = reader.csv(csv_path).observe(obs, F.count(F.lit(1)).alias("n"))
     df.write.mode("overwrite").option("compression", "zstd").parquet(parquet_path)
-    return spark.read.parquet(parquet_path).count() == n
+    return spark.read.parquet(parquet_path).count() == obs.get["n"]

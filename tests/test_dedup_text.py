@@ -76,6 +76,29 @@ def test_ngram_jaccard_exact_value(spark):
     assert math.isclose(out[0]["jaccard"], 1 / 3, rel_tol=1e-12)
 
 
+def test_ngram_jaccard_hot_shingle_cap(spark):
+    # 200 docs all share one boilerplate shingle ("common header x");
+    # each also has a unique tail.  Uncapped, the hot shingle alone
+    # emits 200*199/2 = 19900 pairs; with the df cap it is dropped
+    # from the universe, so only the two near-dup docs pair up.
+    texts = [f"common header x unique{i} tail{i} end{i}" for i in range(200)]
+    texts.append("common header x unique0 tail0 end0")  # true dup of doc 0
+    df = docs_df(spark, texts)
+    capped = ngram_jaccard_pairs(
+        df, "doc_id", "text", max_shingle_df=50, min_jaccard=0.5
+    ).collect()
+    assert [(r["doc_a"], r["doc_b"]) for r in capped] == [(0, 200)]
+    # post-cap universes of docs 0/200 are identical -> jaccard 1.0
+    assert capped[0]["jaccard"] == 1.0
+    # uncapped at the same threshold: hot shingle drags unrelated
+    # pairs in at jaccard 1/9 < 0.5, so the near-dup answer is the
+    # same — the cap only removes join-explosion work, checked above
+    uncapped = ngram_jaccard_pairs(
+        df, "doc_id", "text", min_jaccard=0.5
+    ).collect()
+    assert len(uncapped) == 1
+
+
 def test_simhash_similar_docs_close(spark):
     df = docs_df(
         spark,

@@ -77,6 +77,25 @@ def test_convert_csv_to_parquet_roundtrip(spark, tmp_path):
     assert spark.read.parquet(out).count() == 2
 
 
+def test_append_schema_guard(spark, tmp_path):
+    import pytest
+
+    from stampede_to_fresco_etl_spark.sources.writers import (
+        SchemaMismatchError,
+    )
+
+    out = str(tmp_path / "t")
+    write_parquet(spark.createDataFrame([Row(a=1, b="x")]), out)
+    # same column set appends fine (order doesn't matter)
+    write_parquet(spark.createDataFrame([Row(b="y", a=2)]), out, mode="append")
+    # drifted column set raises BEFORE writing (appender.py:241-249)
+    with pytest.raises(SchemaMismatchError):
+        write_parquet(
+            spark.createDataFrame([Row(a=3, c=1.5)]), out, mode="append"
+        )
+    assert spark.read.parquet(out).count() == 2
+
+
 def test_partitioned_zstd_write_and_append(spark, tmp_path):
     out = str(tmp_path / "daily")
     df1 = spark.createDataFrame([Row(v=1, date="2013-03-01")])
