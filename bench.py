@@ -23,6 +23,7 @@ HEADLINE = [
     "a1_groupby_sum",
     "w1_rate_kernel",
     "j1_interval_join",
+    "j1b_interval_join_bucketed",
     "t1_tumbling_window",
     "a6_pivot_events",
     "q3_join_agg_broadcast",
@@ -35,7 +36,14 @@ HEADLINE = [
     "v3_embedding_near_dups",
     "q5_nation_revenue",
     "x1_token_stats",
+    "mm2_decode_meta",
+    "f16_json_extract",
 ]
+
+#: Previous round's bench (same sf) for per-query regression deltas.
+PREV_BENCH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "BENCH_r01.json"
+)
 
 
 def main() -> None:
@@ -61,17 +69,29 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    # per-query delta vs the previous round's bench (only comparable
+    # at the same scale factor) so regressions are visible at a glance
+    try:
+        with open(PREV_BENCH) as f:
+            prev = json.load(f)
+        # the driver wraps our JSON line under "parsed"
+        prev = prev.get("parsed", prev)
+        if prev.get("sf") == sf:
+            out["vs_prev"] = {
+                name: round(t - prev["queries"][name], 3)
+                for name, t in timings.items()
+                if name in prev.get("queries", {})
             }
-        )
-    )
+    except (OSError, ValueError, KeyError):
+        pass
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -1345,6 +1345,65 @@ REGISTRY.update(
 )
 
 
+def q_near_dups_multiprobe(spark, sf_dir):
+    """v3 with Hamming-1 multi-probe: pairs whose sketches differ in
+    one plane still meet — recall knob for high plane counts."""
+    from stampede_to_fresco_etl_spark.operators.similarity import (
+        embedding_near_dups,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    return embedding_near_dups(
+        emb,
+        num_planes=ND_PLANES,
+        dim=ND_DIM,
+        min_cosine=ND_MIN_COS,
+        multi_probe=True,
+    )
+
+
+def _sql_near_dups_multiprobe() -> str:
+    from stampede_to_fresco_etl_spark.operators.similarity import hyperplanes
+
+    planes = hyperplanes(ND_PLANES, ND_DIM)
+
+    def dot(a: str, lit: list[float]) -> str:
+        arr = "[" + ", ".join(repr(w) for w in lit) + "]"
+        return (
+            f"list_reduce(list_transform(range(1, {ND_DIM} + 1), "
+            f"i -> {a}[i] * ({arr})[i]), (x, y) -> x + y)"
+        )
+
+    bucket = " + ".join(
+        f"(CASE WHEN {dot('v', pl)} > 0 THEN {1 << p} ELSE 0 END)"
+        for p, pl in enumerate(planes)
+    )
+    pair_dot = _D_DOT.format(a="a.v", b="b.v")
+    na = _D_DOT.format(a="a.v", b="a.v")
+    nb = _D_DOT.format(a="b.v", b="b.v")
+    cos = f"{pair_dot} / (sqrt({na}) * sqrt({nb}))"
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+bk AS (SELECT vec_id, v, CAST({bucket} AS BIGINT) AS bucket FROM e),
+pr AS (
+  SELECT vec_id, v, u.pb
+  FROM bk, UNNEST([bucket,
+        {", ".join(f"xor(bucket, {1 << p}::BIGINT)" for p in range(ND_PLANES))}
+       ]) AS u(pb)
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS cos_sim
+  FROM pr a JOIN bk b ON a.pb = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= {ND_MIN_COS}
+"""
+
+
+REGISTRY.update(
+    {"v3b_near_dups_multiprobe": (q_near_dups_multiprobe, _sql_near_dups_multiprobe())}
+)
+
+
 # ---------------------------------------------------------------------------
 # Deep multi-way join trees over the full star schema (broadcast dims
 # chained: region ⋈ nation ⋈ customer/supplier ⋈ orders ⋈ lineitem ⋈
@@ -1859,5 +1918,145 @@ REGISTRY.update(
         "c1_cpuuser_formula": (q_cpuuser_formula, SQL_CPUUSER_FORMULA),
         "n1_nfs_rate_formula": (q_nfs_rate_formula, SQL_NFS_RATE_FORMULA),
         "m1_mem_gauges": (q_mem_gauges_formula, SQL_MEM_GAUGES_FORMULA),
+    }
+)
+
+
+# ===========================================================================
+# Reader/writer-surface oracle rows (S3/S5/S7/S10): each query WRITES a
+# frame derived from `events` through the engine's sink, reads it back
+# through the engine's reader, and aggregates — the oracle computes
+# the same aggregate straight from `events`, so any corruption,
+# truncation, type drift, or resolution bug in the write→read cycle
+# breaks the hash match.  Scratch output lives under the repo
+# (overwritten every run).
+# ===========================================================================
+
+import pathlib as _pathlib
+
+_SCRATCH = str(_pathlib.Path(__file__).resolve().parent.parent / ".scratch")
+
+
+def _roundtrip_agg(df):
+    return df.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        dsum(F.col("value")).alias("sum_value"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+    )
+
+
+_SQL_ROUNDTRIP_AGG = f"""
+SELECT event_type, count(*) AS n,
+       {DSUM.format(x='value')} AS sum_value,
+       min(event_id) AS min_id, max(event_id) AS max_id
+FROM events GROUP BY event_type
+"""
+
+
+def q_parquet_roundtrip(spark, sf_dir):
+    """S5 — zstd+partitioned parquet sink → scan → aggregate."""
+    from stampede_to_fresco_etl_spark.sources.writers import write_parquet
+
+    e = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    path = f"{_SCRATCH}/s5_parquet"
+    write_parquet(e, path, partition_by=["event_type"])
+    return _roundtrip_agg(spark.read.parquet(path))
+
+
+def q_case_resolve_roundtrip(spark, sf_dir):
+    """S3 — write mixed-case column names, read back through the
+    case-insensitive resolver with canonical names + a missing column
+    materialized as typed null (step-2/consumer.py:244-260)."""
+    from stampede_to_fresco_etl_spark.sources.readers import (
+        read_parquet_resolved,
+    )
+    from stampede_to_fresco_etl_spark.sources.writers import write_parquet
+
+    e = load(spark, sf_dir, "events").select(
+        F.col("event_id").alias("EVENT_ID"),
+        F.col("event_type").alias("Event_Type"),
+        F.col("value").alias("VaLuE"),
+    )
+    path = f"{_SCRATCH}/s3_case"
+    write_parquet(e, path)
+    r = read_parquet_resolved(
+        spark, path, ["event_id", "event_type", "value", "missing_col"]
+    )
+    return r.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        dsum(F.col("value")).alias("sum_value"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+        F.count("missing_col").alias("n_missing"),
+    )
+
+
+SQL_CASE_RESOLVE = f"""
+SELECT event_type, count(*) AS n,
+       {DSUM.format(x='value')} AS sum_value,
+       min(event_id) AS min_id, max(event_id) AS max_id,
+       CAST(0 AS BIGINT) AS n_missing
+FROM events GROUP BY event_type
+"""
+
+
+def q_csv_convert_roundtrip(spark, sf_dir):
+    """S6/S7 — CSV sink → CSV→parquet converter (single-scan,
+    Observation-validated) → scan.  Doubles survive because Spark's
+    CSV writer emits shortest round-trip representations."""
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType,
+    )
+
+    from stampede_to_fresco_etl_spark.sources.writers import (
+        convert_csv_to_parquet,
+        write_csv,
+    )
+
+    e = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    csv_path = f"{_SCRATCH}/s7_csv"
+    pq_path = f"{_SCRATCH}/s7_parquet"
+    write_csv(e, csv_path)
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    ok = convert_csv_to_parquet(spark, csv_path, pq_path, schema=schema)
+    return _roundtrip_agg(spark.read.parquet(pq_path)).withColumn(
+        "converted", F.lit(bool(ok))
+    )
+
+
+SQL_CSV_CONVERT = f"""
+SELECT event_type, count(*) AS n,
+       {DSUM.format(x='value')} AS sum_value,
+       min(event_id) AS min_id, max(event_id) AS max_id,
+       TRUE AS converted
+FROM events GROUP BY event_type
+"""
+
+
+def q_append_merge_roundtrip(spark, sf_dir):
+    """S10 — incremental append merge: overwrite the even half, append
+    the odd half (schema-guarded), scan the union."""
+    from stampede_to_fresco_etl_spark.sources.writers import write_parquet
+
+    e = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    path = f"{_SCRATCH}/s10_append"
+    write_parquet(e.filter(F.col("event_id") % 2 == 0), path, mode="overwrite")
+    write_parquet(e.filter(F.col("event_id") % 2 == 1), path, mode="append")
+    return _roundtrip_agg(spark.read.parquet(path))
+
+
+REGISTRY.update(
+    {
+        "s5_parquet_roundtrip": (q_parquet_roundtrip, _SQL_ROUNDTRIP_AGG),
+        "s3_case_resolve": (q_case_resolve_roundtrip, SQL_CASE_RESOLVE),
+        "s7_csv_convert": (q_csv_convert_roundtrip, SQL_CSV_CONVERT),
+        "s10_append_merge": (q_append_merge_roundtrip, _SQL_ROUNDTRIP_AGG),
     }
 )

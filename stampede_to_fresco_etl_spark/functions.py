@@ -163,6 +163,22 @@ def host_list(host_col: Column | str) -> Column:
     return F.array_join(F.sort_array(F.collect_set(_col(host_col))), ",")
 
 
+def filename_date(pattern: str = r"(\d{4}-\d{2}-\d{2})") -> Column:
+    """F15 — date token extracted from the source file path
+    (step-1/appender.py:72-83 parsed dates out of incoming
+    filenames).  In the Spark layout Hive partition values normally
+    carry the date, but files arriving with date-stamped names (the
+    reference's `FRESCO_Stampede_ts_YYYY-MM-DD.parquet`) are covered
+    by reading the scan-provided `input_file_name()`.  No match →
+    null (callers route to quarantine, mirroring the reference's
+    skip-with-log)."""
+    return F.to_date(
+        F.nullif(
+            F.regexp_extract(F.input_file_name(), pattern, 1), F.lit("")
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Portable (cross-engine deterministic) hashing.
 #

@@ -322,32 +322,83 @@ def ivf_topk(
     return partial_topk(scored, probe_id_col, id_col, k)
 
 
+def recommended_planes(
+    n_rows: int,
+    target_bucket_rows: int = 1024,
+    lo: int = 4,
+    hi: int = 24,
+) -> int:
+    """Plane count sized to the corpus: ceil(log2(n / target_bucket)),
+    clamped to [lo, hi].
+
+    Why it must grow with n: with p planes there are 2^p buckets, so
+    the expected intra-bucket pair work is Σ (n/2^p)² · 2^p = n²/2^p.
+    Keeping the per-bucket row count near `target_bucket_rows` keeps
+    each bucket's all-pairs block bounded: 10⁶ vectors → 10 planes,
+    10⁹ → 20 planes.  A fixed small p (e.g. 8 = 256 buckets) looks
+    fine at test scale but is quadratic at a billion rows.  More
+    planes lower recall per bucket; compensate with `multi_probe`."""
+    import math
+
+    if n_rows <= target_bucket_rows:
+        return lo
+    return max(lo, min(hi, math.ceil(math.log2(n_rows / target_bucket_rows))))
+
+
 def embedding_near_dups(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    num_planes: int = 8,
+    num_planes: int | None = None,
     dim: int = 64,
     min_cosine: float = 0.95,
+    multi_probe: bool = False,
+    target_bucket_rows: int = 1024,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH self-join:
     (id_a, id_b, cos_sim) with id_a < id_b and cos_sim >= threshold.
     The bucket equi-join bounds the pair space; exactness within a
-    bucket is full cosine."""
+    bucket is full cosine.
+
+    `num_planes=None` sizes the bucket count to the corpus via
+    `recommended_planes` (one count() job at plan-build time).
+
+    `multi_probe=True` also probes every Hamming-distance-1 neighbor
+    bucket: side A is exploded to its own bucket plus the p one-bit
+    flips, so a pair whose sketches differ in exactly one plane —
+    the dominant miss mode for true near-dups, since each plane flips
+    independently with probability θ/π — still meets in the join.
+    Replication factor is p+1 on one side only, and each qualifying
+    pair meets exactly once (its bucket distance picks the single
+    matching probe), so no dedup pass is needed."""
+    if num_planes is None:
+        num_planes = recommended_planes(df.count(), target_bucket_rows)
     planes = hyperplanes(num_planes, dim)
     v = df.select(
         F.col(id_col).alias("vid"), as_double_vec(vec_col).alias("vec")
     ).withColumn("bucket", lsh_bucket(F.col("vec"), planes)).withColumn(
         "nrm", _norm(F.col("vec"))
     )
-    a = v.alias("a")
+    if multi_probe:
+        probe_buckets = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << p))
+                for p in range(num_planes)
+            ],
+        )
+        a = v.withColumn("pb", F.explode(probe_buckets)).alias("a")
+        join_cond = (F.col("a.pb") == F.col("b.bucket")) & (
+            F.col("a.vid") < F.col("b.vid")
+        )
+    else:
+        a = v.alias("a")
+        join_cond = (F.col("a.bucket") == F.col("b.bucket")) & (
+            F.col("a.vid") < F.col("b.vid")
+        )
     b = v.alias("b")
     return (
-        a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vid") < F.col("b.vid")),
-        )
+        a.join(b, join_cond)
         .select(
             F.col("a.vid").alias("id_a"),
             F.col("b.vid").alias("id_b"),

@@ -110,3 +110,26 @@ def test_horizontal_sum(spark):
     assert df.select(
         ef.horizontal_sum(["a", "b", "c"]).alias("v")
     ).first()["v"] == 6.0
+
+
+def test_filename_date_extraction(spark, tmp_path):
+    # F15: date-stamped filenames -> date column via input_file_name()
+    from pyspark.sql import Row
+
+    from stampede_to_fresco_etl_spark.functions import filename_date
+
+    p1 = str(tmp_path / "FRESCO_Stampede_ts_2013-03-01.csv")
+    p2 = str(tmp_path / "no_date_here.csv")
+    import pandas as pd
+
+    pd.DataFrame({"v": [1]}).to_csv(p1, index=False)
+    pd.DataFrame({"v": [2]}).to_csv(p2, index=False)
+    df = (
+        spark.read.option("header", "true").csv([p1, p2])
+        .select("v", filename_date().alias("file_date"))
+    )
+    got = {r["v"]: r["file_date"] for r in df.collect()}
+    import datetime as dt
+
+    assert got["1"] == dt.date(2013, 3, 1)
+    assert got["2"] is None

@@ -117,3 +117,49 @@ def test_scan_pushdown(spark):
     df = REGISTRY["s1_scan_filter_project"][0](spark, "/root/testdata/sf0.001")
     plan = _plan(df)
     assert "In(event_type" in plan  # membership filter reached the scan
+
+
+def test_topk_plan_is_partial_aggregation_not_window(spark):
+    # The scale-killer Window.partitionBy(probe)+row_number must stay
+    # gone: top-k is two ObjectHashAggregate stages (map-side partial
+    # k-truncation), never a per-probe window exchange.
+    from stampede_to_fresco_etl_spark.catalog import REGISTRY
+
+    for name in ("v1_cosine_topk", "v2_lsh_topk", "v4_ivf_topk"):
+        df = REGISTRY[name][0](spark, "/root/testdata/sf0.001")
+        plan = _plan(df)
+        assert "Window" not in plan, name
+        assert "ObjectHashAggregate" in plan, name
+        assert "partial_collect_list" in plan, name
+
+
+def test_partial_topk_equals_window_topk(spark):
+    # Equivalence oracle for the rewrite: partial_topk must produce
+    # exactly what the window formulation produced, ties included.
+    import pyspark.sql.functions as SF
+    from pyspark.sql import Window
+
+    from stampede_to_fresco_etl_spark.operators.similarity import (
+        partial_topk,
+    )
+
+    rows = [
+        Row(probe_id=p, vec_id=v, cos_sim=float((v * 7 + p) % 5) / 5.0)
+        for p in range(3)
+        for v in range(40)
+    ]
+    scored = spark.createDataFrame(rows).repartition(8)
+    got = partial_topk(scored, "probe_id", "vec_id", 6).collect()
+    w = Window.partitionBy("probe_id").orderBy(
+        SF.col("cos_sim").desc(), SF.col("vec_id")
+    )
+    want = (
+        scored.withColumn("rank", SF.row_number().over(w))
+        .filter(SF.col("rank") <= 6)
+        .collect()
+    )
+    assert sorted(
+        [(r["probe_id"], r["vec_id"], r["cos_sim"], r["rank"]) for r in got]
+    ) == sorted(
+        [(r["probe_id"], r["vec_id"], r["cos_sim"], r["rank"]) for r in want]
+    )

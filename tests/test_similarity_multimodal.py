@@ -106,6 +106,42 @@ def test_embedding_near_dups_finds_duplicate_vector(spark):
     assert all(2 not in p for p in pairs)
 
 
+def test_near_dups_plane_scaling_and_multiprobe(spark):
+    from stampede_to_fresco_etl_spark.operators.similarity import (
+        recommended_planes,
+    )
+
+    # sizing rule: buckets track corpus size, clamped to [4, 24]
+    assert recommended_planes(500) == 4
+    assert recommended_planes(10**6) == 10
+    assert recommended_planes(10**9) == 20
+    assert recommended_planes(10**12) == 24
+
+    # identical vectors always share every sketch bit -> found at any
+    # plane count; multi-probe can only ADD pairs (superset recall)
+    from stampede_to_fresco_etl_spark.catalog import load
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    for planes in (4, 12):
+        single = {
+            (r["id_a"], r["id_b"])
+            for r in embedding_near_dups(
+                emb, num_planes=planes, min_cosine=0.3
+            ).collect()
+        }
+        multi = {
+            (r["id_a"], r["id_b"])
+            for r in embedding_near_dups(
+                emb, num_planes=planes, min_cosine=0.3, multi_probe=True
+            ).collect()
+        }
+        assert single <= multi
+        assert len(single) > 0
+    # auto-sized planes (num_planes=None) runs and is deterministic
+    auto = embedding_near_dups(emb, min_cosine=0.3).count()
+    assert auto == embedding_near_dups(emb, min_cosine=0.3).count()
+
+
 def test_decode_image_meta_plumbing(spark):
     rows = [
         Row(media_id=1, kind="image", payload=b"\x89PNG fake bytes",
