@@ -2060,3 +2060,170 @@ REGISTRY.update(
         "s10_append_merge": (q_append_merge_roundtrip, _SQL_ROUNDTRIP_AGG),
     }
 )
+
+
+# ===========================================================================
+# Temporal-enrichment + curation operators: as-of join (DuckDB's
+# native ASOF JOIN is the oracle), gap sessionization, deterministic
+# stratified sampling, exact-at-resolution quantile filtering.
+# ===========================================================================
+
+def q_asof_join(spark, sf_dir):
+    """J6 — as-of join: every event enriched with the most recent
+    purchase (value) of the same user at or before its timestamp.
+    Spark lacks the operator; the union+window formulation in
+    operators/asof.py is checked against DuckDB's native ASOF JOIN."""
+    from stampede_to_fresco_etl_spark.operators.asof import asof_join
+
+    e = load(spark, sf_dir, "events")
+    right = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    left = e.select("event_id", "user_id", "ts", "event_type")
+    out = asof_join(
+        left, right,
+        key_cols=["user_id"], left_ts="ts", right_ts="ts",
+        value_cols=["purchase_value"],
+    )
+    return out.select(
+        "event_id", "user_id", "ts", "event_type",
+        "asof_ts", "purchase_value",
+    )
+
+
+SQL_ASOF_JOIN = """
+WITH r AS (
+  SELECT user_id, ts, max(value) AS purchase_value
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id, ts
+)
+SELECT e.event_id, e.user_id, e.ts, e.event_type,
+       r.ts AS asof_ts, r.purchase_value
+FROM events e
+ASOF LEFT JOIN r ON e.user_id = r.user_id AND e.ts >= r.ts
+"""
+
+
+def q_sessionize(spark, sf_dir):
+    """T7 — gap-based sessionization (30-min gap) + per-session
+    rollup: the canonical behavioral-data windowing Spark has no
+    primitive for."""
+    from stampede_to_fresco_etl_spark.operators.windows import sessionize
+
+    e = load(spark, sf_dir, "events")
+    s = sessionize(
+        e, ["user_id"], "ts", gap_sec=1800.0, order_cols=["ts", "event_id"]
+    )
+    return s.groupBy("user_id", "session_seq").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        dsum(F.col("value")).alias("sum_value"),
+    )
+
+
+SQL_SESSIONIZE = f"""
+WITH g AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR (epoch_us(ts) - epoch_us(lag(ts) OVER w)) / 1000000.0
+                   > 1800.0
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts, value,
+         CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_seq
+  FROM g
+)
+SELECT user_id, session_seq, count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end,
+       {DSUM.format(x='value')} AS sum_value
+FROM s GROUP BY user_id, session_seq
+"""
+
+
+def q_stratified_sample(spark, sf_dir):
+    """X4 — deterministic stratified sample: 20 docs per language by
+    salted-md5 rank (replayable curation; partial top-n shuffle
+    shape, no per-stratum mega-partition)."""
+    from stampede_to_fresco_etl_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return stratified_sample(docs, "lang", "doc_id", n_per_stratum=20)
+
+
+SQL_STRATIFIED_SAMPLE = f"""
+SELECT lang, doc_id, CAST(rn AS BIGINT) AS sample_rank FROM (
+  SELECT lang, doc_id,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY {md5_int63_sql("CAST(doc_id AS VARCHAR)", salt="sample")},
+                    doc_id
+         ) AS rn
+  FROM documents
+) WHERE rn <= 20
+"""
+
+
+def q_quantile_filter(spark, sf_dir):
+    """X5 — exact-at-resolution quality-percentile filter: keep docs
+    in the top quartile of lexical diversity within their language
+    (histogram thresholds, never percentile_approx)."""
+    from stampede_to_fresco_etl_spark.operators import text as T
+    from stampede_to_fresco_etl_spark.operators.sampling import (
+        quantile_filter,
+    )
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", T.distinct_token_ratio("text").alias("score")
+    )
+    out = quantile_filter(docs, "lang", "score", q=0.75)
+    return out.select("doc_id", "lang", "score")
+
+
+SQL_QUANTILE_FILTER = f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         CAST(len(list_distinct({_D_TOKS})) AS DOUBLE)
+           / CAST(len({_D_TOKS}) AS DOUBLE) AS score
+  FROM documents
+),
+b AS (
+  SELECT doc_id, lang, score,
+         CAST(FLOOR(score * 10000.0) AS BIGINT) AS bkt
+  FROM scored
+),
+hist AS (SELECT lang, bkt, count(*) AS c FROM b GROUP BY lang, bkt),
+cum AS (
+  SELECT lang, bkt,
+         SUM(c) OVER (PARTITION BY lang ORDER BY bkt
+                      ROWS UNBOUNDED PRECEDING) AS cumc,
+         SUM(c) OVER (PARTITION BY lang) AS n
+  FROM hist
+),
+th AS (
+  SELECT lang, min(bkt) AS tb FROM cum
+  WHERE cumc >= CEIL(0.75 * n) GROUP BY lang
+)
+SELECT b.doc_id, b.lang, b.score
+FROM b JOIN th ON b.lang = th.lang
+WHERE b.bkt >= th.tb
+"""
+
+
+REGISTRY.update(
+    {
+        "j6_asof_join": (q_asof_join, SQL_ASOF_JOIN),
+        "t7_sessionize": (q_sessionize, SQL_SESSIONIZE),
+        "x4_stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+        "x5_quantile_filter": (q_quantile_filter, SQL_QUANTILE_FILTER),
+    }
+)

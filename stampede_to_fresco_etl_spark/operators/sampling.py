@@ -1,0 +1,133 @@
+"""Dataset-curation sampling for training-data pipelines:
+deterministic stratified sampling and exact quantile thresholds.
+
+Both operators avoid the two standard scale traps:
+  - `df.sampleBy` / `rand()` are engine- and run-specific; curation
+    decisions must be REPRODUCIBLE, so selection is ranked on a
+    salted md5 of the row id (uniform, deterministic, replayable in
+    any engine — the same trick as the dedup fingerprints);
+  - per-stratum ranking via `Window.partitionBy(stratum)` funnels
+    every stratum into one reducer; the sampler instead reuses the
+    two-stage partial top-n shape (map-side truncation to n, merge of
+    the n-lists — `operators/similarity.partial_topk`'s pattern), so
+    only `partitions × n` rows per stratum shuffle.
+
+Quantile thresholds use a fixed-resolution histogram (floor-scaled
+buckets → groupBy count → per-stratum cumulative walk over at most
+`resolution · score_range` bucket rows).  Exact at the stated
+resolution in any engine — unlike `percentile_approx`, whose sketch
+is engine-specific — and never materializes a stratum on one node.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from stampede_to_fresco_etl_spark.functions import md5_int63
+
+
+def _partial_min_n(
+    df: DataFrame, group_col: str, id_col: str, rank_col: str, n: int
+) -> DataFrame:
+    """Two-stage partial bottom-n by (rank, id) per group — all-long
+    sort keys, so ordering is exact (no double rounding)."""
+    cand = F.struct(
+        F.col(rank_col).alias("r"), F.col(id_col).alias("i")
+    )
+    part = (
+        df.withColumn("__pid", F.spark_partition_id())
+        .groupBy(group_col, "__pid")
+        .agg(F.slice(F.array_sort(F.collect_list(cand)), 1, n).alias("c"))
+    )
+    merged = part.groupBy(group_col).agg(
+        F.slice(F.array_sort(F.flatten(F.collect_list("c"))), 1, n).alias("c")
+    )
+    return merged.select(
+        group_col, F.posexplode("c").alias("pos", "cand")
+    ).select(
+        group_col,
+        F.col("cand.i").alias(id_col),
+        (F.col("pos") + 1).cast("long").alias("sample_rank"),
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    n_per_stratum: int,
+    salt: str = "sample",
+) -> DataFrame:
+    """Deterministic n-per-stratum sample: the n rows whose salted
+    md5(id) ranks smallest within each stratum.
+
+    Changing `salt` draws an independent sample; the same salt always
+    draws the same rows (curation decisions are replayable and
+    auditable).  Output: (stratum, id, sample_rank ∈ [1, n])."""
+    scored = df.select(
+        F.col(stratum_col),
+        F.col(id_col),
+        md5_int63(F.col(id_col), salt=salt).alias("__h"),
+    )
+    return _partial_min_n(scored, stratum_col, id_col, "__h", n_per_stratum)
+
+
+def quantile_thresholds(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    q: float,
+    resolution: int = 10_000,
+) -> DataFrame:
+    """Per-group q-quantile threshold, exact at 1/resolution score
+    granularity: the smallest score bucket b = floor(score·res) whose
+    cumulative count reaches ceil(q · n_group).
+
+    Histogram (groupBy, map-side combined) + a window over the SMALL
+    per-group bucket list — the group's raw rows never gather on one
+    node.  Output: (group, threshold_bucket, n_group)."""
+    b = df.select(
+        F.col(group_col),
+        F.floor(F.col(score_col) * F.lit(float(resolution)))
+        .cast("long")
+        .alias("__b"),
+    )
+    hist = b.groupBy(group_col, "__b").agg(F.count("*").alias("__c"))
+    w_cum = (
+        Window.partitionBy(group_col)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(group_col)
+    cum = hist.withColumn("__cum", F.sum("__c").over(w_cum)).withColumn(
+        "__n", F.sum("__c").over(w_all)
+    )
+    reached = cum.filter(
+        F.col("__cum") >= F.ceil(F.lit(float(q)) * F.col("__n"))
+    )
+    return reached.groupBy(group_col).agg(
+        F.min("__b").alias("threshold_bucket"),
+        F.first("__n").alias("n_group"),
+    )
+
+
+def quantile_filter(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    q: float,
+    resolution: int = 10_000,
+) -> DataFrame:
+    """Keep rows whose score reaches their group's q-quantile bucket
+    (e.g. q=0.75 → top quartile by quality score per language).  The
+    tiny threshold table broadcasts; the data side stays a scan +
+    filter."""
+    th = quantile_thresholds(df, group_col, score_col, q, resolution)
+    bucket = F.floor(F.col(score_col) * F.lit(float(resolution))).cast("long")
+    return (
+        df.withColumn("__b", bucket)
+        .join(F.broadcast(th), group_col)
+        .filter(F.col("__b") >= F.col("threshold_bucket"))
+        .drop("__b", "threshold_bucket", "n_group")
+    )

@@ -73,6 +73,42 @@ def with_tumbling_window(
     return df.withColumn(out, F.window(F.col(ts_col), duration))
 
 
+def sessionize(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    gap_sec: float,
+    order_cols: list[str] | None = None,
+    out: str = "session_seq",
+) -> DataFrame:
+    """Gap-based session windows: a new session starts whenever the
+    gap to the previous event of the same key exceeds `gap_sec`.
+    Adds `out` = 1-based session index per key (running count of
+    session breaks — the classic lag + cumulative-sum formulation).
+
+    One window over (key) — a single shuffle keyed by the (high-
+    cardinality) entity, exactly the partitioning the rate kernel
+    uses, so sessionizing 100 TB of events costs one exchange.
+    `order_cols` supplies deterministic tie-breakers for same-
+    timestamp events (default: ts only)."""
+    from pyspark.sql import Window as W
+
+    from stampede_to_fresco_etl_spark.functions import seconds_between
+
+    order = order_cols or [ts_col]
+    w = W.partitionBy(*key_cols).orderBy(*order)
+    prev = F.lag(ts_col).over(w)
+    is_break = F.when(
+        prev.isNull()
+        | (seconds_between(F.col(ts_col), prev) > F.lit(float(gap_sec))),
+        1,
+    ).otherwise(0)
+    run = W.partitionBy(*key_cols).orderBy(*order).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    return df.withColumn(out, F.sum(is_break).over(run))
+
+
 def with_day(df: DataFrame, ts_col: str, out: str = "date") -> DataFrame:
     """Calendar day key for partitioned writes
     (step-1/transformer.py:394-401)."""

@@ -1,0 +1,112 @@
+"""As-of join, sessionization, and curation-sampling tests —
+hand-computed fixtures for the temporal/curation operator family."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import Row
+
+from stampede_to_fresco_etl_spark.operators.asof import asof_join
+from stampede_to_fresco_etl_spark.operators.sampling import (
+    quantile_filter,
+    quantile_thresholds,
+    stratified_sample,
+)
+from stampede_to_fresco_etl_spark.operators.windows import sessionize
+
+
+def t(m, s=0):
+    return dt.datetime(2013, 3, 1, 10, m, s)
+
+
+def test_asof_join_basic_inclusive_and_unmatched(spark):
+    left = spark.createDataFrame(
+        [
+            Row(eid=1, k="u1", ts=t(0)),     # before any right -> null
+            Row(eid=2, k="u1", ts=t(5)),     # exactly at right ts -> inclusive
+            Row(eid=3, k="u1", ts=t(7)),     # between -> :05 row
+            Row(eid=4, k="u1", ts=t(20)),    # after both -> :10 row
+            Row(eid=5, k="u2", ts=t(6)),     # other key -> its own row
+            Row(eid=6, k="u3", ts=t(6)),     # key with no right rows
+        ]
+    )
+    right = spark.createDataFrame(
+        [
+            Row(k="u1", ts=t(5), v=50.0),
+            Row(k="u1", ts=t(10), v=100.0),
+            Row(k="u2", ts=t(1), v=7.0),
+        ]
+    )
+    out = asof_join(left, right, ["k"], "ts", "ts", ["v"])
+    rows = {r["eid"]: r for r in out.collect()}
+    assert len(rows) == 6
+    assert rows[1]["v"] is None and rows[1]["asof_ts"] is None
+    assert rows[2]["v"] == 50.0 and rows[2]["asof_ts"] == t(5)
+    assert rows[3]["v"] == 50.0
+    assert rows[4]["v"] == 100.0 and rows[4]["asof_ts"] == t(10)
+    assert rows[5]["v"] == 7.0
+    assert rows[6]["v"] is None
+
+    inner = asof_join(left, right, ["k"], "ts", "ts", ["v"], how="inner")
+    assert {r["eid"] for r in inner.collect()} == {2, 3, 4, 5}
+
+
+def test_asof_join_tolerance(spark):
+    left = spark.createDataFrame(
+        [Row(eid=1, k="u", ts=t(30))]  # 25 min after the right row
+    )
+    right = spark.createDataFrame([Row(k="u", ts=t(5), v=1.0)])
+    fresh = asof_join(
+        left, right, ["k"], "ts", "ts", ["v"], tolerance_sec=1800
+    ).first()
+    assert fresh["v"] == 1.0
+    stale = asof_join(
+        left, right, ["k"], "ts", "ts", ["v"], tolerance_sec=600
+    ).first()
+    assert stale["v"] is None and stale["asof_ts"] is None
+
+
+def test_sessionize_gap_splits(spark):
+    df = spark.createDataFrame(
+        [
+            Row(k="u", eid=1, ts=t(0)),
+            Row(k="u", eid=2, ts=t(10)),       # 10 min gap, same session
+            Row(k="u", eid=3, ts=t(50)),       # 40 min gap -> new session
+            Row(k="u", eid=4, ts=t(55)),
+            Row(k="v", eid=5, ts=t(0)),        # other key: own session 1
+        ]
+    )
+    s = sessionize(df, ["k"], "ts", gap_sec=1800, order_cols=["ts", "eid"])
+    got = {r["eid"]: r["session_seq"] for r in s.collect()}
+    assert got == {1: 1, 2: 1, 3: 2, 4: 2, 5: 1}
+
+
+def test_stratified_sample_deterministic_and_bounded(spark):
+    rows = [
+        Row(stratum="a" if i % 3 else "b", rid=i) for i in range(90)
+    ]
+    df = spark.createDataFrame(rows)
+    s1 = stratified_sample(df, "stratum", "rid", 10).collect()
+    s2 = stratified_sample(df, "stratum", "rid", 10).collect()
+    assert sorted(map(tuple, s1)) == sorted(map(tuple, s2))  # replayable
+    per = {}
+    for r in s1:
+        per.setdefault(r["stratum"], set()).add(r["rid"])
+    assert all(len(v) == 10 for v in per.values())
+    # a different salt draws a different sample
+    s3 = stratified_sample(df, "stratum", "rid", 10, salt="other").collect()
+    assert {r["rid"] for r in s3} != {r["rid"] for r in s1}
+
+
+def test_quantile_threshold_and_filter_exact(spark):
+    # scores 0.0 .. 0.9: ceil(0.75 * 10) = 8 -> threshold bucket is the
+    # 8th smallest (0.7); filter keeps scores >= 0.7
+    rows = [Row(g="x", rid=i, score=i / 10.0) for i in range(10)]
+    df = spark.createDataFrame(rows)
+    th = quantile_thresholds(df, "g", "score", q=0.75).first()
+    assert th["threshold_bucket"] == 7000 and th["n_group"] == 10
+    kept = sorted(
+        r["rid"] for r in quantile_filter(df, "g", "score", 0.75).collect()
+    )
+    assert kept == [7, 8, 9]
