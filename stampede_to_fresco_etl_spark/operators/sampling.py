@@ -7,10 +7,11 @@ Both operators avoid the two standard scale traps:
     salted md5 of the row id (uniform, deterministic, replayable in
     any engine — the same trick as the dedup fingerprints);
   - per-stratum ranking via `Window.partitionBy(stratum)` funnels
-    every stratum into one reducer; the sampler instead reuses the
-    two-stage partial top-n shape (map-side truncation to n, merge of
-    the n-lists — `operators/similarity.partial_topk`'s pattern), so
-    only `partitions × n` rows per stratum shuffle.
+    every stratum into one reducer; the sampler instead uses the
+    salted two-stage window shape (`operators/similarity.
+    partial_topk`'s pattern): rank within (stratum, input partition)
+    — spread across all reducers, Tungsten sort — then re-rank the
+    ≤ shards × n survivors.
 
 Quantile thresholds use a fixed-resolution histogram (floor-scaled
 buckets → groupBy count → per-stratum cumulative walk over at most
@@ -30,25 +31,26 @@ from stampede_to_fresco_etl_spark.functions import md5_int63
 def _partial_min_n(
     df: DataFrame, group_col: str, id_col: str, rank_col: str, n: int
 ) -> DataFrame:
-    """Two-stage partial bottom-n by (rank, id) per group — all-long
-    sort keys, so ordering is exact (no double rounding)."""
-    cand = F.struct(
-        F.col(rank_col).alias("r"), F.col(id_col).alias("i")
-    )
-    part = (
+    """Salted two-stage bottom-n by (rank, id) per group: rank within
+    (group, input-partition) first — Tungsten sort, every group
+    spread over all reducers — then re-rank the ≤ shards × n
+    survivors.  Same shape as similarity.partial_topk (and chosen for
+    the same measured reason: collect_list+array_sort truncation is
+    ~60× slower on big groups).  All-long sort keys → exact order."""
+    order = [F.col(rank_col), F.col(id_col)]
+    w_shard = Window.partitionBy(group_col, "__pid").orderBy(*order)
+    survivors = (
         df.withColumn("__pid", F.spark_partition_id())
-        .groupBy(group_col, "__pid")
-        .agg(F.slice(F.array_sort(F.collect_list(cand)), 1, n).alias("c"))
+        .withColumn("__r", F.row_number().over(w_shard))
+        .filter(F.col("__r") <= n)
     )
-    merged = part.groupBy(group_col).agg(
-        F.slice(F.array_sort(F.flatten(F.collect_list("c"))), 1, n).alias("c")
-    )
-    return merged.select(
-        group_col, F.posexplode("c").alias("pos", "cand")
-    ).select(
-        group_col,
-        F.col("cand.i").alias(id_col),
-        (F.col("pos") + 1).cast("long").alias("sample_rank"),
+    w_final = Window.partitionBy(group_col).orderBy(*order)
+    return (
+        survivors.withColumn(
+            "sample_rank", F.row_number().over(w_final).cast("long")
+        )
+        .filter(F.col("sample_rank") <= n)
+        .select(group_col, id_col, "sample_rank")
     )
 
 

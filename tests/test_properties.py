@@ -83,3 +83,58 @@ def test_finalize_jid_property(run_batch, values):
 def test_replace_first_property(run_batch, values):
     got = run_batch(values, lambda c: ef.replace_first(c, "ID", "#"))
     assert got == [py_replace_first(v, "ID", "#") for v in values]
+
+
+# ---------------------------------------------------------------------------
+# As-of join vs a brute-force Python reference over generated inputs:
+# for every left row, the matched payload must be the max right ts
+# <= left ts for the key (None when no such row).
+# ---------------------------------------------------------------------------
+
+asof_inputs = st.tuples(
+    st.lists(  # left: (key, ts_seconds)
+        st.tuples(st.sampled_from("ab"), st.integers(0, 50)),
+        min_size=1, max_size=15,
+    ),
+    st.lists(  # right: (key, ts_seconds) — deduped per (key, ts)
+        st.tuples(st.sampled_from("ab"), st.integers(0, 50)),
+        min_size=0, max_size=10, unique=True,
+    ),
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(asof_inputs)
+def test_asof_join_property(spark, pair):
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from stampede_to_fresco_etl_spark.operators.asof import asof_join
+
+    lrows, rrows = pair
+    base = dt.datetime(2013, 3, 1)
+
+    def ts(s):
+        return base + dt.timedelta(seconds=s)
+
+    left = spark.createDataFrame(
+        [Row(eid=i, k=k, ts=ts(s)) for i, (k, s) in enumerate(lrows)]
+    )
+    rschema = "k string, ts timestamp, v double"
+    right = spark.createDataFrame(
+        [Row(k=k, ts=ts(s), v=float(s)) for (k, s) in rrows], schema=rschema
+    )
+    out = {
+        r["eid"]: (r["asof_ts"], r["v"])
+        for r in asof_join(left, right, ["k"], "ts", "ts", ["v"]).collect()
+    }
+    assert len(out) == len(lrows)
+    for i, (k, s) in enumerate(lrows):
+        cand = [rs for (rk, rs) in rrows if rk == k and rs <= s]
+        want = (ts(max(cand)), float(max(cand))) if cand else (None, None)
+        assert out[i] == want, (i, k, s)

@@ -119,18 +119,20 @@ def test_scan_pushdown(spark):
     assert "In(event_type" in plan  # membership filter reached the scan
 
 
-def test_topk_plan_is_partial_aggregation_not_window(spark):
-    # The scale-killer Window.partitionBy(probe)+row_number must stay
-    # gone: top-k is two ObjectHashAggregate stages (map-side partial
-    # k-truncation), never a per-probe window exchange.
+def test_topk_plan_is_salted_two_stage_window(spark):
+    # The scale-killer bare Window.partitionBy(probe) must stay gone:
+    # the FIRST (big) window partitions on (probe, shard) so no
+    # reducer holds a whole probe; only the k-survivor re-rank
+    # partitions on the probe alone.
     from stampede_to_fresco_etl_spark.catalog import REGISTRY
 
     for name in ("v1_cosine_topk", "v2_lsh_topk", "v4_ivf_topk"):
         df = REGISTRY[name][0](spark, "/root/testdata/sf0.001")
         plan = _plan(df)
-        assert "Window" not in plan, name
-        assert "ObjectHashAggregate" in plan, name
-        assert "partial_collect_list" in plan, name
+        # two window stages, the big one keyed by (probe, __pid) salt
+        assert plan.count("Window") >= 2, name
+        assert "__pid" in plan, name
+        assert "SPARK_PARTITION_ID" in plan, name
 
 
 def test_partial_topk_equals_window_topk(spark):
@@ -163,3 +165,16 @@ def test_partial_topk_equals_window_topk(spark):
     ) == sorted(
         [(r["probe_id"], r["vec_id"], r["cos_sim"], r["rank"]) for r in want]
     )
+
+
+def test_asof_and_sessionize_single_keyed_shuffle(spark):
+    # asof: one Exchange for the right pre-agg + ONE for the union
+    # window — never a nested-loop join.  sessionize: one Exchange.
+    from stampede_to_fresco_etl_spark.catalog import REGISTRY
+
+    plan = _plan(REGISTRY["j6_asof_join"][0](spark, "/root/testdata/sf0.001"))
+    assert "NestedLoop" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+    plan = _plan(REGISTRY["t7_sessionize"][0](spark, "/root/testdata/sf0.001"))
+    assert plan.count("Exchange hashpartitioning") <= 2  # window + rollup
