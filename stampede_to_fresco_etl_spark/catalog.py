@@ -2227,3 +2227,241 @@ REGISTRY.update(
         "x5_quantile_filter": (q_quantile_filter, SQL_QUANTILE_FILTER),
     }
 )
+
+
+# ===========================================================================
+# Cluster-resolution, sketching, keyword, and redaction operators —
+# the post-pair-generation passes of a training-data curation
+# pipeline (pairs → clusters → canonical docs; cardinality sketches;
+# keyword extraction; PII scrubbing).
+# ===========================================================================
+
+def q_dup_clusters(spark, sf_dir):
+    """D5 — near-dup pairs resolved into clusters via min-label
+    propagation (connected components); the oracle recomputes the
+    transitive closure with a recursive CTE.  Spark side is the
+    iterative two-shuffle sweep in operators/dedup.py
+    (connected_components); genuinely non-SQL iterative compute with
+    an exact SQL-checkable fixed point."""
+    from stampede_to_fresco_etl_spark.operators.dedup import dup_clusters
+
+    docs = load(spark, sf_dir, "documents")
+    out = dup_clusters(
+        docs, "doc_id", "text",
+        shingle_k=3, min_jaccard=0.3, max_shingle_df=100,
+    )
+    return out
+
+
+SQL_DUP_CLUSTERS = f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id AS doc, {_D_TOKS} AS t FROM documents
+),
+sh0 AS (
+  SELECT DISTINCT doc, u.s
+  FROM toks, UNNEST({_D_SHINGLES}) AS u(s)
+),
+keep AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 100),
+sh AS (SELECT sh0.doc, sh0.s FROM sh0 JOIN keep USING (s)),
+sizes AS (SELECT doc, count(*) AS sz FROM sh GROUP BY doc),
+inter AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc < b.doc
+  GROUP BY a.doc, b.doc
+),
+pairs AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN sizes sa ON i.doc_a = sa.doc
+  JOIN sizes sb ON i.doc_b = sb.doc
+  WHERE CAST(i.inter AS DOUBLE)
+          / CAST(sa.sz + sb.sz - i.inter AS DOUBLE) >= 0.3
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS doc_id,
+       least(src, min(dst)) AS cluster_id,
+       least(src, min(dst)) = src AS is_canonical
+FROM reach GROUP BY src
+"""
+
+
+def q_kmv_distinct(spark, sf_dir):
+    """K1 — KMV (k-minimum-values) distinct-count sketch: per group,
+    keep the k smallest md5 hashes of the value; the k-th smallest
+    order statistic estimates the cardinality as (k-1)/u_(k).
+    Deterministic by construction (cryptographic hash + order
+    statistic — no engine-specific HLL), so the sketch AND the
+    estimate are bit-reproducible in any engine.  Beidermann &
+    Giroire-style KMV estimator; the scale path is the same salted
+    two-stage top-k used by the ANN operators (no per-group
+    mega-partition)."""
+    from stampede_to_fresco_etl_spark.operators.sketches import kmv_distinct
+
+    e = load(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    return kmv_distinct(e, "event_type", "user_id", k=64)
+
+
+_KMV_H = md5_int63_sql("CAST(user_id AS VARCHAR)", salt="kmv")
+
+SQL_KMV_DISTINCT = f"""
+WITH h AS (
+  SELECT DISTINCT event_type, {_KMV_H} AS h
+  FROM events WHERE user_id IS NOT NULL
+),
+r AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM h
+),
+s AS (
+  SELECT event_type,
+         count(*) AS exact_distinct,
+         max(CASE WHEN rn <= 64 THEN h END) AS kth_hash,
+         CAST(least(count(*), 64) AS BIGINT) AS sketch_size
+  FROM r GROUP BY event_type
+)
+SELECT event_type, exact_distinct, sketch_size, kth_hash,
+       CASE WHEN exact_distinct >= 64
+            THEN (63.0 * 1152921504606846976.0) / CAST(kth_hash AS DOUBLE)
+            ELSE CAST(exact_distinct AS DOUBLE) END AS est_distinct
+FROM s
+"""
+
+
+def q_keyword_topk(spark, sf_dir):
+    """X6 — TF-IDF-style keyword extraction: top-3 terms per document
+    scored tf × idf with the RATIONAL idf (N - df + 0.5)/(df + 0.5)
+    (BM25's idf sans log).  The log-free form is chosen deliberately:
+    ln() is correctly-rounded in neither JVM libm nor C libm, so a
+    transcendental idf could differ by 1 ulp across engines and break
+    bit-exact oracle comparison; the rational form is exact in both.
+    Shuffle shape: one tf hash-agg, one broadcast df join, salted
+    two-stage top-k per doc."""
+    from stampede_to_fresco_etl_spark.operators.text import keyword_topk
+
+    docs = load(spark, sf_dir, "documents")
+    return keyword_topk(docs, "doc_id", "text", k=3)
+
+
+SQL_KEYWORD_TOPK = f"""
+WITH toks AS (
+  SELECT doc_id AS doc, u.term
+  FROM (SELECT doc_id, {_D_TOKS} AS t FROM documents), UNNEST(t) AS u(term)
+),
+tf AS (SELECT doc, term, count(*) AS tf FROM toks GROUP BY doc, term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc, tf.term,
+         CAST(tf.tf AS DOUBLE)
+           * ((CAST(n.n_docs AS DOUBLE) - CAST(dfreq.df AS DOUBLE) + 0.5)
+              / (CAST(dfreq.df AS DOUBLE) + 0.5)) AS score
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+),
+r AS (
+  SELECT doc, term, score,
+         CAST(row_number() OVER (
+           PARTITION BY doc ORDER BY score DESC, term
+         ) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT doc AS doc_id, term, score, rank FROM r WHERE rank <= 3
+"""
+
+
+def q_heavy_hitters(spark, sf_dir):
+    """X7 — heavy hitters: top-10 most frequent tokens per language
+    (corpus frequency tables for LM data analysis).  Count hash-agg
+    + salted two-stage top-k — no per-language mega-partition."""
+    from stampede_to_fresco_etl_spark.operators.text import heavy_hitters
+
+    docs = load(spark, sf_dir, "documents")
+    return heavy_hitters(docs, "lang", "text", k=10)
+
+
+SQL_HEAVY_HITTERS = f"""
+WITH toks AS (
+  SELECT lang, u.term
+  FROM (SELECT lang, {_D_TOKS} AS t FROM documents), UNNEST(t) AS u(term)
+),
+c AS (SELECT lang, term, count(*) AS n FROM toks GROUP BY lang, term),
+r AS (
+  SELECT lang, term, n,
+         CAST(row_number() OVER (
+           PARTITION BY lang ORDER BY n DESC, term
+         ) AS BIGINT) AS rank
+  FROM c
+)
+SELECT lang, term, n, rank FROM r WHERE rank <= 10
+"""
+
+
+def q_redact(spark, sf_dir):
+    """X8 — PII pattern scan + redaction.  The synthetic corpus
+    carries no PII, so the query PLANTS a deterministic email per doc
+    (contact_<id>@example.com), then runs the real scrubbing pass:
+    count pattern hits, replace with a mask token, count again
+    (must be 0), and fingerprint the redacted text.  Patterns use
+    the regex subset (char classes, +, literal dot) that Java regex
+    and RE2 interpret identically."""
+    from stampede_to_fresco_etl_spark.operators.text import redact
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact_"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com"),
+        ).alias("text"),
+    )
+    out = redact(docs, "doc_id", "text")
+    return out.select(
+        "doc_id", "n_hits_before", "n_hits_after", "redacted_digest"
+    )
+
+
+SQL_REDACT = """
+WITH planted AS (
+  SELECT doc_id,
+         text || ' contact_' || CAST(doc_id AS VARCHAR) || '@example.com'
+           AS text
+  FROM documents
+),
+red AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(
+           text, '[a-z0-9._-]+@[a-z0-9.-]+[.][a-z]+')) AS BIGINT)
+           AS n_hits_before,
+         regexp_replace(
+           text, '[a-z0-9._-]+@[a-z0-9.-]+[.][a-z]+', '<EMAIL>', 'g')
+           AS redacted
+  FROM planted
+)
+SELECT doc_id, n_hits_before,
+       CAST(len(regexp_extract_all(
+         redacted, '[a-z0-9._-]+@[a-z0-9.-]+[.][a-z]+')) AS BIGINT)
+         AS n_hits_after,
+       md5(redacted) AS redacted_digest
+FROM red
+"""
+
+
+REGISTRY.update(
+    {
+        "d5_dup_clusters": (q_dup_clusters, SQL_DUP_CLUSTERS),
+        "k1_kmv_distinct": (q_kmv_distinct, SQL_KMV_DISTINCT),
+        "x6_keyword_topk": (q_keyword_topk, SQL_KEYWORD_TOPK),
+        "x7_heavy_hitters": (q_heavy_hitters, SQL_HEAVY_HITTERS),
+        "x8_redact": (q_redact, SQL_REDACT),
+    }
+)

@@ -236,6 +236,116 @@ def ngram_jaccard_pairs(
     return out
 
 
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 25,
+    materialize: bool = True,
+) -> DataFrame:
+    """Resolve duplicate-pair output into clusters: every node gets
+    the MINIMUM id reachable through the pair graph as its cluster
+    id (min-label propagation to a fixed point).
+
+    This is the step a training-data pipeline runs after LSH/Jaccard
+    pair generation — pairs say "these two are dups", clusters say
+    "keep exactly one of these five".  The canonical survivor is the
+    node whose id equals the cluster id.
+
+    Scale design: each sweep is two shuffles (edge-keyed join +
+    min-aggregate), both on the node id, so AQE coalesces them and a
+    cluster reuses the exchange.  Convergence takes graph-diameter
+    sweeps — near-dup graphs are unions of near-cliques (diameter
+    2-4), so the loop settles in 3-5 sweeps even at 10⁹ nodes; a
+    pathological chain graph would need the large-star/small-star
+    variant (Kiveris et al., "Connected Components in MapReduce and
+    Beyond"), which this deliberately trades away for one-shuffle
+    sweeps.  Each sweep localCheckpoints the (node, cc) frame — ids
+    only, ~16 bytes/row — to cut the iterative lineage; swap for
+    checkpoint() on preemptible clusters.
+
+    Driver-side work per sweep is a single `limit(1).count()`
+    convergence probe, never data collection.
+
+    Output: (node, cc) — one row per node that appears in `pairs`.
+    """
+    edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    if materialize:
+        sym = sym.localCheckpoint()
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("cc"))
+    )
+    if materialize:
+        labels = labels.localCheckpoint()
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(
+                labels.select(
+                    F.col("node").alias("dst"), F.col("cc").alias("nbr_cc")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("nbr_cc").alias("nbr_cc"))
+        )
+        new_labels = (
+            labels.join(
+                nbr_min.select(F.col("src").alias("node"), "nbr_cc"),
+                "node",
+                "left",
+            )
+            .select(
+                "node",
+                F.least(
+                    F.col("cc"), F.coalesce(F.col("nbr_cc"), F.col("cc"))
+                ).alias("cc"),
+            )
+        )
+        if materialize:
+            new_labels = new_labels.localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.cc") != F.col("o.cc"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dup_clusters(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 3,
+    min_jaccard: float = 0.3,
+    max_shingle_df: int | None = 100,
+) -> DataFrame:
+    """End-to-end near-dup clustering: n-gram Jaccard pairs →
+    connected components → (doc_id, cluster_id, is_canonical).
+    Keep rows where is_canonical to deduplicate the corpus."""
+    pairs = ngram_jaccard_pairs(
+        df, id_col, text_col,
+        shingle_k=shingle_k,
+        min_jaccard=min_jaccard,
+        max_shingle_df=max_shingle_df,
+    )
+    cc = connected_components(pairs, "doc_a", "doc_b")
+    return cc.select(
+        F.col("node").alias(id_col),
+        F.col("cc").alias("cluster_id"),
+        (F.col("node") == F.col("cc")).alias("is_canonical"),
+    )
+
+
 def simhash(
     df: DataFrame,
     id_col: str,

@@ -13,7 +13,7 @@ project early so the parquet scan prunes to (id, text).
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from stampede_to_fresco_etl_spark.functions import _col
@@ -92,4 +92,90 @@ def min_shingle_fingerprint(token_col: Column | str, k: int = 3) -> Column:
     1-permutation MinHash usable as a near-dup blocking key."""
     return F.array_min(
         F.transform(word_shingles(token_col, k), lambda s: F.md5(s))
+    )
+
+
+def keyword_topk(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """TF-IDF-style keyword extraction: top-k terms per document by
+    tf × idf, with the RATIONAL idf (N - df + 0.5)/(df + 0.5) —
+    BM25's idf without the log.  Log-free on purpose: ln() is
+    correctly rounded in neither JVM nor C libm, so a transcendental
+    idf can drift 1 ulp between engines; the rational form is exact
+    IEEE arithmetic on integers and reproduces bit-for-bit anywhere.
+
+    Shuffle shape: one (doc, term) hash-agg for tf; df is a
+    re-aggregate of tf (vocab-sized, broadcast back); top-k is the
+    salted two-stage window (no per-doc mega-partition).
+
+    Output: (id_col, term, score, rank), rank ∈ [1, k].
+    """
+    from stampede_to_fresco_etl_spark.operators.similarity import partial_topk
+
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    n_docs = df.select(F.count("*").alias("n_docs"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = (
+        F.col("n_docs").cast("double") - F.col("df").cast("double") + F.lit(0.5)
+    ) / (F.col("df").cast("double") + F.lit(0.5))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            id_col, "term",
+            (F.col("tf").cast("double") * idf).alias("score"),
+        )
+    )
+    return partial_topk(scored, id_col, "term", k, sim_col="score")
+
+
+def heavy_hitters(
+    df: DataFrame, group_col: str, text_col: str, k: int = 10
+) -> DataFrame:
+    """Top-k most frequent tokens per group (corpus frequency tables
+    for LM data analysis).  Count hash-agg (map-side combine) +
+    salted two-stage top-k.  Output: (group_col, term, n, rank)."""
+    from stampede_to_fresco_etl_spark.operators.similarity import partial_topk
+
+    toks = df.select(
+        F.col(group_col), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    counts = toks.groupBy(group_col, "term").agg(F.count("*").alias("n"))
+    return partial_topk(counts, group_col, "term", k, sim_col="n")
+
+
+#: Email pattern restricted to the regex subset (char classes, +,
+#: bracketed literal dot) that Java regex and RE2 interpret
+#: identically — keep engine-portable.
+EMAIL_PATTERN = r"[a-z0-9._-]+@[a-z0-9.-]+[.][a-z]+"
+
+
+def redact(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    pattern: str = EMAIL_PATTERN,
+    mask: str = "<EMAIL>",
+) -> DataFrame:
+    """PII scrubbing pass: count pattern hits, replace every match
+    with the mask token, count residuals (0 when the mask can't
+    re-match), fingerprint the result.  Pure per-row Column
+    expressions — no shuffle, no Python.
+
+    Output: (id_col, n_hits_before, n_hits_after, redacted_digest,
+    redacted)."""
+    t = F.col(text_col)
+    red = F.regexp_replace(t, pattern, mask)
+    return df.select(
+        F.col(id_col),
+        F.regexp_count(t, F.lit(pattern)).cast("long").alias("n_hits_before"),
+        F.regexp_count(red, F.lit(pattern)).cast("long").alias(
+            "n_hits_after"
+        ),
+        F.md5(red).alias("redacted_digest"),
+        red.alias("redacted"),
     )

@@ -1,0 +1,150 @@
+"""Unit tests for cluster resolution (connected components), the KMV
+distinct sketch, and the keyword/heavy-hitter/redaction text ops."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from stampede_to_fresco_etl_spark.operators.dedup import (
+    connected_components,
+    dup_clusters,
+)
+from stampede_to_fresco_etl_spark.operators.sketches import kmv_distinct
+from stampede_to_fresco_etl_spark.operators.text import (
+    heavy_hitters,
+    keyword_topk,
+    redact,
+)
+
+
+def _pairs(spark, edges):
+    return spark.createDataFrame(edges, ["doc_a", "doc_b"])
+
+
+def test_cc_chain_converges_to_min(spark):
+    # chain 1-2-3-4 plus disjoint pair 10-11: diameter-3 graph
+    cc = connected_components(
+        _pairs(spark, [(1, 2), (2, 3), (3, 4), (10, 11)])
+    )
+    got = {r["node"]: r["cc"] for r in cc.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_cc_cycle_and_reversed_edges(spark):
+    # cycle 5-6-7-5 with edges in arbitrary orientation
+    cc = connected_components(_pairs(spark, [(6, 5), (7, 6), (5, 7)]))
+    got = {r["node"]: r["cc"] for r in cc.collect()}
+    assert got == {5: 5, 6: 5, 7: 5}
+
+
+def test_cc_max_iter_caps_sweeps(spark):
+    # one sweep on a chain only propagates one hop — the cap binds
+    cc = connected_components(
+        _pairs(spark, [(1, 2), (2, 3), (3, 4)]), max_iter=1
+    )
+    got = {r["node"]: r["cc"] for r in cc.collect()}
+    assert got[2] == 1 and got[1] == 1
+    assert got[4] == 3  # min neighbor after a single sweep
+
+
+def test_dup_clusters_planted_dups(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again"),
+        (2, "the quick brown fox jumps over the lazy dog again"),
+        (3, "totally different text with no overlap at all here ok"),
+        (4, "the quick brown fox jumps over the lazy dog indeed"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = dup_clusters(df, "doc_id", "text", min_jaccard=0.3).collect()
+    got = {r["doc_id"]: (r["cluster_id"], r["is_canonical"]) for r in out}
+    # 1,2,4 cluster together under min id 1; 3 shares no pair at 0.3
+    assert got[1] == (1, True)
+    assert got[2] == (1, False)
+    assert got[4] == (1, False)
+    assert 3 not in got
+
+
+def test_kmv_matches_exact_below_k(spark):
+    df = spark.range(40).select(
+        F.lit("g").alias("grp"), F.col("id").alias("v")
+    )
+    row = kmv_distinct(df, "grp", "v", k=64).collect()[0]
+    assert row["exact_distinct"] == 40
+    assert row["sketch_size"] == 40
+    assert row["est_distinct"] == 40.0
+
+
+def test_kmv_estimate_within_bound(spark):
+    # 5000 distinct values, k=64: expected rel-err ~ 1/sqrt(62) ≈ 13%
+    df = spark.range(5000).select(
+        F.lit("g").alias("grp"), F.col("id").alias("v")
+    )
+    row = kmv_distinct(df, "grp", "v", k=64).collect()[0]
+    assert row["exact_distinct"] == 5000
+    assert row["sketch_size"] == 64
+    rel_err = abs(row["est_distinct"] - 5000.0) / 5000.0
+    assert rel_err < 0.4, rel_err
+
+
+def test_kmv_duplicate_insensitive(spark):
+    # each value appears 7 times — the sketch must not change
+    base = spark.range(500).select(
+        F.lit("g").alias("grp"), F.col("id").alias("v")
+    )
+    dup = base.crossJoin(spark.range(7).select(F.lit(1).alias("one"))).select(
+        "grp", "v"
+    )
+    a = kmv_distinct(base, "grp", "v", k=32).collect()[0]
+    b = kmv_distinct(dup, "grp", "v", k=32).collect()[0]
+    assert a["kth_hash"] == b["kth_hash"]
+    assert a["est_distinct"] == b["est_distinct"]
+
+
+def test_keyword_topk_prefers_rare_terms(spark):
+    rows = [
+        (1, "common rare1 common common"),
+        (2, "common common common"),
+        (3, "common rare2"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = keyword_topk(df, "doc_id", "text", k=1).collect()
+    top = {r["doc_id"]: r["term"] for r in out}
+    # 'common' is in every doc (df=3, idf=(3-3+.5)/3.5≈0.14); the
+    # rare terms (df=1) score tf=1 × idf=(3-1+.5)/1.5 ≈ 1.67
+    assert top[1] == "rare1"
+    assert top[3] == "rare2"
+    assert all(r["rank"] == 1 for r in out)
+
+
+def test_heavy_hitters_rank_and_ties(spark):
+    rows = [
+        ("en", "b b b a a c"),
+        ("en", "a"),
+        ("fr", "x y y"),
+    ]
+    df = spark.createDataFrame(rows, ["lang", "text"])
+    out = heavy_hitters(df, "lang", "text", k=2).collect()
+    en = sorted(
+        [(r["rank"], r["term"], r["n"]) for r in out if r["lang"] == "en"]
+    )
+    # a and b tie at 3 — lexicographic tie-break puts a first
+    assert en == [(1, "a", 3), (2, "b", 3)]
+    fr = sorted(
+        [(r["rank"], r["term"], r["n"]) for r in out if r["lang"] == "fr"]
+    )
+    assert fr == [(1, "y", 2), (2, "x", 1)]
+
+
+def test_redact_strips_planted_email(spark):
+    rows = [
+        (1, "hello contact_1@example.com world"),
+        (2, "no pii here"),
+        (3, "two a.b-c@x.org and d_e@y.net hits"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in redact(df, "doc_id", "text").collect()}
+    assert out[1]["n_hits_before"] == 1 and out[1]["n_hits_after"] == 0
+    assert out[1]["redacted"] == "hello <EMAIL> world"
+    assert out[2]["n_hits_before"] == 0
+    assert out[2]["redacted"] == "no pii here"
+    assert out[3]["n_hits_before"] == 2 and out[3]["n_hits_after"] == 0
