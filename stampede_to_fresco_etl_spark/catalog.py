@@ -2465,3 +2465,220 @@ REGISTRY.update(
         "x8_redact": (q_redact, SQL_REDACT),
     }
 )
+
+
+# ===========================================================================
+# Sequence packing + mixture sampling (model-ready data assembly) and
+# the classic TPC-H analytics shapes (Q1 pricing summary, Q10 returned
+# -item revenue, Q18 large-volume orders) over the TPC-H-ish tables.
+# ===========================================================================
+
+def q_pack_chunks(spark, sf_dir):
+    """X9 — sequence packing: per-language shards, docs ordered by
+    id, 512-token chunk budget (start-offset rule, one window
+    expression; packing is per-shard sequential BY DESIGN — see
+    operators/sampling.pack_chunks)."""
+    from stampede_to_fresco_etl_spark.operators.sampling import pack_chunks
+    from stampede_to_fresco_etl_spark.operators.text import token_count
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", token_count("text").alias("n_tokens")
+    )
+    out = pack_chunks(
+        docs, ["lang"], "doc_id", "n_tokens", budget=512
+    )
+    return out.select(
+        "doc_id", "lang", "n_tokens", "cum_tokens", "chunk_id", "chunk_pos"
+    )
+
+
+SQL_PACK_CHUNKS = f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         CAST(len({_D_TOKS}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, lang, n_tokens,
+         SUM(n_tokens) OVER (
+           PARTITION BY lang ORDER BY doc_id ROWS UNBOUNDED PRECEDING
+         ) AS cum_tokens
+  FROM t
+)
+SELECT doc_id, lang, n_tokens, cum_tokens,
+       CAST(FLOOR((cum_tokens - n_tokens) / 512.0) AS BIGINT) AS chunk_id,
+       CAST(row_number() OVER (
+         PARTITION BY lang, CAST(FLOOR((cum_tokens - n_tokens) / 512.0)
+                                  AS BIGINT)
+         ORDER BY doc_id
+       ) AS BIGINT) AS chunk_pos
+FROM c
+"""
+
+
+#: Domain mixture for x10 — weights deliberately span the range
+#: (full keep, half, rare) to exercise every branch.
+MIX_WEIGHTS = {"en": 0.25, "es": 0.75, "zh": 1.0, "fr": 0.5, "de": 0.05}
+
+
+def q_mixture_sample(spark, sf_dir):
+    """X10 — deterministic domain-mixture sampling: per-language keep
+    probabilities applied via salted-hash thresholds (identical
+    survivor set on every engine/run)."""
+    from stampede_to_fresco_etl_spark.operators.sampling import (
+        mixture_sample,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    out = mixture_sample(docs, "lang", "doc_id", MIX_WEIGHTS)
+    return out.select("doc_id", "lang", "mix_hash")
+
+
+def _sql_mixture() -> str:
+    hash_space = 1 << 60
+    cases = " ".join(
+        f"WHEN '{d}' THEN {min(int(w * hash_space), hash_space)}"
+        for d, w in sorted(MIX_WEIGHTS.items())
+    )
+    h = md5_int63_sql("CAST(doc_id AS VARCHAR)", salt="mix")
+    return f"""
+SELECT doc_id, lang, {h} AS mix_hash
+FROM documents
+WHERE {h} < (CASE lang {cases} ELSE 0 END)
+"""
+
+
+def q_tpch_q1(spark, sf_dir):
+    """TPC-H Q1 pricing summary (floor-scaled exact sums; avg as
+    exact-sum / count)."""
+    l = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    g = l.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum(F.col("l_quantity")).alias("sum_qty"),
+        dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+        dsum(disc_price).alias("sum_disc_price"),
+        dsum(charge).alias("sum_charge"),
+        F.count("*").alias("count_order"),
+    )
+    return g.select(
+        "l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+        "sum_disc_price", "sum_charge",
+        (F.col("sum_qty") / F.col("count_order").cast("double")).alias(
+            "avg_qty"
+        ),
+        "count_order",
+    )
+
+
+SQL_TPCH_Q1 = f"""
+WITH g AS (
+  SELECT l_returnflag, l_linestatus,
+         {DSUM.format(x='l_quantity')} AS sum_qty,
+         {DSUM.format(x='l_extendedprice')} AS sum_base_price,
+         {DSUM.format(x='l_extendedprice * (1 - l_discount)')}
+           AS sum_disc_price,
+         {DSUM.format(x='l_extendedprice * (1 - l_discount) * (1 + l_tax)')}
+           AS sum_charge,
+         count(*) AS count_order
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+  GROUP BY l_returnflag, l_linestatus
+)
+SELECT l_returnflag, l_linestatus, sum_qty, sum_base_price,
+       sum_disc_price, sum_charge,
+       sum_qty / CAST(count_order AS DOUBLE) AS avg_qty,
+       count_order
+FROM g
+"""
+
+
+def q_tpch_q10(spark, sf_dir):
+    """TPC-H Q10 returned-item revenue, top 20 customers.  Joins are
+    broadcast (customer/nation dims); the final top-20 is
+    orderBy+limit = TakeOrderedAndProject — a distributed partial
+    top-k, never a single-reducer global sort.  Deterministic limit:
+    revenue is floor-scale exact and custkey breaks ties."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    l = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    g = j.groupBy("c_custkey", "c_name", "c_acctbal", "n_name").agg(
+        dsum(rev).alias("revenue")
+    )
+    return g.orderBy(F.col("revenue").desc(), F.col("c_custkey")).limit(20)
+
+
+SQL_TPCH_Q10 = f"""
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       {DSUM.format(x='l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q_tpch_q18(spark, sf_dir):
+    """TPC-H Q18 large-volume orders: per-order quantity rollup with
+    an exact integer-scaled HAVING, joined back to orders+customer.
+    The rollup output is orderkey-sized (small); the join back is a
+    broadcast of the filtered keys."""
+    l = load(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(fsum(F.col("l_quantity")).alias("qty_s"))
+        .filter(F.col("qty_s") > 250 * 10_000)
+    )
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    j = (
+        o.join(F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+    )
+    return j.select(
+        "c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice",
+        (F.col("qty_s").cast("double") / F.lit(10000.0)).alias("total_qty"),
+    )
+
+
+SQL_TPCH_Q18 = f"""
+WITH big AS (
+  SELECT l_orderkey, {FSUM.format(x='l_quantity')} AS qty_s
+  FROM lineitem GROUP BY l_orderkey
+  HAVING {FSUM.format(x='l_quantity')} > 2500000
+)
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+       CAST(qty_s AS DOUBLE) / 10000.0 AS total_qty
+FROM orders
+JOIN big      ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+REGISTRY.update(
+    {
+        "x9_pack_chunks": (q_pack_chunks, SQL_PACK_CHUNKS),
+        "x10_mixture_sample": (q_mixture_sample, _sql_mixture()),
+        "tpch_q1": (q_tpch_q1, SQL_TPCH_Q1),
+        "tpch_q10": (q_tpch_q10, SQL_TPCH_Q10),
+        "tpch_q18": (q_tpch_q18, SQL_TPCH_Q18),
+    }
+)

@@ -133,3 +133,86 @@ def quantile_filter(
         .filter(F.col("__b") >= F.col("threshold_bucket"))
         .drop("__b", "threshold_bucket", "n_group")
     )
+
+
+def pack_chunks(
+    df: DataFrame,
+    shard_cols: list[str],
+    order_col: str,
+    size_col,
+    budget: int,
+) -> DataFrame:
+    """Sequence packing: assign ordered documents to fixed-budget
+    training chunks by cumulative token count — the step that turns a
+    curated corpus into model-ready sequences.
+
+    Chunking rule: a doc starts a new chunk when the RUNNING TOTAL
+    BEFORE it has crossed a budget boundary — chunk_id =
+    floor((cumsum - size) / budget).  A chunk may overrun the budget
+    by (at most) its final document; trainers truncate or wrap the
+    tail.  This start-offset rule (rather than exact greedy bin
+    packing, whose sequential remainder state doesn't distribute) is
+    what makes the operator ONE window expression — and therefore
+    engine-portable and exact.
+
+    Scale: packing is inherently sequential WITHIN a shard, so the
+    window partitions by `shard_cols` (a training shard: a language,
+    a source, a date bucket — whatever the pipeline shards output
+    by).  One reducer per shard is the contract, not a bug; at 100 TB
+    you pack thousands of shards in parallel, never one global
+    stream.  All arithmetic is integer (token counts), so any engine
+    reproduces the same chunk ids.
+
+    Output: df + (chunk_id, chunk_pos, cum_tokens)."""
+    size = F.col(size_col) if isinstance(size_col, str) else size_col
+    w = (
+        Window.partitionBy(*shard_cols)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df.withColumn("cum_tokens", F.sum(size.cast("long")).over(w))
+    chunk = F.floor(
+        (F.col("cum_tokens") - size.cast("long"))
+        / F.lit(int(budget))
+    ).cast("long")
+    out = out.withColumn("chunk_id", chunk)
+    w_pos = Window.partitionBy(*shard_cols, "chunk_id").orderBy(order_col)
+    return out.withColumn(
+        "chunk_pos", F.row_number().over(w_pos).cast("long")
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    domain_col: str,
+    id_col: str,
+    weights: dict[str, float],
+    default_weight: float = 0.0,
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministic mixture sampling: keep each row with its
+    domain's probability, decided by a salted md5 of the row id —
+    the domain-reweighting step of a training-data pipeline (e.g.
+    downsample web crawl, upsample reference text).
+
+    Selection is `hash(id) < floor(weight * 2^60)`: a pure integer
+    compare against a per-domain constant, so the SAME rows are kept
+    on every run, on any engine, at any parallelism — re-running the
+    pipeline with a tweaked mixture only moves the boundary, it
+    doesn't reshuffle survivors.  No shuffle: scan + filter.
+
+    Output: input rows that survive, plus the decision hash
+    (audit column)."""
+    h = md5_int63(F.col(id_col), salt=salt)
+    hash_space = 1 << 60
+    thresholds = {
+        d: min(int(w * hash_space), hash_space) for d, w in weights.items()
+    }
+    expr = F.lit(int(default_weight * hash_space)).cast("long")
+    for d in sorted(thresholds):
+        expr = F.when(
+            F.col(domain_col) == d, F.lit(thresholds[d]).cast("long")
+        ).otherwise(expr)
+    return df.withColumn("mix_hash", h).filter(
+        F.col("mix_hash") < expr
+    )

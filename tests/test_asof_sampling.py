@@ -110,3 +110,66 @@ def test_quantile_threshold_and_filter_exact(spark):
         r["rid"] for r in quantile_filter(df, "g", "score", 0.75).collect()
     )
     assert kept == [7, 8, 9]
+
+
+def test_pack_chunks_budget_rule(spark):
+    from stampede_to_fresco_etl_spark.operators.sampling import pack_chunks
+    from pyspark.sql import functions as F
+
+    rows = [
+        ("s", 1, 300), ("s", 2, 300), ("s", 3, 300),  # cum 300/600/900
+        ("s", 4, 600),                                 # cum 1500
+        ("t", 9, 100),
+    ]
+    df = spark.createDataFrame(rows, ["shard", "doc", "n"])
+    out = pack_chunks(df, ["shard"], "doc", "n", budget=512)
+    got = {
+        (r["shard"], r["doc"]): (r["chunk_id"], r["chunk_pos"], r["cum_tokens"])
+        for r in out.collect()
+    }
+    # chunk = floor((cum - n)/512): doc1 (0)/512=0; doc2 300/512=0;
+    # doc3 600/512=1; doc4 900/512=1 (overruns by design); t restarts
+    assert got[("s", 1)] == (0, 1, 300)
+    assert got[("s", 2)] == (0, 2, 600)
+    assert got[("s", 3)] == (1, 1, 900)
+    assert got[("s", 4)] == (1, 2, 1500)
+    assert got[("t", 9)] == (0, 1, 100)
+
+
+def test_mixture_sample_deterministic_and_nested(spark):
+    from stampede_to_fresco_etl_spark.operators.sampling import (
+        mixture_sample,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.range(2000).select(
+        F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("dom"),
+        F.col("id").alias("doc"),
+    )
+    lo = mixture_sample(df, "dom", "doc", {"a": 0.2, "b": 1.0})
+    hi = mixture_sample(df, "dom", "doc", {"a": 0.6, "b": 1.0})
+    lo_ids = {r["doc"] for r in lo.collect()}
+    hi_ids = {r["doc"] for r in hi.collect()}
+    # raising a weight only ADDS survivors (threshold moves, hashes fixed)
+    assert lo_ids <= hi_ids
+    # domain b at weight 1.0 is fully kept
+    assert sum(1 for i in lo_ids if i % 2 == 1) == 1000
+    # domain a at 0.2 keeps roughly 20% (hash-uniform; wide tolerance)
+    n_a = sum(1 for i in lo_ids if i % 2 == 0)
+    assert 100 < n_a < 300
+    # rerun is bit-identical
+    again = {r["doc"] for r in
+             mixture_sample(df, "dom", "doc", {"a": 0.2, "b": 1.0}).collect()}
+    assert again == lo_ids
+
+
+def test_mixture_sample_default_weight_drops_unknown(spark):
+    from stampede_to_fresco_etl_spark.operators.sampling import (
+        mixture_sample,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.range(100).select(
+        F.lit("unknown").alias("dom"), F.col("id").alias("doc")
+    )
+    assert mixture_sample(df, "dom", "doc", {"a": 1.0}).count() == 0
