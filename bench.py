@@ -38,6 +38,12 @@ HEADLINE = [
     "x1_token_stats",
     "mm2_decode_meta",
     "f16_json_extract",
+    "d5_dup_clusters",
+    "k1_kmv_distinct",
+    "x6_keyword_topk",
+    "x9_pack_chunks",
+    "tpch_q1",
+    "tpch_q10",
 ]
 
 #: Previous round's bench (same sf) for per-query regression deltas.

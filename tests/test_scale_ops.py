@@ -178,3 +178,43 @@ def test_asof_and_sessionize_single_keyed_shuffle(spark):
 
     plan = _plan(REGISTRY["t7_sessionize"][0](spark, "/root/testdata/sf0.001"))
     assert plan.count("Exchange hashpartitioning") <= 2  # window + rollup
+
+
+def test_new_topk_ops_use_salted_two_stage(spark):
+    # KMV order statistics, keyword top-k, heavy hitters all reuse
+    # the salted two-stage window — no per-group mega-partition.
+    from stampede_to_fresco_etl_spark.catalog import REGISTRY
+
+    for name in ("k1_kmv_distinct", "x6_keyword_topk", "x7_heavy_hitters"):
+        plan = _plan(REGISTRY[name][0](spark, "/root/testdata/sf0.001"))
+        assert "SPARK_PARTITION_ID" in plan, name
+
+
+def test_keyword_topk_broadcasts_dims(spark):
+    from stampede_to_fresco_etl_spark.catalog import REGISTRY
+
+    plan = _plan(REGISTRY["x6_keyword_topk"][0](
+        spark, "/root/testdata/sf0.001"
+    ))
+    # df table and corpus count join in as broadcasts, never shuffles
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_tpch_q10_is_take_ordered(spark):
+    from stampede_to_fresco_etl_spark.catalog import REGISTRY
+
+    plan = _plan(REGISTRY["tpch_q10"][0](spark, "/root/testdata/sf0.001"))
+    assert "TakeOrderedAndProject" in plan  # distributed partial top-20
+    assert "BroadcastHashJoin" in plan      # dims broadcast
+
+
+def test_mixture_and_redact_are_shuffle_free(spark):
+    from stampede_to_fresco_etl_spark.catalog import REGISTRY
+
+    plan = _plan(REGISTRY["x10_mixture_sample"][0](
+        spark, "/root/testdata/sf0.001"
+    ))
+    assert "Exchange" not in plan  # scan + filter only
+
+    plan = _plan(REGISTRY["x8_redact"][0](spark, "/root/testdata/sf0.001"))
+    assert "Exchange" not in plan  # per-row column expressions only
