@@ -2682,3 +2682,70 @@ REGISTRY.update(
         "tpch_q18": (q_tpch_q18, SQL_TPCH_Q18),
     }
 )
+
+
+# ===========================================================================
+# Dataset split assignment + CUBE aggregation.
+# ===========================================================================
+
+SPLIT_FRACTIONS = {"train": 0.9, "val": 0.05, "test": 0.05}
+
+
+def q_dataset_split(spark, sf_dir):
+    """X11 — deterministic train/val/test assignment by salted-hash
+    boundary (stable under reprocessing + engine changes; no RNG).
+    Aggregated per (lang, split) so the oracle checks both the
+    assignment function and the resulting proportions."""
+    from stampede_to_fresco_etl_spark.operators.sampling import dataset_split
+
+    docs = load(spark, sf_dir, "documents")
+    out = dataset_split(docs, "doc_id", SPLIT_FRACTIONS)
+    return out.groupBy("lang", "split").agg(
+        F.count("*").alias("n"),
+        F.min("split_hash").alias("min_hash"),
+        F.max("split_hash").alias("max_hash"),
+    )
+
+
+def _sql_dataset_split() -> str:
+    hash_space = 1 << 60
+    h = md5_int63_sql("CAST(doc_id AS VARCHAR)", salt="split")
+    b_train = min(int(0.9 * hash_space), hash_space)
+    b_val = min(int((0.9 + 0.05) * hash_space), hash_space)
+    return f"""
+WITH s AS (
+  SELECT lang, {h} AS split_hash,
+         CASE WHEN {h} < {b_train} THEN 'train'
+              WHEN {h} < {b_val} THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT lang, split, count(*) AS n,
+       min(split_hash) AS min_hash, max(split_hash) AS max_hash
+FROM s GROUP BY lang, split
+"""
+
+
+def q_cube(spark, sf_dir):
+    """A11 — CUBE over (returnflag, linestatus): all four grouping-set
+    combinations in one pass (partial-aggregated expansion)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        dsum(F.col("l_quantity")).alias("sum_qty"),
+    )
+
+
+SQL_CUBE = f"""
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       {DSUM.format(x='l_quantity')} AS sum_qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+REGISTRY.update(
+    {
+        "x11_dataset_split": (q_dataset_split, _sql_dataset_split()),
+        "a11_cube": (q_cube, SQL_CUBE),
+    }
+)

@@ -216,3 +216,39 @@ def mixture_sample(
     return df.withColumn("mix_hash", h).filter(
         F.col("mix_hash") < expr
     )
+
+
+def dataset_split(
+    df: DataFrame,
+    id_col: str,
+    fractions: dict[str, float],
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: each row lands in a
+    split by where its salted 60-bit md5 hash falls among cumulative
+    fraction boundaries.  Membership is a pure function of the row id
+    — stable under reprocessing, engine changes, and repartitioning,
+    and growing one split's fraction only migrates rows across the
+    moved boundary.  Scan + integer compares: no shuffle, no RNG.
+
+    `fractions` maps split name → fraction; they must sum to ≤ 1
+    (remainder rows get the LAST split listed — pass fractions that
+    sum to 1 for a total partition).  Boundary order follows the
+    dict's iteration order.
+
+    Output: input rows + (split, split_hash)."""
+    hash_space = 1 << 60
+    h = md5_int63(F.col(id_col), salt=salt)
+    out = df.withColumn("split_hash", h)
+    names = list(fractions)
+    cum = 0.0
+    bounds: list[tuple[str, int]] = []
+    for name in names[:-1]:
+        cum += fractions[name]
+        bounds.append((name, min(int(cum * hash_space), hash_space)))
+    # build innermost-last so the chain checks the smallest cumulative
+    # boundary first (earlier splits win)
+    chain = F.lit(names[-1])
+    for name, b in reversed(bounds):
+        chain = F.when(F.col("split_hash") < b, F.lit(name)).otherwise(chain)
+    return out.withColumn("split", chain)

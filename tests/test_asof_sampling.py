@@ -173,3 +173,35 @@ def test_mixture_sample_default_weight_drops_unknown(spark):
         F.lit("unknown").alias("dom"), F.col("id").alias("doc")
     )
     assert mixture_sample(df, "dom", "doc", {"a": 1.0}).count() == 0
+
+
+def test_dataset_split_partitions_everything(spark):
+    from stampede_to_fresco_etl_spark.operators.sampling import dataset_split
+    from pyspark.sql import functions as F
+
+    df = spark.range(5000).select(F.col("id").alias("doc"))
+    out = dataset_split(df, "doc", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == 5000
+    assert 3800 < counts["train"] < 4200
+    assert 300 < counts["val"] < 700
+    assert 300 < counts["test"] < 700
+    # deterministic: same assignment on rerun
+    a = {(r["doc"], r["split"]) for r in out.collect()}
+    b = {(r["doc"], r["split"]) for r in dataset_split(
+        df, "doc", {"train": 0.8, "val": 0.1, "test": 0.1}).collect()}
+    assert a == b
+
+
+def test_dataset_split_growing_train_only_steals_from_val(spark):
+    from stampede_to_fresco_etl_spark.operators.sampling import dataset_split
+    from pyspark.sql import functions as F
+
+    df = spark.range(2000).select(F.col("id").alias("doc"))
+    small = dataset_split(df, "doc", {"train": 0.5, "val": 0.5})
+    big = dataset_split(df, "doc", {"train": 0.7, "val": 0.3})
+    small_train = {r["doc"] for r in small.collect() if r["split"] == "train"}
+    big_train = {r["doc"] for r in big.collect() if r["split"] == "train"}
+    # boundary only moves right: train grows monotonically
+    assert small_train <= big_train
