@@ -38,13 +38,22 @@ def test_cc_cycle_and_reversed_edges(spark):
 
 
 def test_cc_max_iter_caps_sweeps(spark):
-    # one sweep on a chain only propagates one hop — the cap binds
+    # one pure-propagation sweep moves labels one hop — the cap binds
     cc = connected_components(
-        _pairs(spark, [(1, 2), (2, 3), (3, 4)]), max_iter=1
+        _pairs(spark, [(1, 2), (2, 3), (3, 4)]), max_iter=1, halving=False
     )
     got = {r["node"]: r["cc"] for r in cc.collect()}
     assert got[2] == 1 and got[1] == 1
     assert got[4] == 3  # min neighbor after a single sweep
+
+
+def test_cc_halving_collapses_long_chain(spark):
+    # a 65-node chain has diameter 64 > 10 sweeps of pure
+    # propagation; path halving converges in O(log d)
+    edges = [(i, i + 1) for i in range(64)]
+    cc = connected_components(_pairs(spark, edges), max_iter=10)
+    got = {r["cc"] for r in cc.collect()}
+    assert got == {0}
 
 
 def test_dup_clusters_planted_dups(spark):
