@@ -138,3 +138,90 @@ def test_asof_join_property(spark, pair):
         cand = [rs for (rk, rs) in rrows if rk == k and rs <= s]
         want = (ts(max(cand)), float(max(cand))) if cand else (None, None)
         assert out[i] == want, (i, k, s)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1),   # shard
+            st.integers(min_value=1, max_value=500),  # token count
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_pack_chunks_property(spark, rows):
+    """pack_chunks invariants vs a sequential Python reference:
+    identical chunk ids, positions contiguous from 1, chunk start
+    offsets below budget boundaries."""
+    from stampede_to_fresco_etl_spark.operators.sampling import pack_chunks
+
+    budget = 700
+    data = [(s, i, n) for i, (s, n) in enumerate(rows)]
+    df = spark.createDataFrame(data, ["shard", "doc", "n"])
+    got = {
+        (r["shard"], r["doc"]): (r["chunk_id"], r["chunk_pos"])
+        for r in pack_chunks(df, ["shard"], "doc", "n", budget).collect()
+    }
+    # python reference: same start-offset rule
+    by_shard: dict[int, list[tuple[int, int]]] = {}
+    for s, d, n in data:
+        by_shard.setdefault(s, []).append((d, n))
+    for s, docs in by_shard.items():
+        cum = 0
+        pos: dict[int, int] = {}
+        for d, n in sorted(docs):
+            chunk = (cum) // budget
+            cum += n
+            pos[chunk] = pos.get(chunk, 0) + 1
+            assert got[(s, d)] == (chunk, pos[chunk]), (s, d)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=25),
+            st.integers(min_value=0, max_value=25),
+        ),
+        min_size=1,
+        max_size=40,
+    ).filter(lambda es: any(a != b for a, b in es))
+)
+def test_connected_components_property(spark, edges):
+    """CC labels must equal a Python union-find ground truth on
+    arbitrary small graphs (self-loops dropped)."""
+    from stampede_to_fresco_etl_spark.operators.dedup import (
+        connected_components,
+    )
+
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+    df = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    got = {
+        r["node"]: r["cc"] for r in connected_components(df).collect()
+    }
+    assert got == want
