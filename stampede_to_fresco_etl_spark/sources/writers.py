@@ -110,3 +110,52 @@ def convert_csv_to_parquet(
     df = reader.csv(csv_path).observe(obs, F.count(F.lit(1)).alias("n"))
     df.write.mode("overwrite").option("compression", "zstd").parquet(parquet_path)
     return spark.read.parquet(parquet_path).count() == obs.get["n"]
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    target_file_bytes: int = 256 * 1024 * 1024,
+    partition_by: list[str] | None = None,
+) -> int:
+    """Small-file compaction: rewrite a parquet dataset into files of
+    ~`target_file_bytes` and swap it into place.  Streaming appends
+    and incremental merges accrete small files (the reference's merge
+    daemon existed for exactly this, step-1/mover.py); at 100 TB,
+    scan cost is dominated by file-open overhead once the average
+    file drops below ~100 MB, so curated tables get compacted on a
+    schedule.
+
+    The rewrite is one round-robin repartition to
+    ceil(bytes / target) files; the swap goes through the Hadoop
+    FileSystem API (rename old → bak, tmp → live, delete bak) so it
+    works on HDFS/S3A/local alike and readers never see a partial
+    dataset.  Returns the new file count."""
+    df = spark.read.parquet(path)
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    live = jvm.org.apache.hadoop.fs.Path(path)
+    fs = live.getFileSystem(conf)
+    size = fs.getContentSummary(live).getLength()
+    n_files = max(1, -(-int(size) // int(target_file_bytes)))
+    tmp_s = path.rstrip("/") + "__compact_tmp"
+    bak_s = path.rstrip("/") + "__compact_bak"
+    w = (
+        df.repartition(n_files)
+        .write.mode("overwrite")
+        .option("compression", "zstd")
+    )
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(tmp_s)
+    tmp = jvm.org.apache.hadoop.fs.Path(tmp_s)
+    bak = jvm.org.apache.hadoop.fs.Path(bak_s)
+    if fs.exists(bak):
+        fs.delete(bak, True)
+    if not fs.rename(live, bak):
+        raise IOError(f"compact: could not move {path} aside")
+    if not fs.rename(tmp, live):
+        fs.rename(bak, live)  # roll back
+        raise IOError(f"compact: could not swap in {tmp_s}")
+    fs.delete(bak, True)
+    return n_files

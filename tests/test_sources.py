@@ -109,3 +109,30 @@ def test_partitioned_zstd_write_and_append(spark, tmp_path):
         "2013-03-01",
         "2013-03-02",
     ]
+
+
+def test_compact_parquet_preserves_data_and_reduces_files(spark, tmp_path):
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from stampede_to_fresco_etl_spark.sources.writers import compact_parquet
+
+    path = str(tmp_path / "frag")
+    df = spark.range(100_000).select(
+        F.col("id"), (F.col("id") % 97).cast("double").alias("v")
+    )
+    df.repartition(64).write.parquet(path)  # 64 tiny files
+    before = len(glob.glob(f"{path}/part-*"))
+    assert before >= 32
+    want = spark.read.parquet(path).agg(
+        F.count("*"), F.sum("id"), F.sum("v")
+    ).collect()[0]
+    n = compact_parquet(spark, path, target_file_bytes=1 << 30)
+    after = len(glob.glob(f"{path}/part-*"))
+    got = spark.read.parquet(path).agg(
+        F.count("*"), F.sum("id"), F.sum("v")
+    ).collect()[0]
+    assert n == 1 and after == 1
+    assert list(got) == list(want)
+    assert not glob.glob(f"{path}__compact_*")
