@@ -2749,3 +2749,50 @@ REGISTRY.update(
         "a11_cube": (q_cube, SQL_CUBE),
     }
 )
+
+
+# ===========================================================================
+# A12 — multi-quantile percentile summary (p50/p95/p99) per group,
+# exact at fixed resolution from one histogram pass.
+# ===========================================================================
+
+def q_percentile_summary(spark, sf_dir):
+    from stampede_to_fresco_etl_spark.operators.sampling import (
+        percentile_summary,
+    )
+
+    e = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return percentile_summary(
+        e, "event_type", "value",
+        {"p50": 0.5, "p95": 0.95, "p99": 0.99},
+    )
+
+
+SQL_PERCENTILE_SUMMARY = """
+WITH b AS (
+  SELECT event_type,
+         CAST(FLOOR(value * 10000.0) AS BIGINT) AS bkt
+  FROM events WHERE value IS NOT NULL
+),
+hist AS (SELECT event_type, bkt, count(*) AS c FROM b GROUP BY 1, 2),
+cum AS (
+  SELECT event_type, bkt,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY bkt
+                      ROWS UNBOUNDED PRECEDING) AS cumc,
+         SUM(c) OVER (PARTITION BY event_type) AS n
+  FROM hist
+)
+SELECT event_type, max(n) AS n_group,
+       CAST(min(CASE WHEN cumc >= CEIL(0.5 * n) THEN bkt END) AS DOUBLE)
+         / 10000.0 AS p50,
+       CAST(min(CASE WHEN cumc >= CEIL(0.95 * n) THEN bkt END) AS DOUBLE)
+         / 10000.0 AS p95,
+       CAST(min(CASE WHEN cumc >= CEIL(0.99 * n) THEN bkt END) AS DOUBLE)
+         / 10000.0 AS p99
+FROM cum GROUP BY event_type
+"""
+
+
+REGISTRY.update(
+    {"a12_percentile_summary": (q_percentile_summary, SQL_PERCENTILE_SUMMARY)}
+)

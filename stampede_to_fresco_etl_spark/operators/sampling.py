@@ -252,3 +252,53 @@ def dataset_split(
     for name, b in reversed(bounds):
         chain = F.when(F.col("split_hash") < b, F.lit(name)).otherwise(chain)
     return out.withColumn("split", chain)
+
+
+def percentile_summary(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    qs: dict[str, float],
+    resolution: int = 10_000,
+) -> DataFrame:
+    """Multi-quantile summary per group (e.g. {"p50": .5, "p95": .95,
+    "p99": .99}), exact at 1/resolution score granularity, from ONE
+    histogram pass: every requested quantile is a conditional-min
+    aggregate over the same cumulative bucket walk, so adding
+    quantiles adds zero shuffles.  Quantile values are
+    bucket/resolution doubles — deterministic in any engine, unlike
+    percentile_approx's engine-specific sketch.
+
+    Output: (group, n_group, <one column per qs key>)."""
+    b = df.select(
+        F.col(group_col),
+        F.floor(F.col(score_col) * F.lit(float(resolution)))
+        .cast("long")
+        .alias("__b"),
+    )
+    hist = b.groupBy(group_col, "__b").agg(F.count("*").alias("__c"))
+    w_cum = (
+        Window.partitionBy(group_col)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(group_col)
+    cum = hist.withColumn("__cum", F.sum("__c").over(w_cum)).withColumn(
+        "__n", F.sum("__c").over(w_all)
+    )
+    aggs = [
+        (
+            F.min(
+                F.when(
+                    F.col("__cum")
+                    >= F.ceil(F.lit(float(q)) * F.col("__n")),
+                    F.col("__b"),
+                )
+            ).cast("double")
+            / F.lit(float(resolution))
+        ).alias(name)
+        for name, q in qs.items()
+    ]
+    return cum.groupBy(group_col).agg(
+        F.first("__n").alias("n_group"), *aggs
+    )

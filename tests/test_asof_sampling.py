@@ -205,3 +205,23 @@ def test_dataset_split_growing_train_only_steals_from_val(spark):
     big_train = {r["doc"] for r in big.collect() if r["split"] == "train"}
     # boundary only moves right: train grows monotonically
     assert small_train <= big_train
+
+
+def test_percentile_summary_hand_check(spark):
+    from pyspark.sql import functions as F
+
+    from stampede_to_fresco_etl_spark.operators.sampling import (
+        percentile_summary,
+    )
+
+    # scores 0.01 .. 1.00: pXX = ceil(q*100)-th smallest value
+    df = spark.range(1, 101).select(
+        F.lit("g").alias("grp"), (F.col("id") / 100.0).alias("s")
+    )
+    row = percentile_summary(
+        df, "grp", "s", {"p50": 0.5, "p95": 0.95, "p99": 0.99}
+    ).collect()[0]
+    assert row["n_group"] == 100
+    assert row["p50"] == 0.50
+    assert row["p95"] == 0.95
+    assert row["p99"] == 0.99
