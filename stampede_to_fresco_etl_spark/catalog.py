@@ -2796,3 +2796,109 @@ FROM cum GROUP BY event_type
 REGISTRY.update(
     {"a12_percentile_summary": (q_percentile_summary, SQL_PERCENTILE_SUMMARY)}
 )
+
+
+# ===========================================================================
+# Join-type breadth: LEFT SEMI (EXISTS), LEFT ANTI (NOT EXISTS), and
+# FULL OUTER — the three shapes not already exercised above.
+# ===========================================================================
+
+def q_semi_join(spark, sf_dir):
+    """J7 — left SEMI join (EXISTS): order-priority counts over
+    orders that have at least one returned lineitem (TPC-H Q4
+    shape).  Semi joins shuffle only the distinct probe keys — no
+    row multiplication."""
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey")
+    j = o.join(l, o.o_orderkey == l.l_orderkey, "left_semi")
+    return j.groupBy("o_orderpriority").agg(F.count("*").alias("n_orders"))
+
+
+SQL_SEMI_JOIN = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+)
+GROUP BY o_orderpriority
+"""
+
+
+def q_anti_join(spark, sf_dir):
+    """J8 — left ANTI join (NOT EXISTS): customers with no orders in
+    1996 — the curation shape for "documents never matched by any
+    rule" / "hosts with no accounting row"."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_custkey")
+    j = c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+    return j.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_customers"),
+        F.min("c_custkey").alias("min_key"),
+        F.max("c_custkey").alias("max_key"),
+    )
+
+
+SQL_ANTI_JOIN = """
+SELECT c_mktsegment, count(*) AS n_customers,
+       min(c_custkey) AS min_key, max(c_custkey) AS max_key
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+    AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+)
+GROUP BY c_mktsegment
+"""
+
+
+def q_full_outer(spark, sf_dir):
+    """J9 — FULL OUTER join: reconcile per-user click vs purchase
+    rollups, keeping users present on either side (the audit shape
+    for comparing two pipeline runs)."""
+    e = load(spark, sf_dir, "events")
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id").agg(F.count("*").alias("n_clicks"))
+    )
+    buys = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id").agg(F.count("*").alias("n_buys"))
+    )
+    j = clicks.join(buys, "user_id", "full_outer")
+    return j.select(
+        "user_id",
+        F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
+        F.coalesce("n_buys", F.lit(0)).alias("n_buys"),
+    )
+
+
+SQL_FULL_OUTER = """
+WITH c AS (
+  SELECT user_id, count(*) AS n_clicks FROM events
+  WHERE event_type = 'click' GROUP BY user_id
+),
+b AS (
+  SELECT user_id, count(*) AS n_buys FROM events
+  WHERE event_type = 'purchase' GROUP BY user_id
+)
+SELECT COALESCE(c.user_id, b.user_id) AS user_id,
+       COALESCE(c.n_clicks, 0) AS n_clicks,
+       COALESCE(b.n_buys, 0) AS n_buys
+FROM c FULL OUTER JOIN b ON c.user_id = b.user_id
+"""
+
+
+REGISTRY.update(
+    {
+        "j7_semi_join": (q_semi_join, SQL_SEMI_JOIN),
+        "j8_anti_join": (q_anti_join, SQL_ANTI_JOIN),
+        "j9_full_outer": (q_full_outer, SQL_FULL_OUTER),
+    }
+)
