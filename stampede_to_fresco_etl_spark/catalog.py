@@ -2902,3 +2902,48 @@ REGISTRY.update(
         "j9_full_outer": (q_full_outer, SQL_FULL_OUTER),
     }
 )
+
+
+# ===========================================================================
+# F5 — ordered replace rules (to_fresco_job_id): the last data-plane
+# operator without its own oracle row.  Rule ORDER is the semantics
+# under test ('jobID' before 'job' — SURVEY §7.3 trap 8).
+# ===========================================================================
+
+def q_replace_rules(spark, sf_dir):
+    from stampede_to_fresco_etl_spark.functions import to_fresco_job_id
+
+    e = load(spark, sf_dir, "events")
+    raw = (
+        F.when(
+            F.col("event_id") % 3 == 0,
+            F.concat(F.lit("jobID"), F.col("event_id").cast("string")),
+        )
+        .when(
+            F.col("event_id") % 3 == 1,
+            F.concat(F.lit("job"), F.col("event_id").cast("string")),
+        )
+        .otherwise(F.col("event_id").cast("string"))
+    )
+    return e.select(
+        "event_id", raw.alias("raw"), to_fresco_job_id(raw).alias("fresco_id")
+    )
+
+
+SQL_REPLACE_RULES = """
+WITH r AS (
+  SELECT event_id,
+         CASE WHEN event_id % 3 = 0
+                THEN 'jobID' || CAST(event_id AS VARCHAR)
+              WHEN event_id % 3 = 1
+                THEN 'job' || CAST(event_id AS VARCHAR)
+              ELSE CAST(event_id AS VARCHAR) END AS raw
+  FROM events
+)
+SELECT event_id, raw,
+       replace(replace(raw, 'jobID', 'JOB'), 'job', 'JOB') AS fresco_id
+FROM r
+"""
+
+
+REGISTRY.update({"f5_replace_rules": (q_replace_rules, SQL_REPLACE_RULES)})
