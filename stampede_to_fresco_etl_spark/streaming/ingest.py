@@ -129,3 +129,38 @@ def run_incremental_pipeline(
         out_dir,
         checkpoint_dir,
     )
+
+
+def session_rollup(
+    stream: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "Timestamp",
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+    value_col: str = "Value",
+) -> DataFrame:
+    """Streaming sessionization — the native Structured Streaming
+    twin of the batch gap-sessionize operator (operators/windows.
+    sessionize): `session_window` opens a session at the first event
+    per key and extends it while events arrive within `gap`; the
+    watermark closes sessions and bounds state.  Events in the same
+    micro-batch AND across micro-batches merge into one session as
+    long as they fall inside the gap — state the batch operator gets
+    for free from its global window sort.
+
+    Append-mode output: one row per closed session."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("sw"), *key_cols)
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(value_col).alias("sum_value"),
+        )
+        .select(
+            F.col("sw").start.alias("session_start"),
+            F.col("sw").end.alias("session_end"),
+            *key_cols,
+            "n_events",
+            "sum_value",
+        )
+    )

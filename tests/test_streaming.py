@@ -104,3 +104,76 @@ def test_minute_rollup_stream(spark, tmp_path):
     assert len(rows) == 2
     assert rows[0]["avg_value"] == 3.0 and rows[0]["n_samples"] == 2
     assert rows[1]["avg_value"] == 10.0 and rows[1]["n_samples"] == 1
+
+
+def test_session_rollup_merges_across_batches(spark, tmp_path):
+    """Two micro-batches whose events fall within the gap must merge
+    into ONE session; an event past the gap opens a new session."""
+    import time
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        DoubleType, StringType, StructField, StructType, TimestampType,
+    )
+
+    from stampede_to_fresco_etl_spark.streaming.ingest import session_rollup
+
+    schema = StructType(
+        [
+            StructField("Host", StringType()),
+            StructField("Timestamp", TimestampType()),
+            StructField("Value", DoubleType()),
+        ]
+    )
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_batch(rows, name):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+
+    from datetime import datetime
+
+    t = datetime(2024, 1, 1, 10, 0, 0)
+
+    def at(minutes):
+        return t.replace(hour=10 + (minutes // 60), minute=minutes % 60)
+
+    # batch 1: two events 5 min apart (same session, 10-min gap)
+    write_batch(
+        [("h1", at(0), 1.0), ("h1", at(5), 2.0)], "b1"
+    )
+    # batch 2: 8 min later (still same session), then 40 min later
+    # (new session), then a far-future event to advance the watermark
+    write_batch(
+        [
+            ("h1", at(13), 3.0),
+            ("h1", at(53), 4.0),
+            ("h1", at(300), 9.0),
+        ],
+        "b2",
+    )
+    stream = spark.readStream.schema(schema).parquet(landing)
+    q = (
+        session_rollup(
+            stream, ["Host"], gap="10 minutes", watermark="1 minute"
+        )
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["session_start"].minute, r["n_events"], r["sum_value"])
+        for r in spark.read.parquet(out).collect()
+    }
+    # closed sessions: events at minutes 0,5,13 merged (watermark
+    # passed); the minute-53 singleton also closed by the far-future
+    # event.  The future event's own session stays open (not emitted).
+    assert (0, 3, 6.0) in got
+    assert (53, 1, 4.0) in got
+    assert all(s != 300 for s, _, _ in got)
