@@ -41,21 +41,15 @@ from stampede_to_fresco_etl_spark.functions import md5_int63
 _HASH_SPACE = 1152921504606846976.0
 
 
-def kmv_distinct(
+def kmv_sketch(
     df: DataFrame,
     group_col: str,
     value_col: str,
     k: int = 64,
-    with_exact: bool = True,
 ) -> DataFrame:
-    """Per-group KMV distinct-count estimate.
-
-    Output: (group_col, exact_distinct, sketch_size, kth_hash,
-    est_distinct) — without `with_exact`, the exact_distinct column
-    (and its count-distinct exchange) is dropped and the below-k
-    fallback uses sketch_size (identical when distinct < k: the
-    sketch then holds the whole universe).  `exact_distinct` exists
-    for error measurement; sketch-only is the 100 TB mode."""
+    """The sketch itself: each group's k smallest distinct 60-bit
+    hashes, as (group, h) rows — persist these per partition/day and
+    combine with `kmv_merge` instead of rescanning history."""
     hashed = df.select(
         F.col(group_col),
         md5_int63(F.col(value_col), salt="kmv").alias("h"),
@@ -72,15 +66,38 @@ def kmv_distinct(
     )
     # stage 2: global re-rank of ≤ shards × k distinct values
     w_final = Window.partitionBy(group_col).orderBy("h")
-    top = (
+    return (
         survivors.withColumn("__r", F.row_number().over(w_final))
         .filter(F.col("__r") <= k)
+        .select(group_col, "h")
     )
+
+
+def kmv_distinct(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 64,
+    with_exact: bool = True,
+) -> DataFrame:
+    """Per-group KMV distinct-count estimate.
+
+    Output: (group_col, exact_distinct, sketch_size, kth_hash,
+    est_distinct) — without `with_exact`, the exact_distinct column
+    (and its count-distinct exchange) is dropped and the below-k
+    fallback uses sketch_size (identical when distinct < k: the
+    sketch then holds the whole universe).  `exact_distinct` exists
+    for error measurement; sketch-only is the 100 TB mode."""
+    top = kmv_sketch(df, group_col, value_col, k)
     sketch = top.groupBy(group_col).agg(
         F.max("h").alias("kth_hash"),
         F.count("*").alias("sketch_size"),
     )
     if with_exact:
+        hashed = df.select(
+            F.col(group_col),
+            md5_int63(F.col(value_col), salt="kmv").alias("h"),
+        )
         exact = hashed.groupBy(group_col).agg(
             F.count_distinct("h").alias("exact_distinct")
         )

@@ -157,3 +157,30 @@ def test_redact_strips_planted_email(spark):
     assert out[2]["n_hits_before"] == 0
     assert out[2]["redacted"] == "no pii here"
     assert out[3]["n_hits_before"] == 2 and out[3]["n_hits_after"] == 0
+
+
+def test_kmv_merge_equals_union_sketch(spark):
+    """Mergeability: merge(sketch(A), sketch(B)) == sketch(A ∪ B)."""
+    from stampede_to_fresco_etl_spark.operators.sketches import (
+        kmv_merge,
+        kmv_sketch,
+    )
+
+    base = spark.range(3000).select(
+        F.lit("g").alias("grp"), F.col("id").alias("v")
+    )
+    a = base.filter(F.col("v") % 3 != 0)
+    b = base.filter(F.col("v") % 2 == 0)  # overlaps a
+    merged = kmv_merge(
+        kmv_sketch(a, "grp", "v", k=32).union(
+            kmv_sketch(b, "grp", "v", k=32)
+        ),
+        "grp",
+        k=32,
+    ).collect()[0]
+    union = a.union(b)
+    direct = kmv_merge(
+        kmv_sketch(union, "grp", "v", k=32), "grp", k=32
+    ).collect()[0]
+    assert merged["kth_hash"] == direct["kth_hash"]
+    assert merged["est_distinct"] == direct["est_distinct"]
