@@ -2649,9 +2649,13 @@ def q_tpch_q18(spark, sf_dir):
     )
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
+    # `big` is small BY CONSTRUCTION (HAVING-filtered order keys) →
+    # explicit broadcast; customer is a growing dimension → left to
+    # Catalyst/AQE size stats (auto-broadcasts at small SF, shuffles
+    # at cluster scale).
     j = (
         o.join(F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
     )
     return j.select(
         "c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice",
