@@ -2951,3 +2951,52 @@ FROM r
 
 
 REGISTRY.update({"f5_replace_rules": (q_replace_rules, SQL_REPLACE_RULES)})
+
+
+# ===========================================================================
+# X12 — corpus n-gram statistics: top bigrams per language (the
+# LM-data companion of the unigram heavy hitters), reusing the
+# shingle machinery with k=2.
+# ===========================================================================
+
+def q_bigram_stats(spark, sf_dir):
+    from stampede_to_fresco_etl_spark.operators.similarity import partial_topk
+    from stampede_to_fresco_etl_spark.operators.text import (
+        tokens,
+        word_shingles,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("lang", tokens(F.col("text")).alias("t"))
+    grams = toks.select(
+        "lang", F.explode(word_shingles(F.col("t"), 2)).alias("bigram")
+    )
+    counts = grams.groupBy("lang", "bigram").agg(F.count("*").alias("n"))
+    return partial_topk(counts, "lang", "bigram", 5, sim_col="n")
+
+
+_D_BIGRAMS = (
+    "CASE WHEN len(t) >= 2 THEN "
+    "list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) "
+    "ELSE [] END"
+)
+
+SQL_BIGRAM_STATS = f"""
+WITH toks AS (SELECT lang, {_D_TOKS} AS t FROM documents),
+grams AS (
+  SELECT lang, u.bigram
+  FROM toks, UNNEST({_D_BIGRAMS}) AS u(bigram)
+),
+c AS (SELECT lang, bigram, count(*) AS n FROM grams GROUP BY 1, 2),
+r AS (
+  SELECT lang, bigram, n,
+         CAST(row_number() OVER (
+           PARTITION BY lang ORDER BY n DESC, bigram
+         ) AS BIGINT) AS rank
+  FROM c
+)
+SELECT lang, bigram, n, rank FROM r WHERE rank <= 5
+"""
+
+
+REGISTRY.update({"x12_bigram_stats": (q_bigram_stats, SQL_BIGRAM_STATS)})
