@@ -3000,3 +3000,61 @@ SELECT lang, bigram, n, rank FROM r WHERE rank <= 5
 
 
 REGISTRY.update({"x12_bigram_stats": (q_bigram_stats, SQL_BIGRAM_STATS)})
+
+
+# ===========================================================================
+# V5 — per-group embedding centroids (vector aggregate): mean of each
+# dimension, exact across engines via floor-scaled integer sums.
+# The flat (group, dim, mean) layout keeps the oracle trivial and the
+# shuffle map-side combinable; reassembling arrays is a presentation
+# step (`F.collect_list` over dim order), not an aggregation concern.
+# ===========================================================================
+
+def q_embedding_centroids(spark, sf_dir):
+    from stampede_to_fresco_etl_spark.operators.similarity import (
+        as_double_vec,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    j = emb.join(docs, emb.vec_id == docs.doc_id).select(
+        "lang", as_double_vec("embedding").alias("v")
+    )
+    ex = j.select("lang", F.posexplode("v").alias("dim", "x"))
+    return (
+        ex.groupBy("lang", F.col("dim").cast("long").alias("dim"))
+        .agg(
+            fsum(F.col("x")).alias("sum_s"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "lang", "dim",
+            (
+                (F.col("sum_s").cast("double") / F.lit(10000.0))
+                / F.col("n").cast("double")
+            ).alias("mean_x"),
+            "n",
+        )
+    )
+
+
+SQL_EMBEDDING_CENTROIDS = f"""
+WITH j AS (
+  SELECT d.lang, e.embedding::DOUBLE[] AS v
+  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+),
+ex AS (
+  SELECT lang, CAST(r.i - 1 AS BIGINT) AS dim, v[r.i] AS x
+  FROM j, UNNEST(range(1, len(v) + 1)) AS r(i)
+)
+SELECT lang, dim,
+       (CAST({FSUM.format(x='x')} AS DOUBLE) / 10000.0)
+         / CAST(count(*) AS DOUBLE) AS mean_x,
+       count(*) AS n
+FROM ex GROUP BY lang, dim
+"""
+
+
+REGISTRY.update(
+    {"v5_embedding_centroids": (q_embedding_centroids, SQL_EMBEDDING_CENTROIDS)}
+)
