@@ -225,3 +225,32 @@ def test_percentile_summary_hand_check(spark):
     assert row["p50"] == 0.50
     assert row["p95"] == 0.95
     assert row["p99"] == 0.99
+
+
+def test_percentile_summary_negative_scores(spark):
+    from pyspark.sql import functions as F
+
+    from stampede_to_fresco_etl_spark.operators.sampling import (
+        percentile_summary,
+    )
+
+    # scores -0.50 .. +0.49 — bucket floor must handle negatives
+    df = spark.range(100).select(
+        F.lit("g").alias("grp"), ((F.col("id") - 50) / 100.0).alias("s")
+    )
+    row = percentile_summary(df, "grp", "s", {"p50": 0.5}).collect()[0]
+    assert row["p50"] == -0.01  # 50th of -0.50..0.49
+
+
+def test_dataset_split_remainder_goes_to_last(spark):
+    from pyspark.sql import functions as F
+
+    from stampede_to_fresco_etl_spark.operators.sampling import dataset_split
+
+    df = spark.range(1000).select(F.col("id").alias("doc"))
+    out = dataset_split(df, "doc", {"train": 0.1, "rest": 0.0})
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    # rest gets everything past the 10% boundary despite weight 0.0
+    assert counts["rest"] > 800
+    assert sum(counts.values()) == 1000
