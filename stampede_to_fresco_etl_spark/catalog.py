@@ -3058,3 +3058,73 @@ FROM ex GROUP BY lang, dim
 REGISTRY.update(
     {"v5_embedding_centroids": (q_embedding_centroids, SQL_EMBEDDING_CENTROIDS)}
 )
+
+
+# ===========================================================================
+# W4 — the §2.11 LEGACY-draft per-row formulas (tick-based block,
+# per-row cpuuser, per-row nfs), closing the last rows of the SURVEY
+# formula table.  Canonical Δ-based kernels are w2/c1/n1/m1.
+# ===========================================================================
+
+def q_legacy_formulas(spark, sf_dir):
+    from stampede_to_fresco_etl_spark.functions import (
+        legacy_block_rate,
+        legacy_cpuuser,
+        legacy_nfs_rate,
+    )
+
+    e = load(spark, sf_dir, "events")
+    rd_s = F.floor(F.col("value") * 100).cast("double")
+    wr_s = (F.col("event_id") % 50).cast("double")
+    # every 13th row has zero ticks — exercises the safe_div guard
+    rd_t = F.when(F.col("event_id") % 13 == 0, F.lit(0.0)).otherwise(
+        (F.col("event_id") % 20 + 1).cast("double")
+    )
+    wr_t = F.when(F.col("event_id") % 13 == 0, F.lit(0.0)).otherwise(
+        (F.col("event_id") % 7).cast("double")
+    )
+    user = F.floor(F.col("value") * 1000).cast("double")
+    nice = (F.col("event_id") % 7).cast("double")
+    total = F.when(F.col("event_id") % 11 == 0, F.lit(0.0)).otherwise(
+        F.floor(F.col("value") * 3000 + 1).cast("double")
+    )
+    d_rd = F.floor(F.col("value") * 4096).cast("double")
+    d_wr = (F.col("event_id") % 1024).cast("double")
+    return e.select(
+        "event_id",
+        legacy_block_rate(rd_s, wr_s, rd_t, wr_t).alias("block_gbps"),
+        legacy_cpuuser(user, nice, total).alias("cpu_pct"),
+        legacy_nfs_rate(d_rd, d_wr).alias("nfs_mb"),
+    )
+
+
+SQL_LEGACY_FORMULAS = """
+WITH s AS (
+  SELECT event_id,
+         CAST(FLOOR(value * 100) AS DOUBLE) AS rd_s,
+         CAST(event_id % 50 AS DOUBLE) AS wr_s,
+         CASE WHEN event_id % 13 = 0 THEN 0.0
+              ELSE CAST(event_id % 20 + 1 AS DOUBLE) END AS rd_t,
+         CASE WHEN event_id % 13 = 0 THEN 0.0
+              ELSE CAST(event_id % 7 AS DOUBLE) END AS wr_t,
+         CAST(FLOOR(value * 1000) AS DOUBLE) AS usr,
+         CAST(event_id % 7 AS DOUBLE) AS nice,
+         CASE WHEN event_id % 11 = 0 THEN 0.0
+              ELSE CAST(FLOOR(value * 3000 + 1) AS DOUBLE) END AS total,
+         CAST(FLOOR(value * 4096) AS DOUBLE) AS d_rd,
+         CAST(event_id % 1024 AS DOUBLE) AS d_wr
+  FROM events
+)
+SELECT event_id,
+       (CASE WHEN rd_t + wr_t <> 0
+             THEN ((rd_s + wr_s) * 512.0) / (rd_t + wr_t)
+             ELSE 0.0 END) / 1073741824.0 AS block_gbps,
+       (CASE WHEN total <> 0
+             THEN (usr + nice) / total
+             ELSE 0.0 END) * 100.0 AS cpu_pct,
+       (d_rd + d_wr) / 1048576.0 AS nfs_mb
+FROM s
+"""
+
+
+REGISTRY.update({"w4_legacy_formulas": (q_legacy_formulas, SQL_LEGACY_FORMULAS)})

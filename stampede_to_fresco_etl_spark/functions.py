@@ -219,3 +219,34 @@ def minhash_slot_sql(expr: str, j: int) -> str:
     salt_idx, win = divmod(j, 2)
     inner = f"concat('{salt_idx}:', {expr})"
     return f"(('0x' || substr(md5({inner}), {1 + 15 * win}, 15))::BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# §2.11 legacy-draft per-row formulas (rough-drafts/
+# rough_transform_stampede_to_fresco_ts_data.py) — documented
+# alternates to the canonical Δ-based kernels in pipeline/step1.
+# ---------------------------------------------------------------------------
+
+def legacy_block_rate(
+    rd_sectors: Column, wr_sectors: Column,
+    rd_ticks: Column, wr_ticks: Column,
+) -> Column:
+    """Tick-based per-row block rate:
+    (rd+wr sectors)×512 / (rd_ticks+wr_ticks) / 2³⁰ GB/s
+    (rough_transform...py:12-14); zero-tick rows yield 0.0."""
+    return safe_div(
+        (rd_sectors + wr_sectors) * F.lit(512.0),
+        rd_ticks + wr_ticks,
+    ) / F.lit(float(2**30))
+
+
+def legacy_cpuuser(user: Column, nice: Column, total: Column) -> Column:
+    """Per-row CPU%: (user+nice)/total × 100
+    (rough_transform...py:37-38); zero-total rows yield 0.0."""
+    return safe_div(user + nice, total) * F.lit(100.0)
+
+
+def legacy_nfs_rate(direct_read: Column, direct_write: Column) -> Column:
+    """Per-row NFS MB: (direct_read+direct_write) / 2²⁰
+    (rough_transform...py:61)."""
+    return (direct_read + direct_write) / F.lit(float(2**20))
