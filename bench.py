@@ -4,15 +4,22 @@
 ONE JSON line with per-query wall-clock seconds.
 
 Queries are fully executed via the `noop` sink (all partitions
-materialized, nothing collected to the driver)."""
+materialized, nothing collected to the driver).
+
+Besides wall-time, each query records shuffle read/write bytes and
+input bytes+records, diffed from the Spark UI REST API's completed-
+stage totals — so a plan regression (an accidental extra Exchange)
+is visible round-over-round even when wall-time noise hides it."""
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import re
 import sys
 import time
+import urllib.request
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -34,29 +41,69 @@ HEADLINE = [
     "d3_simhash",
     "v1_cosine_topk",
     "v3_embedding_near_dups",
+    "v3c_near_dups_auto",  # the production (auto-sized planes) plan
     "q5_nation_revenue",
     "x1_token_stats",
     "mm2_decode_meta",
+    "mm3_resize",
     "f16_json_extract",
     "d5_dup_clusters",
     "k1_kmv_distinct",
+    "k1b_kmv_sketch_only",  # the 100 TB (no audit exchange) mode
     "x6_keyword_topk",
     "x9_pack_chunks",
     "tpch_q1",
     "tpch_q10",
 ]
 
-#: Previous round's bench (same sf) for per-query regression deltas.
-PREV_BENCH = os.path.join(
-    os.path.dirname(os.path.abspath(__file__)), "BENCH_r01.json"
-)
+
+def _latest_prev_bench() -> str | None:
+    """Most recent BENCH_r{N}.json beside this file, for vs_prev."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    benches = glob.glob(os.path.join(here, "BENCH_r*.json"))
+
+    def rnum(p: str) -> int:
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        return int(m.group(1)) if m else -1
+
+    return max(benches, key=rnum) if benches else None
+
+
+def _stage_totals(spark) -> dict[str, int] | None:
+    """Cumulative completed-stage metrics from the UI REST API."""
+    try:
+        base = spark.sparkContext.uiWebUrl
+        app_id = spark.sparkContext.applicationId
+        if not base:
+            return None
+        url = f"{base}/api/v1/applications/{app_id}/stages?status=complete"
+        with urllib.request.urlopen(url, timeout=5) as r:
+            stages = json.load(r)
+        tot = {
+            "shuffle_read_bytes": 0,
+            "shuffle_write_bytes": 0,
+            "input_bytes": 0,
+            "input_records": 0,
+        }
+        for s in stages:
+            tot["shuffle_read_bytes"] += s.get("shuffleReadBytes", 0)
+            tot["shuffle_write_bytes"] += s.get("shuffleWriteBytes", 0)
+            tot["input_bytes"] += s.get("inputBytes", 0)
+            tot["input_records"] += s.get("inputRecords", 0)
+        return tot
+    except Exception:
+        return None
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
-    spark = get_spark(app_name="bench")
+    # UI on for bench only: the REST status API is the per-stage
+    # shuffle/input byte source (the engine default keeps it off)
+    spark = get_spark(
+        app_name="bench", extra_conf={"spark.ui.enabled": "true"}
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     # Warm the JVM/codegen path once with a trivial action.
@@ -64,15 +111,23 @@ def main() -> None:
 
     warmup = int(os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1"))
     timings: dict[str, float] = {}
+    io: dict[str, dict[str, int]] = {}
     for name in HEADLINE:
         fn, _sql = REGISTRY[name]
         # untimed warmup run(s): measure the engine, not first-query
         # codegen/plan-compilation overhead
         for _ in range(warmup):
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        before = _stage_totals(spark)
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # status store updates async off the event bus — give it a beat
+        # (outside the timer) before snapshotting
+        time.sleep(0.2)
+        after = _stage_totals(spark)
+        if before is not None and after is not None:
+            io[name] = {k: after[k] - before[k] for k in after}
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -82,10 +137,13 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    if io:
+        out["io"] = io
     # per-query delta vs the previous round's bench (only comparable
     # at the same scale factor) so regressions are visible at a glance
     try:
-        with open(PREV_BENCH) as f:
+        prev_path = _latest_prev_bench()
+        with open(prev_path) as f:  # type: ignore[arg-type]
             prev = json.load(f)
         # the driver wraps our JSON line under "parsed"
         prev = prev.get("parsed", prev)
@@ -95,7 +153,16 @@ def main() -> None:
                 for name, t in timings.items()
                 if name in prev.get("queries", {})
             }
-    except (OSError, ValueError, KeyError):
+            prev_io = prev.get("io", {})
+            shuffle_delta = {
+                name: io[name]["shuffle_write_bytes"]
+                - prev_io[name]["shuffle_write_bytes"]
+                for name in io
+                if name in prev_io
+            }
+            if shuffle_delta:
+                out["shuffle_write_vs_prev"] = shuffle_delta
+    except (OSError, ValueError, KeyError, TypeError):
         pass
     print(json.dumps(out))
 

@@ -1404,6 +1404,29 @@ REGISTRY.update(
 )
 
 
+def q_near_dups_auto(spark, sf_dir):
+    """v3c — the PRODUCTION near-dup plan: `num_planes=None` lets
+    `recommended_planes` size the bucket count to the corpus
+    (ceil(log2(n/1024)), multi-probe recall recovery).  No static
+    oracle: the plane count is data-dependent, so the hyperplane
+    literals an oracle needs cannot be fixed per scale factor — the
+    operator's semantics are already oracle-gated at fixed plane
+    counts by v3/v3b; this entry exists so the BENCHED plan is the
+    auto-sized plan users actually run (VERDICT r2 item 4)."""
+    from stampede_to_fresco_etl_spark.operators.similarity import (
+        embedding_near_dups,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    return embedding_near_dups(
+        emb, num_planes=None, dim=ND_DIM, min_cosine=ND_MIN_COS,
+        multi_probe=True,
+    )
+
+
+REGISTRY.update({"v3c_near_dups_auto": (q_near_dups_auto, None)})
+
+
 # ---------------------------------------------------------------------------
 # Deep multi-way join trees over the full star schema (broadcast dims
 # chained: region ⋈ nation ⋈ customer/supplier ⋈ orders ⋈ lineitem ⋈
@@ -1604,6 +1627,70 @@ FROM documents
 
 
 REGISTRY.update({"mm2_decode_meta": (q_decode_meta, SQL_DECODE_META)})
+
+
+# ---------------------------------------------------------------------------
+# MM3 — real nearest-neighbor resize (binary→binary mapInPandas).
+# Payloads are synthetic 8×8 RGB888 rasters built from the document
+# text (padded/truncated to 192 bytes — ASCII, so char ops == byte
+# ops on both engines); the operator NN-resizes them to 4×4.  The
+# oracle re-expresses the floor-scale pixel selection as hex-substring
+# arithmetic — full content equality on the resized bytes.
+# ---------------------------------------------------------------------------
+
+_MM3_SRC_W, _MM3_SRC_H, _MM3_OUT_W, _MM3_OUT_H = 8, 8, 4, 4
+
+
+def q_resize(spark, sf_dir):
+    from stampede_to_fresco_etl_spark.operators.multimodal import (
+        resize_image,
+    )
+
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.rpad(F.col("text"), _MM3_SRC_W * _MM3_SRC_H * 3, " ")
+        .cast("binary")
+        .alias("payload"),
+        F.lit(_MM3_SRC_W).cast("long").alias("width"),
+        F.lit(_MM3_SRC_H).cast("long").alias("height"),
+    )
+    out = resize_image(docs, _MM3_OUT_W, _MM3_OUT_H)
+    return out.select(
+        "media_id",
+        F.lower(F.hex(F.col("payload"))).alias("resized_hex"),
+        "width",
+        "height",
+        "digest",
+    )
+
+
+def _sql_resize() -> str:
+    # floor-scale NN: out (y,x) <- src (y*H//out_h, x*W//out_w);
+    # 1-based hex offset of src pixel = ((sy*W + sx)*3)*2 + 1
+    chunks = []
+    for y in range(_MM3_OUT_H):
+        for x in range(_MM3_OUT_W):
+            sy = (y * _MM3_SRC_H) // _MM3_OUT_H
+            sx = (x * _MM3_SRC_W) // _MM3_OUT_W
+            off = ((sy * _MM3_SRC_W + sx) * 3) * 2 + 1
+            chunks.append(f"substr(hx, {off}, 6)")
+    cat = " || ".join(chunks)
+    n = _MM3_SRC_W * _MM3_SRC_H * 3
+    return f"""
+WITH s AS (
+  SELECT doc_id AS media_id,
+         lower(hex(rpad(text, {n}, ' ')::BLOB)) AS hx
+  FROM documents
+)
+SELECT media_id, {cat} AS resized_hex,
+       CAST({_MM3_OUT_W} AS BIGINT) AS width,
+       CAST({_MM3_OUT_H} AS BIGINT) AS height,
+       md5({cat}) AS digest
+FROM s
+"""
+
+
+REGISTRY.update({"mm3_resize": (q_resize, _sql_resize())})
 
 
 # ---------------------------------------------------------------------------
@@ -2337,6 +2424,42 @@ FROM s
 """
 
 
+def q_kmv_sketch_only(spark, sf_dir):
+    """K1b — KMV in its 100 TB shape (`with_exact=False`): the sketch
+    and estimate WITHOUT the count-distinct audit exchange.  One
+    full-data shuffle total; the below-k fallback comes from
+    sketch_size, which equals the true distinct count exactly when
+    the universe fits in the sketch."""
+    from stampede_to_fresco_etl_spark.operators.sketches import kmv_distinct
+
+    e = load(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    return kmv_distinct(e, "event_type", "user_id", k=64, with_exact=False)
+
+
+SQL_KMV_SKETCH_ONLY = f"""
+WITH h AS (
+  SELECT DISTINCT event_type, {_KMV_H} AS h
+  FROM events WHERE user_id IS NOT NULL
+),
+r AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM h
+),
+s AS (
+  SELECT event_type,
+         max(CASE WHEN rn <= 64 THEN h END) AS kth_hash,
+         CAST(least(count(*), 64) AS BIGINT) AS sketch_size
+  FROM r GROUP BY event_type
+)
+SELECT event_type, sketch_size, kth_hash,
+       CASE WHEN sketch_size >= 64
+            THEN (63.0 * 1152921504606846976.0) / CAST(kth_hash AS DOUBLE)
+            ELSE CAST(sketch_size AS DOUBLE) END AS est_distinct
+FROM s
+"""
+
+
 def q_keyword_topk(spark, sf_dir):
     """X6 — TF-IDF-style keyword extraction: top-3 terms per document
     scored tf × idf with the RATIONAL idf (N - df + 0.5)/(df + 0.5)
@@ -2460,6 +2583,7 @@ REGISTRY.update(
     {
         "d5_dup_clusters": (q_dup_clusters, SQL_DUP_CLUSTERS),
         "k1_kmv_distinct": (q_kmv_distinct, SQL_KMV_DISTINCT),
+        "k1b_kmv_sketch_only": (q_kmv_sketch_only, SQL_KMV_SKETCH_ONLY),
         "x6_keyword_topk": (q_keyword_topk, SQL_KEYWORD_TOPK),
         "x7_heavy_hitters": (q_heavy_hitters, SQL_HEAVY_HITTERS),
         "x8_redact": (q_redact, SQL_REDACT),
@@ -3128,3 +3252,48 @@ FROM s
 
 
 REGISTRY.update({"w4_legacy_formulas": (q_legacy_formulas, SQL_LEGACY_FORMULAS)})
+
+
+# ---------------------------------------------------------------------------
+# Enumeration order: the driver's correctness run covers the first N
+# registry entries per round, so queries that do not yet have a
+# driver-issued CORRECTNESS row enumerate first.  Rotate this list as
+# rounds accumulate coverage; membership in REGISTRY is unchanged.
+# ---------------------------------------------------------------------------
+
+_ENUMERATE_FIRST = [
+    # no driver CORRECTNESS row as of r02 — put these in the first 50
+    "j6_asof_join",
+    "t7_sessionize",
+    "x4_stratified_sample",
+    "x5_quantile_filter",
+    "d5_dup_clusters",
+    "k1_kmv_distinct",
+    "x6_keyword_topk",
+    "x7_heavy_hitters",
+    "x8_redact",
+    "x9_pack_chunks",
+    "x10_mixture_sample",
+    "tpch_q1",
+    "tpch_q10",
+    "tpch_q18",
+    "x11_dataset_split",
+    "a11_cube",
+    "a12_percentile_summary",
+    "j7_semi_join",
+    "j8_anti_join",
+    "j9_full_outer",
+    "f5_replace_rules",
+    "x12_bigram_stats",
+    "v5_embedding_centroids",
+    "w4_legacy_formulas",
+    # new in r3 — need their first driver rows too
+    "mm3_resize",
+    "k1b_kmv_sketch_only",
+    "v3c_near_dups_auto",  # no oracle (data-sized planes): rows-only check
+]
+
+REGISTRY = {
+    **{name: REGISTRY[name] for name in _ENUMERATE_FIRST},
+    **{n: v for n, v in REGISTRY.items() if n not in _ENUMERATE_FIRST},
+}

@@ -52,8 +52,22 @@ def asof_join(
     The right side must be unique per (key, right_ts) — pre-aggregate
     otherwise, or which same-instant row wins is undefined (the same
     caveat DuckDB's ASOF JOIN carries).
+
+    NULL join keys never match (SQL / DuckDB ASOF semantics): null-key
+    right rows are dropped, and null-key left rows bypass the window
+    entirely — emitted unmatched under ``how='left'``, dropped under
+    ``'inner'``.  The bypass also keeps every null-key row out of the
+    single ``partitionBy(NULL)`` mega-partition the window would
+    otherwise funnel them into.
     """
     lcols = left.columns
+    any_key_null = None
+    for k in key_cols:
+        cond = F.col(k).isNull()
+        any_key_null = cond if any_key_null is None else (any_key_null | cond)
+    left_null = left.filter(any_key_null)
+    left = left.filter(~any_key_null)
+    right = right.filter(~any_key_null)
     payload = F.when(
         F.col("__tag") == 1,
         F.struct(F.col(right_ts).alias("ts"), *[F.col(c) for c in value_cols]),
@@ -95,4 +109,7 @@ def asof_join(
         )
     if how == "inner":
         out = out.filter(F.col("asof_ts").isNotNull())
+    else:
+        # null-key left rows re-enter unmatched (asof_ts/payload null)
+        out = out.unionByName(left_null, allowMissingColumns=True)
     return out

@@ -267,10 +267,16 @@ def connected_components(
     cc) frame — ids only, ~16 bytes/row — to cut the iterative
     lineage; swap for checkpoint() on preemptible clusters.
 
-    Driver-side work per sweep is a single `limit(1).count()`
-    convergence probe, never data collection.
+    Driver-side work per sweep is one localCheckpoint materialization
+    plus a `limit(1).count()` probe over the just-cached blocks — the
+    changed-flag is computed INLINE as a column during the sweep
+    (new cc ≠ old cc), so convergence detection adds no join and no
+    shuffle of its own.
 
     Output: (node, cc) — one row per node that appears in `pairs`.
+    Emits a RuntimeWarning if `max_iter` is exhausted before the fixed
+    point: labels are then a valid refinement (every labelled pair IS
+    connected) but one true cluster may still carry several ids.
     """
     edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     sym = edges.union(
@@ -285,6 +291,7 @@ def connected_components(
     )
     if materialize:
         labels = labels.localCheckpoint()
+    converged = False
     for _ in range(max_iter):
         nbr_min = (
             sym.join(
@@ -304,6 +311,7 @@ def connected_components(
             )
             .select(
                 "node",
+                F.col("cc").alias("__old"),
                 F.least(
                     F.col("cc"), F.coalesce(F.col("nbr_cc"), F.col("cc"))
                 ).alias("cc"),
@@ -318,20 +326,32 @@ def connected_components(
             )
             new_labels = new_labels.join(lut, "cc", "left").select(
                 "node",
+                "__old",
                 F.coalesce(F.col("cc2"), F.col("cc")).alias("cc"),
             )
+        # changed-flag rides the sweep's own plan: no extra join
+        new_labels = new_labels.select(
+            "node", "cc", (F.col("cc") != F.col("__old")).alias("__chg")
+        )
         if materialize:
             new_labels = new_labels.localCheckpoint()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.cc") != F.col("o.cc"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        # probe scans the just-materialized blocks and short-circuits
+        changed = new_labels.filter(F.col("__chg")).limit(1).count()
+        labels = new_labels.select("node", "cc")
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"connected_components: no fixed point after {max_iter} "
+            "sweeps; a true cluster may still carry multiple labels — "
+            "raise max_iter (sweeps needed ≈ log2(graph diameter) "
+            "with halving=True)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels
 
 
@@ -345,7 +365,11 @@ def dup_clusters(
 ) -> DataFrame:
     """End-to-end near-dup clustering: n-gram Jaccard pairs →
     connected components → (doc_id, cluster_id, is_canonical).
-    Keep rows where is_canonical to deduplicate the corpus."""
+
+    Output covers only docs that appear in at least one near-dup
+    pair.  To deduplicate the corpus, LEFT-join this onto it and keep
+    rows where ``is_canonical`` is true OR null — docs with no
+    near-duplicate never enter the pair graph and must survive."""
     pairs = ngram_jaccard_pairs(
         df, id_col, text_col,
         shingle_k=shingle_k,

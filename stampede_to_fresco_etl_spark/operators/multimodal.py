@@ -139,15 +139,94 @@ def extract_features(df: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
     )
 
 
-def resize_stub(df: DataFrame, width: int, height: int) -> DataFrame:
-    """Placeholder for a decode→resize→re-encode pass.  The real body
-    needs an imaging library; the plumbing (binary→binary mapInPandas
-    with metadata passthrough) is the contract."""
-    raise NotImplementedError(
-        "resize requires an imaging library not present in this "
-        "environment; use decode_image_meta/extract_features for the "
-        "tested plumbing"
-    )
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("payload", BinaryType(), True),
+        StructField("width", LongType(), True),
+        StructField("height", LongType(), True),
+        StructField("digest", StringType(), True),
+    ]
+)
+
+
+def resize_image(
+    df: DataFrame,
+    out_w: int,
+    out_h: int,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    width_col: str = "width",
+    height_col: str = "height",
+) -> DataFrame:
+    """Nearest-neighbor resize of raw RGB888 rasters (binary→binary
+    mapInPandas — the decode→resize→re-encode pass of an image
+    training pipeline, minus the codec: payloads here are already
+    decoded H×W×3 byte planes, so numpy is the whole kernel).
+
+    Output pixel (y, x) takes source pixel
+    (floor(y·H/out_h), floor(x·W/out_w)) — the floor-scale NN mapping,
+    chosen over PIL's half-pixel-center variant because it is exactly
+    re-expressible in SQL for the oracle (catalog `mm3_resize`).
+    Rows whose payload is NULL, or whose byte count ≠ H·W·3, yield
+    NULL output (malformed media never kills the batch).
+
+    `digest` is md5 of the lowercase hex of the resized bytes —
+    hex-space because the oracle engine's md5 is VARCHAR-only.
+
+    Scale: Arrow-batched like its siblings; peak memory is one batch
+    of decoded rasters, so cap
+    `spark.sql.execution.arrow.maxRecordsPerBatch` when frames are
+    large (a 4K RGB frame is ~24 MB decoded).
+    """
+
+    def fn(batches):
+        # self-contained closure — see decode_image_meta
+        import hashlib as _hashlib
+
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            ids, payloads, digests = [], [], []
+            for mid, p, w, h in zip(
+                pdf[id_col], pdf[payload_col], pdf[width_col], pdf[height_col]
+            ):
+                ids.append(mid)
+                # null ints surface as NaN in pandas — isna covers both
+                if p is None or _pd.isna(w) or _pd.isna(h) or w < 1 or h < 1:
+                    payloads.append(None)
+                    digests.append(None)
+                    continue
+                raw = _np.frombuffer(bytes(p), dtype=_np.uint8)
+                if raw.size != int(h) * int(w) * 3:
+                    payloads.append(None)
+                    digests.append(None)
+                    continue
+                img = raw.reshape(int(h), int(w), 3)
+                ys = (_np.arange(out_h) * int(h)) // out_h
+                xs = (_np.arange(out_w) * int(w)) // out_w
+                resized = img[ys][:, xs].tobytes()
+                payloads.append(resized)
+                digests.append(
+                    _hashlib.md5(resized.hex().encode()).hexdigest()
+                )
+            yield _pd.DataFrame(
+                {
+                    "media_id": _pd.array(ids, dtype="Int64"),
+                    "payload": payloads,
+                    "width": _pd.array([out_w] * len(ids), dtype="Int64"),
+                    "height": _pd.array([out_h] * len(ids), dtype="Int64"),
+                    "digest": digests,
+                }
+            )
+
+    return df.select(
+        F.col(id_col).alias(id_col),
+        F.col(payload_col),
+        F.col(width_col),
+        F.col(height_col),
+    ).mapInPandas(fn, schema=RESIZED_SCHEMA)
 
 
 def binary_meta(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:

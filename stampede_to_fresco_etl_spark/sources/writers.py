@@ -23,11 +23,20 @@ def _check_append_schema(df: DataFrame, path: str) -> None:
     """Reference parity for append safety: the column SETS of the
     incoming frame and the existing target must match exactly
     (step-1/appender.py:241-249).  Parquet's schema merge would
-    otherwise silently null-fill missing/new columns."""
+    otherwise silently null-fill missing/new columns.
+
+    Only PATH_NOT_FOUND disengages the guard (first append creates
+    the target); any other read failure — corrupt footer, permission
+    error, transient FS fault — propagates, because appending into a
+    table we cannot read is exactly when the guard matters most."""
+    from pyspark.errors import AnalysisException
+
     try:
         existing = df.sparkSession.read.parquet(path).columns
-    except Exception:
-        return  # no target yet — first append creates it
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            return  # no target yet — first append creates it
+        raise
     new_cols, old_cols = set(df.columns), set(existing)
     if new_cols != old_cols:
         raise SchemaMismatchError(
@@ -128,9 +137,14 @@ def compact_parquet(
 
     The rewrite is one round-robin repartition to
     ceil(bytes / target) files; the swap goes through the Hadoop
-    FileSystem API (rename old → bak, tmp → live, delete bak) so it
-    works on HDFS/S3A/local alike and readers never see a partial
-    dataset.  Returns the new file count."""
+    FileSystem API (rename old → bak, tmp → live, delete bak).  On
+    HDFS/local, each rename is atomic but there is still a brief gap
+    between the two renames in which the live path does not exist —
+    schedule compaction in a maintenance window or behind a catalog
+    pointer.  On S3A, rename is a non-atomic O(data) copy: use an
+    external coordination step or a table format's manifest pointer
+    swap (Iceberg/Delta) instead of this FS-level swap.  Returns the
+    new file count."""
     df = spark.read.parquet(path)
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()

@@ -52,6 +52,32 @@ def test_asof_join_basic_inclusive_and_unmatched(spark):
     assert {r["eid"] for r in inner.collect()} == {2, 3, 4, 5}
 
 
+def test_asof_join_null_keys_never_match(spark):
+    # SQL/DuckDB ASOF semantics: NULL keys match nothing — neither a
+    # NULL-key right row nor each other (ADVICE r2: partitionBy would
+    # otherwise group NULLs together and enrich NULL from NULL).
+    left = spark.createDataFrame(
+        [
+            Row(eid=1, k=None, ts=t(10)),   # null key -> unmatched
+            Row(eid=2, k="u1", ts=t(10)),   # normal match
+        ]
+    )
+    right = spark.createDataFrame(
+        [
+            Row(k=None, ts=t(5), v=99.0),   # null-key right row: dropped
+            Row(k="u1", ts=t(5), v=50.0),
+        ]
+    )
+    out = {r["eid"]: r for r in asof_join(
+        left, right, ["k"], "ts", "ts", ["v"]).collect()}
+    assert len(out) == 2
+    assert out[1]["v"] is None and out[1]["asof_ts"] is None
+    assert out[2]["v"] == 50.0
+
+    inner = asof_join(left, right, ["k"], "ts", "ts", ["v"], how="inner")
+    assert {r["eid"] for r in inner.collect()} == {2}
+
+
 def test_asof_join_tolerance(spark):
     left = spark.createDataFrame(
         [Row(eid=1, k="u", ts=t(30))]  # 25 min after the right row

@@ -184,3 +184,48 @@ def test_binary_meta_sql_path(spark):
     import hashlib
 
     assert r["digest"] == hashlib.md5(b"hello").hexdigest()
+
+
+def test_resize_image_hand_computed(spark):
+    import numpy as np
+
+    from stampede_to_fresco_etl_spark.operators.multimodal import (
+        resize_image,
+    )
+
+    # 2×2 RGB image: pixels A B / C D; NN floor-scale to 1×1 keeps A
+    a, b, c, d = (1, 2, 3), (4, 5, 6), (7, 8, 9), (10, 11, 12)
+    img = bytes(a + b + c + d)
+    df = spark.createDataFrame(
+        [Row(media_id=1, payload=img, width=2, height=2)]
+    )
+    r = resize_image(df, 1, 1).first()
+    assert bytes(r["payload"]) == bytes(a)
+    assert r["width"] == 1 and r["height"] == 1
+
+    # upscale 2×2 -> 4×4 duplicates every pixel in a 2×2 block
+    up = resize_image(df, 4, 4).first()
+    got = np.frombuffer(bytes(up["payload"]), dtype=np.uint8).reshape(
+        4, 4, 3
+    )
+    src = np.frombuffer(img, dtype=np.uint8).reshape(2, 2, 3)
+    for y in range(4):
+        for x in range(4):
+            assert (got[y, x] == src[y // 2, x // 2]).all()
+
+
+def test_resize_image_malformed_and_null(spark):
+    from stampede_to_fresco_etl_spark.operators.multimodal import (
+        resize_image,
+    )
+
+    df = spark.createDataFrame(
+        [
+            Row(media_id=1, payload=b"short", width=2, height=2),
+            Row(media_id=2, payload=None, width=2, height=2),
+            Row(media_id=3, payload=b"\x00" * 12, width=None, height=2),
+        ]
+    )
+    rows = {r["media_id"]: r for r in resize_image(df, 1, 1).collect()}
+    assert all(rows[i]["payload"] is None for i in (1, 2, 3))
+    assert all(rows[i]["digest"] is None for i in (1, 2, 3))
