@@ -16,7 +16,7 @@ resemblance sketches; Charikar '02 random hyperplane rounding).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Observation
 from pyspark.sql import functions as F
 
 from stampede_to_fresco_etl_spark.functions import md5_int63, minhash_slot
@@ -52,15 +52,31 @@ def _shingled(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
     The token array is materialized as a column BEFORE the shingle
     transform: Spark does no common-subexpression elimination inside
     lambda bodies, so inlining `split()` would re-run the regex split
-    for every element_at (measured ~10× slower)."""
-    toks = df.select(
-        F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("t")
-    )
-    return (
-        toks.select(
-            "doc", F.explode(word_shingles(F.col("t"), k)).alias("shingle")
-        )
-        .distinct()
+    for every element_at (measured ~10× slower).
+
+    Per-doc set semantics come from `array_distinct` BEFORE the
+    explode — in-row, zero shuffle — rather than a `.distinct()` on
+    the exploded frame, which would shuffle every (doc, shingle) row
+    (at 100 TB that is a full-corpus exchange spent deduplicating
+    within-document repeats that the array op removes for free).
+
+    Without the distinct's exchange the explode inherits the scan's
+    partitioning, so a small input (one parquet file) would leave the
+    tokenize+explode single-threaded: spread the RAW doc frame (pre-
+    tokenize, so the shuffle carries text, not the larger token
+    arrays) across the cluster when — and only when — the scan has
+    fewer partitions than cores.  A 100 TB scan already has thousands
+    of splits and skips this."""
+    raw = df.select(F.col(id_col).alias("doc"), F.col(text_col))
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if raw.rdd.getNumPartitions() < par:
+        raw = raw.repartition(par)
+    toks = raw.select("doc", tokens(F.col(text_col)).alias("t"))
+    return toks.select(
+        "doc",
+        F.explode(F.array_distinct(word_shingles(F.col("t"), k))).alias(
+            "shingle"
+        ),
     )
 
 
@@ -182,9 +198,10 @@ def ngram_jaccard_pairs(
     jaccard values for surviving shingle sets are true Jaccard
     similarities of (set minus hot shingles), and any engine can
     reproduce the result with the same HAVING df <= cap filter."""
-    # the shingle set feeds three plan branches (sizes + both join
-    # sides) — materialize once instead of recomputing the explode
-    sh = _shingled(df, id_col, text_col, shingle_k)
+    # the shingle set feeds four plan branches (hot-df count, sizes,
+    # both join sides) — materialize BEFORE the first consumer so the
+    # tokenize+explode+distinct pass runs once, not once per branch
+    sh = _shingled(df, id_col, text_col, shingle_k).localCheckpoint()
     if max_shingle_df is not None:
         hot = (
             sh.groupBy("shingle")
@@ -195,7 +212,6 @@ def ngram_jaccard_pairs(
         # broadcast anti-join: the hot set is tiny by construction
         # (few shingles exceed a sane cap), so no extra shuffle
         sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
-    sh = sh.localCheckpoint()
     sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -243,6 +259,7 @@ def connected_components(
     max_iter: int = 25,
     materialize: bool = True,
     halving: bool = True,
+    small_graph_edges: int = 500_000,
 ) -> DataFrame:
     """Resolve duplicate-pair output into clusters: every node gets
     the MINIMUM id reachable through the pair graph as its cluster
@@ -267,11 +284,12 @@ def connected_components(
     cc) frame — ids only, ~16 bytes/row — to cut the iterative
     lineage; swap for checkpoint() on preemptible clusters.
 
-    Driver-side work per sweep is one localCheckpoint materialization
-    plus a `limit(1).count()` probe over the just-cached blocks — the
-    changed-flag is computed INLINE as a column during the sweep
-    (new cc ≠ old cc), so convergence detection adds no join and no
-    shuffle of its own.
+    Each sweep is exactly ONE Spark job: the changed-flag is computed
+    inline as a column (new cc ≠ old cc), and its max is collected
+    via `Observation` during the localCheckpoint's own materializing
+    action — convergence detection adds no join, no shuffle, and no
+    probe job.  (With ``materialize=False`` a `limit(1).count()`
+    probe triggers the sweep instead.)
 
     Output: (node, cc) — one row per node that appears in `pairs`.
     Emits a RuntimeWarning if `max_iter` is exhausted before the fixed
@@ -282,8 +300,21 @@ def connected_components(
     sym = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
+    small = False
     if materialize:
         sym = sym.localCheckpoint()
+        # adaptive physical mode: after a Jaccard/LSH threshold the
+        # surviving pair graph is often tiny relative to the corpus.
+        # When the (already-materialized, so the count is a cached-
+        # block scan) edge list is below `small_graph_edges`, every
+        # label-sized frame fits in one broadcast, and each sweep
+        # collapses from ~5 exchanges to map-side joins + one small
+        # aggregate — the iterative twin of AQE's runtime broadcast
+        # pick, which AQE itself cannot make across localCheckpoint
+        # boundaries.  Label/nbr frames are bounded by 2·edges rows
+        # of two longs, so the broadcast is ≤ ~16 MB at the default.
+        small = sym.count() <= small_graph_edges
+    _bc = F.broadcast if small else (lambda d: d)
     labels = (
         sym.select(F.col("src").alias("node"))
         .distinct()
@@ -295,8 +326,10 @@ def connected_components(
     for _ in range(max_iter):
         nbr_min = (
             sym.join(
-                labels.select(
-                    F.col("node").alias("dst"), F.col("cc").alias("nbr_cc")
+                _bc(
+                    labels.select(
+                        F.col("node").alias("dst"), F.col("cc").alias("nbr_cc")
+                    )
                 ),
                 "dst",
             )
@@ -305,7 +338,7 @@ def connected_components(
         )
         new_labels = (
             labels.join(
-                nbr_min.select(F.col("src").alias("node"), "nbr_cc"),
+                _bc(nbr_min.select(F.col("src").alias("node"), "nbr_cc")),
                 "node",
                 "left",
             )
@@ -324,7 +357,7 @@ def connected_components(
             lut = new_labels.select(
                 F.col("node").alias("cc"), F.col("cc").alias("cc2")
             )
-            new_labels = new_labels.join(lut, "cc", "left").select(
+            new_labels = new_labels.join(_bc(lut), "cc", "left").select(
                 "node",
                 "__old",
                 F.coalesce(F.col("cc2"), F.col("cc")).alias("cc"),
@@ -334,9 +367,16 @@ def connected_components(
             "node", "cc", (F.col("cc") != F.col("__old")).alias("__chg")
         )
         if materialize:
-            new_labels = new_labels.localCheckpoint()
-        # probe scans the just-materialized blocks and short-circuits
-        changed = new_labels.filter(F.col("__chg")).limit(1).count()
+            # the convergence metric rides the checkpoint job itself
+            # (Observation populates during the materializing action),
+            # so each sweep is exactly ONE Spark job — no probe job
+            obs = Observation()
+            new_labels = new_labels.observe(
+                obs, F.max("__chg").alias("chg")
+            ).localCheckpoint()
+            changed = 1 if obs.get["chg"] else 0
+        else:
+            changed = new_labels.filter(F.col("__chg")).limit(1).count()
         labels = new_labels.select("node", "cc")
         if changed == 0:
             converged = True
