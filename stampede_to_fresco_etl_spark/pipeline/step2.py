@@ -55,12 +55,14 @@ def parse_accounting(raw: DataFrame) -> DataFrame:
     return df.dropna(subset=["jobID", "start", "end", "submit"])
 
 
-def join_and_widen(
+def _bucketed(
     metrics: DataFrame,
     accounting: DataFrame,
     window_sec: int = DEFAULT_WINDOW_SECONDS,
-) -> DataFrame:
-    """The whole step-2 dataflow as one plan (consumer.py:295-591)."""
+):
+    """metrics ⋈ accounting → job-aligned clamped buckets, grouped by
+    the full wide-table key + Event — the shared front half of the
+    batch plan and the per-micro-batch partial aggregation."""
     joined = join_metrics_to_accounting(metrics, accounting)
 
     # Job-aligned tumbling buckets clamped to job end; midpoint time
@@ -73,8 +75,8 @@ def join_and_widen(
         duration_sec=window_sec,
     )
 
-    # mean(Value) per (job, host, bucket, Event) (consumer.py:428-430).
-    agg = joined.groupBy(
+    # group per (job, host, bucket, Event) (consumer.py:428-430).
+    return joined.groupBy(
         "jid",
         F.col("Host").alias("host"),
         "time",
@@ -90,8 +92,60 @@ def join_and_widen(
         F.col("exit_status").alias("exitcode"),
         F.col("user").alias("username"),
         "Event",
-    ).agg(F.avg("Value").alias("avg_value"))
+    )
 
+
+def partial_step2(
+    metrics: DataFrame,
+    accounting: DataFrame,
+    window_sec: int = DEFAULT_WINDOW_SECONDS,
+) -> DataFrame:
+    """The ADDITIVE decomposition of the step-2 aggregate: (sum, n)
+    per (wide key × Event).  mean is not mergeable across arrival
+    batches, sum/count is — this is the state a streaming/incremental
+    maintainer carries (streaming/step2_stream.py), and two partial
+    frames merge exactly via `merge_partials`."""
+    return _bucketed(metrics, accounting, window_sec).agg(
+        F.sum("Value").alias("sum_value"),
+        F.count("Value").alias("n_value"),
+    )
+
+
+def merge_partials(*partials: DataFrame) -> DataFrame:
+    """Merge partial (sum, n) frames: union + re-sum per group."""
+    merged = partials[0]
+    for p in partials[1:]:
+        merged = merged.unionByName(p)
+    keys = [c for c in merged.columns if c not in ("sum_value", "n_value")]
+    return merged.groupBy(*keys).agg(
+        F.sum("sum_value").alias("sum_value"),
+        F.sum("n_value").alias("n_value"),
+    )
+
+
+def finish_step2(partials: DataFrame) -> DataFrame:
+    """Back half of the step-2 plan from partial aggregates: mean =
+    sum/n, pivot, value_gpu, host_list, output projection."""
+    agg = partials.select(
+        *[c for c in partials.columns if c not in ("sum_value", "n_value")],
+        (F.col("sum_value") / F.col("n_value")).alias("avg_value"),
+    )
+    return _widen(agg)
+
+
+def join_and_widen(
+    metrics: DataFrame,
+    accounting: DataFrame,
+    window_sec: int = DEFAULT_WINDOW_SECONDS,
+) -> DataFrame:
+    """The whole step-2 dataflow as one plan (consumer.py:295-591)."""
+    agg = _bucketed(metrics, accounting, window_sec).agg(
+        F.avg("Value").alias("avg_value")
+    )
+    return _widen(agg)
+
+
+def _widen(agg: DataFrame) -> DataFrame:
     # Pivot with the fixed 5-event list; value_gpu always null
     # (consumer.py:438-442,483-491).
     keys = [c for c in agg.columns if c not in ("Event", "avg_value")]
@@ -133,6 +187,9 @@ def run_step2(
 __all__ = [
     "parse_accounting",
     "join_and_widen",
+    "partial_step2",
+    "merge_partials",
+    "finish_step2",
     "run_step2",
     "normalize_job_id",
 ]
