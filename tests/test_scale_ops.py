@@ -218,3 +218,56 @@ def test_mixture_and_redact_are_shuffle_free(spark):
 
     plan = _plan(REGISTRY["x8_redact"][0](spark, "/root/testdata/sf0.001"))
     assert "Exchange" not in plan  # per-row column expressions only
+
+
+def test_bucketed_interval_join_skew_invariant(spark):
+    """Hot-key rehearsal guard (SCALE.md §skew): one job owning half
+    of all metric rows must produce IDENTICAL join output whether
+    AQE's skew-join splitting is on or off — splitting is a physical
+    choice, never a semantic one.  The measured 10M-row spread lives
+    in scripts/skew_rehearsal.py (p99 task 1.4s split vs 10.4s hot
+    reducer unsplit)."""
+    from stampede_to_fresco_etl_spark.operators.interval_join import (
+        bucketed_interval_join,
+    )
+
+    n = 200_000
+    ev = spark.range(n).select(
+        F.when(F.col("id") % 2 == 0, F.lit("J0"))
+        .otherwise(F.concat(F.lit("J"), F.col("id") % 50))
+        .alias("jid"),
+        F.timestamp_micros(
+            F.unix_micros(F.to_timestamp(F.lit("2013-03-01 00:00:00")))
+            + (F.col("id") % 3000) * 1_000_000
+        ).alias("ts"),
+        (F.col("id") % 97).cast("double").alias("value"),
+    )
+    iv = spark.range(50).select(
+        F.concat(F.lit("J"), F.col("id")).alias("ijid"),
+        F.to_timestamp(F.lit("2013-03-01 00:00:00")).alias("start"),
+        F.timestamp_micros(
+            F.unix_micros(F.to_timestamp(F.lit("2013-03-01 00:00:00")))
+            + 3600 * 1_000_000
+        ).alias("end"),
+    )
+
+    def run():
+        out = bucketed_interval_join(
+            ev, iv, "jid", "ijid", "ts", "start", "end"
+        )
+        return (
+            out.groupBy("jid")
+            .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+            .collect()
+        )
+
+    prev = spark.conf.get("spark.sql.adaptive.skewJoin.enabled")
+    try:
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        with_split = {r["jid"]: (r["n"], r["s"]) for r in run()}
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        without = {r["jid"]: (r["n"], r["s"]) for r in run()}
+    finally:
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", prev)
+    assert with_split == without
+    assert with_split["J0"][0] == n // 2  # the hot key really is hot
