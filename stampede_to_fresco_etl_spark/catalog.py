@@ -1412,7 +1412,14 @@ def q_near_dups_auto(spark, sf_dir):
     literals an oracle needs cannot be fixed per scale factor — the
     operator's semantics are already oracle-gated at fixed plane
     counts by v3/v3b; this entry exists so the BENCHED plan is the
-    auto-sized plan users actually run (VERDICT r2 item 4)."""
+    auto-sized plan users actually run (VERDICT r2 item 4).
+
+    target_bucket_rows is the recall/cost dial: per-vector work ≈
+    target · (planes+1) / 2 cosines (linear in n by construction —
+    the sf0.1→sf1 rehearsal measured ~1× ratio per 10× data).  256
+    with multi-probe ≈ 0.85 expected recall at cos 0.95 (P[≤1 plane
+    flip], flip prob θ/π ≈ 0.1); the 1024 default trades 4× more
+    cosine work for ≈ 0.92."""
     from stampede_to_fresco_etl_spark.operators.similarity import (
         embedding_near_dups,
     )
@@ -1420,7 +1427,7 @@ def q_near_dups_auto(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
     return embedding_near_dups(
         emb, num_planes=None, dim=ND_DIM, min_cosine=ND_MIN_COS,
-        multi_probe=True,
+        multi_probe=True, target_bucket_rows=256,
     )
 
 
@@ -3255,6 +3262,181 @@ REGISTRY.update({"w4_legacy_formulas": (q_legacy_formulas, SQL_LEGACY_FORMULAS)}
 
 
 # ---------------------------------------------------------------------------
+# X13 — Gopher-style quality signals (Rae et al. 2021 repetition /
+# quality heuristics): the pre-tokenization filter battery of an LLM
+# data pipeline.  Every ratio is one IEEE division of exact integer
+# counts — bit-identical in any engine.
+# ---------------------------------------------------------------------------
+
+def q_quality_signals(spark, sf_dir):
+    from stampede_to_fresco_etl_spark.operators.text import quality_signals
+
+    return quality_signals(
+        load(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
+SQL_QUALITY_SIGNALS = f"""
+WITH b AS (
+  SELECT doc_id, text, {_D_TOKS} AS t,
+         string_split(text, chr(10)) AS lines
+  FROM documents
+), c AS (
+  SELECT doc_id,
+         CAST(len(t) AS BIGINT) AS n_words,
+         CAST(len(lines) AS BIGINT) AS n_lines,
+         CAST(coalesce(list_sum(list_transform(t, x -> length(x))), 0)
+              AS BIGINT) AS word_chars,
+         CAST(len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]')))
+              AS BIGINT) AS alpha_words,
+         CAST(length(text) - length(replace(text, '#', ''))
+              + (length(text) - length(replace(text, '...', ''))) // 3
+              AS BIGINT) AS symbols,
+         CAST(len(list_filter(lines, l -> l LIKE '- %' OR l LIKE '* %'))
+              AS BIGINT) AS bullet_lines,
+         CAST(len(list_filter(lines, l -> l LIKE '%...')) AS BIGINT)
+              AS ellipsis_lines,
+         CAST(len(list_distinct(lines)) AS BIGINT) AS n_dlines,
+         CAST(coalesce(list_sum(list_transform(lines, x -> length(x))), 0)
+              AS BIGINT) AS line_chars,
+         CAST(coalesce(list_sum(list_transform(list_distinct(lines),
+                                               x -> length(x))), 0)
+              AS BIGINT) AS dline_chars
+  FROM b
+)
+SELECT doc_id, n_words,
+       CAST(word_chars AS DOUBLE) / CAST(n_words AS DOUBLE)
+         AS mean_word_len,
+       CAST(alpha_words AS DOUBLE) / CAST(n_words AS DOUBLE)
+         AS alpha_word_ratio,
+       CAST(symbols AS DOUBLE) / CAST(n_words AS DOUBLE)
+         AS symbol_word_ratio,
+       n_lines,
+       CAST(bullet_lines AS DOUBLE) / CAST(n_lines AS DOUBLE)
+         AS bullet_line_ratio,
+       CAST(ellipsis_lines AS DOUBLE) / CAST(n_lines AS DOUBLE)
+         AS ellipsis_line_ratio,
+       1.0 - CAST(n_dlines AS DOUBLE) / CAST(n_lines AS DOUBLE)
+         AS dup_line_ratio,
+       1.0 - CAST(dline_chars AS DOUBLE)
+           / CAST(NULLIF(line_chars, 0) AS DOUBLE)
+         AS dup_line_char_ratio
+FROM c
+"""
+
+
+REGISTRY.update({"x13_quality_signals": (q_quality_signals, SQL_QUALITY_SIGNALS)})
+
+
+# ---------------------------------------------------------------------------
+# X14 — trailing time-range rolling aggregates (moving average /
+# burst detection over irregular telemetry).  The summed value is
+# floor-scaled to a BIGINT BEFORE the window, so the rolling sum is
+# exact whatever frame-evaluation tree each engine uses (Spark
+# recomputes sliding frames; DuckDB uses segment trees — double sums
+# would round differently).
+# ---------------------------------------------------------------------------
+
+_ROLL_SECONDS = 300
+
+
+def q_rolling_stats(spark, sf_dir):
+    from stampede_to_fresco_etl_spark.operators.windows import rolling_stats
+
+    e = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.floor(F.col("value") * F.lit(10000.0))
+            .cast("long")
+            .alias("value_scaled"),
+        )
+    )
+    return rolling_stats(
+        e, ["user_id"], "ts", "value_scaled", _ROLL_SECONDS,
+        extra_cols=["event_id"],
+    ).select(
+        "user_id", "event_id", "ts",
+        "roll_n", "roll_sum", "roll_min", "roll_max",
+    )
+
+
+SQL_ROLLING_STATS = f"""
+WITH e AS (
+  SELECT user_id, event_id, ts,
+         CAST(FLOOR(value * 10000.0) AS BIGINT) AS value_scaled
+  FROM events WHERE user_id IS NOT NULL
+)
+SELECT user_id, event_id, ts,
+       CAST(count(value_scaled) OVER w AS BIGINT) AS roll_n,
+       CAST(sum(value_scaled) OVER w AS BIGINT) AS roll_sum,
+       min(value_scaled) OVER w AS roll_min,
+       max(value_scaled) OVER w AS roll_max
+FROM e
+WINDOW w AS (
+  PARTITION BY user_id ORDER BY epoch_us(ts)
+  RANGE BETWEEN {_ROLL_SECONDS * 1_000_000} PRECEDING AND CURRENT ROW
+)
+"""
+
+
+REGISTRY.update({"x14_rolling_stats": (q_rolling_stats, SQL_ROLLING_STATS)})
+
+
+# ---------------------------------------------------------------------------
+# V6 — symmetric int8 embedding quantization (the 4× storage cut
+# before shipping vectors to an ANN tier).  floor() quantization and
+# integer-scaled reconstruction error keep every output engine-exact.
+# ---------------------------------------------------------------------------
+
+def q_quantize_int8(spark, sf_dir):
+    from stampede_to_fresco_etl_spark.operators.similarity import (
+        quantize_int8,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    return quantize_int8(emb, "vec_id", "embedding").select(
+        "vec_id", "scale", "q_digest", "err_scaled"
+    )
+
+
+SQL_QUANTIZE_INT8 = """
+WITH v AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), m AS (
+  SELECT vec_id, v,
+         list_max(list_transform(v, x -> abs(x))) AS max_abs
+  FROM v
+), q AS (
+  SELECT vec_id, v, max_abs,
+         CASE WHEN max_abs = 0 THEN 0.0 ELSE max_abs / 127.0 END AS scale,
+         CASE WHEN max_abs = 0
+              THEN list_transform(v, x -> CAST(0 AS INTEGER))
+              ELSE list_transform(
+                     v, x -> CAST(FLOOR(x * 127.0 / max_abs) AS INTEGER))
+         END AS q
+  FROM m
+)
+SELECT vec_id, scale,
+       md5(array_to_string(q, ',')) AS q_digest,
+       CAST(list_sum(list_transform(range(1, len(v) + 1),
+              i -> CAST(FLOOR((v[i] - q[i] * scale)
+                              * (v[i] - q[i] * scale)
+                              * 1000000000000.0) AS BIGINT)))
+            AS BIGINT) AS err_scaled
+FROM q
+"""
+
+
+REGISTRY.update({"v6_quantize_int8": (q_quantize_int8, SQL_QUANTIZE_INT8)})
+
+
+# ---------------------------------------------------------------------------
 # Enumeration order: the driver's correctness run covers the first N
 # registry entries per round, so queries that do not yet have a
 # driver-issued CORRECTNESS row enumerate first.  Rotate this list as
@@ -3290,6 +3472,9 @@ _ENUMERATE_FIRST = [
     # new in r3 — need their first driver rows too
     "mm3_resize",
     "k1b_kmv_sketch_only",
+    "x13_quality_signals",
+    "x14_rolling_stats",
+    "v6_quantize_int8",
     "v3c_near_dups_auto",  # no oracle (data-sized planes): rows-only check
 ]
 

@@ -402,3 +402,60 @@ def embedding_near_dups(
         )
         .filter(F.col("cos_sim") >= min_cosine)
     )
+
+
+def quantize_int8(
+    df: DataFrame, id_col: str, vec_col: str, err_scale: int = 10**12
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization of an embedding column —
+    the 4× storage/bandwidth cut an ANN serving tier takes before
+    shipping 100 TB of float32 vectors ([-max_abs, max_abs] mapped to
+    [-127, 127]).
+
+    q_j = floor(v_j · 127 / max_abs), scale = max_abs / 127, so
+    dequantization is q_j · scale.  FLOOR, not round-half-even:
+    rounding modes differ across engines/libms, floor of an exactly-
+    computed double does not — every column here reproduces
+    bit-for-bit in any engine (same policy as the floor-scaled sums in
+    the catalog oracles).  Zero vectors quantize to zeros with
+    scale 0.
+
+    Reconstruction error is reported as Σ floor((v_j − q_j·scale)² ·
+    err_scale) — an integer, so the sum is associative and
+    order-independent (a double Σ of squares would depend on fold
+    order).
+
+    Pure per-row column arithmetic: no shuffle, no UDF.
+
+    Output: (id_col, q array<int>, scale double, q_digest,
+    err_scaled bigint)."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    max_abs = F.array_max(F.transform(v, F.abs))
+    scale = max_abs / F.lit(127.0)
+    q = F.when(max_abs == 0.0, F.transform(v, lambda x: F.lit(0))).otherwise(
+        F.transform(v, lambda x: F.floor(x * F.lit(127.0) / max_abs).cast("int"))
+    )
+    err = F.aggregate(
+        F.zip_with(
+            v,
+            q,
+            # (d·d), not pow(d, 2): pow is a libm call whose rounding
+            # can differ 1 ulp across engines; multiply cannot
+            lambda x, qq: F.floor(
+                (x - qq.cast("double") * scale)
+                * (x - qq.cast("double") * scale)
+                * F.lit(float(err_scale))
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, e: acc + e,
+    )
+    return df.select(
+        F.col(id_col),
+        q.alias("q"),
+        F.when(max_abs == 0.0, F.lit(0.0)).otherwise(scale).alias("scale"),
+        F.md5(
+            F.array_join(F.transform(q, lambda x: x.cast("string")), ",")
+        ).alias("q_digest"),
+        err.alias("err_scaled"),
+    )

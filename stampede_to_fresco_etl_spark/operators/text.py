@@ -148,6 +148,77 @@ def heavy_hitters(
     return partial_topk(counts, group_col, "term", k, sim_col="n")
 
 
+def quality_signals(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style document quality heuristics (Rae et al. 2021,
+    §A1.1 repetition/quality filters) as pure Column expressions —
+    the signals a pretraining pipeline thresholds on before tokenizing
+    100 TB of text.  Zero shuffle; one pass over (id, text).
+
+    Output per doc:
+      n_words            whitespace tokens
+      mean_word_len      Σ len(word) / n_words
+      alpha_word_ratio   words containing ≥1 ascii letter / n_words
+      symbol_word_ratio  ('#' + '…'-as-'...') occurrences / n_words
+      n_lines            newline-split line count
+      bullet_line_ratio  lines starting '- ' or '* '
+      ellipsis_line_ratio lines ending '...'
+      dup_line_ratio     1 − distinct lines / lines
+      dup_line_char_ratio 1 − chars in distinct lines / chars in lines
+
+    All ratios are single IEEE divisions of exact integer counts, so
+    any engine reproduces them bit-for-bit (the same reason
+    keyword_topk uses a rational idf)."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    lines = F.split(t, "\n")
+    n_words = F.size(toks).cast("long")
+    n_lines = F.size(lines).cast("long")
+    word_chars = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    alpha_words = F.size(
+        F.filter(toks, lambda w: w.rlike("[A-Za-z]"))
+    ).cast("long")
+    symbols = (
+        F.length(t) - F.length(F.regexp_replace(t, r"#", ""))
+        + (
+            F.length(t) - F.length(F.regexp_replace(t, r"\.\.\.", ""))
+        ) / F.lit(3)
+    ).cast("long")
+    bullet_lines = F.size(
+        F.filter(
+            lines,
+            lambda l: l.startswith("- ") | l.startswith("* "),
+        )
+    ).cast("long")
+    ellipsis_lines = F.size(
+        F.filter(lines, lambda l: l.endswith("..."))
+    ).cast("long")
+    dlines = F.array_distinct(lines)
+    line_chars = F.aggregate(
+        lines, F.lit(0).cast("long"), lambda acc, l: acc + F.length(l)
+    )
+    dline_chars = F.aggregate(
+        dlines, F.lit(0).cast("long"), lambda acc, l: acc + F.length(l)
+    )
+    dbl = lambda c: c.cast("double")  # noqa: E731
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        (dbl(word_chars) / dbl(n_words)).alias("mean_word_len"),
+        (dbl(alpha_words) / dbl(n_words)).alias("alpha_word_ratio"),
+        (dbl(symbols) / dbl(n_words)).alias("symbol_word_ratio"),
+        n_lines.alias("n_lines"),
+        (dbl(bullet_lines) / dbl(n_lines)).alias("bullet_line_ratio"),
+        (dbl(ellipsis_lines) / dbl(n_lines)).alias("ellipsis_line_ratio"),
+        (F.lit(1.0) - dbl(F.size(dlines)) / dbl(n_lines)).alias(
+            "dup_line_ratio"
+        ),
+        (F.lit(1.0) - dbl(dline_chars) / dbl(F.nullif(line_chars, F.lit(0))))
+        .alias("dup_line_char_ratio"),
+    )
+
+
 #: Email pattern restricted to the regex subset (char classes, +,
 #: bracketed literal dot) that Java regex and RE2 interpret
 #: identically — keep engine-portable.

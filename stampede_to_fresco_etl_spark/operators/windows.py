@@ -119,3 +119,51 @@ def with_month(df: DataFrame, ts_col: str, out: str = "year_month") -> DataFrame
     """Calendar month key 'yyyy-MM'
     (utils/organize_parquet_files_into_month_dirs.py:21-47)."""
     return df.withColumn(out, F.date_format(F.col(ts_col), "yyyy-MM"))
+
+
+def rolling_stats(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    window_seconds: int,
+    extra_cols: list[str] | None = None,
+) -> DataFrame:
+    """Trailing time-range rolling aggregates per key: for every row,
+    count/sum/min/max of `value_col` over the key's rows in
+    [ts − window, ts] — the moving-average / burst-detection shape of
+    telemetry analytics, and the batch twin of a sliding stream
+    window.
+
+    RANGE framing over integer microseconds, not ROWS: irregular
+    sampling means "last N rows" and "last N seconds" disagree, and
+    the μs long ordering makes the frame bound exact in any engine
+    (timestamp RANGE frames differ in interval semantics across
+    engines; integers don't).  Ties on (key, ts) are all peers of the
+    frame in RANGE mode, so output is deterministic regardless of row
+    order within a timestamp.
+
+    One shuffle on the key (the window's partitionBy); the rolling
+    frame itself is a per-partition sliding computation.  A hot key
+    concentrates its rows on one reducer — the same hazard and the
+    same remedies as every per-key window (SCALE.md §skew).
+    """
+    from pyspark.sql import Window
+
+    us = F.unix_micros(F.col(ts_col))
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(us)
+        .rangeBetween(-int(window_seconds) * 1_000_000, 0)
+    )
+    v = F.col(value_col)
+    return df.select(
+        *key_cols,
+        *(extra_cols or []),  # row-identity passthrough (no window role)
+        F.col(ts_col),
+        v,
+        F.count(v).over(w).alias("roll_n"),
+        F.sum(v).over(w).alias("roll_sum"),
+        F.min(v).over(w).alias("roll_min"),
+        F.max(v).over(w).alias("roll_max"),
+    )
