@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import math
 
+import pytest
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
@@ -136,3 +137,62 @@ def test_token_stats(spark):
     ).first()
     assert r["n"] == 3
     assert math.isclose(r["r"], 2 / 3, rel_tol=1e-12)
+
+
+def test_prefix_filter_jaccard_output_identical(spark):
+    """AllPairs/PPJoin prefix path must be output-identical to the
+    naive inverted-index join at every threshold (it is a candidate-
+    pruning scheme + exact verification, never an approximation)."""
+    from stampede_to_fresco_etl_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    rows = [
+        Row(doc_id=1, text="a b c d e f g h"),
+        Row(doc_id=2, text="a b c d e f g z"),     # high overlap w/ 1
+        Row(doc_id=3, text="a b c x y z q w"),     # partial overlap
+        Row(doc_id=4, text="p q r s t u v w"),
+        Row(doc_id=5, text="p q r s t u v w"),     # exact dup of 4
+        Row(doc_id=6, text="completely different tokens only here"),
+        Row(doc_id=7, text="a b"),                 # shorter than k
+    ]
+    df = spark.createDataFrame(rows)
+    for t in (0.1, 0.3, 0.5, 0.8, 0.99):
+        naive = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(
+                df, "doc_id", "text", 3, t, None
+            ).collect()
+        }
+        pp = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(
+                df, "doc_id", "text", 3, t, None, prefix_filter=True
+            ).collect()
+        }
+        assert pp == naive, f"divergence at t={t}"
+    # exact duplicate survives at the top threshold
+    top = ngram_jaccard_pairs(
+        df, "doc_id", "text", 3, 0.99, None, prefix_filter=True
+    ).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in top} == {(4, 5)}
+
+    # hot-shingle cap applies identically on both paths
+    capped_naive = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            df, "doc_id", "text", 3, 0.2, 2
+        ).collect()
+    }
+    capped_pp = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            df, "doc_id", "text", 3, 0.2, 2, prefix_filter=True
+        ).collect()
+    }
+    assert capped_pp == capped_naive
+
+    with pytest.raises(ValueError):
+        ngram_jaccard_pairs(
+            df, "doc_id", "text", 3, 0.0, None, prefix_filter=True
+        )
