@@ -3437,6 +3437,185 @@ REGISTRY.update({"v6_quantize_int8": (q_quantize_int8, SQL_QUANTIZE_INT8)})
 
 
 # ---------------------------------------------------------------------------
+# TPC-H shapes, second batch (q6/q12/q14/q16/q19 adapted to the
+# synthetic schema where it lacks a column — noted per query).  The
+# point of each: a distinct physical pattern (pure scan-agg pushdown,
+# conditional aggregation, ratio-of-sums, distinct-count with NOT
+# filters, disjunctive predicate pushdown).
+# ---------------------------------------------------------------------------
+
+def q_tpch_q6(spark, sf_dir):
+    """Q6 forecast revenue: pure scan + conjunctive range filters +
+    one global sum — the canonical predicate-pushdown query (all
+    three filters reach the parquet scan; no shuffle beyond the final
+    2-phase agg)."""
+    l = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return l.agg(
+        dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+SQL_TPCH_Q6 = f"""
+SELECT {DSUM.format(x='l_extendedprice * l_discount')} AS revenue,
+       count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+def q_tpch_q12(spark, sf_dir):
+    """Q12 shape (adapted: the synthetic schema has no l_shipmode /
+    l_receiptdate, so the split key is ship YEAR): per year of
+    l_shipdate, count lineitems on high-priority orders (1-URGENT /
+    2-HIGH) vs the rest — the conditional-aggregation pattern, one
+    join + one hash-agg."""
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    j = l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+    return (
+        j.groupBy(F.year("l_shipdate").cast("long").alias("ship_year"))
+        .agg(
+            F.sum(hi.cast("long")).alias("high_line_count"),
+            F.sum((~hi).cast("long")).alias("low_line_count"),
+        )
+    )
+
+
+SQL_TPCH_Q12 = """
+SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY year(l_shipdate)
+"""
+
+
+def q_tpch_q14(spark, sf_dir):
+    """Q14 promo revenue (adapted to a per-month series instead of
+    one scalar month): ratio of PROMO-part revenue to total per ship
+    month — ratio-of-floor-scaled-sums, broadcast part dim."""
+    l = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    g = j.groupBy(
+        F.date_format("l_shipdate", "yyyy-MM").alias("ship_month")
+    ).agg(
+        dsum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)).alias(
+            "promo_rev"
+        ),
+        dsum(rev).alias("total_rev"),
+    )
+    return g.select(
+        "ship_month", "promo_rev", "total_rev",
+        (F.lit(100.0) * F.col("promo_rev") / F.col("total_rev")).alias(
+            "promo_pct"
+        ),
+    )
+
+
+_Q14_REV = "l_extendedprice * (1 - l_discount)"
+SQL_TPCH_Q14 = f"""
+WITH g AS (
+  SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+         {DSUM.format(x=f"CASE WHEN p_type = 'PROMO' THEN {_Q14_REV} ELSE 0.0 END")}
+           AS promo_rev,
+         {DSUM.format(x=_Q14_REV)} AS total_rev
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY strftime(l_shipdate, '%Y-%m')
+)
+SELECT ship_month, promo_rev, total_rev,
+       100.0 * promo_rev / total_rev AS promo_pct
+FROM g
+"""
+
+
+def q_tpch_q16(spark, sf_dir):
+    """Q16 shape (adapted: no partsupp table — supplier relationships
+    come from lineitem): distinct suppliers per (brand, type, size)
+    excluding one brand and the PROMO type — exact count-distinct
+    under NOT-filters."""
+    l = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#2") & (F.col("p_type") != "PROMO")
+    )
+    j = l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    return j.groupBy("p_brand", "p_type", "p_size").agg(
+        F.countDistinct("l_suppkey").alias("supplier_cnt")
+    )
+
+
+SQL_TPCH_Q16 = """
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#2' AND p_type <> 'PROMO'
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+def q_tpch_q19(spark, sf_dir):
+    """Q19 disjunctive-predicate revenue (adapted to the available
+    part columns): three (brand × size-range × quantity-range) arms
+    OR-ed together — the pattern that tests OR-pushdown and CNF
+    conversion in the planner."""
+    l = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    j = l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    arm = lambda brand, s_lo, s_hi, q_lo, q_hi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & (F.col("p_size") >= s_lo) & (F.col("p_size") <= s_hi)
+        & (F.col("l_quantity") >= q_lo) & (F.col("l_quantity") <= q_hi)
+    )
+    sel = j.filter(
+        arm("Brand#2", 1, 15, 1, 20)
+        | arm("Brand#15", 10, 30, 10, 30)
+        | arm("Brand#23", 20, 50, 20, 40)
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return sel.agg(
+        dsum(rev).alias("revenue"), F.count("*").alias("n_rows")
+    )
+
+
+SQL_TPCH_Q19 = f"""
+SELECT {DSUM.format(x='l_extendedprice * (1 - l_discount)')} AS revenue,
+       count(*) AS n_rows
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#2'  AND p_size BETWEEN 1  AND 15
+       AND l_quantity BETWEEN 1  AND 20)
+   OR (p_brand = 'Brand#15' AND p_size BETWEEN 10 AND 30
+       AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 20 AND 50
+       AND l_quantity BETWEEN 20 AND 40)
+"""
+
+
+REGISTRY.update(
+    {
+        "tpch_q6": (q_tpch_q6, SQL_TPCH_Q6),
+        "tpch_q12": (q_tpch_q12, SQL_TPCH_Q12),
+        "tpch_q14": (q_tpch_q14, SQL_TPCH_Q14),
+        "tpch_q16": (q_tpch_q16, SQL_TPCH_Q16),
+        "tpch_q19": (q_tpch_q19, SQL_TPCH_Q19),
+    }
+)
+
+
+# ---------------------------------------------------------------------------
 # Enumeration order: the driver's correctness run covers the first N
 # registry entries per round, so queries that do not yet have a
 # driver-issued CORRECTNESS row enumerate first.  Rotate this list as
@@ -3475,6 +3654,11 @@ _ENUMERATE_FIRST = [
     "x13_quality_signals",
     "x14_rolling_stats",
     "v6_quantize_int8",
+    "tpch_q6",
+    "tpch_q12",
+    "tpch_q14",
+    "tpch_q16",
+    "tpch_q19",
     "v3c_near_dups_auto",  # no oracle (data-sized planes): rows-only check
 ]
 

@@ -271,3 +271,24 @@ def test_bucketed_interval_join_skew_invariant(spark):
         spark.conf.set("spark.sql.adaptive.skewJoin.enabled", prev)
     assert with_split == without
     assert with_split["J0"][0] == n // 2  # the hot key really is hot
+
+
+def test_tpch_q6_filters_reach_scan(spark):
+    from stampede_to_fresco_etl_spark.catalog import REGISTRY
+
+    plan = _plan(REGISTRY["tpch_q6"][0](spark, "/root/testdata/sf0.001"))
+    # all three range predicates push into the parquet scan
+    assert "PushedFilters:" in plan
+    assert "GreaterThanOrEqual(l_discount,0.05" in plan
+    assert "LessThan(l_quantity,24" in plan
+    # pure scan-agg: exactly the final 2-phase aggregate, no join
+    assert "Join" not in plan
+
+
+def test_tpch_second_batch_broadcasts_part(spark):
+    from stampede_to_fresco_etl_spark.catalog import REGISTRY
+
+    for name in ("tpch_q14", "tpch_q16", "tpch_q19"):
+        plan = _plan(REGISTRY[name][0](spark, "/root/testdata/sf0.001"))
+        assert "BroadcastHashJoin" in plan, name
+        assert "SortMergeJoin" not in plan, name
