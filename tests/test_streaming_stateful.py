@@ -77,3 +77,75 @@ def test_rate_state_crosses_microbatches(spark, tmp_path):
     assert got2[("JOB1", 1362132030000000)] == 10.0  # post-reset delta
     assert ("JOB1", 1362132020000000) not in got2    # reset dropped
     assert len(got2) == 3
+
+
+def test_rate_v2_transform_with_state_matches_v1(spark, tmp_path):
+    """Spark 4 transformWithState twin: same cross-batch semantics as
+    the applyInPandasWithState kernel, on the RocksDB provider it
+    requires (also the provider a 100 TB state deployment runs).
+
+    transformWithState's state server speaks protobuf; environments
+    without google.protobuf (this sandbox) skip rather than fail."""
+    import pytest
+
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState state server requires protobuf",
+    )
+    from stampede_to_fresco_etl_spark.streaming.stateful_v2 import (
+        ROCKSDB_PROVIDER,
+        streaming_rate_v2,
+    )
+
+    landing = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "rates_out")
+
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, ROCKSDB_PROVIDER)
+    try:
+        def run():
+            stream = read_event_stream(spark, landing)
+            q = (
+                streaming_rate_v2(stream)
+                .writeStream.format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        batch1 = [
+            event("JOB1", "h1", ts(0), 100.0),
+            event("JOB1", "h1", ts(10), 200.0),   # rate 10/s
+            event("JOB2", "h2", ts(0), 50.0),     # first sample only
+        ]
+        spark.createDataFrame(batch1, FRESCO_LONG).coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+        run()
+        got = _read(spark, out_dir)
+        assert got == {("JOB1", 1362132010000000): 10.0}
+
+        batch2 = [
+            event("JOB1", "h1", ts(20), 150.0),   # reset: dropped
+            event("JOB1", "h1", ts(30), 250.0),   # post-reset: 10/s
+            event("JOB2", "h2", ts(20), 90.0),    # crosses batches: 2/s
+        ]
+        spark.createDataFrame(batch2, FRESCO_LONG).coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+        run()
+        got2 = _read(spark, out_dir)
+        assert got2[("JOB2", 1362132020000000)] == 2.0
+        assert got2[("JOB1", 1362132030000000)] == 10.0
+        assert ("JOB1", 1362132020000000) not in got2
+        assert len(got2) == 3
+    finally:
+        if prev is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev)
