@@ -52,7 +52,11 @@ HEADLINE = [
     "k1b_kmv_sketch_only",  # the 100 TB (no audit exchange) mode
     "x6_keyword_topk",
     "x9_pack_chunks",
+    "x13_quality_signals",
+    "x14_rolling_stats",
+    "v6_quantize_int8",
     "tpch_q1",
+    "tpch_q6",  # pushdown canary: pure scan-agg
     "tpch_q10",
 ]
 
