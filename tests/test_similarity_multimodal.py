@@ -229,3 +229,37 @@ def test_resize_image_malformed_and_null(spark):
     rows = {r["media_id"]: r for r in resize_image(df, 1, 1).collect()}
     assert all(rows[i]["payload"] is None for i in (1, 2, 3))
     assert all(rows[i]["digest"] is None for i in (1, 2, 3))
+
+
+def test_near_dups_arrow_engine_matches_column(spark):
+    """The arrow (cogrouped numpy gram) engine must produce the SAME
+    pair set as the column engine at every probe setting; cos_sim may
+    differ only by BLAS summation-order ulps."""
+    from stampede_to_fresco_etl_spark.catalog import load
+    from stampede_to_fresco_etl_spark.operators.similarity import (
+        embedding_near_dups,
+    )
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    for mp in (False, True):
+        col = {
+            (r["id_a"], r["id_b"]): r["cos_sim"]
+            for r in embedding_near_dups(
+                emb, num_planes=4, dim=64, min_cosine=0.3, multi_probe=mp
+            ).collect()
+        }
+        arr = {
+            (r["id_a"], r["id_b"]): r["cos_sim"]
+            for r in embedding_near_dups(
+                emb, num_planes=4, dim=64, min_cosine=0.3, multi_probe=mp,
+                engine="arrow",
+            ).collect()
+        }
+        assert set(arr) == set(col), f"pair set diverged (multi_probe={mp})"
+        assert all(abs(arr[k] - col[k]) < 1e-12 for k in arr)
+    # and no duplicate pair rows from the probe explode
+    n_rows = embedding_near_dups(
+        emb, num_planes=4, dim=64, min_cosine=0.3, multi_probe=True,
+        engine="arrow",
+    ).count()
+    assert n_rows == len(arr)
