@@ -3620,6 +3620,72 @@ REGISTRY.update(
 
 
 # ---------------------------------------------------------------------------
+# H1 — mergeable histogram quantile sketch (the quantile half of the
+# sketch algebra; KMV is the distinct-count half).  The Spark path
+# deliberately SPLITS the stream (even/odd event ids), sketches each
+# half, MERGES, then extracts quantiles; the oracle computes the
+# global histogram directly — so a broken merge (the whole point of
+# a mergeable sketch) hash-mismatches.
+# ---------------------------------------------------------------------------
+
+_H1_LO, _H1_HI, _H1_BINS = 0.0, 500.0, 250
+_H1_QS = {"p50": 0.5, "p95": 0.95, "p99": 0.99}
+
+
+def q_hist_sketch(spark, sf_dir):
+    from stampede_to_fresco_etl_spark.operators.sketches import (
+        hist_merge,
+        hist_quantile,
+        hist_sketch,
+    )
+
+    e = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    halves = [
+        hist_sketch(
+            e.filter(F.col("event_id") % 2 == i),
+            ["event_type"], "value", _H1_LO, _H1_HI, _H1_BINS,
+        )
+        for i in (0, 1)
+    ]
+    merged = hist_merge(*halves)
+    return hist_quantile(merged, _H1_QS, _H1_LO, _H1_HI, _H1_BINS)
+
+
+def _sql_hist_sketch() -> str:
+    width = (_H1_HI - _H1_LO) / _H1_BINS
+    q_cols = []
+    for name, q in _H1_QS.items():
+        q_cols.append(
+            f"{_H1_LO!r} + (CAST(min(CASE WHEN cum >= CEIL({q!r} * n) "
+            f"THEN bin END) AS DOUBLE) - 1.0) * {width!r} AS {name}"
+        )
+    return f"""
+WITH b AS (
+  SELECT event_type,
+         CASE WHEN value < {_H1_LO!r} THEN 0
+              WHEN value >= {_H1_HI!r} THEN {_H1_BINS + 1}
+              ELSE CAST(FLOOR((value - {_H1_LO!r}) / {width!r}) AS INTEGER) + 1
+         END AS bin
+  FROM events WHERE value IS NOT NULL
+), h AS (
+  SELECT event_type, bin, count(*) AS c
+  FROM b GROUP BY event_type, bin
+), cumulated AS (
+  SELECT event_type, bin, c,
+         sum(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+         sum(c) OVER (PARTITION BY event_type) AS n
+  FROM h
+)
+SELECT event_type, CAST(n AS BIGINT) AS n, {', '.join(q_cols)}
+FROM cumulated
+GROUP BY event_type, n
+"""
+
+
+REGISTRY.update({"h1_hist_quantiles": (q_hist_sketch, _sql_hist_sketch())})
+
+
+# ---------------------------------------------------------------------------
 # Enumeration order: the driver's correctness run covers the first N
 # registry entries per round, so queries that do not yet have a
 # driver-issued CORRECTNESS row enumerate first.  Rotate this list as
@@ -3663,6 +3729,7 @@ _ENUMERATE_FIRST = [
     "tpch_q14",
     "tpch_q16",
     "tpch_q19",
+    "h1_hist_quantiles",
     "v3c_near_dups_auto",  # no oracle (data-sized planes): rows-only check
 ]
 

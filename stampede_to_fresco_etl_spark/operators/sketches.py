@@ -146,3 +146,156 @@ def kmv_merge(sketches: DataFrame, group_col: str, k: int) -> DataFrame:
     return sk.select(
         group_col, "sketch_size", "kth_hash", est.alias("est_distinct")
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable fixed-range histogram sketch — the quantile half of the
+# sketch algebra (KMV covers distinct counts).  Counts are exact
+# integers, so merge is an associative elementwise sum and every
+# estimate is deterministic in any engine — the same reproducibility
+# argument that picked KMV over HLL applies vs t-digest /
+# percentile_approx, whose centroid layouts are engine-specific.
+# ---------------------------------------------------------------------------
+
+
+def hist_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    lo: float,
+    hi: float,
+    bins: int,
+) -> DataFrame:
+    """Per-group fixed-range histogram: `bins` equal buckets over
+    [lo, hi) plus an underflow slot (index 0) and an overflow slot
+    (index bins+1).  Output: (group..., counts array<long>, n long).
+
+    Shuffle shape: one (group, bin) hash-agg with map-side combine —
+    the full-data exchange carries 8-byte partials, never values —
+    then a tiny per-group assembly of at most bins+2 rows into the
+    dense array (bounded collect, scale-safe by construction).
+
+    Merge sketches from different sources/partitions with
+    `hist_merge`; extract quantiles with `hist_quantile`.  The merge
+    is exact: sketch(A) ⊕ sketch(B) = sketch(A ∪ A B) because counts
+    are plain integers.
+    """
+    width = (float(hi) - float(lo)) / int(bins)
+    idx = (
+        F.when(F.col(value_col) < F.lit(float(lo)), F.lit(0))
+        .when(F.col(value_col) >= F.lit(float(hi)), F.lit(bins + 1))
+        .otherwise(
+            (
+                F.floor(
+                    (F.col(value_col) - F.lit(float(lo))) / F.lit(width)
+                )
+                + F.lit(1)
+            ).cast("int")
+        )
+    )
+    binned = df.select(*group_cols, idx.alias("__bin"))
+    per_bin = binned.groupBy(*group_cols, "__bin").agg(
+        F.count("*").alias("__c")
+    )
+    dense = (
+        per_bin.groupBy(*group_cols)
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("__bin"), F.col("__c")))
+            ).alias("__m")
+        )
+        .select(
+            *group_cols,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bins + 1)),
+                # try_element_at: ANSI element_at raises on a missing
+                # map key; absent bins mean zero observations
+                lambda i: F.coalesce(
+                    F.try_element_at(F.col("__m"), i),
+                    F.lit(0).cast("long"),
+                ),
+            ).alias("counts"),
+        )
+        .withColumn(
+            "n",
+            F.aggregate(
+                F.col("counts"),
+                F.lit(0).cast("long"),
+                lambda acc, c: acc + c,
+            ),
+        )
+    )
+    return dense
+
+
+def hist_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge histogram sketches over the same (lo, hi, bins) layout:
+    union + per-group elementwise array sum.  Counts are integers, so
+    the merge is associative/commutative — sketches built per
+    partition, per day, or per source combine into the global
+    histogram exactly."""
+    merged = sketches[0]
+    for s in sketches[1:]:
+        merged = merged.unionByName(s)
+    keys = [c for c in merged.columns if c not in ("counts", "n")]
+    lst = F.collect_list("counts")
+    return (
+        merged.groupBy(*keys)
+        .agg(
+            F.aggregate(
+                F.slice(lst, 2, F.size(lst) - 1),
+                F.element_at(lst, 1),
+                lambda acc, x: F.zip_with(
+                    acc, x, lambda a, b: a + b
+                ),
+            ).alias("counts"),
+            F.sum("n").alias("n"),
+        )
+    )
+
+
+def hist_quantile(
+    sketch: DataFrame,
+    qs: dict[str, float],
+    lo: float,
+    hi: float,
+    bins: int,
+) -> DataFrame:
+    """Quantile estimates from a histogram sketch: for each q, the
+    LEFT EDGE of the first bin whose cumulative count reaches
+    ceil(q·n) — deterministic, exact to one bin width, identical in
+    any engine.  Underflow resolves to lo − width (a sentinel edge:
+    the true quantile lies below the sketch range); overflow to hi.
+
+    All in-row array arithmetic (the sketch frame has one row per
+    group): the cumulative walk is O(bins) per quantile with no
+    shuffle beyond the sketch itself."""
+    width = (float(hi) - float(lo)) / int(bins)
+    c = F.col("counts")
+    outs = []
+    for name, q in qs.items():
+        target = F.ceil(F.lit(float(q)) * F.col("n"))
+        # first index i (0-based) with cumsum(counts[0..i]) >= target
+        idx = F.array_min(
+            F.filter(
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(bins + 2)),
+                    lambda i: F.when(
+                        F.aggregate(
+                            F.slice(c, 1, i),
+                            F.lit(0).cast("long"),
+                            lambda acc, x: acc + x,
+                        )
+                        >= target,
+                        i - 1,
+                    ),
+                ),
+                lambda x: x.isNotNull(),
+            )
+        )
+        outs.append(
+            (F.lit(float(lo)) + (idx.cast("double") - F.lit(1.0)) * F.lit(width))
+            .alias(name)
+        )
+    keys = [k for k in sketch.columns if k not in ("counts", "n")]
+    return sketch.select(*keys, F.col("n"), *outs)

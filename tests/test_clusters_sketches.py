@@ -184,3 +184,48 @@ def test_kmv_merge_equals_union_sketch(spark):
     ).collect()[0]
     assert merged["kth_hash"] == direct["kth_hash"]
     assert merged["est_distinct"] == direct["est_distinct"]
+
+
+def test_hist_sketch_merge_and_quantiles(spark):
+    """Histogram sketch algebra: split-sketch-merge equals the
+    direct sketch; quantile walk hits hand-computed edges; under/
+    overflow land in their sentinel slots."""
+    from pyspark.sql import Row
+
+    from stampede_to_fresco_etl_spark.operators.sketches import (
+        hist_merge,
+        hist_quantile,
+        hist_sketch,
+    )
+
+    rows = [Row(g="a", v=float(x)) for x in range(100)]  # 0..99
+    rows += [Row(g="a", v=-5.0), Row(g="a", v=1000.0)]   # under+over
+    rows += [Row(g="b", v=10.0)] * 4
+    df = spark.createDataFrame(rows)
+    LO, HI, BINS = 0.0, 100.0, 10
+
+    direct = hist_sketch(df, ["g"], "v", LO, HI, BINS)
+    d = {r["g"]: r for r in direct.collect()}
+    assert d["a"]["n"] == 102
+    assert d["a"]["counts"][0] == 1          # underflow
+    assert d["a"]["counts"][BINS + 1] == 1   # overflow
+    assert d["a"]["counts"][1] == 10         # [0, 10)
+    assert d["b"]["counts"][2] == 4          # 10 -> second bin
+
+    # split along an arbitrary predicate, merge -> identical sketch
+    s1 = hist_sketch(df.filter(F.col("v") < 50), ["g"], "v", LO, HI, BINS)
+    s2 = hist_sketch(df.filter(F.col("v") >= 50), ["g"], "v", LO, HI, BINS)
+    m = {r["g"]: r for r in hist_merge(s1, s2).collect()}
+    for g in ("a", "b"):
+        assert m[g]["counts"] == d[g]["counts"]
+        assert m[g]["n"] == d[g]["n"]
+
+    qs = {r["g"]: r for r in hist_quantile(
+        direct, {"p50": 0.5, "p100": 1.0}, LO, HI, BINS
+    ).collect()}
+    # group a: ceil(.5*102)=51 -> cum reaches 51 in bin [40,50) (1
+    # underflow + 50 values 0..49) -> left edge 40.0
+    assert qs["a"]["p50"] == 40.0
+    # p100 -> overflow bin -> clamps to hi
+    assert qs["a"]["p100"] == 100.0
+    assert qs["b"]["p50"] == 10.0
