@@ -225,3 +225,78 @@ def test_connected_components_property(spark, edges):
         r["node"]: r["cc"] for r in connected_components(df).collect()
     }
     assert got == want
+
+
+def test_rolling_stats_matches_bruteforce_random(spark):
+    """rolling_stats vs a plain-Python trailing-window recompute over
+    a pseudo-random (seeded) series with ties and gaps."""
+    import datetime as dt
+    import hashlib
+
+    from pyspark.sql import Row
+
+    from stampede_to_fresco_etl_spark.operators.windows import rolling_stats
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(400):
+        h = int(hashlib.md5(f"r{i}".encode()).hexdigest()[:8], 16)
+        key = f"k{h % 5}"
+        sec = h % 900            # ties + gaps inside a 15-min span
+        val = (h >> 8) % 1000    # integers: exact sums
+        rows.append(Row(k=key, eid=i, ts=t0 + dt.timedelta(seconds=sec), v=val))
+
+    W = 120
+    got = {
+        r["eid"]: r
+        for r in rolling_stats(
+            spark.createDataFrame(rows), ["k"], "ts", "v", W,
+            extra_cols=["eid"],
+        ).collect()
+    }
+    by_key: dict[str, list] = {}
+    for r in rows:
+        by_key.setdefault(r.k, []).append(r)
+    for r in rows:
+        frame = [
+            x.v
+            for x in by_key[r.k]
+            if r.ts - dt.timedelta(seconds=W) <= x.ts <= r.ts
+        ]
+        g = got[r.eid]
+        assert g["roll_n"] == len(frame), r
+        assert g["roll_sum"] == sum(frame), r
+        assert g["roll_min"] == min(frame) and g["roll_max"] == max(frame)
+
+
+def test_hist_quantile_within_bin_width_of_truth(spark):
+    """Histogram-sketch quantiles must land within one bin width of
+    the true order statistic for in-range data."""
+    import hashlib
+
+    from pyspark.sql import Row
+
+    from stampede_to_fresco_etl_spark.operators.sketches import (
+        hist_quantile,
+        hist_sketch,
+    )
+
+    vals = [
+        (int(hashlib.md5(f"v{i}".encode()).hexdigest()[:8], 16) % 10_000)
+        / 10.0
+        for i in range(1000)
+    ]  # uniform-ish in [0, 1000)
+    df = spark.createDataFrame([Row(g="a", v=v) for v in vals])
+    LO, HI, BINS = 0.0, 1000.0, 100
+    width = (HI - LO) / BINS
+    sk = hist_sketch(df, ["g"], "v", LO, HI, BINS)
+    out = hist_quantile(
+        sk, {"p10": 0.1, "p50": 0.5, "p90": 0.9}, LO, HI, BINS
+    ).first()
+    s = sorted(vals)
+    import math
+
+    for name, q in (("p10", 0.1), ("p50", 0.5), ("p90", 0.9)):
+        true = s[math.ceil(q * len(s)) - 1]
+        est = out[name]
+        assert est <= true < est + width, (name, est, true)
