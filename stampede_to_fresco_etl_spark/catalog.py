@@ -3686,6 +3686,43 @@ REGISTRY.update({"h1_hist_quantiles": (q_hist_sketch, _sql_hist_sketch())})
 
 
 # ---------------------------------------------------------------------------
+# S14 — ANALYZE-style one-pass table statistics (planner food: join
+# sizing, broadcast picks, scan pruning).  Exact distincts here so
+# the stats are oracle-checkable; the operator's `exact_ndv=False`
+# switch is the 100 TB mode (HLL, engine-specific, planner-only).
+# ---------------------------------------------------------------------------
+
+_S14_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_partkey"]
+
+
+def q_table_stats(spark, sf_dir):
+    from stampede_to_fresco_etl_spark.operators.stats import (
+        collect_column_stats,
+    )
+
+    li = load(spark, sf_dir, "lineitem")
+    return collect_column_stats(li, _S14_COLS)
+
+
+def _sql_table_stats() -> str:
+    arms = [
+        f"""
+SELECT '{c}' AS "column",
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       CAST(min({c}) AS DOUBLE) AS min_value,
+       CAST(max({c}) AS DOUBLE) AS max_value
+FROM lineitem"""
+        for c in _S14_COLS
+    ]
+    return " UNION ALL ".join(arms)
+
+
+REGISTRY.update({"s14_table_stats": (q_table_stats, _sql_table_stats())})
+
+
+# ---------------------------------------------------------------------------
 # Enumeration order: the driver's correctness run covers the first N
 # registry entries per round, so queries that do not yet have a
 # driver-issued CORRECTNESS row enumerate first.  Rotate this list as
@@ -3730,6 +3767,7 @@ _ENUMERATE_FIRST = [
     "tpch_q16",
     "tpch_q19",
     "h1_hist_quantiles",
+    "s14_table_stats",
     "v3c_near_dups_auto",  # no oracle (data-sized planes): rows-only check
 ]
 

@@ -136,3 +136,33 @@ def test_compact_parquet_preserves_data_and_reduces_files(spark, tmp_path):
     assert n == 1 and after == 1
     assert list(got) == list(want)
     assert not glob.glob(f"{path}__compact_*")
+
+
+def test_collect_column_stats_values_and_shape(spark):
+    from pyspark.sql import Row
+
+    from stampede_to_fresco_etl_spark.operators.stats import (
+        collect_column_stats,
+    )
+
+    df = spark.createDataFrame(
+        [
+            Row(a=1, b=2.0, s="x"),
+            Row(a=1, b=None, s="y"),
+            Row(a=3, b=-1.5, s="z"),
+        ]
+    )
+    out = {r["column"]: r for r in collect_column_stats(df).collect()}
+    # string column auto-excluded; numeric columns covered
+    assert set(out) == {"a", "b"}
+    assert out["a"]["n_rows"] == 3 and out["a"]["n_nulls"] == 0
+    assert out["a"]["n_distinct"] == 2
+    assert out["a"]["min_value"] == 1.0 and out["a"]["max_value"] == 3.0
+    assert out["b"]["n_nulls"] == 1 and out["b"]["n_distinct"] == 2
+    assert out["b"]["min_value"] == -1.5 and out["b"]["max_value"] == 2.0
+
+    # approx mode keeps the same shape (planner path)
+    ap = {r["column"]: r for r in collect_column_stats(
+        df, exact_ndv=False
+    ).collect()}
+    assert set(ap) == {"a", "b"} and ap["a"]["n_rows"] == 3
