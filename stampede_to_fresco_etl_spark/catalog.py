@@ -3723,6 +3723,68 @@ REGISTRY.update({"s14_table_stats": (q_table_stats, _sql_table_stats())})
 
 
 # ---------------------------------------------------------------------------
+# C2 — count-min sketch point frequencies (the frequency third of the
+# sketch algebra).  Spark: split stream → sketch halves → merge →
+# query known + absent items.  Oracle: recompute each probe's bucket
+# count directly from the data (CMS estimate = min over hash rows of
+# the bucket total) — broken hashing OR a broken merge mismatches.
+# ---------------------------------------------------------------------------
+
+_C2_DEPTH, _C2_WIDTH = 4, 64
+_C2_ITEMS = ["click", "view", "purchase", "login", "logout", "nosuch_event"]
+
+
+def q_cms_freq(spark, sf_dir):
+    from stampede_to_fresco_etl_spark.operators.sketches import (
+        cms_merge,
+        cms_query,
+        cms_sketch,
+    )
+
+    e = load(spark, sf_dir, "events").filter(F.col("event_type").isNotNull())
+    halves = [
+        cms_sketch(
+            e.filter(F.col("event_id") % 2 == i),
+            [], "event_type", _C2_DEPTH, _C2_WIDTH,
+        )
+        for i in (0, 1)
+    ]
+    merged = cms_merge(*halves)
+    return cms_query(merged, _C2_ITEMS, [], _C2_WIDTH)
+
+
+def _sql_cms_freq() -> str:
+    items = ", ".join(f"('{i}')" for i in _C2_ITEMS)
+    bucket = (
+        "(('0x' || substr(md5('cms' || CAST(r AS VARCHAR) || ':' || {v}), "
+        "1, 15))::BIGINT % 64)"
+    )
+    return f"""
+WITH rows_ AS (SELECT unnest(range(0, {_C2_DEPTH})) AS r),
+probes(item) AS (VALUES {items}),
+pb AS (
+  SELECT item, r, {bucket.format(v='item')} AS bucket
+  FROM probes CROSS JOIN rows_
+),
+eb AS (
+  SELECT r, {bucket.format(v='event_type')} AS bucket, count(*) AS c
+  FROM events CROSS JOIN rows_
+  WHERE event_type IS NOT NULL
+  GROUP BY r, {bucket.format(v='event_type')}
+),
+per_row AS (
+  SELECT pb.item, pb.r, coalesce(eb.c, 0) AS c
+  FROM pb LEFT JOIN eb ON pb.r = eb.r AND pb.bucket = eb.bucket
+)
+SELECT item, CAST(min(c) AS BIGINT) AS est_count
+FROM per_row GROUP BY item
+"""
+
+
+REGISTRY.update({"c2_cms_freq": (q_cms_freq, _sql_cms_freq())})
+
+
+# ---------------------------------------------------------------------------
 # Enumeration order: the driver's correctness run covers the first N
 # registry entries per round, so queries that do not yet have a
 # driver-issued CORRECTNESS row enumerate first.  Rotate this list as
@@ -3768,6 +3830,7 @@ _ENUMERATE_FIRST = [
     "tpch_q19",
     "h1_hist_quantiles",
     "s14_table_stats",
+    "c2_cms_freq",
     "v3c_near_dups_auto",  # no oracle (data-sized planes): rows-only check
 ]
 

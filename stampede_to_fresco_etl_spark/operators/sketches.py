@@ -299,3 +299,134 @@ def hist_quantile(
         )
     keys = [k for k in sketch.columns if k not in ("counts", "n")]
     return sketch.select(*keys, F.col("n"), *outs)
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch — the frequency third of the sketch algebra
+# (KMV: distinct counts; histogram: quantiles; CMS: per-item counts).
+# Cormode & Muthukrishnan '05: depth independent hash rows of width
+# counters; est(count(v)) = min over rows of the counter v hashes to
+# — always an OVERestimate, within εN w.h.p. for width ≈ e/ε.
+# md5-salted hashing keeps the sketch deterministic and
+# reproducible in any engine (same argument as KMV vs HLL).
+# ---------------------------------------------------------------------------
+
+
+def _cms_bucket(value: F.Column, row: F.Column, width: int) -> F.Column:
+    """Hash row r's bucket for a value: 60-bit md5 window of
+    'cms{r}:{value}', mod width — the same recipe md5_int63 uses, so
+    a DuckDB oracle reproduces it verbatim."""
+    return F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("cms"),
+                        row.cast("string"),
+                        F.lit(":"),
+                        value.cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(width),
+    )
+
+
+def cms_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Per-group count-min sketch: (group..., row long, counters
+    array<long>) — one output row per hash row, so merge and query
+    stay flat joins/aggregations.
+
+    Shuffle shape: the input explodes ×depth (one salted hash per
+    row), then ONE (group, row, bucket) hash-agg with map-side
+    combine — the exchange carries 8-byte partials bounded by
+    depth × width per group, never raw values.  Counters are exact
+    integers, so `cms_merge` (elementwise sum) is associative and
+    sketch-per-partition → merge equals sketch-of-all."""
+    rows = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row")
+    binned = df.select(
+        *group_cols,
+        F.col(value_col).alias("__v"),
+        rows,
+    ).select(
+        *group_cols,
+        "row",
+        _cms_bucket(F.col("__v"), F.col("row"), width).alias("bucket"),
+    )
+    per_bucket = binned.groupBy(*group_cols, "row", "bucket").agg(
+        F.count("*").alias("c")
+    )
+    return (
+        per_bucket.groupBy(*group_cols, "row")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("bucket"), F.col("c")))
+            ).alias("__m")
+        )
+        .select(
+            *group_cols,
+            "row",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(width - 1)),
+                lambda i: F.coalesce(
+                    F.try_element_at(F.col("__m"), i.cast("long")),
+                    F.lit(0).cast("long"),
+                ),
+            ).alias("counters"),
+        )
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge CMS frames of identical (depth, width) layout: union +
+    per-(group, row) elementwise counter sum."""
+    merged = sketches[0]
+    for s in sketches[1:]:
+        merged = merged.unionByName(s)
+    keys = [c for c in merged.columns if c != "counters"]
+    lst = F.collect_list("counters")
+    return merged.groupBy(*keys).agg(
+        F.aggregate(
+            F.slice(lst, 2, F.size(lst) - 1),
+            F.element_at(lst, 1),
+            lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
+        ).alias("counters")
+    )
+
+
+def cms_query(
+    sketch: DataFrame,
+    items: list[str],
+    group_cols: list[str],
+    width: int = 1024,
+) -> DataFrame:
+    """Point-frequency estimates for literal `items`: per group and
+    item, min over hash rows of the counter the item hashes to.
+    Output: (group..., item, est_count).  The probe list is a
+    broadcast-exploded literal array — no second pass over data."""
+    probes = F.explode(
+        F.array(*[F.lit(i) for i in items])
+    ).alias("item")
+    probed = sketch.select(*group_cols, "row", "counters", probes)
+    bucket = _cms_bucket(F.col("item"), F.col("row"), width)
+    per_row = probed.select(
+        *group_cols,
+        "item",
+        F.element_at(
+            F.col("counters"), (bucket + F.lit(1)).cast("int")
+        ).alias("c"),
+    )
+    return per_row.groupBy(*group_cols, "item").agg(
+        F.min("c").alias("est_count")
+    )

@@ -229,3 +229,43 @@ def test_hist_sketch_merge_and_quantiles(spark):
     # p100 -> overflow bin -> clamps to hi
     assert qs["a"]["p100"] == 100.0
     assert qs["b"]["p50"] == 10.0
+
+
+def test_cms_sketch_merge_and_overestimate(spark):
+    """CMS properties: split-sketch-merge equals direct sketch;
+    estimates are never UNDER the true count; absent items estimate
+    only collision mass."""
+    from pyspark.sql import Row
+
+    from stampede_to_fresco_etl_spark.operators.sketches import (
+        cms_merge,
+        cms_query,
+        cms_sketch,
+    )
+
+    rows = (
+        [Row(i=n, v="alpha") for n in range(50)]
+        + [Row(i=n + 100, v="beta") for n in range(30)]
+        + [Row(i=n + 200, v=f"tail{n}") for n in range(20)]
+    )
+    df = spark.createDataFrame(rows)
+    W = 32
+
+    direct = cms_sketch(df, [], "v", 4, W)
+    s1 = cms_sketch(df.filter(F.col("i") < 120), [], "v", 4, W)
+    s2 = cms_sketch(df.filter(F.col("i") >= 120), [], "v", 4, W)
+    merged = cms_merge(s1, s2)
+
+    d = {r["row"]: r["counters"] for r in direct.collect()}
+    m = {r["row"]: r["counters"] for r in merged.collect()}
+    assert d == m  # merge exactness
+
+    est = {
+        r["item"]: r["est_count"]
+        for r in cms_query(merged, ["alpha", "beta", "absent"], [], W).collect()
+    }
+    assert est["alpha"] >= 50 and est["beta"] >= 30  # never under
+    # absent item: at most the collision mass of one 32-wide row
+    assert 0 <= est["absent"] <= 100
+    # per-row totals always equal n
+    assert all(sum(c) == 100 for c in d.values())
