@@ -61,16 +61,34 @@ HEADLINE = [
 ]
 
 
-def _latest_prev_bench() -> str | None:
-    """Most recent BENCH_r{N}.json beside this file, for vs_prev."""
+def _rnum(p: str) -> int:
+    m = re.search(r"_r(\d+)\.json$", p)
+    return int(m.group(1)) if m else -1
+
+
+def _current_round() -> int:
+    """This run's round number: one past the newest recorded round.
+
+    CORRECTNESS_r{N}/BENCH_r{N} are written by the driver AFTER the
+    round's work, so max(existing)+1 is the in-flight round."""
     here = os.path.dirname(os.path.abspath(__file__))
-    benches = glob.glob(os.path.join(here, "BENCH_r*.json"))
+    recs = glob.glob(os.path.join(here, "BENCH_r*.json")) + glob.glob(
+        os.path.join(here, "CORRECTNESS_r*.json")
+    )
+    return max((_rnum(p) for p in recs), default=0) + 1
 
-    def rnum(p: str) -> int:
-        m = re.search(r"BENCH_r(\d+)\.json$", p)
-        return int(m.group(1)) if m else -1
 
-    return max(benches, key=rnum) if benches else None
+def _latest_prev_bench(current_round: int) -> str | None:
+    """Newest BENCH_r{N}.json with N strictly below the in-flight
+    round — never the current round's own file (it may already exist
+    in the working tree and would make vs_prev self-referential)."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    benches = [
+        p
+        for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
+        if 0 <= _rnum(p) < current_round
+    ]
+    return max(benches, key=_rnum) if benches else None
 
 
 def _stage_totals(spark) -> dict[str, int] | None:

@@ -2640,7 +2640,8 @@ c AS (
          ) AS cum_tokens
   FROM t
 )
-SELECT doc_id, lang, n_tokens, cum_tokens,
+SELECT doc_id, lang, n_tokens,
+       CAST(cum_tokens AS BIGINT) AS cum_tokens,
        CAST(FLOOR((cum_tokens - n_tokens) / 512.0) AS BIGINT) AS chunk_id,
        CAST(row_number() OVER (
          PARTITION BY lang, CAST(FLOOR((cum_tokens - n_tokens) / 512.0)
@@ -2921,7 +2922,7 @@ cum AS (
          SUM(c) OVER (PARTITION BY event_type) AS n
   FROM hist
 )
-SELECT event_type, max(n) AS n_group,
+SELECT event_type, CAST(max(n) AS BIGINT) AS n_group,
        CAST(min(CASE WHEN cumc >= CEIL(0.5 * n) THEN bkt END) AS DOUBLE)
          / 10000.0 AS p50,
        CAST(min(CASE WHEN cumc >= CEIL(0.95 * n) THEN bkt END) AS DOUBLE)
@@ -3498,10 +3499,10 @@ def q_tpch_q12(spark, sf_dir):
 
 SQL_TPCH_Q12 = """
 SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS high_line_count,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 0 ELSE 1 END) AS low_line_count
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY year(l_shipdate)
 """

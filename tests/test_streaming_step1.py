@@ -45,10 +45,13 @@ WAVES = [
                 f"job1,NODE1,{t(10)},0,400,0,100,1500,0,0,0\n"
                 f"job1,NODE1,{t(10)},1,500,0,100,1400,0,0,0\n"
             ),
+            # llite has NO device column (LLITE_RAW is 5 fields;
+            # reference step-1/data_processor.py:235 reads exactly
+            # jobID,node,timestamp,read_bytes,write_bytes)
             "llite": (
-                "jobID,node,timestamp,device,read_bytes,write_bytes\n"
-                f"job1,NODE1,{t(0)},l0,1048576,0\n"
-                f"job1,NODE1,{t(10)},l0,3145728,1048576\n"
+                "jobID,node,timestamp,read_bytes,write_bytes\n"
+                f"job1,NODE1,{t(0)},1048576,0\n"
+                f"job1,NODE1,{t(10)},3145728,1048576\n"
             ),
             "mem": (
                 "jobID,node,timestamp,MemTotal,MemFree,MemUsed,"
@@ -73,8 +76,8 @@ WAVES = [
                 f"job1,NODE1,{t(20)},1,800,0,150,2050,0,0,0\n"
             ),
             "llite_0002": (
-                "jobID,node,timestamp,device,read_bytes,write_bytes\n"
-                f"job1,NODE1,{t(20)},l0,5242880,2097152\n"
+                "jobID,node,timestamp,read_bytes,write_bytes\n"
+                f"job1,NODE1,{t(20)},5242880,2097152\n"
             ),
             "mem_0002": (
                 "jobID,node,timestamp,MemTotal,MemFree,MemUsed,"
@@ -147,9 +150,11 @@ def test_streaming_step1_matches_batch_across_waves(spark, tmp_path):
         6000 * 512 / 10 / 2**30
     )
     # cpuuser 10:00:20: userΔ=600, totalΔ=(700+800+150+150+2150+2050)
-    #                  -(400+500+100+100+1500+1400) = 1800 -> 33.33%
+    #                  -(400+500+100+100+1500+1400) = 6000-4000 = 2000 -> 30.0%
+    # (denominator includes the user column: reference
+    #  step-1/data_processor.py:192-211 sums ALL jiffy columns)
     assert got[("cpuuser", "NODE1", "2013-03-01 10:00:20")] == pytest.approx(
-        600 / 1800 * 100
+        600 / 2000 * 100
     )
     # nfs 10:00:20: Δbytes=(5242880+2097152)-(3145728+1048576)=3145728
     #             -> 3 MB over 10 s
