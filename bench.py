@@ -159,18 +159,22 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    # The io/vs_prev detail goes to a side file (and an EARLIER stdout
+    # line): the driver's tail capture keeps only the last ~2 kB of
+    # stdout, and round 3's combined line overflowed it — the compact
+    # timings-only JSON must be the FINAL printed line.
+    rnd = _current_round()
+    side: dict[str, object] = {"sf": sf}
     if io:
-        out["io"] = io
-    # per-query delta vs the previous round's bench (only comparable
-    # at the same scale factor) so regressions are visible at a glance
+        side["io"] = io
     try:
-        prev_path = _latest_prev_bench()
+        prev_path = _latest_prev_bench(rnd)
         with open(prev_path) as f:  # type: ignore[arg-type]
             prev = json.load(f)
         # the driver wraps our JSON line under "parsed"
         prev = prev.get("parsed", prev)
         if prev.get("sf") == sf:
-            out["vs_prev"] = {
+            side["vs_prev"] = {
                 name: round(t - prev["queries"][name], 3)
                 for name, t in timings.items()
                 if name in prev.get("queries", {})
@@ -183,9 +187,17 @@ def main() -> None:
                 if name in prev_io
             }
             if shuffle_delta:
-                out["shuffle_write_vs_prev"] = shuffle_delta
+                side["shuffle_write_vs_prev"] = shuffle_delta
     except (OSError, ValueError, KeyError, TypeError):
         pass
+    here = os.path.dirname(os.path.abspath(__file__))
+    side_path = os.path.join(here, f"BENCH_IO_r{rnd}.json")
+    try:
+        with open(side_path, "w") as f:
+            json.dump(side, f, indent=1)
+    except OSError:
+        pass
+    print(json.dumps(side))
     print(json.dumps(out))
 
 
