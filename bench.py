@@ -171,8 +171,9 @@ def main() -> None:
         prev_path = _latest_prev_bench(rnd)
         with open(prev_path) as f:  # type: ignore[arg-type]
             prev = json.load(f)
-        # the driver wraps our JSON line under "parsed"
-        prev = prev.get("parsed", prev)
+        # the driver wraps our JSON line under "parsed" (null when the
+        # round's tail capture failed — r3 — so fall back to the raw)
+        prev = prev.get("parsed") or prev
         if prev.get("sf") == sf:
             side["vs_prev"] = {
                 name: round(t - prev["queries"][name], 3)

@@ -57,12 +57,22 @@ TS_COLS = {
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Driver-generated testdata has shipped two timestamp encodings:
+    # TIMESTAMP(NANOS) (readable only as bigint via the legacy conf)
+    # and plain micros with isAdjustedToUTC=false (reads as
+    # TIMESTAMP_NTZ).  Normalize both to TIMESTAMP_LTZ under a UTC
+    # session so epoch math (unix_micros etc.) works in ANY
+    # driver-built session; the oracle (DuckDB) treats the same values
+    # as naive, so UTC keeps wall clocks identical on both sides.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     dtypes = dict(df.dtypes)
     for c in TS_COLS.get(name, []):
         if dtypes.get(c) == "bigint":
             df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+        elif dtypes.get(c) == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

@@ -179,6 +179,11 @@ def hist_sketch(
     `hist_merge`; extract quantiles with `hist_quantile`.  The merge
     is exact: sketch(A) ⊕ sketch(B) = sketch(A ∪ A B) because counts
     are plain integers.
+
+    NULL values are excluded: a null has no position on [lo, hi) —
+    it is neither underflow nor overflow — so it contributes to no
+    bin and not to `n`.  (Without the filter a null bin index would
+    become a NULL map key and kill the job at runtime.)
     """
     width = (float(hi) - float(lo)) / int(bins)
     idx = (
@@ -193,7 +198,9 @@ def hist_sketch(
             ).cast("int")
         )
     )
-    binned = df.select(*group_cols, idx.alias("__bin"))
+    binned = df.filter(F.col(value_col).isNotNull()).select(
+        *group_cols, idx.alias("__bin")
+    )
     per_bin = binned.groupBy(*group_cols, "__bin").agg(
         F.count("*").alias("__c")
     )
@@ -353,9 +360,13 @@ def cms_sketch(
     combine — the exchange carries 8-byte partials bounded by
     depth × width per group, never raw values.  Counters are exact
     integers, so `cms_merge` (elementwise sum) is associative and
-    sketch-per-partition → merge equals sketch-of-all."""
+    sketch-per-partition → merge equals sketch-of-all.
+
+    NULL values are excluded — a null item has no hash bucket (its
+    md5 would be null and become a NULL map key, killing the job);
+    count nulls separately if they matter."""
     rows = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row")
-    binned = df.select(
+    binned = df.filter(F.col(value_col).isNotNull()).select(
         *group_cols,
         F.col(value_col).alias("__v"),
         rows,

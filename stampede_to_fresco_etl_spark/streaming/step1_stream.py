@@ -199,8 +199,15 @@ def stream_cpu(raw: DataFrame) -> DataFrame:
         df, [F.col(c) for c in JIFFY_COLS], rollup=True
     )
     total = sum(F.col(f"d{i}") for i in range(len(JIFFY_COLS)))
-    lag = lag.withColumn("total_delta", total).filter(
-        F.col("total_delta") > 0
+    # dt > 0 enforces the module contract (a cross-batch duplicate or
+    # out-of-order snapshot must be dropped, not rated against stale
+    # lag state).  Deliberate deviation from the batch cpu path, which
+    # has no dt filter but guarantees per-node time ordering by
+    # sorting before the lag — the streaming state cannot.
+    lag = (
+        lag.withColumn("total_delta", total)
+        .filter(F.col("dt_seconds").isNotNull() & (F.col("dt_seconds") > 0))
+        .filter(F.col("total_delta") > 0)
     )
     user_idx = JIFFY_COLS.index("user")
     value = validate_metric(

@@ -38,11 +38,13 @@ Scale notes (100 TB / 1000 executors):
     cluster the state merge becomes a table-format MERGE (partition
     state by month to make it touched-month-local); the snapshot
     scheme here is the FS-only equivalent.
-  - output rewrite cost is bounded by the touched months (late data
-    reopens exactly one month partition), and host_list correctness
-    across a month boundary is preserved by scoping the re-pivot to
-    touched JOBS (all their buckets) rather than slicing the state by
-    month.
+  - output rewrite cost is bounded by the touched months — the months
+    of the touched jobs' buckets in the merged state, so late data
+    reopens the month it lands in PLUS any neighbor month a touched
+    job spans (host_list is a per-job cross-month column; rewriting
+    only the batch's own months would leave a spanning job's earlier
+    month stale).  The re-pivot is scoped to touched JOBS (all their
+    buckets) rather than slicing the state by month.
   - accounting is the small dimension: broadcast per batch, exactly
     like the batch plan.
 """
@@ -119,11 +121,19 @@ def apply_step2_batch(
             merged = merge_partials(prev_state, partial)
         else:
             merged = partial
+        merged.persist()
         # record touched months BEFORE the state commit so a replay
-        # always finds them; tiny frame (an HPC stream spans 1-2 live
-        # months, late data adds the reopened one)
+        # always finds them.  The list is EVERY month of the touched
+        # jobs' buckets in the MERGED state — not just the batch's own
+        # months: host_list is a per-job cross-month column, so a job
+        # that gains a host in a later-month-only batch must have its
+        # earlier months' partitions rewritten too.  Tiny frame (an
+        # HPC stream spans 1-2 live months; a spanning job adds its
+        # neighbors).
+        touched = partial.select(*_JOB_KEY).distinct()
         (
-            partial.select(_month_col().alias("month"))
+            merged.join(F.broadcast(touched), _JOB_KEY, "left_semi")
+            .select(_month_col().alias("month"))
             .distinct()
             .coalesce(1)
             .write.mode("overwrite")
@@ -132,6 +142,7 @@ def apply_step2_batch(
         merged.write.mode("overwrite").option(
             "compression", "zstd"
         ).parquet(f"{state_dir}/v{batch_id}")
+        merged.unpersist()
         state = spark.read.parquet(f"{state_dir}/v{batch_id}")
         # GC snapshots older than the previous one
         fs, jvm = _fs(spark, state_dir)

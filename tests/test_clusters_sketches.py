@@ -269,3 +269,38 @@ def test_cms_sketch_merge_and_overestimate(spark):
     assert 0 <= est["absent"] <= 100
     # per-row totals always equal n
     assert all(sum(c) == 100 for c in d.values())
+
+
+def test_hist_sketch_null_values_excluded(spark):
+    """A NULL value must not become a NULL map key (runtime kill) —
+    it is excluded from every bin and from n (ADVICE r3)."""
+    from stampede_to_fresco_etl_spark.operators.sketches import hist_sketch
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", None), ("a", 5.0), ("b", None)],
+        "g string, v double",
+    )
+    out = {r["g"]: r for r in
+           hist_sketch(df, ["g"], "v", 0.0, 10.0, 5).collect()}
+    assert out["a"]["n"] == 2
+    assert sum(out["a"]["counts"]) == 2
+    # a group with ONLY nulls has no observations -> no sketch row
+    assert "b" not in out
+
+
+def test_cms_sketch_null_items_excluded(spark):
+    from stampede_to_fresco_etl_spark.operators.sketches import (
+        cms_query,
+        cms_sketch,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "x"), ("a", None), ("a", "x"), ("a", "y")],
+        "g string, item string",
+    )
+    sk = cms_sketch(df, ["g"], "item", depth=2, width=64)
+    got = {r["item"]: r["est_count"] for r in
+           cms_query(sk, ["x", "y"], ["g"], width=64).collect()}
+    # CMS overestimates but never under; nulls contribute nothing
+    assert got["x"] >= 2 and got["y"] >= 1
+    assert got["x"] + got["y"] <= 3 + 1  # width 64 >> 2 items: exact

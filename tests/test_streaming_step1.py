@@ -161,3 +161,37 @@ def test_streaming_step1_matches_batch_across_waves(spark, tmp_path):
     assert got[("nfs", "NODE1", "2013-03-01 10:00:20")] == pytest.approx(0.3)
     # mem gauges exist for both waves (stateless)
     assert ("memused", "NODE1", "2013-03-01 10:00:20") in got
+
+
+def test_streaming_step1_drops_out_of_order_cpu(spark, tmp_path):
+    """A later wave REPLAYS an old cpu snapshot (ts at/before the lag
+    state): dt <= 0, so it must emit no cpuuser row instead of rating
+    against stale state (ADVICE r3 — dt filter now enforced)."""
+    landing = tmp_path / "landing"
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    _write_wave(landing, WAVES[0])
+    _drain(run_step1_incremental(spark, str(landing), out, ckpt))
+
+    # wave 2: one duplicate of the 10:00:10 snapshot (dt == 0) and one
+    # strictly earlier snapshot (dt < 0)
+    _write_wave(landing, {
+        "NODE1": {
+            "cpu_0002": (
+                "jobID,node,timestamp,device,user,nice,system,idle,"
+                "iowait,irq,softirq\n"
+                f"job1,NODE1,{t(10)},0,400,0,100,1500,0,0,0\n"
+                f"job1,NODE1,{t(10)},1,500,0,100,1400,0,0,0\n"
+                f"job1,NODE1,{t(5)},0,900,0,300,3000,0,0,0\n"
+                f"job1,NODE1,{t(5)},1,950,0,300,2900,0,0,0\n"
+            ),
+        },
+    })
+    _drain(run_step1_incremental(spark, str(landing), out, ckpt))
+
+    got = _rows(spark, out)
+    cpu_rows = sorted(k for k in got if k[0] == "cpuuser")
+    # only the legitimate wave-1 delta at 10:00:10 exists; nothing at
+    # 10:00:05 and no second row for the replayed 10:00:10
+    assert cpu_rows == [("cpuuser", "NODE1", "2013-03-01 10:00:10")]

@@ -173,3 +173,55 @@ def test_streaming_step2_incremental_arrival(spark, dirs):
         .collect()
     }
     assert months == {"2013-03", "2013-04"}
+
+
+def test_streaming_step2_cross_month_late_host(spark, dirs):
+    """A job spanning a month boundary gains a NEW host in a batch
+    whose rows land only in the later month: the earlier month's
+    partition must still be rewritten with the grown host_list
+    (regression: months were derived from the batch's partial, so
+    2013-02 kept host_list='h1' while batch said 'h1,h2')."""
+    feb = dt.datetime(2013, 2, 28, 23, 59, 30)
+    mar = dt.datetime(2013, 3, 1, 0, 0, 30)
+    files = [
+        # batch 0: host h1 on both sides of the boundary
+        [
+            metric("JOB300", "h1", feb, "cpuuser", 10.0),
+            metric("JOB300", "h1", mar, "cpuuser", 20.0),
+        ],
+        # batch 1: host h2 appears, MARCH ONLY
+        [metric("JOB300", "h2", mar, "memused", 4.0)],
+    ]
+    acct_rows = [
+        acct(
+            "job300",
+            dt.datetime(2013, 2, 28, 23, 0, 0),
+            dt.datetime(2013, 3, 1, 1, 0, 0),
+        )
+    ]
+    accounting = parse_accounting(spark.createDataFrame(acct_rows))
+    for rows in files:
+        _write_file(spark, dirs["landing"], rows)
+        q = run_step2_incremental(
+            spark, dirs["landing"], accounting, dirs["state"],
+            dirs["out"], dirs["ckpt"],
+        )
+        q.awaitTermination(120)
+
+    out = spark.read.parquet(dirs["out"])
+    feb_lists = {
+        r["host_list"]
+        for r in out.filter("date_format(time, 'yyyy-MM') = '2013-02'")
+        .select("host_list")
+        .distinct()
+        .collect()
+    }
+    assert feb_lists == {"h1,h2"}
+
+    # and the whole table still equals the batch plan on the same data
+    metrics = spark.createDataFrame(
+        [r for f in files for r in f], schema=FRESCO_LONG
+    )
+    got = _sorted_pdf(out)
+    want = _sorted_pdf(join_and_widen(metrics, accounting))
+    pd.testing.assert_frame_equal(got, want, check_exact=False, rtol=1e-12)
