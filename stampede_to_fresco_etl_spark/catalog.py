@@ -1417,12 +1417,16 @@ REGISTRY.update(
 def q_near_dups_auto(spark, sf_dir):
     """v3c — the PRODUCTION near-dup plan: `num_planes=None` lets
     `recommended_planes` size the bucket count to the corpus
-    (ceil(log2(n/1024)), multi-probe recall recovery).  No static
-    oracle: the plane count is data-dependent, so the hyperplane
-    literals an oracle needs cannot be fixed per scale factor — the
-    operator's semantics are already oracle-gated at fixed plane
-    counts by v3/v3b; this entry exists so the BENCHED plan is the
-    auto-sized plan users actually run (VERDICT r2 item 4).
+    (ceil(log2(n/256)), multi-probe recall recovery).  Oracle-gated
+    on the PAIR SET (id_a, id_b): the SQL oracle derives the plane
+    count from count(*) with the same clamp arithmetic and masks a
+    24-plane literal bank (hyperplanes(p) is a prefix of
+    hyperplanes(24), so the literals are count-independent).
+    cos_sim is deliberately NOT in the gated output — the arrow
+    engine's BLAS summation differs from the SQL left fold by ~1 ulp,
+    and pair membership is stable (min |cos−θ| gap ≫ ulp, checked at
+    sf0.01: 1.9e-4) while double hashes are not.  Cosine VALUE parity
+    is gated by v3/v3b on the bit-exact column engine.
 
     target_bucket_rows is the recall/cost dial: per-vector work ≈
     target · (planes+1) / 2 cosines (linear in n by construction —
@@ -1442,10 +1446,65 @@ def q_near_dups_auto(spark, sf_dir):
     return embedding_near_dups(
         emb, num_planes=None, dim=ND_DIM, min_cosine=ND_MIN_COS,
         multi_probe=True, target_bucket_rows=256, engine="arrow",
+    ).select("id_a", "id_b")
+
+
+def _sql_near_dups_auto(
+    lo: int = 4, hi: int = 24, target_bucket_rows: int = 256
+) -> str:
+    """Oracle for the auto-sized plan: p = clamp(ceil(log2(n/target)),
+    lo, hi) computed from count(*) in SQL, buckets/probes masked to
+    the first p of a `hi`-plane literal bank."""
+    from stampede_to_fresco_etl_spark.operators.similarity import hyperplanes
+
+    planes = hyperplanes(hi, ND_DIM)
+
+    def dot(a: str, lit: list[float]) -> str:
+        arr = "[" + ", ".join(repr(w) for w in lit) + "]"
+        return (
+            f"list_reduce(list_transform(range(1, {ND_DIM} + 1), "
+            f"i -> {a}[i] * ({arr})[i]), (x, y) -> x + y)"
+        )
+
+    bucket = " + ".join(
+        f"(CASE WHEN {i} < pr.p AND {dot('v', pl)} > 0"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i, pl in enumerate(planes)
     )
+    pair_dot = _D_DOT.format(a="a.v", b="b.v")
+    na = _D_DOT.format(a="a.v", b="a.v")
+    nb = _D_DOT.format(a="b.v", b="b.v")
+    cos = f"{pair_dot} / (sqrt({na}) * sqrt({nb}))"
+    return f"""
+WITH pr AS (
+  SELECT GREATEST({lo}, LEAST({hi},
+           CAST(CEIL(LOG2(COUNT(*) / {target_bucket_rows}.0)) AS BIGINT)
+         )) AS p
+  FROM embeddings
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+bk AS (
+  SELECT vec_id, v, CAST({bucket} AS BIGINT) AS bucket
+  FROM e, pr
+),
+probes AS (
+  SELECT vec_id, v, u.pb
+  FROM bk, pr,
+       UNNEST(list_prepend(bucket, list_transform(
+         range(0, pr.p), i -> xor(bucket, (1::BIGINT << i))
+       ))) AS u(pb)
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS cos_sim
+  FROM probes a JOIN bk b ON a.pb = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b FROM pairs WHERE cos_sim >= {ND_MIN_COS}
+"""
 
 
-REGISTRY.update({"v3c_near_dups_auto": (q_near_dups_auto, None)})
+REGISTRY.update(
+    {"v3c_near_dups_auto": (q_near_dups_auto, _sql_near_dups_auto())}
+)
 
 
 # ---------------------------------------------------------------------------
@@ -3842,7 +3901,7 @@ _ENUMERATE_FIRST = [
     "h1_hist_quantiles",
     "s14_table_stats",
     "c2_cms_freq",
-    "v3c_near_dups_auto",  # no oracle (data-sized planes): rows-only check
+    "v3c_near_dups_auto",
 ]
 
 REGISTRY = {
