@@ -3862,45 +3862,53 @@ REGISTRY.update({"c2_cms_freq": (q_cms_freq, _sql_cms_freq())})
 # ---------------------------------------------------------------------------
 
 _ENUMERATE_FIRST = [
-    # no driver CORRECTNESS row as of r02 — put these in the first 50
-    "j6_asof_join",
-    "t7_sessionize",
-    "x4_stratified_sample",
-    "x5_quantile_filter",
-    "d5_dup_clusters",
-    "k1_kmv_distinct",
-    "x6_keyword_topk",
-    "x7_heavy_hitters",
-    "x8_redact",
+    # driver checks a rotating 50-query sample; enumerate the
+    # longest-stale first.  r4 = the 38 with no r3 row, then the
+    # 4 whose r3 row was red/no-oracle (fixed this round; their
+    # fresh green rows are the proof).  Regenerate per round from
+    # CORRECTNESS_r{N-1}.json.
+    "t1_tumbling_window",
+    "t4_calendar_split",
+    "j4_collect_sorted_list",
+    "q3_join_agg_broadcast",
+    "step2_fresco_wide",
+    "d1_exact_dedup",
+    "d2_minhash_lsh",
+    "d3_simhash",
+    "d4_ngram_jaccard",
+    "x1_token_stats",
+    "x2_quality_lang",
+    "x3_fingerprint",
+    "v1_cosine_topk",
+    "v2_lsh_topk",
+    "mm1_binary_meta",
+    "p6_anti_filter",
+    "o2_global_sort",
+    "t2_tumbling_5min_legacy",
+    "w2_block_rate_formula",
+    "a2_multicol_group_sum",
+    "f1_multiformat_parse",
+    "a10_rollup",
+    "v3_embedding_near_dups",
+    "v3b_near_dups_multiprobe",
+    "q5_nation_revenue",
+    "q9_brand_revenue",
+    "v4_ivf_topk",
+    "mm2_decode_meta",
+    "t3_midpoint",
+    "j1b_interval_join_bucketed",
+    "f16_json_extract",
+    "c1_cpuuser_formula",
+    "n1_nfs_rate_formula",
+    "m1_mem_gauges",
+    "s5_parquet_roundtrip",
+    "s3_case_resolve",
+    "s7_csv_convert",
+    "s10_append_merge",
+    # red/no-oracle in r3, fixed in r4:
     "x9_pack_chunks",
-    "x10_mixture_sample",
-    "tpch_q1",
-    "tpch_q10",
-    "tpch_q18",
-    "x11_dataset_split",
-    "a11_cube",
     "a12_percentile_summary",
-    "j7_semi_join",
-    "j8_anti_join",
-    "j9_full_outer",
-    "f5_replace_rules",
-    "x12_bigram_stats",
-    "v5_embedding_centroids",
-    "w4_legacy_formulas",
-    # new in r3 — need their first driver rows too
-    "mm3_resize",
-    "k1b_kmv_sketch_only",
-    "x13_quality_signals",
-    "x14_rolling_stats",
-    "v6_quantize_int8",
-    "tpch_q6",
     "tpch_q12",
-    "tpch_q14",
-    "tpch_q16",
-    "tpch_q19",
-    "h1_hist_quantiles",
-    "s14_table_stats",
-    "c2_cms_freq",
     "v3c_near_dups_auto",
 ]
 
