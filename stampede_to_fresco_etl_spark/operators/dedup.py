@@ -16,7 +16,7 @@ resemblance sketches; Charikar '02 random hyperplane rounding).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Observation
+from pyspark.sql import Column, DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 from stampede_to_fresco_etl_spark.functions import md5_int63, minhash_slot
@@ -224,40 +224,35 @@ def ngram_jaccard_pairs(
         # broadcast anti-join: the hot set is tiny by construction
         # (few shingles exceed a sane cap), so no extra shuffle
         sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
-    sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
+    # post-cap set size rides the shingle rows via one window count
+    # (exchange by doc), and from there rides the self-join into the
+    # pair aggregate as extra GROUP BY keys (functionally dependent
+    # on doc_a/doc_b, so cardinality is unchanged).  This replaces
+    # the former sizes-aggregate + two joins onto the pair frame:
+    # with a df cap of c the candidate frame can be up to c/2× the
+    # shingle frame, so shuffling the shingle rows once (16 bytes
+    # wider) beats shuffling the pair frame twice.
+    sh = sh.withColumn("sz", F.count("*").over(Window.partitionBy("doc")))
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
                & (F.col("a.doc") < F.col("b.doc")))
         .groupBy(
-            F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b")
+            F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"),
+            F.col("a.sz").alias("sz_a"), F.col("b.sz").alias("sz_b"),
         )
         .agg(F.count("*").alias("inter"))
     )
-    out = (
-        inter.join(
-            sizes.select(
-                F.col("doc").alias("doc_a"), F.col("sz").alias("sz_a")
-            ),
-            "doc_a",
-        )
-        .join(
-            sizes.select(
-                F.col("doc").alias("doc_b"), F.col("sz").alias("sz_b")
-            ),
-            "doc_b",
-        )
-        .select(
-            "doc_a",
-            "doc_b",
-            (
-                F.col("inter").cast("double")
-                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast(
-                    "double"
-                )
-            ).alias("jaccard"),
-        )
+    out = inter.select(
+        "doc_a",
+        "doc_b",
+        (
+            F.col("inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast(
+                "double"
+            )
+        ).alias("jaccard"),
     )
     if min_jaccard > 0.0:
         out = out.filter(F.col("jaccard") >= min_jaccard)
