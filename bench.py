@@ -122,9 +122,14 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
     # UI on for bench only: the REST status API is the per-stage
-    # shuffle/input byte source (the engine default keeps it off)
+    # shuffle/input byte source (the engine default keeps it off).
+    # SPARK_GRAFT_BENCH_UI=0 runs an uninstrumented pass (no io
+    # section) — used to attribute small upticks to the UI event bus
+    # vs real plan changes (VERDICT r3 item 5).
+    ui_on = os.environ.get("SPARK_GRAFT_BENCH_UI", "1") != "0"
     spark = get_spark(
-        app_name="bench", extra_conf={"spark.ui.enabled": "true"}
+        app_name="bench",
+        extra_conf={"spark.ui.enabled": "true" if ui_on else "false"},
     )
     spark.sparkContext.setLogLevel("ERROR")
 
