@@ -3855,6 +3855,76 @@ REGISTRY.update({"c2_cms_freq": (q_cms_freq, _sql_cms_freq())})
 
 
 # ---------------------------------------------------------------------------
+# B1 — Bloom membership sketch (extension): the fourth mergeable
+# sketch (KMV distinct / histogram quantiles / CMS frequency / Bloom
+# membership).  The reference's skip-set anti-join
+# (step-2/consumer.py folder set algebra) is an exact membership
+# test; this is its fixed-size 100 TB analogue.  Build per
+# event_id-parity half, OR-merge, probe literal user ids — the merge
+# being lossless (bloom(A)|bloom(B) == bloom(A∪B)) means a broken
+# hash OR a broken merge mismatches the oracle, which recomputes
+# membership from raw hash positions in SQL.
+# ---------------------------------------------------------------------------
+
+_B1_HASHES, _B1_BITS = 4, 2048
+_B1_ITEMS = [1, 2, 3, 500, -1, 999999999]
+
+
+def q_bloom_membership(spark, sf_dir):
+    from stampede_to_fresco_etl_spark.operators.sketches import (
+        bloom_merge,
+        bloom_query,
+        bloom_sketch,
+    )
+
+    e = load(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    halves = [
+        bloom_sketch(
+            e.filter(F.col("event_id") % 2 == i),
+            ["event_type"], "user_id", _B1_HASHES, _B1_BITS,
+        )
+        for i in (0, 1)
+    ]
+    merged = bloom_merge(*halves)
+    return bloom_query(
+        merged, _B1_ITEMS, ["event_type"], _B1_HASHES, _B1_BITS
+    )
+
+
+def _sql_bloom_membership() -> str:
+    items = ", ".join(f"({i})" for i in _B1_ITEMS)
+    pos = (
+        "(('0x' || substr(md5('bloom' || CAST(i AS VARCHAR) || ':' || "
+        f"CAST({{v}} AS VARCHAR)), 1, 15))::BIGINT % {_B1_BITS})"
+    )
+    return f"""
+WITH hashes AS (SELECT unnest(range(0, {_B1_HASHES})) AS i),
+probes(item) AS (VALUES {items}),
+setbits AS (
+  SELECT DISTINCT event_type, {pos.format(v='user_id')} AS pos
+  FROM events CROSS JOIN hashes
+  WHERE user_id IS NOT NULL
+),
+pp AS (
+  SELECT g.event_type, p.item, {pos.format(v='p.item')} AS pos
+  FROM probes p CROSS JOIN hashes
+       CROSS JOIN (SELECT DISTINCT event_type FROM events
+                   WHERE user_id IS NOT NULL) g
+)
+SELECT pp.event_type, pp.item,
+       bool_and(sb.pos IS NOT NULL) AS maybe_member
+FROM pp LEFT JOIN setbits sb
+       ON pp.event_type = sb.event_type AND pp.pos = sb.pos
+GROUP BY pp.event_type, pp.item
+"""
+
+
+REGISTRY.update(
+    {"b1_bloom_membership": (q_bloom_membership, _sql_bloom_membership())}
+)
+
+
+# ---------------------------------------------------------------------------
 # Enumeration order: the driver's correctness run covers the first N
 # registry entries per round, so queries that do not yet have a
 # driver-issued CORRECTNESS row enumerate first.  Rotate this list as

@@ -441,3 +441,164 @@ def cms_query(
     return per_row.groupBy(*group_cols, "item").agg(
         F.min("c").alias("est_count")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter membership sketch — the fourth leg of the mergeable
+# sketch algebra (KMV: distinct count, histogram: quantiles, CMS:
+# point frequency, Bloom: membership).  The reference pipeline's
+# skip-set (step-2 anti-join of already-processed folders) is an
+# exact small-set membership test; at 100 TB the same question —
+# "was this doc id / URL / content digest already ingested?" — needs
+# a fixed-size answer.  A Bloom bitmap answers it in O(bits) space
+# with no false negatives, and OR-merge makes it buildable
+# per-partition / per-day and combinable, like every sketch here.
+#
+# Hashing is the md5 60-bit-window recipe shared with CMS/minhash,
+# so a SQL oracle reproduces the bitmap bit-for-bit.  Words are 32
+# bits wide (stored in longs): 1 << bit stays positive on every
+# engine, sidestepping 64-bit shift sign-wrap differences.
+# ---------------------------------------------------------------------------
+
+_BLOOM_WORD_BITS = 32
+
+
+def _bloom_pos(value: F.Column, i: F.Column, m_bits: int) -> F.Column:
+    """Hash i's bit position for a value: md5('bloom{i}:{value}')
+    60-bit window mod m_bits — md5_int63's recipe, oracle-exact."""
+    return F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("bloom"),
+                        i.cast("string"),
+                        F.lit(":"),
+                        value.cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(m_bits),
+    )
+
+
+def bloom_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    num_hashes: int = 4,
+    width_bits: int = 2048,
+) -> DataFrame:
+    """Per-group Bloom filter: (group..., words array<long>) with
+    `width_bits` bits packed 32 per word.  No false negatives;
+    false-positive rate ≈ (1 − e^(−k·n/m))^k.
+
+    Shuffle shape: input explodes ×k hashes, then ONE
+    (group, word) hash-agg with map-side OR-combine — the exchange
+    carries 8-byte word partials bounded by k × width/32 per group,
+    never values — then a tiny per-group assembly into the dense
+    array (≤ width/32 rows per group, bounded by construction).
+
+    `bloom_merge` (elementwise OR) is associative/commutative and
+    lossless: bloom(A) | bloom(B) == bloom(A ∪ B) exactly.
+
+    NULL values are excluded — a null has no hash position; count
+    nulls separately if they matter."""
+    if width_bits % _BLOOM_WORD_BITS != 0:
+        raise ValueError("width_bits must be a multiple of 32")
+    n_words = width_bits // _BLOOM_WORD_BITS
+    hashes = F.explode(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    ).alias("i")
+    pos = _bloom_pos(F.col("__v"), F.col("i"), width_bits)
+    positions = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*group_cols, F.col(value_col).alias("__v"), hashes)
+        .select(
+            *group_cols,
+            (pos / _BLOOM_WORD_BITS).cast("int").alias("word"),
+            F.pmod(pos, F.lit(_BLOOM_WORD_BITS)).cast("int").alias("bit"),
+        )
+        .select(
+            *group_cols,
+            "word",
+            F.expr("shiftleft(CAST(1 AS BIGINT), bit)").alias("mask"),
+        )
+    )
+    per_word = positions.groupBy(*group_cols, "word").agg(
+        F.bit_or("mask").alias("w")
+    )
+    return (
+        per_word.groupBy(*group_cols)
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("word"), F.col("w")))
+            ).alias("__m")
+        )
+        .select(
+            *group_cols,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_words - 1)),
+                lambda i: F.coalesce(
+                    F.try_element_at(F.col("__m"), i.cast("int")),
+                    F.lit(0).cast("long"),
+                ),
+            ).alias("words"),
+        )
+    )
+
+
+def bloom_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge Bloom frames of identical (num_hashes, width_bits)
+    layout: union + per-group elementwise word OR."""
+    merged = sketches[0]
+    for s in sketches[1:]:
+        merged = merged.unionByName(s)
+    keys = [c for c in merged.columns if c != "words"]
+    lst = F.collect_list("words")
+    return merged.groupBy(*keys).agg(
+        F.aggregate(
+            F.slice(lst, 2, F.size(lst) - 1),
+            F.element_at(lst, 1),
+            lambda acc, x: F.zip_with(acc, x, lambda a, b: a.bitwiseOR(b)),
+        ).alias("words")
+    )
+
+
+def bloom_query(
+    sketch: DataFrame,
+    items: list,
+    group_cols: list[str],
+    num_hashes: int = 4,
+    width_bits: int = 2048,
+) -> DataFrame:
+    """Membership probes for literal `items`: (group..., item,
+    maybe_member boolean) — true iff EVERY hash position's bit is
+    set.  False ⇒ definitely absent; true ⇒ present or a false
+    positive at the configured rate."""
+    probes = F.explode(
+        F.array(*[F.lit(i) for i in items])
+    ).alias("item")
+    probed = sketch.select(*group_cols, "words", probes).withColumn(
+        "i", F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1)))
+    )
+    pos = _bloom_pos(F.col("item"), F.col("i"), width_bits)
+    probed = probed.select(
+        *group_cols,
+        "item",
+        F.element_at(
+            F.col("words"), (pos / _BLOOM_WORD_BITS).cast("int") + F.lit(1)
+        ).alias("w"),
+        F.pmod(pos, F.lit(_BLOOM_WORD_BITS)).cast("int").alias("bit"),
+    )
+    hit = F.expr("w & shiftleft(CAST(1 AS BIGINT), bit)") != 0
+    return (
+        probed.select(*group_cols, "item", hit.alias("__hit"))
+        .groupBy(*group_cols, "item")
+        .agg(F.every("__hit").alias("maybe_member"))
+    )

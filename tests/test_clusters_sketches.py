@@ -304,3 +304,47 @@ def test_cms_sketch_null_items_excluded(spark):
     # CMS overestimates but never under; nulls contribute nothing
     assert got["x"] >= 2 and got["y"] >= 1
     assert got["x"] + got["y"] <= 3 + 1  # width 64 >> 2 items: exact
+
+
+def test_bloom_no_false_negatives_and_merge(spark):
+    """Every inserted value must probe true (no false negatives);
+    OR-merge of half-sketches equals the whole-corpus sketch."""
+    from stampede_to_fresco_etl_spark.operators.sketches import (
+        bloom_merge,
+        bloom_query,
+        bloom_sketch,
+    )
+
+    vals = [f"v{i}" for i in range(40)]
+    df = spark.createDataFrame(
+        [("g", v, i) for i, v in enumerate(vals)], "g string, v string, i int"
+    )
+    whole = bloom_sketch(df, ["g"], "v", 4, 1024)
+    halves = [
+        bloom_sketch(df.filter(F.col("i") % 2 == p), ["g"], "v", 4, 1024)
+        for p in (0, 1)
+    ]
+    merged = bloom_merge(*halves)
+    assert merged.collect() == whole.collect()
+
+    got = {r["item"]: r["maybe_member"] for r in
+           bloom_query(merged, vals + ["absent1", "absent2"],
+                       ["g"], 4, 1024).collect()}
+    assert all(got[v] for v in vals)  # no false negatives, ever
+    # 40 items in 1024 bits: fp rate ~1e-4 — absents must read false
+    assert not got["absent1"] and not got["absent2"]
+
+
+def test_bloom_null_values_excluded(spark):
+    from stampede_to_fresco_etl_spark.operators.sketches import (
+        bloom_query,
+        bloom_sketch,
+    )
+
+    df = spark.createDataFrame(
+        [("g", "x"), ("g", None)], "g string, v string"
+    )
+    sk = bloom_sketch(df, ["g"], "v", 4, 512)
+    got = {r["item"]: r["maybe_member"] for r in
+           bloom_query(sk, ["x", "y"], ["g"], 4, 512).collect()}
+    assert got["x"] and not got["y"]
