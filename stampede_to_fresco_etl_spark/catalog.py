@@ -3461,6 +3461,51 @@ REGISTRY.update({"x14_rolling_stats": (q_rolling_stats, SQL_ROLLING_STATS)})
 
 
 # ---------------------------------------------------------------------------
+# X15 — per-group z-score normalization (extension): the standard
+# feature-scaling pass before training.  One group aggregate +
+# broadcast-back join; exactness via the floor-scaling recipe (see
+# operators/stats.group_zscore).
+# ---------------------------------------------------------------------------
+
+
+def q_group_zscore(spark, sf_dir):
+    from stampede_to_fresco_etl_spark.operators.stats import group_zscore
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull() & F.col("value").isNotNull()
+    )
+    return group_zscore(
+        e.select("event_id", "event_type", "value"),
+        ["event_type"], "value",
+    ).select("event_id", "event_type", "z")
+
+
+SQL_GROUP_ZSCORE = """
+WITH e AS (
+  SELECT event_id, event_type,
+         CAST(FLOOR(value * 10000.0) AS BIGINT) AS xs
+  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+),
+st AS (
+  SELECT event_type, COUNT(xs) AS n,
+         CAST(SUM(xs) AS BIGINT) AS s,
+         CAST(SUM(xs * xs) AS DOUBLE) AS q
+  FROM e GROUP BY event_type
+)
+SELECT e.event_id, e.event_type,
+       (CAST(e.xs AS DOUBLE)
+          - CAST(st.s AS DOUBLE) / CAST(st.n AS DOUBLE))
+       / nullif(sqrt(q / CAST(st.n AS DOUBLE)
+          - (CAST(st.s AS DOUBLE) / CAST(st.n AS DOUBLE))
+            * (CAST(st.s AS DOUBLE) / CAST(st.n AS DOUBLE))), 0.0) AS z
+FROM e JOIN st USING (event_type)
+"""
+
+
+REGISTRY.update({"x15_group_zscore": (q_group_zscore, SQL_GROUP_ZSCORE)})
+
+
+# ---------------------------------------------------------------------------
 # V6 — symmetric int8 embedding quantization (the 4× storage cut
 # before shipping vectors to an ANN tier).  floor() quantization and
 # integer-scaled reconstruction error keep every output engine-exact.

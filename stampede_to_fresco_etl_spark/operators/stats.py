@@ -60,3 +60,47 @@ def collect_column_stats(
         "(column, n_nulls, n_distinct, min_value, max_value)",
     ).select("column", "n_rows", "n_nulls", "n_distinct",
              "min_value", "max_value")
+
+
+def group_zscore(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    out_col: str = "z",
+    scale: float = 10000.0,
+) -> DataFrame:
+    """Per-group z-score feature normalization — the standard scaling
+    step before training on numeric features, as one group aggregate
+    + one broadcast-back join (no window; group stats are one row per
+    group, so the join side is dimension-sized at any corpus scale).
+
+    Cross-engine exact by the repo's floor-scaling recipe: values are
+    floor-scaled to integers (4 implied decimals), whose per-group
+    sum S and sum-of-squares Q are EXACT integers in any engine
+    (decimal-summed here, HUGEINT in DuckDB); mean and population std
+    then derive from (S, Q, n) with the identical double expression
+    mean = S/n, var = Q/n − mean², so every engine rounds the same
+    way.  Zero-variance groups yield NULL (nullif guard), matching
+    SQL semantics.
+
+    The z is computed on the SCALED integers — the scale factor
+    cancels in (x − μ)/σ, so the result equals the z-score of the
+    floor-scaled values (documented quantization: values are read at
+    4-decimal precision, the same contract every fsum query uses).
+    """
+    xs = F.floor(F.col(value_col) * F.lit(scale)).cast("long")
+    scaled = df.withColumn("__xs", xs)
+    stats = scaled.groupBy(*group_cols).agg(
+        F.count("__xs").alias("__n"),
+        F.sum("__xs").alias("__s"),
+        F.sum(F.col("__xs").cast("decimal(38,0)") * F.col("__xs"))
+        .cast("double")
+        .alias("__q"),
+    )
+    mean = F.col("__s").cast("double") / F.col("__n").cast("double")
+    var = F.col("__q") / F.col("__n").cast("double") - mean * mean
+    enriched = scaled.join(F.broadcast(stats), group_cols)
+    z = (F.col("__xs").cast("double") - mean) / F.nullif(
+        F.sqrt(var), F.lit(0.0)
+    )
+    return enriched.withColumn(out_col, z).drop("__xs", "__n", "__s", "__q")

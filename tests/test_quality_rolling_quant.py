@@ -118,3 +118,25 @@ def test_quantize_int8_roundtrip_properties(spark):
         for x, q in zip(v, out[1]["q"])
     )
     assert out[1]["err_scaled"] == expect
+
+
+def test_group_zscore_basic_and_zero_variance(spark):
+    from pyspark.sql import functions as F
+
+    from stampede_to_fresco_etl_spark.operators.stats import group_zscore
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 5.0), ("b", 5.0)],
+        "g string, v double",
+    )
+    out = {(r["g"], r["v"]): r["z"]
+           for r in group_zscore(df, ["g"], "v").collect()}
+    # group a: mean 2, population std = sqrt(2/3) (on scaled ints the
+    # factor cancels exactly for exact decimals)
+    import math
+    sd = math.sqrt(2.0 / 3.0) * 10000.0
+    assert out[("a", 1.0)] == pytest.approx(-10000.0 / sd, rel=1e-12)
+    assert out[("a", 2.0)] == 0.0
+    assert out[("a", 3.0)] == pytest.approx(10000.0 / sd, rel=1e-12)
+    # zero-variance group -> NULL, not NaN/inf
+    assert out[("b", 5.0)] is None
