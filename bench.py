@@ -58,6 +58,8 @@ HEADLINE = [
     "tpch_q1",
     "tpch_q6",  # pushdown canary: pure scan-agg
     "tpch_q10",
+    "b1_bloom_membership",  # new r4: mergeable membership sketch
+    "x15_group_zscore",  # new r4: broadcast-back feature scaling
 ]
 
 
