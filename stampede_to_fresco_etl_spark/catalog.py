@@ -1774,6 +1774,80 @@ REGISTRY.update({"mm3_resize": (q_resize, _sql_resize())})
 
 
 # ---------------------------------------------------------------------------
+# MM4 — uniform frame sampling from video-as-binary (mapInPandas
+# fan-out).  Payloads are synthetic 4-frame clips built from document
+# text (4 × 48-byte frames); every 7th doc is deliberately malformed
+# (length not a frame multiple) to gate the null-row contract.  The
+# oracle re-expresses the floor-scale frame selection as hex-substring
+# arithmetic — full content equality on the sampled bytes.
+# ---------------------------------------------------------------------------
+
+_MM4_FRAME_BYTES = 48
+_MM4_FRAMES = 4
+_MM4_SAMPLES = 2
+
+
+def q_sample_frames(spark, sf_dir):
+    from stampede_to_fresco_etl_spark.operators.multimodal import (
+        sample_frames,
+    )
+
+    good = _MM4_FRAME_BYTES * _MM4_FRAMES
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.rpad(
+            F.col("text"),
+            F.when(F.col("doc_id") % 7 == 0, good - 2).otherwise(good),
+            " ",
+        )
+        .cast("binary")
+        .alias("payload"),
+    )
+    out = sample_frames(docs, _MM4_SAMPLES, _MM4_FRAME_BYTES)
+    return out.select(
+        "media_id",
+        "frame_idx",
+        F.lower(F.hex(F.col("frame"))).alias("frame_hex"),
+        "digest",
+    )
+
+
+def _sql_sample_frames() -> str:
+    good = _MM4_FRAME_BYTES * _MM4_FRAMES
+    rows = []
+    for j in range(_MM4_SAMPLES):
+        src = (j * _MM4_FRAMES) // _MM4_SAMPLES
+        off = src * _MM4_FRAME_BYTES * 2 + 1
+        rows.append(
+            f"SELECT media_id, CAST({src} AS BIGINT) AS frame_idx, "
+            f"substr(hx, {off}, {_MM4_FRAME_BYTES * 2}) AS frame_hex, "
+            f"md5(substr(hx, {off}, {_MM4_FRAME_BYTES * 2})) AS digest "
+            "FROM s WHERE ok"
+        )
+    sampled = " UNION ALL ".join(rows)
+    return f"""
+WITH s AS (
+  SELECT doc_id AS media_id,
+         (doc_id % 7 != 0) AS ok,
+         lower(hex(rpad(text,
+           CASE WHEN doc_id % 7 = 0 THEN {good - 2} ELSE {good} END,
+           ' ')::BLOB)) AS hx
+  FROM documents
+)
+{sampled}
+UNION ALL
+SELECT media_id, CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+       CAST(NULL AS VARCHAR)
+FROM s WHERE NOT ok
+"""
+
+
+REGISTRY.update(
+    {"mm4_sample_frames": (q_sample_frames, _sql_sample_frames())}
+)
+
+
+# ---------------------------------------------------------------------------
 # T3 standalone — μs-floor interval midpoints (clamped bucket ends),
 # isolated from the flagship for line-item checkability.
 # ---------------------------------------------------------------------------

@@ -240,3 +240,81 @@ def binary_meta(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
         F.lower(F.hex(F.substring(b, 1, 8))).alias("prefix_hex"),
         F.md5(b).alias("digest"),
     )
+
+
+SAMPLED_FRAMES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", LongType(), True),
+        StructField("frame", BinaryType(), True),
+        StructField("digest", StringType(), True),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    n_samples: int,
+    frame_bytes: int,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Uniform frame sampling from video-as-binary (the frame-sample
+    pass of a video training pipeline, minus the codec: payloads here
+    are already-decoded fixed-size frame planes concatenated
+    back-to-back, so the kernel is pure slice arithmetic — swapping
+    in ffmpeg/pyav changes one function body, not the contract).
+
+    A payload of n_frames = len/frame_bytes frames yields
+    k = min(n_samples, n_frames) rows: frame j is source index
+    (j·n_frames)//k — the floor-scale mapping (strictly increasing
+    for k ≤ n_frames), chosen like mm3's resize because it is exactly
+    re-expressible in SQL for the oracle.  A NULL payload or one
+    whose length is not a frame multiple yields ONE row with NULL
+    frame_idx/frame/digest (malformed media never kills the batch,
+    and never silently disappears).  `digest` is md5 of the lowercase
+    hex of the frame bytes (hex-space: oracle md5 is VARCHAR-only).
+
+    Scale: Arrow-batched mapInPandas like its siblings; output fan-out
+    is ≤ n_samples rows per video, each one frame — peak memory is one
+    batch of frames, bounded via arrow.maxRecordsPerBatch.
+    """
+
+    def fn(batches):
+        import hashlib as _hashlib
+
+        import pandas as _pd
+
+        for pdf in batches:
+            ids, idxs, frames, digests = [], [], [], []
+            for mid, p in zip(pdf[id_col], pdf[payload_col]):
+                if p is None or len(p) == 0 or len(p) % frame_bytes != 0:
+                    ids.append(mid)
+                    idxs.append(None)
+                    frames.append(None)
+                    digests.append(None)
+                    continue
+                raw = bytes(p)
+                n_frames = len(raw) // frame_bytes
+                k = min(n_samples, n_frames)
+                for j in range(k):
+                    src = (j * n_frames) // k
+                    fr = raw[src * frame_bytes:(src + 1) * frame_bytes]
+                    ids.append(mid)
+                    idxs.append(src)
+                    frames.append(fr)
+                    digests.append(
+                        _hashlib.md5(fr.hex().encode()).hexdigest()
+                    )
+            yield _pd.DataFrame(
+                {
+                    "media_id": _pd.array(ids, dtype="Int64"),
+                    "frame_idx": _pd.array(idxs, dtype="Int64"),
+                    "frame": frames,
+                    "digest": digests,
+                }
+            )
+
+    return df.select(
+        F.col(id_col).alias(id_col), F.col(payload_col)
+    ).mapInPandas(fn, schema=SAMPLED_FRAMES_SCHEMA)

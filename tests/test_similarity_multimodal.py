@@ -263,3 +263,41 @@ def test_near_dups_arrow_engine_matches_column(spark):
         engine="arrow",
     ).count()
     assert n_rows == len(arr)
+
+
+def test_sample_frames_uniform_and_malformed(spark):
+    """4-frame clip sampled at k=2 -> frames 0 and 2; a 2-frame clip
+    at n_samples=4 yields only its 2 frames; malformed payload yields
+    one all-NULL row (never dropped, never fatal)."""
+    import hashlib
+
+    from stampede_to_fresco_etl_spark.operators.multimodal import (
+        sample_frames,
+    )
+
+    fb = 4
+    clip4 = bytes(range(16))          # 4 frames of 4 bytes
+    clip2 = bytes(range(100, 108))    # 2 frames
+    bad = b"xyz"                      # not a frame multiple
+    df = spark.createDataFrame(
+        [(1, clip4), (2, clip2), (3, bad), (4, None)],
+        "media_id long, payload binary",
+    )
+    out = sample_frames(df, 2, fb).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["media_id"], []).append(r)
+
+    got4 = sorted((r["frame_idx"], bytes(r["frame"])) for r in by_id[1])
+    assert got4 == [(0, clip4[0:4]), (2, clip4[8:12])]
+    assert by_id[1][0]["digest"] == hashlib.md5(
+        bytes(by_id[1][0]["frame"]).hex().encode()
+    ).hexdigest()
+
+    got2 = sorted((r["frame_idx"], bytes(r["frame"])) for r in by_id[2])
+    assert got2 == [(0, clip2[0:4]), (1, clip2[4:8])]
+
+    for mid in (3, 4):
+        assert len(by_id[mid]) == 1
+        r = by_id[mid][0]
+        assert r["frame_idx"] is None and r["frame"] is None
