@@ -4099,6 +4099,10 @@ _ENUMERATE_FIRST = [
     "a12_percentile_summary",
     "tpch_q12",
     "v3c_near_dups_auto",
+    # new in r4 — need their first driver rows:
+    "b1_bloom_membership",
+    "x15_group_zscore",
+    "mm4_sample_frames",
 ]
 
 REGISTRY = {
