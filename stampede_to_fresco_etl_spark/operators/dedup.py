@@ -431,11 +431,15 @@ def connected_components(
     lineage; swap for checkpoint() on preemptible clusters.
 
     Each sweep is exactly ONE Spark job: the changed-flag is computed
-    inline as a column (new cc ≠ old cc), and its max is collected
-    via `Observation` during the localCheckpoint's own materializing
-    action — convergence detection adds no join, no shuffle, and no
-    probe job.  (With ``materialize=False`` a `limit(1).count()`
-    probe triggers the sweep instead.)
+    inline as a column (post-propagation cc ≠ entry cc — the
+    propagation phase alone decides convergence, which is exact: a
+    propagation fixed point on the symmetric edge set forces labels
+    constant-and-minimal per component, making halving the identity
+    there), and its max is collected via `Observation` during the
+    localCheckpoint's own materializing action — convergence
+    detection adds no join, no shuffle, and no probe job.  (With
+    ``materialize=False`` a `limit(1).count()` probe triggers the
+    sweep instead.)
 
     Output: (node, cc) — one row per node that appears in `pairs`.
     Emits a RuntimeWarning if `max_iter` is exhausted before the fixed
@@ -496,6 +500,19 @@ def connected_components(
                 ).alias("cc"),
             )
         )
+        # convergence flag = PROPAGATION-phase change only, measured
+        # before halving.  At a propagation fixed point on the
+        # symmetric edge set, cc(n) ≤ cc(nbr) for every edge in both
+        # directions forces labels constant per component, and the
+        # cc(n) ≤ n invariant forces that constant to be the
+        # component minimum — so halving is the identity there too,
+        # and stopping on the propagation flag alone is exact.  On
+        # chain graphs it can stop a sweep earlier than the combined
+        # flag (halving keeps reshuffling pointers after propagation
+        # has quiesced); it is never later.
+        new_labels = new_labels.withColumn(
+            "__chg", F.col("cc") != F.col("__old")
+        )
         if halving:
             # path halving: follow the label one hop (cc ← label(cc)).
             # label(cc) ≤ cc and stays in the component, so the min
@@ -505,13 +522,10 @@ def connected_components(
             )
             new_labels = new_labels.join(_bc(lut), "cc", "left").select(
                 "node",
-                "__old",
+                "__chg",
                 F.coalesce(F.col("cc2"), F.col("cc")).alias("cc"),
             )
-        # changed-flag rides the sweep's own plan: no extra join
-        new_labels = new_labels.select(
-            "node", "cc", (F.col("cc") != F.col("__old")).alias("__chg")
-        )
+        new_labels = new_labels.select("node", "cc", "__chg")
         if materialize:
             # the convergence metric rides the checkpoint job itself
             # (Observation populates during the materializing action),
