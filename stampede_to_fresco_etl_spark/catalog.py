@@ -1085,11 +1085,83 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------------------
+# D6 — SimHash near-dup pairs (banded Hamming join): d3's signatures
+# completed into the pair join a dedup pipeline actually runs.
+# Candidates via the pigeonhole band split (Hamming ≤ k ⇒ one of k+1
+# bands equal), verified with an exact popcount.
+# ---------------------------------------------------------------------------
+
+_D6_MAX_HAMMING = 3
+#: 32-bit signatures for the PAIR query (d3's 16-bit sketch is kept
+#: for signature parity): Hamming ≤ 3 over 16 bits is noise-dominated
+#: (~22% of all pairs on this corpus); 32 bits makes the detector
+#: selective while the band trick still bounds the candidate space.
+_D6_BITS = 32
+
+
+def q_simhash_pairs(spark, sf_dir):
+    from stampede_to_fresco_etl_spark.operators.dedup import simhash_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    return simhash_pairs(
+        docs, "doc_id", "text",
+        bits=_D6_BITS, max_hamming=_D6_MAX_HAMMING,
+    )
+
+
+def _sql_simhash_sig(bits: int) -> str:
+    hv = md5_int63_sql("tok")
+    sums = ",\n         ".join(
+        f"SUM(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(bits)
+    )
+    bexpr = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(bits)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS doc, u.tok
+  FROM documents, UNNEST({_D_TOKS}) AS u(tok)
+),
+h AS (SELECT doc, {hv} AS hv FROM toks),
+s AS (SELECT doc, {sums} FROM h GROUP BY doc)
+SELECT doc, CAST({bexpr} AS BIGINT) AS simhash FROM s
+"""
+
+
+def _sql_simhash_pairs() -> str:
+    bands = _D6_MAX_HAMMING + 1
+    width = _D6_BITS // bands
+    cuts = [
+        (i * width, width if i < bands - 1 else _D6_BITS - i * width)
+        for i in range(bands)
+    ]
+    band_eq = " OR ".join(
+        f"((a.simhash >> {s}) & {(1 << w) - 1})"
+        f" = ((b.simhash >> {s}) & {(1 << w) - 1})"
+        for s, w in cuts
+    )
+    sig = _sql_simhash_sig(_D6_BITS).strip().rstrip()
+    return f"""
+WITH sig AS (
+{sig}
+)
+SELECT a.doc AS doc_a, b.doc AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sig a JOIN sig b ON a.doc < b.doc AND ({band_eq})
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {_D6_MAX_HAMMING}
+"""
+
+
+
 REGISTRY.update(
     {
         "d1_exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
         "d2_minhash_lsh": (q_minhash_lsh, _sql_minhash()),
         "d3_simhash": (q_simhash, _sql_simhash()),
+        "d6_simhash_pairs": (q_simhash_pairs, _sql_simhash_pairs()),
         "d4_ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
         "x1_token_stats": (q_token_stats, SQL_TOKEN_STATS),
         "x2_quality_lang": (q_quality_lang, _sql_quality()),
@@ -4103,6 +4175,7 @@ _ENUMERATE_FIRST = [
     "b1_bloom_membership",
     "x15_group_zscore",
     "mm4_sample_frames",
+    "d6_simhash_pairs",
 ]
 
 REGISTRY = {

@@ -612,3 +612,82 @@ def simhash(
     for b in range(bits):
         sim = sim + F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(0)
     return sums.select("doc", sim.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 16,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-duplicate pairs: (doc_a, doc_b, hamming) with
+    doc_a < doc_b and popcount(sig_a XOR sig_b) ≤ max_hamming —
+    signature generation (`simhash`) completed into the pair join a
+    dedup pipeline actually runs.
+
+    Candidate generation is the pigeonhole band trick (Charikar's
+    block-permutation scheme, Manku et al. WWW'07 simplified to one
+    split): the signature splits into max_hamming+1 contiguous bit
+    bands, and a pair within Hamming distance ≤ max_hamming differs
+    in at most max_hamming bands, so at least ONE band matches
+    exactly.  The self-join is therefore a (band_id, band_bits)
+    equi-join — candidate volume is Σ over bands of same-band-value
+    pair counts, never n² — followed by an exact popcount verify.
+    A qualifying pair can meet in several bands, so candidates are
+    de-duplicated BEFORE the verify (cheaper than after: the dedup
+    keys are two longs).
+
+    At 100 TB: the equi-join shuffles (band, value)-keyed rows of
+    three longs; hot bands (a common signature region) behave like
+    hot shingles in the Jaccard path — raise `bits` or split skewed
+    buckets with AQE; the verify is a per-row popcount, no shuffle.
+    """
+    bands = max_hamming + 1
+    sig = simhash(df, id_col, text_col, bits)
+    width = bits // bands
+    cuts = [
+        (i * width, width if i < bands - 1 else bits - i * width)
+        for i in range(bands)
+    ]
+    banded = sig.select(
+        "doc",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright(F.col("simhash"), start)
+                        .bitwiseAND(F.lit((1 << w) - 1))
+                        .alias("bv"),
+                    )
+                    for i, (start, w) in enumerate(cuts)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc", "simhash", F.col("bk.band"), F.col("bk.bv"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("a.simhash").alias("ha"),
+            F.col("b.simhash").alias("hb"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    ham = F.bit_count(
+        F.col("ha").bitwiseXOR(F.col("hb"))
+    ).cast("long")
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -196,3 +196,21 @@ def test_prefix_filter_jaccard_output_identical(spark):
         ngram_jaccard_pairs(
             df, "doc_id", "text", 3, 0.0, None, prefix_filter=True
         )
+
+
+def test_simhash_pairs_planted_near_dup(spark):
+    """Two docs differing by one token must pair with small Hamming;
+    an unrelated doc must not pair with either (32-bit sigs)."""
+    from stampede_to_fresco_etl_spark.operators.dedup import simhash_pairs
+
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    near = base.replace("lazy", "sleepy")
+    other = "completely different content about spark catalyst engine " * 4
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, other)], "doc_id long, text string"
+    )
+    got = {(r["doc_a"], r["doc_b"]): r["hamming"]
+           for r in simhash_pairs(df, "doc_id", "text",
+                                  bits=32, max_hamming=6).collect()}
+    assert (1, 2) in got and got[(1, 2)] <= 6
+    assert (1, 3) not in got and (2, 3) not in got
