@@ -2607,6 +2607,64 @@ FROM reach GROUP BY src
 """
 
 
+# ---------------------------------------------------------------------------
+# D7 — quality-aware dedup (capstone composition): dup clusters ->
+# keep the best-quality doc per cluster (ties -> smallest id);
+# singletons survive as their own cluster.  Quality = stopword_ratio
+# (x2's formula — one exact integer division, identical doubles in
+# both engines, so the per-cluster argmax is deterministic).
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_keep_best(spark, sf_dir):
+    from stampede_to_fresco_etl_spark.operators import text as T
+    from stampede_to_fresco_etl_spark.operators.dedup import dedup_keep_best
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "quality", T.stopword_ratio("text")
+    )
+    return dedup_keep_best(
+        docs, "doc_id", "text", "quality",
+        shingle_k=3, min_jaccard=0.3, max_shingle_df=100,
+    )
+
+
+def _sql_dedup_keep_best() -> str:
+    from stampede_to_fresco_etl_spark.operators.text import STOPWORDS
+
+    cond = " OR ".join(f"x = '{w}'" for w in STOPWORDS)
+    ratio = (
+        f"(CAST(len(list_filter({_D_TOKS}, x -> {cond})) AS DOUBLE)"
+        f" / CAST(len({_D_TOKS}) AS DOUBLE))"
+    )
+    # same recursive-CTE closure as SQL_DUP_CLUSTERS, then the
+    # quality argmax per cluster
+    closure = SQL_DUP_CLUSTERS.split("SELECT src AS doc_id")[0].rstrip()
+    return f"""{closure},
+cc AS (
+  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+  FROM reach GROUP BY src
+),
+q AS (SELECT doc_id, {ratio} AS quality FROM documents),
+j AS (
+  SELECT q.doc_id, coalesce(cc.cluster_id, q.doc_id) AS cluster_id,
+         q.quality
+  FROM q LEFT JOIN cc USING (doc_id)
+),
+r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY cluster_id ORDER BY quality DESC, doc_id
+  ) AS rk FROM j
+)
+SELECT doc_id, cluster_id, quality FROM r WHERE rk = 1
+"""
+
+
+REGISTRY.update(
+    {"d7_dedup_keep_best": (q_dedup_keep_best, _sql_dedup_keep_best())}
+)
+
+
 def q_kmv_distinct(spark, sf_dir):
     """K1 — KMV (k-minimum-values) distinct-count sketch: per group,
     keep the k smallest md5 hashes of the value; the k-th smallest
@@ -4176,6 +4234,7 @@ _ENUMERATE_FIRST = [
     "x15_group_zscore",
     "mm4_sample_frames",
     "d6_simhash_pairs",
+    "d7_dedup_keep_best",
 ]
 
 REGISTRY = {

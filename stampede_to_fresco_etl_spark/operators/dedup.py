@@ -691,3 +691,50 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def dedup_keep_best(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    quality_col: str,
+    shingle_k: int = 3,
+    min_jaccard: float = 0.3,
+    max_shingle_df: int | None = 100,
+) -> DataFrame:
+    """End-to-end near-dup deduplication, quality-aware: cluster the
+    corpus (`dup_clusters`), then keep the HIGHEST-`quality_col` doc
+    of each cluster (ties broken by smallest id) — the full curation
+    flow a training-data pipeline runs, where the survivor should be
+    the best copy, not an arbitrary one.  Docs with no near-duplicate
+    form singleton clusters (cluster_id = own id) and always survive.
+
+    Output: one row per surviving doc — (id, cluster_id, quality).
+
+    Scale shape: the cluster frame is one row per doc THAT APPEARS IN
+    A PAIR (typically a small fraction of the corpus), so the join
+    back is dimension-sized; the survivor pick is one row_number
+    window over cluster_id — a single exchange keyed by cluster, with
+    per-cluster row counts bounded by cluster sizes, not the corpus.
+    """
+    clusters = dup_clusters(
+        df, id_col, text_col,
+        shingle_k=shingle_k,
+        min_jaccard=min_jaccard,
+        max_shingle_df=max_shingle_df,
+    ).select(id_col, "cluster_id")
+    joined = (
+        df.select(id_col, F.col(quality_col).alias("quality"))
+        .join(clusters, id_col, "left")
+        .withColumn(
+            "cluster_id", F.coalesce(F.col("cluster_id"), F.col(id_col))
+        )
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality").desc(), F.col(id_col)
+    )
+    return (
+        joined.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select(id_col, "cluster_id", "quality")
+    )

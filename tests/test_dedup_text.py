@@ -214,3 +214,26 @@ def test_simhash_pairs_planted_near_dup(spark):
                                   bits=32, max_hamming=6).collect()}
     assert (1, 2) in got and got[(1, 2)] <= 6
     assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_dedup_keep_best_picks_highest_quality(spark):
+    """Planted near-dup trio: the survivor is the max-quality member
+    (NOT the min id); singletons always survive."""
+    from stampede_to_fresco_etl_spark.operators.dedup import dedup_keep_best
+
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 5
+    df = spark.createDataFrame(
+        [
+            (1, base + "iota", 0.2),
+            (2, base + "kappa", 0.9),   # best copy, higher id
+            (3, base + "lambda", 0.5),
+            (9, "totally unrelated text about nothing shared here "
+                "with more words than shingles need", 0.1),
+        ],
+        "doc_id long, text string, quality double",
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in dedup_keep_best(
+        df, "doc_id", "text", "quality", min_jaccard=0.3,
+        max_shingle_df=None,
+    ).collect()}
+    assert got == {2: 1, 9: 9}  # doc 2 survives cluster 1; 9 singleton
