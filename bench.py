@@ -60,6 +60,8 @@ HEADLINE = [
     "tpch_q10",
     "b1_bloom_membership",  # new r4: mergeable membership sketch
     "x15_group_zscore",  # new r4: broadcast-back feature scaling
+    "d6_simhash_pairs",  # new r4: banded Hamming near-dup join
+    "d7_dedup_keep_best",  # new r4: cluster + quality-argmax capstone
 ]
 
 

@@ -1092,11 +1092,15 @@ FROM documents
 # bands equal), verified with an exact popcount.
 # ---------------------------------------------------------------------------
 
-_D6_MAX_HAMMING = 3
+_D6_MAX_HAMMING = 2
 #: 32-bit signatures for the PAIR query (d3's 16-bit sketch is kept
 #: for signature parity): Hamming ≤ 3 over 16 bits is noise-dominated
 #: (~22% of all pairs on this corpus); 32 bits makes the detector
 #: selective while the band trick still bounds the candidate space.
+#: Hamming ≤ 2 (3 bands of 10-12 bits): on this template-generated
+#: corpus H≤3 admits 129k pairs at sf0.1 — real output, not waste,
+#: but 4× the wall; ≤2 keeps the catalog entry a strict near-dup
+#: detector (35k pairs, 1.3s).
 _D6_BITS = 32
 
 
