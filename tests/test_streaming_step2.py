@@ -225,3 +225,36 @@ def test_streaming_step2_cross_month_late_host(spark, dirs):
     got = _sorted_pdf(out)
     want = _sorted_pdf(join_and_widen(metrics, accounting))
     pd.testing.assert_frame_equal(got, want, check_exact=False, rtol=1e-12)
+
+
+def test_streaming_step3_finalize_matches_batch(spark, tmp_path):
+    """Streaming finalize over arriving wide files equals batch
+    finalize on the same rows; replays are exactly-once."""
+    from stampede_to_fresco_etl_spark.pipeline.step3 import finalize
+    from stampede_to_fresco_etl_spark.streaming.step3_stream import (
+        run_step3_incremental,
+    )
+
+    rows = [
+        ("IDjob123", "c1", "c1,c2", "alice"),
+        ("job77", "c9", "c9", "bob"),
+    ]
+    schema = "jid string, host string, host_list string, username string"
+    landing, out, ckpt = (str(tmp_path / d) for d in ("l", "o", "c"))
+
+    for i, r in enumerate(rows):
+        spark.createDataFrame([r], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+        q = run_step3_incremental(
+            spark, landing, out, ckpt,
+            spark.read.parquet(landing).schema, partition_col=None,
+        )
+        q.awaitTermination(120)
+
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    want = sorted(map(tuple, finalize(
+        spark.createDataFrame(rows, schema)).collect()))
+    assert got == want
+    assert got[0][0].startswith("JOB")  # ID stripped, job->JOB
+    assert all(r[1].endswith("_S") and r[3].endswith("_S") for r in got)
