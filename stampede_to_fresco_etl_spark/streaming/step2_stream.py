@@ -189,6 +189,7 @@ def run_step2_incremental(
     schema: StructType = FRESCO_LONG,
     max_files_per_trigger: int | None = None,
     batch_hook=None,
+    recursive: bool = False,
 ) -> StreamingQuery:
     """Continuous incremental step-2 over a landing directory of
     metric parquet files.  `accounting` is the parsed job dimension
@@ -203,6 +204,12 @@ def run_step2_incremental(
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    if recursive:
+        # chain directly off incremental step-1's per-metric sink tree
+        # ({out}/{metric}/date=*/...): list every parquet file below
+        # the root, ignoring the partition-dir layout (Timestamp lives
+        # in the rows; the date dir is derived from it)
+        reader = reader.option("recursiveFileLookup", "true")
     stream = reader.parquet(landing_dir)
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
