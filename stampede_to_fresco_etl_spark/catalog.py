@@ -3931,6 +3931,74 @@ WHERE (p_brand = 'Brand#2'  AND p_size BETWEEN 1  AND 15
 """
 
 
+def q_tpch_q4(spark, sf_dir):
+    """Q4 shape (adapted to this schema: no commit/receipt dates —
+    the EXISTS correlate is "some line shipped after the order
+    date"): priority counts over orders with a late-shipped line.
+    The decorrelated Spark plan is a left-semi join on the correlate
+    (orderkey equality + shipdate > orderdate residual) feeding one
+    hash-agg — EXISTS without a subquery executor."""
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        l,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count("*").alias("order_count")
+    )
+
+
+SQL_TPCH_Q4 = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+)
+GROUP BY o_orderpriority
+"""
+
+
+def q_tpch_q2_argmin(spark, sf_dir):
+    """Q2's correlated-min shape on this schema (no partsupp table):
+    for each part, the cheapest lineitem (min extendedprice, ties →
+    min orderkey, min linenumber).  The classic decorrelation:
+    row_number over the group instead of a correlated scalar
+    subquery — one exchange on the group key, no rescan."""
+    l = load(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_partkey").orderBy(
+        F.col("l_extendedprice"), F.col("l_orderkey"), F.col("l_linenumber")
+    )
+    return (
+        l.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select(
+            "l_partkey",
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_extendedprice").alias("min_price"),
+        )
+    )
+
+
+SQL_TPCH_Q2_ARGMIN = """
+SELECT l_partkey, l_orderkey, l_linenumber,
+       l_extendedprice AS min_price
+FROM (
+  SELECT l_partkey, l_orderkey, l_linenumber, l_extendedprice,
+         row_number() OVER (
+           PARTITION BY l_partkey
+           ORDER BY l_extendedprice, l_orderkey, l_linenumber
+         ) AS rk
+  FROM lineitem
+)
+WHERE rk = 1
+"""
+
+
 REGISTRY.update(
     {
         "tpch_q6": (q_tpch_q6, SQL_TPCH_Q6),
@@ -3938,6 +4006,8 @@ REGISTRY.update(
         "tpch_q14": (q_tpch_q14, SQL_TPCH_Q14),
         "tpch_q16": (q_tpch_q16, SQL_TPCH_Q16),
         "tpch_q19": (q_tpch_q19, SQL_TPCH_Q19),
+        "tpch_q4": (q_tpch_q4, SQL_TPCH_Q4),
+        "tpch_q2_argmin": (q_tpch_q2_argmin, SQL_TPCH_Q2_ARGMIN),
     }
 )
 
@@ -4239,6 +4309,8 @@ _ENUMERATE_FIRST = [
     "mm4_sample_frames",
     "d6_simhash_pairs",
     "d7_dedup_keep_best",
+    "tpch_q4",
+    "tpch_q2_argmin",
 ]
 
 REGISTRY = {
