@@ -300,3 +300,90 @@ def test_hist_quantile_within_bin_width_of_truth(spark):
         true = s[math.ceil(q * len(s)) - 1]
         est = out[name]
         assert est <= true < est + width, (name, est, true)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.text(
+            alphabet="abcdefgh", min_size=1, max_size=6
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    st.integers(min_value=2, max_value=5),
+)
+def test_bloom_merge_associativity_property(spark, values, n_splits):
+    """Any partitioning of the input into n sketches OR-merges to the
+    whole-corpus sketch, and every inserted value probes true."""
+    from stampede_to_fresco_etl_spark.operators.sketches import (
+        bloom_merge,
+        bloom_query,
+        bloom_sketch,
+    )
+
+    rows = [("g", v, i) for i, v in enumerate(values)]
+    df = spark.createDataFrame(rows, "g string, v string, i int")
+    whole = bloom_sketch(df, ["g"], "v", 3, 256)
+    parts = [
+        bloom_sketch(df.filter(F.col("i") % n_splits == p),
+                     ["g"], "v", 3, 256)
+        for p in range(n_splits)
+    ]
+    nonempty = [p for p in parts if p.count() > 0]
+    merged = bloom_merge(*nonempty)
+    assert merged.collect() == whole.collect()
+    probe = bloom_query(merged, sorted(set(values)), ["g"], 3, 256)
+    assert all(r["maybe_member"] for r in probe.collect())
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.floats(
+                min_value=-100, max_value=100,
+                allow_nan=False, allow_infinity=False,
+            ),
+        ),
+        min_size=2,
+        max_size=30,
+    )
+)
+def test_group_zscore_property(spark, rows):
+    """Per group: z has mean ~0; zero-variance groups yield NULL;
+    output z matches a plain-Python recompute on floor-scaled ints."""
+    import math
+
+    from stampede_to_fresco_etl_spark.operators.stats import group_zscore
+
+    df = spark.createDataFrame(
+        [(g, float(v)) for g, v in rows], "g string, v double"
+    )
+    got = group_zscore(df, ["g"], "v").collect()
+
+    by_g: dict[str, list[int]] = {}
+    for g, v in rows:
+        by_g.setdefault(g, []).append(math.floor(float(v) * 10000.0))
+    for r in got:
+        xs = by_g[r["g"]]
+        n, s = len(xs), sum(xs)
+        q = sum(x * x for x in xs)
+        mean = s / n
+        var = q / n - mean * mean
+        x = math.floor(float(r["v"]) * 10000.0)
+        if var <= 0.0 or math.sqrt(var) == 0.0:
+            assert r["z"] is None
+        else:
+            assert r["z"] == pytest.approx(
+                (x - mean) / math.sqrt(var), rel=1e-9, abs=1e-9
+            )
