@@ -99,9 +99,19 @@ def minhash_signatures(
     sh = toks.select(
         "doc", F.explode(word_shingles(F.col("t"), shingle_k)).alias("shingle")
     )
+    # hash slots projected ONCE before the aggregate: Spark does no
+    # CSE across aggregate expressions, so inlined minhash_slot would
+    # recompute each salted md5 per slot instead of ceil(k/2) times
+    # total (the same trap simhash hit — see that fix's measurement)
+    sh = sh.select(
+        "doc",
+        *[
+            minhash_slot(F.col("shingle"), j).alias(f"__h{j}")
+            for j in range(num_hashes)
+        ],
+    )
     aggs = [
-        F.min(minhash_slot(F.col("shingle"), j)).alias(f"mh{j}")
-        for j in range(num_hashes)
+        F.min(F.col(f"__h{j}")).alias(f"mh{j}") for j in range(num_hashes)
     ]
     return sh.groupBy("doc").agg(*aggs)
 
