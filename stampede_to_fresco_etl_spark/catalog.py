@@ -4249,71 +4249,57 @@ REGISTRY.update(
 
 # ---------------------------------------------------------------------------
 # Enumeration order: the driver's correctness run covers the first N
-# registry entries per round, so queries that do not yet have a
-# driver-issued CORRECTNESS row enumerate first.  Rotate this list as
-# rounds accumulate coverage; membership in REGISTRY is unchanged.
+# registry entries per round, so the STALEST queries must enumerate
+# first.  Computed at import time from the CORRECTNESS_r*.json records
+# in the repo root (no hand-maintained list — VERDICT r4 item 1/finding
+# 2): a query's freshness is the newest round whose record holds a
+# GREEN row for it (rows+schema+hash match where an oracle exists, no
+# err).  Never-checked queries and queries whose latest row is red sort
+# to the front; among equally-fresh queries, registry insertion order
+# is preserved so the ordering stays deterministic.
 # ---------------------------------------------------------------------------
 
-_ENUMERATE_FIRST = [
-    # driver checks a rotating 50-query sample; enumerate the
-    # longest-stale first.  r4 = the 38 with no r3 row, then the
-    # 4 whose r3 row was red/no-oracle (fixed this round; their
-    # fresh green rows are the proof).  Regenerate per round from
-    # CORRECTNESS_r{N-1}.json.
-    "t1_tumbling_window",
-    "t4_calendar_split",
-    "j4_collect_sorted_list",
-    "q3_join_agg_broadcast",
-    "step2_fresco_wide",
-    "d1_exact_dedup",
-    "d2_minhash_lsh",
-    "d3_simhash",
-    "d4_ngram_jaccard",
-    "x1_token_stats",
-    "x2_quality_lang",
-    "x3_fingerprint",
-    "v1_cosine_topk",
-    "v2_lsh_topk",
-    "mm1_binary_meta",
-    "p6_anti_filter",
-    "o2_global_sort",
-    "t2_tumbling_5min_legacy",
-    "w2_block_rate_formula",
-    "a2_multicol_group_sum",
-    "f1_multiformat_parse",
-    "a10_rollup",
-    "v3_embedding_near_dups",
-    "v3b_near_dups_multiprobe",
-    "q5_nation_revenue",
-    "q9_brand_revenue",
-    "v4_ivf_topk",
-    "mm2_decode_meta",
-    "t3_midpoint",
-    "j1b_interval_join_bucketed",
-    "f16_json_extract",
-    "c1_cpuuser_formula",
-    "n1_nfs_rate_formula",
-    "m1_mem_gauges",
-    "s5_parquet_roundtrip",
-    "s3_case_resolve",
-    "s7_csv_convert",
-    "s10_append_merge",
-    # red/no-oracle in r3, fixed in r4:
-    "x9_pack_chunks",
-    "a12_percentile_summary",
-    "tpch_q12",
-    "v3c_near_dups_auto",
-    # new in r4 — need their first driver rows:
-    "b1_bloom_membership",
-    "x15_group_zscore",
-    "mm4_sample_frames",
-    "d6_simhash_pairs",
-    "d7_dedup_keep_best",
-    "tpch_q4",
-    "tpch_q2_argmin",
-]
 
-REGISTRY = {
-    **{name: REGISTRY[name] for name in _ENUMERATE_FIRST},
-    **{n: v for n, v in REGISTRY.items() if n not in _ENUMERATE_FIRST},
-}
+def _latest_green_round() -> dict[str, int]:
+    """name -> newest round with a green driver row for that query."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+    import re as _re
+
+    here = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    join = _os.path.join
+    latest: dict[str, int] = {}
+    for path in _glob.glob(join(here, "CORRECTNESS_r*.json")):
+        m = _re.search(r"_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                rows = _json.load(f)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict) or row.get("err") is not None:
+                continue
+            green = row.get("rows_match") and row.get("schema_match") is not False
+            # hash_match is None for no-oracle (rows-only) checks —
+            # count those as green; False is a real mismatch.
+            if green and row.get("hash_match") is not False:
+                latest[name] = max(latest.get(name, 0), rnd)
+    return latest
+
+
+_FRESHNESS = _latest_green_round()
+REGISTRY = dict(
+    sorted(
+        REGISTRY.items(),
+        key=lambda kv, _order=list(REGISTRY): (
+            _FRESHNESS.get(kv[0], 0),
+            _order.index(kv[0]),
+        ),
+    )
+)
