@@ -71,14 +71,19 @@ def _rnum(p: str) -> int:
 
 
 def _current_round() -> int:
-    """This run's round number: one past the newest recorded round.
+    """This run's round number.
 
-    CORRECTNESS_r{N}/BENCH_r{N} are written by the driver AFTER the
-    round's work, so max(existing)+1 is the in-flight round."""
+    $SPARK_GRAFT_ROUND wins when set.  Otherwise: one past the newest
+    BENCH_r{N}.json.  Only BENCH records are counted — the driver may
+    record the in-flight round's CORRECTNESS *before* running bench,
+    and counting it shifted the r4 run's artifacts to r5 (VERDICT r4
+    finding 1).  BENCH_r{N} is written from this very run's stdout
+    after it exits, so it can never include the in-flight round."""
+    env = os.environ.get("SPARK_GRAFT_ROUND")
+    if env and env.isdigit():
+        return int(env)
     here = os.path.dirname(os.path.abspath(__file__))
-    recs = glob.glob(os.path.join(here, "BENCH_r*.json")) + glob.glob(
-        os.path.join(here, "CORRECTNESS_r*.json")
-    )
+    recs = glob.glob(os.path.join(here, "BENCH_r*.json"))
     return max((_rnum(p) for p in recs), default=0) + 1
 
 
@@ -173,7 +178,8 @@ def main() -> None:
     # stdout, and round 3's combined line overflowed it — the compact
     # timings-only JSON must be the FINAL printed line.
     rnd = _current_round()
-    side: dict[str, object] = {"sf": sf}
+    out["round"] = rnd
+    side: dict[str, object] = {"sf": sf, "round": rnd}
     if io:
         side["io"] = io
     try:
@@ -189,7 +195,20 @@ def main() -> None:
                 for name, t in timings.items()
                 if name in prev.get("queries", {})
             }
-            prev_io = prev.get("io", {})
+            # io moved to the BENCH_IO_r{N} side file in r4 — read the
+            # previous round's side file, falling back to the embedded
+            # io section for pre-r4 records (ADVICE r4).
+            prev_io = {}
+            try:
+                prev_io_path = os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)),
+                    f"BENCH_IO_r{_rnum(prev_path)}.json",
+                )
+                with open(prev_io_path) as f:
+                    prev_io = json.load(f).get("io", {})
+            except (OSError, ValueError):
+                pass
+            prev_io = prev_io or prev.get("io", {})
             shuffle_delta = {
                 name: io[name]["shuffle_write_bytes"]
                 - prev_io[name]["shuffle_write_bytes"]
