@@ -1788,13 +1788,27 @@ REGISTRY.update({"mm2_decode_meta": (q_decode_meta, SQL_DECODE_META)})
 # ---------------------------------------------------------------------------
 # MM3 — real nearest-neighbor resize (binary→binary mapInPandas).
 # Payloads are synthetic 8×8 RGB888 rasters built from the document
-# text (padded/truncated to 192 bytes — ASCII, so char ops == byte
-# ops on both engines); the operator NN-resizes them to 4×4.  The
-# oracle re-expresses the floor-scale pixel selection as hex-substring
-# arithmetic — full content equality on the resized bytes.
+# text (non-ASCII stripped FIRST, then padded/truncated to 192 bytes
+# — rpad counts chars while the operator counts bytes, so a multi-byte
+# char in a future regenerated corpus would desync them; after the
+# strip, char ops == byte ops on both engines by construction, ADVICE
+# r4); the operator NN-resizes them to 4×4.  The oracle re-expresses
+# the floor-scale pixel selection as hex-substring arithmetic — full
+# content equality on the resized bytes.
 # ---------------------------------------------------------------------------
 
 _MM3_SRC_W, _MM3_SRC_H, _MM3_OUT_W, _MM3_OUT_H = 8, 8, 4, 4
+
+#: Java regex / RE2 agree on this class; both engines' regexp_replace
+#: (Spark default, DuckDB with 'g') replace every match.
+_ASCII_ONLY_RE = r"[^\x20-\x7e]"
+
+
+def _ascii_text() -> "F.Column":
+    return F.regexp_replace(F.col("text"), _ASCII_ONLY_RE, "")
+
+
+_SQL_ASCII_TEXT = r"regexp_replace(text, '[^\x20-\x7e]', '', 'g')"
 
 
 def q_resize(spark, sf_dir):
@@ -1804,7 +1818,7 @@ def q_resize(spark, sf_dir):
 
     docs = load(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("media_id"),
-        F.rpad(F.col("text"), _MM3_SRC_W * _MM3_SRC_H * 3, " ")
+        F.rpad(_ascii_text(), _MM3_SRC_W * _MM3_SRC_H * 3, " ")
         .cast("binary")
         .alias("payload"),
         F.lit(_MM3_SRC_W).cast("long").alias("width"),
@@ -1835,7 +1849,7 @@ def _sql_resize() -> str:
     return f"""
 WITH s AS (
   SELECT doc_id AS media_id,
-         lower(hex(rpad(text, {n}, ' ')::BLOB)) AS hx
+         lower(hex(rpad({_SQL_ASCII_TEXT}, {n}, ' ')::BLOB)) AS hx
   FROM documents
 )
 SELECT media_id, {cat} AS resized_hex,
@@ -1872,7 +1886,7 @@ def q_sample_frames(spark, sf_dir):
     docs = load(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("media_id"),
         F.rpad(
-            F.col("text"),
+            _ascii_text(),  # byte-safe: see _ASCII_ONLY_RE note (mm3)
             F.when(F.col("doc_id") % 7 == 0, good - 2).otherwise(good),
             " ",
         )
@@ -1905,7 +1919,7 @@ def _sql_sample_frames() -> str:
 WITH s AS (
   SELECT doc_id AS media_id,
          (doc_id % 7 != 0) AS ok,
-         lower(hex(rpad(text,
+         lower(hex(rpad({_SQL_ASCII_TEXT},
            CASE WHEN doc_id % 7 = 0 THEN {good - 2} ELSE {good} END,
            ' ')::BLOB)) AS hx
   FROM documents
@@ -2364,8 +2378,9 @@ def q_append_merge_roundtrip(spark, sf_dir):
 
     e = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
     path = f"{_SCRATCH}/s10_append"
-    write_parquet(e.filter(F.col("event_id") % 2 == 0), path, mode="overwrite")
-    write_parquet(e.filter(F.col("event_id") % 2 == 1), path, mode="append")
+    even, odd = _parity_halves(e)  # complementary: no row lost on NULL ids
+    write_parquet(even, path, mode="overwrite")
+    write_parquet(odd, path, mode="append")
     return _roundtrip_agg(spark.read.parquet(path))
 
 
@@ -2570,7 +2585,12 @@ def q_dup_clusters(spark, sf_dir):
     return out
 
 
-SQL_DUP_CLUSTERS = f"""
+#: Shared transitive-closure prefix (shingles → Jaccard pairs →
+#: undirected edges → recursive reach).  Both SQL_DUP_CLUSTERS and
+#: _sql_dedup_keep_best compose from this ONE constant — d7's oracle
+#: previously string-split d5's SQL, so any edit to d5's tail would
+#: have silently corrupted d7's closure (ADVICE r4).
+_SQL_CC_CLOSURE = f"""
 WITH RECURSIVE toks AS (
   SELECT doc_id AS doc, {_D_TOKS} AS t FROM documents
 ),
@@ -2603,7 +2623,9 @@ reach(src, dst) AS (
   SELECT src, dst FROM edges
   UNION
   SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
-)
+)"""
+
+SQL_DUP_CLUSTERS = f"""{_SQL_CC_CLOSURE}
 SELECT src AS doc_id,
        least(src, min(dst)) AS cluster_id,
        least(src, min(dst)) = src AS is_canonical
@@ -2641,10 +2663,9 @@ def _sql_dedup_keep_best() -> str:
         f"(CAST(len(list_filter({_D_TOKS}, x -> {cond})) AS DOUBLE)"
         f" / CAST(len({_D_TOKS}) AS DOUBLE))"
     )
-    # same recursive-CTE closure as SQL_DUP_CLUSTERS, then the
-    # quality argmax per cluster
-    closure = SQL_DUP_CLUSTERS.split("SELECT src AS doc_id")[0].rstrip()
-    return f"""{closure},
+    # same recursive-CTE closure as SQL_DUP_CLUSTERS (shared
+    # constant), then the quality argmax per cluster
+    return f"""{_SQL_CC_CLOSURE},
 cc AS (
   SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
   FROM reach GROUP BY src
@@ -4025,6 +4046,18 @@ _H1_LO, _H1_HI, _H1_BINS = 0.0, 500.0, 250
 _H1_QS = {"p50": 0.5, "p95": 0.95, "p99": 0.99}
 
 
+def _parity_halves(df: DataFrame) -> list[DataFrame]:
+    """Split into two COMPLEMENTARY halves on event_id parity.
+
+    `event_id % 2 == i` for i in (0, 1) is not a partition: Spark's %
+    keeps the dividend sign (-3 % 2 = -1) and NULL compares to NULL,
+    so negative/NULL event_ids fell in neither half and the merged
+    sketch silently missed them vs the oracle (ADVICE r4).  pmod fixes
+    the sign; NULL parity goes to the second half via the complement."""
+    even = F.pmod(F.col("event_id"), F.lit(2)) == 0
+    return [df.filter(even), df.filter(even.isNull() | ~even)]
+
+
 def q_hist_sketch(spark, sf_dir):
     from stampede_to_fresco_etl_spark.operators.sketches import (
         hist_merge,
@@ -4034,11 +4067,8 @@ def q_hist_sketch(spark, sf_dir):
 
     e = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     halves = [
-        hist_sketch(
-            e.filter(F.col("event_id") % 2 == i),
-            ["event_type"], "value", _H1_LO, _H1_HI, _H1_BINS,
-        )
-        for i in (0, 1)
+        hist_sketch(h, ["event_type"], "value", _H1_LO, _H1_HI, _H1_BINS)
+        for h in _parity_halves(e)
     ]
     merged = hist_merge(*halves)
     return hist_quantile(merged, _H1_QS, _H1_LO, _H1_HI, _H1_BINS)
@@ -4136,11 +4166,8 @@ def q_cms_freq(spark, sf_dir):
 
     e = load(spark, sf_dir, "events").filter(F.col("event_type").isNotNull())
     halves = [
-        cms_sketch(
-            e.filter(F.col("event_id") % 2 == i),
-            [], "event_type", _C2_DEPTH, _C2_WIDTH,
-        )
-        for i in (0, 1)
+        cms_sketch(h, [], "event_type", _C2_DEPTH, _C2_WIDTH)
+        for h in _parity_halves(e)
     ]
     merged = cms_merge(*halves)
     return cms_query(merged, _C2_ITEMS, [], _C2_WIDTH)
@@ -4202,11 +4229,8 @@ def q_bloom_membership(spark, sf_dir):
 
     e = load(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
     halves = [
-        bloom_sketch(
-            e.filter(F.col("event_id") % 2 == i),
-            ["event_type"], "user_id", _B1_HASHES, _B1_BITS,
-        )
-        for i in (0, 1)
+        bloom_sketch(h, ["event_type"], "user_id", _B1_HASHES, _B1_BITS)
+        for h in _parity_halves(e)
     ]
     merged = bloom_merge(*halves)
     return bloom_query(
