@@ -416,6 +416,7 @@ def connected_components(
     materialize: bool = True,
     halving: bool = True,
     small_graph_edges: int = 500_000,
+    pairs_unique: bool = False,
 ) -> DataFrame:
     """Resolve duplicate-pair output into clusters: every node gets
     the MINIMUM id reachable through the pair graph as its cluster
@@ -455,11 +456,21 @@ def connected_components(
     Emits a RuntimeWarning if `max_iter` is exhausted before the fixed
     point: labels are then a valid refinement (every labelled pair IS
     connected) but one true cluster may still carry several ids.
+
+    `pairs_unique=True` asserts the input holds each undirected pair
+    at most once with a_col < b_col (true for every pair generator in
+    this module — their pairs are grouped/deduped by construction), so
+    the symmetrized edge frame is distinct by construction and the
+    edge-dedup shuffle is skipped.  Duplicate edges would not corrupt
+    the result either way (min is duplicate-insensitive); the flag is
+    purely a physical-plan knob.
     """
     edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     sym = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    )
+    if not pairs_unique:
+        sym = sym.distinct()
     small = False
     if materialize:
         sym = sym.localCheckpoint()
@@ -475,10 +486,23 @@ def connected_components(
         # of two longs, so the broadcast is ≤ ~16 MB at the default.
         small = sym.count() <= small_graph_edges
     _bc = F.broadcast if small else (lambda d: d)
+    # Sweep-0 seed: label(n) = min(n, min neighbor) — the result of
+    # one propagation sweep over identity labels, computed as a single
+    # groupBy on the edge frame instead of the full join + aggregate +
+    # join machinery of a loop sweep.  The node set is exactly the
+    # src set (sym is symmetric), so this also replaces the old
+    # distinct-nodes exchange: same shuffle count as identity seeding,
+    # one fewer loop sweep.  Near-clique dup graphs that converged in
+    # 3 sweeps (2 propagate + 1 confirm) now take 2.  The cc(n) ≤ n /
+    # cc-in-component invariants the convergence proof rests on hold
+    # for the seed by construction.
     labels = (
-        sym.select(F.col("src").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("cc"))
+        sym.groupBy("src")
+        .agg(F.min("dst").alias("nbr"))
+        .select(
+            F.col("src").alias("node"),
+            F.least(F.col("src"), F.col("nbr")).alias("cc"),
+        )
     )
     if materialize:
         labels = labels.localCheckpoint()
@@ -586,7 +610,9 @@ def dup_clusters(
         min_jaccard=min_jaccard,
         max_shingle_df=max_shingle_df,
     )
-    cc = connected_components(pairs, "doc_a", "doc_b")
+    # pair output is grouped on (doc_a, doc_b) with doc_a < doc_b —
+    # unique by construction, so CC can skip its edge-dedup shuffle
+    cc = connected_components(pairs, "doc_a", "doc_b", pairs_unique=True)
     return cc.select(
         F.col("node").alias(id_col),
         F.col("cc").alias("cluster_id"),

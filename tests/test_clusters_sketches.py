@@ -38,13 +38,15 @@ def test_cc_cycle_and_reversed_edges(spark):
 
 
 def test_cc_max_iter_caps_sweeps(spark):
-    # one pure-propagation sweep moves labels one hop — the cap binds
+    # labels start from the neighbor-min SEED (= one propagation
+    # sweep), then one pure-propagation loop sweep moves them one
+    # more hop — the cap binds before the chain end catches up
     cc = connected_components(
         _pairs(spark, [(1, 2), (2, 3), (3, 4)]), max_iter=1, halving=False
     )
     got = {r["node"]: r["cc"] for r in cc.collect()}
-    assert got[2] == 1 and got[1] == 1
-    assert got[4] == 3  # min neighbor after a single sweep
+    assert got[1] == 1 and got[2] == 1 and got[3] == 1
+    assert got[4] == 2  # seed put it at 3; the single sweep at 2
 
 
 def test_cc_halving_collapses_long_chain(spark):
