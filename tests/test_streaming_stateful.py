@@ -149,3 +149,25 @@ def test_rate_v2_transform_with_state_matches_v1(spark, tmp_path):
             spark.conf.unset(conf_key)
         else:
             spark.conf.set(conf_key, prev)
+
+
+def test_rate_v2_plan_constructs_without_protobuf(spark, tmp_path):
+    """The protobuf boundary sits in the EXECUTION path (the Python
+    worker's state-server client, pyspark/sql/streaming/proto); plan
+    construction — schema resolution, the typed-state processor, the
+    transformWithStateInPandas logical node — must work without it.
+    This runs in every environment, so the sandbox-untestable claim
+    in COVERAGE.md stays enforced at the exact boundary it names."""
+    from stampede_to_fresco_etl_spark.streaming.stateful_v2 import (
+        streaming_rate_v2,
+    )
+
+    landing = tmp_path / "empty_landing"
+    landing.mkdir()
+    stream = spark.readStream.schema(FRESCO_LONG).parquet(str(landing))
+    out = streaming_rate_v2(stream)
+    assert out.isStreaming
+    assert out.schema.simpleString() == (
+        "struct<job_id:string,host:string,ts_us:bigint,"
+        "rate_per_sec:double>"
+    )
