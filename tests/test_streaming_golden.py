@@ -123,3 +123,94 @@ def test_three_stage_streaming_chain_equals_batch(spark, tmp_path):
     assert all(got["jid"].str.endswith("_S"))
     assert all(got["host"].str.endswith("_S"))
     assert all(got["username"].str.endswith("_S"))
+
+
+def test_chain_crash_between_step2_commit_and_step3_pickup(spark, tmp_path):
+    """Chain-level crash-replay (VERDICT r4 item 6): the per-stage
+    crash tests each kill ONE stage; this kills the whole chain at its
+    most delicate seam — stage-2 has COMMITTED its state snapshot for
+    a micro-batch but the offset is not yet committed, and stage-3 has
+    not picked anything up — then restarts all three stages and
+    requires exact convergence to the batch golden.
+
+    What must compose correctly across the restart: step-1's file
+    source re-lists and drains nothing new (its sink is already
+    complete); step-2 REPLAYS the crashed batch id against
+    already-committed state — the versioned-marker protocol must take
+    the skip-merge path, not double-count — then drains the remaining
+    batches and overwrites the touched months; step-3's first pickup
+    then finalizes the CONVERGED wide table exactly once."""
+    landing = tmp_path / "raw"
+    long_out = str(tmp_path / "long")
+    wide_out = str(tmp_path / "wide")
+    final_out = str(tmp_path / "final")
+    ck1, ck2, ck3 = (str(tmp_path / c) for c in ("ck1", "ck2", "ck3"))
+    state = str(tmp_path / "state")
+
+    accounting = parse_accounting(spark.createDataFrame([acct_row()]))
+
+    # stage 1: both CSV waves drain through incremental step-1
+    for wave in WAVES:
+        _write_wave(landing, wave)
+        _drain(run_step1_incremental(spark, str(landing), long_out, ck1))
+
+    # stage 2, first attempt: the chain dies after micro-batch 0's
+    # state commit — before its offset commits, and before stage-3
+    # ever starts
+    class Boom(Exception):
+        pass
+
+    crashed = {"done": False}
+
+    def hook(batch_id):
+        if batch_id == 0 and not crashed["done"]:
+            crashed["done"] = True
+            raise Boom("chain killed after step-2 state commit")
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    q2 = run_step2_incremental(
+        spark, long_out, accounting, state, wide_out, ck2,
+        recursive=True, max_files_per_trigger=1, batch_hook=hook,
+    )
+    with pytest.raises(StreamingQueryException):
+        q2.awaitTermination(120)
+    assert crashed["done"]
+
+    # restart ALL THREE stages
+    _drain(run_step1_incremental(spark, str(landing), long_out, ck1))
+    q2b = run_step2_incremental(
+        spark, long_out, accounting, state, wide_out, ck2,
+        recursive=True, max_files_per_trigger=1,
+    )
+    q2b.awaitTermination(120)
+    wide_schema = spark.read.parquet(wide_out).schema
+    q3 = run_step3_incremental(
+        spark, wide_out, final_out, ck3, wide_schema,
+    )
+    q3.awaitTermination(120)
+
+    got = _sorted_pdf(spark.read.parquet(final_out))
+
+    def rd(schema, name):
+        return (
+            spark.read.schema(schema)
+            .option("header", "true")
+            .csv(f"{landing}/*/{name}*.csv")
+        )
+
+    long_batch = transform_node_data(
+        block=rd(BLOCK_RAW, "block"),
+        cpu=rd(CPU_RAW, "cpu"),
+        llite=rd(LLITE_RAW, "llite"),
+        mem=rd(MEM_RAW, "mem"),
+    )
+    want = _sorted_pdf(finalize(join_and_widen(long_batch, accounting)))
+
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, want, check_exact=False, rtol=1e-12)
+    # replay idempotence: the suffix applied exactly once, and no
+    # duplicate (jid, host, time) rows survived the crash-replay
+    assert all(got["jid"].str.endswith("_S"))
+    assert not any(got["jid"].str.endswith("_S_S"))
+    assert not got.duplicated(["jid", "host", "time"]).any()
