@@ -307,15 +307,21 @@ def _jaccard_pairs_prefix(
     fetch joins — each keyed on doc or shingle, none carrying the
     full n² pair space.
 
-    Measured honestly (sf0.1 synthetic, 5k docs × ~52 shingles,
-    uniform lengths): the NAIVE path wins here — 1.9 s vs 8.3 s at
-    t=0.3, 2.1 s vs 3.3 s at t=0.8 — because short uniform docs leave
-    little for the length filter to prune, and verification ships two
-    string arrays per candidate where the naive path ships 8-byte
-    count partials.  The crossover favors prefix when the naive
-    join's Σ df(s)² blows past candidate×|doc| array traffic: long
-    documents, heavy-tailed df, high t — the regime of web-scale
-    near-dup dedup.  Both paths are output-identical (pinned by
+    Measured honestly (scripts/ppjoin_rehearsal.py; full table in
+    SCALE.md §ppjoin): the NAIVE path wins on short uniform docs
+    (2.5 s vs 8.3 s at t=0.3 on the sf0.1 shape) AND on uniform
+    mid-df corpora regardless of Σ df² mass (6.8 s vs 10.6 s at
+    t=0.8 with everyone at df≈100 — equal dfs degenerate rare-first
+    ordering to its tie-break, a few tie-winning shingles become
+    prefix-hot, and array-shipping verification loses to 8-byte count
+    partials).  PREFIX wins in its design regime — heavy-tailed df
+    with a hot head, UNCAPPED exact semantics, high t: measured
+    3.0 s vs 14.6 s (4.9×) at t=0.8 on a Zipf-head corpus whose
+    df≈2,400 head alone feeds the naive join ~70M candidates while
+    never entering any rare-first prefix.  Guidance: prefix for
+    uncapped exact joins at t ≳ 0.7 on heavy-tailed corpora; naive
+    (+cap, which removes the head at the cost of filtered-universe
+    semantics) otherwise.  Both paths are output-identical (pinned by
     test), so the choice is a pure physical knob.
     """
     t = float(min_jaccard)
