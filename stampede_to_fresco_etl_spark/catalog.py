@@ -4271,6 +4271,369 @@ REGISTRY.update(
 )
 
 
+# ===========================================================================
+# r5 additions — decontamination, per-source caps, repetition
+# signals, the remaining hard TPC-H join shapes, ORC sink, grouping
+# sets.
+# ===========================================================================
+
+
+def q_decontaminate(spark, sf_dir):
+    """X16 — benchmark decontamination (extension): count DISTINCT
+    3-gram shingles each training doc shares with the eval corpus
+    (doc_id % 50 == 0 plays the benchmark suite).  The eval shingle
+    set broadcasts; the corpus never self-joins."""
+    from stampede_to_fresco_etl_spark.operators.dedup import decontaminate
+
+    docs = load(spark, sf_dir, "documents")
+    return decontaminate(
+        docs.filter(F.col("doc_id") % 50 != 0),
+        docs.filter(F.col("doc_id") % 50 == 0),
+        "doc_id", "text", shingle_k=3,
+    )
+
+
+SQL_DECONTAMINATE = f"""
+WITH toks AS (SELECT doc_id AS doc, {_D_TOKS} AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc, u.s FROM toks, UNNEST({_D_SHINGLES}) AS u(s)
+),
+ev AS (SELECT DISTINCT s FROM sh WHERE doc % 50 = 0),
+tr AS (SELECT doc, s FROM sh WHERE doc % 50 <> 0)
+SELECT tr.doc AS doc_id, CAST(count(*) AS BIGINT) AS n_hits
+FROM tr JOIN ev ON tr.s = ev.s
+GROUP BY tr.doc
+"""
+
+
+def q_source_cap(spark, sf_dir):
+    """X17 — per-source quota (extension): keep the 5 highest-quality
+    docs per source (stopword-ratio quality, doc_id tie-break) — the
+    per-domain cap that stops one crawl source from dominating a
+    training corpus."""
+    from stampede_to_fresco_etl_spark.operators import text as T
+    from stampede_to_fresco_etl_spark.operators.sampling import cap_per_group
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", T.stopword_ratio("text").alias("quality")
+    )
+    return cap_per_group(
+        docs, "source", [F.col("quality").desc(), F.col("doc_id")], 5
+    )
+
+
+def _sql_source_cap() -> str:
+    from stampede_to_fresco_etl_spark.operators.text import STOPWORDS
+
+    cond = " OR ".join(f"x = '{w}'" for w in STOPWORDS)
+    ratio = (
+        f"(CAST(len(list_filter({_D_TOKS}, x -> {cond})) AS DOUBLE)"
+        f" / CAST(len({_D_TOKS}) AS DOUBLE))"
+    )
+    return f"""
+WITH q AS (SELECT doc_id, source, {ratio} AS quality FROM documents),
+r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY source ORDER BY quality DESC, doc_id
+  ) AS rk FROM q
+)
+SELECT doc_id, source, quality FROM r WHERE rk <= 5
+"""
+
+
+def q_repetition(spark, sf_dir):
+    """X18 — Gopher duplicate n-gram fractions (extension): zero-
+    shuffle in-row token arithmetic; complements x13's line-level
+    signals with the token-level repetition filters."""
+    from stampede_to_fresco_etl_spark.operators.text import (
+        repetition_signals,
+    )
+
+    return repetition_signals(
+        load(spark, sf_dir, "documents"), "doc_id", "text", ns=(2, 3)
+    )
+
+
+_D_2GRAMS = (
+    "CASE WHEN len(t) >= 2 THEN "
+    "list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) "
+    "ELSE [] END"
+)
+
+SQL_REPETITION = f"""
+WITH toks AS (SELECT doc_id, {_D_TOKS} AS t FROM documents),
+g AS (
+  SELECT doc_id, {_D_2GRAMS} AS g2, {_D_SHINGLES} AS g3 FROM toks
+)
+SELECT doc_id,
+       CAST(len(g2) AS BIGINT) AS n_2grams,
+       CASE WHEN len(g2) > 0 THEN
+         1.0 - CAST(len(list_distinct(g2)) AS DOUBLE)
+             / CAST(len(g2) AS DOUBLE) END AS dup_2gram_ratio,
+       CAST(len(g3) AS BIGINT) AS n_3grams,
+       CASE WHEN len(g3) > 0 THEN
+         1.0 - CAST(len(list_distinct(g3)) AS DOUBLE)
+             / CAST(len(g3) AS DOUBLE) END AS dup_3gram_ratio
+FROM g
+"""
+
+
+def q_tpch_q13(spark, sf_dir):
+    """Q13 shape (adapted: the priority filter replaces the comment
+    LIKE): customer order-count distribution — the LEFT-join-then-
+    histogram pattern whose zero-order customers only an OUTER join
+    preserves.  Two hash aggregates; the custkey join shuffles orders
+    once (customer is the smaller side but carries the groupBy key,
+    so no broadcast shortcut changes the exchange count)."""
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count("*").alias("custdist")
+    )
+
+
+SQL_TPCH_Q13 = """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+  FROM customer c
+  LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+)
+GROUP BY c_count
+"""
+
+
+def q_tpch_q17(spark, sf_dir):
+    """Q17 shape: small-quantity revenue for one brand/size band,
+    where "small" is 20% of the part's own average quantity — the
+    correlated-scalar-subquery decorrelated into a per-part aggregate
+    BROADCAST back (x15's pattern: at any scale the threshold frame
+    is dimension-sized, so the fact table is scanned twice but never
+    shuffled on anything except the broadcast hash).  The threshold
+    is written as 0.2·(Σqty/n) in both engines: l_quantity is
+    integer-valued, the sum is exact, and the division order is
+    pinned so the comparison is bit-identical."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    p = (
+        load(spark, sf_dir, "part")
+        .filter((F.col("p_brand") == "Brand#1") & (F.col("p_size") < 15))
+        .select("p_partkey")
+    )
+    lip = li.join(
+        F.broadcast(p), li.l_partkey == p.p_partkey
+    ).drop("p_partkey")
+    thresh = lip.groupBy("l_partkey").agg(
+        (
+            F.lit(0.2)
+            * (F.sum("l_quantity") / F.count("l_quantity"))
+        ).alias("qty_thresh")
+    )
+    return (
+        lip.join(F.broadcast(thresh), "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_thresh"))
+        .agg(
+            (F.sum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly")
+        )
+    )
+
+
+SQL_TPCH_Q17 = """
+SELECT CAST(sum(l.l_extendedprice) / 7.0 AS DOUBLE) AS avg_yearly
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#1' AND p.p_size < 15
+  AND l.l_quantity < (
+    SELECT 0.2 * (sum(l2.l_quantity) / count(l2.l_quantity))
+    FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
+  )
+"""
+
+
+def q_tpch_q21(spark, sf_dir):
+    """Q21 shape (adapted: no receipt/commit dates in the synthetic
+    schema, so "late" = shipped >60 days after the order date):
+    suppliers who were the ONLY late supplier on a multi-supplier
+    finalized order.  The reference formulation is EXISTS +
+    NOT EXISTS on the same fact table (the oracle keeps that form);
+    the Spark plan decorrelates BOTH into one per-order aggregate —
+    n_suppliers and n_late_suppliers ride the same shuffle — then a
+    semi-join back.  One pass over lineitem instead of three."""
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    lo = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+            ).alias("late"),
+        )
+    )
+    per_order = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("late"), F.col("l_suppkey"))
+        ).alias("n_late_supp"),
+    )
+    qual = (
+        lo.filter("late")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+        .join(
+            per_order.filter(
+                (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)
+            ).select("l_orderkey"),
+            "l_orderkey",
+        )
+    )
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        qual.join(F.broadcast(s), qual.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.countDistinct("l_orderkey").alias("numwait"))
+    )
+
+
+SQL_TPCH_Q21 = """
+SELECT s.s_name, CAST(count(DISTINCT l1.l_orderkey) AS BIGINT) AS numwait
+FROM lineitem l1
+JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey
+      AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey
+      AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY s.s_name
+"""
+
+
+def q_tpch_q22(spark, sf_dir):
+    """Q22 shape (adapted: mktsegment replaces the phone country
+    code): positive-balance-above-average customers with NO orders,
+    aggregated per segment.  Scalar subquery → one-row broadcast
+    cross join; NOT EXISTS → left_anti on custkey.  The global
+    average is computed over exact integer CENTS (balances carry two
+    decimals) so the threshold double is bit-identical in both
+    engines — a boundary customer cannot flip sides."""
+    c = load(spark, sf_dir, "customer")
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    thresh = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            F.sum(cents).alias("s"), F.count("*").alias("n")
+        )
+        .select(
+            (F.col("s").cast("double") / F.col("n") / F.lit(100.0)).alias(
+                "th"
+            )
+        )
+    )
+    o = load(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        c.crossJoin(F.broadcast(thresh))
+        .filter(F.col("c_acctbal") > F.col("th"))
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum("c_acctbal").alias("totacctbal"),
+        )
+    )
+
+
+SQL_TPCH_Q22 = """
+WITH t AS (
+  SELECT CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+         / count(*) / 100.0 AS th
+  FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS numcust,
+       CAST(sum(c_acctbal) AS DOUBLE) AS totacctbal
+FROM customer, t
+WHERE c_acctbal > t.th
+  AND NOT EXISTS (
+    SELECT 1 FROM orders WHERE o_custkey = c_custkey
+  )
+GROUP BY c_mktsegment
+"""
+
+
+def q_orc_roundtrip(spark, sf_dir):
+    """S15 — ORC sink/source roundtrip (same contract as S5's parquet
+    roundtrip; the columnar format is a config choice)."""
+    from stampede_to_fresco_etl_spark.sources.writers import write_orc
+
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    path = f"{_SCRATCH}/s15_orc"
+    write_orc(e, path)
+    return _roundtrip_agg(spark.read.orc(path))
+
+
+def q_grouping_sets(spark, sf_dir):
+    """A13 — GROUPING SETS (completes the multi-level aggregate trio
+    with a10's ROLLUP and a11's CUBE): explicit lattice levels in ONE
+    pass — Spark expands the sets into a single Expand + hash
+    aggregate, not one scan per level."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupingSets(
+        [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(
+        F.sum("l_quantity").alias("sum_qty"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+SQL_GROUPING_SETS = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
+REGISTRY.update(
+    {
+        "x16_decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
+        "x17_source_cap": (q_source_cap, _sql_source_cap()),
+        "x18_repetition": (q_repetition, SQL_REPETITION),
+        "tpch_q13": (q_tpch_q13, SQL_TPCH_Q13),
+        "tpch_q17": (q_tpch_q17, SQL_TPCH_Q17),
+        "tpch_q21": (q_tpch_q21, SQL_TPCH_Q21),
+        "tpch_q22": (q_tpch_q22, SQL_TPCH_Q22),
+        "s15_orc_roundtrip": (q_orc_roundtrip, _SQL_ROUNDTRIP_AGG),
+        "a13_grouping_sets": (q_grouping_sets, SQL_GROUPING_SETS),
+    }
+)
+
+
 # ---------------------------------------------------------------------------
 # Enumeration order: the driver's correctness run covers the first N
 # registry entries per round, so the STALEST queries must enumerate

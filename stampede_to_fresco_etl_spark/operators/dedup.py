@@ -787,3 +787,44 @@ def dedup_keep_best(
         .filter(F.col("__rk") == 1)
         .select(id_col, "cluster_id", "quality")
     )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: for each training doc, count the
+    DISTINCT k-gram shingles it shares with the evaluation corpus —
+    the overlap statistic behind the GPT-3/Llama-style n-gram
+    decontamination pass (Brown et al. 2020 §C; 13-grams there, k is
+    a knob here).  A curation pipeline drops or flags training docs
+    whose count exceeds a threshold; returning the counts (rather
+    than filtering) keeps the policy outside the operator.
+
+    Output: (id, n_hits) — training docs with ≥1 shared shingle only;
+    LEFT-join back and treat NULL as clean.
+
+    Scale shape: the eval side of a decontamination job is a
+    BENCHMARK SUITE — thousands of docs against a 100 TB corpus — so
+    its distinct-shingle set is broadcast and the whole pass is one
+    map-side semi-join + one aggregate keyed by doc id: the corpus
+    shuffles only (doc, matched-shingle) hit rows, never the text.
+    For an eval side too big to broadcast, drop the hint and the same
+    plan becomes a shuffle equi-join on the shingle — still never
+    quadratic.
+    """
+    tr = _shingled(train, id_col, text_col, shingle_k)
+    ev = (
+        _shingled(eval_df, id_col, text_col, shingle_k)
+        .select("shingle")
+        .distinct()
+    )
+    return (
+        tr.join(F.broadcast(ev), "shingle")
+        .groupBy("doc")
+        .agg(F.count("*").alias("n_hits"))
+        .select(F.col("doc").alias(id_col), "n_hits")
+    )

@@ -302,3 +302,33 @@ def percentile_summary(
     return cum.groupBy(group_col).agg(
         F.first("__n").alias("n_group"), *aggs
     )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    order_cols: list,
+    k: int,
+) -> DataFrame:
+    """Per-group cap: keep the first `k` rows of each group under
+    `order_cols` — the per-source / per-domain quota a curation
+    pipeline applies so one crawl domain cannot dominate the corpus
+    (e.g. keep the 1,000 highest-quality pages per domain).
+
+    `order_cols` must be a DETERMINISTIC total order within each
+    group (include the id as final tie-break) or the kept set is
+    engine-dependent.
+
+    Scale shape: one row_number window — a single exchange keyed by
+    the group.  Group sizes here are per-DOMAIN (bounded by crawl
+    breadth), so a hot group holds at most that domain's docs, not
+    the corpus; for adversarially hot groups at tiny k, rank within
+    (group, input-partition) first and re-rank the ≤ shards·k
+    survivors — `stratified_sample`'s salted two-stage shape.
+    """
+    w = Window.partitionBy(group_col).orderBy(*order_cols)
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )

@@ -219,6 +219,44 @@ def quality_signals(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def repetition_signals(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    ns: tuple[int, ...] = (2, 3),
+) -> DataFrame:
+    """Gopher-style duplicate n-gram fractions (Rae et al. 2021,
+    §A1.1 "fraction of duplicate n-grams") — the repetition signals a
+    pretraining filter thresholds on, complementing quality_signals'
+    line-level dup ratios with token-level ones.
+
+    Per doc and per n in `ns`:
+      n_{n}grams          total positional word n-grams (with repeats)
+      dup_{n}gram_ratio   1 − distinct n-grams / total (NULL when the
+                          doc has no n-gram of that length)
+
+    Scale shape: pure Column expressions over the in-row token array
+    (word_shingles without the dedup) — zero shuffle, no explode; the
+    whole computation pipelines inside the scan stage at any corpus
+    size.  Ratios are single IEEE divisions of exact integer counts,
+    reproducible bit-for-bit in any engine."""
+    toks = tokens(F.col(text_col))
+    cols: list[Column] = [F.col(id_col)]
+    for n in ns:
+        g = word_shingles(toks, n)
+        total = F.size(g).cast("long")
+        distinct = F.size(F.array_distinct(g)).cast("long")
+        cols.append(total.alias(f"n_{n}grams"))
+        cols.append(
+            F.when(
+                total > 0,
+                F.lit(1.0)
+                - distinct.cast("double") / total.cast("double"),
+            ).alias(f"dup_{n}gram_ratio")
+        )
+    return df.select(*cols)
+
+
 #: Email pattern restricted to the regex subset (char classes, +,
 #: bracketed literal dot) that Java regex and RE2 interpret
 #: identically — keep engine-portable.

@@ -19,7 +19,7 @@ class SchemaMismatchError(Exception):
     so a drifted producer can't corrupt a curated table."""
 
 
-def _check_append_schema(df: DataFrame, path: str) -> None:
+def _check_append_schema(df: DataFrame, path: str, fmt: str = "parquet") -> None:
     """Reference parity for append safety: the column SETS of the
     incoming frame and the existing target must match exactly
     (step-1/appender.py:241-249).  Parquet's schema merge would
@@ -32,7 +32,7 @@ def _check_append_schema(df: DataFrame, path: str) -> None:
     from pyspark.errors import AnalysisException
 
     try:
-        existing = df.sparkSession.read.parquet(path).columns
+        existing = df.sparkSession.read.format(fmt).load(path).columns
     except AnalysisException as e:
         if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
             return  # no target yet — first append creates it
@@ -95,6 +95,27 @@ def write_bucketed_table(
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """CSV sink (rough-drafts/combine_transformed_monthly_data.py:119)."""
     df.write.mode(mode).option("header", "true").csv(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+    compression: str = "zstd",
+) -> None:
+    """ORC sink — same contract as `write_parquet` (zstd, optional
+    Hive partitioning, schema-guarded appends) for deployments whose
+    downstream readers are ORC-native (Hive/Trino warehouses).  The
+    reference is parquet-only; this rounds out the columnar sink
+    surface with the identical writer API so the format is a config
+    choice, not a code change."""
+    if mode == "append":
+        _check_append_schema(df, path, fmt="orc")
+    writer = df.write.mode(mode).option("compression", compression)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
 
 
 def convert_csv_to_parquet(

@@ -1,0 +1,96 @@
+"""Unit tests for the r5 curation operators: decontamination,
+per-group caps, repetition signals, ORC sink guard.  (The catalog
+queries built on them are additionally oracle-gated end-to-end by
+test_oracle_parity.)"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from stampede_to_fresco_etl_spark.operators.dedup import decontaminate
+from stampede_to_fresco_etl_spark.operators.sampling import cap_per_group
+from stampede_to_fresco_etl_spark.operators.text import repetition_signals
+
+
+def test_decontaminate_counts_distinct_shared_shingles(spark):
+    train = spark.createDataFrame(
+        [
+            # shares "a b c" and "b c d" with eval doc 100
+            (1, "a b c d"),
+            # shares nothing (no 3-gram overlap)
+            (2, "x y z w"),
+            # repeats the contaminated shingle — still counted ONCE
+            (3, "a b c a b c a b c"),
+        ],
+        ["doc_id", "text"],
+    )
+    ev = spark.createDataFrame([(100, "a b c d e")], ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r["n_hits"]
+        for r in decontaminate(train, ev, "doc_id", "text", 3).collect()
+    }
+    # doc 1: shingles {a b c, b c d} both in eval -> 2
+    assert got[1] == 2
+    # doc 2: clean docs do NOT appear (left-join-back contract)
+    assert 2 not in got
+    # doc 3: set semantics — {a b c, b c a, c a b}; only "a b c" hits
+    assert got[3] == 1
+
+
+def test_cap_per_group_deterministic_and_small_groups(spark):
+    rows = [("s1", i, float(i % 3)) for i in range(10)] + [("s2", 100, 9.9)]
+    df = spark.createDataFrame(rows, ["src", "id", "q"])
+    out = cap_per_group(
+        df, "src", [F.col("q").desc(), F.col("id")], 4
+    ).collect()
+    s1 = sorted(r["id"] for r in out if r["src"] == "s1")
+    s2 = [r["id"] for r in out if r["src"] == "s2"]
+    # q=2.0 ids {2,5,8} first, then q=1.0 tie broken by smallest id
+    assert s1 == [1, 2, 5, 8]
+    # group smaller than k survives whole
+    assert s2 == [100]
+
+
+def test_repetition_signals_edges(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a a"),   # all 2-grams identical
+            (2, "a b c d e"),   # all distinct
+            (3, "a"),           # too short: no 2-grams at all
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in
+           repetition_signals(df, "doc_id", "text", ns=(2,)).collect()}
+    assert got[1]["n_2grams"] == 4
+    assert got[1]["dup_2gram_ratio"] == pytest.approx(1 - 1 / 4)
+    assert got[2]["dup_2gram_ratio"] == 0.0
+    assert got[3]["n_2grams"] == 0
+    assert got[3]["dup_2gram_ratio"] is None
+    assert not any(
+        isinstance(v, float) and math.isnan(v)
+        for r in got.values()
+        for v in r.asDict().values()
+    )
+
+
+def test_write_orc_roundtrip_and_append_guard(spark, tmp_path):
+    from stampede_to_fresco_etl_spark.sources.writers import (
+        SchemaMismatchError,
+        write_orc,
+    )
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    path = str(tmp_path / "orc")
+    write_orc(df, path)
+    assert sorted(map(tuple, spark.read.orc(path).collect())) == [
+        (1, "a"), (2, "b"),
+    ]
+    write_orc(df, path, mode="append")
+    assert spark.read.orc(path).count() == 4
+    drifted = df.withColumnRenamed("v", "w")
+    with pytest.raises(SchemaMismatchError):
+        write_orc(drifted, path, mode="append")
