@@ -62,6 +62,11 @@ HEADLINE = [
     "x15_group_zscore",  # new r4: broadcast-back feature scaling
     "d6_simhash_pairs",  # new r4: banded Hamming near-dup join
     "d7_dedup_keep_best",  # new r4: cluster + quality-argmax capstone
+    "x16_decontaminate",  # new r5: broadcast eval-shingle semi-join
+    "x18_repetition",  # new r5: zero-shuffle dup n-gram fractions
+    "tpch_q13",  # new r5: outer-join count histogram
+    "tpch_q17",  # new r5: decorrelated scalar threshold
+    "tpch_q21",  # new r5: EXISTS+NOT-EXISTS in one aggregate
 ]
 
 

@@ -4465,9 +4465,14 @@ def q_tpch_q21(spark, sf_dir):
     suppliers who were the ONLY late supplier on a multi-supplier
     finalized order.  The reference formulation is EXISTS +
     NOT EXISTS on the same fact table (the oracle keeps that form);
-    the Spark plan decorrelates BOTH into one per-order aggregate —
-    n_suppliers and n_late_suppliers ride the same shuffle — then a
-    semi-join back.  One pass over lineitem instead of three."""
+    the Spark plan decorrelates BOTH into a two-level aggregate
+    chain: (order, supplier) → any_late, then order → (n_supp,
+    n_late_supp, the lone late supplier via max(when(late, supp))) —
+    the filter n_supp > 1 AND n_late_supp == 1 plus that max IS the
+    whole EXISTS/NOT-EXISTS logic, so lineitem is scanned ONCE and
+    never self-joined (the naive translation needed a SortMergeJoin
+    between two branches of the same frame; this plan has zero
+    SMJ)."""
     o = load(spark, sf_dir, "orders").filter(
         F.col("o_orderstatus") == "F"
     ).select("o_orderkey", "o_orderdate")
@@ -4484,28 +4489,27 @@ def q_tpch_q21(spark, sf_dir):
             ).alias("late"),
         )
     )
-    per_order = lo.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(
-            F.when(F.col("late"), F.col("l_suppkey"))
-        ).alias("n_late_supp"),
+    per_os = lo.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("late").alias("late")
     )
     qual = (
-        lo.filter("late")
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
-        .join(
-            per_order.filter(
-                (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)
-            ).select("l_orderkey"),
-            "l_orderkey",
+        per_os.groupBy("l_orderkey")
+        .agg(
+            F.count("*").alias("n_supp"),
+            F.sum(F.when(F.col("late"), 1).otherwise(0)).alias(
+                "n_late_supp"
+            ),
+            F.max(F.when(F.col("late"), F.col("l_suppkey"))).alias(
+                "l_suppkey"
+            ),
         )
+        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
     )
     s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
         qual.join(F.broadcast(s), qual.l_suppkey == s.s_suppkey)
         .groupBy("s_name")
-        .agg(F.countDistinct("l_orderkey").alias("numwait"))
+        .agg(F.count("*").alias("numwait"))
     )
 
 
