@@ -239,11 +239,27 @@ def repetition_signals(
     (word_shingles without the dedup) — zero shuffle, no explode; the
     whole computation pipelines inside the scan stage at any corpus
     size.  Ratios are single IEEE divisions of exact integer counts,
-    reproducible bit-for-bit in any engine."""
-    toks = tokens(F.col(text_col))
+    reproducible bit-for-bit in any engine.
+
+    The token array AND each n-gram array are materialized as columns
+    through intermediate projections: Spark does no CSE inside lambda
+    bodies or across expression trees, so inlining `tokens()` into
+    word_shingles' element_at lambda re-runs the regex split per
+    element — O(|doc|²) splits per doc (the _shingled trap; measured
+    here as 25.6 s → 0.5 s at sf0.1)."""
+    base = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+    )
+    grams = base.select(
+        F.col(id_col),
+        *[
+            word_shingles(F.col("__toks"), n).alias(f"__g{n}")
+            for n in ns
+        ],
+    )
     cols: list[Column] = [F.col(id_col)]
     for n in ns:
-        g = word_shingles(toks, n)
+        g = F.col(f"__g{n}")
         total = F.size(g).cast("long")
         distinct = F.size(F.array_distinct(g)).cast("long")
         cols.append(total.alias(f"n_{n}grams"))
@@ -254,7 +270,7 @@ def repetition_signals(
                 - distinct.cast("double") / total.cast("double"),
             ).alias(f"dup_{n}gram_ratio")
         )
-    return df.select(*cols)
+    return grams.select(*cols)
 
 
 #: Email pattern restricted to the regex subset (char classes, +,
