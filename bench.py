@@ -153,12 +153,29 @@ def main() -> None:
     warmup = int(os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1"))
     timings: dict[str, float] = {}
     io: dict[str, dict[str, int]] = {}
+
+    def _free_blocks() -> None:
+        """Unpersist every lingering RDD (localCheckpoint blocks from
+        the dedup/sketch/ANN operators are pinned for plan-reuse and
+        outlive their query here).  Without this, ~40 queries of
+        checkpoint blocks accumulate in the block manager and the tail
+        of the run measures GC pressure from the HEAD of the run —
+        r5's first pass showed k1 at 2× its standalone time from
+        exactly this.  Blocking=False: the async release is off the
+        timed path."""
+        try:
+            for r in spark.sparkContext._jsc.getPersistentRDDs().values():
+                r.unpersist(False)
+        except Exception:
+            pass
+
     for name in HEADLINE:
         fn, _sql = REGISTRY[name]
         # untimed warmup run(s): measure the engine, not first-query
         # codegen/plan-compilation overhead
         for _ in range(warmup):
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        _free_blocks()  # warmup's checkpoints too — timed run remakes its own
         before = _stage_totals(spark)
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
