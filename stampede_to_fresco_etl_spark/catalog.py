@@ -4623,9 +4623,82 @@ GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
 """
 
 
+def q_bpe_tokens(spark, sf_dir):
+    """X19 — token budgeting under a BPE-ish pre-tokenizer (the
+    corpus-cost signal next to x1's whitespace counts; see
+    text.BPE_ISH_PATTERN for the portable-regex simplification)."""
+    from stampede_to_fresco_etl_spark.operators import text as T
+
+    docs = load(spark, sf_dir, "documents")
+    n_words = T.token_count("text")
+    n_bpe = T.bpe_token_count("text")
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_bpe.alias("n_bpe"),
+        (n_bpe.cast("double") / n_words.cast("double")).alias(
+            "bpe_per_word"
+        ),
+    )
+
+
+def _sql_bpe_tokens() -> str:
+    from stampede_to_fresco_etl_spark.operators.text import BPE_ISH_PATTERN
+
+    pat = BPE_ISH_PATTERN.replace("'", "''")
+    n_bpe = f"len(regexp_extract_all(text, '{pat}'))"
+    return f"""
+SELECT doc_id,
+       CAST(len({_D_TOKS}) AS BIGINT) AS n_words,
+       CAST({n_bpe} AS BIGINT) AS n_bpe,
+       CAST({n_bpe} AS DOUBLE) / CAST(len({_D_TOKS}) AS DOUBLE)
+         AS bpe_per_word
+FROM documents
+"""
+
+
+def q_winnow(spark, sf_dir):
+    """X20 — winnowing rolling-hash fingerprints (Schleimer et al.
+    SIGMOD '03): the substring-overlap blocking key complementing
+    x3's whole-doc min-shingle fingerprint."""
+    from stampede_to_fresco_etl_spark.operators.text import (
+        winnow_fingerprints,
+    )
+
+    return winnow_fingerprints(
+        load(spark, sf_dir, "documents"), "doc_id", "text", k=3, w=4
+    )
+
+
+def _sql_winnow(w: int = 4) -> str:
+    from stampede_to_fresco_etl_spark.functions import md5_int63_sql
+
+    return f"""
+WITH toks AS (SELECT doc_id, {_D_TOKS} AS t FROM documents),
+sh AS (SELECT doc_id, {_D_SHINGLES} AS s FROM toks),
+h AS (
+  SELECT doc_id, list_transform(s, x -> {md5_int63_sql('x')}) AS hh
+  FROM sh
+),
+wins AS (
+  SELECT doc_id,
+    CASE WHEN len(hh) >= {w} THEN
+      list_transform(range(1, len(hh) - {w} + 2),
+                     i -> list_min(hh[i:i+{w - 1}]))
+    WHEN len(hh) >= 1 THEN [list_min(hh)]
+    ELSE [] END AS wv
+  FROM h
+)
+SELECT doc_id, u.fingerprint
+FROM wins, UNNEST(list_distinct(wv)) AS u(fingerprint)
+"""
+
+
 REGISTRY.update(
     {
         "x16_decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
+        "x19_bpe_tokens": (q_bpe_tokens, _sql_bpe_tokens()),
+        "x20_winnow_fingerprint": (q_winnow, _sql_winnow()),
         "x17_source_cap": (q_source_cap, _sql_source_cap()),
         "x18_repetition": (q_repetition, SQL_REPETITION),
         "tpch_q13": (q_tpch_q13, SQL_TPCH_Q13),

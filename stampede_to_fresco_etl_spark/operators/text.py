@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from stampede_to_fresco_etl_spark.functions import _col
+from stampede_to_fresco_etl_spark.functions import _col, md5_int63
 
 #: Minimal English stopword list used by the quality/lang-id
 #: heuristics (shared with the DuckDB oracles — keep sorted).
@@ -92,6 +92,75 @@ def min_shingle_fingerprint(token_col: Column | str, k: int = 3) -> Column:
     1-permutation MinHash usable as a near-dup blocking key."""
     return F.array_min(
         F.transform(word_shingles(token_col, k), lambda s: F.md5(s))
+    )
+
+
+#: BPE-ish pre-tokenizer: the GPT-2 pattern simplified to the regex
+#: subset Java regex and RE2 (DuckDB) interpret identically — ASCII
+#: classes, no lookahead (RE2 has none), contractions first.  Counts
+#: from it track real BPE pre-tokenization closely enough for corpus
+#: budgeting; the ratio to whitespace words is the usual
+#: tokens-per-word cost signal.
+BPE_ISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s+"
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    """Token count under the BPE-ish pre-tokenizer (whitespace counts
+    are in `token_count`; a pretraining budget wants both)."""
+    return F.size(
+        F.regexp_extract_all(_col(col), F.lit(BPE_ISH_PATTERN), 0)
+    ).cast("long")
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing rolling-hash fingerprints (Schleimer et al., SIGMOD
+    '03 — the MOSS scheme): hash every k-gram, slide a window of `w`
+    consecutive hashes, keep each window's minimum; the distinct mins
+    are the doc's fingerprints.  Guarantees: any shared run of
+    k+w-1 tokens between two docs yields at least one SHARED
+    fingerprint, while only ~2/(w+1) of hashes are kept — the
+    position-robust blocking key for substring-level (not whole-doc)
+    overlap detection that min_shingle_fingerprint's single global
+    min cannot give.
+
+    Docs with fewer than `w` k-grams keep the min of what exists (≥1
+    fingerprint whenever the doc has ≥ k tokens).
+
+    Output: (id, fingerprint) — one row per distinct fingerprint.
+
+    Scale shape: hashing, windows and mins are all in-row array ops
+    (zero shuffle, one scan); downstream grouping by fingerprint is
+    the only exchange, carrying one 8-byte hash per kept window."""
+    base = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__t"))
+    # arrays materialized per projection — the _shingled no-CSE trap
+    sh = base.select(
+        F.col(id_col), word_shingles(F.col("__t"), k).alias("__sh")
+    )
+    h = sh.select(
+        F.col(id_col),
+        F.transform(F.col("__sh"), lambda s: md5_int63(s)).alias("__h"),
+    )
+    n = F.size(F.col("__h"))
+    wins = (
+        F.when(
+            n >= w,
+            F.transform(
+                F.sequence(F.lit(1), n - w + 1),
+                lambda i: F.array_min(F.slice(F.col("__h"), i, w)),
+            ),
+        )
+        .when(n >= 1, F.array(F.array_min(F.col("__h"))))
+        .otherwise(F.array().cast("array<bigint>"))
+    )
+    return h.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(wins)).alias("fingerprint"),
     )
 
 

@@ -94,3 +94,56 @@ def test_write_orc_roundtrip_and_append_guard(spark, tmp_path):
     drifted = df.withColumnRenamed("v", "w")
     with pytest.raises(SchemaMismatchError):
         write_orc(drifted, path, mode="append")
+
+
+def test_winnow_shared_run_guarantee(spark):
+    """Winnowing's core property: two docs sharing a run of
+    k + w - 1 = 6 tokens share at least one fingerprint; disjoint
+    docs share none."""
+    from stampede_to_fresco_etl_spark.operators.text import (
+        winnow_fingerprints,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta"
+    df = spark.createDataFrame(
+        [
+            (1, f"one two {shared} three four"),
+            (2, f"{shared} five six seven eight nine"),
+            (3, "totally unrelated words appear in this document here"),
+            (4, "tiny doc"),           # < k tokens: no shingle, no fp
+            (5, "just three tokens"),  # exactly k: 1 shingle -> 1 fp
+        ],
+        ["doc_id", "text"],
+    )
+    out = winnow_fingerprints(df, "doc_id", "text", k=3, w=4).collect()
+    fps = {}
+    for r in out:
+        fps.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    assert fps[1] & fps[2], "shared 6-token run must share a fingerprint"
+    assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
+    assert 4 not in fps
+    assert len(fps[5]) == 1
+
+
+def test_bpe_token_count_vs_whitespace(spark):
+    from stampede_to_fresco_etl_spark.operators.text import (
+        bpe_token_count,
+        token_count,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "it's a test-case 123"), (2, "plain words only")],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: (r["ws"], r["bpe"])
+        for r in df.select(
+            "doc_id",
+            token_count("text").alias("ws"),
+            bpe_token_count("text").alias("bpe"),
+        ).collect()
+    }
+    # "it's a test-case 123" -> it | 's | ' a' | ' test' | '-' | 'case'
+    # | ' 123' = 7 BPE-ish vs 4 whitespace
+    assert got[1] == (4, 7)
+    assert got[2] == (3, 3)
