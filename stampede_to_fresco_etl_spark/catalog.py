@@ -4694,11 +4694,59 @@ FROM wins, UNNEST(list_distinct(wv)) AS u(fingerprint)
 """
 
 
+def q_binary_hamming(spark, sf_dir):
+    """V7 — sign-bit binary quantization + exact Hamming top-5 (the
+    binary-ANN baseline next to v1's float cosine): every 100th
+    vector probes the corpus on two-word signatures."""
+    from stampede_to_fresco_etl_spark.operators.similarity import (
+        binary_quantize,
+        hamming_topk,
+    )
+
+    sigs = binary_quantize(
+        load(spark, sf_dir, "embeddings"), "vec_id", "embedding", dim=64
+    )
+    probes = sigs.filter(F.col("vec_id") % 100 == 0)
+    return hamming_topk(sigs, probes, k=5)
+
+
+def _sql_binary_hamming() -> str:
+    def word(w: int) -> str:
+        return (
+            f"CAST(list_sum(list_transform(range(0, 32), i -> "
+            f"CASE WHEN embedding[{w * 32} + i + 1] >= 0 "
+            f"THEN (1::BIGINT << i) ELSE 0::BIGINT END)) AS BIGINT)"
+        )
+
+    return f"""
+WITH s AS (
+  SELECT vec_id, {word(0)} AS sig0, {word(1)} AS sig1 FROM embeddings
+),
+p AS (
+  SELECT vec_id AS probe_id, sig0 AS p0, sig1 AS p1
+  FROM s WHERE vec_id % 100 = 0
+),
+d AS (
+  SELECT p.probe_id, s.vec_id,
+         CAST(bit_count(xor(s.sig0, p.p0))
+            + bit_count(xor(s.sig1, p.p1)) AS BIGINT) AS hamming
+  FROM s CROSS JOIN p WHERE s.vec_id <> p.probe_id
+),
+r AS (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY probe_id ORDER BY hamming, vec_id
+  ) AS BIGINT) AS rank FROM d
+)
+SELECT probe_id, vec_id, hamming, rank FROM r WHERE rank <= 5
+"""
+
+
 REGISTRY.update(
     {
         "x16_decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
         "x19_bpe_tokens": (q_bpe_tokens, _sql_bpe_tokens()),
         "x20_winnow_fingerprint": (q_winnow, _sql_winnow()),
+        "v7_binary_hamming_topk": (q_binary_hamming, _sql_binary_hamming()),
         "x17_source_cap": (q_source_cap, _sql_source_cap()),
         "x18_repetition": (q_repetition, SQL_REPETITION),
         "tpch_q13": (q_tpch_q13, SQL_TPCH_Q13),

@@ -147,3 +147,31 @@ def test_bpe_token_count_vs_whitespace(spark):
     # | ' 123' = 7 BPE-ish vs 4 whitespace
     assert got[1] == (4, 7)
     assert got[2] == (3, 3)
+
+
+def test_binary_quantize_hamming(spark):
+    """Signature packing: known sign patterns produce known words,
+    and Hamming distances count exactly the flipped dims."""
+    from stampede_to_fresco_etl_spark.operators.similarity import (
+        binary_quantize,
+        hamming_topk,
+    )
+
+    def vec(bits):
+        return [1.0 if b else -1.0 for b in bits]
+
+    all_pos = [True] * 64
+    one_flip = [True] * 64
+    one_flip[0] = False          # differs from all_pos in dim 0
+    hi_flip = [True] * 64
+    hi_flip[63] = False          # differs in the top bit of word 1
+    rows = [(0, vec(all_pos)), (1, vec(one_flip)), (2, vec(hi_flip))]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    sigs = binary_quantize(df, "vec_id", "embedding", dim=64)
+    got = {r["vec_id"]: (r["sig0"], r["sig1"]) for r in sigs.collect()}
+    assert got[0] == (2**32 - 1, 2**32 - 1)
+    assert got[1] == (2**32 - 2, 2**32 - 1)   # bit 0 cleared
+    assert got[2] == (2**32 - 1, 2**31 - 1)   # bit 63 cleared
+    out = hamming_topk(sigs, sigs.filter("vec_id = 0"), k=2).collect()
+    d = {r["vec_id"]: r["hamming"] for r in out}
+    assert d == {1: 1, 2: 1}
