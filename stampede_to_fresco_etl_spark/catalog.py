@@ -4741,12 +4741,59 @@ SELECT probe_id, vec_id, hamming, rank FROM r WHERE rank <= 5
 """
 
 
+def q_resample_ffill(spark, sf_dir):
+    """T8 — regular-grid resample + forward fill (gap manufacture
+    for dropped telemetry samples): hourly grid per user over the
+    user's own span, max-pooled buckets, IGNORE NULLS running carry."""
+    from stampede_to_fresco_etl_spark.operators.windows import (
+        resample_ffill,
+    )
+
+    e = load(spark, sf_dir, "events")
+    return resample_ffill(e, ["user_id"], "ts", "value", 3600)
+
+
+_T8_STEP = 3600 * 1_000_000
+
+SQL_RESAMPLE_FFILL = f"""
+WITH b AS (
+  SELECT user_id,
+         (epoch_us(ts) - (epoch_us(ts) % {_T8_STEP})) AS bucket,
+         max(value) AS v
+  FROM events
+  WHERE value IS NOT NULL AND user_id IS NOT NULL
+  GROUP BY user_id, (epoch_us(ts) - (epoch_us(ts) % {_T8_STEP}))
+),
+spans AS (
+  SELECT user_id, min(bucket) AS lo, max(bucket) AS hi
+  FROM b GROUP BY user_id
+),
+grid AS (
+  SELECT user_id, u.bucket
+  FROM spans, UNNEST(generate_series(lo, hi, {_T8_STEP})) AS u(bucket)
+),
+j AS (
+  SELECT g.user_id, g.bucket, b.v
+  FROM grid g LEFT JOIN b
+    ON g.user_id = b.user_id AND g.bucket = b.bucket
+)
+SELECT user_id, make_timestamp(bucket) AS bucket_ts,
+       last_value(v IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS value_ffill,
+       (v IS NULL) AS is_gap
+FROM j
+"""
+
+
 REGISTRY.update(
     {
         "x16_decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
         "x19_bpe_tokens": (q_bpe_tokens, _sql_bpe_tokens()),
         "x20_winnow_fingerprint": (q_winnow, _sql_winnow()),
         "v7_binary_hamming_topk": (q_binary_hamming, _sql_binary_hamming()),
+        "t8_resample_ffill": (q_resample_ffill, SQL_RESAMPLE_FFILL),
         "x17_source_cap": (q_source_cap, _sql_source_cap()),
         "x18_repetition": (q_repetition, SQL_REPETITION),
         "tpch_q13": (q_tpch_q13, SQL_TPCH_Q13),

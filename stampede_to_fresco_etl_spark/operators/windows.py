@@ -167,3 +167,72 @@ def rolling_stats(
         F.min(v).over(w).alias("roll_min"),
         F.max(v).over(w).alias("roll_max"),
     )
+
+
+def resample_ffill(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    step_seconds: int = 3600,
+) -> DataFrame:
+    """Regular-grid resampling with forward fill — the gap-filling
+    pass a telemetry pipeline runs before rate math or ML feature
+    extraction when collectors drop samples (the reference's node
+    metrics assume a complete 1-min grid; this manufactures one).
+
+    Per key: bucket samples to the step (multiple samples per bucket
+    max-pool), span the grid from the key's first to last bucket
+    (`sequence` + explode — no driver-side loop), left-join the
+    samples back, and carry the last observed value across the gaps
+    with an IGNORE NULLS running window.  `is_gap` marks manufactured
+    rows so downstream can weight or drop them.
+
+    Bucket arithmetic is all-integer (`us - us % step`), so any
+    engine reproduces the grid exactly — no float division of epoch
+    micros.
+
+    Scale shape: one hash-agg (bucketing), one tiny span-agg, one
+    explode whose output is the GRID (bounded by span/step per key,
+    independent of sample count), one keyed left join, one per-key
+    ordered window over grid rows.  Each shuffles on the entity key;
+    per-key window size is the grid length, not the raw sample
+    count — dense keys cost the same as sparse ones."""
+    from pyspark.sql import Window
+
+    step = int(step_seconds) * 1_000_000
+    us = F.unix_micros(F.col(ts_col))
+    cond = F.col(value_col).isNotNull()
+    for k in key_cols:
+        cond = cond & F.col(k).isNotNull()
+    b = (
+        df.filter(cond)
+        .select(
+            *key_cols,
+            (us - F.pmod(us, F.lit(step))).alias("bucket"),
+            F.col(value_col).alias("__v"),
+        )
+        .groupBy(*key_cols, "bucket")
+        .agg(F.max("__v").alias("v"))
+    )
+    spans = b.groupBy(*key_cols).agg(
+        F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
+    )
+    grid = spans.select(
+        *key_cols,
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.lit(step))
+        ).alias("bucket"),
+    )
+    j = grid.join(b, [*key_cols, "bucket"], "left")
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return j.select(
+        *key_cols,
+        F.timestamp_micros(F.col("bucket")).alias("bucket_ts"),
+        F.last("v", ignorenulls=True).over(w).alias("value_ffill"),
+        F.col("v").isNull().alias("is_gap"),
+    )

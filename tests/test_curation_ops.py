@@ -175,3 +175,32 @@ def test_binary_quantize_hamming(spark):
     out = hamming_topk(sigs, sigs.filter("vec_id = 0"), k=2).collect()
     d = {r["vec_id"]: r["hamming"] for r in out}
     assert d == {1: 1, 2: 1}
+
+
+def test_resample_ffill_gaps(spark):
+    import datetime as dt
+
+    from stampede_to_fresco_etl_spark.operators.windows import (
+        resample_ffill,
+    )
+
+    def t(h):
+        return dt.datetime(2024, 1, 1, h, 30)  # mid-hour samples
+
+    rows = [
+        ("u1", t(0), 1.0),
+        ("u1", t(3), 4.0),   # hours 1,2 are gaps carrying 1.0
+        ("u2", t(5), 7.0),   # singleton span: one row, no gap
+    ]
+    df = spark.createDataFrame(rows, ["uid", "ts", "value"])
+    out = resample_ffill(df, ["uid"], "ts", "value", 3600).collect()
+    got = {
+        (r["uid"], r["bucket_ts"].hour): (r["value_ffill"], r["is_gap"])
+        for r in out
+    }
+    assert got[("u1", 0)] == (1.0, False)
+    assert got[("u1", 1)] == (1.0, True)
+    assert got[("u1", 2)] == (1.0, True)
+    assert got[("u1", 3)] == (4.0, False)
+    assert got[("u2", 5)] == (7.0, False)
+    assert len(got) == 5
