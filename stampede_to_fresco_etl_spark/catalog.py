@@ -4852,12 +4852,24 @@ def _latest_green_round() -> dict[str, int]:
     return latest
 
 
+#: Queries whose OPERATOR CODE or oracle changed this round: a prior
+#: green row is stale evidence for them, so they re-validate with the
+#: same priority as never-checked queries.  Per-round maintenance —
+#: update when touching an operator a green query depends on.
+#: r5: parity-halves split (h1/c2/b1/s10), ASCII-strip payloads
+#: (mm3/mm4), CC seeding + edge-dedup skip (d5/d7).
+_REVALIDATE = {
+    "h1_hist_quantiles", "c2_cms_freq", "b1_bloom_membership",
+    "s10_append_merge", "mm3_resize", "mm4_sample_frames",
+    "d5_dup_clusters", "d7_dedup_keep_best",
+}
+
 _FRESHNESS = _latest_green_round()
 REGISTRY = dict(
     sorted(
         REGISTRY.items(),
         key=lambda kv, _order=list(REGISTRY): (
-            _FRESHNESS.get(kv[0], 0),
+            0 if kv[0] in _REVALIDATE else _FRESHNESS.get(kv[0], 0),
             _order.index(kv[0]),
         ),
     )
