@@ -4787,6 +4787,92 @@ FROM j
 """
 
 
+def q_funnel(spark, sf_dir):
+    """A14 — ordered conversion funnel (view → click → purchase):
+    per-user first-occurrence times via conditional MIN in one hash
+    aggregate, then one global count — the map-side-combinable shape
+    that replaces three self-joins of the event log.  A user advances
+    a stage only if that stage's first event is strictly after the
+    previous stage's."""
+    e = load(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    firsts = e.groupBy("user_id").agg(
+        *[
+            F.min(F.when(F.col("event_type") == s, F.col("ts"))).alias(
+                f"t_{s}"
+            )
+            for s in ("view", "click", "purchase")
+        ]
+    )
+    clicked = F.col("t_click") > F.col("t_view")
+    purchased = clicked & (F.col("t_purchase") > F.col("t_click"))
+    return firsts.agg(
+        F.count("*").alias("n_users"),
+        F.count("t_view").alias("stage_view"),
+        F.count(F.when(clicked, 1)).alias("stage_click"),
+        F.count(F.when(purchased, 1)).alias("stage_purchase"),
+    )
+
+
+SQL_FUNNEL = """
+WITH u AS (
+  SELECT user_id,
+    min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+    min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+    min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+       CAST(count(t_view) AS BIGINT) AS stage_view,
+       CAST(count(CASE WHEN t_click > t_view THEN 1 END) AS BIGINT)
+         AS stage_click,
+       CAST(count(CASE WHEN t_click > t_view
+                        AND t_purchase > t_click THEN 1 END) AS BIGINT)
+         AS stage_purchase
+FROM u
+"""
+
+_WEEK_US = 7 * 24 * 3600 * 1_000_000
+
+
+def q_retention(spark, sf_dir):
+    """A15 — retention cohorts: users keyed by first-seen week, counted
+    in each subsequent active week.  Week boundaries are ALL-INTEGER
+    epoch-µs arithmetic (us − us % week) rather than date_trunc —
+    calendar-week conventions differ across engines, integer floors
+    do not.  Two hash aggregates + one join shuffling only (user,
+    week) pairs."""
+    e = load(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    us = F.unix_micros(F.col("ts"))
+    wk = (us - F.pmod(us, F.lit(_WEEK_US))).alias("wk")
+    active = e.select("user_id", wk).distinct()
+    first = active.groupBy("user_id").agg(F.min("wk").alias("cohort"))
+    return (
+        active.join(first, "user_id")
+        .groupBy(
+            F.timestamp_micros(F.col("cohort")).alias("cohort_week"),
+            ((F.col("wk") - F.col("cohort")) / F.lit(_WEEK_US))
+            .cast("long")
+            .alias("week_n"),
+        )
+        .agg(F.count("*").alias("n_active"))
+    )
+
+
+SQL_RETENTION = f"""
+WITH a AS (
+  SELECT DISTINCT user_id,
+         (epoch_us(ts) - (epoch_us(ts) % {_WEEK_US})) AS wk
+  FROM events WHERE user_id IS NOT NULL
+),
+f AS (SELECT user_id, min(wk) AS cohort FROM a GROUP BY user_id)
+SELECT make_timestamp(f.cohort) AS cohort_week,
+       CAST((a.wk - f.cohort) / {_WEEK_US} AS BIGINT) AS week_n,
+       CAST(count(*) AS BIGINT) AS n_active
+FROM a JOIN f ON a.user_id = f.user_id
+GROUP BY f.cohort, (a.wk - f.cohort)
+"""
+
+
 REGISTRY.update(
     {
         "x16_decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
@@ -4794,6 +4880,8 @@ REGISTRY.update(
         "x20_winnow_fingerprint": (q_winnow, _sql_winnow()),
         "v7_binary_hamming_topk": (q_binary_hamming, _sql_binary_hamming()),
         "t8_resample_ffill": (q_resample_ffill, SQL_RESAMPLE_FFILL),
+        "a14_funnel": (q_funnel, SQL_FUNNEL),
+        "a15_retention_cohorts": (q_retention, SQL_RETENTION),
         "x17_source_cap": (q_source_cap, _sql_source_cap()),
         "x18_repetition": (q_repetition, SQL_REPETITION),
         "tpch_q13": (q_tpch_q13, SQL_TPCH_Q13),
