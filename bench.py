@@ -67,6 +67,10 @@ HEADLINE = [
     "tpch_q13",  # new r5: outer-join count histogram
     "tpch_q17",  # new r5: decorrelated scalar threshold
     "tpch_q21",  # new r5: EXISTS+NOT-EXISTS in one aggregate
+    "v7_binary_hamming_topk",  # new r5: binary-ANN baseline
+    "t8_resample_ffill",  # new r5: gap-filling grid + ffill
+    "x20_winnow_fingerprint",  # new r5: rolling-hash winnowing
+    "a15_retention_cohorts",  # new r5: cohort analytics shape
 ]
 
 

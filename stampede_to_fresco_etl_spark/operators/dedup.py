@@ -687,6 +687,16 @@ def simhash_pairs(
     three longs; hot bands (a common signature region) behave like
     hot shingles in the Jaccard path — raise `bits` or split skewed
     buckets with AQE; the verify is a per-row popcount, no shuffle.
+
+    Size (bits, max_hamming) to the CORPUS, jointly, for two reasons
+    (measured, SCALE.md §sf1): (a) band-bucket occupancy is
+    ~n/2^(bits/bands) — once it exceeds O(1) the band join goes
+    quadratic (50k docs at bits=32: 53 s; bits=48: 6.8 s); (b) bits
+    also sets precision — hamming ≤ 3 on a 32-bit sketch is a LOOSER
+    near-dup criterion than on 48 bits (3.31 M vs 224 k output pairs
+    on the same corpus), so raising bits changes what "near-dup"
+    means, not just the cost.  bits ≤ 63 (the signature packs into a
+    signed long).
     """
     bands = max_hamming + 1
     # materialize the (small: one row per doc) signature table so the
