@@ -387,3 +387,104 @@ def test_group_zscore_property(spark, rows):
             assert r["z"] == pytest.approx(
                 (x - mean) / math.sqrt(var), rel=1e-9, abs=1e-9
             )
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from("abcdefgh"), min_size=0, max_size=20
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_repetition_signals_property(spark, docs):
+    """dup_ngram_ratio equals the plain-Python recompute on arbitrary
+    token lists (including too-short docs -> NULL)."""
+    from stampede_to_fresco_etl_spark.operators.text import (
+        repetition_signals,
+    )
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_2grams"], r["dup_2gram_ratio"])
+        for r in repetition_signals(df, "doc_id", "text", ns=(2,)).collect()
+    }
+    for i, toks in enumerate(docs):
+        # Spark's split on a whitespace-only/empty string yields one
+        # empty token, matching " ".join semantics here
+        toks = [t for t in toks] if toks else [""]
+        grams = [
+            f"{toks[j]} {toks[j + 1]}" for j in range(len(toks) - 1)
+        ]
+        n, ratio = got[i]
+        assert n == len(grams)
+        if grams:
+            assert ratio == pytest.approx(
+                1.0 - len(set(grams)) / len(grams)
+            )
+        else:
+            assert ratio is None
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),       # user
+            st.integers(min_value=0, max_value=10_000),  # minutes
+            st.sampled_from(["view", "click", "purchase", "other"]),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_funnel_property(spark, events):
+    """Funnel counts equal a plain-Python recompute, and stages are
+    monotonically non-increasing."""
+    import datetime as dt
+
+    from stampede_to_fresco_etl_spark.catalog import REGISTRY  # noqa: F401
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (u, base + dt.timedelta(minutes=m), et) for u, m, et in events
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    firsts = df.groupBy("user_id").agg(
+        *[
+            F.min(F.when(F.col("event_type") == s, F.col("ts"))).alias(
+                f"t_{s}"
+            )
+            for s in ("view", "click", "purchase")
+        ]
+    )
+    clicked = F.col("t_click") > F.col("t_view")
+    purchased = clicked & (F.col("t_purchase") > F.col("t_click"))
+    row = firsts.agg(
+        F.count("t_view").alias("v"),
+        F.count(F.when(clicked, 1)).alias("c"),
+        F.count(F.when(purchased, 1)).alias("p"),
+    ).collect()[0]
+    # python reference
+    per_user: dict = {}
+    for u, m, et in events:
+        if et in ("view", "click", "purchase"):
+            d = per_user.setdefault(u, {})
+            d[et] = min(d.get(et, m), m)
+    v = sum(1 for d in per_user.values() if "view" in d)
+    c = sum(
+        1
+        for d in per_user.values()
+        if "view" in d and "click" in d and d["click"] > d["view"]
+    )
+    p = sum(
+        1
+        for d in per_user.values()
+        if "view" in d and "click" in d and "purchase" in d
+        and d["click"] > d["view"] and d["purchase"] > d["click"]
+    )
+    assert (row["v"], row["c"], row["p"]) == (v, c, p)
+    assert row["v"] >= row["c"] >= row["p"]

@@ -292,3 +292,38 @@ def test_tpch_second_batch_broadcasts_part(spark):
         plan = _plan(REGISTRY[name][0](spark, "/root/testdata/sf0.001"))
         assert "BroadcastHashJoin" in plan, name
         assert "SortMergeJoin" not in plan, name
+
+
+def test_r5_join_plans(spark):
+    """Plan canaries for the r5 queries: the decorrelated shapes must
+    stay broadcast/aggregate-based — no NestedLoop anywhere, no
+    SortMergeJoin in q21 (whose naive translation had one), broadcast
+    sides where dimension-sized frames join fact tables."""
+    from stampede_to_fresco_etl_spark.catalog import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    for name in ("tpch_q17", "tpch_q21", "tpch_q22", "x16_decontaminate"):
+        plan = _plan(REGISTRY[name][0](spark, sf))
+        assert "NestedLoop" not in plan.replace(
+            "BroadcastNestedLoopJoin", ""
+        ), name
+    q21 = _plan(REGISTRY["tpch_q21"][0](spark, sf))
+    assert "SortMergeJoin" not in q21
+    assert "BroadcastHashJoin" in q21
+    q17 = _plan(REGISTRY["tpch_q17"][0](spark, sf))
+    assert "BroadcastHashJoin" in q17
+    x16 = _plan(REGISTRY["x16_decontaminate"][0](spark, sf))
+    assert "BroadcastHashJoin" in x16
+
+
+def test_x18_no_shuffle_and_t8_single_window(spark):
+    from stampede_to_fresco_etl_spark.catalog import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    # x18 is pure per-row arithmetic: zero Exchange in the plan
+    x18 = _plan(REGISTRY["x18_repetition"][0](spark, sf))
+    assert "Exchange" not in x18
+    # t8's forward fill is ONE running window over the grid (the
+    # formatted plan prints each node twice: tree + detail section)
+    t8 = _plan(REGISTRY["t8_resample_ffill"][0](spark, sf))
+    assert t8.count("Window (") == 1
