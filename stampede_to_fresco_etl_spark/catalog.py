@@ -1938,6 +1938,73 @@ REGISTRY.update(
 
 
 # ---------------------------------------------------------------------------
+# MM5 — int16-PCM frame energy (audio-as-binary, mapInPandas + numpy).
+# Payloads are synthetic PCM built from document text (byte-safe
+# ASCII strip, then rpad); every 5th doc is 250 bytes (partial final
+# frame dropped) and every 7th is 251 (odd trailing byte dropped), so
+# the truncation contract is oracle-gated, not just unit-tested.
+# Energy is exact int64 arithmetic — bit-identical across engines.
+# ---------------------------------------------------------------------------
+
+_MM5_FRAME_SAMPLES = 16
+_MM5_LEN_CASE = (
+    "CASE WHEN doc_id % 7 = 0 THEN 251 "
+    "WHEN doc_id % 5 = 0 THEN 250 ELSE 256 END"
+)
+
+
+def q_audio_energy(spark, sf_dir):
+    from stampede_to_fresco_etl_spark.operators.multimodal import (
+        audio_frame_energy,
+    )
+
+    length = (
+        F.when(F.col("doc_id") % 7 == 0, 251)
+        .when(F.col("doc_id") % 5 == 0, 250)
+        .otherwise(256)
+    )
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.rpad(_ascii_text(), length, " ").cast("binary").alias("payload"),
+    )
+    return audio_frame_energy(docs, _MM5_FRAME_SAMPLES)
+
+
+def _sql_audio_energy() -> str:
+    fs = _MM5_FRAME_SAMPLES
+    # sample k of frame f: little-endian int16 at bytes 2k/2k+1 →
+    # 1-based hex offsets 4k+1 (lo) and 4k+3 (hi)
+    u = (
+        f"(('0x' || substr(hx, (frame_idx*{fs}+i)*4+1, 2))::BIGINT"
+        f" + 256*(('0x' || substr(hx, (frame_idx*{fs}+i)*4+3, 2))::BIGINT))"
+    )
+    return f"""
+WITH s AS (
+  SELECT doc_id AS media_id,
+         {_MM5_LEN_CASE} AS len_bytes,
+         lower(hex(rpad({_SQL_ASCII_TEXT}, {_MM5_LEN_CASE}, ' ')::BLOB))
+           AS hx
+  FROM documents
+),
+f AS (
+  SELECT media_id, hx, u.f AS frame_idx
+  FROM s, UNNEST(range(0, (len_bytes // 2) // {fs})) AS u(f)
+)
+SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+       CAST({fs} AS BIGINT) AS n_samples,
+       CAST(list_sum(list_transform(
+         list_transform(range(0, {fs}), i -> {u}),
+         v -> CASE WHEN v >= 32768 THEN (v-65536)*(v-65536)
+                   ELSE v*v END
+       )) AS BIGINT) AS energy
+FROM f
+"""
+
+
+REGISTRY.update({"mm5_audio_energy": (q_audio_energy, _sql_audio_energy())})
+
+
+# ---------------------------------------------------------------------------
 # T3 standalone — μs-floor interval midpoints (clamped bucket ends),
 # isolated from the flagship for line-item checkability.
 # ---------------------------------------------------------------------------

@@ -318,3 +318,76 @@ def sample_frames(
     return df.select(
         F.col(id_col).alias(id_col), F.col(payload_col)
     ).mapInPandas(fn, schema=SAMPLED_FRAMES_SCHEMA)
+
+
+AUDIO_ENERGY_SCHEMA = (
+    "media_id long, frame_idx long, n_samples long, energy long"
+)
+
+
+def audio_frame_energy(
+    df: DataFrame,
+    frame_samples: int = 16,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Per-frame energy of int16-PCM audio-as-binary — the feature-
+    extraction pass of an audio training pipeline (VAD gating, crude
+    loudness normalization) minus the codec, like mm4 is video minus
+    the codec: payloads are already-decoded little-endian int16
+    samples, so swapping in a real decoder changes one function body.
+
+    The kernel is Arrow-batched mapInPandas over numpy: frombuffer →
+    truncate (an odd trailing byte and a partial trailing frame are
+    DROPPED — the standard hop-window contract) → reshape(n_frames,
+    frame_samples) → Σ v² per frame.  Energy is an exact int64
+    (frame_samples · 32768² ≪ 2⁶³): no floats anywhere, so any engine
+    reproduces it bit-for-bit — the property the mm5 oracle leans on.
+    A NULL or sub-frame payload yields ONE all-NULL row (malformed
+    media never kills the batch, never silently disappears — mm4's
+    contract).
+
+    Scale: output is len/(2·frame_samples) rows of four longs per
+    clip; peak memory one Arrow batch of payloads."""
+
+    def fn(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            ids, idxs, ns, es = [], [], [], []
+            for mid, p in zip(pdf[id_col], pdf[payload_col]):
+                raw = None if p is None else bytes(p)
+                n_frames = (
+                    0
+                    if raw is None
+                    else (len(raw) // 2) // frame_samples
+                )
+                if n_frames == 0:
+                    ids.append(mid)
+                    idxs.append(None)
+                    ns.append(None)
+                    es.append(None)
+                    continue
+                n_samp = n_frames * frame_samples
+                v = _np.frombuffer(
+                    raw[: n_samp * 2], dtype="<i2"
+                ).astype(_np.int64)
+                e = (v.reshape(n_frames, frame_samples) ** 2).sum(axis=1)
+                for j in range(n_frames):
+                    ids.append(mid)
+                    idxs.append(j)
+                    ns.append(frame_samples)
+                    es.append(int(e[j]))
+            yield _pd.DataFrame(
+                {
+                    "media_id": _pd.array(ids, dtype="Int64"),
+                    "frame_idx": _pd.array(idxs, dtype="Int64"),
+                    "n_samples": _pd.array(ns, dtype="Int64"),
+                    "energy": _pd.array(es, dtype="Int64"),
+                }
+            )
+
+    return df.select(
+        F.col(id_col).alias(id_col), F.col(payload_col)
+    ).mapInPandas(fn, schema=AUDIO_ENERGY_SCHEMA)

@@ -204,3 +204,28 @@ def test_resample_ffill_gaps(spark):
     assert got[("u1", 3)] == (4.0, False)
     assert got[("u2", 5)] == (7.0, False)
     assert len(got) == 5
+
+
+def test_audio_frame_energy_truncation_and_nulls(spark):
+    import struct
+
+    from stampede_to_fresco_etl_spark.operators.multimodal import (
+        audio_frame_energy,
+    )
+
+    # 2 full frames of 4 samples + 1 leftover sample + 1 odd byte
+    samples = [100, -100, 32767, -32768, 1, 2, 3, 4, 999]
+    payload = struct.pack("<9h", *samples) + b"\x01"
+    rows = [(1, bytearray(payload)), (2, bytearray(b"\x00")), (3, None)]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = audio_frame_energy(df, frame_samples=4).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["media_id"], []).append(
+            (r["frame_idx"], r["energy"])
+        )
+    e0 = 100**2 + 100**2 + 32767**2 + 32768**2
+    e1 = 1 + 4 + 9 + 16
+    assert sorted(got[1]) == [(0, e0), (1, e1)]  # sample 999 dropped
+    assert got[2] == [(None, None)]  # sub-frame payload -> NULL row
+    assert got[3] == [(None, None)]  # NULL payload -> NULL row
