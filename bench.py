@@ -71,6 +71,7 @@ HEADLINE = [
     "t8_resample_ffill",  # new r5: gap-filling grid + ffill
     "x20_winnow_fingerprint",  # new r5: rolling-hash winnowing
     "a15_retention_cohorts",  # new r5: cohort analytics shape
+    "mm5_audio_energy",  # new r5: PCM feature extraction (Arrow)
 ]
 
 
