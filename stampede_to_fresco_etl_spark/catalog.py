@@ -5472,6 +5472,231 @@ WHERE r_name = 'EUROPE'
 """
 
 
+# ---------------------------------------------------------------------------
+# Engine-surface widening: analytic window suite, interval-overlap
+# range join, INTERSECT/EXCEPT set algebra, partitioned-write +
+# partition-pruned read, JSON-lines sink/source roundtrip.
+# ---------------------------------------------------------------------------
+
+
+def q_analytic_windows(spark, sf_dir):
+    """W5 — the analytic window-function suite in one pass: ranking
+    family (row_number / rank / dense_rank / ntile / percent_rank /
+    cume_dist), offset family (lag / lead) and a running sum, all over
+    ONE partition spec (event_type) so Spark plans a single Window
+    operator after a single sort — adding functions to the same spec
+    is free; a second ORDER BY would cost another sort.  Day-truncated
+    ordering keys give rank/dense_rank real ties; event_id completes
+    the total order for the row-keyed functions; the running sum is an
+    explicit ROWS frame (the default RANGE frame would pool tie
+    peers).  Values ride as floor-scaled bigints so lag/lead/sum are
+    integer-exact; percent_rank/cume_dist divide small exact integers
+    — bit-identical across engines."""
+    e = load(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    vi = F.floor(F.col("value") * F.lit(10000.0)).cast("long")
+    base = e.select(
+        "event_id", "event_type", day.alias("day"), vi.alias("value_i")
+    )
+    from pyspark.sql import Window as W
+
+    by_day = W.partitionBy("event_type").orderBy("day")
+    total = W.partitionBy("event_type").orderBy("day", "event_id")
+    running = total.rowsBetween(W.unboundedPreceding, W.currentRow)
+    return base.select(
+        "event_id",
+        "event_type",
+        "day",
+        "value_i",
+        F.row_number().over(total).alias("rn"),
+        F.rank().over(by_day).alias("rnk"),
+        F.dense_rank().over(by_day).alias("drnk"),
+        F.ntile(4).over(total).alias("nt4"),
+        F.percent_rank().over(by_day).alias("pr"),
+        F.cume_dist().over(by_day).alias("cd"),
+        F.lag("value_i").over(total).alias("prev_vi"),
+        F.lead("value_i").over(total).alias("next_vi"),
+        F.sum("value_i").over(running).alias("run_sum"),
+    )
+
+
+SQL_ANALYTIC_WINDOWS = """
+SELECT event_id, event_type, date_trunc('day', ts) AS day,
+       CAST(FLOOR(value * 10000.0) AS BIGINT) AS value_i,
+       CAST(row_number() OVER total AS INTEGER) AS rn,
+       CAST(rank()       OVER by_day AS INTEGER) AS rnk,
+       CAST(dense_rank() OVER by_day AS INTEGER) AS drnk,
+       CAST(ntile(4)     OVER total AS INTEGER) AS nt4,
+       percent_rank()    OVER by_day AS pr,
+       cume_dist()       OVER by_day AS cd,
+       lag(CAST(FLOOR(value * 10000.0) AS BIGINT))  OVER total AS prev_vi,
+       lead(CAST(FLOOR(value * 10000.0) AS BIGINT)) OVER total AS next_vi,
+       sum(CAST(FLOOR(value * 10000.0) AS BIGINT))  OVER running AS run_sum
+FROM events
+WINDOW
+  by_day  AS (PARTITION BY event_type ORDER BY date_trunc('day', ts)),
+  total   AS (PARTITION BY event_type ORDER BY date_trunc('day', ts), event_id),
+  running AS (PARTITION BY event_type ORDER BY date_trunc('day', ts), event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_interval_overlap(spark, sf_dir):
+    """J10 — interval×interval overlap join: every (purchase ±1h) ×
+    (click ±30min) window overlap for the same user.  Uses
+    operators/interval_join.interval_overlap_join: both interval sets
+    explode to covering hour-buckets, shuffled equi-join on (user,
+    bucket), exact overlap residual, pinned to the canonical bucket of
+    max(start_a, start_b) so the join is duplicate-free by
+    construction (the oracle is the pure inequality join DuckDB can
+    afford at this scale; at 100 TB the inequality-only form is a
+    quadratic nested loop — the bucket decomposition IS the
+    operator)."""
+    from stampede_to_fresco_etl_spark.operators.interval_join import (
+        interval_overlap_join,
+    )
+
+    e = load(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.expr("ts - INTERVAL 1 HOUR").alias("p_start"),
+            F.expr("ts + INTERVAL 1 HOUR").alias("p_end"),
+        )
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.expr("ts - INTERVAL 30 MINUTE").alias("c_start"),
+            F.expr("ts + INTERVAL 30 MINUTE").alias("c_end"),
+        )
+    )
+    j = interval_overlap_join(
+        p, c,
+        left_key="p_user", right_key="c_user",
+        lstart="p_start", lend="p_end",
+        rstart="c_start", rend="c_end",
+        bucket_seconds=3600,
+    )
+    return j.select(
+        F.col("p_user").alias("user_id"), "purchase_id", "click_id"
+    )
+
+
+SQL_INTERVAL_OVERLAP = """
+SELECT p.user_id AS user_id, p.event_id AS purchase_id,
+       c.event_id AS click_id
+FROM events p JOIN events c ON p.user_id = c.user_id
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+  AND p.user_id IS NOT NULL
+  AND p.ts - INTERVAL 1 HOUR  < c.ts + INTERVAL 30 MINUTE
+  AND c.ts - INTERVAL 30 MINUTE < p.ts + INTERVAL 1 HOUR
+"""
+
+
+def q_intersect_except(spark, sf_dir):
+    """U4 — INTERSECT / EXCEPT set algebra (completes §2.8 alongside
+    U1/U2's unions): users who both clicked and purchased but never
+    hit an error.  DataFrame intersect/subtract = INTERSECT / EXCEPT
+    DISTINCT; Spark plans both as aggregate-style shuffles on the key,
+    not joins — same dedup-then-probe shape the oracle's set ops
+    use."""
+    e = load(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+
+    def users(t):
+        return e.filter(F.col("event_type") == t).select("user_id")
+
+    return (
+        users("click").intersect(users("purchase")).subtract(users("error"))
+    )
+
+
+SQL_INTERSECT_EXCEPT = """
+(SELECT user_id FROM events WHERE event_type = 'click'
+   AND user_id IS NOT NULL
+ INTERSECT
+ SELECT user_id FROM events WHERE event_type = 'purchase'
+   AND user_id IS NOT NULL)
+EXCEPT
+SELECT user_id FROM events WHERE event_type = 'error'
+  AND user_id IS NOT NULL
+"""
+
+
+def q_partitioned_pruning(spark, sf_dir):
+    """S16 — hive-partitioned parquet sink + partition-pruned read:
+    events written partitionBy(event_day), read back with a one-week
+    day filter that resolves AT PLANNING TIME against the directory
+    layout (PartitionFilters, zero data files opened outside the
+    week — the 100 TB pattern for time-series storage; the pruning
+    itself is pinned by the plan canary in tests).  The oracle runs
+    the same week filter over the raw table."""
+    from stampede_to_fresco_etl_spark.sources.writers import write_parquet
+
+    e = load(spark, sf_dir, "events").withColumn(
+        "event_day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    path = f"{_SCRATCH}/s16_partitioned"
+    write_parquet(e, path, partition_by=["event_day"])
+    back = spark.read.parquet(path).filter(
+        (F.col("event_day") >= "2024-01-08")
+        & (F.col("event_day") <= "2024-01-14")
+    )
+    return _roundtrip_agg(back)
+
+
+SQL_PARTITIONED_PRUNING = f"""
+SELECT event_type, count(*) AS n,
+       {DSUM.format(x='value')} AS sum_value,
+       min(event_id) AS min_id, max(event_id) AS max_id
+FROM events
+WHERE strftime(ts, '%Y-%m-%d') >= '2024-01-08'
+  AND strftime(ts, '%Y-%m-%d') <= '2024-01-14'
+GROUP BY event_type
+"""
+
+
+def q_jsonl_roundtrip(spark, sf_dir):
+    """S18 — JSON-lines sink/source roundtrip: events projected to a
+    flat record, written as newline-delimited JSON, read back with an
+    EXPLICIT schema (schema inference is a second full scan — never at
+    100 TB), then aggregated including a JSON-path extract from the
+    nested props payload that rode through as a string.  Doubles
+    survive exactly: Jackson prints shortest-roundtrip decimals and
+    parses them back to the identical bits."""
+    jpath = f"{_SCRATCH}/s18_jsonl"
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value", "props"
+    )
+    e.write.mode("overwrite").json(jpath)
+    schema = (
+        "event_id BIGINT, user_id BIGINT, event_type STRING, "
+        "value DOUBLE, props STRING"
+    )
+    back = spark.read.schema(schema).json(jpath)
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        dsum(F.col("value")).alias("sum_value"),
+        F.sum(k).alias("sum_k"),
+        F.count("user_id").alias("n_users_nonnull"),
+    )
+
+
+SQL_JSONL_ROUNDTRIP = f"""
+SELECT event_type, count(*) AS n,
+       {DSUM.format(x='value')} AS sum_value,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS sum_k,
+       count(user_id) AS n_users_nonnull
+FROM events GROUP BY event_type
+"""
+
+
 REGISTRY.update(
     {
         "tpch_q3": (q_tpch_q3, SQL_TPCH_Q3),
@@ -5482,6 +5707,14 @@ REGISTRY.update(
         "tpch_q11": (q_tpch_q11, SQL_TPCH_Q11),
         "tpch_q15": (q_tpch_q15, SQL_TPCH_Q15),
         "tpch_q20": (q_tpch_q20, SQL_TPCH_Q20),
+        "w5_analytic_windows": (q_analytic_windows, SQL_ANALYTIC_WINDOWS),
+        "j10_interval_overlap": (q_interval_overlap, SQL_INTERVAL_OVERLAP),
+        "u4_intersect_except": (q_intersect_except, SQL_INTERSECT_EXCEPT),
+        "s16_partitioned_pruning": (
+            q_partitioned_pruning,
+            SQL_PARTITIONED_PRUNING,
+        ),
+        "s18_jsonl_roundtrip": (q_jsonl_roundtrip, SQL_JSONL_ROUNDTRIP),
     }
 )
 

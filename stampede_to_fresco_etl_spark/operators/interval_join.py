@@ -116,6 +116,74 @@ def bucketed_interval_join(
     return e.join(i, cond, "inner").drop("__bucket")
 
 
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    lstart: str,
+    lend: str,
+    rstart: str,
+    rend: str,
+    bucket_seconds: int = 3600,
+    inclusive: bool = False,
+) -> DataFrame:
+    """Interval×interval overlap join ([ls,le) × [rs,re), overlap iff
+    ls < re AND rs < le; `inclusive=True` closes both ends).
+
+    Point-in-interval joins (above) only need one side exploded; a
+    true overlap join would otherwise be a pure inequality join —
+    BroadcastNestedLoop, quadratic at scale.  Here BOTH sides explode
+    to the coarse time buckets they cover and the join is a shuffled
+    equi-join on (key, bucket) with the exact overlap as residual.
+
+    A pair overlapping k shared buckets would match k times, so the
+    match is pinned to ONE canonical bucket — the bucket containing
+    max(lstart, rstart), which every overlapping pair covers on both
+    sides exactly once — making the join duplicate-free BY
+    CONSTRUCTION: no post-join distinct shuffle.
+
+    Scale: replication factor = interval length / bucket size (pick
+    bucket_seconds near the typical interval length); the pair space
+    is bounded by per-(key, bucket) co-occurrence, never |L|×|R|.
+    """
+    bucket_us = int(bucket_seconds) * 1_000_000
+
+    def cover(df, s_col, e_col):
+        lo = F.unix_micros(df[s_col])
+        hi = F.unix_micros(df[e_col])
+        last = hi if inclusive else hi - 1
+        lo_b = lo - lo % bucket_us
+        last_b = F.greatest(last - last % bucket_us, lo_b)
+        return df.withColumn(
+            "__bucket",
+            F.explode(F.sequence(lo_b, last_b, F.lit(bucket_us))),
+        )
+
+    le_ = cover(left, lstart, lend)
+    ri = cover(right, rstart, rend)
+
+    lo_max = F.greatest(
+        F.unix_micros(left[lstart]), F.unix_micros(right[rstart])
+    )
+    canonical = lo_max - lo_max % bucket_us
+    if inclusive:
+        overlap = (left[lstart] <= right[rend]) & (
+            right[rstart] <= left[lend]
+        )
+    else:
+        overlap = (left[lstart] < right[rend]) & (
+            right[rstart] < left[lend]
+        )
+    cond = (
+        (le_["__bucket"] == ri["__bucket"])
+        & (left[left_key] == right[right_key])
+        & overlap
+        & (le_["__bucket"] == canonical)
+    )
+    return le_.join(ri, cond, "inner").drop("__bucket")
+
+
 def join_metrics_to_accounting(
     metrics: DataFrame,
     accounting: DataFrame,

@@ -327,3 +327,102 @@ def test_x18_no_shuffle_and_t8_single_window(spark):
     # formatted plan prints each node twice: tree + detail section)
     t8 = _plan(REGISTRY["t8_resample_ffill"][0](spark, sf))
     assert t8.count("Window (") == 1
+
+
+def test_tpch_completion_plans(spark):
+    """Plan canaries for the TPC-H completion batch: q3 must be a
+    distributed TakeOrdered (not a global sort), the argmax/semi
+    shapes must stay broadcast-based, and nothing may degenerate to a
+    nested loop."""
+    from stampede_to_fresco_etl_spark.catalog import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    q3 = _plan(REGISTRY["tpch_q3"][0](spark, sf))
+    assert "TakeOrderedAndProject" in q3
+    for name in (
+        "tpch_q3", "tpch_q5", "tpch_q7", "tpch_q8",
+        "tpch_q9", "tpch_q11", "tpch_q15", "tpch_q20",
+    ):
+        plan = _plan(REGISTRY[name][0](spark, sf))
+        assert "NestedLoop" not in plan.replace(
+            "BroadcastNestedLoopJoin", ""
+        ), name
+    q15 = _plan(REGISTRY["tpch_q15"][0](spark, sf))
+    assert "SortMergeJoin" not in q15
+    q20 = _plan(REGISTRY["tpch_q20"][0](spark, sf))
+    assert "LeftSemi" in q20
+
+
+def test_w5_single_exchange_and_s16_partition_pruning(spark):
+    from stampede_to_fresco_etl_spark.catalog import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    # every analytic function shares ONE partitioning: exactly one
+    # Exchange feeds the whole window chain
+    w5 = _plan(REGISTRY["w5_analytic_windows"][0](spark, sf))
+    assert w5.count("Exchange (") == 1
+    # the day filter must resolve against the directory layout, not
+    # row-level filters: PartitionFilters carries the range
+    s16 = _plan(REGISTRY["s16_partitioned_pruning"][0](spark, sf))
+    assert "PartitionFilters" in s16
+    assert "event_day" in s16
+
+
+def test_interval_overlap_join_matches_bruteforce(spark):
+    """interval_overlap_join == the inequality cross join, with no
+    duplicate pairs, across interval lengths shorter and (much) longer
+    than the bucket, degenerate zero-length intervals, and touching
+    endpoints (exclusive semantics: [a,b) × [b,c) do NOT overlap)."""
+    import random
+
+    from stampede_to_fresco_etl_spark.operators.interval_join import (
+        interval_overlap_join,
+    )
+
+    rng = random.Random(71)
+    B = 1_000_000  # 1s buckets for the test
+    def mk(n, max_len_s):
+        rows = []
+        for i in range(n):
+            key = rng.randint(0, 3)
+            start = rng.randint(0, 50) * 500_000  # 0.5s grid
+            length = rng.randint(0, max_len_s * 2) * 500_000
+            rows.append((i, key, start, start + length))
+        return rows
+
+    left = mk(60, 1)  # mostly sub-bucket
+    right = mk(60, 8)  # many multi-bucket spans
+    ldf = spark.createDataFrame(
+        [(i, k, _ts(s), _ts(e)) for i, k, s, e in left],
+        "lid long, lkey long, ls timestamp, le timestamp",
+    )
+    rdf = spark.createDataFrame(
+        [(i, k, _ts(s), _ts(e)) for i, k, s, e in right],
+        "rid long, rkey long, rs timestamp, re timestamp",
+    )
+    got = (
+        interval_overlap_join(
+            ldf, rdf, "lkey", "rkey", "ls", "le", "rs", "re",
+            bucket_seconds=1,
+        )
+        .select("lid", "rid")
+        .collect()
+    )
+    pairs = [(r.lid, r.rid) for r in got]
+    assert len(pairs) == len(set(pairs)), "duplicate pairs emitted"
+    want = {
+        (li, ri)
+        for li, lk, ls, le in left
+        for ri, rk, rs, re in right
+        if lk == rk and ls < re and rs < le
+    }
+    assert set(pairs) == want
+    assert len(want) > 50  # the fixture actually exercises overlaps
+
+
+def _ts(us):
+    import datetime
+
+    return datetime.datetime(2024, 1, 1) + datetime.timedelta(
+        microseconds=us
+    )
