@@ -72,6 +72,11 @@ HEADLINE = [
     "x20_winnow_fingerprint",  # new r5: rolling-hash winnowing
     "a15_retention_cohorts",  # new r5: cohort analytics shape
     "mm5_audio_energy",  # new r5: PCM feature extraction (Arrow)
+    "tpch_q8",  # new r5b: ratio-of-exact-sums market share
+    "tpch_q20",  # new r5b: nested-IN decorrelated semi chain
+    "w5_analytic_windows",  # new r5b: full window-function suite
+    "j10_interval_overlap",  # new r5b: bucketed overlap range join
+    "t9_scd2_intervals",  # new r5b: SCD2 history build
 ]
 
 

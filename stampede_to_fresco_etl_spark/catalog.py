@@ -5600,30 +5600,37 @@ WHERE p.event_type = 'purchase' AND c.event_type = 'click'
 
 def q_intersect_except(spark, sf_dir):
     """U4 — INTERSECT / EXCEPT set algebra (completes §2.8 alongside
-    U1/U2's unions): users who both clicked and purchased but never
-    hit an error.  DataFrame intersect/subtract = INTERSECT / EXCEPT
-    DISTINCT; Spark plans both as aggregate-style shuffles on the key,
-    not joins — same dedup-then-probe shape the oracle's set ops
-    use."""
+    U1/U2's unions): (user, day) pairs that clicked AND purchased but
+    hit no error that day.  DataFrame intersect/subtract = INTERSECT / EXCEPT
+    DISTINCT; Spark plans both as aggregate-style shuffles on the
+    composite key, not joins — same dedup-then-probe shape the
+    oracle's set ops use.  Day granularity keeps all three legs AND
+    the result non-trivially populated at every sf (per-user lifetime
+    sets saturate: with ~70 events/user every user hits every
+    type)."""
     e = load(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
 
-    def users(t):
-        return e.filter(F.col("event_type") == t).select("user_id")
+    def user_days(t):
+        return e.filter(F.col("event_type") == t).select(
+            "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+        )
 
     return (
-        users("click").intersect(users("purchase")).subtract(users("error"))
+        user_days("click")
+        .intersect(user_days("purchase"))
+        .subtract(user_days("error"))
     )
 
 
 SQL_INTERSECT_EXCEPT = """
-(SELECT user_id FROM events WHERE event_type = 'click'
-   AND user_id IS NOT NULL
+(SELECT user_id, date_trunc('day', ts) AS day
+ FROM events WHERE event_type = 'click' AND user_id IS NOT NULL
  INTERSECT
- SELECT user_id FROM events WHERE event_type = 'purchase'
-   AND user_id IS NOT NULL)
+ SELECT user_id, date_trunc('day', ts) AS day
+ FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL)
 EXCEPT
-SELECT user_id FROM events WHERE event_type = 'error'
-  AND user_id IS NOT NULL
+SELECT user_id, date_trunc('day', ts) AS day
+FROM events WHERE event_type = 'error' AND user_id IS NOT NULL
 """
 
 
@@ -5697,6 +5704,172 @@ FROM events GROUP BY event_type
 """
 
 
+def q_exact_median(spark, sf_dir):
+    """A16 — exact distributed per-group median (the sort-based
+    complement of a12's histogram percentiles): row_number over the
+    floor-scaled value within each group picks the middle one or two
+    rows, and the median is their integer sum over count — both
+    engines sort the identical total order (value_i, event_id) so the
+    selection, not just the values, is deterministic.  One window
+    shuffle + one tiny aggregate; no collect, no percentile_approx."""
+    from pyspark.sql import Window as W
+
+    e = load(spark, sf_dir, "events")
+    vi = F.floor(F.col("value") * F.lit(10000.0)).cast("long")
+    base = e.select("event_type", vi.alias("value_i"), "event_id")
+    w = W.partitionBy("event_type").orderBy("value_i", "event_id")
+    cnt = W.partitionBy("event_type")
+    ranked = base.select(
+        "event_type",
+        "value_i",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(cnt).alias("n"),
+    )
+    mid = ranked.filter(
+        (F.col("rn") == F.floor((F.col("n") + 1) / 2).cast("long"))
+        | (F.col("rn") == F.floor((F.col("n") + 2) / 2).cast("long"))
+    )
+    return mid.groupBy("event_type").agg(
+        (
+            F.sum("value_i").cast("double")
+            / (F.count("*") * F.lit(10000.0))
+        ).alias("median_value"),
+        F.max("n").alias("n_rows"),
+    )
+
+
+SQL_EXACT_MEDIAN = """
+WITH ranked AS (
+  SELECT event_type,
+         CAST(FLOOR(value * 10000.0) AS BIGINT) AS value_i,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY CAST(FLOOR(value * 10000.0) AS BIGINT),
+                                     event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT event_type,
+       CAST(sum(value_i) AS DOUBLE) / (count(*) * 10000.0) AS median_value,
+       max(n) AS n_rows
+FROM ranked
+WHERE rn = CAST(FLOOR((n + 1) / 2) AS BIGINT)
+   OR rn = CAST(FLOOR((n + 2) / 2) AS BIGINT)
+GROUP BY event_type
+"""
+
+
+def q_upsert_latest(spark, sf_dir):
+    """S19 — keyed upsert (MERGE INTO semantics, the foreachBatch
+    maintenance kernel as a batch query): a base snapshot (first half
+    of the month) merged with an update batch (second half, with key
+    overlap) under latest-timestamp-wins per (user_id, event_type).
+    Union + ONE row_number window on the merge key — updates replace,
+    unseen keys insert, base-only keys survive; event_id breaks exact
+    ts ties so the survivor is deterministic.  At scale this is the
+    compaction pass of a streaming upsert sink: state is bounded by
+    live keys, not history."""
+    from pyspark.sql import Window as W
+
+    e = load(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    split = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    base = e.filter(F.col("ts") < split)
+    updates = e.filter(F.col("ts") >= split)
+    merged = base.unionByName(updates)
+    w = W.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        merged.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "ts", "event_id", "value")
+    )
+
+
+SQL_UPSERT_LATEST = """
+SELECT user_id, event_type, ts, event_id, value
+FROM (
+  SELECT user_id, event_type, ts, event_id, value,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events WHERE user_id IS NOT NULL
+)
+WHERE rn = 1
+"""
+
+
+def q_scd2_intervals(spark, sf_dir):
+    """T9 — SCD2 history build: collapse each user's event-type stream
+    into validity intervals [valid_from, valid_to) with run lengths —
+    lag-flag change detection, running-sum run ids, per-run aggregate,
+    then lead() for the closing bound (NULL = current record).  Three
+    window passes but ONE partitioning (user_id), so Spark plans a
+    single Exchange; the run-id trick is the same integer-state
+    pattern as the rate kernel's validity splits."""
+    from pyspark.sql import Window as W
+
+    e = load(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    byts = W.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("event_type").over(byts).isNull()
+            | (F.lag("event_type").over(byts) != F.col("event_type")),
+            1,
+        )
+        .otherwise(0)
+        .alias("chg"),
+    )
+    runs = flagged.withColumn(
+        "run_id",
+        F.sum("chg").over(
+            byts.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    grouped = runs.groupBy("user_id", "run_id", "event_type").agg(
+        F.min("ts").alias("valid_from"),
+        F.count("*").alias("n_events"),
+    )
+    byrun = W.partitionBy("user_id").orderBy("run_id")
+    return grouped.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        F.lead("valid_from").over(byrun).alias("valid_to"),
+        "n_events",
+    )
+
+
+SQL_SCD2_INTERVALS = """
+WITH flagged AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                OR lag(event_type) OVER w <> event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM events WHERE user_id IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+runs AS (
+  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS run_id
+  FROM flagged
+),
+grouped AS (
+  SELECT user_id, run_id, event_type,
+         min(ts) AS valid_from, count(*) AS n_events
+  FROM runs GROUP BY user_id, run_id, event_type
+)
+SELECT user_id, event_type, valid_from,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY run_id)
+         AS valid_to,
+       n_events
+FROM grouped
+"""
+
+
 REGISTRY.update(
     {
         "tpch_q3": (q_tpch_q3, SQL_TPCH_Q3),
@@ -5715,6 +5888,9 @@ REGISTRY.update(
             SQL_PARTITIONED_PRUNING,
         ),
         "s18_jsonl_roundtrip": (q_jsonl_roundtrip, SQL_JSONL_ROUNDTRIP),
+        "a16_exact_median": (q_exact_median, SQL_EXACT_MEDIAN),
+        "s19_upsert_latest": (q_upsert_latest, SQL_UPSERT_LATEST),
+        "t9_scd2_intervals": (q_scd2_intervals, SQL_SCD2_INTERVALS),
     }
 )
 

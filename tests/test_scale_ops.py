@@ -426,3 +426,19 @@ def _ts(us):
     return datetime.datetime(2024, 1, 1) + datetime.timedelta(
         microseconds=us
     )
+
+
+def test_single_partitioning_window_ops(spark):
+    """a16/s19/t9 all share one partitioning across their windows and
+    aggregates (Spark recognizes HashPartitioning(user) satisfies the
+    grouped distribution on (user, run, ...)): exactly ONE Exchange
+    each, no SortMergeJoin."""
+    from stampede_to_fresco_etl_spark.catalog import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    for name in (
+        "a16_exact_median", "s19_upsert_latest", "t9_scd2_intervals"
+    ):
+        plan = _plan(REGISTRY[name][0](spark, sf))
+        assert plan.count("Exchange (") == 1, name
+        assert "SortMergeJoin" not in plan, name
