@@ -131,6 +131,37 @@ def run_incremental_pipeline(
     )
 
 
+def stream_stream_attribution_join(
+    purchases: DataFrame,
+    clicks: DataFrame,
+    key: str = "user_id",
+    p_ts: str = "p_ts",
+    c_ts: str = "c_ts",
+    lookback_seconds: int = 3600,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream inner join — the attribution shape
+    (batch twin: the j10 interval-overlap join): each purchase joins
+    the same user's clicks that happened within `lookback_seconds`
+    BEFORE it.
+
+    The 100 TB contract is the state bound: BOTH sides carry event-time
+    watermarks and the join condition constrains the two event times
+    against each other, so Spark can evict buffered rows once the
+    watermark passes `ts + lookback` — an equality-only stream-stream
+    join would buffer both streams forever.  Column names must already
+    be disjoint (streaming joins have no alias scoping on the state
+    store keys)."""
+    p = purchases.withWatermark(p_ts, watermark)
+    c = clicks.withWatermark(c_ts, watermark)
+    cond = (
+        (p[key] == c[f"c_{key}"])
+        & (c[c_ts] >= p[p_ts] - F.expr(f"INTERVAL {lookback_seconds} SECONDS"))
+        & (c[c_ts] <= p[p_ts])
+    )
+    return p.join(c, cond, "inner")
+
+
 def session_rollup(
     stream: DataFrame,
     key_cols: list[str],

@@ -177,3 +177,64 @@ def test_session_rollup_merges_across_batches(spark, tmp_path):
     assert (0, 3, 6.0) in got
     assert (53, 1, 4.0) in got
     assert all(s != 300 for s, _, _ in got)
+
+
+def test_stream_stream_attribution_join(spark, tmp_path):
+    """Stream-stream watermarked join == the batch join on the same
+    data, across micro-batch boundaries: clicks and purchases land in
+    SEPARATE files (separate micro-batches under maxFilesPerTrigger),
+    and a purchase still finds a click that arrived in an earlier
+    batch as long as the watermark hasn't evicted it."""
+    from stampede_to_fresco_etl_spark.streaming.ingest import (
+        stream_stream_attribution_join,
+    )
+
+    p_dir = str(tmp_path / "purchases")
+    c_dir = str(tmp_path / "clicks")
+
+    def t(m, s=0):
+        return dt.datetime(2024, 1, 1, 12, m, s)
+
+    clicks = [
+        Row(click_id=1, c_user_id=7, c_ts=t(0)),
+        Row(click_id=2, c_user_id=7, c_ts=t(30)),
+        Row(click_id=3, c_user_id=9, c_ts=t(5)),
+        Row(click_id=4, c_user_id=7, c_ts=t(50)),  # after the purchase
+    ]
+    purchases = [
+        Row(purchase_id=100, user_id=7, p_ts=t(40)),
+        Row(purchase_id=101, user_id=9, p_ts=t(59)),  # 54 min gap
+    ]
+    c_schema = "click_id long, c_user_id long, c_ts timestamp"
+    p_schema = "purchase_id long, user_id long, p_ts timestamp"
+    spark.createDataFrame(clicks, c_schema).coalesce(1).write.parquet(c_dir)
+    spark.createDataFrame(purchases, p_schema).coalesce(1).write.parquet(
+        p_dir
+    )
+
+    joined = stream_stream_attribution_join(
+        spark.readStream.schema(p_schema).option(
+            "maxFilesPerTrigger", 1
+        ).parquet(p_dir),
+        spark.readStream.schema(c_schema).option(
+            "maxFilesPerTrigger", 1
+        ).parquet(c_dir),
+        lookback_seconds=45 * 60,
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("attrib")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.purchase_id, r.click_id)
+        for r in spark.sql("SELECT purchase_id, click_id FROM attrib")
+        .collect()
+    }
+    # purchase 100 (user 7, 12:40): clicks at 12:00 (40m back, inside
+    # 45m) and 12:30; NOT the 12:50 click (after). purchase 101
+    # (user 9, 12:59): the 12:05 click is 54m back — outside lookback.
+    assert got == {(100, 1), (100, 2)}
