@@ -5286,11 +5286,14 @@ GROUP BY n_name, year(o_orderdate)
 def q_tpch_q11(spark, sf_dir):
     """Q11 important stock (adapted: no partsupp, so a part's "value"
     is its shipped extendedprice total from EUROPE-region suppliers):
-    parts whose value exceeds 0.1% of the group total.  Both the
-    per-part values and the grand total stay floor-scaled INTEGERS —
-    the total is a sum of bigints over the part-sized frame, not a
-    re-scan — and the HAVING threshold is a one-row broadcast cross
-    join, q22's scalar-subquery shape."""
+    parts whose value exceeds TWICE THE MEAN part value (TPC-H's own
+    fraction is 0.0001/SF — scale-dependent by design; the
+    mean-relative form keeps the selectivity, and the 0-row
+    degeneration at 10x data, out of the operator).  Per-part values
+    and the grand total stay floor-scaled INTEGERS — the total is a
+    sum of bigints over the part-sized frame, not a re-scan — and the
+    HAVING threshold is a one-row broadcast cross join, q22's
+    scalar-subquery shape."""
     r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     n = (
         load(spark, sf_dir, "nation")
@@ -5310,12 +5313,15 @@ def q_tpch_q11(spark, sf_dir):
         .groupBy("l_partkey")
         .agg(fsum(F.col("l_extendedprice")).alias("value_i"))
     )
-    t = v.agg(F.sum("value_i").alias("total_i"))
+    t = v.agg(
+        F.sum("value_i").alias("total_i"), F.count("*").alias("n_parts")
+    )
     return (
         v.crossJoin(F.broadcast(t))
         .filter(
             F.col("value_i").cast("double")
-            > F.lit(0.001) * F.col("total_i").cast("double")
+            > F.lit(2.0)
+            * (F.col("total_i").cast("double") / F.col("n_parts"))
         )
         .select(
             "l_partkey",
@@ -5337,10 +5343,11 @@ v AS (
   SELECT l_partkey, {FSUM.format(x='l_extendedprice')} AS value_i
   FROM j GROUP BY l_partkey
 ),
-t AS (SELECT CAST(sum(value_i) AS BIGINT) AS total_i FROM v)
+t AS (SELECT CAST(sum(value_i) AS BIGINT) AS total_i,
+            count(*) AS n_parts FROM v)
 SELECT l_partkey, CAST(value_i AS DOUBLE) / 10000.0 AS value
 FROM v, t
-WHERE CAST(value_i AS DOUBLE) > 0.001 * CAST(total_i AS DOUBLE)
+WHERE CAST(value_i AS DOUBLE) > 2.0 * (CAST(total_i AS DOUBLE) / n_parts)
 """
 
 
