@@ -5961,11 +5961,38 @@ _REVALIDATE = {
 }
 
 _FRESHNESS = _latest_green_round()
+_NEWEST_CHECKED = max(_FRESHNESS.values(), default=0)
+
+
+def _enum_rank(name: str) -> tuple[int, int]:
+    """Priority tiers for the driver's first-N correctness window.
+
+    Tier 0 — checked in SOME round but not the newest (stale evidence:
+    the driver regenerates testdata between rounds, and the r4 NTZ
+    swap proved regeneration can break formerly-green paths; VERDICT
+    r4 item 1 makes re-greening these the round's top ask).  Stalest
+    first within the tier.
+    Tier 1 — fresh rows whose operator/oracle changed this round
+    (_REVALIDATE): green evidence predates the code change.
+    Tier 2 — never-checked (new this round): validated by the builder
+    sweep + pytest; they take driver slots only after the backlog.
+    Tier 3 — fresh and unchanged.
+    """
+    fresh = _FRESHNESS.get(name)
+    if fresh is not None and fresh < _NEWEST_CHECKED:
+        return (0, fresh)
+    if name in _REVALIDATE:
+        return (1, 0)
+    if fresh is None:
+        return (2, 0)
+    return (3, fresh)
+
+
 REGISTRY = dict(
     sorted(
         REGISTRY.items(),
         key=lambda kv, _order=list(REGISTRY): (
-            0 if kv[0] in _REVALIDATE else _FRESHNESS.get(kv[0], 0),
+            _enum_rank(kv[0]),
             _order.index(kv[0]),
         ),
     )
