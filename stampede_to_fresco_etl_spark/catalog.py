@@ -5902,6 +5902,79 @@ REGISTRY.update(
 )
 
 
+def q_unpivot(spark, sf_dir):
+    """A17 — unpivot/melt (the inverse of A6's pivot): lineitem's four
+    charge columns to long (key, metric, value) form via
+    DataFrame.unpivot — ONE Expand node, one pass, row count ×4; never
+    four scans unioned.  Values floor-scale so the long table is
+    integer-exact."""
+    li = load(spark, sf_dir, "lineitem")
+    vi = lambda c: F.floor(F.col(c) * F.lit(10000.0)).cast("long")  # noqa: E731
+    base = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        vi("l_quantity").alias("quantity"),
+        vi("l_extendedprice").alias("extendedprice"),
+        vi("l_discount").alias("discount"),
+        vi("l_tax").alias("tax"),
+    )
+    return base.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["quantity", "extendedprice", "discount", "tax"],
+        "metric",
+        "value_i",
+    )
+
+
+_UNPIVOT_ARM = (
+    "SELECT l_orderkey, l_linenumber, '{m}' AS metric,"
+    " CAST(FLOOR(l_{m} * 10000.0) AS BIGINT) AS value_i FROM lineitem"
+)
+
+SQL_UNPIVOT = "\nUNION ALL\n".join(
+    _UNPIVOT_ARM.format(m=m)
+    for m in ("quantity", "extendedprice", "discount", "tax")
+)
+
+
+def q_map_roundtrip(spark, sf_dir):
+    """F18 — nested map-column round trip: per-user event counts
+    collected into a MAP<string,bigint> column (map_from_entries over
+    collect_list of structs), then exploded back to flat rows.  The
+    map is a real intermediate — per-user feature bundles are how
+    wide per-entity state travels through a pipeline without a
+    thousand-column schema — and the explode proves the container is
+    lossless.  The oracle is the plain group-by the round trip must
+    reduce to."""
+    e = load(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    per = e.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("cnt")
+    )
+    bundled = per.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("event_type", "cnt")))
+        ).alias("counts")
+    )
+    return bundled.select(
+        "user_id", F.explode("counts").alias("event_type", "cnt")
+    )
+
+
+SQL_MAP_ROUNDTRIP = """
+SELECT user_id, event_type, count(*) AS cnt
+FROM events WHERE user_id IS NOT NULL
+GROUP BY user_id, event_type
+"""
+
+
+REGISTRY.update(
+    {
+        "a17_unpivot": (q_unpivot, SQL_UNPIVOT),
+        "f18_map_roundtrip": (q_map_roundtrip, SQL_MAP_ROUNDTRIP),
+    }
+)
+
+
 # ---------------------------------------------------------------------------
 # Enumeration order: the driver's correctness run covers the first N
 # registry entries per round, so the STALEST queries must enumerate

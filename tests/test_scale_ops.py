@@ -442,3 +442,11 @@ def test_single_partitioning_window_ops(spark):
         plan = _plan(REGISTRY[name][0](spark, sf))
         assert plan.count("Exchange (") == 1, name
         assert "SortMergeJoin" not in plan, name
+
+
+def test_unpivot_is_one_expand_not_union(spark):
+    from stampede_to_fresco_etl_spark.catalog import REGISTRY
+
+    plan = _plan(REGISTRY["a17_unpivot"][0](spark, "/root/testdata/sf0.001"))
+    assert plan.count("Expand (") == 1
+    assert "Union" not in plan
