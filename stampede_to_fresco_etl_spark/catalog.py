@@ -5967,10 +5967,39 @@ GROUP BY user_id, event_type
 """
 
 
+def q_build_vocab(spark, sf_dir):
+    """X21 — tokenizer vocabulary construction over the corpus
+    (operators/text.build_vocab): distributed token counts, min-count
+    cutoff, contiguous ids by (count DESC, token ASC).  The id window
+    runs on the filtered vocabulary — dimension-sized at any corpus
+    scale — never on the token stream."""
+    from stampede_to_fresco_etl_spark.operators.text import build_vocab
+
+    docs = load(spark, sf_dir, "documents")
+    return build_vocab(docs, "text", min_count=5)
+
+
+SQL_BUILD_VOCAB = """
+WITH c AS (
+  SELECT token, count(*) AS n_occurrences FROM (
+    SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+           AS token
+    FROM documents
+  ) WHERE token <> ''
+  GROUP BY token
+)
+SELECT CAST(row_number() OVER (ORDER BY n_occurrences DESC, token) - 1
+            AS BIGINT) AS token_id,
+       token, n_occurrences
+FROM c WHERE n_occurrences >= 5
+"""
+
+
 REGISTRY.update(
     {
         "a17_unpivot": (q_unpivot, SQL_UNPIVOT),
         "f18_map_roundtrip": (q_map_roundtrip, SQL_MAP_ROUNDTRIP),
+        "x21_build_vocab": (q_build_vocab, SQL_BUILD_VOCAB),
     }
 )
 

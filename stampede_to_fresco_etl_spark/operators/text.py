@@ -164,6 +164,43 @@ def winnow_fingerprints(
     )
 
 
+def build_vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 2,
+    lowercase: bool = True,
+):
+    """Tokenizer vocabulary construction: global token counts →
+    min-count cutoff → contiguous id assignment by (count DESC,
+    token ASC).
+
+    Scale contract: the COUNT is the big step and it is fully
+    distributed (explode + hash aggregate with map-side combine —
+    the shuffle carries one row per distinct token per partition,
+    not per occurrence).  The id-assignment window runs on the
+    FILTERED vocabulary, which is dimension-sized no matter how big
+    the corpus (min_count trims the hapax mass; real vocabularies
+    are ≤ a few million rows), so the single-partition row_number is
+    a dimension-side step — the same class as IVF's centroid
+    collect — never a fact-table global sort."""
+    c = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    counts = (
+        df.select(F.explode(tokens(c)).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("n_occurrences"))
+        .filter(F.col("n_occurrences") >= min_count)
+    )
+    from pyspark.sql import Window as W
+
+    order = W.orderBy(F.col("n_occurrences").desc(), F.col("token"))
+    return counts.select(
+        (F.row_number().over(order) - 1).cast("long").alias("token_id"),
+        "token",
+        "n_occurrences",
+    )
+
+
 def keyword_topk(
     df: DataFrame, id_col: str, text_col: str, k: int = 3
 ) -> DataFrame:
