@@ -5995,11 +5995,90 @@ FROM c WHERE n_occurrences >= 5
 """
 
 
+def q_encode_corpus(spark, sf_dir):
+    """X22 — corpus encoding against the x21 vocabulary: every token
+    joins the BROADCAST vocab (vocabulary is dimension-sized by
+    construction — the x21 contract), OOV tokens map to UNK = -1, and
+    each document reduces to (n_tokens, n_oov, ids_hash) where
+    ids_hash is md5 over the COMMA-JOINED id sequence in document
+    order.  Order is reconstructed explicitly: posexplode carries the
+    position, sort_array over (pos, id) structs restores it before the
+    join-scrambled rows aggregate — collect_list order is undefined
+    and both engines must agree on the sequence, not the multiset."""
+    from stampede_to_fresco_etl_spark.operators.text import build_vocab
+
+    docs = load(spark, sf_dir, "documents")
+    vocab = build_vocab(docs, "text", min_count=5).select(
+        "token", "token_id"
+    )
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+        ).alias("pos", "token"),
+    ).filter(F.col("token") != "")
+    enc = toks.join(F.broadcast(vocab), "token", "left").select(
+        "doc_id",
+        "pos",
+        F.coalesce(F.col("token_id"), F.lit(-1)).alias("tid"),
+    )
+    return enc.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum((F.col("tid") == -1).cast("long")).alias("n_oov"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("pos", "tid"))
+                    ),
+                    lambda s: s["tid"].cast("string"),
+                ),
+            ).cast("binary")
+        ).alias("ids_hash"),
+    )
+
+
+SQL_ENCODE_CORPUS = """
+WITH vocab AS (
+  SELECT token, CAST(row_number() OVER (ORDER BY n DESC, token) - 1
+                     AS BIGINT) AS token_id
+  FROM (
+    SELECT token, count(*) AS n FROM (
+      SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+             AS token
+      FROM documents
+    ) WHERE token <> '' GROUP BY token
+  ) WHERE n >= 5
+),
+toks AS (
+  SELECT doc_id, u.token, u.pos FROM documents,
+    LATERAL (
+      SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+               AS token,
+             generate_subscripts(
+               regexp_split_to_array(trim(lower(text)), '\\s+'), 1)
+               AS pos
+    ) u
+  WHERE u.token <> ''
+)
+SELECT doc_id,
+       count(*) AS n_tokens,
+       CAST(sum(CASE WHEN v.token_id IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_oov,
+       md5(string_agg(CAST(COALESCE(v.token_id, -1) AS VARCHAR), ','
+                      ORDER BY toks.pos)) AS ids_hash
+FROM toks LEFT JOIN vocab v ON toks.token = v.token
+GROUP BY doc_id
+"""
+
+
 REGISTRY.update(
     {
         "a17_unpivot": (q_unpivot, SQL_UNPIVOT),
         "f18_map_roundtrip": (q_map_roundtrip, SQL_MAP_ROUNDTRIP),
         "x21_build_vocab": (q_build_vocab, SQL_BUILD_VOCAB),
+        "x22_encode_corpus": (q_encode_corpus, SQL_ENCODE_CORPUS),
     }
 )
 
