@@ -6083,6 +6083,43 @@ REGISTRY.update(
 )
 
 
+def q_fuzzy_pairs(spark, sf_dir):
+    """D8 — blocked fuzzy string self-join (record-linkage primitive):
+    part-name pairs within the same brand at levenshtein <= 2.  Uses
+    dedup.fuzzy_string_pairs: length-bucket blocking (edit distance d
+    bounds the length gap, so the right side fans out to 3 adjacent
+    buckets and the join is a plain (brand, bucket) equi-join with the
+    distance as residual — duplicate-free by construction).  The
+    oracle is the naive brand-blocked inequality join DuckDB can
+    afford at this scale; the bucket decomposition is what survives
+    when a block holds millions of rows."""
+    from stampede_to_fresco_etl_spark.operators.dedup import (
+        fuzzy_string_pairs,
+    )
+
+    p = load(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_name"
+    )
+    return fuzzy_string_pairs(
+        p, "p_partkey", "p_name", block_cols=["p_brand"], max_dist=2
+    )
+
+
+SQL_FUZZY_PAIRS = """
+SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+FROM part a JOIN part b
+  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+WHERE a.p_name <> b.p_name
+  AND levenshtein(a.p_name, b.p_name) <= 2
+"""
+
+
+REGISTRY.update(
+    {"d8_fuzzy_pairs": (q_fuzzy_pairs, SQL_FUZZY_PAIRS)}
+)
+
+
 # ---------------------------------------------------------------------------
 # Enumeration order: the driver's correctness run covers the first N
 # registry entries per round, so the STALEST queries must enumerate

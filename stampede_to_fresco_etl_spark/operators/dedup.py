@@ -838,3 +838,60 @@ def decontaminate(
         .agg(F.count("*").alias("n_hits"))
         .select(F.col("doc").alias(id_col), "n_hits")
     )
+
+
+def fuzzy_string_pairs(
+    df: DataFrame,
+    key_col: str,
+    str_col: str,
+    block_cols: list[str] | None = None,
+    max_dist: int = 2,
+) -> DataFrame:
+    """Blocked fuzzy self-join: all pairs (a, b), a.key < b.key, with
+    levenshtein(a.str, b.str) <= max_dist, a.str != b.str — the
+    record-linkage primitive for short-string near-dups (product
+    names, author fields, normalized titles).
+
+    Scale design: never the naive blocked cross join.  Edit distance
+    <= d implies |len(a) - len(b)| <= d, so strings bucket by
+    floor(len / (d+1)) and any qualifying pair's buckets differ by at
+    most 1 — the left side joins on its OWN bucket while the right
+    side fans out to (b-1, b, b+1), making the join a plain equi-join
+    on (block..., bucket) with the exact distance as residual.  Each
+    qualifying pair matches EXACTLY once (the left bucket is a single
+    value, the right fan-out contains it at most once), so the output
+    is duplicate-free with no distinct shuffle — the same
+    canonical-bucket construction as interval_overlap_join.  Candidate
+    volume is bounded by per-(block, bucket) co-occurrence, not
+    block size squared."""
+    blocks = block_cols or []
+    width = max_dist + 1
+    a = df.select(
+        F.col(key_col).alias("key_a"),
+        F.col(str_col).alias("str_a"),
+        (F.length(str_col) / width).cast("long").alias("__bucket"),
+        *[F.col(c).alias(f"__ba_{c}") for c in blocks],
+    )
+    b = df.select(
+        F.col(key_col).alias("key_b"),
+        F.col(str_col).alias("str_b"),
+        F.explode(
+            F.sequence(
+                (F.length(str_col) / width).cast("long") - 1,
+                (F.length(str_col) / width).cast("long") + 1,
+            )
+        ).alias("__bucket"),
+        *[F.col(c).alias(f"__bb_{c}") for c in blocks],
+    )
+    b = b.withColumnRenamed("__bucket", "__bucket_b")
+    cond = F.col("__bucket") == F.col("__bucket_b")
+    for c in blocks:
+        cond = cond & (F.col(f"__ba_{c}") == F.col(f"__bb_{c}"))
+    joined = a.join(b, cond, "inner").filter(
+        (F.col("key_a") < F.col("key_b"))
+        & (F.col("str_a") != F.col("str_b"))
+        & (F.levenshtein("str_a", "str_b") <= max_dist)
+    )
+    return joined.select(
+        "key_a", "key_b", F.levenshtein("str_a", "str_b").alias("dist")
+    )

@@ -450,3 +450,55 @@ def test_unpivot_is_one_expand_not_union(spark):
     plan = _plan(REGISTRY["a17_unpivot"][0](spark, "/root/testdata/sf0.001"))
     assert plan.count("Expand (") == 1
     assert "Union" not in plan
+
+
+def test_fuzzy_pairs_bucketing_matches_bruteforce(spark):
+    """Length-bucket fan-out loses no pairs and emits no duplicates:
+    compare against the naive all-pairs filter on a fixture with
+    cross-bucket lengths, ties, and identical strings (excluded)."""
+    from pyspark.sql import Row
+
+    from stampede_to_fresco_etl_spark.operators.dedup import (
+        fuzzy_string_pairs,
+    )
+
+    words = [
+        "cat", "cats", "catz", "ca", "c", "dog", "doge", "dogged",
+        "abcdef", "abcdefgh", "abcdeg", "xyz", "xyz", "wxyz",
+    ]
+    rows = [Row(k=i, s=w, blk=i % 2) for i, w in enumerate(words)]
+    df = spark.createDataFrame(rows)
+    got = {
+        (r.key_a, r.key_b, r.dist)
+        for r in fuzzy_string_pairs(
+            df, "k", "s", block_cols=["blk"], max_dist=2
+        ).collect()
+    }
+    import itertools
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    want = {
+        (i, j, lev(a, b))
+        for (i, a), (j, b) in itertools.combinations(
+            enumerate(words), 2
+        )
+        if i % 2 == j % 2 and a != b and lev(a, b) <= 2
+    }
+    assert got == want
+    assert len(got) == len({(a, b) for a, b, _ in got})  # no dups
+
+
+def test_fuzzy_pairs_plan_is_equijoin(spark):
+    from stampede_to_fresco_etl_spark.catalog import REGISTRY
+
+    plan = _plan(REGISTRY["d8_fuzzy_pairs"][0](spark, "/root/testdata/sf0.001"))
+    assert "NestedLoop" not in plan
