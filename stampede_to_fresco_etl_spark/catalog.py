@@ -6115,8 +6115,128 @@ WHERE a.p_name <> b.p_name
 """
 
 
+def q_time_weighted_mean(spark, sf_dir):
+    """W6 — time-weighted mean (trapezoidal integration) per user:
+    the gauge-telemetry aggregate where samples are irregular and the
+    arithmetic mean lies — each adjacent sample pair contributes
+    Δt·(v_i+v_{i+1})/2.  One lag window per user (the rate kernel's
+    shuffle shape), then EXACT arithmetic end to end: Δt floors to
+    integer milliseconds (FLOOR-pinned in both engines — BIGINT/1000
+    rounds in DuckDB but truncates in Spark, the a16 trap again),
+    values floor-scale ×10⁴, the Δt·(vi+vj) products sum as exact
+    bigints (≈5e16 per pair at this data shape — two orders of
+    magnitude of int64 headroom), and ONE pinned double division at
+    the end.  No floating-point accumulation anywhere."""
+    from pyspark.sql import Window as W
+
+    e = load(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    vi = F.floor(F.col("value") * F.lit(10000.0)).cast("long")
+    pairs = e.select(
+        "user_id",
+        F.floor((us - F.lag(us).over(w)) / F.lit(1000.0))
+        .cast("long")
+        .alias("dt_ms"),
+        (vi + F.lag(vi).over(w)).alias("v2_i"),
+    ).filter(F.col("dt_ms").isNotNull())
+    g = pairs.groupBy("user_id").agg(
+        F.sum(F.col("dt_ms") * F.col("v2_i")).alias("num_i"),
+        F.sum("dt_ms").alias("dt_ms"),
+    )
+    return g.select(
+        "user_id",
+        (
+            F.col("num_i").cast("double")
+            / (F.lit(2.0) * F.lit(10000.0) * F.col("dt_ms").cast("double"))
+        ).alias("tw_mean"),
+        F.col("dt_ms"),
+    )
+
+
+SQL_TIME_WEIGHTED_MEAN = """
+WITH pairs AS (
+  SELECT user_id,
+         CAST(FLOOR((epoch_us(ts) - lag(epoch_us(ts)) OVER w)
+                    / 1000.0) AS BIGINT) AS dt_ms,
+         CAST(FLOOR(value * 10000.0) AS BIGINT)
+           + lag(CAST(FLOOR(value * 10000.0) AS BIGINT)) OVER w AS v2_i
+  FROM events WHERE user_id IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+g AS (
+  SELECT user_id,
+         CAST(sum(dt_ms * v2_i) AS BIGINT) AS num_i,
+         CAST(sum(dt_ms) AS BIGINT) AS dt_ms
+  FROM pairs WHERE dt_ms IS NOT NULL GROUP BY user_id
+)
+SELECT user_id,
+       CAST(num_i AS DOUBLE) / (2.0 * 10000.0 * CAST(dt_ms AS DOUBLE))
+         AS tw_mean,
+       dt_ms
+FROM g
+"""
+
+
+def q_topk_per_group(spark, sf_dir):
+    """A18 — generic top-k per group: the 3 highest-value purchase
+    events per user via ONE ranking window (value ties broken by
+    event_id so both engines pick identical rows — rank-based
+    retrieval is only deterministic under a total order).  At scale
+    this is the small-k case the window handles directly; the salted
+    two-stage variant (x6/x7's machinery) takes over when groups are
+    few and huge."""
+    from pyspark.sql import Window as W
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+        & (F.col("event_type") == "purchase")
+    )
+    vi = F.floor(F.col("value") * F.lit(10000.0)).cast("long")
+    w = W.partitionBy("user_id").orderBy(
+        F.col("vi").desc(), F.col("event_id")
+    )
+    return (
+        e.select("user_id", "event_id", vi.alias("vi"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "user_id",
+            "event_id",
+            (F.col("vi").cast("double") / F.lit(10000.0)).alias("value"),
+            F.col("rk").cast("long").alias("rk"),
+        )
+    )
+
+
+SQL_TOPK_PER_GROUP = """
+SELECT user_id, event_id,
+       CAST(CAST(FLOOR(value * 10000.0) AS BIGINT) AS DOUBLE) / 10000.0
+         AS value,
+       CAST(rk AS BIGINT) AS rk
+FROM (
+  SELECT user_id, event_id, value,
+         row_number() OVER (
+           PARTITION BY user_id
+           ORDER BY CAST(FLOOR(value * 10000.0) AS BIGINT) DESC,
+                    event_id
+         ) AS rk
+  FROM events
+  WHERE user_id IS NOT NULL AND event_type = 'purchase'
+)
+WHERE rk <= 3
+"""
+
+
 REGISTRY.update(
-    {"d8_fuzzy_pairs": (q_fuzzy_pairs, SQL_FUZZY_PAIRS)}
+    {
+        "d8_fuzzy_pairs": (q_fuzzy_pairs, SQL_FUZZY_PAIRS),
+        "w6_time_weighted_mean": (
+            q_time_weighted_mean,
+            SQL_TIME_WEIGHTED_MEAN,
+        ),
+        "a18_topk_per_group": (q_topk_per_group, SQL_TOPK_PER_GROUP),
+    }
 )
 
 
