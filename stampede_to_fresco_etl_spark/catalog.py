@@ -6240,6 +6240,86 @@ REGISTRY.update(
 )
 
 
+def q_group_trend(spark, sf_dir):
+    """X23 — per-group least-squares trend (value drift per hour for
+    every user): slope = (n·Σxy − Σx·Σy) / (n·Σxx − Σx²) computed
+    ENTIRELY from exact integer moments.  The x moments would overflow
+    int64 on raw epoch-µs, so x recenters to SECONDS SINCE THE USER'S
+    FIRST EVENT (two-pass: per-group min broadcast back — x15's
+    pattern): x ≤ 2.6e6 s, Σxx ≤ ~5e14, Σxy ≤ ~2e15 — three orders of
+    headroom.  y floor-scales ×10⁴.  Both engines evaluate the SAME
+    final double expression on identical bigints; zero-variance groups
+    (n < 2 or all events in one second) yield NULL via a guarded
+    denominator."""
+    e = load(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    sec = F.floor(F.unix_micros(F.col("ts")) / F.lit(1_000_000.0)).cast(
+        "long"
+    )
+    vi = F.floor(F.col("value") * F.lit(10000.0)).cast("long")
+    base = e.select("user_id", sec.alias("xs"), vi.alias("yi"))
+    t0 = base.groupBy("user_id").agg(F.min("xs").alias("x0"))
+    pts = base.join(F.broadcast(t0), "user_id").select(
+        "user_id", (F.col("xs") - F.col("x0")).alias("x"), "yi"
+    )
+    m = pts.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("yi").alias("sy"),
+        F.sum(F.col("x") * F.col("yi")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    denom = (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    ).cast("double")
+    slope_per_sec = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+            "double"
+        )
+        / denom
+    )
+    return m.select(
+        "user_id",
+        "n",
+        F.when(
+            denom != 0.0,
+            slope_per_sec * F.lit(3600.0) / F.lit(10000.0),
+        ).alias("slope_per_hour"),
+    )
+
+
+SQL_GROUP_TREND = """
+WITH base AS (
+  SELECT user_id,
+         CAST(FLOOR(epoch_us(ts) / 1000000.0) AS BIGINT) AS xs,
+         CAST(FLOOR(value * 10000.0) AS BIGINT) AS yi
+  FROM events WHERE user_id IS NOT NULL
+),
+t0 AS (SELECT user_id, min(xs) AS x0 FROM base GROUP BY user_id),
+pts AS (
+  SELECT base.user_id, xs - x0 AS x, yi
+  FROM base JOIN t0 ON base.user_id = t0.user_id
+),
+m AS (
+  SELECT user_id, count(*) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(yi) AS BIGINT) AS sy,
+         CAST(sum(x * yi) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM pts GROUP BY user_id
+)
+SELECT user_id, n,
+       CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) <> 0.0 THEN
+         (CAST(n * sxy - sx * sy AS DOUBLE)
+          / CAST(n * sxx - sx * sx AS DOUBLE)) * 3600.0 / 10000.0
+       END AS slope_per_hour
+FROM m
+"""
+
+
+REGISTRY.update(
+    {"x23_group_trend": (q_group_trend, SQL_GROUP_TREND)}
+)
+
+
 # ---------------------------------------------------------------------------
 # Enumeration order: the driver's correctness run covers the first N
 # registry entries per round, so the STALEST queries must enumerate
