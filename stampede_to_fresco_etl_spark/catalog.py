@@ -6315,8 +6315,207 @@ FROM m
 """
 
 
+def q_group_mode(spark, sf_dir):
+    """A19 — exact per-group mode: most frequent value-cent bucket per
+    event_type, deterministic under ties (highest count, then lowest
+    bucket).  Two hash aggregates + one ranking window over the
+    (group, bucket)-sized count frame — the value stream itself never
+    sorts."""
+    from pyspark.sql import Window as W
+
+    e = load(spark, sf_dir, "events")
+    bucket = F.floor(F.col("value")).cast("long")
+    counts = e.groupBy("event_type", bucket.alias("vbucket")).agg(
+        F.count("*").alias("cnt")
+    )
+    w = W.partitionBy("event_type").orderBy(
+        F.col("cnt").desc(), F.col("vbucket")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_type", "vbucket", "cnt")
+    )
+
+
+SQL_GROUP_MODE = """
+SELECT event_type, vbucket, cnt FROM (
+  SELECT event_type, vbucket, cnt,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY cnt DESC, vbucket) AS rn
+  FROM (
+    SELECT event_type, CAST(FLOOR(value) AS BIGINT) AS vbucket,
+           count(*) AS cnt
+    FROM events GROUP BY event_type, CAST(FLOOR(value) AS BIGINT)
+  )
+) WHERE rn = 1
+"""
+
+
+def q_group_corr(spark, sf_dir):
+    """X24 — exact per-group Pearson correlation (value vs time):
+    corr = (n·Σxy − Σx·Σy) / sqrt((n·Σxx − Σx²) · (n·Σyy − Σy²)),
+    every moment an exact bigint (x23's recentred seconds; y
+    floor-scaled AND recentred by its per-group min so Σyy fits int64
+    with three orders of headroom).  sqrt is correctly rounded under
+    IEEE 754 in both engines, so even the irrational step is
+    bit-identical — the only non-deterministic way to compute corr is
+    the one everybody uses (float accumulation); this plan never
+    does."""
+    e = load(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    sec = F.floor(F.unix_micros(F.col("ts")) / F.lit(1_000_000.0)).cast(
+        "long"
+    )
+    vi = F.floor(F.col("value") * F.lit(10000.0)).cast("long")
+    base = e.select("user_id", sec.alias("xs"), vi.alias("ys"))
+    t0 = base.groupBy("user_id").agg(
+        F.min("xs").alias("x0"), F.min("ys").alias("y0")
+    )
+    pts = base.join(F.broadcast(t0), "user_id").select(
+        "user_id",
+        (F.col("xs") - F.col("x0")).alias("x"),
+        (F.col("ys") - F.col("y0")).alias("y"),
+    )
+    m = pts.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    vx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    vy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    return m.select(
+        "user_id",
+        "n",
+        F.when(
+            (vx != 0.0) & (vy != 0.0),
+            num / F.sqrt(vx * vy),
+        ).alias("corr_tv"),
+    )
+
+
+SQL_GROUP_CORR = """
+WITH base AS (
+  SELECT user_id,
+         CAST(FLOOR(epoch_us(ts) / 1000000.0) AS BIGINT) AS xs,
+         CAST(FLOOR(value * 10000.0) AS BIGINT) AS ys
+  FROM events WHERE user_id IS NOT NULL
+),
+t0 AS (SELECT user_id, min(xs) AS x0, min(ys) AS y0
+       FROM base GROUP BY user_id),
+pts AS (
+  SELECT base.user_id, xs - x0 AS x, ys - y0 AS y
+  FROM base JOIN t0 ON base.user_id = t0.user_id
+),
+m AS (
+  SELECT user_id, count(*) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM pts GROUP BY user_id
+)
+SELECT user_id, n,
+       CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) <> 0.0
+             AND CAST(n * syy - sy * sy AS DOUBLE) <> 0.0 THEN
+         CAST(n * sxy - sx * sy AS DOUBLE)
+         / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                * CAST(n * syy - sy * sy AS DOUBLE))
+       END AS corr_tv
+FROM m
+"""
+
+
+def q_union_evolved(spark, sf_dir):
+    """U5 — schema-evolution union: a v1 projection (no props) and a
+    v2 projection (adds props-derived k) union BY NAME with missing
+    columns null-filled (unionByName(allowMissingColumns=True) — the
+    positional union would silently misalign).  The aggregate proves
+    both the alignment and the null-fill."""
+    e = load(spark, sf_dir, "events")
+    split = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    v1 = e.filter(F.col("ts") < split).select(
+        "event_id", "event_type", "value"
+    )
+    v2 = e.filter(F.col("ts") >= split).select(
+        "event_id",
+        "event_type",
+        "value",
+        F.get_json_object(F.col("props"), "$.k").cast("long").alias("k"),
+    )
+    u = v1.unionByName(v2, allowMissingColumns=True)
+    return u.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.count("k").alias("n_with_k"),
+        F.sum("k").alias("sum_k"),
+        dsum(F.col("value")).alias("sum_value"),
+    )
+
+
+SQL_UNION_EVOLVED = f"""
+WITH v1 AS (
+  SELECT event_id, event_type, value, CAST(NULL AS BIGINT) AS k
+  FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
+),
+v2 AS (
+  SELECT event_id, event_type, value,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'
+),
+u AS (SELECT * FROM v1 UNION ALL BY NAME SELECT * FROM v2)
+SELECT event_type, count(*) AS n, count(k) AS n_with_k,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       {DSUM.format(x='value')} AS sum_value
+FROM u GROUP BY event_type
+"""
+
+
+def q_merge_schema(spark, sf_dir):
+    """S21 — parquet schema evolution on READ: two batches written
+    with different column sets into one dataset, read back with
+    mergeSchema=true (schema reconciliation is a footer-only
+    operation; per-file pruning still applies).  Off by default in
+    Spark because footer merging costs a pass over file metadata at
+    planning — exactly the kind of switch a 100 TB table turns on
+    per-query, not globally."""
+    path = f"{_SCRATCH}/s21_evolve"
+    e = load(spark, sf_dir, "events")
+    split = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    e.filter(F.col("ts") < split).select(
+        "event_id", "event_type", "value"
+    ).write.mode("overwrite").parquet(path)
+    e.filter(F.col("ts") >= split).select(
+        "event_id",
+        "event_type",
+        "value",
+        F.get_json_object(F.col("props"), "$.k").cast("long").alias("k"),
+    ).write.mode("append").parquet(path)
+    back = spark.read.option("mergeSchema", "true").parquet(path)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.count("k").alias("n_with_k"),
+        F.sum("k").alias("sum_k"),
+        dsum(F.col("value")).alias("sum_value"),
+    )
+
+
 REGISTRY.update(
-    {"x23_group_trend": (q_group_trend, SQL_GROUP_TREND)}
+    {
+        "x23_group_trend": (q_group_trend, SQL_GROUP_TREND),
+        "a19_group_mode": (q_group_mode, SQL_GROUP_MODE),
+        "x24_group_corr": (q_group_corr, SQL_GROUP_CORR),
+        "u5_union_evolved": (q_union_evolved, SQL_UNION_EVOLVED),
+        "s21_merge_schema": (q_merge_schema, SQL_UNION_EVOLVED),
+    }
 )
 
 
