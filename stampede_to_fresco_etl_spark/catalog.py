@@ -6508,6 +6508,105 @@ def q_merge_schema(spark, sf_dir):
     )
 
 
+def q_iqr_outliers(spark, sf_dir):
+    """X25 — IQR outlier fences per group (Tukey): Q1/Q3 picked by
+    row_number position over floor-scaled values (a16's selection
+    semantics — both engines sort the identical total order, and the
+    type-1 quartile index FLOOR-pins against the CAST-rounding trap),
+    fences = Q1/Q3 ∓ 1.5·IQR computed in INTEGER quarter-units (6·Q1
+    − etc.) so the comparison never touches a double, then one
+    broadcast-back join flags every row.  Output: per-group outlier
+    counts + the fences — the distributed two-pass shape every
+    robust-cleaning pipeline needs."""
+    from pyspark.sql import Window as W
+
+    e = load(spark, sf_dir, "events")
+    vi = F.floor(F.col("value") * F.lit(10000.0)).cast("long")
+    base = e.select("event_type", vi.alias("value_i"), "event_id")
+    w = W.partitionBy("event_type").orderBy("value_i", "event_id")
+    cnt = W.partitionBy("event_type")
+    ranked = base.select(
+        "event_type",
+        "value_i",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(cnt).alias("n"),
+    )
+    q1_idx = F.floor((F.col("n") + 3) / 4).cast("long")
+    q3_idx = F.floor((3 * F.col("n") + 1) / 4).cast("long")
+    quarts = (
+        ranked.filter(
+            (F.col("rn") == q1_idx) | (F.col("rn") == q3_idx)
+        )
+        .groupBy("event_type")
+        .agg(
+            F.min("value_i").alias("q1_i"),
+            F.max("value_i").alias("q3_i"),
+        )
+    )
+    # fences in ×4 units: lo = 4·Q1 − 6·(Q3−Q1), hi = 4·Q3 + 6·(Q3−Q1)
+    iqr = F.col("q3_i") - F.col("q1_i")
+    fences = quarts.select(
+        "event_type",
+        "q1_i",
+        "q3_i",
+        (4 * F.col("q1_i") - 6 * iqr).alias("lo4"),
+        (4 * F.col("q3_i") + 6 * iqr).alias("hi4"),
+    )
+    flagged = base.join(F.broadcast(fences), "event_type").select(
+        "event_type",
+        "lo4",
+        "hi4",
+        "q1_i",
+        "q3_i",
+        (
+            (4 * F.col("value_i") < F.col("lo4"))
+            | (4 * F.col("value_i") > F.col("hi4"))
+        )
+        .cast("long")
+        .alias("is_out"),
+    )
+    return flagged.groupBy("event_type").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("is_out").alias("n_outliers"),
+        (F.max("q1_i").cast("double") / F.lit(10000.0)).alias("q1"),
+        (F.max("q3_i").cast("double") / F.lit(10000.0)).alias("q3"),
+    )
+
+
+SQL_IQR_OUTLIERS = """
+WITH ranked AS (
+  SELECT event_type,
+         CAST(FLOOR(value * 10000.0) AS BIGINT) AS value_i,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY CAST(FLOOR(value * 10000.0) AS BIGINT),
+                                     event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+),
+quarts AS (
+  SELECT event_type, min(value_i) AS q1_i, max(value_i) AS q3_i
+  FROM ranked
+  WHERE rn = CAST(FLOOR((n + 3) / 4) AS BIGINT)
+     OR rn = CAST(FLOOR((3 * n + 1) / 4) AS BIGINT)
+  GROUP BY event_type
+),
+fences AS (
+  SELECT event_type, q1_i, q3_i,
+         4 * q1_i - 6 * (q3_i - q1_i) AS lo4,
+         4 * q3_i + 6 * (q3_i - q1_i) AS hi4
+  FROM quarts
+)
+SELECT r.event_type, count(*) AS n_rows,
+       CAST(sum(CASE WHEN 4 * r.value_i < f.lo4
+                       OR 4 * r.value_i > f.hi4
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       CAST(max(f.q1_i) AS DOUBLE) / 10000.0 AS q1,
+       CAST(max(f.q3_i) AS DOUBLE) / 10000.0 AS q3
+FROM ranked r JOIN fences f ON r.event_type = f.event_type
+GROUP BY r.event_type
+"""
+
+
 REGISTRY.update(
     {
         "x23_group_trend": (q_group_trend, SQL_GROUP_TREND),
@@ -6515,6 +6614,7 @@ REGISTRY.update(
         "x24_group_corr": (q_group_corr, SQL_GROUP_CORR),
         "u5_union_evolved": (q_union_evolved, SQL_UNION_EVOLVED),
         "s21_merge_schema": (q_merge_schema, SQL_UNION_EVOLVED),
+        "x25_iqr_outliers": (q_iqr_outliers, SQL_IQR_OUTLIERS),
     }
 )
 
