@@ -6619,6 +6619,73 @@ REGISTRY.update(
 )
 
 
+def q_corrupt_tolerant_json(spark, sf_dir):
+    """S22 — corrupt-record quarantine on JSON ingest: a dataset whose
+    landing dir mixes valid JSONL with malformed lines is read in
+    PERMISSIVE mode with an explicit _corrupt_record column — bad
+    lines become quarantine rows instead of killing the job
+    (FAILFAST) or vanishing silently (DROPMALFORMED).  The 100 TB
+    contract: ingest NEVER loses count of what it rejected.  Three
+    deterministic corrupt lines ride next to the real events; the
+    oracle adds the same constant."""
+    import os as _os
+
+    path = f"{_SCRATCH}/s22_mixed_jsonl"
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    e.write.mode("overwrite").json(path)
+    bad = "\n".join(
+        [
+            '{"event_id": "not-a-number", "event_type": 17,',
+            "garbage line that is not json at all",
+            '{"event_id": 1, "value": [1,2,]}',
+        ]
+    )
+    with open(_os.path.join(path, "part-99999-corrupt.json"), "w") as f:
+        f.write(bad + "\n")
+    schema = (
+        "event_id BIGINT, event_type STRING, value DOUBLE, "
+        "_corrupt_record STRING"
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+    back = back.cache()  # one pass feeds both branches of the agg
+    return back.agg(
+        F.count(F.when(F.col("_corrupt_record").isNull(), 1)).alias(
+            "n_good"
+        ),
+        F.count("_corrupt_record").alias("n_corrupt"),
+        dsum(
+            F.when(
+                F.col("_corrupt_record").isNull(), F.col("value")
+            ).otherwise(0.0)
+        ).alias("sum_value_good"),
+    )
+
+
+SQL_CORRUPT_TOLERANT = f"""
+SELECT count(*) AS n_good,
+       CAST(3 AS BIGINT) AS n_corrupt,
+       {DSUM.format(x='value')} AS sum_value_good
+FROM events
+"""
+
+
+REGISTRY.update(
+    {
+        "s22_corrupt_quarantine": (
+            q_corrupt_tolerant_json,
+            SQL_CORRUPT_TOLERANT,
+        )
+    }
+)
+
+
 # ---------------------------------------------------------------------------
 # Enumeration order: the driver's correctness run covers the first N
 # registry entries per round, so the STALEST queries must enumerate
