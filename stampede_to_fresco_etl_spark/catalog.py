@@ -6676,12 +6676,143 @@ FROM events
 """
 
 
+def q_token_rarity(spark, sf_dir):
+    """X26 — mean token-rarity rank per document: every token joins
+    the x21 vocabulary's frequency RANK (broadcast — dimension-sized
+    by the vocab contract), OOV tokens take rank = |vocab| (rarer than
+    everything known), and the document's score is the exact rational
+    Σrank/n.  A log-free surprisal proxy: OCR garbage and
+    boilerplate-stripped noise score high, fluent text low — the
+    perplexity-filter shape without a model or a float accumulation
+    (true LM scoring needs log-probs whose libm rounding differs
+    across engines; ranks are integers and the one division is
+    pinned)."""
+    from stampede_to_fresco_etl_spark.operators.text import build_vocab
+
+    docs = load(spark, sf_dir, "documents")
+    vocab = build_vocab(docs, "text", min_count=5).select(
+        "token", F.col("token_id").alias("rank")
+    )
+    vsize = vocab.groupBy().agg(F.count("*").alias("vsize"))
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+        ).alias("token"),
+    ).filter(F.col("token") != "")
+    scored = (
+        toks.join(F.broadcast(vocab), "token", "left")
+        .crossJoin(F.broadcast(vsize))
+        .select(
+            "doc_id",
+            F.coalesce(F.col("rank"), F.col("vsize")).alias("rank"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum("rank").alias("rank_sum"),
+        (
+            F.sum("rank").cast("double") / F.count("*").cast("double")
+        ).alias("mean_rarity"),
+    )
+
+
+SQL_TOKEN_RARITY = """
+WITH vocab AS (
+  SELECT token, CAST(row_number() OVER (ORDER BY n DESC, token) - 1
+                     AS BIGINT) AS rank
+  FROM (
+    SELECT token, count(*) AS n FROM (
+      SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+             AS token
+      FROM documents
+    ) WHERE token <> '' GROUP BY token
+  ) WHERE n >= 5
+),
+vs AS (SELECT count(*) AS vsize FROM vocab),
+toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+           AS token
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, COALESCE(v.rank, vs.vsize) AS rank
+  FROM toks LEFT JOIN vocab v ON toks.token = v.token, vs
+  WHERE toks.token <> ''
+)
+SELECT doc_id, count(*) AS n_tokens,
+       CAST(sum(rank) AS BIGINT) AS rank_sum,
+       CAST(sum(rank) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         AS mean_rarity
+FROM scored GROUP BY doc_id
+"""
+
+
+def q_chunk_overlap(spark, sf_dir):
+    """X27 — sliding-window chunking (size 64 tokens, stride 48 — the
+    embedding-pipeline preprocessor): chunk starts come from an
+    in-row sequence() over the token count, each chunk slices the
+    token array (zero re-tokenization, zero shuffle — the whole
+    operator is per-row array arithmetic until the final projection),
+    and emits (doc_id, chunk_id, n_tokens, chunk_hash) with an md5
+    over the space-joined slice.  Start grid: 0, 48, 96, … capped so
+    the LAST chunk still starts before n (short docs yield exactly one
+    chunk)."""
+    size, stride = 64, 48
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n = F.size(toks)
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(
+            F.floor((n - 1) / F.lit(stride)).cast("int"), F.lit(0)
+        )
+        * F.lit(stride),
+        F.lit(stride),
+    )
+    chunked = docs.select(
+        "doc_id", toks.alias("toks"), F.explode(starts).alias("start")
+    )
+    piece = F.slice(F.col("toks"), F.col("start") + 1, size)
+    return chunked.select(
+        "doc_id",
+        (F.col("start") / F.lit(stride)).cast("long").alias("chunk_id"),
+        F.size(piece).cast("long").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", piece).cast("binary")).alias("chunk_hash"),
+    )
+
+
+SQL_CHUNK_OVERLAP = """
+WITH base AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents
+),
+starts AS (
+  SELECT doc_id, toks,
+         unnest(range(0,
+           (CAST(FLOOR((len(toks) - 1) / 48.0) AS BIGINT)
+            * 48) + 1, 48)) AS start
+  FROM base
+)
+SELECT doc_id,
+       CAST(start / 48 AS BIGINT) AS chunk_id,
+       CAST(len(list_slice(toks, start + 1, start + 64)) AS BIGINT)
+         AS n_tokens,
+       md5(array_to_string(list_slice(toks, start + 1, start + 64), ' '))
+         AS chunk_hash
+FROM starts
+"""
+
+
 REGISTRY.update(
     {
         "s22_corrupt_quarantine": (
             q_corrupt_tolerant_json,
             SQL_CORRUPT_TOLERANT,
-        )
+        ),
+        "x26_token_rarity": (q_token_rarity, SQL_TOKEN_RARITY),
+        "x27_chunk_overlap": (q_chunk_overlap, SQL_CHUNK_OVERLAP),
     }
 )
 
