@@ -162,6 +162,67 @@ def stream_stream_attribution_join(
     return p.join(c, cond, "inner")
 
 
+def run_upsert_stream(
+    spark: SparkSession,
+    landing_dir: str,
+    snapshot_dir: str,
+    checkpoint_dir: str,
+    schema: StructType | str,
+    key_cols: list[str],
+    order_cols: list[str],
+) -> StreamingQuery:
+    """Streaming keyed upsert — the foreachBatch twin of the batch
+    latest-wins kernel (catalog s19): each micro-batch merges into a
+    parquet snapshot under MERGE semantics (updates replace, new keys
+    insert, untouched keys survive), latest (order_cols) winning per
+    key_cols.
+
+    Mechanics per batch: read current snapshot (if any) ∪ batch →
+    ONE row_number window on the merge key → rewrite the snapshot
+    through a tmp-dir + atomic-rename swap (write-then-overwrite of
+    the frame being read would race the lazy scan).  State is bounded
+    by LIVE KEYS, not history — the property that lets an upsert sink
+    run forever.  Exactly-once across restarts comes from the file
+    source + checkpoint; replaying a batch is idempotent because the
+    merge is deterministic."""
+    from pyspark.sql import Window as W
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        try:
+            current = s.read.parquet(snapshot_dir)
+            merged = current.unionByName(batch_df)
+        except Exception:
+            merged = batch_df
+        w = W.partitionBy(*key_cols).orderBy(
+            *[F.col(c).desc() for c in order_cols]
+        )
+        latest = (
+            merged.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        jvm = s._jvm
+        conf = s._jsc.hadoopConfiguration()
+        live = jvm.org.apache.hadoop.fs.Path(snapshot_dir)
+        fs = live.getFileSystem(conf)
+        tmp_s = snapshot_dir.rstrip("/") + "__upsert_tmp"
+        latest.write.mode("overwrite").parquet(tmp_s)
+        tmp = jvm.org.apache.hadoop.fs.Path(tmp_s)
+        if fs.exists(live):
+            fs.delete(live, True)
+        if not fs.rename(tmp, live):
+            raise IOError(f"upsert: could not swap in {tmp_s}")
+
+    stream = spark.readStream.schema(schema).parquet(landing_dir)
+    return (
+        stream.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def session_rollup(
     stream: DataFrame,
     key_cols: list[str],

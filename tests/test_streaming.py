@@ -238,3 +238,46 @@ def test_stream_stream_attribution_join(spark, tmp_path):
     # 45m) and 12:30; NOT the 12:50 click (after). purchase 101
     # (user 9, 12:59): the 12:05 click is 54m back — outside lookback.
     assert got == {(100, 1), (100, 2)}
+
+
+def test_streaming_upsert_converges_to_batch_kernel(spark, tmp_path):
+    """The foreachBatch upsert snapshot equals the batch latest-wins
+    kernel over everything that ever arrived, across TWO separate
+    drains (state carried through the snapshot, exactly-once through
+    the checkpoint), including key overwrites between waves."""
+    from stampede_to_fresco_etl_spark.streaming.ingest import (
+        run_upsert_stream,
+    )
+
+    landing = str(tmp_path / "landing")
+    snap = str(tmp_path / "snapshot")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "k long, ts timestamp, v string"
+
+    def t(m):
+        return dt.datetime(2024, 2, 1, 9, m)
+
+    wave1 = [Row(k=1, ts=t(0), v="a"), Row(k=2, ts=t(1), v="b"),
+             Row(k=1, ts=t(2), v="c")]
+    spark.createDataFrame(wave1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(landing)
+    q = run_upsert_stream(
+        spark, landing, snap, ckpt, schema, ["k"], ["ts"]
+    )
+    q.awaitTermination(120)
+    got1 = {(r.k, r.v) for r in spark.read.parquet(snap).collect()}
+    assert got1 == {(1, "c"), (2, "b")}
+
+    # wave 2: overwrite k=2, insert k=3; k=1 must survive untouched
+    wave2 = [Row(k=2, ts=t(10), v="B2"), Row(k=3, ts=t(11), v="d")]
+    spark.createDataFrame(wave2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(landing)
+    q2 = run_upsert_stream(
+        spark, landing, snap, ckpt, schema, ["k"], ["ts"]
+    )
+    q2.awaitTermination(120)
+    got2 = {(r.k, r.v) for r in spark.read.parquet(snap).collect()}
+    assert got2 == {(1, "c"), (2, "B2"), (3, "d")}
+    assert spark.read.parquet(snap).count() == 3  # one row per key
