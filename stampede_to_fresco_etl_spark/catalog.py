@@ -6817,6 +6817,79 @@ REGISTRY.update(
 )
 
 
+_MM6_H, _MM6_W, _MM6_PH, _MM6_PW = 12, 16, 6, 8
+
+
+def q_image_patches(spark, sf_dir):
+    """MM6 — ViT-style 2-D patchify (multimodal.image_patches): 12×16
+    single-channel planes cut into a 2×2 grid of 6×8 patches; every
+    7th image malformed (length 190 ≠ 192) and surfaced as the mm4
+    NULL-row contract.  The oracle reproduces each patch by fixed
+    hex-substring gathering over the row-major plane."""
+    from stampede_to_fresco_etl_spark.operators.multimodal import (
+        image_patches,
+    )
+
+    good = _MM6_H * _MM6_W
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.rpad(
+            _ascii_text(),
+            F.when(F.col("doc_id") % 7 == 0, good - 2).otherwise(good),
+            " ",
+        )
+        .cast("binary")
+        .alias("payload"),
+    )
+    out = image_patches(docs, _MM6_H, _MM6_W, _MM6_PH, _MM6_PW)
+    return out.select(
+        "media_id",
+        "patch_row",
+        "patch_col",
+        F.lower(F.hex(F.col("patch"))).alias("patch_hex"),
+        "digest",
+    )
+
+
+def _sql_image_patches() -> str:
+    good = _MM6_H * _MM6_W
+    arms = []
+    for r in range(_MM6_H // _MM6_PH):
+        for c in range(_MM6_W // _MM6_PW):
+            parts = []
+            for i in range(_MM6_PH):
+                off = ((r * _MM6_PH + i) * _MM6_W + c * _MM6_PW) * 2 + 1
+                parts.append(f"substr(hx, {off}, {_MM6_PW * 2})")
+            hexpr = " || ".join(parts)
+            arms.append(
+                f"SELECT media_id, CAST({r} AS BIGINT) AS patch_row, "
+                f"CAST({c} AS BIGINT) AS patch_col, "
+                f"{hexpr} AS patch_hex, md5({hexpr}) AS digest "
+                "FROM s WHERE ok"
+            )
+    patched = " UNION ALL ".join(arms)
+    return f"""
+WITH s AS (
+  SELECT doc_id AS media_id,
+         (doc_id % 7 != 0) AS ok,
+         lower(hex(rpad({_SQL_ASCII_TEXT},
+           CASE WHEN doc_id % 7 = 0 THEN {good - 2} ELSE {good} END,
+           ' ')::BLOB)) AS hx
+  FROM documents
+)
+{patched}
+UNION ALL
+SELECT media_id, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+FROM s WHERE NOT ok
+"""
+
+
+REGISTRY.update(
+    {"mm6_image_patches": (q_image_patches, _sql_image_patches())}
+)
+
+
 # ---------------------------------------------------------------------------
 # Enumeration order: the driver's correctness run covers the first N
 # registry entries per round, so the STALEST queries must enumerate

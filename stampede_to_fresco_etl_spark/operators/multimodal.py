@@ -391,3 +391,84 @@ def audio_frame_energy(
     return df.select(
         F.col(id_col).alias(id_col), F.col(payload_col)
     ).mapInPandas(fn, schema=AUDIO_ENERGY_SCHEMA)
+
+
+def image_patches(
+    df: DataFrame,
+    height: int,
+    width: int,
+    patch_h: int,
+    patch_w: int,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Non-overlapping 2-D patch extraction from image-as-binary (the
+    ViT-style patchify pass, minus the codec: payloads are row-major
+    height×width single-channel planes, so the kernel is a numpy
+    reshape + block gather — swapping in a real decoder changes one
+    function body, not the contract).
+
+    Yields (height//patch_h)·(width//patch_w) rows per well-formed
+    image: patch (r, c) carries the contiguous bytes of rows
+    r·patch_h…(r+1)·patch_h−1 restricted to columns
+    c·patch_w…(c+1)·patch_w−1, in row-major order — exactly
+    re-expressible as fixed hex-substring concatenation for the
+    oracle.  A NULL payload or one whose length ≠ height·width yields
+    ONE row with NULL patch fields (malformed media never kills the
+    batch, never silently disappears — the mm4 contract).  `digest`
+    is md5 of the lowercase hex of the patch bytes.
+
+    Scale: Arrow-batched mapInPandas; fan-out is the fixed patch
+    count, peak memory one batch of patches."""
+    import pandas as _pd  # noqa: F401 (signature parity with siblings)
+
+    n_pr = height // patch_h
+    n_pc = width // patch_w
+
+    def fn(batches):
+        import hashlib as _hashlib
+
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            ids, prs, pcs, patches, digests = [], [], [], [], []
+            for mid, p in zip(pdf[id_col], pdf[payload_col]):
+                if p is None or len(p) != height * width:
+                    ids.append(mid)
+                    prs.append(None)
+                    pcs.append(None)
+                    patches.append(None)
+                    digests.append(None)
+                    continue
+                img = _np.frombuffer(bytes(p), dtype=_np.uint8).reshape(
+                    height, width
+                )
+                for r in range(n_pr):
+                    for c in range(n_pc):
+                        blk = img[
+                            r * patch_h:(r + 1) * patch_h,
+                            c * patch_w:(c + 1) * patch_w,
+                        ].tobytes()
+                        ids.append(mid)
+                        prs.append(r)
+                        pcs.append(c)
+                        patches.append(blk)
+                        digests.append(
+                            _hashlib.md5(blk.hex().encode()).hexdigest()
+                        )
+            yield _pd.DataFrame(
+                {
+                    id_col: ids,
+                    "patch_row": _pd.array(prs, dtype="Int64"),
+                    "patch_col": _pd.array(pcs, dtype="Int64"),
+                    "patch": patches,
+                    "digest": digests,
+                }
+            )
+
+    out_schema = (
+        f"{id_col} long, patch_row long, patch_col long, "
+        "patch binary, digest string"
+    )
+    return df.select(id_col, payload_col).mapInPandas(fn, out_schema)
