@@ -6890,6 +6890,91 @@ REGISTRY.update(
 )
 
 
+def q_ref_integrity(spark, sf_dir):
+    """S23 — referential-integrity audit across the star schema in
+    one pass per relationship: orphan counts via LEFT-ANTI joins
+    (lineitem→orders, lineitem→part, lineitem→supplier,
+    orders→customer), each a broadcast or shuffle anti-join that
+    Catalyst plans without materializing matches.  The audit a
+    pipeline runs before promoting a snapshot: zero rows lost, zero
+    rows invented, keys all resolvable — and the count of violations,
+    not a boolean, so a regression is measurable."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    p = load(spark, sf_dir, "part")
+    s = load(spark, sf_dir, "supplier")
+    c = load(spark, sf_dir, "customer")
+
+    def orphans(name, child, key, parent, pkey):
+        return (
+            child.select(key)
+            .join(
+                parent.select(pkey), child[key] == parent[pkey], "left_anti"
+            )
+            .agg(F.count("*").alias("n_orphans"))
+            .select(F.lit(name).alias("relationship"), "n_orphans")
+        )
+
+    return (
+        orphans("lineitem_orders", li, "l_orderkey", o, "o_orderkey")
+        .unionByName(orphans("lineitem_part", li, "l_partkey", p, "p_partkey"))
+        .unionByName(
+            orphans("lineitem_supplier", li, "l_suppkey", s, "s_suppkey")
+        )
+        .unionByName(orphans("orders_customer", o, "o_custkey", c, "c_custkey"))
+    )
+
+
+SQL_REF_INTEGRITY = """
+SELECT 'lineitem_orders' AS relationship, CAST(count(*) AS BIGINT)
+  AS n_orphans
+FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+UNION ALL
+SELECT 'lineitem_part', CAST(count(*) AS BIGINT)
+FROM lineitem WHERE l_partkey NOT IN (SELECT p_partkey FROM part)
+UNION ALL
+SELECT 'lineitem_supplier', CAST(count(*) AS BIGINT)
+FROM lineitem WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier)
+UNION ALL
+SELECT 'orders_customer', CAST(count(*) AS BIGINT)
+FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+"""
+
+
+def q_fd_check(spark, sf_dir):
+    """S24 — declared-invariant audit: documents.n_chars claims to be
+    the text length; count violations per source (plus min/max
+    deviation) instead of asserting a boolean — the data-contract
+    check a pipeline runs on every ingest, shaped so a drifting
+    upstream shows up as a measurable per-source number."""
+    d = load(spark, sf_dir, "documents")
+    dev = F.length("text").cast("long") - F.col("n_chars")
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum((dev != 0).cast("long")).alias("n_violations"),
+        F.min(dev).alias("min_dev"),
+        F.max(dev).alias("max_dev"),
+    )
+
+
+SQL_FD_CHECK = """
+SELECT source, count(*) AS n_docs,
+       CAST(sum(CASE WHEN length(text) <> n_chars THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_violations,
+       CAST(min(length(text) - n_chars) AS BIGINT) AS min_dev,
+       CAST(max(length(text) - n_chars) AS BIGINT) AS max_dev
+FROM documents GROUP BY source
+"""
+
+
+REGISTRY.update(
+    {
+        "s23_ref_integrity": (q_ref_integrity, SQL_REF_INTEGRITY),
+        "s24_fd_check": (q_fd_check, SQL_FD_CHECK),
+    }
+)
+
+
 # ---------------------------------------------------------------------------
 # Enumeration order: the driver's correctness run covers the first N
 # registry entries per round, so the STALEST queries must enumerate
