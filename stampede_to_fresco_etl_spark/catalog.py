@@ -7026,11 +7026,12 @@ def _latest_green_round() -> dict[str, int]:
 #: same priority as never-checked queries.  Per-round maintenance —
 #: update when touching an operator a green query depends on.
 #: r5: parity-halves split (h1/c2/b1/s10), ASCII-strip payloads
-#: (mm3/mm4), CC seeding + edge-dedup skip (d5/d7).
+#: (mm3/mm4), CC seeding + edge-dedup skip (d5/d7), Jaccard pair-stage
+#: restructure (d4 — d5/d7 already listed).
 _REVALIDATE = {
     "h1_hist_quantiles", "c2_cms_freq", "b1_bloom_membership",
     "s10_append_merge", "mm3_resize", "mm4_sample_frames",
-    "d5_dup_clusters", "d7_dedup_keep_best",
+    "d5_dup_clusters", "d7_dedup_keep_best", "d4_ngram_jaccard",
 }
 
 _FRESHNESS = _latest_green_round()
