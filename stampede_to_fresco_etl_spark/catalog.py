@@ -6967,10 +6967,72 @@ FROM documents GROUP BY source
 """
 
 
+def q_snapshot_diff(spark, sf_dir):
+    """S25 — keyed snapshot diff (the regression comparator between
+    two builds of the same table): FULL OUTER join on the key,
+    classify each key as added / removed / changed / unchanged, and
+    aggregate counts per class.  One shuffle on the key; the value
+    comparison is null-safe equality (<=>) so NULL-vs-NULL is
+    unchanged and NULL-vs-value is changed.  Snapshots here are the
+    first-25-days build vs the full month (so all four classes are
+    populated: 'removed' is empty by construction of a grow-only
+    table — and its absence from the output proves it)."""
+    e = load(spark, sf_dir, "events")
+    split = F.lit("2024-01-26 00:00:00").cast("timestamp")
+    old = e.filter(F.col("ts") < split).select(
+        F.col("event_id").alias("k"),
+        F.col("value").alias("v_old"),
+    )
+    new = e.select(
+        F.col("event_id").alias("k2"),
+        # the "new build" recomputed value: same except error events
+        # get re-scored (a deterministic, explainable change set)
+        F.when(
+            F.col("event_type") == "error", F.col("value") * 2
+        )
+        .otherwise(F.col("value"))
+        .alias("v_new"),
+    )
+    j = old.join(new, old.k == new.k2, "full_outer")
+    cls = (
+        F.when(F.col("k").isNull(), "added")
+        .when(F.col("k2").isNull(), "removed")
+        .when(F.col("v_old").eqNullSafe(F.col("v_new")), "unchanged")
+        .otherwise("changed")
+    )
+    return (
+        j.select(cls.alias("class"))
+        .groupBy("class")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+SQL_SNAPSHOT_DIFF = """
+WITH old AS (
+  SELECT event_id AS k, value AS v_old FROM events
+  WHERE ts < TIMESTAMP '2024-01-26 00:00:00'
+),
+new AS (
+  SELECT event_id AS k2,
+         CASE WHEN event_type = 'error' THEN value * 2 ELSE value END
+           AS v_new
+  FROM events
+),
+j AS (SELECT * FROM old FULL OUTER JOIN new ON old.k = new.k2)
+SELECT CASE WHEN k IS NULL THEN 'added'
+            WHEN k2 IS NULL THEN 'removed'
+            WHEN v_old IS NOT DISTINCT FROM v_new THEN 'unchanged'
+            ELSE 'changed' END AS class,
+       count(*) AS n
+FROM j GROUP BY 1
+"""
+
+
 REGISTRY.update(
     {
         "s23_ref_integrity": (q_ref_integrity, SQL_REF_INTEGRITY),
         "s24_fd_check": (q_fd_check, SQL_FD_CHECK),
+        "s25_snapshot_diff": (q_snapshot_diff, SQL_SNAPSHOT_DIFF),
     }
 )
 
