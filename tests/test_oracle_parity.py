@@ -45,6 +45,22 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+#: Queries allowed to return an empty frame at tiny scale factors.
+#: Everything else must produce rows: an empty-but-oracle-matching
+#: result is a degenerate query, not a passing one (the failure mode
+#: u4's lifetime-set version and q11's absolute threshold actually
+#: hit — both matched their oracles on zero rows).
+_MAY_BE_EMPTY: set[str] = {
+    # Empty at sf0.001 ONLY (both populated at the driver's sf0.01
+    # gate and linear beyond): q22's no-order rich customers don't
+    # exist in a 150-customer sample where every rich customer has
+    # orders; q11's 2x-mean part threshold finds no tail in a
+    # 200-part near-uniform sample.
+    "tpch_q22",
+    "tpch_q11",
+}
+
+
 @pytest.mark.parametrize("name", sorted(REGISTRY))
 def test_query_matches_oracle(spark, name):
     fn, sql = REGISTRY[name]
@@ -58,3 +74,7 @@ def test_query_matches_oracle(spark, name):
     )
     assert len(got) == len(want), f"{name}: {len(got)} rows != {len(want)}"
     pd.testing.assert_frame_equal(got, want, check_exact=True, check_dtype=False)
+    if name not in _MAY_BE_EMPTY:
+        assert len(got) > 0, (
+            f"{name}: oracle-matching but EMPTY — degenerate at this sf"
+        )
