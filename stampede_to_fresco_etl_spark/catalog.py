@@ -7037,6 +7037,57 @@ REGISTRY.update(
 )
 
 
+def q_binaryfile_ingest(spark, sf_dir):
+    """S26 — raw-binary landing-dir ingestion via the `binaryFile`
+    source: one file per asset (how image/audio corpora actually
+    arrive), read as (path, length, content) WITHOUT any Python file
+    loop on the read side — the source lists and reads distributed,
+    `pathGlobFilter` prunes non-asset files at listing time, and the
+    filename→id parse is a column expression.  The landing fixture is
+    30 per-doc .bin files (control-plane scaffolding standing in for
+    the upstream crawler).  Output: id, byte length, md5 — the
+    manifest a multimodal ingest writes before any decode."""
+    import os as _os
+
+    land = f"{_SCRATCH}/s26_landing"
+    _os.makedirs(land, exist_ok=True)
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 30)
+        .select("doc_id", _ascii_text().alias("body"))
+        .collect()  # 30 rows — fixture construction, not the operator
+    )
+    for r in docs:
+        with open(_os.path.join(land, f"doc_{r.doc_id}.bin"), "wb") as f:
+            f.write(r.body.encode("ascii"))
+    back = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(land)
+    )
+    return back.select(
+        F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("length").alias("n_bytes"),
+        F.md5(F.col("content")).alias("digest"),
+    )
+
+
+SQL_BINARYFILE_INGEST = f"""
+SELECT doc_id,
+       CAST(octet_length(CAST({_SQL_ASCII_TEXT} AS BLOB)) AS BIGINT)
+         AS n_bytes,
+       md5({_SQL_ASCII_TEXT}) AS digest
+FROM documents WHERE doc_id < 30
+"""
+
+
+REGISTRY.update(
+    {"s26_binaryfile_ingest": (q_binaryfile_ingest, SQL_BINARYFILE_INGEST)}
+)
+
+
 # ---------------------------------------------------------------------------
 # Enumeration order: the driver's correctness run covers the first N
 # registry entries per round, so the STALEST queries must enumerate
