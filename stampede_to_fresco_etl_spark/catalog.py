@@ -7088,6 +7088,65 @@ REGISTRY.update(
 )
 
 
+def q_entity_resolution(spark, sf_dir):
+    """D9 — entity-resolution capstone over short strings: d8's
+    blocked fuzzy pairs (brand-blocked part names at levenshtein ≤ 2)
+    feed the d5 connected-components machinery; every matched part
+    gets its cluster id and the canonical flag (min partkey = the
+    surviving master record).  The record-linkage pipeline shape —
+    block → match → cluster → survivorship — as two operator calls.
+    The oracle closes the same naive pair set with a recursive CTE."""
+    from stampede_to_fresco_etl_spark.operators.dedup import (
+        connected_components,
+        fuzzy_string_pairs,
+    )
+
+    p = load(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_name"
+    )
+    pairs = fuzzy_string_pairs(
+        p, "p_partkey", "p_name", block_cols=["p_brand"], max_dist=2
+    )
+    cc = connected_components(
+        pairs, "key_a", "key_b", pairs_unique=True
+    )
+    return cc.select(
+        F.col("node").alias("p_partkey"),
+        F.col("cc").alias("cluster_id"),
+        (F.col("node") == F.col("cc")).alias("is_canonical"),
+    )
+
+
+SQL_ENTITY_RESOLUTION = """
+WITH RECURSIVE fpairs AS (
+  SELECT a.p_partkey AS key_a, b.p_partkey AS key_b
+  FROM part a JOIN part b
+    ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+  WHERE a.p_name <> b.p_name
+    AND levenshtein(a.p_name, b.p_name) <= 2
+),
+edges AS (
+  SELECT key_a AS src, key_b AS dst FROM fpairs
+  UNION
+  SELECT key_b AS src, key_a AS dst FROM fpairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS p_partkey,
+       least(src, min(dst)) AS cluster_id,
+       least(src, min(dst)) = src AS is_canonical
+FROM reach GROUP BY src
+"""
+
+
+REGISTRY.update(
+    {"d9_entity_resolution": (q_entity_resolution, SQL_ENTITY_RESOLUTION)}
+)
+
+
 # ---------------------------------------------------------------------------
 # Enumeration order: the driver's correctness run covers the first N
 # registry entries per round, so the STALEST queries must enumerate
