@@ -281,3 +281,12 @@ def test_streaming_upsert_converges_to_batch_kernel(spark, tmp_path):
     got2 = {(r.k, r.v) for r in spark.read.parquet(snap).collect()}
     assert got2 == {(1, "c"), (2, "B2"), (3, "d")}
     assert spark.read.parquet(snap).count() == 3  # one row per key
+
+    # third drain with nothing new: checkpoint skips all files, the
+    # snapshot is untouched (exactly-once + idempotent merge)
+    q3 = run_upsert_stream(
+        spark, landing, snap, ckpt, schema, ["k"], ["ts"]
+    )
+    q3.awaitTermination(120)
+    got3 = {(r.k, r.v) for r in spark.read.parquet(snap).collect()}
+    assert got3 == got2
