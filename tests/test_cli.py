@@ -1,0 +1,68 @@
+"""CLI entry points: the runnable twins of the reference's step
+scripts, driven end-to-end through `cli.main` on real files —
+step1 alone, then the chained `pipeline` subcommand (step1 → step2 →
+step3), asserting the final wide table carries the step-3 suffixes
+and the expected job."""
+
+from __future__ import annotations
+
+import pytest
+
+from stampede_to_fresco_etl_spark.cli import main
+
+
+@pytest.fixture()
+def raw_dirs(tmp_path):
+    n1 = tmp_path / "in" / "NODE1"
+    n1.mkdir(parents=True)
+    n1.joinpath("block.csv").write_text(
+        "jobID,node,timestamp,device,rd_sectors,wr_sectors\n"
+        "job1,NODE1,03/01/2013 10:00:00,sda,0,0\n"
+        "job1,NODE1,03/01/2013 10:00:10,sda,1024,0\n"
+    )
+    n1.joinpath("mem.csv").write_text(
+        "jobID,node,timestamp,MemTotal,MemFree,MemUsed,FilePages\n"
+        "job1,NODE1,03/01/2013 10:00:10,8589934592,4294967296,"
+        "4294967296,1073741824\n"
+    )
+    acct = tmp_path / "acct.csv"
+    acct.write_text(
+        "jobID,user,account,jobname,queue,nnodes,ncpus,walltime,"
+        "start,end,submit,exit_status\n"
+        "1,alice,acctA,jobA,normal,1,16,3600,"
+        "03/01/2013 10:00:00,03/01/2013 10:02:00,03/01/2013 09:55:00,0\n"
+    )
+    return tmp_path
+
+
+def test_cli_step1(spark, raw_dirs):
+    out = str(raw_dirs / "long")
+    rc = main(["step1", "--input", str(raw_dirs / "in"), "--output", out])
+    assert rc == 0
+    got = spark.read.parquet(out)
+    events = {r["Event"] for r in got.select("Event").distinct().collect()}
+    assert events == {"block", "memused", "memused_minus_diskcache"}
+
+
+def test_cli_full_pipeline(spark, raw_dirs):
+    out = str(raw_dirs / "final")
+    rc = main(
+        [
+            "pipeline",
+            "--input", str(raw_dirs / "in"),
+            "--accounting", str(raw_dirs / "acct.csv"),
+            "--output", out,
+        ]
+    )
+    assert rc == 0
+    got = spark.read.parquet(out).collect()
+    assert len(got) > 0
+    r = got[0]
+    # step-3 finalizers applied: jid suffixed, host suffixed (the
+    # normalized jid is '1' — accounting key '1' matched metrics
+    # 'job1' through normalize_job_id)
+    assert r["jid"] == "1_S"
+    assert r["host"].endswith("_S")
+    # step-2 widened the block/mem events into columns
+    cols = set(spark.read.parquet(out).columns)
+    assert {"value_block", "value_memused", "host_list"} <= cols
