@@ -57,6 +57,23 @@ def build_parser() -> argparse.ArgumentParser:
     )
     _add_io(st, "landing", "output", "checkpoint")
     st.add_argument("--dedup-watermark", default="10 minutes")
+
+    ss1 = sub.add_parser(
+        "stream-step1", help="continuous step-1 over a raw landing tree"
+    )
+    _add_io(ss1, "input", "output", "checkpoint")
+
+    ss2 = sub.add_parser(
+        "stream-step2",
+        help="incremental step-2 (stateful wide-table maintenance)",
+    )
+    _add_io(ss2, "landing", "accounting", "state", "output", "checkpoint")
+    ss2.add_argument("--window-sec", type=int, default=60)
+
+    ss3 = sub.add_parser(
+        "stream-step3", help="continuous finalize over wide-table arrivals"
+    )
+    _add_io(ss3, "landing", "output", "checkpoint", "schema-from")
     return ap
 
 
@@ -121,6 +138,44 @@ def main(argv: list[str] | None = None) -> int:
             args.output,
             args.checkpoint,
             dedup_watermark=args.dedup_watermark,
+        )
+        q.awaitTermination()
+    elif args.cmd == "stream-step1":
+        from stampede_to_fresco_etl_spark.streaming.step1_stream import (
+            run_step1_incremental,
+        )
+
+        for q in run_step1_incremental(
+            spark, args.input, args.output, args.checkpoint
+        ):
+            q.awaitTermination()
+    elif args.cmd == "stream-step2":
+        from stampede_to_fresco_etl_spark.pipeline.step2 import (
+            parse_accounting,
+        )
+        from stampede_to_fresco_etl_spark.streaming.step2_stream import (
+            run_step2_incremental,
+        )
+
+        acct = parse_accounting(_read_accounting(spark, args.accounting))
+        q = run_step2_incremental(
+            spark,
+            args.landing,
+            acct,
+            args.state,
+            args.output,
+            args.checkpoint,
+            window_sec=args.window_sec,
+        )
+        q.awaitTermination()
+    elif args.cmd == "stream-step3":
+        from stampede_to_fresco_etl_spark.streaming.step3_stream import (
+            run_step3_incremental,
+        )
+
+        schema = spark.read.parquet(args.schema_from).schema
+        q = run_step3_incremental(
+            spark, args.landing, args.output, args.checkpoint, schema
         )
         q.awaitTermination()
     return 0

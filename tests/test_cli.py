@@ -25,6 +25,19 @@ def raw_dirs(tmp_path):
         "job1,NODE1,03/01/2013 10:00:10,8589934592,4294967296,"
         "4294967296,1073741824\n"
     )
+    n2 = tmp_path / "in" / "NODE2"
+    n2.mkdir(parents=True)
+    n2.joinpath("cpu.csv").write_text(
+        "jobID,node,timestamp,device,user,nice,system,idle,iowait,irq,"
+        "softirq\n"
+        "job1,NODE2,03/01/2013 10:00:00,cpu0,100,0,0,100,0,0,0\n"
+        "job1,NODE2,03/01/2013 10:00:10,cpu0,180,0,0,120,0,0,0\n"
+    )
+    n2.joinpath("llite.csv").write_text(
+        "jobID,node,timestamp,read_bytes,write_bytes\n"
+        "job1,NODE2,03/01/2013 10:00:00,0,0\n"
+        "job1,NODE2,03/01/2013 10:00:10,1048576,1048576\n"
+    )
     acct = tmp_path / "acct.csv"
     acct.write_text(
         "jobID,user,account,jobname,queue,nnodes,ncpus,walltime,"
@@ -41,7 +54,9 @@ def test_cli_step1(spark, raw_dirs):
     assert rc == 0
     got = spark.read.parquet(out)
     events = {r["Event"] for r in got.select("Event").distinct().collect()}
-    assert events == {"block", "memused", "memused_minus_diskcache"}
+    assert events == {
+        "block", "memused", "memused_minus_diskcache", "cpuuser", "nfs"
+    }
 
 
 def test_cli_full_pipeline(spark, raw_dirs):
@@ -66,3 +81,26 @@ def test_cli_full_pipeline(spark, raw_dirs):
     # step-2 widened the block/mem events into columns
     cols = set(spark.read.parquet(out).columns)
     assert {"value_block", "value_memused", "host_list"} <= cols
+
+
+def test_cli_stream_step1_drains_and_stops(spark, raw_dirs):
+    out = str(raw_dirs / "stream_long")
+    ckpt = str(raw_dirs / "ckpt")
+    rc = main(
+        [
+            "stream-step1",
+            "--input", str(raw_dirs / "in"),
+            "--output", out,
+            "--checkpoint", ckpt,
+        ]
+    )
+    assert rc == 0
+    from stampede_to_fresco_etl_spark.streaming.step1_stream import (
+        read_fresco_output,
+    )
+
+    got = read_fresco_output(spark, out)
+    events = {r["Event"] for r in got.select("Event").distinct().collect()}
+    assert events == {
+        "block", "memused", "memused_minus_diskcache", "cpuuser", "nfs"
+    }
