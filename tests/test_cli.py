@@ -104,3 +104,28 @@ def test_cli_stream_step1_drains_and_stops(spark, raw_dirs):
     assert events == {
         "block", "memused", "memused_minus_diskcache", "cpuuser", "nfs"
     }
+
+
+def test_cli_stepwise_handoff(spark, raw_dirs):
+    """step1 | step2 | step3 as three separate CLI invocations — the
+    file handoff between subcommands (what a scheduler would run as
+    three jobs) produces the same wide table the chained `pipeline`
+    subcommand builds."""
+    long_dir = str(raw_dirs / "long2")
+    wide_dir = str(raw_dirs / "wide2")
+    final_dir = str(raw_dirs / "final2")
+    assert main(["step1", "--input", str(raw_dirs / "in"),
+                 "--output", long_dir]) == 0
+    assert main(["step2", "--metrics", long_dir,
+                 "--accounting", str(raw_dirs / "acct.csv"),
+                 "--output", wide_dir]) == 0
+    assert main(["step3", "--input", wide_dir,
+                 "--output", final_dir]) == 0
+
+    stepwise = spark.read.parquet(final_dir)
+    assert stepwise.count() > 0
+    assert {"value_block", "value_memused", "host_list"} <= set(
+        stepwise.columns
+    )
+    r = stepwise.collect()[0]
+    assert r["jid"] == "1_S" and r["host"].endswith("_S")
