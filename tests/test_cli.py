@@ -129,3 +129,62 @@ def test_cli_stepwise_handoff(spark, raw_dirs):
     )
     r = stepwise.collect()[0]
     assert r["jid"] == "1_S" and r["host"].endswith("_S")
+
+
+def test_cli_stream_step2_step3(spark, tmp_path):
+    """stream-step2 then stream-step3 via the CLI: a FRESCO-long
+    parquet landing dir + accounting CSV maintained into the wide
+    table, then finalized — the full incremental chain as two shell
+    commands."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from stampede_to_fresco_etl_spark.schemas import FRESCO_LONG
+
+    def m(jid, host, t, event, value):
+        return Row(**{"Job Id": jid, "Host": host, "Timestamp": t,
+                      "Event": event, "Value": value, "Units": "x"})
+
+    t0 = dt.datetime(2013, 3, 1, 10, 0, 30)
+    rows = [
+        m("JOB100", "h1", t0, "cpuuser", 10.0),
+        m("JOB100", "h2", dt.datetime(2013, 3, 1, 10, 0, 40),
+          "memused", 4.0),
+    ]
+    landing = str(tmp_path / "landing")
+    spark.createDataFrame(rows, FRESCO_LONG).coalesce(1).write.parquet(
+        landing
+    )
+    acct_csv = tmp_path / "acct.csv"
+    acct_csv.write_text(
+        "jobID,user,account,jobname,queue,nnodes,ncpus,walltime,"
+        "start,end,submit,exit_status\n"
+        "job100,alice,acc,jn,normal,2,32,3600,"
+        "03/01/2013 10:00:30,03/01/2013 10:02:00,"
+        "03/01/2013 09:55:30,0\n"
+    )
+    wide = str(tmp_path / "wide")
+    final = str(tmp_path / "final")
+    assert main([
+        "stream-step2",
+        "--landing", landing,
+        "--accounting", str(acct_csv),
+        "--state", str(tmp_path / "state"),
+        "--output", wide,
+        "--checkpoint", str(tmp_path / "ck2"),
+    ]) == 0
+    w = spark.read.parquet(wide)
+    assert w.count() > 0
+    assert {"value_cpuuser", "value_memused", "host_list"} <= set(w.columns)
+
+    assert main([
+        "stream-step3",
+        "--landing", wide,
+        "--output", final,
+        "--checkpoint", str(tmp_path / "ck3"),
+        "--schema-from", wide,
+    ]) == 0
+    f = spark.read.parquet(final).collect()
+    assert len(f) > 0
+    assert all(r["jid"].endswith("_S") for r in f)
