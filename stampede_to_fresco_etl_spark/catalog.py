@@ -7147,6 +7147,42 @@ REGISTRY.update(
 )
 
 
+def q_xml_roundtrip(spark, sf_dir):
+    """S27 — XML sink/source roundtrip (Spark 4's NATIVE xml source —
+    no external package): events projected flat, written as
+    rowTag-delimited XML, read back with an EXPLICIT schema (the
+    inference pass doubles the read, same rule as s18), then
+    aggregated including a JSON-path extract from the props string
+    that rode through XML-escaped.  Avro remains the one mainstream
+    format absent here: it is an external module Spark must be
+    deployed with, and this environment cannot install it — the
+    s5/s15/s18/s27 writer contract is where it would slot in."""
+    xpath = f"{_SCRATCH}/s27_xml"
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value", "props"
+    )
+    e.write.mode("overwrite").option("rowTag", "event").xml(xpath)
+    schema = (
+        "event_id BIGINT, user_id BIGINT, event_type STRING, "
+        "value DOUBLE, props STRING"
+    )
+    back = (
+        spark.read.schema(schema).option("rowTag", "event").xml(xpath)
+    )
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        dsum(F.col("value")).alias("sum_value"),
+        F.sum(k).alias("sum_k"),
+        F.count("user_id").alias("n_users_nonnull"),
+    )
+
+
+REGISTRY.update(
+    {"s27_xml_roundtrip": (q_xml_roundtrip, SQL_JSONL_ROUNDTRIP)}
+)
+
+
 # ---------------------------------------------------------------------------
 # Enumeration order: the driver's correctness run covers the first N
 # registry entries per round, so the STALEST queries must enumerate
