@@ -290,3 +290,64 @@ def test_streaming_upsert_converges_to_batch_kernel(spark, tmp_path):
     q3.awaitTermination(120)
     got3 = {(r.k, r.v) for r in spark.read.parquet(snap).collect()}
     assert got3 == got2
+
+
+def test_streaming_kmv_maintenance_equals_batch(spark, tmp_path):
+    """The mergeable-sketch streaming story, proven: per-micro-batch
+    KMV sketches accumulated into a state dir (foreachBatch append)
+    and merged equal the batch sketch over everything that ever
+    arrived — no rescan of history, state bounded at k hashes per
+    group."""
+    from stampede_to_fresco_etl_spark.operators.sketches import (
+        kmv_distinct,
+        kmv_merge,
+        kmv_sketch,
+    )
+
+    landing = str(tmp_path / "landing")
+    state = str(tmp_path / "state")
+    schema = "g string, v long"
+    waves = [
+        [Row(g="a", v=i) for i in range(0, 300)]
+        + [Row(g="b", v=i) for i in range(0, 40)],
+        [Row(g="a", v=i) for i in range(150, 450)]  # overlap with wave 1
+        + [Row(g="b", v=i) for i in range(20, 60)],
+    ]
+    for w in waves:
+        spark.createDataFrame(w, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+
+    def merge_batch(batch_df, batch_id):
+        kmv_sketch(batch_df, "g", "v", k=64).write.mode("append").parquet(
+            state
+        )
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+        .writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    merged = {
+        (r.g, r.sketch_size, r.kth_hash, r.est_distinct)
+        for r in kmv_merge(
+            spark.read.parquet(state), "g", k=64
+        ).collect()
+    }
+    whole = spark.createDataFrame(waves[0] + waves[1], schema)
+    batch = {
+        (r.g, r.sketch_size, r.kth_hash, r.est_distinct)
+        for r in kmv_distinct(
+            whole, "g", "v", k=64, with_exact=False
+        ).collect()
+    }
+    assert merged == batch
+    # below-k group is EXACT (b has 60 distinct < k)
+    est = {g: e for g, _, _, e in merged}
+    assert est["b"] == 60.0
