@@ -488,3 +488,59 @@ def test_funnel_property(spark, events):
     )
     assert (row["v"], row["c"], row["p"]) == (v, c, p)
     assert row["v"] >= row["c"] >= row["p"]
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),  # group
+            st.integers(min_value=-(10**6), max_value=10**6),  # value_i
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_positional_median_property(spark, rows):
+    """The a16 middle-row selection rule (row_number over the total
+    order, FLOOR-pinned indices) reproduces statistics.median on
+    arbitrary integer multisets — including ties, negatives, and
+    single-element groups."""
+    import statistics
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    data = [(g, v, i) for i, (g, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, ["g", "value_i", "rid"])
+    w = W.partitionBy("g").orderBy("value_i", "rid")
+    cnt = W.partitionBy("g")
+    ranked = df.select(
+        "g",
+        "value_i",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(cnt).alias("n"),
+    )
+    mid = ranked.filter(
+        (F.col("rn") == F.floor((F.col("n") + 1) / 2).cast("long"))
+        | (F.col("rn") == F.floor((F.col("n") + 2) / 2).cast("long"))
+    )
+    got = {
+        r["g"]: r["m"]
+        for r in mid.groupBy("g")
+        .agg(
+            (
+                F.sum("value_i").cast("double") / F.count("*")
+            ).alias("m")
+        )
+        .collect()
+    }
+    by_g: dict[int, list[int]] = {}
+    for g, v, _ in data:
+        by_g.setdefault(g, []).append(v)
+    for g, vals in by_g.items():
+        assert got[g] == float(statistics.median(vals)), (g, vals)
