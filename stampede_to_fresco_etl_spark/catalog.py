@@ -7183,6 +7183,80 @@ REGISTRY.update(
 )
 
 
+def q_dup_spans(spark, sf_dir):
+    """D10 — cross-document duplicated-span detection: x27's chunk
+    grid (64-token windows, stride 48) hashed and grouped; a hash
+    held by ≥2 DISTINCT documents is a repeated span (the grid
+    approximation of suffix-array substring dedup, Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better" —
+    every duplicated run ≥ 111 tokens is guaranteed to cover some
+    grid window on both sides at this size/stride; shorter repeats
+    are caught when aligned).  The shuffle carries (hash, doc) pairs
+    — never text; output is span-level: hash, n_docs, n_occurrences,
+    and the min doc id as a deterministic example pointer."""
+    size, stride = 64, 48
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n = F.size(toks)
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(
+            F.floor((n - 1) / F.lit(stride)).cast("int"), F.lit(0)
+        )
+        * F.lit(stride),
+        F.lit(stride),
+    )
+    chunked = docs.select(
+        "doc_id", toks.alias("toks"), F.explode(starts).alias("start")
+    )
+    piece = F.concat_ws(" ", F.slice(F.col("toks"), F.col("start") + 1, size))
+    hashed = chunked.select(
+        "doc_id",
+        F.col("start"),
+        F.md5(piece.cast("binary")).alias("span_hash"),
+    )
+    return (
+        hashed.groupBy("span_hash")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+            F.min("doc_id").alias("example_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+SQL_DUP_SPANS = """
+WITH base AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents
+),
+starts AS (
+  SELECT doc_id, toks,
+         unnest(range(0,
+           (CAST(FLOOR((len(toks) - 1) / 48.0) AS BIGINT) * 48) + 1,
+           48)) AS start
+  FROM base
+),
+hashed AS (
+  SELECT doc_id, start,
+         md5(array_to_string(
+           list_slice(toks, start + 1, start + 64), ' ')) AS span_hash
+  FROM starts
+)
+SELECT span_hash,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       count(*) AS n_occurrences,
+       min(doc_id) AS example_doc
+FROM hashed
+GROUP BY span_hash
+HAVING count(DISTINCT doc_id) >= 2
+"""
+
+
+REGISTRY.update({"d10_dup_spans": (q_dup_spans, SQL_DUP_SPANS)})
+
+
 # ---------------------------------------------------------------------------
 # Enumeration order: the driver's correctness run covers the first N
 # registry entries per round, so the STALEST queries must enumerate
