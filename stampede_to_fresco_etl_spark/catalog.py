@@ -7257,6 +7257,55 @@ HAVING count(DISTINCT doc_id) >= 2
 REGISTRY.update({"d10_dup_spans": (q_dup_spans, SQL_DUP_SPANS)})
 
 
+def q_dynamic_partition_overwrite(spark, sf_dir):
+    """S28 — dynamic partition overwrite (the backfill primitive):
+    with partitionOverwriteMode=dynamic, an INSERT OVERWRITE touches
+    ONLY the partitions present in the incoming frame — one day is
+    recomputed (values re-scored ×2) and rewritten while every other
+    day's files stay byte-untouched.  Static mode would have dropped
+    the whole table; per-query option, not a global session flag.
+    The aggregate proves both the surgical replacement and the
+    survival of the other 29 days."""
+    path = f"{_SCRATCH}/s28_dyn"
+    e = load(spark, sf_dir, "events").withColumn(
+        "event_day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    e.write.mode("overwrite").partitionBy("event_day").parquet(path)
+    backfill = e.filter(F.col("event_day") == "2024-01-15").withColumn(
+        "value", F.col("value") * 2
+    )
+    (
+        backfill.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("event_day")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        dsum(F.col("value")).alias("sum_value"),
+    )
+
+
+SQL_DYNAMIC_OVERWRITE = f"""
+SELECT event_type, count(*) AS n,
+       {DSUM.format(
+           x="CASE WHEN strftime(ts, '%Y-%m-%d') = '2024-01-15' "
+             "THEN value * 2 ELSE value END")} AS sum_value
+FROM events GROUP BY event_type
+"""
+
+
+REGISTRY.update(
+    {
+        "s28_dynamic_overwrite": (
+            q_dynamic_partition_overwrite,
+            SQL_DYNAMIC_OVERWRITE,
+        )
+    }
+)
+
+
 # ---------------------------------------------------------------------------
 # Enumeration order: the driver's correctness run covers the first N
 # registry entries per round, so the STALEST queries must enumerate
