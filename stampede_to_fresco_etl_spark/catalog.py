@@ -7296,12 +7296,104 @@ FROM events GROUP BY event_type
 """
 
 
+def q_ratio_to_report(spark, sf_dir):
+    """W7 — ratio-to-report: every event's share of its group's total
+    (the classic percent-of-total window).  Totals stay floor-scaled
+    bigints via a sum-over-partition window (no ORDER BY → no sort,
+    one Exchange), and the share divides the two exact integers in
+    one pinned expression."""
+    from pyspark.sql import Window as W
+
+    e = load(spark, sf_dir, "events")
+    vi = F.floor(F.col("value") * F.lit(10000.0)).cast("long")
+    base = e.select("event_id", "event_type", vi.alias("value_i"))
+    tot = F.sum("value_i").over(W.partitionBy("event_type"))
+    return base.select(
+        "event_id",
+        "event_type",
+        (
+            F.col("value_i").cast("double") / tot.cast("double")
+        ).alias("share_of_type"),
+    )
+
+
+SQL_RATIO_TO_REPORT = """
+SELECT event_id, event_type,
+       CAST(value_i AS DOUBLE)
+         / CAST(sum(value_i) OVER (PARTITION BY event_type) AS DOUBLE)
+         AS share_of_type
+FROM (
+  SELECT event_id, event_type,
+         CAST(FLOOR(value * 10000.0) AS BIGINT) AS value_i
+  FROM events
+)
+"""
+
+
+def q_transition_matrix(spark, sf_dir):
+    """A20 — first-order event-transition matrix: per user stream
+    (ordered by ts, event_id), count every prev_type → type step and
+    normalize per source state into exact-rational probabilities.
+    One lag window per user + one hash aggregate + a states-sized
+    broadcast-back for the denominators — the Markov-chain estimator
+    at corpus scale without ever materializing per-user matrices."""
+    from pyspark.sql import Window as W
+
+    e = load(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    byts = W.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = e.select(
+        F.lag("event_type").over(byts).alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).filter(F.col("from_type").isNotNull())
+    counts = steps.groupBy("from_type", "to_type").agg(
+        F.count("*").alias("n")
+    )
+    denom = counts.groupBy(F.col("from_type").alias("ft")).agg(
+        F.sum("n").alias("n_from")
+    )
+    return (
+        counts.join(F.broadcast(denom), counts.from_type == denom.ft)
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            (F.col("n").cast("double") / F.col("n_from").cast("double"))
+            .alias("p"),
+        )
+    )
+
+
+SQL_TRANSITION_MATRIX = """
+WITH steps AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS from_type,
+         event_type AS to_type
+  FROM events WHERE user_id IS NOT NULL
+),
+counts AS (
+  SELECT from_type, to_type, count(*) AS n
+  FROM steps WHERE from_type IS NOT NULL
+  GROUP BY from_type, to_type
+),
+denom AS (SELECT from_type AS ft, CAST(sum(n) AS BIGINT) AS n_from
+          FROM counts GROUP BY from_type)
+SELECT from_type, to_type, n,
+       CAST(n AS DOUBLE) / CAST(n_from AS DOUBLE) AS p
+FROM counts JOIN denom ON counts.from_type = denom.ft
+"""
+
+
 REGISTRY.update(
     {
         "s28_dynamic_overwrite": (
             q_dynamic_partition_overwrite,
             SQL_DYNAMIC_OVERWRITE,
-        )
+        ),
+        "w7_ratio_to_report": (q_ratio_to_report, SQL_RATIO_TO_REPORT),
+        "a20_transition_matrix": (
+            q_transition_matrix,
+            SQL_TRANSITION_MATRIX,
+        ),
     }
 )
 
