@@ -7398,6 +7398,124 @@ REGISTRY.update(
 )
 
 
+def q_centroid_separation(spark, sf_dir):
+    """V8 — label-cluster separation audit: every embedding's squared
+    distance to its OWN label centroid vs the NEAREST other centroid,
+    rolled up per label (n, how many sit closer to home than to any
+    rival, exact integer distance sums).  Exactness chain: per-dim
+    sums floor-scale (v5's centroids are bit-identical doubles), the
+    centroid re-QUANTIZES to 1e-4 (floor — both engines floor the
+    same double), so every squared distance is an exact int64 and the
+    only doubles are per-row ratios.  Shape: (vector-dim × label)
+    explode + one hash agg — fine while labels are few; at many
+    labels this becomes the IVF assignment (v4) whose probe set is
+    bucketed, not exhaustive."""
+    from stampede_to_fresco_etl_spark.operators.similarity import (
+        as_double_vec,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    j = emb.join(docs, emb.vec_id == docs.doc_id).select(
+        "vec_id", "lang", as_double_vec("embedding").alias("v")
+    )
+    ex = j.select(
+        "vec_id",
+        "lang",
+        F.posexplode("v").alias("dim", "x"),
+    ).select(
+        "vec_id",
+        "lang",
+        F.col("dim").cast("long").alias("dim"),
+        F.floor(F.col("x") * F.lit(10000.0)).cast("long").alias("xq"),
+    )
+    cent = (
+        ex.groupBy(F.col("lang").alias("clabel"), "dim")
+        .agg(F.sum("xq").alias("s"), F.count("*").alias("n"))
+        .select(
+            "clabel",
+            "dim",
+            F.floor(
+                (F.col("s").cast("double") / F.col("n").cast("double"))
+            )
+            .cast("long")
+            .alias("cq"),
+        )
+    )
+    d2 = (
+        ex.join(F.broadcast(cent), "dim")
+        .groupBy("vec_id", "lang", "clabel")
+        .agg(
+            F.sum(
+                (F.col("xq") - F.col("cq")) * (F.col("xq") - F.col("cq"))
+            ).alias("d2")
+        )
+    )
+    per_vec = d2.groupBy("vec_id", "lang").agg(
+        F.max(F.when(F.col("clabel") == F.col("lang"), F.col("d2"))).alias(
+            "d_own"
+        ),
+        F.min(
+            F.when(F.col("clabel") != F.col("lang"), F.col("d2"))
+        ).alias("d_other"),
+    )
+    return per_vec.groupBy("lang").agg(
+        F.count("*").alias("n_vectors"),
+        F.sum((F.col("d_own") < F.col("d_other")).cast("long")).alias(
+            "n_closer_home"
+        ),
+        F.sum("d_own").alias("sum_d2_own"),
+        F.sum("d_other").alias("sum_d2_nearest_other"),
+    )
+
+
+SQL_CENTROID_SEPARATION = """
+WITH j AS (
+  SELECT e.vec_id, d.lang, e.embedding::DOUBLE[] AS v
+  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+),
+ex AS (
+  SELECT vec_id, lang, CAST(r.i - 1 AS BIGINT) AS dim,
+         CAST(FLOOR(v[r.i] * 10000.0) AS BIGINT) AS xq
+  FROM j, UNNEST(range(1, len(v) + 1)) AS r(i)
+),
+cent AS (
+  SELECT lang AS clabel, dim,
+         CAST(FLOOR(CAST(sum(xq) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+              AS BIGINT) AS cq
+  FROM ex GROUP BY lang, dim
+),
+d2 AS (
+  SELECT ex.vec_id, ex.lang, cent.clabel,
+         CAST(sum((xq - cq) * (xq - cq)) AS BIGINT) AS d2
+  FROM ex JOIN cent ON ex.dim = cent.dim
+  GROUP BY ex.vec_id, ex.lang, cent.clabel
+),
+per_vec AS (
+  SELECT vec_id, lang,
+         max(CASE WHEN clabel = lang THEN d2 END) AS d_own,
+         min(CASE WHEN clabel <> lang THEN d2 END) AS d_other
+  FROM d2 GROUP BY vec_id, lang
+)
+SELECT lang, count(*) AS n_vectors,
+       CAST(sum(CASE WHEN d_own < d_other THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_closer_home,
+       CAST(sum(d_own) AS BIGINT) AS sum_d2_own,
+       CAST(sum(d_other) AS BIGINT) AS sum_d2_nearest_other
+FROM per_vec GROUP BY lang
+"""
+
+
+REGISTRY.update(
+    {
+        "v8_centroid_separation": (
+            q_centroid_separation,
+            SQL_CENTROID_SEPARATION,
+        )
+    }
+)
+
+
 # ---------------------------------------------------------------------------
 # Enumeration order: the driver's correctness run covers the first N
 # registry entries per round, so the STALEST queries must enumerate
