@@ -7516,6 +7516,61 @@ REGISTRY.update(
 )
 
 
+def q_weighted_stats(spark, sf_dir):
+    """A21 — exact weighted aggregates per brand: quantity-weighted
+    average price, the weighted total, and the max-weight row's price
+    (argmax with deterministic tie-break) in ONE hash aggregate.
+    l_quantity is integer-valued and prices floor-scale, so Σw, Σw·x
+    and the argmax ride as exact bigints; the weighted mean is one
+    pinned division — no engine ever averages doubles."""
+    li = load(spark, sf_dir, "lineitem")
+    w = F.col("l_quantity").cast("long")
+    xi = F.floor(F.col("l_extendedprice") * F.lit(10000.0)).cast("long")
+    j = li.join(
+        F.broadcast(load(spark, sf_dir, "part").select("p_partkey", "p_brand")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    base = j.select(
+        "p_brand",
+        w.alias("w"),
+        xi.alias("xi"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    return base.groupBy("p_brand").agg(
+        F.sum("w").alias("sum_w"),
+        (
+            F.sum(F.col("w") * F.col("xi")).cast("double")
+            / (F.sum("w").cast("double") * F.lit(10000.0))
+        ).alias("weighted_avg_price"),
+        F.max(
+            F.struct("w", F.col("l_orderkey") * -1, F.col("xi"))
+        )["xi"].alias("max_weight_price_i"),
+    )
+
+
+SQL_WEIGHTED_STATS = """
+WITH base AS (
+  SELECT p_brand, CAST(l_quantity AS BIGINT) AS w,
+         CAST(FLOOR(l_extendedprice * 10000.0) AS BIGINT) AS xi,
+         l_orderkey, l_linenumber
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+)
+SELECT p_brand,
+       CAST(sum(w) AS BIGINT) AS sum_w,
+       CAST(sum(w * xi) AS DOUBLE)
+         / (CAST(sum(w) AS DOUBLE) * 10000.0) AS weighted_avg_price,
+       max(struct_pack(w := w, nk := l_orderkey * -1, xi := xi)).xi
+         AS max_weight_price_i
+FROM base GROUP BY p_brand
+"""
+
+
+REGISTRY.update(
+    {"a21_weighted_stats": (q_weighted_stats, SQL_WEIGHTED_STATS)}
+)
+
+
 # ---------------------------------------------------------------------------
 # Enumeration order: the driver's correctness run covers the first N
 # registry entries per round, so the STALEST queries must enumerate
