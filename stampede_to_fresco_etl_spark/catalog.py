@@ -7571,6 +7571,77 @@ REGISTRY.update(
 )
 
 
+def q_coverage_report(spark, sf_dir):
+    """T10 — telemetry coverage report: per user, how much of the
+    observed lifespan is covered by activity sessions (30-minute
+    gaps), in ALL-INTEGER µs — n_sessions, covered span Σ(last−first
+    per session), total span, and the coverage ratio as one pinned
+    division.  Composes the t7 sessionize kernel (one entity-keyed
+    exchange) with two hash aggregates; the monitoring question a
+    telemetry pipeline answers before trusting its rates: single-
+    event sessions contribute zero covered time, and a user with one
+    session spanning everything reports coverage 1.0."""
+    from stampede_to_fresco_etl_spark.operators.windows import sessionize
+
+    e = load(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    s = sessionize(
+        e, ["user_id"], "ts", gap_sec=1800.0,
+        order_cols=["ts", "event_id"],
+    )
+    us = F.unix_micros(F.col("ts"))
+    per_sess = s.groupBy("user_id", "session_seq").agg(
+        F.min(us).alias("s0"), F.max(us).alias("s1")
+    )
+    return per_sess.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum(F.col("s1") - F.col("s0")).alias("covered_us"),
+        (F.max("s1") - F.min("s0")).alias("span_us"),
+        F.when(
+            F.max("s1") > F.min("s0"),
+            F.sum(F.col("s1") - F.col("s0")).cast("double")
+            / (F.max("s1") - F.min("s0")).cast("double"),
+        ).alias("coverage"),
+    )
+
+
+SQL_COVERAGE_REPORT = """
+WITH flagged AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                   > 1800 * 1000000
+              THEN 1 ELSE 0 END AS brk
+  FROM events WHERE user_id IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+runs AS (
+  SELECT user_id, us,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS session_seq
+  FROM flagged
+),
+per_sess AS (
+  SELECT user_id, session_seq, min(us) AS s0, max(us) AS s1
+  FROM runs GROUP BY user_id, session_seq
+)
+SELECT user_id,
+       count(*) AS n_sessions,
+       CAST(sum(s1 - s0) AS BIGINT) AS covered_us,
+       CAST(max(s1) - min(s0) AS BIGINT) AS span_us,
+       CASE WHEN max(s1) > min(s0) THEN
+         CAST(sum(s1 - s0) AS DOUBLE)
+           / CAST(max(s1) - min(s0) AS DOUBLE)
+       END AS coverage
+FROM per_sess GROUP BY user_id
+"""
+
+
+REGISTRY.update(
+    {"t10_coverage_report": (q_coverage_report, SQL_COVERAGE_REPORT)}
+)
+
+
 # ---------------------------------------------------------------------------
 # Enumeration order: the driver's correctness run covers the first N
 # registry entries per round, so the STALEST queries must enumerate
