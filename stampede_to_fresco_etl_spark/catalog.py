@@ -7642,6 +7642,352 @@ REGISTRY.update(
 )
 
 
+def q_strip_dup_spans(spark, sf_dir):
+    """D11 — duplicate-span REMOVAL, the apply step for d10's
+    detection (Lee et al. 2022 keep-one semantics at chunk
+    granularity): the corpus is cut into non-overlapping 32-token
+    chunks; any chunk whose content hash occurs ≥2 times corpus-wide
+    keeps only its globally-first occurrence (ordered by doc_id,
+    start) and every later occurrence is stripped; each document is
+    rebuilt from its kept chunks in order.
+
+    Scale shape: the keep/drop decision runs entirely on the
+    (doc_id, start, hash) projection — the hash-partitioned shuffle
+    carries three scalars per chunk, never text.  Dropped positions
+    (dup-density-sized, typically ≪ corpus) aggregate to one array
+    per document and join back to `documents` on the doc-level
+    equi-key; the rebuild is in-row array algebra (filter + slice +
+    flatten), so document text crosses at most that one doc-keyed
+    join.  Output text is whitespace-normalized by construction
+    (chunks re-joined with single spaces)."""
+    size = 32
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n = F.size(toks)
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(
+            F.floor((n - 1) / F.lit(size)).cast("int"), F.lit(0)
+        )
+        * F.lit(size),
+        F.lit(size),
+    )
+    base = docs.select(
+        "doc_id", toks.alias("toks"), starts.alias("starts")
+    )
+    chunked = base.select(
+        "doc_id", "toks", F.explode("starts").alias("start")
+    )
+    piece = F.concat_ws(" ", F.slice(F.col("toks"), F.col("start") + 1, size))
+    hashed = chunked.select(
+        "doc_id", "start", F.md5(piece.cast("binary")).alias("h")
+    )
+    by_hash = Window.partitionBy("h").orderBy("doc_id", "start")
+    drops = (
+        hashed.withColumn("rn", F.row_number().over(by_hash))
+        .filter(F.col("rn") >= 2)
+        .groupBy("doc_id")
+        .agg(F.collect_list("start").alias("ds"))
+    )
+    joined = base.join(drops, "doc_id", "left").select(
+        "doc_id",
+        "toks",
+        "starts",
+        F.coalesce(F.col("ds"), F.array().cast("array<int>")).alias("ds"),
+    )
+    kept = F.filter(
+        F.col("starts"),
+        lambda s: ~F.array_contains(F.col("ds"), s),
+    )
+    pieces = F.transform(kept, lambda s: F.slice(F.col("toks"), s + 1, size))
+    return joined.select(
+        "doc_id",
+        F.size("starts").cast("long").alias("n_chunks"),
+        F.size("ds").cast("long").alias("n_dropped"),
+        F.array_join(F.flatten(pieces), " ").alias("clean_text"),
+    )
+
+
+SQL_STRIP_DUP_SPANS = """
+WITH base AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks,
+         range(0,
+           (CAST(FLOOR((len(regexp_split_to_array(trim(text), '\\s+'))
+                        - 1) / 32.0) AS BIGINT) * 32) + 1,
+           32) AS starts
+  FROM documents
+),
+hashed AS (
+  SELECT doc_id, start,
+         md5(array_to_string(
+           list_slice(toks, start + 1, start + 32), ' ')) AS h
+  FROM (SELECT doc_id, toks, unnest(starts) AS start FROM base)
+),
+drops AS (
+  SELECT doc_id, list(start) AS ds
+  FROM (
+    SELECT doc_id, start,
+           row_number() OVER (PARTITION BY h
+                              ORDER BY doc_id, start) AS rn
+    FROM hashed
+  ) WHERE rn >= 2
+  GROUP BY doc_id
+),
+rebuilt AS (
+  SELECT b.doc_id, b.toks, b.starts, coalesce(d.ds, []) AS ds
+  FROM base b LEFT JOIN drops d USING (doc_id)
+)
+SELECT doc_id,
+       CAST(len(starts) AS BIGINT) AS n_chunks,
+       CAST(len(ds) AS BIGINT) AS n_dropped,
+       CASE WHEN toks IS NULL THEN NULL
+            ELSE coalesce(array_to_string(flatten(list_transform(
+              list_filter(starts, s -> NOT list_contains(ds, s)),
+              s -> list_slice(toks, s + 1, s + 32))), ' '), '')
+       END AS clean_text
+FROM rebuilt
+"""
+
+
+def q_cumulative_distinct(spark, sf_dir):
+    """W9 — cumulative-distinct growth curve (audience growth /
+    vocabulary growth): per event_type per UTC day, how many users
+    are seen for the FIRST time that day, and the running total of
+    distinct users to date.  COUNT(DISTINCT) OVER a running window
+    is inexpressible in one pass in any engine; the scalable identity
+    is first-occurrence reduction: min(ts) per (type, user) — one
+    hash aggregate whose shuffle carries only the key pair — then a
+    day-level count and a running sum over the (tiny) per-type
+    day series.  All-integer day indices (µs // 86 400 000 000)."""
+    day_us = 86_400 * 1_000_000
+    e = load(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    first_seen = e.groupBy("event_type", "user_id").agg(
+        F.min(F.unix_micros(F.col("ts"))).alias("us0")
+    )
+    daily = (
+        first_seen.select(
+            "event_type",
+            (F.col("us0") - F.pmod(F.col("us0"), F.lit(day_us))).alias(
+                "day_us"
+            ),
+        )
+        .groupBy("event_type", "day_us")
+        .agg(F.count("*").alias("new_users"))
+    )
+    running = Window.partitionBy("event_type").orderBy("day_us").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return daily.select(
+        "event_type",
+        "day_us",
+        "new_users",
+        F.sum("new_users").over(running).alias("cum_users"),
+    )
+
+
+SQL_CUMULATIVE_DISTINCT = """
+WITH first_seen AS (
+  SELECT event_type, user_id, min(epoch_us(ts)) AS us0
+  FROM events WHERE user_id IS NOT NULL
+  GROUP BY event_type, user_id
+),
+daily AS (
+  SELECT event_type,
+         us0 - (us0 % 86400000000) AS day_us,
+         count(*) AS new_users
+  FROM first_seen GROUP BY event_type, us0 - (us0 % 86400000000)
+)
+SELECT event_type, day_us, new_users,
+       CAST(sum(new_users) OVER (
+         PARTITION BY event_type ORDER BY day_us
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS cum_users
+FROM daily
+"""
+
+
+def q_benford_audit(spark, sf_dir):
+    """A22 — leading-digit (Benford) audit: per event_type, the
+    distribution of the first significant digit of the measure —
+    the classic fabricated-/corrupted-feed screen a telemetry
+    pipeline runs before trusting a new source.  The measure is
+    floor-scaled to an exact BIGINT first (the catalog's exactness
+    rule), the leading digit is taken from the integer's decimal
+    string (no log10 — irrational functions never enter
+    comparisons), and the share is one pinned integer division.
+    Zero-shuffle until a digits×types-sized hash aggregate."""
+    e = load(spark, sf_dir, "events")
+    vi = F.floor(F.col("value") * F.lit(10000.0)).cast("long")
+    pos = e.select("event_type", vi.alias("vi")).filter(F.col("vi") > 0)
+    digit = F.substring(F.col("vi").cast("string"), 1, 1).cast("int")
+    counts = pos.select("event_type", digit.alias("digit")).groupBy(
+        "event_type", "digit"
+    ).agg(F.count("*").alias("n"))
+    tot = Window.partitionBy("event_type")
+    return counts.select(
+        "event_type",
+        "digit",
+        "n",
+        (
+            F.col("n").cast("double")
+            / F.sum("n").over(tot).cast("double")
+        ).alias("share"),
+    )
+
+
+SQL_BENFORD_AUDIT = """
+WITH pos AS (
+  SELECT event_type,
+         CAST(FLOOR(value * 10000.0) AS BIGINT) AS vi
+  FROM events
+  WHERE CAST(FLOOR(value * 10000.0) AS BIGINT) > 0
+),
+counts AS (
+  SELECT event_type,
+         CAST(substr(CAST(vi AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+         count(*) AS n
+  FROM pos GROUP BY 1, 2
+)
+SELECT event_type, digit, n,
+       CAST(n AS DOUBLE)
+         / CAST(sum(n) OVER (PARTITION BY event_type) AS DOUBLE)
+         AS share
+FROM counts
+"""
+
+
+def q_gap_fill_interpolate(spark, sf_dir):
+    """T11 — regular-grid resample + LINEAR interpolation (t8's
+    ffill sibling, for gauges where carry-forward biases low): the
+    same hourly max-pooled per-user grid, then each manufactured gap
+    bucket takes prev + (next − prev) · Δt/Δspan between its
+    bracketing observations.  Both bracket lookups are IGNORE NULLS
+    window carries over ONE user-keyed partitioning (a single
+    Exchange; the forward frame rides the same sort), and the
+    interpolation expression is written identically in both engines
+    so the IEEE result is bit-equal.  Grid edges are observed by
+    construction (the span is min..max of observed buckets)."""
+    step_us = 3600 * 1_000_000
+    e = load(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    )
+    us = F.unix_micros(F.col("ts"))
+    b = e.select(
+        "user_id",
+        (us - F.pmod(us, F.lit(step_us))).alias("bucket"),
+        "value",
+    ).groupBy("user_id", "bucket").agg(F.max("value").alias("v"))
+    spans = b.groupBy("user_id").agg(
+        F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
+    )
+    grid = spans.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.lit(step_us))
+        ).alias("bucket"),
+    )
+    j = grid.join(b, ["user_id", "bucket"], "left")
+    back = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_b = F.when(F.col("v").isNotNull(), F.col("bucket"))
+    prev_v = F.last("v", ignorenulls=True).over(back)
+    prev_b = F.last(obs_b, ignorenulls=True).over(back)
+    next_v = F.first("v", ignorenulls=True).over(fwd)
+    next_b = F.first(obs_b, ignorenulls=True).over(fwd)
+    filled = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(prev_v.isNull(), next_v)
+        .when(next_v.isNull(), prev_v)
+        .otherwise(
+            prev_v
+            + (next_v - prev_v)
+            * (
+                (F.col("bucket") - prev_b).cast("double")
+                / (next_b - prev_b).cast("double")
+            )
+        )
+    )
+    return j.select(
+        "user_id",
+        "bucket",
+        filled.alias("v_interp"),
+        F.col("v").isNotNull().cast("int").alias("observed"),
+    )
+
+
+SQL_GAP_FILL_INTERPOLATE = """
+WITH b AS (
+  SELECT user_id,
+         (epoch_us(ts) - (epoch_us(ts) % 3600000000)) AS bucket,
+         max(value) AS v
+  FROM events
+  WHERE user_id IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1, 2
+),
+spans AS (
+  SELECT user_id, min(bucket) AS lo, max(bucket) AS hi
+  FROM b GROUP BY user_id
+),
+grid AS (
+  SELECT user_id, u.bucket
+  FROM spans, UNNEST(generate_series(lo, hi, 3600000000)) AS u(bucket)
+),
+j AS (
+  SELECT g.user_id, g.bucket, b.v
+  FROM grid g LEFT JOIN b ON g.user_id = b.user_id
+                         AND g.bucket = b.bucket
+),
+w AS (
+  SELECT user_id, bucket, v,
+         last_value(v IGNORE NULLS) OVER back AS prev_v,
+         last_value(CASE WHEN v IS NOT NULL THEN bucket END
+                    IGNORE NULLS) OVER back AS prev_b,
+         first_value(v IGNORE NULLS) OVER fwd AS next_v,
+         first_value(CASE WHEN v IS NOT NULL THEN bucket END
+                     IGNORE NULLS) OVER fwd AS next_b
+  FROM j
+  WINDOW back AS (PARTITION BY user_id ORDER BY bucket
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         fwd AS (PARTITION BY user_id ORDER BY bucket
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, bucket,
+       CASE WHEN v IS NOT NULL THEN v
+            WHEN prev_v IS NULL THEN next_v
+            WHEN next_v IS NULL THEN prev_v
+            ELSE prev_v + (next_v - prev_v)
+                 * (CAST(bucket - prev_b AS DOUBLE)
+                    / CAST(next_b - prev_b AS DOUBLE))
+       END AS v_interp,
+       CAST(v IS NOT NULL AS INTEGER) AS observed
+FROM w
+"""
+
+
+REGISTRY.update(
+    {
+        "d11_strip_dup_spans": (q_strip_dup_spans, SQL_STRIP_DUP_SPANS),
+        "w9_cumulative_distinct": (
+            q_cumulative_distinct,
+            SQL_CUMULATIVE_DISTINCT,
+        ),
+        "a22_benford_audit": (q_benford_audit, SQL_BENFORD_AUDIT),
+        "t11_gap_fill_interpolate": (
+            q_gap_fill_interpolate,
+            SQL_GAP_FILL_INTERPOLATE,
+        ),
+    }
+)
+
+
 # ---------------------------------------------------------------------------
 # Enumeration order: the driver's correctness run covers the first N
 # registry entries per round, so the STALEST queries must enumerate
