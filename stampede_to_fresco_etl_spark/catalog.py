@@ -7988,6 +7988,219 @@ REGISTRY.update(
 )
 
 
+def q_nearest_event_join(spark, sf_dir):
+    """J11 — nearest-in-time join (both directions): every click is
+    enriched with the user's temporally CLOSEST purchase, past or
+    future; ties go to the earlier (backward) match.  j6's as-of
+    kernel answers "latest at-or-before"; nearest-neighbor-in-time
+    is its symmetric completion (sensor fusion, attribution windows,
+    label alignment).
+
+    Spark-first: TWO as-of passes over the same union+window kernel
+    — the forward pass runs on NEGATED integer-µs timestamps, so
+    "latest ≤" in negated space is "earliest ≥" in real space — then
+    one equi-join on event_id picks the closer candidate with exact
+    integer deltas.  Both passes shuffle once on user_id; no nested
+    loop, no per-key funnel.  Oracle: DuckDB's native ASOF JOIN run
+    in both directions (>= and <=)."""
+    from stampede_to_fresco_etl_spark.operators.asof import asof_join
+
+    e = load(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    right = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", us.alias("rus"))
+        .agg(F.max("value").alias("pv"))
+    )
+    left = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", us.alias("lus")
+    )
+    back = asof_join(
+        left, right.withColumnRenamed("pv", "b_v"),
+        key_cols=["user_id"], left_ts="lus", right_ts="rus",
+        value_cols=["b_v"],
+    ).select("event_id", "user_id", "lus",
+             F.col("asof_ts").alias("b_ts"), "b_v")
+    fwd = asof_join(
+        left.select("event_id", "user_id",
+                    (-F.col("lus")).alias("nlus")),
+        right.select("user_id", (-F.col("rus")).alias("nrus"),
+                     F.col("pv").alias("f_v")),
+        key_cols=["user_id"], left_ts="nlus", right_ts="nrus",
+        value_cols=["f_v"],
+    ).select("event_id", (-F.col("asof_ts")).alias("f_ts"), "f_v")
+    j = back.join(fwd, "event_id")
+    use_back = (
+        F.col("f_ts").isNull()
+        | (
+            F.col("b_ts").isNotNull()
+            & (
+                (F.col("lus") - F.col("b_ts"))
+                <= (F.col("f_ts") - F.col("lus"))
+            )
+        )
+    )
+    nearest_ts = F.when(use_back, F.col("b_ts")).otherwise(F.col("f_ts"))
+    nearest_v = F.when(use_back, F.col("b_v")).otherwise(F.col("f_v"))
+    return j.select(
+        "event_id",
+        "user_id",
+        F.col("lus").alias("ts_us"),
+        nearest_ts.alias("nearest_ts_us"),
+        nearest_v.alias("nearest_value"),
+        (nearest_ts - F.col("lus")).alias("delta_us"),
+    )
+
+
+SQL_NEAREST_EVENT_JOIN = """
+WITH r AS (
+  SELECT user_id, epoch_us(ts) AS rus, max(value) AS pv
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id, epoch_us(ts)
+),
+l AS (
+  SELECT event_id, user_id, epoch_us(ts) AS lus
+  FROM events WHERE event_type = 'click'
+),
+b AS (
+  SELECT l.event_id, l.user_id, l.lus, r.rus AS b_ts, r.pv AS b_v
+  FROM l ASOF LEFT JOIN r
+    ON l.user_id = r.user_id AND l.lus >= r.rus
+),
+f AS (
+  SELECT l.event_id AS eid, r.rus AS f_ts, r.pv AS f_v
+  FROM l ASOF LEFT JOIN r
+    ON l.user_id = r.user_id AND l.lus <= r.rus
+),
+j AS (
+  SELECT b.*, f.f_ts, f.f_v,
+         (f.f_ts IS NULL
+          OR (b.b_ts IS NOT NULL
+              AND (b.lus - b.b_ts) <= (f.f_ts - b.lus))) AS use_back
+  FROM b JOIN f ON b.event_id = f.eid
+)
+SELECT event_id, user_id, lus AS ts_us,
+       CASE WHEN use_back THEN b_ts ELSE f_ts END AS nearest_ts_us,
+       CASE WHEN use_back THEN b_v ELSE f_v END AS nearest_value,
+       (CASE WHEN use_back THEN b_ts ELSE f_ts END) - lus AS delta_us
+FROM j
+"""
+
+
+def q_ann_recall_audit(spark, sf_dir):
+    """X28 — ANN recall audit: recall@k of the LSH-bucketed top-k
+    (v2) against the exact brute-force top-k (v1), per probe — the
+    eval harness every approximate index needs before it replaces
+    the exact path in production.  Both sub-pipelines are the
+    registry's own operators with identical parameters; the audit is
+    one (probe_id, vec_id) equi-join + a probes-sized aggregate, so
+    its cost is the two searches themselves.  Recall is a pinned
+    integer division by k."""
+    from stampede_to_fresco_etl_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_topk,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    exact = brute_force_topk(emb, probes, k=TOPK_K).select(
+        "probe_id", "vec_id"
+    )
+    approx = lsh_topk(
+        emb, probes, k=TOPK_K, num_planes=LSH_TOPK_PLANES
+    ).select("probe_id", "vec_id")
+    hits = exact.join(approx, ["probe_id", "vec_id"]).groupBy(
+        "probe_id"
+    ).agg(F.count("*").alias("n_hits"))
+    return hits.select(
+        "probe_id",
+        "n_hits",
+        (F.col("n_hits").cast("double") / F.lit(float(TOPK_K))).alias(
+            "recall_at_k"
+        ),
+    )
+
+
+def _sql_ann_recall_audit() -> str:
+    return f"""
+WITH exact AS ({_sql_topk()}),
+approx AS ({_sql_lsh_topk()}),
+hits AS (
+  SELECT e.probe_id, count(*) AS n_hits
+  FROM exact e JOIN approx a
+    ON e.probe_id = a.probe_id AND e.vec_id = a.vec_id
+  GROUP BY e.probe_id
+)
+SELECT probe_id, n_hits,
+       CAST(n_hits AS DOUBLE) / {float(TOPK_K)!r} AS recall_at_k
+FROM hits
+"""
+
+
+def q_bucketed_join(spark, sf_dir):
+    """S29 — bucketed co-located join: lineitem and orders are
+    written as parquet tables bucketed 16-ways on the SAME join key,
+    then joined — with bucketing on, neither side shuffles (the scan
+    emits the bucket-hash partitioning the join needs; the plan's
+    only Exchange is the one the final rollup asks for).  THE layout
+    investment for repeated large-×-large joins at 100 TB: pay one
+    bucketed write, then every subsequent join on that key is
+    shuffle-free.  Files land in the repo scratch dir (external
+    tables — a driver-owned session's warehouse is never written);
+    the in-memory catalog entry is session-scoped."""
+    from stampede_to_fresco_etl_spark.sources.writers import (
+        write_bucketed_table,
+    )
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    write_bucketed_table(
+        li, "s29_lineitem_b", ["l_orderkey"], num_buckets=16,
+        path=f"{_SCRATCH}/s29_lineitem_b",
+    )
+    write_bucketed_table(
+        orders, "s29_orders_b", ["o_orderkey"], num_buckets=16,
+        path=f"{_SCRATCH}/s29_orders_b",
+    )
+    lib = spark.table("s29_lineitem_b")
+    ob = spark.table("s29_orders_b")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lib.join(ob, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            dsum(rev).alias("revenue"),
+        )
+    )
+
+
+SQL_BUCKETED_JOIN = f"""
+SELECT o_orderpriority, count(*) AS n_items,
+       {DSUM.format(x=_Q_REV)} AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+REGISTRY.update(
+    {
+        "j11_nearest_event_join": (
+            q_nearest_event_join,
+            SQL_NEAREST_EVENT_JOIN,
+        ),
+        "x28_ann_recall_audit": (q_ann_recall_audit, _sql_ann_recall_audit()),
+        "s29_bucketed_join": (q_bucketed_join, SQL_BUCKETED_JOIN),
+    }
+)
+
+
 # ---------------------------------------------------------------------------
 # Enumeration order: the driver's correctness run covers the first N
 # registry entries per round, so the STALEST queries must enumerate

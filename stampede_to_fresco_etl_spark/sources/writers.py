@@ -75,18 +75,26 @@ def write_bucketed_table(
     num_buckets: int = 64,
     sort_cols: list[str] | None = None,
     mode: str = "overwrite",
+    path: str | None = None,
 ) -> None:
     """Bucketed (and optionally sorted) managed table — the
     co-located-join layout for repeated large joins on the same key
     (SURVEY M6: bucket metrics by jid/month so the step-2 join and
     re-derivations shuffle neither side).  Two tables bucketed the
-    same way join with ZERO Exchange in the plan."""
+    same way join with ZERO Exchange in the plan.
+
+    path: store the files at an explicit location (external table)
+    instead of the session warehouse — required when the session is
+    driver-owned and its warehouse dir (cwd/spark-warehouse) must not
+    be written."""
     writer = (
         df.write.mode(mode)
         .format("parquet")
         .option("compression", "zstd")
         .bucketBy(num_buckets, *bucket_cols)
     )
+    if path is not None:
+        writer = writer.option("path", path)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table)
