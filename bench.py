@@ -77,6 +77,10 @@ HEADLINE = [
     "w5_analytic_windows",  # new r5b: full window-function suite
     "j10_interval_overlap",  # new r5b: bucketed overlap range join
     "t9_scd2_intervals",  # new r5b: SCD2 history build
+    "d11_strip_dup_spans",  # new r5c: duplicate-span removal rewrite
+    "t11_gap_fill_interpolate",  # new r5c: linear-interp resample
+    "j11_nearest_event_join",  # new r5c: bidirectional as-of pick
+    "x28_ann_recall_audit",  # new r5c: LSH recall@k vs exact
 ]
 
 

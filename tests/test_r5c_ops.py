@@ -1,0 +1,234 @@
+"""r5-continuation operators (d11/w9/a22/t11, j11/x28/s29): hand
+fixtures and brute-force references INDEPENDENT of the DuckDB oracles
+— the parity harness proves Spark ≡ oracle SQL; these prove the
+shared semantics are the intended ones."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from stampede_to_fresco_etl_spark.catalog import (
+    N_PROBES,
+    REGISTRY,
+    TOPK_K,
+    load,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _ts(m, s=0):
+    return dt.datetime(2013, 3, 1, 10, m, s)
+
+
+# ---------------------------------------------------------------------------
+# j11 — nearest-in-time join
+# ---------------------------------------------------------------------------
+
+def test_nearest_event_join_matches_bruteforce(spark):
+    """Every click's match must be the true min-|Δ| purchase of the
+    same user (ties → earlier), verified by a full per-user scan in
+    pandas — a derivation independent of both the as-of kernel and
+    the ASOF-JOIN oracle."""
+    got = (
+        REGISTRY["j11_nearest_event_join"][0](spark, SF)
+        .toPandas()
+        .set_index("event_id")
+        .sort_index()
+    )
+    e = load(spark, SF, "events").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("us"),
+        "event_type", "value",
+    ).toPandas()
+    purchases = e[e.event_type == "purchase"]
+    # mirror the query's right-side prep: max(value) per (user, ts)
+    r = purchases.groupby(["user_id", "us"], as_index=False).value.max()
+    clicks = e[e.event_type == "click"]
+    assert len(got) == len(clicks)
+    for row in clicks.itertuples():
+        cand = r[r.user_id == row.user_id]
+        g = got.loc[row.event_id]
+        if len(cand) == 0 or pd.isna(row.user_id):
+            assert pd.isna(g["nearest_ts_us"])
+            continue
+        deltas = (cand.us - row.us).abs()
+        best = deltas.min()
+        # ties → earlier timestamp
+        winners = cand[deltas == best].sort_values("us")
+        want_ts = winners.us.iloc[0]
+        assert g["nearest_ts_us"] == want_ts, row.event_id
+        assert g["nearest_value"] == winners.value.iloc[0]
+        assert g["delta_us"] == want_ts - row.us
+
+
+def test_nearest_event_join_tie_goes_backward(spark, tmp_path):
+    """Equidistant past/future purchases: the earlier one wins."""
+    rows = [
+        # user 1: click at :10, purchases at :05 and :15 (tie -> :05)
+        Row(event_id=1, ts=_ts(10), user_id=1, event_type="click",
+            value=0.0, props=""),
+        Row(event_id=2, ts=_ts(5), user_id=1, event_type="purchase",
+            value=50.0, props=""),
+        Row(event_id=3, ts=_ts(15), user_id=1, event_type="purchase",
+            value=70.0, props=""),
+        # user 2: only a FUTURE purchase -> forward match
+        Row(event_id=4, ts=_ts(10), user_id=2, event_type="click",
+            value=0.0, props=""),
+        Row(event_id=5, ts=_ts(12), user_id=2, event_type="purchase",
+            value=9.0, props=""),
+        # user 3: click with no purchases -> null match
+        Row(event_id=6, ts=_ts(1), user_id=3, event_type="click",
+            value=0.0, props=""),
+    ]
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    out = (
+        REGISTRY["j11_nearest_event_join"][0](spark, str(tmp_path))
+        .toPandas()
+        .set_index("event_id")
+    )
+    assert out.loc[1, "nearest_value"] == 50.0          # tie -> earlier
+    assert out.loc[1, "delta_us"] == -300_000_000
+    assert out.loc[4, "nearest_value"] == 9.0           # forward-only
+    assert out.loc[4, "delta_us"] == 120_000_000
+    assert pd.isna(out.loc[6, "nearest_ts_us"])         # no candidates
+
+
+# ---------------------------------------------------------------------------
+# t11 — linear-interpolation gap fill
+# ---------------------------------------------------------------------------
+
+def test_gap_fill_interpolate_properties(spark):
+    out = REGISTRY["t11_gap_fill_interpolate"][0](spark, SF).toPandas()
+    e = load(spark, SF, "events").toPandas()
+    e = e[e.user_id.notna() & e.value.notna()]
+    step = 3600 * 1_000_000
+    e["bucket"] = (
+        e.ts.astype("datetime64[ns]").astype("int64") // 1000  # -> µs
+    )
+    e["bucket"] = e.bucket - (e.bucket % step)
+    pooled = e.groupby(["user_id", "bucket"]).value.max()
+
+    for uid, grp in out.groupby("user_id"):
+        grp = grp.sort_values("bucket").reset_index(drop=True)
+        # exact grid lo..hi, hourly
+        assert (grp.bucket.diff().dropna() == step).all()
+        obs = grp[grp.observed == 1]
+        gaps = grp[grp.observed == 0]
+        # observed buckets reproduce the pooled source value exactly
+        for r in obs.itertuples():
+            assert r.v_interp == pooled.loc[(uid, r.bucket)]
+        # interpolated values lie within the bracketing observations
+        if len(gaps):
+            ob = obs.set_index("bucket").v_interp
+            for r in gaps.itertuples():
+                prev = ob[ob.index < r.bucket]
+                nxt = ob[ob.index > r.bucket]
+                assert len(prev) and len(nxt)  # edges are observed
+                lo = min(prev.iloc[-1], nxt.iloc[0])
+                hi = max(prev.iloc[-1], nxt.iloc[0])
+                assert lo <= r.v_interp <= hi
+
+
+def test_gap_fill_interpolate_exact_midpoint(spark, tmp_path):
+    """A two-hour gap between v=1 and v=4: the manufactured buckets
+    interpolate to exactly 2.0 and 3.0."""
+    rows = [
+        Row(event_id=1, ts=_ts(0), user_id=1, event_type="view",
+            value=1.0, props=""),
+        Row(event_id=2, ts=dt.datetime(2013, 3, 1, 13, 0), user_id=1,
+            event_type="view", value=4.0, props=""),
+    ]
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    out = (
+        REGISTRY["t11_gap_fill_interpolate"][0](spark, str(tmp_path))
+        .toPandas()
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    assert list(out.v_interp) == [1.0, 2.0, 3.0, 4.0]
+    assert list(out.observed) == [1, 0, 0, 1]
+
+
+# ---------------------------------------------------------------------------
+# d11 — duplicate-span removal
+# ---------------------------------------------------------------------------
+
+def test_strip_dup_spans_corpus_identity(spark):
+    """Keep-one semantics corpus identity: total dropped chunk
+    occurrences == total occurrences − distinct chunk contents."""
+    out = REGISTRY["d11_strip_dup_spans"][0](spark, SF).toPandas()
+    docs = load(spark, SF, "documents").toPandas()
+    # same start grid as the operator: 0..floor((n-1)/32)*32
+    chunks = []
+    for r in docs.itertuples():
+        toks = r.text.strip().split()
+        top = max((len(toks) - 1) // 32, 0) * 32
+        for s in range(0, top + 1, 32):
+            chunks.append(" ".join(toks[s:s + 32]))
+    assert out.n_dropped.sum() == len(chunks) - len(set(chunks))
+    assert (out.n_dropped <= out.n_chunks).all()
+
+
+def test_strip_dup_spans_keeps_first_occurrence(spark, tmp_path):
+    words = " ".join(f"w{i}" for i in range(32))
+    other = " ".join(f"z{i}" for i in range(32))
+    rows = [
+        Row(doc_id=1, text=words, lang="en", source="a", n_chars=0),
+        Row(doc_id=2, text=words, lang="en", source="b", n_chars=0),
+        Row(doc_id=3, text=other, lang="en", source="c", n_chars=0),
+    ]
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = (
+        REGISTRY["d11_strip_dup_spans"][0](spark, str(tmp_path))
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.loc[1, "clean_text"] == words      # first copy kept
+    assert out.loc[2, "clean_text"] == ""         # later copy stripped
+    assert out.loc[2, "n_dropped"] == 1
+    assert out.loc[3, "clean_text"] == other      # unique untouched
+
+
+# ---------------------------------------------------------------------------
+# x28 — ANN recall audit
+# ---------------------------------------------------------------------------
+
+def test_ann_recall_audit_bounds(spark):
+    out = REGISTRY["x28_ann_recall_audit"][0](spark, SF).toPandas()
+    assert len(out) == N_PROBES
+    assert (out.n_hits >= 1).all()          # every probe finds itself
+    assert (out.n_hits <= TOPK_K).all()
+    assert ((out.recall_at_k > 0) & (out.recall_at_k <= 1.0)).all()
+    assert (out.recall_at_k == out.n_hits / TOPK_K).all()
+
+
+# ---------------------------------------------------------------------------
+# s29 — bucketed co-located join
+# ---------------------------------------------------------------------------
+
+def test_bucketed_join_registry_plan_is_shuffle_free(spark):
+    """With broadcast off, the registry query's join must read both
+    bucketed tables without ANY Exchange below the SortMergeJoin —
+    the only Exchange in the plan is the final rollup's."""
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = REGISTRY["s29_bucketed_join"][0](spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert plan.count("Exchange") == 1, plan
+        assert plan.index("Exchange") < plan.index("SortMergeJoin")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
