@@ -255,13 +255,17 @@ def main() -> None:
                 side["shuffle_write_vs_prev"] = shuffle_delta
     except (OSError, ValueError, KeyError, TypeError):
         pass
-    here = os.path.dirname(os.path.abspath(__file__))
-    side_path = os.path.join(here, f"BENCH_IO_r{rnd}.json")
-    try:
-        with open(side_path, "w") as f:
-            json.dump(side, f, indent=1)
-    except OSError:
-        pass
+    # Only the protocol-scale run (sf0.1, the driver's per-round bench)
+    # may write the round's io side file: ad-hoc smoke runs at smaller
+    # sf must not clobber BENCH_IO_r{N} with off-scale numbers.
+    if sf == 0.1:
+        here = os.path.dirname(os.path.abspath(__file__))
+        side_path = os.path.join(here, f"BENCH_IO_r{rnd}.json")
+        try:
+            with open(side_path, "w") as f:
+                json.dump(side, f, indent=1)
+        except OSError:
+            pass
     print(json.dumps(side))
     print(json.dumps(out))
 

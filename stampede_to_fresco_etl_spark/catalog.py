@@ -8201,6 +8201,314 @@ REGISTRY.update(
 )
 
 
+def q_semdedup(spark, sf_dir):
+    """D12 — semantic dedup keep-one (SemDeDup, Abbas et al. 2023):
+    v3's sign-LSH near-dup pairs over the embedding column resolved
+    into connected components, every vector labeled with its cluster
+    and the minimum-id member kept as the canonical survivor —
+    embeddings' answer to d7's text-side capstone.
+
+    Scale shape: candidate pairs come banded (LSH buckets, never
+    all-pairs), CC runs pointer-halving one-job sweeps on an
+    ids-only frame, and the final labeling is one left join of the
+    (component-sized) cc frame back to the corpus.  Singletons never
+    enter the pair graph and label themselves."""
+    from stampede_to_fresco_etl_spark.operators.dedup import (
+        connected_components,
+    )
+    from stampede_to_fresco_etl_spark.operators.similarity import (
+        embedding_near_dups,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dups(
+        emb, num_planes=ND_PLANES, dim=ND_DIM, min_cosine=ND_MIN_COS
+    ).select("id_a", "id_b")
+    cc = connected_components(pairs, a_col="id_a", b_col="id_b")
+    out = emb.select("vec_id").join(
+        cc, emb.vec_id == cc.node, "left"
+    )
+    cluster = F.coalesce(F.col("cc"), F.col("vec_id"))
+    return out.select(
+        "vec_id",
+        cluster.alias("cluster_id"),
+        (cluster == F.col("vec_id")).alias("is_kept"),
+    )
+
+
+def _sql_semdedup() -> str:
+    from stampede_to_fresco_etl_spark.operators.similarity import hyperplanes
+
+    planes = hyperplanes(ND_PLANES, ND_DIM)
+
+    def dot(a: str, lit: list[float]) -> str:
+        arr = "[" + ", ".join(repr(w) for w in lit) + "]"
+        return (
+            f"list_reduce(list_transform(range(1, {ND_DIM} + 1), "
+            f"i -> {a}[i] * ({arr})[i]), (x, y) -> x + y)"
+        )
+
+    bucket = " + ".join(
+        f"(CASE WHEN {dot('v', pl)} > 0 THEN {1 << p} ELSE 0 END)"
+        for p, pl in enumerate(planes)
+    )
+    pair_dot = _D_DOT.format(a="a.v", b="b.v")
+    na = _D_DOT.format(a="a.v", b="a.v")
+    nb = _D_DOT.format(a="b.v", b="b.v")
+    cos = f"{pair_dot} / (sqrt({na}) * sqrt({nb}))"
+    return f"""
+WITH RECURSIVE e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+bk AS MATERIALIZED (SELECT vec_id, v, {bucket} AS bucket FROM e),
+p AS MATERIALIZED (
+  -- MATERIALIZED is load-bearing: without it DuckDB re-inlines the
+  -- cosine join into every recursive iteration of `reach` (281 s at
+  -- sf0.1 vs 6 s materialized)
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE {cos} >= {ND_MIN_COS}
+),
+edges AS MATERIALIZED (
+  SELECT id_a AS src, id_b AS dst FROM p
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM p
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON r.dst = e2.src
+),
+comp AS (
+  SELECT src AS vec_id, least(src, min(dst)) AS cluster_id
+  FROM reach GROUP BY src
+)
+SELECT v.vec_id,
+       coalesce(c.cluster_id, v.vec_id) AS cluster_id,
+       coalesce(c.cluster_id, v.vec_id) = v.vec_id AS is_kept
+FROM embeddings v LEFT JOIN comp c ON v.vec_id = c.vec_id
+"""
+
+
+def q_mad_outliers(spark, sf_dir):
+    """W10 — robust anomaly flags via median absolute deviation:
+    within each event_type, a row is anomalous when its deviation
+    from the type median exceeds 3×MAD — the outlier screen that,
+    unlike z-scores (x15), is not itself dragged by the outliers.
+
+    Exactness: a16's positional rule, doubled — medians are kept as
+    the SUM OF THE TWO MIDDLE elements (odd n: the middle twice), so
+    the median (×2 scale) and every deviation |2v − med2| stay
+    integers end-to-end; the flag compares 2·dev > 3·mad2 in pure
+    bigint.  Scale shape: both ranking windows partition by
+    event_type — same hash partitioning, so Catalyst plans ONE
+    Exchange with two sorts — and the per-type (med2, mad2) scalars
+    broadcast back."""
+    from pyspark.sql import Window as W
+
+    e = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    vi = F.floor(F.col("value") * F.lit(10000.0)).cast("long")
+    base = e.select("event_id", "event_type", "value", vi.alias("v"))
+
+    def two_middle_sum(df, order_col, out_name):
+        w = W.partitionBy("event_type").orderBy(order_col, "event_id")
+        cnt = W.partitionBy("event_type")
+        ranked = df.select(
+            "event_type",
+            F.col(order_col),
+            F.row_number().over(w).alias("rn"),
+            F.count("*").over(cnt).alias("n"),
+        )
+        mid = ranked.filter(
+            (F.col("rn") == F.floor((F.col("n") + 1) / 2).cast("long"))
+            | (F.col("rn") == F.floor((F.col("n") + 2) / 2).cast("long"))
+        )
+        return mid.groupBy("event_type").agg(
+            F.when(
+                F.count("*") == 1, F.sum(order_col) * 2
+            ).otherwise(F.sum(order_col)).alias(out_name)
+        )
+
+    med = two_middle_sum(base, "v", "med2")
+    devs = base.join(F.broadcast(med), "event_type").withColumn(
+        "dev", F.abs(F.col("v") * 2 - F.col("med2"))
+    )
+    mad = two_middle_sum(devs, "dev", "mad2")
+    flagged = devs.join(F.broadcast(mad), "event_type").filter(
+        F.col("dev") * 2 > F.col("mad2") * 3
+    )
+    return flagged.select(
+        "event_id",
+        "event_type",
+        "value",
+        (F.col("med2").cast("double") / 20000.0).alias("median_value"),
+        (F.col("mad2").cast("double") / 20000.0).alias("mad_value"),
+        (F.col("dev").cast("double") / 20000.0).alias("deviation"),
+    )
+
+
+SQL_MAD_OUTLIERS = """
+WITH base AS (
+  SELECT event_id, event_type, value,
+         CAST(FLOOR(value * 10000.0) AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL
+),
+r1 AS (
+  SELECT event_type, v,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY v, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM base
+),
+med AS (
+  SELECT event_type,
+         CASE WHEN count(*) = 1 THEN sum(v) * 2 ELSE sum(v) END AS med2
+  FROM r1
+  WHERE rn = CAST(FLOOR((n + 1) / 2) AS BIGINT)
+     OR rn = CAST(FLOOR((n + 2) / 2) AS BIGINT)
+  GROUP BY event_type
+),
+devs AS (
+  SELECT b.*, m.med2, abs(b.v * 2 - m.med2) AS dev
+  FROM base b JOIN med m USING (event_type)
+),
+r2 AS (
+  SELECT event_type, dev,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY dev, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM devs
+),
+mad AS (
+  SELECT event_type,
+         CASE WHEN count(*) = 1 THEN sum(dev) * 2
+              ELSE sum(dev) END AS mad2
+  FROM r2
+  WHERE rn = CAST(FLOOR((n + 1) / 2) AS BIGINT)
+     OR rn = CAST(FLOOR((n + 2) / 2) AS BIGINT)
+  GROUP BY event_type
+)
+SELECT d.event_id, d.event_type, d.value,
+       CAST(d.med2 AS DOUBLE) / 20000.0 AS median_value,
+       CAST(m.mad2 AS DOUBLE) / 20000.0 AS mad_value,
+       CAST(d.dev AS DOUBLE) / 20000.0 AS deviation
+FROM devs d JOIN mad m USING (event_type)
+WHERE d.dev * 2 > m.mad2 * 3
+"""
+
+
+_KNN_PROBES = 50
+_KNN_K = 10
+
+
+def q_knn_classify(spark, sf_dir):
+    """V9 — leave-one-out kNN label prediction: for each of the
+    first 50 vectors, the majority label among its 10 exact nearest
+    neighbors (self excluded), compared to its own label — the
+    label-quality / embedding-quality eval a curation pipeline runs
+    on its embedding space (x28 audits the INDEX, this audits the
+    SPACE).  Self-exclusion is done by searching k+1 then dropping
+    the self row — both engines cut the identical (cos desc, vec_id)
+    order, so the surviving k are identical.  Majority ties break to
+    the smaller label; the vote is a probes×labels-sized aggregate
+    on top of v1's broadcast search."""
+    from stampede_to_fresco_etl_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < _KNN_PROBES).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    nn = (
+        brute_force_topk(emb, probes, k=_KNN_K + 1)
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", "vec_id")
+    )
+    votes = (
+        nn.join(
+            emb.select("vec_id", "label"), "vec_id"
+        )
+        .groupBy("probe_id", "label")
+        .agg(F.count("*").alias("n_votes"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("n_votes").desc(), F.col("label")
+    )
+    pred = votes.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") == 1
+    )
+    truth = emb.filter(F.col("vec_id") < _KNN_PROBES).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("label").alias("true_label"),
+    )
+    return pred.join(truth, "probe_id").select(
+        "probe_id",
+        F.col("label").alias("pred_label"),
+        "true_label",
+        "n_votes",
+        (F.col("label") == F.col("true_label")).alias("correct"),
+    )
+
+
+def _sql_knn_classify() -> str:
+    dot_pc = _D_DOT.format(a="c.v", b="p.pv")
+    n_c = _D_DOT.format(a="c.v", b="c.v")
+    n_p = _D_DOT.format(a="p.pv", b="p.pv")
+    return f"""
+WITH c AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+           FROM embeddings),
+p AS (
+  SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pv
+  FROM embeddings WHERE vec_id < {_KNN_PROBES}
+),
+s AS (
+  SELECT p.probe_id, c.vec_id, c.label,
+         {dot_pc} / (sqrt({n_p}) * sqrt({n_c})) AS cos_sim
+  FROM c, p
+),
+r AS (
+  SELECT probe_id, vec_id, label,
+         row_number() OVER (
+           PARTITION BY probe_id ORDER BY cos_sim DESC, vec_id
+         ) AS rank
+  FROM s
+),
+nn AS (
+  SELECT probe_id, vec_id, label FROM r
+  WHERE rank <= {_KNN_K + 1} AND vec_id <> probe_id
+),
+votes AS (
+  SELECT probe_id, label, count(*) AS n_votes
+  FROM nn GROUP BY probe_id, label
+),
+pred AS (
+  SELECT probe_id, label, n_votes,
+         row_number() OVER (
+           PARTITION BY probe_id ORDER BY n_votes DESC, label
+         ) AS rk
+  FROM votes
+)
+SELECT pr.probe_id,
+       pr.label AS pred_label,
+       t.label AS true_label,
+       pr.n_votes,
+       pr.label = t.label AS correct
+FROM pred pr
+JOIN embeddings t ON pr.probe_id = t.vec_id
+WHERE pr.rk = 1
+"""
+
+
+REGISTRY.update(
+    {
+        "d12_semdedup": (q_semdedup, _sql_semdedup()),
+        "w10_mad_outliers": (q_mad_outliers, SQL_MAD_OUTLIERS),
+        "v9_knn_classify": (q_knn_classify, _sql_knn_classify()),
+    }
+)
+
+
 # ---------------------------------------------------------------------------
 # Enumeration order: the driver's correctness run covers the first N
 # registry entries per round, so the STALEST queries must enumerate
