@@ -232,3 +232,125 @@ def test_bucketed_join_registry_plan_is_shuffle_free(spark):
         assert plan.index("Exchange") < plan.index("SortMergeJoin")
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+
+
+# ---------------------------------------------------------------------------
+# w10 — MAD outlier flags
+# ---------------------------------------------------------------------------
+
+def test_mad_outliers_matches_bruteforce(spark):
+    """Flag set equals a pure-Python reference using the same
+    two-middle-sum positional rule."""
+    out = REGISTRY["w10_mad_outliers"][0](spark, SF).toPandas()
+    e = load(spark, SF, "events").toPandas()
+    e = e[e.value.notna()].copy()
+    e["v"] = (e.value * 10000.0).apply(lambda x: int(x // 1))
+
+    import math
+
+    def two_middle_sum(vals):  # vals sorted
+        n = len(vals)
+        m1 = math.floor((n + 1) / 2) - 1
+        m2 = math.floor((n + 2) / 2) - 1
+        return vals[m1] + vals[m2]
+
+    want_flagged = set()
+    for t, grp in e.groupby("event_type"):
+        g = grp.sort_values(["v", "event_id"])
+        med2 = two_middle_sum(list(g.v))
+        g = g.assign(dev=(g.v * 2 - med2).abs())
+        mad2 = two_middle_sum(list(g.sort_values(["dev", "event_id"]).dev))
+        want_flagged |= set(g[g.dev * 2 > 3 * mad2].event_id)
+    assert set(out.event_id) == want_flagged
+    assert len(out) > 0
+
+
+# ---------------------------------------------------------------------------
+# v9 — kNN label prediction
+# ---------------------------------------------------------------------------
+
+def test_knn_classify_matches_numpy(spark):
+    import numpy as np
+
+    out = (
+        REGISTRY["v9_knn_classify"][0](spark, SF)
+        .toPandas()
+        .set_index("probe_id")
+        .sort_index()
+    )
+    emb = load(spark, SF, "embeddings").toPandas()
+    M = np.array([np.array(v, dtype=np.float64) for v in emb.embedding])
+    ids = emb.vec_id.to_numpy()
+    labels = emb.label.to_numpy()
+    nrm = np.sqrt((M * M).sum(axis=1))
+    assert len(out) == 50
+    for p in range(50):
+        pi = np.where(ids == p)[0][0]
+        cos = (M @ M[pi]) / (nrm * nrm[pi])
+        order = sorted(range(len(ids)), key=lambda i: (-cos[i], ids[i]))
+        nn = [i for i in order[:11] if ids[i] != p][:10]
+        votes = {}
+        for i in nn:
+            votes[labels[i]] = votes.get(labels[i], 0) + 1
+        pred = sorted(votes.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+        assert out.loc[p, "pred_label"] == pred, p
+        assert out.loc[p, "correct"] == (pred == labels[pi])
+
+
+# ---------------------------------------------------------------------------
+# d12 — semantic dedup
+# ---------------------------------------------------------------------------
+
+def test_semdedup_cluster_invariants(spark):
+    from stampede_to_fresco_etl_spark.catalog import (
+        ND_DIM,
+        ND_MIN_COS,
+        ND_PLANES,
+    )
+    from stampede_to_fresco_etl_spark.operators.similarity import (
+        embedding_near_dups,
+    )
+
+    out = REGISTRY["d12_semdedup"][0](spark, SF).toPandas()
+    emb = load(spark, SF, "embeddings")
+    assert len(out) == emb.count()          # every vector labeled
+    cl = out.set_index("vec_id").cluster_id
+    # cluster id is the min member (canonical survivor rule)
+    mins = out.groupby("cluster_id").vec_id.min()
+    assert (mins.index == mins.values).all()
+    # exactly one kept per cluster
+    kept = out[out.is_kept]
+    assert len(kept) == out.cluster_id.nunique()
+    assert (kept.vec_id == kept.cluster_id).all()
+    # every near-dup pair landed in the same cluster
+    pairs = embedding_near_dups(
+        emb, num_planes=ND_PLANES, dim=ND_DIM, min_cosine=ND_MIN_COS
+    ).toPandas()
+    assert len(pairs) > 0
+    for r in pairs.itertuples():
+        assert cl[r.id_a] == cl[r.id_b]
+
+
+def test_semdedup_hand_fixture(spark, tmp_path):
+    """Two parallel vectors + one orthogonal: the parallel pair
+    clusters together (min id canonical), the orthogonal one stays
+    its own cluster."""
+    base = [1.0] + [0.0] * 63
+    ortho = [0.0, 1.0] + [0.0] * 62
+    rows = [
+        Row(vec_id=10, embedding=[x * 2.0 for x in base], label=0),
+        Row(vec_id=20, embedding=[x * 3.0 for x in base], label=0),
+        Row(vec_id=30, embedding=ortho, label=1),
+    ]
+    spark.createDataFrame(
+        rows, "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    out = (
+        REGISTRY["d12_semdedup"][0](spark, str(tmp_path))
+        .toPandas()
+        .set_index("vec_id")
+        .sort_index()
+    )
+    assert out.loc[10, "cluster_id"] == 10 and bool(out.loc[10, "is_kept"])
+    assert out.loc[20, "cluster_id"] == 10 and not bool(out.loc[20, "is_kept"])
+    assert out.loc[30, "cluster_id"] == 30 and bool(out.loc[30, "is_kept"])
