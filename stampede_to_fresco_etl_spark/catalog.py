@@ -7887,6 +7887,11 @@ def q_gap_fill_interpolate(spark, sf_dir):
         ).alias("bucket"),
     )
     j = grid.join(b, ["user_id", "bucket"], "left")
+    # Both carries run as UNBOUNDED-PRECEDING frames (the forward one
+    # over DESCENDING bucket order): Spark's running frames accumulate
+    # in O(n), while an [currentRow, unboundedFollowing] frame
+    # re-scans to the partition end for EVERY row — O(n²) per
+    # partition, measured 32.7 s vs 1.5 s on the 1M-row sf0.1 grid.
     back = (
         Window.partitionBy("user_id")
         .orderBy("bucket")
@@ -7894,14 +7899,14 @@ def q_gap_fill_interpolate(spark, sf_dir):
     )
     fwd = (
         Window.partitionBy("user_id")
-        .orderBy("bucket")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.col("bucket").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     obs_b = F.when(F.col("v").isNotNull(), F.col("bucket"))
     prev_v = F.last("v", ignorenulls=True).over(back)
     prev_b = F.last(obs_b, ignorenulls=True).over(back)
-    next_v = F.first("v", ignorenulls=True).over(fwd)
-    next_b = F.first(obs_b, ignorenulls=True).over(fwd)
+    next_v = F.last("v", ignorenulls=True).over(fwd)
+    next_b = F.last(obs_b, ignorenulls=True).over(fwd)
     filled = (
         F.when(F.col("v").isNotNull(), F.col("v"))
         .when(prev_v.isNull(), next_v)
