@@ -8733,6 +8733,176 @@ REGISTRY.update(
 )
 
 
+def q_containment_pairs(spark, sf_dir):
+    """X30 — directed shingle containment (≥0.6 on either side,
+    df≤100 hot-shingle cap): the boilerplate/template detector
+    Jaccard hides — a quote fully inside a long document scores high
+    containment but near-zero Jaccard.  Same shingle-equi-join scale
+    shape as d4, two pinned divisions of the same exact integers."""
+    from stampede_to_fresco_etl_spark.operators.dedup import (
+        shingle_containment_pairs,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return shingle_containment_pairs(
+        docs, "doc_id", "text", min_containment=0.6, max_shingle_df=100
+    )
+
+
+SQL_CONTAINMENT_PAIRS = f"""
+WITH toks AS (
+  SELECT doc_id AS doc, {_D_TOKS} AS t FROM documents
+),
+sh0 AS (
+  SELECT DISTINCT doc, u.s
+  FROM toks, UNNEST({_D_SHINGLES}) AS u(s)
+),
+keep AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 100),
+sh AS (SELECT sh0.doc, sh0.s FROM sh0 JOIN keep USING (s)),
+sizes AS (SELECT doc, count(*) AS sz FROM sh GROUP BY doc),
+inter AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc < b.doc
+  GROUP BY a.doc, b.doc
+)
+SELECT i.doc_a, i.doc_b, i.inter,
+       CAST(i.inter AS DOUBLE) / CAST(sa.sz AS DOUBLE) AS containment_a,
+       CAST(i.inter AS DOUBLE) / CAST(sb.sz AS DOUBLE) AS containment_b
+FROM inter i
+JOIN sizes sa ON i.doc_a = sa.doc
+JOIN sizes sb ON i.doc_b = sb.doc
+WHERE CAST(i.inter AS DOUBLE) / CAST(sa.sz AS DOUBLE) >= 0.6
+   OR CAST(i.inter AS DOUBLE) / CAST(sb.sz AS DOUBLE) >= 0.6
+"""
+
+
+def q_ohlc_downsample(spark, sf_dir):
+    """T12 — OHLC candlestick compaction: per (user, hour) the
+    opening/closing values (first/last by the unique (µs, event_id)
+    order) plus high/low/count — THE telemetry downsampling that
+    preserves envelope and direction while dividing row count by the
+    bucket width.  Selection only, no arithmetic on the doubles, so
+    values are engine-identical by construction; open/close are
+    picked with row_number over the unique order (min_by/arg_max
+    tie-rules differ across engines — rank selection does not).
+    Both rankers ride ONE (user,bucket)-keyed exchange."""
+    from pyspark.sql import Window as W
+
+    step_us = 3600 * 1_000_000
+    e = load(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    )
+    us = F.unix_micros(F.col("ts"))
+    base = e.select(
+        "user_id",
+        (us - F.pmod(us, F.lit(step_us))).alias("bucket"),
+        us.alias("us"),
+        "event_id",
+        "value",
+    )
+    asc = W.partitionBy("user_id", "bucket").orderBy("us", "event_id")
+    desc = W.partitionBy("user_id", "bucket").orderBy(
+        F.col("us").desc(), F.col("event_id").desc()
+    )
+    ranked = base.select(
+        "user_id",
+        "bucket",
+        "value",
+        F.row_number().over(asc).alias("rn_a"),
+        F.row_number().over(desc).alias("rn_d"),
+    )
+    return ranked.groupBy("user_id", "bucket").agg(
+        F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+        F.count("*").alias("n"),
+    )
+
+
+SQL_OHLC_DOWNSAMPLE = """
+WITH base AS (
+  SELECT user_id,
+         (epoch_us(ts) - (epoch_us(ts) % 3600000000)) AS bucket,
+         epoch_us(ts) AS us, event_id, value
+  FROM events
+  WHERE user_id IS NOT NULL AND value IS NOT NULL
+),
+ranked AS (
+  SELECT user_id, bucket, value,
+         row_number() OVER (PARTITION BY user_id, bucket
+                            ORDER BY us, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY user_id, bucket
+                            ORDER BY us DESC, event_id DESC) AS rn_d
+  FROM base
+)
+SELECT user_id, bucket,
+       max(CASE WHEN rn_a = 1 THEN value END) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       max(CASE WHEN rn_d = 1 THEN value END) AS close,
+       count(*) AS n
+FROM ranked GROUP BY user_id, bucket
+"""
+
+
+def q_source_concentration(spark, sf_dir):
+    """A23 — corpus concentration audit: the Herfindahl–Hirschman
+    index and top-source share of token volume across provenance
+    buckets, in PURE INTEGERS until the final pinned divisions —
+    HHI = Σ tᵢ² / (Σ tᵢ)², avoiding the order-dependent sum of
+    per-source double shares entirely.  One sources-sized aggregate
+    on top of an in-row token count; the one-row answer to "is this
+    corpus one scrape in a trench coat?"."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    per_src = docs.groupBy("source").agg(
+        F.sum(toks).alias("t")
+    )
+    return per_src.agg(
+        F.count("*").alias("n_sources"),
+        F.sum("t").alias("total_tokens"),
+        (
+            F.sum(F.col("t") * F.col("t")).cast("double")
+            / (F.sum("t") * F.sum("t")).cast("double")
+        ).alias("hhi"),
+        (
+            F.max("t").cast("double") / F.sum("t").cast("double")
+        ).alias("top_share"),
+    )
+
+
+SQL_SOURCE_CONCENTRATION = """
+WITH per_src AS (
+  SELECT source,
+         CAST(sum(len(regexp_split_to_array(trim(text), '\\s+')))
+              AS BIGINT) AS t
+  FROM documents GROUP BY source
+)
+SELECT CAST(count(*) AS BIGINT) AS n_sources,
+       CAST(sum(t) AS BIGINT) AS total_tokens,
+       CAST(sum(t * t) AS DOUBLE)
+         / CAST(sum(t) * sum(t) AS DOUBLE) AS hhi,
+       CAST(max(t) AS DOUBLE) / CAST(sum(t) AS DOUBLE) AS top_share
+FROM per_src
+"""
+
+
+REGISTRY.update(
+    {
+        "x30_containment_pairs": (
+            q_containment_pairs,
+            SQL_CONTAINMENT_PAIRS,
+        ),
+        "t12_ohlc_downsample": (q_ohlc_downsample, SQL_OHLC_DOWNSAMPLE),
+        "a23_source_concentration": (
+            q_source_concentration,
+            SQL_SOURCE_CONCENTRATION,
+        ),
+    }
+)
+
+
 # ---------------------------------------------------------------------------
 # Enumeration order: the driver's correctness run covers the first N
 # registry entries per round, so the STALEST queries must enumerate

@@ -273,6 +273,67 @@ def ngram_jaccard_pairs(
     return out
 
 
+def shingle_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 3,
+    min_containment: float = 0.6,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Directed set-CONTAINMENT over the same shingle universe as
+    `ngram_jaccard_pairs`: for every candidate pair, |A∩B|/|A| and
+    |A∩B|/|B|, kept when either side is ≥ `min_containment`.
+
+    Containment is the asymmetric relation Jaccard hides: a short
+    quote or boilerplate template fully CONTAINED in a long document
+    has high containment but near-zero Jaccard (the union is
+    dominated by the long side).  This is the detector for
+    template/boilerplate extraction and quote-chain tracing, where
+    the question is "is A inside B", not "are A and B the same".
+
+    Scale shape is identical to the Jaccard join — shingle-equi-join
+    with sizes riding as group keys, hot-shingle df cap bounding the
+    pair space — and the two containments are pinned divisions of
+    the same exact integers, so the oracle reproduces them
+    bit-for-bit."""
+    sh = _shingled(df, id_col, text_col, shingle_k)
+    if max_shingle_df is not None:
+        sh = (
+            sh.withColumn(
+                "df", F.count("*").over(Window.partitionBy("shingle"))
+            )
+            .filter(F.col("df") <= max_shingle_df)
+            .drop("df")
+        )
+    sh = sh.localCheckpoint()
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
+    sh = sh.join(F.broadcast(sizes), "doc")
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(
+            F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"),
+            F.col("a.sz").alias("sz_a"), F.col("b.sz").alias("sz_b"),
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    ca = F.col("inter").cast("double") / F.col("sz_a").cast("double")
+    cb = F.col("inter").cast("double") / F.col("sz_b").cast("double")
+    return inter.select(
+        "doc_a",
+        "doc_b",
+        "inter",
+        ca.alias("containment_a"),
+        cb.alias("containment_b"),
+    ).filter(
+        (F.col("containment_a") >= min_containment)
+        | (F.col("containment_b") >= min_containment)
+    )
+
+
 def _jaccard_pairs_prefix(
     df: DataFrame,
     id_col: str,

@@ -429,3 +429,88 @@ def test_dataset_card_matches_pandas(spark):
             + vals[math.floor((n + 2) / 2) - 1]
         ) / 2
         assert row["median_tokens"] == m
+
+
+# ---------------------------------------------------------------------------
+# x30 — containment pairs
+# ---------------------------------------------------------------------------
+
+def test_containment_pairs_semantics(spark, tmp_path):
+    """A short doc fully inside a long doc: containment_a = 1.0 even
+    though Jaccard is low; an unrelated doc pairs with neither."""
+    quote = " ".join(f"q{i}" for i in range(10))
+    long_doc = quote + " " + " ".join(f"f{i}" for i in range(100))
+    other = " ".join(f"z{i}" for i in range(50))
+    rows = [
+        Row(doc_id=1, text=quote, lang="en", source="a", n_chars=0),
+        Row(doc_id=2, text=long_doc, lang="en", source="b", n_chars=0),
+        Row(doc_id=3, text=other, lang="en", source="c", n_chars=0),
+    ]
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = REGISTRY["x30_containment_pairs"][0](
+        spark, str(tmp_path)
+    ).toPandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r.doc_a, r.doc_b) == (1, 2)
+    assert r.containment_a == 1.0          # quote fully contained
+    assert r.containment_b < 0.1           # long side barely overlaps
+    # the jaccard detector at its catalog threshold misses this pair
+    from stampede_to_fresco_etl_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+    docs = load(spark, str(tmp_path), "documents")
+    jac = ngram_jaccard_pairs(
+        docs, "doc_id", "text", min_jaccard=0.5, max_shingle_df=100
+    ).toPandas()
+    assert len(jac) == 0
+
+
+# ---------------------------------------------------------------------------
+# t12 — OHLC downsample
+# ---------------------------------------------------------------------------
+
+def test_ohlc_matches_pandas(spark):
+    out = (
+        REGISTRY["t12_ohlc_downsample"][0](spark, SF)
+        .toPandas()
+        .set_index(["user_id", "bucket"])
+        .sort_index()
+    )
+    e = load(spark, SF, "events").toPandas()
+    e = e[e.user_id.notna() & e.value.notna()].copy()
+    step = 3600 * 1_000_000
+    e["us"] = e.ts.astype("datetime64[ns]").astype("int64") // 1000
+    e["bucket"] = e.us - (e.us % step)
+    for (uid, b), grp in e.groupby(["user_id", "bucket"]):
+        g = grp.sort_values(["us", "event_id"])
+        row = out.loc[(uid, b)]
+        assert row["open"] == g.value.iloc[0]
+        assert row["close"] == g.value.iloc[-1]
+        assert row["high"] == g.value.max()
+        assert row["low"] == g.value.min()
+        assert row["n"] == len(g)
+
+
+# ---------------------------------------------------------------------------
+# a23 — source concentration
+# ---------------------------------------------------------------------------
+
+def test_source_concentration_uniform_corpus(spark):
+    """20 equal-volume synthetic sources: HHI ≈ 1/20, top share ≈
+    1/20 (within the tolerance real token-count variance allows);
+    exact identity checked against pandas integers."""
+    out = REGISTRY["a23_source_concentration"][0](spark, SF).toPandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    docs = load(spark, SF, "documents").toPandas()
+    t = docs.assign(
+        tok=docs.text.str.strip().str.split().str.len()
+    ).groupby("source").tok.sum()
+    assert r.n_sources == len(t)
+    assert r.total_tokens == t.sum()
+    assert r.hhi == float((t ** 2).sum()) / float(t.sum()) ** 2
+    assert r.top_share == float(t.max()) / float(t.sum())
+    assert 0.9 / len(t) < r.hhi < 1.5 / len(t)
