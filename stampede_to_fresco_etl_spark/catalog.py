@@ -9045,6 +9045,213 @@ REGISTRY.update(
 )
 
 
+def q_triangle_stats(spark, sf_dir):
+    """G1 — exact triangle census of the near-dup graph (d4's
+    Jaccard pairs): triangle count, wedge count, and global
+    transitivity — the structural audit that distinguishes tight dup
+    CLIQUES (high transitivity → safe to keep one representative)
+    from fragile dup CHAINS (low → d5's clusters over-merge;
+    re-examine the threshold).  CC (d5) says "connected"; triangles
+    say HOW connected.
+
+    Spark-first: the pair frame is localCheckpointed once and
+    re-read three times by the canonical a<b<c triangle join (each
+    triangle counted exactly once because pairs already satisfy
+    doc_a < doc_b); wedges are Σ deg·(deg−1)/2 over the symmetrized
+    degree frame — all integers, transitivity is one pinned
+    division.  At 100 TB the same join runs edge-partitioned; the
+    df cap upstream (d4) is what bounds both edges and the join."""
+    from stampede_to_fresco_etl_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = (
+        ngram_jaccard_pairs(
+            docs, "doc_id", "text", min_jaccard=0.05, max_shingle_df=100
+        )
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
+    e1, e2, e3 = pairs.alias("e1"), pairs.alias("e2"), pairs.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.doc_b") == F.col("e2.doc_a"))
+        .join(
+            e3,
+            (F.col("e1.doc_a") == F.col("e3.doc_a"))
+            & (F.col("e2.doc_b") == F.col("e3.doc_b")),
+        )
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    sym = pairs.select(F.col("doc_a").alias("n")).unionAll(
+        pairs.select(F.col("doc_b").alias("n"))
+    )
+    deg = sym.groupBy("n").agg(F.count("*").alias("d"))
+    wed = deg.agg(
+        F.count("*").alias("n_nodes"),
+        (F.sum(F.col("d") * (F.col("d") - 1)) / 2)
+        .cast("long")
+        .alias("n_wedges"),
+    )
+    edges = pairs.agg(F.count("*").alias("n_edges"))
+    return (
+        wed.crossJoin(F.broadcast(edges))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_triangles",
+            "n_wedges",
+            F.when(
+                F.col("n_wedges") > 0,
+                (F.col("n_triangles") * 3).cast("double")
+                / F.col("n_wedges").cast("double"),
+            ).alias("transitivity"),
+        )
+    )
+
+
+SQL_TRIANGLE_STATS = f"""
+WITH p AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM ({SQL_NGRAM_JACCARD})
+),
+tri AS (
+  SELECT count(*) AS n_triangles
+  FROM p e1
+  JOIN p e2 ON e1.doc_b = e2.doc_a
+  JOIN p e3 ON e1.doc_a = e3.doc_a AND e2.doc_b = e3.doc_b
+),
+deg AS (
+  SELECT n, count(*) AS d FROM (
+    SELECT doc_a AS n FROM p UNION ALL SELECT doc_b AS n FROM p
+  ) GROUP BY n
+),
+wed AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+         CAST(sum(d * (d - 1)) / 2 AS BIGINT) AS n_wedges
+  FROM deg
+),
+ed AS (SELECT count(*) AS n_edges FROM p)
+SELECT w.n_nodes, ed.n_edges, tri.n_triangles, w.n_wedges,
+       CASE WHEN w.n_wedges > 0 THEN
+         CAST(tri.n_triangles * 3 AS DOUBLE)
+           / CAST(w.n_wedges AS DOUBLE)
+       END AS transitivity
+FROM wed w, ed, tri
+"""
+
+
+_W13_WIN = 50
+
+
+def q_rolling_corr(spark, sf_dir):
+    """W13 — rolling Pearson correlation (50-row window) between
+    quantity and price per supplier, over the shipment sequence —
+    the co-movement monitor for paired telemetry series.  Every
+    window statistic (Σx, Σy, Σx², Σy², Σxy) is an EXACT bigint over
+    one ROWS frame on one supplier-keyed sort; the correlation
+    assembles them in a single pinned expression (sqrt is IEEE,
+    allowed by the exactness contract; zero-variance windows emit
+    NULL via NULLIF).  Emitted only for full windows, so n is the
+    constant {_W13_WIN} and never a per-row count."""
+    from pyspark.sql import Window as W
+
+    n = _W13_WIN
+    li = load(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("long")
+    y = F.floor(F.col("l_extendedprice") * F.lit(100.0)).cast("long")
+    base = li.select(
+        "l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber",
+        "l_partkey", x.alias("x"), y.alias("y"),
+    )
+    # (orderkey, linenumber) is NOT unique in the replicated testdata
+    # — extend the tiebreak until remaining ties are FULL duplicates
+    # (identical x and y), which are window-interchangeable: either
+    # assignment yields the same output multiset, and the driver's
+    # hash is order-insensitive.
+    order = ["l_shipdate", "l_orderkey", "l_linenumber", "l_partkey",
+             "x", "y"]
+    w = (
+        W.partitionBy("l_suppkey")
+        .orderBy(*order)
+        .rowsBetween(-(n - 1), W.currentRow)
+    )
+    seq = W.partitionBy("l_suppkey").orderBy(*order)
+    stats = base.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.row_number().over(seq).alias("rn"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(w).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).over(w).alias("sxy"),
+    ).filter(F.col("rn") >= n)
+    num = (F.lit(n) * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    denx = (F.lit(n) * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    deny = (F.lit(n) * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    )
+    return stats.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        (
+            num
+            / F.nullif(
+                F.sqrt(denx) * F.sqrt(deny), F.lit(0.0)
+            )
+        ).alias("corr50"),
+    )
+
+
+SQL_ROLLING_CORR = f"""
+WITH base AS (
+  SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber,
+         l_partkey,
+         CAST(l_quantity AS BIGINT) AS x,
+         CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT) AS y
+  FROM lineitem
+),
+stats AS (
+  SELECT l_suppkey, l_orderkey, l_linenumber,
+         row_number() OVER w2 AS rn,
+         sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+         sum(x * x) OVER w AS sxx, sum(y * y) OVER w AS syy,
+         sum(x * y) OVER w AS sxy
+  FROM base
+  WINDOW w AS (PARTITION BY l_suppkey
+               ORDER BY l_shipdate, l_orderkey, l_linenumber,
+                        l_partkey, x, y
+               ROWS BETWEEN {_W13_WIN - 1} PRECEDING AND CURRENT ROW),
+         w2 AS (PARTITION BY l_suppkey
+                ORDER BY l_shipdate, l_orderkey, l_linenumber,
+                         l_partkey, x, y)
+)
+SELECT l_suppkey, l_orderkey, l_linenumber,
+       CAST({_W13_WIN} * sxy - sx * sy AS DOUBLE)
+         / NULLIF(
+             sqrt(CAST({_W13_WIN} * sxx - sx * sx AS DOUBLE))
+             * sqrt(CAST({_W13_WIN} * syy - sy * sy AS DOUBLE)),
+             0.0
+           ) AS corr50
+FROM stats WHERE rn >= {_W13_WIN}
+"""
+
+
+REGISTRY.update(
+    {
+        "g1_triangle_stats": (q_triangle_stats, SQL_TRIANGLE_STATS),
+        "w13_rolling_corr": (q_rolling_corr, SQL_ROLLING_CORR),
+    }
+)
+
+
 # ---------------------------------------------------------------------------
 # Enumeration order: the driver's correctness run covers the first N
 # registry entries per round, so the STALEST queries must enumerate

@@ -586,3 +586,100 @@ def test_seasonal_residuals_matches_pandas(spark):
             assert row["residual"] == (r.v * 2 - med2) / 20000.0
     # residuals re-centre each cell: medians of residuals are ~0
     assert abs(out.groupby(["event_type", "hod"]).residual.median()).max() < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# g1 — triangle census
+# ---------------------------------------------------------------------------
+
+def test_triangle_stats_matches_networkless_reference(spark):
+    """Triangle/wedge counts recomputed with plain Python sets from
+    the same pair generator."""
+    from stampede_to_fresco_etl_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    out = REGISTRY["g1_triangle_stats"][0](spark, SF).toPandas().iloc[0]
+    docs = load(spark, SF, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", min_jaccard=0.05, max_shingle_df=100
+    ).toPandas()
+    edges = {tuple(sorted((a, b))) for a, b in zip(pairs.doc_a, pairs.doc_b)}
+    nbrs = {}
+    for a, b in edges:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    tris = sum(
+        1
+        for a, b in edges
+        for c in (nbrs[a] & nbrs[b])
+        if c > b
+    )
+    wedges = sum(len(v) * (len(v) - 1) // 2 for v in nbrs.values())
+    assert out.n_edges == len(edges)
+    assert out.n_nodes == len(nbrs)
+    assert out.n_triangles == tris
+    assert out.n_wedges == wedges
+    if wedges:
+        assert out.transitivity == 3 * tris / wedges
+
+
+def test_triangle_stats_known_graph(spark, tmp_path):
+    """A 3-clique of identical docs + an isolated pair: exactly one
+    triangle, three wedges from the clique + one from nowhere."""
+    clique = " ".join(f"c{i}" for i in range(40))
+    pair = " ".join(f"p{i}" for i in range(40))
+    lone = " ".join(f"l{i}" for i in range(40))
+    rows = [
+        Row(doc_id=i, text=clique, lang="en", source="a", n_chars=0)
+        for i in (1, 2, 3)
+    ] + [
+        Row(doc_id=4, text=pair, lang="en", source="b", n_chars=0),
+        Row(doc_id=5, text=pair, lang="en", source="b", n_chars=0),
+        Row(doc_id=6, text=lone, lang="en", source="c", n_chars=0),
+    ]
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = REGISTRY["g1_triangle_stats"][0](
+        spark, str(tmp_path)
+    ).toPandas().iloc[0]
+    assert out.n_triangles == 1
+    assert out.n_edges == 4          # 3 clique edges + 1 pair edge
+    assert out.n_nodes == 5          # lone doc has no edges
+    assert out.n_wedges == 3         # only inside the clique
+    assert out.transitivity == 1.0
+
+
+# ---------------------------------------------------------------------------
+# w13 — rolling correlation
+# ---------------------------------------------------------------------------
+
+def test_rolling_corr_matches_numpy(spark):
+    import numpy as np
+
+    out = (
+        REGISTRY["w13_rolling_corr"][0](spark, SF)
+        .toPandas()
+    )
+    li = load(spark, SF, "lineitem").toPandas()
+    li["x"] = li.l_quantity.astype("int64")
+    li["y"] = (li.l_extendedprice * 100.0).apply(lambda v: int(v // 1))
+    one = li[li.l_suppkey == li.l_suppkey.iloc[0]].sort_values(
+        ["l_shipdate", "l_orderkey", "l_linenumber", "l_partkey",
+         "x", "y"]
+    )
+    sup = one.l_suppkey.iloc[0]
+    got = sorted(out[out.l_suppkey == sup].corr50)
+    xs, ys = one.x.to_numpy(), one.y.to_numpy()
+    n = 50
+    assert len(got) == max(len(one) - n + 1, 0)
+    want = sorted(
+        np.corrcoef(
+            xs[i - n + 1:i + 1].astype(float),
+            ys[i - n + 1:i + 1].astype(float),
+        )[0, 1]
+        for i in range(n - 1, len(one))
+    )
+    for g, w in zip(got, want):
+        assert abs(g - w) < 1e-9
