@@ -502,3 +502,37 @@ def test_fuzzy_pairs_plan_is_equijoin(spark):
 
     plan = _plan(REGISTRY["d8_fuzzy_pairs"][0](spark, "/root/testdata/sf0.001"))
     assert "NestedLoop" not in plan
+
+
+def test_r5c_window_ops_shuffle_budget(spark):
+    """Shuffle-Exchange budget canaries for the r5-continuation
+    operators (broadcast exchanges excluded — the needle matches the
+    tree's `- Exchange (` but not `- BroadcastExchange (`).  Counts
+    are the STRUCTURAL cost of each plan as built; a regression that
+    adds an Exchange (lost partitioning reuse, accidental join
+    strategy change) fails here before it shows up in bench noise.
+    Where a subtree is re-derived (w10/w11's devs frame feeds both
+    the MAD pass and the flag filter), the duplicate Exchange is
+    counted — AQE's ReusedExchange removes it at runtime."""
+    from stampede_to_fresco_etl_spark.catalog import REGISTRY
+
+    budget = {
+        "t11_gap_fill_interpolate": 2,   # pool agg + grid window
+        "t12_ohlc_downsample": 1,        # one (user,bucket) sort
+        "w10_mad_outliers": 3,           # med pass ×2 derivations + mad
+        "w11_cusum_drift": 4,            # + the sequence window
+        "w12_seasonal_residuals": 1,     # one cells window
+        "w13_rolling_corr": 1,           # one supplier sort, 5 sums
+        "w9_cumulative_distinct": 3,     # first-seen agg, day agg, run
+        "j11_nearest_event_join": 4,     # 2 per as-of pass
+        "a22_benford_audit": 2,          # digit agg + share window
+        "x29_dataset_card": 3,           # agg + median window + join
+        "a23_source_concentration": 2,   # per-src agg + one-row agg
+        "d11_strip_dup_spans": 2,        # hash window + drops agg
+    }
+    sf = "/root/testdata/sf0.001"
+    for name, max_shuffles in budget.items():
+        plan = _plan(REGISTRY[name][0](spark, sf))
+        got = plan.count("- Exchange (")
+        assert got <= max_shuffles, (name, got, max_shuffles)
+        assert "SortMergeJoin" not in plan, name
