@@ -8333,10 +8333,11 @@ def q_mad_outliers(spark, sf_dir):
     the SUM OF THE TWO MIDDLE elements (odd n: the middle twice), so
     the median (×2 scale) and every deviation |2v − med2| stay
     integers end-to-end; the flag compares 2·dev > 3·mad2 in pure
-    bigint.  Scale shape: both ranking windows partition by
-    event_type — same hash partitioning, so Catalyst plans ONE
-    Exchange with two sorts — and the per-type (med2, mad2) scalars
-    broadcast back."""
+    bigint.  Scale shape: each median pass is one event_type-keyed
+    Exchange + sort with the per-type (med2, mad2) scalars broadcast
+    back; the static plan re-derives the devs subtree for the flag
+    filter (3 Exchanges total, pinned by the shuffle-budget canary)
+    — AQE's ReusedExchange collapses the duplicate at runtime."""
     from pyspark.sql import Window as W
 
     e = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
