@@ -9253,6 +9253,185 @@ REGISTRY.update(
 )
 
 
+_GEO_CELL = 1000     # cell size == radius → 3×3 neighborhood covers
+_GEO_GRID = 1_000_000
+
+
+def q_grid_proximity_join(spark, sf_dir):
+    """GEO1 — spatial proximity self-join via integer grid-cell
+    bucketing: every point pairs with all points within Chebyshev
+    distance 1000 on a 10⁶×10⁶ grid.  The spatial member of the
+    engine's banded-join family (time → j1b buckets, strings → d8
+    length-blocks, vectors → LSH, space → grid cells): ONE side
+    explodes its 3×3 cell neighborhood, the equi-join on the cell id
+    replaces the quadratic distance join, and the exact |Δx|,|Δy|
+    residual filters in-row.  With cell = radius every qualifying
+    pair is found EXACTLY once (the home cell of one end is a unique
+    member of the other end's nine probes) — no dedup pass.
+    Coordinates are md5-derived integers, reproduced bit-for-bit by
+    the oracle, whose brute-force inequality join is the
+    independence check."""
+    pts = load(spark, sf_dir, "events").select(
+        "event_id",
+        F.pmod(
+            md5_int63(F.concat(F.lit("x"), F.col("event_id").cast("string"))),
+            F.lit(_GEO_GRID),
+        ).alias("xi"),
+        F.pmod(
+            md5_int63(F.concat(F.lit("y"), F.col("event_id").cast("string"))),
+            F.lit(_GEO_GRID),
+        ).alias("yi"),
+    )
+    home = pts.select(
+        F.col("event_id").alias("id_b"),
+        F.col("xi").alias("xb"),
+        F.col("yi").alias("yb"),
+        F.floor(F.col("xi") / _GEO_CELL).alias("cx"),
+        F.floor(F.col("yi") / _GEO_CELL).alias("cy"),
+    )
+    off = F.expr("explode(array(-1, 0, 1))")
+    probe = (
+        pts.select(
+            F.col("event_id").alias("id_a"),
+            F.col("xi").alias("xa"),
+            F.col("yi").alias("ya"),
+            F.floor(F.col("xi") / _GEO_CELL).alias("pcx"),
+            F.floor(F.col("yi") / _GEO_CELL).alias("pcy"),
+        )
+        .withColumn("dx", off)
+        .withColumn("dy", off)
+        .select(
+            "id_a", "xa", "ya",
+            (F.col("pcx") + F.col("dx")).alias("cx"),
+            (F.col("pcy") + F.col("dy")).alias("cy"),
+        )
+    )
+    return (
+        probe.join(home, ["cx", "cy"])
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.abs(F.col("xa") - F.col("xb")) <= _GEO_CELL)
+            & (F.abs(F.col("ya") - F.col("yb")) <= _GEO_CELL)
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.greatest(
+                F.abs(F.col("xa") - F.col("xb")),
+                F.abs(F.col("ya") - F.col("yb")),
+            ).alias("chebyshev"),
+        )
+    )
+
+
+def _sql_grid_proximity() -> str:
+    xs = md5_int63_sql("'x' || CAST(event_id AS VARCHAR)")
+    ys = md5_int63_sql("'y' || CAST(event_id AS VARCHAR)")
+    return f"""
+WITH pts AS (
+  SELECT event_id,
+         ({xs}) % {_GEO_GRID} AS xi,
+         ({ys}) % {_GEO_GRID} AS yi
+  FROM events
+)
+SELECT a.event_id AS id_a, b.event_id AS id_b,
+       greatest(abs(a.xi - b.xi), abs(a.yi - b.yi)) AS chebyshev
+FROM pts a JOIN pts b
+  ON a.event_id < b.event_id
+ AND abs(a.xi - b.xi) <= {_GEO_CELL}
+ AND abs(a.yi - b.yi) <= {_GEO_CELL}
+"""
+
+
+def q_cooccurrence_lift(spark, sf_dir):
+    """A24 — event-type co-occurrence lift (association-mining
+    shape): for every type pair, how many users exhibit BOTH, and
+    the lift n_both·N / (n₁·n₂) versus independence — the
+    market-basket screen at user granularity.  Presence reduces to
+    DISTINCT (user, type) first (the shuffle carries the key pair
+    once per combination, not per event), the pair space is
+    types²-sized, and the totals ride one broadcast."""
+    e = load(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    pres = e.select("user_id", "event_type").distinct()
+    totals = pres.groupBy("event_type").agg(F.count("*").alias("n"))
+    n_users = pres.select("user_id").distinct().count()
+    a, b = pres.alias("a"), pres.alias("b")
+    both = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").alias("n_both"))
+    )
+    ta = totals.select(
+        F.col("event_type").alias("type_a"), F.col("n").alias("n_a")
+    )
+    tb = totals.select(
+        F.col("event_type").alias("type_b"), F.col("n").alias("n_b")
+    )
+    return (
+        both.join(F.broadcast(ta), "type_a")
+        .join(F.broadcast(tb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            (
+                (F.col("n_both") * F.lit(n_users)).cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double")
+            ).alias("lift"),
+            (
+                F.col("n_both").cast("double")
+                / F.lit(float(n_users))
+            ).alias("support"),
+        )
+    )
+
+
+SQL_COOCCURRENCE_LIFT = """
+WITH pres AS (
+  SELECT DISTINCT user_id, event_type
+  FROM events WHERE user_id IS NOT NULL
+),
+totals AS (SELECT event_type, count(*) AS n FROM pres GROUP BY 1),
+nu AS (SELECT count(DISTINCT user_id) AS n_users FROM pres),
+both_t AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         count(*) AS n_both
+  FROM pres a JOIN pres b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT type_a, type_b, n_both,
+       CAST(n_both * nu.n_users AS DOUBLE)
+         / CAST(ta.n * tb.n AS DOUBLE) AS lift,
+       CAST(n_both AS DOUBLE) / CAST(nu.n_users AS DOUBLE) AS support
+FROM both_t
+JOIN totals ta ON both_t.type_a = ta.event_type
+JOIN totals tb ON both_t.type_b = tb.event_type
+CROSS JOIN nu
+"""
+
+
+REGISTRY.update(
+    {
+        "geo1_grid_proximity_join": (
+            q_grid_proximity_join,
+            _sql_grid_proximity(),
+        ),
+        "a24_cooccurrence_lift": (
+            q_cooccurrence_lift,
+            SQL_COOCCURRENCE_LIFT,
+        ),
+    }
+)
+
+
 # ---------------------------------------------------------------------------
 # Enumeration order: the driver's correctness run covers the first N
 # registry entries per round, so the STALEST queries must enumerate

@@ -683,3 +683,68 @@ def test_rolling_corr_matches_numpy(spark):
     )
     for g, w in zip(got, want):
         assert abs(g - w) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# geo1 — grid proximity join
+# ---------------------------------------------------------------------------
+
+def test_grid_proximity_matches_bruteforce_numpy(spark):
+    import hashlib
+
+    import numpy as np
+
+    out = REGISTRY["geo1_grid_proximity_join"][0](spark, SF).toPandas()
+    e = load(spark, SF, "events").select("event_id").toPandas()
+
+    def coord(prefix, eid):
+        h = hashlib.md5(f"{prefix}{eid}".encode()).hexdigest()
+        return int(h[:15], 16) % 1_000_000
+
+    ids = e.event_id.to_numpy()
+    xs = np.array([coord("x", i) for i in ids])
+    ys = np.array([coord("y", i) for i in ids])
+    want = set()
+    for i in range(len(ids)):
+        dx = np.abs(xs - xs[i])
+        dy = np.abs(ys - ys[i])
+        for j in np.where((dx <= 1000) & (dy <= 1000) & (ids > ids[i]))[0]:
+            want.add((ids[i], ids[j]))
+    got = set(zip(out.id_a, out.id_b))
+    assert got == want
+    assert len(out) == len(got)          # each pair exactly once
+    assert (out.chebyshev <= 1000).all()
+
+
+# ---------------------------------------------------------------------------
+# a24 — co-occurrence lift
+# ---------------------------------------------------------------------------
+
+def test_cooccurrence_lift_matches_pandas(spark):
+    out = (
+        REGISTRY["a24_cooccurrence_lift"][0](spark, SF)
+        .toPandas()
+        .set_index(["type_a", "type_b"])
+        .sort_index()
+    )
+    e = load(spark, SF, "events").toPandas()
+    e = e[e.user_id.notna()]
+    pres = e[["user_id", "event_type"]].drop_duplicates()
+    n_users = pres.user_id.nunique()
+    by_type = {
+        t: set(g.user_id) for t, g in pres.groupby("event_type")
+    }
+    types = sorted(by_type)
+    rows = 0
+    for i, ta in enumerate(types):
+        for tb in types[i + 1:]:
+            nb = len(by_type[ta] & by_type[tb])
+            if nb == 0:
+                assert (ta, tb) not in out.index
+                continue
+            rows += 1
+            r = out.loc[(ta, tb)]
+            assert r.n_both == nb
+            assert r.lift == nb * n_users / (len(by_type[ta]) * len(by_type[tb]))
+            assert r.support == nb / n_users
+    assert len(out) == rows
