@@ -9432,6 +9432,166 @@ REGISTRY.update(
 )
 
 
+def q_vad_segments(spark, sf_dir):
+    """MM8 — activity segmentation over audio frames (VAD shape):
+    mm5's per-frame energies classified active when
+    energy·n_frames > Σenergy (strictly above the per-media mean,
+    compared in PURE integers — no division), then consecutive
+    active frames merge into segments by the islands trick
+    (frame_idx − row_number is constant within a run).  The
+    multimodal→temporal composition a real pipeline runs before
+    clipping speech: one media-keyed window pass + one
+    (media, island) aggregate.  Output: one row per activity burst
+    with its frame span and energy mass."""
+    from pyspark.sql import Window as W
+
+    from stampede_to_fresco_etl_spark.operators.multimodal import (
+        audio_frame_energy,
+    )
+
+    length = (
+        F.when(F.col("doc_id") % 7 == 0, 251)
+        .when(F.col("doc_id") % 5 == 0, 250)
+        .otherwise(256)
+    )
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.rpad(_ascii_text(), length, " ").cast("binary").alias("payload"),
+    )
+    frames = audio_frame_energy(docs, _MM5_FRAME_SAMPLES)
+    per_media = W.partitionBy("media_id")
+    flagged = frames.select(
+        "media_id",
+        "frame_idx",
+        "energy",
+        (
+            F.col("energy") * F.count("*").over(per_media)
+            > F.sum("energy").over(per_media)
+        ).alias("active"),
+    )
+    run = W.partitionBy("media_id").orderBy("frame_idx")
+    active = flagged.filter("active").withColumn(
+        "island", F.col("frame_idx") - F.row_number().over(run)
+    )
+    return (
+        active.groupBy("media_id", "island")
+        .agg(
+            F.min("frame_idx").alias("seg_start"),
+            F.max("frame_idx").alias("seg_end"),
+            F.count("*").alias("n_frames"),
+            F.sum("energy").alias("seg_energy"),
+        )
+        .drop("island")
+    )
+
+
+def _sql_vad_segments() -> str:
+    return f"""
+WITH fr AS MATERIALIZED ({_sql_audio_energy()}),
+flagged AS (
+  SELECT media_id, frame_idx, energy,
+         energy * (count(*) OVER pm) > (sum(energy) OVER pm) AS active
+  FROM fr
+  WINDOW pm AS (PARTITION BY media_id)
+),
+runs AS (
+  SELECT media_id, frame_idx, energy,
+         frame_idx - row_number() OVER (PARTITION BY media_id
+                                        ORDER BY frame_idx) AS island
+  FROM flagged WHERE active
+)
+SELECT media_id,
+       min(frame_idx) AS seg_start,
+       max(frame_idx) AS seg_end,
+       count(*) AS n_frames,
+       CAST(sum(energy) AS BIGINT) AS seg_energy
+FROM runs GROUP BY media_id, island
+"""
+
+
+def q_winsorize(spark, sf_dir):
+    """X31 — per-group winsorization at exact positional P5/P95
+    (nearest-rank k = (n−1)·p//100 + 1 over the total
+    (value_i, event_id) order): the tail-taming transform feature
+    prep applies where x25 would DROP the outliers and w10 would
+    FLAG them.  The two clip bounds per group come from one ranking
+    window (the same single Exchange the median family uses) and
+    broadcast back; the clip itself is least/greatest on exact
+    scaled integers."""
+    from pyspark.sql import Window as W
+
+    e = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    vi = F.floor(F.col("value") * F.lit(10000.0)).cast("long")
+    base = e.select("event_id", "event_type", "value", vi.alias("v"))
+    w = W.partitionBy("event_type").orderBy("v", "event_id")
+    cnt = W.partitionBy("event_type")
+    ranked = base.select(
+        "event_type",
+        "v",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(cnt).alias("n"),
+    )
+    k_lo = (F.floor((F.col("n") - 1) * 5 / 100) + 1).cast("long")
+    k_hi = (F.floor((F.col("n") - 1) * 95 / 100) + 1).cast("long")
+    bounds = (
+        ranked.filter((F.col("rn") == k_lo) | (F.col("rn") == k_hi))
+        .groupBy("event_type")
+        .agg(
+            F.min("v").alias("p_lo"),
+            F.max("v").alias("p_hi"),
+        )
+    )
+    return base.join(F.broadcast(bounds), "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        (
+            F.least(F.greatest(F.col("v"), F.col("p_lo")), F.col("p_hi"))
+            .cast("double")
+            / 10000.0
+        ).alias("w_value"),
+        (F.col("v") < F.col("p_lo")).alias("clipped_low"),
+        (F.col("v") > F.col("p_hi")).alias("clipped_high"),
+    )
+
+
+SQL_WINSORIZE = """
+WITH base AS (
+  SELECT event_id, event_type, value,
+         CAST(FLOOR(value * 10000.0) AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL
+),
+ranked AS (
+  SELECT event_type, v,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY v, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM base
+),
+bounds AS (
+  SELECT event_type, min(v) AS p_lo, max(v) AS p_hi
+  FROM ranked
+  WHERE rn = CAST(FLOOR((n - 1) * 5 / 100) AS BIGINT) + 1
+     OR rn = CAST(FLOOR((n - 1) * 95 / 100) AS BIGINT) + 1
+  GROUP BY event_type
+)
+SELECT b.event_id, b.event_type, b.value,
+       CAST(least(greatest(b.v, bo.p_lo), bo.p_hi) AS DOUBLE) / 10000.0
+         AS w_value,
+       b.v < bo.p_lo AS clipped_low,
+       b.v > bo.p_hi AS clipped_high
+FROM base b JOIN bounds bo USING (event_type)
+"""
+
+
+REGISTRY.update(
+    {
+        "mm8_vad_segments": (q_vad_segments, _sql_vad_segments()),
+        "x31_winsorize": (q_winsorize, SQL_WINSORIZE),
+    }
+)
+
+
 # ---------------------------------------------------------------------------
 # Enumeration order: the driver's correctness run covers the first N
 # registry entries per round, so the STALEST queries must enumerate

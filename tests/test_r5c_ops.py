@@ -748,3 +748,94 @@ def test_cooccurrence_lift_matches_pandas(spark):
             assert r.lift == nb * n_users / (len(by_type[ta]) * len(by_type[tb]))
             assert r.support == nb / n_users
     assert len(out) == rows
+
+
+# ---------------------------------------------------------------------------
+# mm8 — VAD segments
+# ---------------------------------------------------------------------------
+
+def test_vad_segments_matches_python_reference(spark):
+    """Full independent rebuild in pure Python: payload bytes →
+    int16-LE samples → 16-sample frame energies → above-mean rule →
+    maximal runs."""
+    import re
+    import struct
+
+    out = (
+        REGISTRY["mm8_vad_segments"][0](spark, SF)
+        .toPandas()
+        .groupby("media_id")
+        .apply(
+            lambda g: sorted(
+                zip(g.seg_start, g.seg_end, g.n_frames, g.seg_energy)
+            ),
+            include_groups=False,
+        )
+        .to_dict()
+    )
+    docs = load(spark, SF, "documents").toPandas()
+    fs = 16
+    for r in docs.itertuples():
+        text = re.sub(r"[^\x20-\x7e]", "", r.text)
+        if r.doc_id % 7 == 0:
+            ln = 251
+        elif r.doc_id % 5 == 0:
+            ln = 250
+        else:
+            ln = 256
+        payload = text.ljust(ln, " ").encode()[:ln]
+        if len(payload) < ln:
+            payload = payload + b" " * (ln - len(payload))
+        n_samp = len(payload) // 2
+        n_frames = n_samp // fs
+        energies = []
+        for f in range(n_frames):
+            vals = struct.unpack_from(f"<{fs}h", payload, f * fs * 2)
+            energies.append(sum(v * v for v in vals))
+        if not energies:
+            assert r.doc_id not in out
+            continue
+        tot = sum(energies)
+        active = [e * n_frames > tot for e in energies]
+        segs = []
+        i = 0
+        while i < n_frames:
+            if active[i]:
+                j = i
+                while j + 1 < n_frames and active[j + 1]:
+                    j += 1
+                segs.append(
+                    (i, j, j - i + 1, sum(energies[i:j + 1]))
+                )
+                i = j + 1
+            else:
+                i += 1
+        got = out.get(r.doc_id, [])
+        assert got == segs, r.doc_id
+
+
+# ---------------------------------------------------------------------------
+# x31 — winsorize
+# ---------------------------------------------------------------------------
+
+def test_winsorize_matches_pandas(spark):
+    out = (
+        REGISTRY["x31_winsorize"][0](spark, SF)
+        .toPandas()
+        .set_index("event_id")
+    )
+    e = load(spark, SF, "events").toPandas()
+    e = e[e.value.notna()].copy()
+    e["v"] = (e.value * 10000.0).apply(lambda x: int(x // 1))
+    for t, grp in e.groupby("event_type"):
+        g = grp.sort_values(["v", "event_id"]).reset_index(drop=True)
+        n = len(g)
+        p_lo = g.v.iloc[(n - 1) * 5 // 100]
+        p_hi = g.v.iloc[(n - 1) * 95 // 100]
+        for r in grp.itertuples():
+            row = out.loc[r.event_id]
+            assert row["w_value"] == min(max(r.v, p_lo), p_hi) / 10000.0
+            assert bool(row["clipped_low"]) == (r.v < p_lo)
+            assert bool(row["clipped_high"]) == (r.v > p_hi)
+    # the transform actually bites on this heavy-tailed corpus
+    assert out.clipped_high.sum() > 0 and out.clipped_low.sum() > 0
