@@ -9592,6 +9592,115 @@ REGISTRY.update(
 )
 
 
+def q_ab_effect(spark, sf_dir):
+    """A25 — A/B effect estimate with Welch's t-statistic, per
+    event_type (arms split deterministically by pmod(event_id, 2)):
+    the experimentation-analytics readout.  Each arm reduces to the
+    exact integer moments (n, Σx, Σx²) — x floor-scaled ×100; the
+    moment products run in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB),
+    so n·Σx² − (Σx)² is EXACT at any arm size — and only the final
+    assembly (means, Welch variance, t) is float, written identically
+    in both engines (sqrt-only irrationals).  One map-side-combined
+    aggregate; arm stats meet in a types-sized join."""
+    e = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    vi = F.floor(F.col("value") * F.lit(100.0)).cast("long")
+    base = e.select(
+        "event_type",
+        F.pmod(F.col("event_id"), F.lit(2)).alias("arm"),
+        vi.alias("x"),
+    )
+    stats = base.groupBy("event_type", "arm").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("s"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("q"),
+    )
+
+    def var_expr(n, s, q):
+        # unbiased sample variance in scaled² units, exact numerator
+        num = (
+            n.cast("decimal(38,0)") * q - s * s
+        ).cast("double")
+        return num / (n * (n - 1)).cast("double")
+
+    a = stats.filter(F.col("arm") == 0).select(
+        "event_type",
+        F.col("n").alias("n_a"),
+        F.col("s").alias("s_a"),
+        F.col("q").alias("q_a"),
+    )
+    b = stats.filter(F.col("arm") == 1).select(
+        "event_type",
+        F.col("n").alias("n_b"),
+        F.col("s").alias("s_b"),
+        F.col("q").alias("q_b"),
+    )
+    j = a.join(b, "event_type")
+    mean_a = F.col("s_a").cast("double") / (
+        F.col("n_a").cast("double") * 100.0
+    )
+    mean_b = F.col("s_b").cast("double") / (
+        F.col("n_b").cast("double") * 100.0
+    )
+    var_a = var_expr(F.col("n_a"), F.col("s_a"), F.col("q_a"))
+    var_b = var_expr(F.col("n_b"), F.col("s_b"), F.col("q_b"))
+    se = F.sqrt(
+        var_a / F.col("n_a").cast("double")
+        + var_b / F.col("n_b").cast("double")
+    )
+    return j.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        mean_a.alias("mean_a"),
+        mean_b.alias("mean_b"),
+        (mean_a - mean_b).alias("diff"),
+        (
+            (mean_a - mean_b) * 100.0 / F.nullif(se, F.lit(0.0))
+        ).alias("t_welch"),
+    )
+
+
+SQL_AB_EFFECT = """
+WITH base AS (
+  SELECT event_type,
+         event_id % 2 AS arm,
+         CAST(FLOOR(value * 100.0) AS BIGINT) AS x
+  FROM events WHERE value IS NOT NULL
+),
+stats AS (
+  SELECT event_type, arm, count(*) AS n,
+         sum(x) AS s, sum(x * x) AS q
+  FROM base GROUP BY event_type, arm
+),
+j AS (
+  SELECT a.event_type,
+         a.n AS n_a, a.s AS s_a, a.q AS q_a,
+         b.n AS n_b, b.s AS s_b, b.q AS q_b
+  FROM stats a JOIN stats b
+    ON a.event_type = b.event_type AND a.arm = 0 AND b.arm = 1
+)
+SELECT event_type, n_a, n_b,
+       CAST(s_a AS DOUBLE) / (CAST(n_a AS DOUBLE) * 100.0) AS mean_a,
+       CAST(s_b AS DOUBLE) / (CAST(n_b AS DOUBLE) * 100.0) AS mean_b,
+       CAST(s_a AS DOUBLE) / (CAST(n_a AS DOUBLE) * 100.0)
+         - CAST(s_b AS DOUBLE) / (CAST(n_b AS DOUBLE) * 100.0) AS diff,
+       (CAST(s_a AS DOUBLE) / (CAST(n_a AS DOUBLE) * 100.0)
+         - CAST(s_b AS DOUBLE) / (CAST(n_b AS DOUBLE) * 100.0)) * 100.0
+         / NULLIF(sqrt(
+             (CAST(n_a * q_a - s_a * s_a AS DOUBLE)
+              / CAST(n_a * (n_a - 1) AS DOUBLE))
+               / CAST(n_a AS DOUBLE)
+             + (CAST(n_b * q_b - s_b * s_b AS DOUBLE)
+                / CAST(n_b * (n_b - 1) AS DOUBLE))
+               / CAST(n_b AS DOUBLE)
+           ), 0.0) AS t_welch
+FROM j
+"""
+
+
+REGISTRY.update({"a25_ab_effect": (q_ab_effect, SQL_AB_EFFECT)})
+
+
 # ---------------------------------------------------------------------------
 # Enumeration order: the driver's correctness run covers the first N
 # registry entries per round, so the STALEST queries must enumerate

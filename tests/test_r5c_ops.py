@@ -839,3 +839,30 @@ def test_winsorize_matches_pandas(spark):
             assert bool(row["clipped_high"]) == (r.v > p_hi)
     # the transform actually bites on this heavy-tailed corpus
     assert out.clipped_high.sum() > 0 and out.clipped_low.sum() > 0
+
+
+# ---------------------------------------------------------------------------
+# a25 — A/B effect (Welch t)
+# ---------------------------------------------------------------------------
+
+def test_ab_effect_matches_numpy(spark):
+    import numpy as np
+
+    out = (
+        REGISTRY["a25_ab_effect"][0](spark, SF)
+        .toPandas()
+        .set_index("event_type")
+    )
+    e = load(spark, SF, "events").toPandas()
+    e = e[e.value.notna()].copy()
+    e["x"] = (e.value * 100.0).apply(lambda v: int(v // 1))
+    e["arm"] = e.event_id % 2
+    for t, grp in e.groupby("event_type"):
+        a = grp[grp.arm == 0].x.to_numpy(dtype=float)
+        b = grp[grp.arm == 1].x.to_numpy(dtype=float)
+        row = out.loc[t]
+        assert row.n_a == len(a) and row.n_b == len(b)
+        assert abs(row.mean_a - a.mean() / 100.0) < 1e-9
+        assert abs(row["diff"] - (a.mean() - b.mean()) / 100.0) < 1e-9
+        se = (a.var(ddof=1) / len(a) + b.var(ddof=1) / len(b)) ** 0.5
+        assert abs(row.t_welch - (a.mean() - b.mean()) / se) < 1e-6
