@@ -9701,6 +9701,100 @@ FROM j
 REGISTRY.update({"a25_ab_effect": (q_ab_effect, SQL_AB_EFFECT)})
 
 
+def q_interval_coalesce(spark, sf_dir):
+    """T13 — interval union (coalesce overlapping validity windows):
+    each event opens an interval [ts, ts + value hours]; per user,
+    overlapping-or-touching intervals merge into maximal disjoint
+    spans — the canonical uptime/coverage/entitlement flattening.
+    The sequential sweep-line becomes two running windows on ONE
+    user-keyed sort: prev_max_end = running max of ends over
+    [unbounded, 1 preceding], a new span starts where
+    start > prev_max_end, and the span id is the running sum of
+    those flags (the islands trick in interval form).  All-integer
+    µs; the merged span's coverage is max(end) − min(start) by
+    construction."""
+    from pyspark.sql import Window as W
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    )
+    s_us = F.unix_micros(F.col("ts"))
+    e_us = s_us + F.floor(F.col("value") * F.lit(3600.0 * 1e6)).cast(
+        "long"
+    )
+    base = e.select(
+        "user_id",
+        "event_id",
+        s_us.alias("s"),
+        e_us.alias("e"),
+    )
+    order = ["s", "e", "event_id"]
+    prev = (
+        W.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    run = (
+        W.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    flagged = base.withColumn(
+        "new_span",
+        F.when(
+            F.col("s") > F.coalesce(
+                F.max("e").over(prev), F.lit(-(1 << 62))
+            ),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn("span", F.sum("new_span").over(run))
+    return flagged.groupBy("user_id", "span").agg(
+        F.min("s").alias("span_start_us"),
+        F.max("e").alias("span_end_us"),
+        F.count("*").alias("n_merged"),
+    ).drop("span")
+
+
+SQL_INTERVAL_COALESCE = """
+WITH base AS (
+  SELECT user_id, event_id,
+         epoch_us(ts) AS s,
+         epoch_us(ts)
+           + CAST(FLOOR(value * 3600000000.0) AS BIGINT) AS e
+  FROM events
+  WHERE user_id IS NOT NULL AND value IS NOT NULL
+),
+flagged AS (
+  SELECT user_id, s, e, event_id,
+         CASE WHEN s > coalesce(
+             max(e) OVER (PARTITION BY user_id ORDER BY s, e, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING),
+             -4611686018427387904)
+           THEN 1 ELSE 0 END AS new_span
+  FROM base
+),
+runs AS (
+  SELECT user_id, s, e,
+         sum(new_span) OVER (PARTITION BY user_id
+                             ORDER BY s, e, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS span
+  FROM flagged
+)
+SELECT user_id,
+       min(s) AS span_start_us,
+       max(e) AS span_end_us,
+       count(*) AS n_merged
+FROM runs GROUP BY user_id, span
+"""
+
+
+REGISTRY.update(
+    {"t13_interval_coalesce": (q_interval_coalesce, SQL_INTERVAL_COALESCE)}
+)
+
+
 # ---------------------------------------------------------------------------
 # Enumeration order: the driver's correctness run covers the first N
 # registry entries per round, so the STALEST queries must enumerate

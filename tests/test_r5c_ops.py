@@ -866,3 +866,37 @@ def test_ab_effect_matches_numpy(spark):
         assert abs(row["diff"] - (a.mean() - b.mean()) / 100.0) < 1e-9
         se = (a.var(ddof=1) / len(a) + b.var(ddof=1) / len(b)) ** 0.5
         assert abs(row.t_welch - (a.mean() - b.mean()) / se) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# t13 — interval coalesce
+# ---------------------------------------------------------------------------
+
+def test_interval_coalesce_matches_sweepline(spark):
+    out = REGISTRY["t13_interval_coalesce"][0](spark, SF).toPandas()
+    e = load(spark, SF, "events").toPandas()
+    e = e[e.user_id.notna() & e.value.notna()].copy()
+    e["s"] = e.ts.astype("datetime64[ns]").astype("int64") // 1000
+    e["e"] = e.s + (e.value * 3600e6).apply(lambda v: int(v // 1))
+    for uid, grp in e.groupby("user_id"):
+        ivs = sorted(zip(grp.s, grp.e))
+        want = []
+        cs, ce, n = ivs[0][0], ivs[0][1], 1
+        for s, t in ivs[1:]:
+            if s > ce:
+                want.append((cs, ce, n))
+                cs, ce, n = s, t, 1
+            else:
+                ce, n = max(ce, t), n + 1
+        want.append((cs, ce, n))
+        got = sorted(
+            zip(
+                out[out.user_id == uid].span_start_us,
+                out[out.user_id == uid].span_end_us,
+                out[out.user_id == uid].n_merged,
+            )
+        )
+        assert got == want, uid
+        # merged spans are pairwise disjoint and strictly ordered
+        for (a, b, _), (c, d, _) in zip(got, got[1:]):
+            assert b < c
