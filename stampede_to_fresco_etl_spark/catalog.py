@@ -9795,6 +9795,69 @@ REGISTRY.update(
 )
 
 
+def q_langid_confusion(spark, sf_dir):
+    """X32 — language-ID confusion matrix: x2's stopword-ratio
+    heuristic scored against the labeled `lang` column — the eval
+    harness for the curation signal itself (v9 audits the embedding
+    space, x28 the ANN index, this the classifier), because a langid
+    filter that silently eats 30% of the Spanish corpus is a
+    curation bug no oracle-matching transform would catch.  Output:
+    one row per (true, predicted) cell with the exact-rational share
+    of the true class; a labels²-sized aggregate over in-row
+    classification."""
+    from pyspark.sql import Window as W
+
+    from stampede_to_fresco_etl_spark.operators import text as T
+
+    docs = load(spark, sf_dir, "documents")
+    cells = (
+        docs.select(
+            F.col("lang").alias("true_lang"),
+            T.lang_id("text").alias("pred_lang"),
+        )
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count("*").alias("n"))
+    )
+    per_true = W.partitionBy("true_lang")
+    return cells.select(
+        "true_lang",
+        "pred_lang",
+        "n",
+        (
+            F.col("n").cast("double")
+            / F.sum("n").over(per_true).cast("double")
+        ).alias("share_of_true"),
+    )
+
+
+def _sql_langid_confusion() -> str:
+    from stampede_to_fresco_etl_spark.operators.text import STOPWORDS
+
+    cond = " OR ".join(f"x = '{w}'" for w in STOPWORDS)
+    n_stop = f"CAST(len(list_filter({_D_TOKS}, x -> {cond})) AS BIGINT)"
+    n_tok = f"CAST(len({_D_TOKS}) AS BIGINT)"
+    ratio = f"(CAST({n_stop} AS DOUBLE) / CAST({n_tok} AS DOUBLE))"
+    return f"""
+WITH cells AS (
+  SELECT lang AS true_lang,
+         CASE WHEN {ratio} >= 0.05 THEN 'en' ELSE 'unk' END
+           AS pred_lang,
+         count(*) AS n
+  FROM documents GROUP BY 1, 2
+)
+SELECT true_lang, pred_lang, n,
+       CAST(n AS DOUBLE)
+         / CAST(sum(n) OVER (PARTITION BY true_lang) AS DOUBLE)
+         AS share_of_true
+FROM cells
+"""
+
+
+REGISTRY.update(
+    {"x32_langid_confusion": (q_langid_confusion, _sql_langid_confusion())}
+)
+
+
 # ---------------------------------------------------------------------------
 # Enumeration order: the driver's correctness run covers the first N
 # registry entries per round, so the STALEST queries must enumerate

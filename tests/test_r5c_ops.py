@@ -900,3 +900,42 @@ def test_interval_coalesce_matches_sweepline(spark):
         # merged spans are pairwise disjoint and strictly ordered
         for (a, b, _), (c, d, _) in zip(got, got[1:]):
             assert b < c
+
+
+# ---------------------------------------------------------------------------
+# x32 — langid confusion
+# ---------------------------------------------------------------------------
+
+def test_langid_confusion_matches_pandas(spark):
+    from stampede_to_fresco_etl_spark.operators.text import STOPWORDS
+
+    out = (
+        REGISTRY["x32_langid_confusion"][0](spark, SF)
+        .toPandas()
+        .set_index(["true_lang", "pred_lang"])
+        .sort_index()
+    )
+    docs = load(spark, SF, "documents").toPandas()
+
+    def pred(text):
+        toks = text.strip().split()
+        r = sum(1 for t in toks if t in STOPWORDS) / len(toks)
+        return "en" if r >= 0.05 else "unk"
+
+    docs["pred"] = docs.text.map(pred)
+    cells = docs.groupby(["lang", "pred"]).size()
+    assert len(out) == len(cells)
+    for (t, p), n in cells.items():
+        row = out.loc[(t, p)]
+        assert row.n == n
+        assert row.share_of_true == n / cells.loc[t].sum()
+    # marginals reconstruct the corpus: every doc lands in one cell
+    assert out.n.sum() == len(docs)
+    # per-true shares are exact partitions of unity
+    assert (out.groupby("true_lang").share_of_true.sum() - 1.0).abs().max() < 1e-12
+    # and the audit DOES its job on this corpus: it exposes that the
+    # stopword heuristic barely discriminates here (the synthetic
+    # languages share one template vocabulary, so non-English docs
+    # trip the English stopword test about as often as English ones)
+    # -- the matrix is the evidence, not a hidden assumption.
+    assert ("en", "en") in out.index
