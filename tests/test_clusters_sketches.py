@@ -42,7 +42,10 @@ def test_cc_max_iter_caps_sweeps(spark):
     # sweep), then one pure-propagation loop sweep moves them one
     # more hop — the cap binds before the chain end catches up
     cc = connected_components(
-        _pairs(spark, [(1, 2), (2, 3), (3, 4)]), max_iter=1, halving=False
+        _pairs(spark, [(1, 2), (2, 3), (3, 4)]), max_iter=1, halving=False,
+        small_graph_edges=0,  # force the distributed sweep path —
+        # the small-graph union-find always converges fully and
+        # max_iter has nothing to cap there
     )
     got = {r["node"]: r["cc"] for r in cc.collect()}
     assert got[1] == 1 and got[2] == 1 and got[3] == 1
@@ -53,7 +56,11 @@ def test_cc_halving_collapses_long_chain(spark):
     # a 65-node chain has diameter 64 > 10 sweeps of pure
     # propagation; path halving converges in O(log d)
     edges = [(i, i + 1) for i in range(64)]
-    cc = connected_components(_pairs(spark, edges), max_iter=10)
+    cc = connected_components(
+        _pairs(spark, edges), max_iter=10,
+        small_graph_edges=0,  # distributed path — halving is what's
+        # under test, and the union-find fast path never sweeps
+    )
     got = {r["cc"] for r in cc.collect()}
     assert got == {0}
 
@@ -350,3 +357,28 @@ def test_bloom_null_values_excluded(spark):
     got = {r["item"]: r["maybe_member"] for r in
            bloom_query(sk, ["x", "y"], ["g"], 4, 512).collect()}
     assert got["x"] and not got["y"]
+
+
+def test_cc_small_mode_equals_distributed(spark):
+    """The driver-side union-find fast path and the distributed
+    sweep path must label identically — component-min semantics,
+    bit for bit — on a graph mixing cliques, chains, and a bridge."""
+    edges = (
+        [(a, b) for a in (10, 11, 12) for b in (11, 12, 13) if a < b]
+        + [(i, i + 1) for i in range(20, 27)]       # chain
+        + [(13, 20)]                                # bridge
+        + [(100, 101), (102, 103), (101, 102)]      # merged pairs
+        + [(200, 201)]                              # island
+    )
+    p = _pairs(spark, edges)
+    small = {
+        (r["node"], r["cc"])
+        for r in connected_components(p).collect()
+    }
+    dist = {
+        (r["node"], r["cc"])
+        for r in connected_components(p, small_graph_edges=0).collect()
+    }
+    assert small == dist
+    # everything 10..27 is one component labeled by its minimum
+    assert all(cc == 10 for n, cc in small if 10 <= n <= 27)
