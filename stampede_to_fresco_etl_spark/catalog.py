@@ -9858,6 +9858,88 @@ REGISTRY.update(
 )
 
 
+def q_bloom_prefilter_join(spark, sf_dir):
+    """J12 — Bloom-prefiltered join (the runtime-filter pattern):
+    the selective small side (URGENT orders) builds a 256-kbit Bloom
+    sketch of its join keys; the fact side tests EVERY row against
+    the broadcast sketch with four pure-Column bit probes BEFORE the
+    join, so ~99.9% of non-matching lineitems never enter the join
+    exchange; the exact join then removes the sketch's false
+    positives, making the final result IDENTICAL to the plain join —
+    which is exactly what the oracle runs.  This is the
+    bloom-pushdown/DPP-adjacent move that pays at 100 TB: the
+    shuffle shrinks by the fact side's non-match fraction for the
+    cost of one ~64 KB broadcast.  No false negatives by
+    construction (b1's sketch), so no correctness risk."""
+    from stampede_to_fresco_etl_spark.operators.sketches import (
+        _BLOOM_WORD_BITS,
+        _bloom_pos,
+        bloom_sketch,
+    )
+
+    width = 262_144  # 256 kbits → ≤0.1% FP at ~12k keys, 64 KB words
+    k = 4
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_orderkey", "o_orderpriority")
+    sketch = bloom_sketch(
+        orders.withColumn("g", F.lit(1)),
+        ["g"], "o_orderkey", num_hashes=k, width_bits=width,
+    ).select("words")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    probed = li.crossJoin(F.broadcast(sketch))
+    for i in range(k):
+        pos = _bloom_pos(F.col("l_orderkey"), F.lit(i), width)
+        probed = probed.withColumn(
+            f"__w{i}",
+            F.element_at(
+                F.col("words"),
+                (pos / _BLOOM_WORD_BITS).cast("int") + F.lit(1),
+            ),
+        ).withColumn(
+            f"__b{i}",
+            F.pmod(pos, F.lit(_BLOOM_WORD_BITS)).cast("int"),
+        )
+    hit = None
+    for i in range(k):
+        test = (
+            F.expr(f"__w{i} & shiftleft(CAST(1 AS BIGINT), __b{i})") != 0
+        )
+        hit = test if hit is None else (hit & test)
+    filtered = probed.filter(hit).select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        filtered.join(
+            orders, F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_items"), dsum(rev).alias("revenue"))
+    )
+
+
+SQL_BLOOM_PREFILTER_JOIN = f"""
+SELECT o_orderpriority, count(*) AS n_items,
+       {DSUM.format(x=_Q_REV)} AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY o_orderpriority
+"""
+
+
+REGISTRY.update(
+    {
+        "j12_bloom_prefilter_join": (
+            q_bloom_prefilter_join,
+            SQL_BLOOM_PREFILTER_JOIN,
+        )
+    }
+)
+
+
 # ---------------------------------------------------------------------------
 # Enumeration order: the driver's correctness run covers the first N
 # registry entries per round, so the STALEST queries must enumerate

@@ -939,3 +939,65 @@ def test_langid_confusion_matches_pandas(spark):
     # trip the English stopword test about as often as English ones)
     # -- the matrix is the evidence, not a hidden assumption.
     assert ("en", "en") in out.index
+
+
+# ---------------------------------------------------------------------------
+# j12 — bloom prefilter join
+# ---------------------------------------------------------------------------
+
+def test_bloom_prefilter_equals_plain_join_and_filters(spark):
+    """The bloom-prefiltered join must equal the plain join exactly
+    (no false negatives; FPs die in the exact join), and the
+    prefilter must actually reject the bulk of non-matching rows."""
+    from stampede_to_fresco_etl_spark.operators.sketches import (
+        _BLOOM_WORD_BITS,
+        _bloom_pos,
+        bloom_sketch,
+    )
+
+    out = (
+        REGISTRY["j12_bloom_prefilter_join"][0](spark, SF)
+        .toPandas()
+        .iloc[0]
+    )
+    orders = load(spark, SF, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_orderkey", "o_orderpriority")
+    li = load(spark, SF, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    plain = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .count()
+    )
+    assert out.n_items == plain
+
+    # measure the prefilter pass rate directly
+    width, k = 262_144, 4
+    sketch = bloom_sketch(
+        orders.withColumn("g", F.lit(1)),
+        ["g"], "o_orderkey", num_hashes=k, width_bits=width,
+    ).select("words")
+    probed = li.crossJoin(F.broadcast(sketch))
+    for i in range(k):
+        pos = _bloom_pos(F.col("l_orderkey"), F.lit(i), width)
+        probed = probed.withColumn(
+            f"__w{i}",
+            F.element_at(
+                F.col("words"),
+                (pos / _BLOOM_WORD_BITS).cast("int") + F.lit(1),
+            ),
+        ).withColumn(
+            f"__b{i}", F.pmod(pos, F.lit(_BLOOM_WORD_BITS)).cast("int")
+        )
+    hit = None
+    for i in range(k):
+        t = F.expr(f"__w{i} & shiftleft(CAST(1 AS BIGINT), __b{i})") != 0
+        hit = t if hit is None else (hit & t)
+    passed = probed.filter(hit).count()
+    total = li.count()
+    # every true match passes; false positives are < 5% of the rest
+    assert passed >= plain
+    assert (passed - plain) <= 0.05 * (total - plain)
+    # and the filter rejects the bulk of non-matching rows
+    assert passed < 0.5 * total
