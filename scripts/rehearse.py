@@ -1,0 +1,76 @@
+"""10× scale rehearsal — warm noop-sink wall clock at sf0.1 vs the
+replicated sf1 corpus (scripts/make_sf_scaled.py), per query.
+
+The per-round sublinearity check: a ratio well above ~10× at 10× the
+data flags super-linear work (an unbanded join, a lost pushdown, a
+driver-side loop).  Interpret with the corpus caveats recorded in
+SCALE.md — replicated data changes some densities (geo1 pair output
+grows ×100 because replicas share one grid; d8's block keys collide
+across replicas).
+
+Run:  python scripts/rehearse.py q1 [q2 ...]
+      python scripts/rehearse.py --all        (every registry query —
+                                              hours; prefer a list)
+Requires /root/repo/testdata_sf1 (make_sf_scaled.py default output).
+Driver heap is raised to 24g: local-mode Spark defaults to 1 GB and
+the heavier sf1 localCheckpoints (g1's shingle frame) exceed it.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+SF01 = "/root/testdata/sf0.1"
+SF1 = "/root/repo/testdata_sf1"
+
+
+def main() -> int:
+    from pyspark.sql import SparkSession
+
+    from stampede_to_fresco_etl_spark.catalog import REGISTRY
+
+    args = sys.argv[1:]
+    if not args:
+        print(__doc__)
+        return 2
+    names = sorted(REGISTRY) if args == ["--all"] else args
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", "24g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+    def run(name: str, sf_dir: str) -> float:
+        fn, _ = REGISTRY[name]
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return time.time() - t0
+
+    rc = 0
+    for name in names:
+        if name not in REGISTRY:
+            print(f"SKIP {name}: not in registry", flush=True)
+            rc = 1
+            continue
+        try:
+            a = run(name, SF01)
+            b = run(name, SF1)
+            print(
+                f"{name}: sf0.1 {a:.2f}s  sf1 {b:.2f}s  ratio {b / a:.2f}x",
+                flush=True,
+            )
+        except Exception as ex:  # noqa: BLE001
+            print(f"FAIL {name}: {str(ex)[:300]}", flush=True)
+            rc = 1
+    return rc
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,77 @@
+"""Full-registry oracle sweep — the round's correctness validation,
+runnable at any scale factor.
+
+Replicates the driver's comparison for EVERY catalog query: run the
+Spark callable and its DuckDB oracle on the same parquet tables,
+compare column names, row counts, and exact values (sorted
+column-wise and row-wise; exact equality implies the driver's
+order-insensitive value-hash matches).  Non-empty enforced except for
+the documented small-sf exceptions (test_oracle_parity._MAY_BE_EMPTY).
+
+Run:  python scripts/sweep.py [sf_dir] [name_substring ...]
+Default sf_dir: /root/testdata/sf0.01 (the driver's gate scale).
+Optional name substrings restrict the sweep to matching queries.
+
+Exit code 0 iff every swept query matches.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+sys.path.insert(0, __file__.rsplit("/", 2)[0] + "/tests")
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    needles = sys.argv[2:]
+
+    import pandas as pd
+    from pyspark.sql import SparkSession
+
+    import test_oracle_parity as P
+    from stampede_to_fresco_etl_spark.catalog import REGISTRY
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    P.SF_DIR = sf_dir
+    names = [
+        n
+        for n in sorted(REGISTRY)
+        if not needles or any(s in n for s in needles)
+    ]
+    t0 = time.time()
+    ok, bad = 0, 0
+    for name in names:
+        fn, sql = REGISTRY[name]
+        try:
+            got = P._normalize(fn(spark, sf_dir).toPandas())
+            want = P._normalize(P._duck(sql))
+            assert list(got.columns) == list(want.columns), (
+                list(got.columns), list(want.columns),
+            )
+            assert len(got) == len(want), (len(got), len(want))
+            pd.testing.assert_frame_equal(
+                got, want, check_exact=True, check_dtype=False
+            )
+            if name not in P._MAY_BE_EMPTY:
+                assert len(got) > 0, "degenerate: empty"
+            ok += 1
+        except Exception as ex:  # noqa: BLE001 — report and continue
+            bad += 1
+            print(f"FAIL {name}: {str(ex)[:300]}", flush=True)
+    print(
+        f"SWEEP {sf_dir}: {ok}/{ok + bad} exact in {time.time() - t0:.0f}s",
+        flush=True,
+    )
+    return 0 if bad == 0 else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
