@@ -9711,9 +9711,12 @@ def q_interval_coalesce(spark, sf_dir):
     [unbounded, 1 preceding], a new span starts where
     start > prev_max_end, and the span id is the running sum of
     those flags (the islands trick in interval form).  All-integer
-    µs; the merged span's coverage is max(end) − min(start) by
-    construction."""
-    from pyspark.sql import Window as W
+    µs.  Kernel: operators/windows.coalesce_intervals
+    (property-tested against a Python sweep-line over generated
+    interval sets)."""
+    from stampede_to_fresco_etl_spark.operators.windows import (
+        coalesce_intervals,
+    )
 
     e = load(spark, sf_dir, "events").filter(
         F.col("user_id").isNotNull() & F.col("value").isNotNull()
@@ -9728,31 +9731,15 @@ def q_interval_coalesce(spark, sf_dir):
         s_us.alias("s"),
         e_us.alias("e"),
     )
-    order = ["s", "e", "event_id"]
-    prev = (
-        W.partitionBy("user_id")
-        .orderBy(*order)
-        .rowsBetween(W.unboundedPreceding, -1)
+    out = coalesce_intervals(
+        base, ["user_id"], "s", "e", order_extra=["event_id"]
     )
-    run = (
-        W.partitionBy("user_id")
-        .orderBy(*order)
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    return out.select(
+        "user_id",
+        F.col("span_start").alias("span_start_us"),
+        F.col("span_end").alias("span_end_us"),
+        "n_merged",
     )
-    flagged = base.withColumn(
-        "new_span",
-        F.when(
-            F.col("s") > F.coalesce(
-                F.max("e").over(prev), F.lit(-(1 << 62))
-            ),
-            F.lit(1),
-        ).otherwise(F.lit(0)),
-    ).withColumn("span", F.sum("new_span").over(run))
-    return flagged.groupBy("user_id", "span").agg(
-        F.min("s").alias("span_start_us"),
-        F.max("e").alias("span_end_us"),
-        F.count("*").alias("n_merged"),
-    ).drop("span")
 
 
 SQL_INTERVAL_COALESCE = """

@@ -17,7 +17,7 @@ that consumes the bucket column.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from stampede_to_fresco_etl_spark.functions import aligned_bucket_start, midpoint
@@ -235,4 +235,56 @@ def resample_ffill(
         F.timestamp_micros(F.col("bucket")).alias("bucket_ts"),
         F.last("v", ignorenulls=True).over(w).alias("value_ffill"),
         F.col("v").isNull().alias("is_gap"),
+    )
+
+
+def coalesce_intervals(
+    df: DataFrame,
+    key_cols: list[str],
+    s_col: str,
+    e_col: str,
+    order_extra: list[str] | None = None,
+) -> DataFrame:
+    """Interval union: merge overlapping-or-touching [s, e] intervals
+    per key into maximal disjoint spans (uptime/coverage/entitlement
+    flattening).
+
+    The sequential sweep-line becomes two running windows on ONE
+    key-sorted pass: prev_max_end = running max of ends over
+    [unbounded, 1 preceding]; a new span starts where
+    s > prev_max_end; span id = running sum of the start flags (the
+    islands trick in interval form).  `order_extra` extends the sort
+    tiebreak (the order among identical (s, e) rows is immaterial to
+    the result, but a total order keeps the plan deterministic).
+
+    Output: key_cols + (span_start, span_end, n_merged), spans
+    pairwise disjoint and strictly increasing per key."""
+    order = [s_col, e_col, *(order_extra or [])]
+    prev = (
+        Window.partitionBy(*key_cols)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    run = (
+        Window.partitionBy(*key_cols)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = df.withColumn(
+        "__new",
+        F.when(
+            F.col(s_col) > F.coalesce(
+                F.max(e_col).over(prev), F.lit(-(1 << 62))
+            ),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn("__span", F.sum("__new").over(run))
+    return (
+        flagged.groupBy(*key_cols, "__span")
+        .agg(
+            F.min(s_col).alias("span_start"),
+            F.max(e_col).alias("span_end"),
+            F.count("*").alias("n_merged"),
+        )
+        .drop("__span")
     )

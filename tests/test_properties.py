@@ -544,3 +544,95 @@ def test_positional_median_property(spark, rows):
         by_g.setdefault(g, []).append(v)
     for g, vals in by_g.items():
         assert got[g] == float(statistics.median(vals)), (g, vals)
+
+
+# ---------------------------------------------------------------------------
+# r5c kernels: interval coalesce and the CUSUM prefix-sum identity
+# ---------------------------------------------------------------------------
+
+intervals = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=500),   # start
+        st.integers(min_value=0, max_value=120),   # duration
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(intervals)
+def test_coalesce_intervals_property(spark, ivs):
+    """Windowed sweep-line ≡ sequential sweep-line on generated
+    interval sets (touching intervals merge; zero-length allowed;
+    duplicates allowed)."""
+    from stampede_to_fresco_etl_spark.operators.windows import (
+        coalesce_intervals,
+    )
+
+    rows = [
+        (1, i, s, s + d) for i, (s, d) in enumerate(ivs)
+    ]
+    df = spark.createDataFrame(rows, ["k", "rid", "s", "e"])
+    got = sorted(
+        (r["span_start"], r["span_end"], r["n_merged"])
+        for r in coalesce_intervals(
+            df, ["k"], "s", "e", order_extra=["rid"]
+        ).collect()
+    )
+    pairs = sorted((s, s + d) for s, d in ivs)
+    want = []
+    cs, ce, n = pairs[0][0], pairs[0][1], 1
+    for s, e in pairs[1:]:
+        if s > ce:
+            want.append((cs, ce, n))
+            cs, ce, n = s, e, 1
+        else:
+            ce, n = max(ce, e), n + 1
+    want.append((cs, ce, n))
+    assert got == want
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.integers(min_value=-1000, max_value=1000),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_cusum_prefix_identity_property(spark, ys):
+    """S_t = P_t − min(0, min_{i≤t} P_i) (two running windows) ≡ the
+    sequential recurrence S_t = max(0, S_{t−1} + y_t), on arbitrary
+    integer increments."""
+    from pyspark.sql import Window as W
+
+    df = spark.createDataFrame(
+        [(1, i, y) for i, y in enumerate(ys)], ["k", "seq", "y"]
+    )
+    w = (
+        W.partitionBy("k")
+        .orderBy("seq")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    out = (
+        df.withColumn("pt", F.sum("y").over(w))
+        .withColumn("minp", F.min(F.col("pt")).over(w))
+        .withColumn(
+            "s", F.col("pt") - F.least(F.col("minp"), F.lit(0))
+        )
+        .orderBy("seq")
+        .collect()
+    )
+    s = 0
+    for row, y in zip(out, ys):
+        s = max(0, s + y)
+        assert row["s"] == s
