@@ -9927,6 +9927,94 @@ REGISTRY.update(
 )
 
 
+def q_minhash_estimator_error(spark, sf_dir):
+    """X33 — MinHash estimator audit: every d2 LSH candidate pair
+    verified against the TRUE Jaccard of the full shingle sets, with
+    the estimator's absolute error — the verify stage of a
+    production LSH pipeline, doubling as the eval that closes the
+    audit family (x28 the ANN index, v9 the space, x32 the
+    classifier, this the sketch).  Per-pair verification joins the
+    candidate list to per-doc shingle ARRAYS (in-row set algebra —
+    never a shingle self-join, so no hot-shingle blowup; cost is
+    candidate-volume-bounded, exactly how verify scales at 100 TB).
+    |A∪B| is computed as |A|+|B|−|A∩B| so both engines use the
+    identical integer formula."""
+    from stampede_to_fresco_etl_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+    from stampede_to_fresco_etl_spark.operators.text import (
+        tokens,
+        word_shingles,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    cand = minhash_lsh_pairs(
+        docs, "doc_id", "text",
+        num_hashes=MINHASH_K, bands=MINHASH_BANDS,
+    )
+    toks = docs.select(
+        F.col("doc_id").alias("doc"), tokens(F.col("text")).alias("t")
+    )
+    sets = toks.select(
+        "doc",
+        F.array_distinct(word_shingles(F.col("t"), 3)).alias("arr"),
+    )
+    a = sets.select(
+        F.col("doc").alias("doc_a"), F.col("arr").alias("arr_a")
+    )
+    b = sets.select(
+        F.col("doc").alias("doc_b"), F.col("arr").alias("arr_b")
+    )
+    j = cand.join(a, "doc_a").join(b, "doc_b")
+    inter = F.size(F.array_intersect(F.col("arr_a"), F.col("arr_b")))
+    union = F.size("arr_a") + F.size("arr_b") - inter
+    true_j = inter.cast("double") / union.cast("double")
+    return j.select(
+        "doc_a",
+        "doc_b",
+        "est_jaccard",
+        true_j.alias("true_jaccard"),
+        F.abs(F.col("est_jaccard") - true_j).alias("abs_err"),
+    )
+
+
+def _sql_minhash_estimator_error() -> str:
+    return f"""
+WITH cand AS MATERIALIZED ({_sql_minhash()}),
+toks AS (
+  SELECT doc_id AS doc, {_D_TOKS} AS t FROM documents
+),
+shd AS (
+  SELECT DISTINCT doc, u.s
+  FROM toks, UNNEST({_D_SHINGLES}) AS u(s)
+),
+sets AS (SELECT doc, list(s) AS arr FROM shd GROUP BY doc)
+SELECT c.doc_a, c.doc_b, c.est_jaccard,
+       CAST(len(list_intersect(a.arr, b.arr)) AS DOUBLE)
+         / CAST(len(a.arr) + len(b.arr)
+                - len(list_intersect(a.arr, b.arr)) AS DOUBLE)
+         AS true_jaccard,
+       abs(c.est_jaccard
+           - CAST(len(list_intersect(a.arr, b.arr)) AS DOUBLE)
+             / CAST(len(a.arr) + len(b.arr)
+                    - len(list_intersect(a.arr, b.arr)) AS DOUBLE))
+         AS abs_err
+FROM cand c
+JOIN sets a ON c.doc_a = a.doc
+JOIN sets b ON c.doc_b = b.doc
+"""
+
+
+REGISTRY.update(
+    {
+        "x33_minhash_estimator_error": (
+            q_minhash_estimator_error,
+            _sql_minhash_estimator_error(),
+        )
+    }
+)
+
+
 # ---------------------------------------------------------------------------
 # Enumeration order: the driver's correctness run covers the first N
 # registry entries per round, so the STALEST queries must enumerate

@@ -1001,3 +1001,29 @@ def test_bloom_prefilter_equals_plain_join_and_filters(spark):
     assert (passed - plain) <= 0.05 * (total - plain)
     # and the filter rejects the bulk of non-matching rows
     assert passed < 0.5 * total
+
+
+# ---------------------------------------------------------------------------
+# x33 — minhash estimator error
+# ---------------------------------------------------------------------------
+
+def test_minhash_estimator_error_matches_python_sets(spark):
+    """true_jaccard recomputed with Python set algebra from the raw
+    texts; the estimator's error magnitude must match the 8-hash
+    MinHash variance regime (mean |err| well under 0.5)."""
+    out = REGISTRY["x33_minhash_estimator_error"][0](spark, SF).toPandas()
+    docs = load(spark, SF, "documents").toPandas().set_index("doc_id")
+
+    def shingles(text):
+        t = text.strip().split()
+        return {" ".join(t[i:i + 3]) for i in range(len(t) - 2)}
+
+    assert len(out) > 0
+    for r in out.itertuples():
+        sa, sb = shingles(docs.loc[r.doc_a].text), shingles(
+            docs.loc[r.doc_b].text
+        )
+        want = len(sa & sb) / (len(sa) + len(sb) - len(sa & sb))
+        assert abs(r.true_jaccard - want) < 1e-12, (r.doc_a, r.doc_b)
+        assert r.abs_err == abs(r.est_jaccard - r.true_jaccard)
+    assert out.abs_err.mean() < 0.5
