@@ -81,6 +81,9 @@ HEADLINE = [
     "t11_gap_fill_interpolate",  # new r5c: linear-interp resample
     "j11_nearest_event_join",  # new r5c: bidirectional as-of pick
     "x28_ann_recall_audit",  # new r5c: LSH recall@k vs exact
+    "d12_semdedup",  # new r5c: SemDeDup capstone (LSH pairs + CC)
+    "w11_cusum_drift",  # new r5c: CUSUM via prefix-sum identity
+    "geo1_grid_proximity_join",  # new r5c: grid-banded spatial join
 ]
 
 
