@@ -10015,6 +10015,63 @@ REGISTRY.update(
 )
 
 
+def q_ivf_recall_audit(spark, sf_dir):
+    """V10 — IVF recall audit: recall@k of the IVF-partitioned
+    search (v4, n_probe cells) against the exact brute-force top-k
+    (v1), per probe — x28's twin for the OTHER ANN index, so both
+    approximate paths carry a measured recall, not an assumed one.
+    Same composition: the two registry searches with identical
+    parameters, one (probe, vec) equi-join, a probes-sized
+    aggregate, pinned division by k."""
+    from stampede_to_fresco_etl_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    exact = brute_force_topk(emb, probes, k=TOPK_K).select(
+        "probe_id", "vec_id"
+    )
+    approx = ivf_topk(
+        emb, probes, k=TOPK_K,
+        n_centroids=IVF_CENTROIDS, n_probe=IVF_NPROBE,
+    ).select("probe_id", "vec_id")
+    hits = exact.join(approx, ["probe_id", "vec_id"]).groupBy(
+        "probe_id"
+    ).agg(F.count("*").alias("n_hits"))
+    return hits.select(
+        "probe_id",
+        "n_hits",
+        (F.col("n_hits").cast("double") / F.lit(float(TOPK_K))).alias(
+            "recall_at_k"
+        ),
+    )
+
+
+def _sql_ivf_recall_audit() -> str:
+    return f"""
+WITH exact AS ({_sql_topk()}),
+approx AS ({_sql_ivf_topk()}),
+hits AS (
+  SELECT e.probe_id, count(*) AS n_hits
+  FROM exact e JOIN approx a
+    ON e.probe_id = a.probe_id AND e.vec_id = a.vec_id
+  GROUP BY e.probe_id
+)
+SELECT probe_id, n_hits,
+       CAST(n_hits AS DOUBLE) / {float(TOPK_K)!r} AS recall_at_k
+FROM hits
+"""
+
+
+REGISTRY.update(
+    {"v10_ivf_recall_audit": (q_ivf_recall_audit, _sql_ivf_recall_audit())}
+)
+
+
 # ---------------------------------------------------------------------------
 # Enumeration order: the driver's correctness run covers the first N
 # registry entries per round, so the STALEST queries must enumerate

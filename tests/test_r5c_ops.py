@@ -1027,3 +1027,30 @@ def test_minhash_estimator_error_matches_python_sets(spark):
         assert abs(r.true_jaccard - want) < 1e-12, (r.doc_a, r.doc_b)
         assert r.abs_err == abs(r.est_jaccard - r.true_jaccard)
     assert out.abs_err.mean() < 0.5
+
+
+# ---------------------------------------------------------------------------
+# v10 — IVF recall audit
+# ---------------------------------------------------------------------------
+
+def test_ivf_recall_audit_bounds_and_comparability(spark):
+    """Same contract as x28: bounds hold, every probe finds itself,
+    and the two index audits are directly comparable per probe."""
+    ivf = (
+        REGISTRY["v10_ivf_recall_audit"][0](spark, SF)
+        .toPandas()
+        .set_index("probe_id")
+        .sort_index()
+    )
+    lsh = (
+        REGISTRY["x28_ann_recall_audit"][0](spark, SF)
+        .toPandas()
+        .set_index("probe_id")
+        .sort_index()
+    )
+    assert len(ivf) == N_PROBES and len(lsh) == N_PROBES
+    for df in (ivf, lsh):
+        assert (df.n_hits >= 1).all()
+        assert (df.n_hits <= TOPK_K).all()
+        assert (df.recall_at_k == df.n_hits / TOPK_K).all()
+    assert (ivf.index == lsh.index).all()
