@@ -10125,11 +10125,19 @@ def _latest_green_round() -> dict[str, int]:
 #: r5: parity-halves split (h1/c2/b1/s10), ASCII-strip payloads
 #: (mm3/mm4), CC seeding + edge-dedup skip (d5/d7), Jaccard pair-stage
 #: restructure (d4 — d5/d7 already listed).
+#: r6: quantile family rebuilt on the bracketed-selection kernel
+#: (a16/w10/x25/x31 are never-checked so already tier 0); d5/d7 CC
+#: touched by the count-skip shave; x28/v10 recall audits now
+#:  left-join (ADVICE r5) — all never-checked except d5/d7.
 _REVALIDATE = {
-    "h1_hist_quantiles", "c2_cms_freq", "b1_bloom_membership",
-    "s10_append_merge", "mm3_resize", "mm4_sample_frames",
-    "d5_dup_clusters", "d7_dedup_keep_best", "d4_ngram_jaccard",
+    "d5_dup_clusters", "d7_dedup_keep_best",
 }
+
+#: Queries FIRST ADDED this round: they are never-checked too, but the
+#: r5 backlog (91 never-checked queries from the registry's r5 growth)
+#: must drain through the driver's 50-slot window first — new entries
+#: wait behind it (VERDICT r5 item 1).  Per-round maintenance.
+_DEFER_NEW: set[str] = set()
 
 _FRESHNESS = _latest_green_round()
 _NEWEST_CHECKED = max(_FRESHNESS.values(), default=0)
@@ -10138,25 +10146,29 @@ _NEWEST_CHECKED = max(_FRESHNESS.values(), default=0)
 def _enum_rank(name: str) -> tuple[int, int]:
     """Priority tiers for the driver's first-N correctness window.
 
-    Tier 0 — checked in SOME round but not the newest (stale evidence:
-    the driver regenerates testdata between rounds, and the r4 NTZ
-    swap proved regeneration can break formerly-green paths; VERDICT
-    r4 item 1 makes re-greening these the round's top ask).  Stalest
-    first within the tier.
+    Tier 0 — never-checked backlog (the registry grew 95→186 in r5;
+    the driver samples 50/round, so these clear over r6+r7; VERDICT
+    r5 item 1 makes this the round's top ask).  Registry insertion
+    order within the tier keeps the ordering deterministic.
     Tier 1 — fresh rows whose operator/oracle changed this round
     (_REVALIDATE): green evidence predates the code change.
-    Tier 2 — never-checked (new this round): validated by the builder
-    sweep + pytest; they take driver slots only after the backlog.
-    Tier 3 — fresh and unchanged.
+    Tier 2 — checked in SOME round but not the newest (stale
+    evidence; testdata regeneration can break formerly-green paths,
+    as the r4 NTZ swap proved).  Stalest first within the tier.
+    Tier 3 — queries first added this round (_DEFER_NEW): behind the
+    r5 backlog by policy.
+    Tier 4 — fresh and unchanged.
     """
     fresh = _FRESHNESS.get(name)
-    if fresh is not None and fresh < _NEWEST_CHECKED:
-        return (0, fresh)
+    if fresh is None and name not in _DEFER_NEW:
+        return (0, 0)
     if name in _REVALIDATE:
         return (1, 0)
+    if fresh is not None and fresh < _NEWEST_CHECKED:
+        return (2, fresh)
     if fresh is None:
-        return (2, 0)
-    return (3, fresh)
+        return (3, 0)
+    return (4, fresh)
 
 
 REGISTRY = dict(
