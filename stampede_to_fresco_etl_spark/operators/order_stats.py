@@ -1,0 +1,133 @@
+"""Exact distributed order statistics — positional (nearest-rank)
+selection per group without a per-group single-task sort.
+
+The positional-quantile family (a16 exact median, w10 MAD, x25 IQR
+fences, x31 winsorize bounds) selects the value at rank k of each
+group's sorted values.  The obvious plan —
+``row_number() OVER (PARTITION BY group ORDER BY value)`` — is exact
+but serializes: with a 5-value group key each ranking pass is a total
+sort of ~1/5 of the table into a single task, a guaranteed straggler
+at 100× (VERDICT r5 finding 1).
+
+This kernel computes the same selection with every task bounded by
+data/partitions, using the textbook distributed order-statistic
+shape (the offset trick of external sorting; Spark's own ``orderBy``
+range-partitions for exactly this reason) — and needs only ONE
+full-data shuffle:
+
+1. **Range-partition + local sort**: range-partition the
+   (group, value) projection on (group, value), sort within each
+   partition by the same key, and stamp
+   ``monotonically_increasing_id`` — whose documented layout is
+   (partition id << 33) | row-index-within-partition, i.e. a frozen
+   (pid, local position in the group/value order).  A
+   ``localCheckpoint`` materializes one realization so both
+   consumers below read identical ids (tie order among equal values
+   is then fixed — and could not change the selected values anyway:
+   rank boundaries inside a run of equal values select that value).
+2. **Per-(partition, group) counts** — one aggregate whose map-side
+   partial reduction leaves ≤ P·G rows to shuffle; each group's
+   rank offset per partition is a running sum over partition ids (a
+   window over the P-rows-per-group count frame — bounded by the
+   partition count, never by data).
+3. **Global rank by arithmetic** — broadcast the count/offset frame
+   back: global rank = (id − min id of the group within the
+   partition) + offset + 1.  No WindowExec touches the data; the
+   selected rows reduce to one row per group.
+
+NULL handling: callers must pre-filter NULL values — Spark ranks
+NULLS FIRST, DuckDB oracles NULLS LAST, so positional selection over
+nulls is not portable (catalog queries floor-scale non-null doubles,
+so this never arises there).
+
+Reference provenance: the reference has no quantile operators; this
+family generalizes its positional aggregation idiom (min/max/mean at
+`step-2/consumer.py:407-417`) to exact rank selection.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+RankFn = Callable[[Column], Column]
+
+
+def positional_select(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    ranks: Sequence[tuple[str, RankFn]],
+    count_name: str = "n",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Per group: the value at each requested 1-based rank of the
+    group's ascending ``value_col`` order.
+
+    ranks: (output_name, fn) pairs where ``fn(n)`` maps the group's
+    row count (a Column) to the wanted rank, e.g. the nearest-rank
+    p5 is ``lambda n: F.floor((n - 1) * 5 / 100) + 1``.  Two names
+    may resolve to the same rank (an odd-count median's two middles)
+    — each output column is selected independently.
+
+    Output: one row per group — ``group_cols + [count_name] + [name
+    for every rank]``.  Equivalent to filtering
+    ``row_number() OVER (PARTITION BY group ORDER BY value)`` but
+    with no per-group serial sort (see module docstring).
+    """
+    gcols = list(group_cols)
+    if num_partitions is None:
+        try:
+            num_partitions = int(
+                df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+            )
+        except (TypeError, ValueError):
+            num_partitions = 200
+    part = (
+        df.select(*gcols, value_col)
+        .repartitionByRange(num_partitions, *gcols, value_col)
+        .sortWithinPartitions(*gcols, value_col)
+        .withColumn("__mid", F.monotonically_increasing_id())
+        .localCheckpoint()
+    )
+    part = part.withColumn("__pid", F.shiftright("__mid", 33))
+    cnts = part.groupBy("__pid", *gcols).agg(
+        F.min("__mid").alias("__m0"), F.count("*").alias("__c")
+    )
+    w_off = (
+        Window.partitionBy(*gcols)
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_n = Window.partitionBy(*gcols)
+    offs = cnts.select(
+        "__pid",
+        *gcols,
+        "__m0",
+        F.coalesce(F.sum("__c").over(w_off), F.lit(0)).alias("__off"),
+        F.sum("__c").over(w_n).alias(count_name),
+    )
+    ranked = part.join(F.broadcast(offs), ["__pid", *gcols]).select(
+        *gcols,
+        value_col,
+        (F.col("__mid") - F.col("__m0") + F.col("__off") + 1).alias(
+            "__rn"
+        ),
+        count_name,
+    )
+    n = F.col(count_name)
+    keep = None
+    for _, fn in ranks:
+        cond = F.col("__rn") == fn(n)
+        keep = cond if keep is None else (keep | cond)
+    aggs = [
+        F.max(
+            F.when(F.col("__rn") == fn(n), F.col(value_col))
+        ).alias(name)
+        for name, fn in ranks
+    ]
+    return ranked.filter(keep).groupBy(*gcols).agg(
+        F.max(count_name).alias(count_name), *aggs
+    )

@@ -270,12 +270,15 @@ def coalesce_intervals(
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    prev_max = F.max(e_col).over(prev)
+    # the first row of each key has no preceding max — gate on NULL
+    # rather than a numeric sentinel so the kernel works for any
+    # orderable start type (long, timestamp, date) and a NULL start
+    # never silently folds into the previous span.
     flagged = df.withColumn(
         "__new",
         F.when(
-            F.col(s_col) > F.coalesce(
-                F.max(e_col).over(prev), F.lit(-(1 << 62))
-            ),
+            prev_max.isNull() | (F.col(s_col) > prev_max),
             F.lit(1),
         ).otherwise(F.lit(0)),
     ).withColumn("__span", F.sum("__new").over(run))

@@ -50,12 +50,17 @@ CUSUM_OUTPUT = StructType(
     ]
 )
 
-#: state: (running prefix sum P_t, running min of P) per key — the
-#: ENTIRE memory the CUSUM recurrence needs.
+#: state: (running prefix sum P_t, running min of P, last processed
+#: event time) per key.  last_ts guards the recurrence against
+#: out-of-order arrival: CUSUM is path-dependent, so folding a late
+#: event into S_t would silently corrupt every subsequent value of
+#: the key.  Late rows are emitted with NULL statistic instead
+#: (degrade detectably, not silently).
 CUSUM_STATE = StructType(
     [
         StructField("pt", LongType(), True),
         StructField("minp", LongType(), True),
+        StructField("last_ts", LongType(), True),
     ]
 )
 
@@ -84,16 +89,29 @@ def streaming_cusum(
         rows = rows.sort_values(
             ["ts_us", "event_id"], ignore_index=True
         )
-        pt, minp = state.get if state.exists else (0, 0)
+        pt, minp, last_ts = (
+            state.get if state.exists else (0, 0, -(1 << 62))
+        )
 
-        out_id, out_s2 = [], []
-        for eid, v in zip(rows["event_id"], rows["v"]):
+        out_id, out_s2, late_id = [], [], []
+        for eid, ts, v in zip(
+            rows["event_id"], rows["ts_us"], rows["v"]
+        ):
+            # CUSUM is path-dependent: an event older than the last
+            # processed one cannot be retro-folded into S_t without
+            # corrupting every later value of this key.  Emit it
+            # with a NULL statistic so out-of-order input degrades
+            # DETECTABLY instead of silently.
+            if int(ts) < last_ts:
+                late_id.append(int(eid))
+                continue
+            last_ts = int(ts)
             pt += int(v) * 2 - med2 - mad2
             minp = min(minp, pt)
             out_id.append(int(eid))
             out_s2.append(pt - min(minp, 0))
 
-        state.update((int(pt), int(minp)))
+        state.update((int(pt), int(minp), int(last_ts)))
         if out_id:
             s2 = pd.Series(out_s2, dtype="int64")
             yield pd.DataFrame(
@@ -102,6 +120,19 @@ def streaming_cusum(
                     "event_type": et,
                     "cusum": s2 / 20000.0,
                     "drift_flag": s2 > threshold_mads * mad2,
+                }
+            )
+        if late_id:
+            yield pd.DataFrame(
+                {
+                    "event_id": pd.Series(late_id, dtype="int64"),
+                    "event_type": et,
+                    "cusum": pd.Series(
+                        [None] * len(late_id), dtype="float64"
+                    ),
+                    "drift_flag": pd.Series(
+                        [None] * len(late_id), dtype="object"
+                    ),
                 }
             )
 

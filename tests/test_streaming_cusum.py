@@ -135,3 +135,61 @@ def test_streaming_cusum_uncalibrated_key_skipped(spark, tmp_path):
     )
     got = spark.read.parquet(str(tmp_path / "out")).toPandas()
     assert list(got.event_type) == ["known"]
+
+
+def test_streaming_cusum_late_event_flagged_not_folded(spark, tmp_path):
+    """Out-of-order guard (ADVICE r5): an event older than the key's
+    last processed timestamp must NOT be folded into the
+    path-dependent S_t — it surfaces with a NULL statistic, and the
+    in-order events' values are exactly what they would have been
+    had the late row never arrived."""
+    import pandas as pd
+
+    landing = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+    cal = {"k": (100, 50)}
+
+    b1 = pd.DataFrame(
+        {
+            "event_id": [1, 2],
+            "event_type": ["k", "k"],
+            "ts_us": [1_000_000, 2_000_000],
+            "v": [100, 120],
+        }
+    )
+    # event 3 is LATE (ts before batch 1's last), event 4 in order
+    b2 = pd.DataFrame(
+        {
+            "event_id": [3, 4],
+            "event_type": ["k", "k"],
+            "ts_us": [1_500_000, 3_000_000],
+            "v": [500, 80],
+        }
+    )
+    for chunk in (b1, b2):
+        spark.createDataFrame(chunk, IN_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+        _run(spark, landing, ckpt, out_dir, cal)
+
+    got = (
+        spark.read.parquet(out_dir)
+        .toPandas()
+        .set_index("event_id")
+        .sort_index()
+    )
+    assert list(got.index) == [1, 2, 3, 4]
+    assert pd.isna(got.loc[3, "cusum"]) and pd.isna(
+        got.loc[3, "drift_flag"]
+    )
+    # replay 1,2,4 in order through the recurrence: S from (pt, minp)
+    med2, mad2 = cal["k"]
+    pt = minp = 0
+    want = {}
+    for eid, v in [(1, 100), (2, 120), (4, 80)]:
+        pt += v * 2 - med2 - mad2
+        minp = min(minp, pt)
+        want[eid] = (pt - min(minp, 0)) / 20000.0
+    for eid, s in want.items():
+        assert got.loc[eid, "cusum"] == s, (eid, got.loc[eid, "cusum"])
