@@ -6089,13 +6089,16 @@ REGISTRY.update(
 def q_fuzzy_pairs(spark, sf_dir):
     """D8 — blocked fuzzy string self-join (record-linkage primitive):
     part-name pairs within the same brand at levenshtein <= 2.  Uses
-    dedup.fuzzy_string_pairs: length-bucket blocking (edit distance d
-    bounds the length gap, so the right side fans out to 3 adjacent
-    buckets and the join is a plain (brand, bucket) equi-join with the
-    distance as residual — duplicate-free by construction).  The
-    oracle is the naive brand-blocked inequality join DuckDB can
-    afford at this scale; the bucket decomposition is what survives
-    when a block holds millions of rows."""
+    dedup.fuzzy_string_pairs (r6 rebuild, VERDICT r5 item 3):
+    identical strings collapse to one candidate row BEFORE blocking
+    (key lists expand back after the residual — exact dups can never
+    be output, so their m² candidates were pure waste), and blocks
+    are q-gram-profile pigeonhole keys ((part_id, part-multiset
+    hash), k = 2·d·q + 1 parts guarantee one identical part within
+    distance d) — content-derived diversity instead of the weak
+    (brand, length) key.  Candidates measured CONSTANT across the
+    sf0.1→sf1 10× step (SCALE.md r6).  The oracle is the naive
+    brand-blocked inequality join DuckDB can afford at this scale."""
     from stampede_to_fresco_etl_spark.operators.dedup import (
         fuzzy_string_pairs,
     )

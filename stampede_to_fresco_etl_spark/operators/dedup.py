@@ -953,58 +953,211 @@ def decontaminate(
     )
 
 
+
 def fuzzy_string_pairs(
     df: DataFrame,
     key_col: str,
     str_col: str,
     block_cols: list[str] | None = None,
     max_dist: int = 2,
+    method: str = "qgram",
+    q: int = 2,
 ) -> DataFrame:
     """Blocked fuzzy self-join: all pairs (a, b), a.key < b.key, with
     levenshtein(a.str, b.str) <= max_dist, a.str != b.str — the
     record-linkage primitive for short-string near-dups (product
     names, author fields, normalized titles).
 
-    Scale design: never the naive blocked cross join.  Edit distance
-    <= d implies |len(a) - len(b)| <= d, so strings bucket by
-    floor(len / (d+1)) and any qualifying pair's buckets differ by at
-    most 1 — the left side joins on its OWN bucket while the right
-    side fans out to (b-1, b, b+1), making the join a plain equi-join
-    on (block..., bucket) with the exact distance as residual.  Each
-    qualifying pair matches EXACTLY once (the left bucket is a single
-    value, the right fan-out contains it at most once), so the output
-    is duplicate-free with no distinct shuffle — the same
-    canonical-bucket construction as interval_overlap_join.  Candidate
-    volume is bounded by per-(block, bucket) co-occurrence, not
-    block size squared."""
+    Scale design, layer 1 — collapse identical strings FIRST: the
+    candidate join runs over DISTINCT (block, string) values carrying
+    their key lists, and key pairs are expanded only after the
+    residual check.  Exact-duplicate strings can never appear in the
+    output (str_a != str_b), yet at row level a string occurring m
+    times costs m² candidates — on the replicated rehearsal corpus
+    this dominated everything (SCALE.md r5/r6).  String-level
+    blocking makes candidate volume a function of VOCABULARY, not
+    row count; the expansion emits exactly the required output.
+
+    Layer 2 — two block constructions on the same equi-join skeleton:
+
+    ``method="qgram"`` (default) — q-gram-profile pigeonhole blocks
+    (VERDICT r5 item 3; the PassJoin/qchunk filter family).  One edit
+    adds/removes at most q q-grams from a string's q-gram MULTISET,
+    so d edits perturb at most 2·d·q multiset elements;
+    hash-partition the q-gram space into k = 2·d·q + 1 parts and at
+    least one part's sub-multiset is IDENTICAL between any two
+    strings within distance d.  Block key = (part_id, hash of the
+    part's sorted q-grams): content-derived, so block occupancy
+    tracks true near-dup groups instead of the weak (brand, length)
+    key.  Each distinct string emits k rows; string pairs surviving
+    the residual are deduped (a true pair can share up to k parts)
+    with a distinct that is bounded by k·(matching string pairs).
+    Strings shorter than q have an empty profile — all their parts
+    collide, which is CORRECT (they must remain mutual candidates)
+    and cheap (such strings are rare in name fields).
+
+    ``method="length"`` — edit distance <= d implies
+    |len(a) - len(b)| <= d, so strings bucket by floor(len / (d+1))
+    and any qualifying pair's buckets differ by at most 1 — the left
+    side joins on its OWN bucket while the right side fans out to
+    (b-1, b, b+1).  Each qualifying string pair matches EXACTLY
+    once, so no distinct is needed; candidate volume is bounded by
+    per-(block, bucket) occupancy of DISTINCT strings — fine when
+    the block key is diverse, quadratic in vocabulary collisions
+    when it is not (the measured limit that motivated the qgram
+    path)."""
     blocks = block_cols or []
+    grouped = (
+        df.groupBy(*blocks, F.col(str_col).alias("__str"))
+        .agg(F.collect_list(key_col).alias("__keys"))
+    )
+    if method == "qgram":
+        spairs = _fuzzy_qgram_string_pairs(grouped, blocks, max_dist, q)
+    elif method == "length":
+        spairs = _fuzzy_length_string_pairs(grouped, blocks, max_dist)
+    else:
+        raise ValueError(f"unknown blocking method: {method!r}")
+    # expand each matching string pair to its key pairs; key sets of
+    # distinct strings are disjoint, so every (key_a, key_b) arises
+    # from exactly one string pair — no dedup needed here
+    return (
+        spairs.select(
+            "dist", F.explode("__keys_a").alias("__ka"), "__keys_b"
+        )
+        .select("dist", "__ka", F.explode("__keys_b").alias("__kb"))
+        .select(
+            F.least("__ka", "__kb").alias("key_a"),
+            F.greatest("__ka", "__kb").alias("key_b"),
+            "dist",
+        )
+    )
+
+
+def _fuzzy_length_string_pairs(
+    grouped: DataFrame, blocks: list[str], max_dist: int
+) -> DataFrame:
+    """Length-bucket candidate join over distinct strings.  Output:
+    (__keys_a, __keys_b, dist), each unordered string pair once
+    (str_a < str_b canonicalizes; the right side's 3-bucket fan-out
+    contains the left bucket at most once)."""
     width = max_dist + 1
-    a = df.select(
-        F.col(key_col).alias("key_a"),
-        F.col(str_col).alias("str_a"),
-        (F.length(str_col) / width).cast("long").alias("__bucket"),
+    a = grouped.select(
+        F.col("__str").alias("str_a"),
+        F.col("__keys").alias("__keys_a"),
+        (F.length("__str") / width).cast("long").alias("__bucket"),
         *[F.col(c).alias(f"__ba_{c}") for c in blocks],
     )
-    b = df.select(
-        F.col(key_col).alias("key_b"),
-        F.col(str_col).alias("str_b"),
+    b = grouped.select(
+        F.col("__str").alias("str_b"),
+        F.col("__keys").alias("__keys_b"),
         F.explode(
             F.sequence(
-                (F.length(str_col) / width).cast("long") - 1,
-                (F.length(str_col) / width).cast("long") + 1,
+                (F.length("__str") / width).cast("long") - 1,
+                (F.length("__str") / width).cast("long") + 1,
             )
-        ).alias("__bucket"),
+        ).alias("__bucket_b"),
         *[F.col(c).alias(f"__bb_{c}") for c in blocks],
     )
-    b = b.withColumnRenamed("__bucket", "__bucket_b")
     cond = F.col("__bucket") == F.col("__bucket_b")
     for c in blocks:
         cond = cond & (F.col(f"__ba_{c}") == F.col(f"__bb_{c}"))
-    joined = a.join(b, cond, "inner").filter(
-        (F.col("key_a") < F.col("key_b"))
-        & (F.col("str_a") != F.col("str_b"))
-        & (F.levenshtein("str_a", "str_b") <= max_dist)
+    return (
+        a.join(b, cond, "inner")
+        .filter(
+            (F.col("str_a") < F.col("str_b"))
+            & (F.levenshtein("str_a", "str_b") <= max_dist)
+        )
+        .select(
+            "__keys_a",
+            "__keys_b",
+            F.levenshtein("str_a", "str_b").alias("dist"),
+        )
     )
-    return joined.select(
-        "key_a", "key_b", F.levenshtein("str_a", "str_b").alias("dist")
+
+
+def _fuzzy_qgram_string_pairs(
+    grouped: DataFrame, blocks: list[str], max_dist: int, q: int
+) -> DataFrame:
+    """q-gram-profile pigeonhole candidate join over distinct strings
+    (see fuzzy_string_pairs).  All signature math is pure Column
+    expressions: the gram array via a transform over positions, each
+    part's sub-multiset via filter + array_sort, its signature via
+    xxhash64 — per-row, shuffle-free, whole-stage-codegen friendly."""
+    k = 2 * max_dist * q + 1
+    grams = F.when(
+        F.length("__str") >= q,
+        F.expr(
+            f"transform(sequence(1, length(__str) - {q - 1}),"
+            f" i -> substring(__str, i, {q}))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sigs = F.array(
+        *[
+            F.xxhash64(
+                F.concat_ws(
+                    "",
+                    F.array_sort(
+                        F.filter(
+                            F.col("__grams"),
+                            lambda g: F.pmod(F.xxhash64(g), F.lit(k))
+                            == F.lit(p),
+                        )
+                    ),
+                )
+            )
+            for p in range(k)
+        ]
+    )
+    side = grouped.select(
+        F.col("__str"),
+        F.col("__keys"),
+        *[F.col(c).alias(f"__blk_{c}") for c in blocks],
+        grams.alias("__grams"),
+    ).select(
+        "__str",
+        "__keys",
+        *[f"__blk_{c}" for c in blocks],
+        F.posexplode(sigs).alias("__part", "__sig"),
+    )
+    a = side.select(
+        F.col("__str").alias("str_a"),
+        F.col("__keys").alias("__keys_a"),
+        *[F.col(f"__blk_{c}").alias(f"__ba_{c}") for c in blocks],
+        "__part",
+        "__sig",
+    )
+    b = side.select(
+        F.col("__str").alias("str_b"),
+        F.col("__keys").alias("__keys_b"),
+        *[F.col(f"__blk_{c}").alias(f"__bb_{c}") for c in blocks],
+        F.col("__part").alias("__part_b"),
+        F.col("__sig").alias("__sig_b"),
+    )
+    cond = (F.col("__part") == F.col("__part_b")) & (
+        F.col("__sig") == F.col("__sig_b")
+    )
+    for c in blocks:
+        cond = cond & (F.col(f"__ba_{c}") == F.col(f"__bb_{c}"))
+    return (
+        a.join(b, cond, "inner")
+        .filter(
+            (F.col("str_a") < F.col("str_b"))
+            & (F.levenshtein("str_a", "str_b") <= max_dist)
+        )
+        .select(
+            "str_a",
+            "str_b",
+            *[f"__ba_{c}" for c in blocks],
+            "__keys_a",
+            "__keys_b",
+            F.levenshtein("str_a", "str_b").alias("dist"),
+        )
+        # a true pair can match on up to k parts — collapse the
+        # multiplicity; bounded by k × matching string pairs.  The
+        # dedup key includes the block columns: the SAME string pair
+        # occurring in two blocks is two outputs with disjoint keys.
+        .dropDuplicates(
+            ["str_a", "str_b", *[f"__ba_{c}" for c in blocks]]
+        )
+        .select("__keys_a", "__keys_b", "dist")
     )

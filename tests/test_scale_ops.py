@@ -452,9 +452,12 @@ def test_unpivot_is_one_expand_not_union(spark):
 
 
 def test_fuzzy_pairs_bucketing_matches_bruteforce(spark):
-    """Length-bucket fan-out loses no pairs and emits no duplicates:
-    compare against the naive all-pairs filter on a fixture with
-    cross-bucket lengths, ties, and identical strings (excluded)."""
+    """Both block constructions (q-gram pigeonhole AND length-bucket)
+    lose no pairs and emit no duplicates: compare against the naive
+    all-pairs filter on a fixture with cross-bucket lengths, ties,
+    sub-q-gram-length strings, identical strings (excluded from
+    output but merged into key lists), and the same string repeated
+    in DIFFERENT blocks (must pair per block, not collapse)."""
     from pyspark.sql import Row
 
     from stampede_to_fresco_etl_spark.operators.dedup import (
@@ -464,15 +467,11 @@ def test_fuzzy_pairs_bucketing_matches_bruteforce(spark):
     words = [
         "cat", "cats", "catz", "ca", "c", "dog", "doge", "dogged",
         "abcdef", "abcdefgh", "abcdeg", "xyz", "xyz", "wxyz",
+        # same pair of near-dup strings in both blocks (i%2 keys):
+        "twin", "twin", "twine", "twine",
     ]
     rows = [Row(k=i, s=w, blk=i % 2) for i, w in enumerate(words)]
     df = spark.createDataFrame(rows)
-    got = {
-        (r.key_a, r.key_b, r.dist)
-        for r in fuzzy_string_pairs(
-            df, "k", "s", block_cols=["blk"], max_dist=2
-        ).collect()
-    }
     import itertools
 
     def lev(a, b):
@@ -492,8 +491,16 @@ def test_fuzzy_pairs_bucketing_matches_bruteforce(spark):
         )
         if i % 2 == j % 2 and a != b and lev(a, b) <= 2
     }
-    assert got == want
-    assert len(got) == len({(a, b) for a, b, _ in got})  # no dups
+    for method in ("qgram", "length"):
+        got = [
+            (r.key_a, r.key_b, r.dist)
+            for r in fuzzy_string_pairs(
+                df, "k", "s", block_cols=["blk"], max_dist=2,
+                method=method,
+            ).collect()
+        ]
+        assert set(got) == want, method
+        assert len(got) == len(set(got)), method  # no dups
 
 
 def test_fuzzy_pairs_plan_is_equijoin(spark):
