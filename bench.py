@@ -26,7 +26,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from stampede_to_fresco_etl_spark.catalog import REGISTRY  # noqa: E402
 from stampede_to_fresco_etl_spark.session import get_spark  # noqa: E402
 
-HEADLINE = [
+# CORE is FROZEN (r6, VERDICT r5 item 5): the 35-query r4-comparable
+# set.  Every round's side file reports vs_prev across the whole core,
+# giving an unbroken cross-round perf chain regardless of registry
+# growth.  Do not add to CORE — new queries go to EXTENSION, which may
+# rotate.
+CORE = [
     "a1_groupby_sum",
     "w1_rate_kernel",
     "j1_interval_join",
@@ -62,6 +67,11 @@ HEADLINE = [
     "x15_group_zscore",  # new r4: broadcast-back feature scaling
     "d6_simhash_pairs",  # new r4: banded Hamming near-dup join
     "d7_dedup_keep_best",  # new r4: cluster + quality-argmax capstone
+]
+
+# EXTENSION rotates as the registry grows; wall numbers here are
+# tracked but only core vs_prev is the cross-round contract.
+EXTENSION = [
     "x16_decontaminate",  # new r5: broadcast eval-shingle semi-join
     "x18_repetition",  # new r5: zero-shuffle dup n-gram fractions
     "tpch_q13",  # new r5: outer-join count histogram
@@ -84,7 +94,10 @@ HEADLINE = [
     "d12_semdedup",  # new r5c: SemDeDup capstone (LSH pairs + CC)
     "w11_cusum_drift",  # new r5c: CUSUM via prefix-sum identity
     "geo1_grid_proximity_join",  # new r5c: grid-banded spatial join
+    "j12_bloom_prefilter_join",  # new r6: runtime-filter join (dieted)
 ]
+
+HEADLINE = CORE + EXTENSION
 
 
 def _rnum(p: str) -> int:
@@ -205,6 +218,9 @@ def main() -> None:
             io[name] = {k: after[k] - before[k] for k in after}
 
     total = round(sum(timings.values()), 3)
+    core_total = round(
+        sum(timings[n] for n in CORE if n in timings), 3
+    )
     out = {
         "metric": "headline_queries_total_wall",
         "value": total,
@@ -218,7 +234,12 @@ def main() -> None:
     # timings-only JSON must be the FINAL printed line.
     rnd = _current_round()
     out["round"] = rnd
-    side: dict[str, object] = {"sf": sf, "round": rnd}
+    side: dict[str, object] = {
+        "sf": sf,
+        "round": rnd,
+        "core_total": core_total,
+        "core_n": len(CORE),
+    }
     if io:
         side["io"] = io
     try:

@@ -9876,7 +9876,13 @@ def q_bloom_prefilter_join(spark, sf_dir):
     bloom-pushdown/DPP-adjacent move that pays at 100 TB: the
     shuffle shrinks by the fact side's non-match fraction for the
     cost of one ~64 KB broadcast.  No false negatives by
-    construction (b1's sketch), so no correctness risk."""
+    construction (b1's sketch machinery), so no correctness risk.
+    r6 diet (VERDICT r5 finding 3): the sketch builds once per run
+    behind a localCheckpoint, the 4 probes fold into one predicate,
+    and — since THIS query's oracle checks the join result, not bit
+    positions — the bit hash is JVM-native xxhash64 instead of b1's
+    DuckDB-reproducible md5 recipe (7.65 s → ~1.5 s warm at
+    sf0.1)."""
     from stampede_to_fresco_etl_spark.operators.sketches import (
         _BLOOM_WORD_BITS,
         _bloom_pos,
@@ -9888,39 +9894,46 @@ def q_bloom_prefilter_join(spark, sf_dir):
     orders = load(spark, sf_dir, "orders").filter(
         F.col("o_orderpriority") == "1-URGENT"
     ).select("o_orderkey", "o_orderpriority")
+    # build the sketch ONCE per run: localCheckpoint pins the 64 KB
+    # words row so the broadcast (and any plan re-derivation) reuses
+    # the materialized aggregate instead of re-scanning orders
+    # (VERDICT r5 finding 3)
     sketch = bloom_sketch(
         orders.withColumn("g", F.lit(1)),
         ["g"], "o_orderkey", num_hashes=k, width_bits=width,
-    ).select("words")
+        hasher="xxhash",
+    ).select("words").localCheckpoint()
     li = load(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice", "l_discount"
     )
-    probed = li.crossJoin(F.broadcast(sketch))
-    for i in range(k):
-        pos = _bloom_pos(F.col("l_orderkey"), F.lit(i), width)
-        probed = probed.withColumn(
-            f"__w{i}",
-            F.element_at(
-                F.col("words"),
-                (pos / _BLOOM_WORD_BITS).cast("int") + F.lit(1),
-            ),
-        ).withColumn(
-            f"__b{i}",
-            F.pmod(pos, F.lit(_BLOOM_WORD_BITS)).cast("int"),
+    # all 4 probes folded into ONE predicate in ONE select — no
+    # intermediate probe columns ride the frame
+    def _test(i: int):
+        pos = _bloom_pos(
+            F.col("l_orderkey"), F.lit(i), width, hasher="xxhash"
         )
-    hit = None
-    for i in range(k):
-        test = (
-            F.expr(f"__w{i} & shiftleft(CAST(1 AS BIGINT), __b{i})") != 0
+        word = F.element_at(
+            F.col("words"), (pos / _BLOOM_WORD_BITS).cast("int") + F.lit(1)
         )
-        hit = test if hit is None else (hit & test)
-    filtered = probed.filter(hit).select(
-        "l_orderkey", "l_extendedprice", "l_discount"
+        bit = F.pmod(pos, F.lit(_BLOOM_WORD_BITS)).cast("int")
+        mask = F.call_function(
+            "shiftleft", F.lit(1).cast("long"), bit
+        )
+        return word.bitwiseAND(mask) != 0
+
+    hit = _test(0)
+    for i in range(1, k):
+        hit = hit & _test(i)
+    filtered = (
+        li.crossJoin(F.broadcast(sketch))
+        .filter(hit)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
     )
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         filtered.join(
-            orders, F.col("l_orderkey") == F.col("o_orderkey")
+            F.broadcast(orders),
+            F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .groupBy("o_orderpriority")
         .agg(F.count("*").alias("n_items"), dsum(rev).alias("revenue"))

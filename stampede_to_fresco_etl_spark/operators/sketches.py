@@ -463,9 +463,19 @@ def cms_query(
 _BLOOM_WORD_BITS = 32
 
 
-def _bloom_pos(value: F.Column, i: F.Column, m_bits: int) -> F.Column:
-    """Hash i's bit position for a value: md5('bloom{i}:{value}')
-    60-bit window mod m_bits — md5_int63's recipe, oracle-exact."""
+def _bloom_pos(
+    value: F.Column, i: F.Column, m_bits: int, hasher: str = "md5"
+) -> F.Column:
+    """Hash i's bit position for a value.
+
+    hasher="md5": md5('bloom{i}:{value}') 60-bit window mod m_bits —
+    md5_int63's recipe, reproducible in DuckDB SQL (oracle-exact;
+    b1's contract).  hasher="xxhash": xxhash64(value, i) mod m_bits —
+    JVM-native, ~10× cheaper per probe; use when the sketch is a
+    Spark-internal runtime filter whose oracle checks the JOIN
+    RESULT, not the bit positions (j12)."""
+    if hasher == "xxhash":
+        return F.pmod(F.xxhash64(value, i), F.lit(m_bits))
     return F.pmod(
         F.conv(
             F.substring(
@@ -493,10 +503,12 @@ def bloom_sketch(
     value_col: str,
     num_hashes: int = 4,
     width_bits: int = 2048,
+    hasher: str = "md5",
 ) -> DataFrame:
     """Per-group Bloom filter: (group..., words array<long>) with
     `width_bits` bits packed 32 per word.  No false negatives;
-    false-positive rate ≈ (1 − e^(−k·n/m))^k.
+    false-positive rate ≈ (1 − e^(−k·n/m))^k.  `hasher` picks the
+    bit-position hash (see _bloom_pos) — probes MUST use the same.
 
     Shuffle shape: input explodes ×k hashes, then ONE
     (group, word) hash-agg with map-side OR-combine — the exchange
@@ -515,7 +527,7 @@ def bloom_sketch(
     hashes = F.explode(
         F.sequence(F.lit(0), F.lit(num_hashes - 1))
     ).alias("i")
-    pos = _bloom_pos(F.col("__v"), F.col("i"), width_bits)
+    pos = _bloom_pos(F.col("__v"), F.col("i"), width_bits, hasher)
     positions = (
         df.filter(F.col(value_col).isNotNull())
         .select(*group_cols, F.col(value_col).alias("__v"), hashes)
@@ -533,23 +545,34 @@ def bloom_sketch(
     per_word = positions.groupBy(*group_cols, "word").agg(
         F.bit_or("mask").alias("w")
     )
-    return (
-        per_word.groupBy(*group_cols)
-        .agg(
-            F.map_from_entries(
-                F.collect_list(F.struct(F.col("word"), F.col("w")))
-            ).alias("__m")
-        )
+    # dense assembly: union a zero row per (group, word) slot and
+    # re-aggregate, then sort-and-project the collected structs.
+    # The obvious alternative — try_element_at(map, i) inside a
+    # transform over the word index — is O(width²) interpreted ops
+    # per group (MapType access is a linear scan and higher-order
+    # lambdas don't codegen): measured 5.1 s for ONE 8192-word
+    # sketch vs ~0.1 s for this shape (r6, j12 diet).
+    zeros = (
+        per_word.select(*group_cols)
+        .distinct()
         .select(
             *group_cols,
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_words - 1)),
-                lambda i: F.coalesce(
-                    F.try_element_at(F.col("__m"), i.cast("int")),
-                    F.lit(0).cast("long"),
-                ),
-            ).alias("words"),
+            F.explode(
+                F.sequence(F.lit(0), F.lit(n_words - 1))
+            ).alias("word"),
+            F.lit(0).cast("long").alias("w"),
         )
+    )
+    dense = (
+        per_word.unionByName(zeros)
+        .groupBy(*group_cols, "word")
+        .agg(F.bit_or("w").alias("w"))
+    )
+    return dense.groupBy(*group_cols).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("word", "w"))),
+            lambda s: s["w"],
+        ).alias("words")
     )
 
 
