@@ -8546,14 +8546,18 @@ def q_cusum_drift(spark, sf_dir):
     """W11 — CUSUM drift detection per event_type: the sequential
     change-point statistic S_t = max(0, S_{t−1} + (x_t − target −
     slack)) computed WITHOUT the recurrence, via the prefix-sum
-    identity S_t = P_t − min(0, min_{i≤t} P_i) — two running windows
-    over one (type)-keyed sort, fully parallel where the textbook
-    loop is sequential.  Target/slack are w10's robust location/
-    scale (positional median, MAD at ×2 integer scale; slack =
-    1·mad2), the alarm threshold is 6×MAD — everything bigint until
-    the display column.  Flag rates on this corpus: 0.3-0.7% across
-    sf0.001-0.1 — a drift detector, not a constant alarm."""
-    from pyspark.sql import Window as W
+    identity S_t = P_t − min(0, min_{i≤t} P_i) — and the prefix pair
+    itself runs on the two-pass parallel scan kernel (r6), so no
+    stage serializes a whole event_type into one task where the
+    textbook loop is sequential row-by-row.  Target/slack are w10's
+    robust location/scale (positional median, MAD at ×2 integer
+    scale; slack = 1·mad2), the alarm threshold is 6×MAD —
+    everything bigint until the display column.  Flag rates on this
+    corpus: 0.3-0.7% across sf0.001-0.1 — a drift detector, not a
+    constant alarm."""
+    from stampede_to_fresco_etl_spark.operators.order_stats import (
+        prefix_sum_with_running_min,
+    )
 
     e = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     vi = F.floor(F.col("value") * F.lit(10000.0)).cast("long")
@@ -8566,13 +8570,16 @@ def q_cusum_drift(spark, sf_dir):
     y = devs.join(F.broadcast(mad), "event_type").withColumn(
         "y2", F.col("v") * 2 - F.col("med2") - F.col("mad2")
     )
-    w_seq = (
-        W.partitionBy("event_type")
-        .orderBy("ts", "event_id")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    # the sequence scan rides the parallel two-pass prefix kernel
+    # (operators/order_stats.py) — the naive PARTITION BY event_type
+    # ORDER BY ts window would serialize each type into one task
+    p = prefix_sum_with_running_min(
+        y.select("event_id", "event_type", "ts", "mad2", "y2"),
+        ["event_type"],
+        ["ts", "event_id"],
+        "y2",
     )
-    p = y.withColumn("pt", F.sum("y2").over(w_seq))
-    s = p.withColumn("minp", F.min("pt").over(w_seq)).withColumn(
+    s = p.withColumn(
         "s2", F.col("pt") - F.least(F.col("minp"), F.lit(0))
     )
     return s.select(

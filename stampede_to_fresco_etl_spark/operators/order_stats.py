@@ -1,5 +1,6 @@
-"""Exact distributed order statistics — positional (nearest-rank)
-selection per group without a per-group single-task sort.
+"""Exact distributed order statistics and parallel scans —
+positional (nearest-rank) selection and associative prefix scans per
+group, without a per-group single-task sort.
 
 The positional-quantile family (a16 exact median, w10 MAD, x25 IQR
 fences, x31 winsorize bounds) selects the value at rank k of each
@@ -130,4 +131,99 @@ def positional_select(
     ]
     return ranked.filter(keep).groupBy(*gcols).agg(
         F.max(count_name).alias(count_name), *aggs
+    )
+
+def prefix_sum_with_running_min(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_cols: Sequence[str],
+    value_col: str,
+    out_sum: str = "pt",
+    out_min: str = "minp",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Per group, in (order_cols) order: the running prefix sum of
+    ``value_col`` and the running minimum of that prefix — the exact
+    pair the CUSUM identity S_t = P_t − min(0, min_{i≤t} P_i) needs
+    (w11), without a per-group serial scan.
+
+    ``sum`` and ``min`` are associative, so the classic two-pass
+    parallel scan applies (Blelloch '90, the shape every GPU/MPI
+    scan uses): range-partition + local sort freezes a total order
+    (order_cols must totally order each group — include a unique
+    tiebreak); pass 1 computes each (partition, group)'s LOCAL
+    prefix sum/min plus its total and min as one bounded window;
+    pass 2 chains the per-partition totals on a P·G-row frame into
+    exclusive offsets (cumulative sum) and the global min BEFORE
+    each partition (cumulative min of offset + local min), then a
+    broadcast join back finishes each row by arithmetic:
+
+        pt(t)   = offset(pid) + local_prefix(t)
+        minp(t) = min(gmin_before(pid), offset(pid) + local_min(t))
+
+    The only full-data WindowExec partitions by (pid, group) —
+    bounded by rows/P — where the naive plan's
+    ``PARTITION BY group ORDER BY ts`` serializes each group into
+    one task (the quantile family's straggler shape, VERDICT r5
+    finding 1, applied to scans).
+
+    Output: the input columns plus ``out_sum``/``out_min``
+    (bigint-exact for integer inputs)."""
+    gcols = list(group_cols)
+    ocols = list(order_cols)
+    if num_partitions is None:
+        try:
+            num_partitions = int(
+                df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+            )
+        except (TypeError, ValueError):
+            num_partitions = 200
+    part = (
+        df.repartitionByRange(num_partitions, *gcols, *ocols)
+        .sortWithinPartitions(*gcols, *ocols)
+        .withColumn("__mid", F.monotonically_increasing_id())
+        .localCheckpoint()
+        .withColumn("__pid", F.shiftright("__mid", 33))
+    )
+    # pass 1: local prefix sum + local running min, one window spec
+    # partitioned (pid, group) — task size bounded by rows/P.  The
+    # order key is __mid: within a partition it is the frozen
+    # (group, order_cols) sort order.
+    w_local = (
+        Window.partitionBy("__pid", *gcols)
+        .orderBy("__mid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    loc = part.withColumn(
+        "__lsum", F.sum(value_col).over(w_local)
+    ).withColumn("__lmin", F.min(F.col("__lsum")).over(w_local))
+    # pass 2 on the P·G-row stats frame: exclusive sum offsets and
+    # the global running min of completed partitions
+    stats = loc.groupBy("__pid", *gcols).agg(
+        F.sum(value_col).alias("__tot"),
+        F.min("__lsum").alias("__pmin"),
+    )
+    w_prev = (
+        Window.partitionBy(*gcols)
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = stats.withColumn(
+        "__off", F.coalesce(F.sum("__tot").over(w_prev), F.lit(0))
+    )
+    offs = offs.withColumn(
+        "__gmin_before",
+        F.min(F.col("__off") + F.col("__pmin")).over(w_prev),
+    ).select("__pid", *gcols, "__off", "__gmin_before")
+    pt = F.col("__lsum") + F.col("__off")
+    minp = F.least(
+        F.coalesce(F.col("__gmin_before"), F.lit(1 << 62)),
+        F.col("__off") + F.col("__lmin"),
+    )
+    keep = [c for c in df.columns]
+    return (
+        loc.join(F.broadcast(offs), ["__pid", *gcols])
+        .select(
+            *keep, pt.alias(out_sum), minp.alias(out_min)
+        )
     )

@@ -126,3 +126,71 @@ def test_quantile_family_never_ranks_raw_table(spark):
         assert "BroadcastHashJoin" in plan, name
         got = plan.count("- Exchange (")
         assert got <= max_ex, (name, got, max_ex)
+
+
+def test_prefix_sum_with_running_min_vs_pandas(spark):
+    """Parallel two-pass scan ≡ serial scan, on a shape that forces
+    groups to straddle many range partitions (num_partitions far
+    above rows/group) with negative values so the running min moves
+    mid-stream."""
+    import random
+
+    from stampede_to_fresco_etl_spark.operators.order_stats import (
+        prefix_sum_with_running_min,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        (f"g{i % 3}", i, rng.randint(-50, 40)) for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "g string, seq long, v long")
+    got = {
+        (r["g"], r["seq"]): (r["pt"], r["minp"])
+        for r in prefix_sum_with_running_min(
+            df, ["g"], ["seq"], "v", num_partitions=32
+        ).collect()
+    }
+    by_g: dict = {}
+    for g, seq, v in sorted(rows, key=lambda t: (t[0], t[1])):
+        pt, mn = by_g.get(g, (0, None))
+        pt += v
+        mn = pt if mn is None else min(mn, pt)
+        by_g[g] = (pt, mn)
+        assert got[(g, seq)] == (pt, mn), (g, seq, got[(g, seq)], (pt, mn))
+    assert len(got) == len(rows)
+
+
+def test_prefix_scan_single_row_groups(spark):
+    from stampede_to_fresco_etl_spark.operators.order_stats import (
+        prefix_sum_with_running_min,
+    )
+
+    rows = [("a", 1, -5), ("b", 1, 7)]
+    df = spark.createDataFrame(rows, "g string, seq long, v long")
+    got = {
+        r["g"]: (r["pt"], r["minp"])
+        for r in prefix_sum_with_running_min(
+            df, ["g"], ["seq"], "v"
+        ).collect()
+    }
+    assert got == {"a": (-5, -5), "b": (7, 7)}
+
+
+def test_w11_no_serial_scan_window(spark):
+    """w11 plan canary: the CUSUM prefix pair must not ride a
+    PARTITION BY event_type ORDER BY ts window (one task per type);
+    only the bounded (pid, group) window of the scan kernel may
+    touch the data."""
+    import re
+
+    from stampede_to_fresco_etl_spark.catalog import REGISTRY
+
+    df = REGISTRY["w11_cusum_drift"][0](spark, "/root/testdata/sf0.001")
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert not re.findall(
+        r"windowspecdefinition\(event_type#\d+, ts#", plan
+    )
+    assert "SortMergeJoin" not in plan
+    assert plan.count("- Exchange (") <= 3
