@@ -7297,21 +7297,27 @@ FROM events GROUP BY event_type
 
 def q_ratio_to_report(spark, sf_dir):
     """W7 — ratio-to-report: every event's share of its group's total
-    (the classic percent-of-total window).  Totals stay floor-scaled
-    bigints via a sum-over-partition window (no ORDER BY → no sort,
-    one Exchange), and the share divides the two exact integers in
-    one pinned expression."""
-    from pyspark.sql import Window as W
-
+    (the classic percent-of-total window).  Implemented as a grouped
+    total + broadcast join-back instead of the textbook
+    sum-over-partition window: the window's Exchange funnels the
+    WHOLE table through group-cardinality tasks (5 here) even with
+    no ORDER BY, while the aggregate reduces map-side to a 5-row
+    frame and the join-back is a broadcast — zero data-sized
+    Exchange (r6; the same move x15's z-scores use).  Totals stay
+    floor-scaled bigints; the share divides the two exact integers
+    in one pinned expression."""
     e = load(spark, sf_dir, "events")
     vi = F.floor(F.col("value") * F.lit(10000.0)).cast("long")
     base = e.select("event_id", "event_type", vi.alias("value_i"))
-    tot = F.sum("value_i").over(W.partitionBy("event_type"))
-    return base.select(
+    tot = base.groupBy("event_type").agg(
+        F.sum("value_i").alias("__tot")
+    )
+    return base.join(F.broadcast(tot), "event_type").select(
         "event_id",
         "event_type",
         (
-            F.col("value_i").cast("double") / tot.cast("double")
+            F.col("value_i").cast("double")
+            / F.col("__tot").cast("double")
         ).alias("share_of_type"),
     )
 
