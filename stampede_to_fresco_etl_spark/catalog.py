@@ -10134,6 +10134,76 @@ REGISTRY.update(
 )
 
 
+def q_exact_percentiles(spark, sf_dir):
+    """A26 — exact five-number percentile summary per group
+    (p05/p25/p50/p75/p95, nearest-rank k = (n−1)·p//100 + 1), all
+    five selected in ONE pass of the distributed order-statistic
+    kernel (operators/order_stats.py): one range shuffle, a P·G-row
+    offset frame, no ranking window over the data — the per-feature
+    distribution card a curation pipeline materializes for every
+    numeric column before/after each filter stage.  a12 is the
+    histogram-resolution twin; this is exact at any resolution."""
+    from stampede_to_fresco_etl_spark.operators.order_stats import (
+        positional_select,
+    )
+
+    e = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    vi = F.floor(F.col("value") * F.lit(10000.0)).cast("long")
+    base = e.select("event_type", vi.alias("v"))
+
+    def _nr(p):
+        return lambda n: (F.floor((n - 1) * p / 100) + 1).cast("long")
+
+    sel = positional_select(
+        base,
+        ["event_type"],
+        "v",
+        [(f"p{p:02d}", _nr(p)) for p in (5, 25, 50, 75, 95)],
+    )
+    return sel.select(
+        "event_type",
+        F.col("n").alias("n_rows"),
+        *[
+            (F.col(f"p{p:02d}").cast("double") / 10000.0).alias(
+                f"p{p:02d}"
+            )
+            for p in (5, 25, 50, 75, 95)
+        ],
+    )
+
+
+SQL_EXACT_PERCENTILES = """
+WITH base AS (
+  SELECT event_type, CAST(FLOOR(value * 10000.0) AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL
+),
+ranked AS (
+  SELECT event_type, v,
+         row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM base
+)
+SELECT event_type, max(n) AS n_rows,
+       CAST(max(CASE WHEN rn = (n - 1) * 5  // 100 + 1 THEN v END)
+            AS DOUBLE) / 10000.0 AS p05,
+       CAST(max(CASE WHEN rn = (n - 1) * 25 // 100 + 1 THEN v END)
+            AS DOUBLE) / 10000.0 AS p25,
+       CAST(max(CASE WHEN rn = (n - 1) * 50 // 100 + 1 THEN v END)
+            AS DOUBLE) / 10000.0 AS p50,
+       CAST(max(CASE WHEN rn = (n - 1) * 75 // 100 + 1 THEN v END)
+            AS DOUBLE) / 10000.0 AS p75,
+       CAST(max(CASE WHEN rn = (n - 1) * 95 // 100 + 1 THEN v END)
+            AS DOUBLE) / 10000.0 AS p95
+FROM ranked
+GROUP BY event_type
+"""
+
+
+REGISTRY.update(
+    {"a26_exact_percentiles": (q_exact_percentiles, SQL_EXACT_PERCENTILES)}
+)
+
+
 # ---------------------------------------------------------------------------
 # Enumeration order: the driver's correctness run covers the first N
 # registry entries per round, so the STALEST queries must enumerate
@@ -10199,7 +10269,7 @@ _REVALIDATE = {
 #: r5 backlog (91 never-checked queries from the registry's r5 growth)
 #: must drain through the driver's 50-slot window first — new entries
 #: wait behind it (VERDICT r5 item 1).  Per-round maintenance.
-_DEFER_NEW: set[str] = set()
+_DEFER_NEW: set[str] = {"a26_exact_percentiles"}
 
 _FRESHNESS = _latest_green_round()
 _NEWEST_CHECKED = max(_FRESHNESS.values(), default=0)
