@@ -8548,43 +8548,71 @@ REGISTRY.update(
 )
 
 
+#: w11's serial-window / parallel-scan crossover: below this many
+#: rows the kernel's fixed passes cost more than one task sorting
+#: n/5 rows (measured at sf0.1: 1.4 s windows vs 3.3 s kernel);
+#: far above it the serial window is a straggler and the kernel is
+#: the only plan that survives.  Tests pin BOTH paths (parity +
+#: plan) by monkeypatching this to 0.
+_W11_SERIAL_MAX_ROWS = 10_000_000
+
+
 def q_cusum_drift(spark, sf_dir):
     """W11 — CUSUM drift detection per event_type: the sequential
     change-point statistic S_t = max(0, S_{t−1} + (x_t − target −
     slack)) computed WITHOUT the recurrence, via the prefix-sum
-    identity S_t = P_t − min(0, min_{i≤t} P_i) — and the prefix pair
-    itself runs on the two-pass parallel scan kernel (r6), so no
-    stage serializes a whole event_type into one task where the
-    textbook loop is sequential row-by-row.  Target/slack are w10's
-    robust location/scale (positional median, MAD at ×2 integer
-    scale; slack = 1·mad2), the alarm threshold is 6×MAD —
-    everything bigint until the display column.  Flag rates on this
-    corpus: 0.3-0.7% across sf0.001-0.1 — a drift detector, not a
-    constant alarm."""
+    identity S_t = P_t − min(0, min_{i≤t} P_i) — with an ADAPTIVE
+    physical mode for the prefix pair (the connected-components
+    small-graph pattern): below `_W11_SERIAL_MAX_ROWS` the classic
+    per-type running windows win (the parallel kernel's fixed costs
+    — range-sample pass, checkpoint, offset frame — dominate small
+    inputs: measured 3.3 s kernel vs 1.4 s windows at sf0.1/600k
+    rows); above it the scan rides order_stats.
+    prefix_sum_with_running_min, the Blelloch two-pass parallel
+    scan, because a per-type serial window over a 5-value key is a
+    one-task-per-type straggler.  The row count is a cached-block
+    scan (base is checkpointed — which the kernel path wants anyway
+    so its range sampling reads cached blocks, not the parquet
+    scan).  Target/slack are w10's robust location/scale (positional
+    median, MAD at ×2 integer scale; slack = 1·mad2), the alarm
+    threshold is 6×MAD — everything bigint until the display
+    column.  Flag rates on this corpus: 0.3-0.7% across sf0.001-0.1
+    — a drift detector, not a constant alarm."""
+    from pyspark.sql import Window as W
+
     from stampede_to_fresco_etl_spark.operators.order_stats import (
         prefix_sum_with_running_min,
     )
 
     e = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     vi = F.floor(F.col("value") * F.lit(10000.0)).cast("long")
-    base = e.select("event_id", "event_type", "ts", vi.alias("v"))
+    base = e.select(
+        "event_id", "event_type", "ts", vi.alias("v")
+    ).localCheckpoint()
     med = _two_middle_sum(base, "v", "med2")
     devs = base.join(F.broadcast(med), "event_type").withColumn(
         "dev", F.abs(F.col("v") * 2 - F.col("med2"))
-    )
+    ).localCheckpoint()
     mad = _two_middle_sum(devs, "dev", "mad2")
     y = devs.join(F.broadcast(mad), "event_type").withColumn(
         "y2", F.col("v") * 2 - F.col("med2") - F.col("mad2")
     )
-    # the sequence scan rides the parallel two-pass prefix kernel
-    # (operators/order_stats.py) — the naive PARTITION BY event_type
-    # ORDER BY ts window would serialize each type into one task
-    p = prefix_sum_with_running_min(
-        y.select("event_id", "event_type", "ts", "mad2", "y2"),
-        ["event_type"],
-        ["ts", "event_id"],
-        "y2",
-    )
+    if base.count() <= _W11_SERIAL_MAX_ROWS:
+        w_seq = (
+            W.partitionBy("event_type")
+            .orderBy("ts", "event_id")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        p = y.withColumn("pt", F.sum("y2").over(w_seq)).withColumn(
+            "minp", F.min("pt").over(w_seq)
+        )
+    else:
+        p = prefix_sum_with_running_min(
+            y.select("event_id", "event_type", "ts", "mad2", "y2"),
+            ["event_type"],
+            ["ts", "event_id"],
+            "y2",
+        )
     s = p.withColumn(
         "s2", F.col("pt") - F.least(F.col("minp"), F.lit(0))
     )

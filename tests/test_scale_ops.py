@@ -535,7 +535,8 @@ def test_r5c_window_ops_shuffle_budget(spark):
         "t12_ohlc_downsample": 1,        # one (user,bucket) sort
         "w10_mad_outliers": 6,           # 2 median passes × (cnt agg
         #                                  + offset window) + re-derive
-        "w11_cusum_drift": 3,            # scan kernel: all control-plane
+        "w11_cusum_drift": 4,            # 2 kernel passes + serial-mode
+        #                                  scan windows (small input)
         "w12_seasonal_residuals": 3,     # one kernel pass + join-back
         "w13_rolling_corr": 1,           # one supplier sort, 5 sums
         "w9_cumulative_distinct": 3,     # first-seen agg, day agg, run
