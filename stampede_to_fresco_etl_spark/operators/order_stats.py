@@ -86,10 +86,22 @@ def positional_select(
             )
         except (TypeError, ValueError):
             num_partitions = 200
+    # __salt extends the range key so runs of EQUAL (group, value)
+    # rows can split across partition boundaries — a RangePartitioner
+    # never splits equal keys, so without it a hot value (50% of a
+    # column being 0 is common in telemetry) lands in ONE partition
+    # and re-creates the straggler this kernel exists to remove.
+    # Value-majority ordering still holds (any smaller (group, value)
+    # sorts into an earlier-or-equal partition), and rank order among
+    # equal values is immaterial to the selected value, so the
+    # arithmetic below is unchanged.  The salt is a pre-shuffle
+    # monotonic id: deterministic under task retry, unlike rand().
     part = (
         df.select(*gcols, value_col)
-        .repartitionByRange(num_partitions, *gcols, value_col)
+        .withColumn("__salt", F.monotonically_increasing_id())
+        .repartitionByRange(num_partitions, *gcols, value_col, "__salt")
         .sortWithinPartitions(*gcols, value_col)
+        .drop("__salt")
         .withColumn("__mid", F.monotonically_increasing_id())
         .localCheckpoint()
     )

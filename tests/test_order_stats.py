@@ -204,3 +204,31 @@ def test_w11_adaptive_scan_both_paths(spark, monkeypatch):
     assert "SortMergeJoin" not in plan
     kernel = df.toPandas().set_index("event_id").sort_index()
     pd.testing.assert_frame_equal(serial, kernel, check_exact=True)
+
+
+def test_hot_value_spreads_across_partitions(spark):
+    """Value-skew guard: a RangePartitioner never splits equal keys,
+    so without the salt a value held by 80% of rows would land in
+    ONE partition.  With the salt in the range key the hot value's
+    rows must occupy many partitions — and the selection stays
+    exact."""
+    from pyspark.sql import functions as SF
+
+    rows = [("a", 7)] * 8000 + [("a", v) for v in range(1000)] + [
+        ("a", v) for v in range(100000, 101000)
+    ]
+    df = spark.createDataFrame(rows, "g string, v long")
+    # spread check on the kernel's own partitioning
+    part = (
+        df.withColumn("__salt", SF.monotonically_increasing_id())
+        .repartitionByRange(32, "g", "v", "__salt")
+        .withColumn("__pid", SF.spark_partition_id())
+    )
+    hot_pids = (
+        part.filter(SF.col("v") == 7)
+        .select("__pid")
+        .distinct()
+        .count()
+    )
+    assert hot_pids >= 8, hot_pids  # not one fat partition
+    _check_median(spark, rows, num_partitions=32)
