@@ -95,6 +95,9 @@ EXTENSION = [
     "w11_cusum_drift",  # new r5c: CUSUM via prefix-sum identity
     "geo1_grid_proximity_join",  # new r5c: grid-banded spatial join
     "j12_bloom_prefilter_join",  # new r6: runtime-filter join (dieted)
+    "k2_hll_distinct",  # new r6: HyperLogLog register fold
+    "x34_curation_funnel",  # new r6: 5-stage curation capstone
+    "s30_zorder_layout",  # new r6: Morton layout audit
 ]
 
 HEADLINE = CORE + EXTENSION

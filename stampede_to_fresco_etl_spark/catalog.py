@@ -10233,6 +10233,983 @@ REGISTRY.update(
 
 
 # ---------------------------------------------------------------------------
+# K2 — HyperLogLog distinct-count sketch (Flajolet et al. 2007)
+#
+# The mergeable cardinality sketch for 100 TB: per (group, bucket)
+# only a 6-bit register max rides the shuffle, registers merge by
+# max() across any partitioning/day/source split, and the estimate is
+# one arithmetic fold over m=512 registers.  k1's KMV is the
+# quantile-of-hashes twin; HLL is what production systems (Spark's
+# own approx_count_distinct, Redis PFCOUNT) actually run.
+#
+# Cross-engine exactness: the register fold Σ 2^-M_j needs > 53
+# mantissa bits at m=512, so both engines sum the EXACT INTEGER
+# Σ 2^(52-M_j) (M_j ≤ 52 ⇒ every term is an exact BIGINT) and apply
+# ONE pinned double division at the end.  The ln-based small-range
+# (linear counting) correction is deliberately omitted — IEEE does
+# not pin ln(), so it cannot be oracle-exact; we target the raw
+# estimator's sweet spot (load factor n/m ≫ 2.5) by estimating the
+# high-cardinality event_id stream with m sized so even sf0.001's
+# ~1.2k ids/group sit at load ≈ 9 (std err 1.04/√128 ≈ 9%).
+# Production: p=14, identical shape — only these two constants move.
+# ---------------------------------------------------------------------------
+
+_HLL_P = 7
+_HLL_M = 1 << _HLL_P  # 128 registers
+_HLL_WBITS = 60 - _HLL_P  # md5_int63 yields 60 hash bits
+#: alpha_m * m^2 * 2^52 folded to one double literal so both engines
+#: perform the identical single division against the exact-int sum.
+_HLL_NUM = (0.7213 / (1.0 + 1.079 / _HLL_M)) * _HLL_M * _HLL_M * float(1 << 52)
+
+
+def q_hll_distinct(spark, sf_dir):
+    """K2 — HyperLogLog per-group distinct count with exact audit:
+    register via md5 hash (bucket = low 9 bits, rho = leading-zero
+    count of the remaining 51 + 1), fold registers to the raw HLL
+    estimate, and join the exact distinct for the relative error.
+    Two tiny hash aggregations (map-side combine leaves ≤ G·m rows,
+    then ≤ G); the exact arm is the only full-cardinality shuffle —
+    at 100 TB you drop it and keep the sketch."""
+    e = load(spark, sf_dir, "events")
+    h = md5_int63(F.col("event_id"), salt="hll")
+    w = F.shiftright(h, _HLL_P)
+    rho = (
+        F.when(w > 0, F.lit(_HLL_WBITS + 1) - F.length(F.bin(w)))
+        .otherwise(F.lit(_HLL_WBITS + 1))
+        .cast("int")
+    )
+    regs = (
+        e.select(
+            "event_type",
+            F.pmod(h, F.lit(_HLL_M)).alias("b"),
+            rho.alias("r"),
+        )
+        .groupBy("event_type", "b")
+        .agg(F.max("r").alias("m"))
+    )
+    folded = regs.groupBy("event_type").agg(
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 52 - m)")).alias(
+            "s_used"
+        ),
+        F.count("*").alias("nb"),
+    )
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("event_id").alias("exact_distinct")
+    )
+    s_total = (
+        F.col("s_used")
+        + (F.lit(_HLL_M).cast("long") - F.col("nb"))
+        * F.lit(1 << 52).cast("long")
+    ).cast("double")
+    est = F.lit(_HLL_NUM) / s_total
+    return (
+        folded.join(exact, "event_type")
+        .select(
+            "event_type",
+            "exact_distinct",
+            est.alias("hll_estimate"),
+            (
+                (est - F.col("exact_distinct").cast("double"))
+                / F.col("exact_distinct").cast("double")
+            ).alias("rel_err"),
+        )
+    )
+
+
+def _sql_hll_distinct() -> str:
+    h = md5_int63_sql("CAST(event_id AS VARCHAR)", salt="hll")
+    return f"""
+WITH hashed AS (
+  SELECT event_type,
+         {h} % {_HLL_M} AS b,
+         {h} >> {_HLL_P} AS w
+  FROM events
+),
+regs AS (
+  SELECT event_type, b,
+         max(CASE WHEN w > 0
+                  THEN {_HLL_WBITS + 1} - length(bin(w))
+                  ELSE {_HLL_WBITS + 1} END) AS m
+  FROM hashed GROUP BY event_type, b
+),
+folded AS (
+  SELECT event_type,
+         sum((1::BIGINT) << (52 - m)) AS s_used,
+         count(*) AS nb
+  FROM regs GROUP BY event_type
+),
+exact AS (
+  SELECT event_type, count(DISTINCT event_id) AS exact_distinct
+  FROM events GROUP BY event_type
+)
+SELECT f.event_type, e.exact_distinct,
+       {_HLL_NUM!r} / CAST(f.s_used
+           + ({_HLL_M}::BIGINT - f.nb) * (1::BIGINT << 52)
+           AS DOUBLE) AS hll_estimate,
+       ({_HLL_NUM!r} / CAST(f.s_used
+           + ({_HLL_M}::BIGINT - f.nb) * (1::BIGINT << 52)
+           AS DOUBLE) - CAST(e.exact_distinct AS DOUBLE))
+         / CAST(e.exact_distinct AS DOUBLE) AS rel_err
+FROM folded f JOIN exact e ON f.event_type = e.event_type
+"""
+
+
+REGISTRY.update({"k2_hll_distinct": (q_hll_distinct, _sql_hll_distinct())})
+
+
+# ---------------------------------------------------------------------------
+# G2 — two-hop reach over the near-dup graph
+# ---------------------------------------------------------------------------
+
+def q_two_hop_reach(spark, sf_dir):
+    """G2 — per-node degree and 2-hop reach (distinct nodes within
+    distance ≤ 2, self excluded) over d4's Jaccard pair graph — the
+    blast-radius audit for dedup: a node whose reach2 ≫ degree sits
+    in a CHAIN that transitive clustering (d5) will over-merge.
+
+    One localCheckpoint of the pair frame feeds the symmetrized edge
+    list; 2-hop is a single self-equi-join on the middle node +
+    distinct — all integer keys, no window.  At 100 TB the join is
+    edge-partitioned on the middle node and the d4 df-cap bounds the
+    per-node fan-out (max degree ≤ cap), so the 2-hop blow-up is
+    capped at degree² per node by construction."""
+    from stampede_to_fresco_etl_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = (
+        ngram_jaccard_pairs(
+            docs, "doc_id", "text", min_jaccard=0.05, max_shingle_df=100
+        )
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
+    sym = pairs.select(
+        F.col("doc_a").alias("n"), F.col("doc_b").alias("nbr")
+    ).unionAll(
+        pairs.select(F.col("doc_b").alias("n"), F.col("doc_a").alias("nbr"))
+    )
+    two = (
+        sym.alias("s1")
+        .join(sym.alias("s2"), F.col("s1.nbr") == F.col("s2.n"))
+        .select(F.col("s1.n").alias("n"), F.col("s2.nbr").alias("nbr"))
+        .filter(F.col("n") != F.col("nbr"))
+    )
+    reach = (
+        sym.unionAll(two)
+        .distinct()
+        .groupBy("n")
+        .agg(F.count("*").alias("reach2"))
+    )
+    deg = sym.groupBy("n").agg(F.count("*").alias("degree"))
+    return deg.join(reach, "n").select(
+        F.col("n").alias("doc_id"), "degree", "reach2"
+    )
+
+
+SQL_TWO_HOP_REACH = f"""
+WITH p AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM ({SQL_NGRAM_JACCARD})
+),
+sym AS (
+  SELECT doc_a AS n, doc_b AS nbr FROM p
+  UNION ALL
+  SELECT doc_b AS n, doc_a AS nbr FROM p
+),
+two AS (
+  SELECT s1.n, s2.nbr FROM sym s1 JOIN sym s2 ON s1.nbr = s2.n
+  WHERE s1.n <> s2.nbr
+),
+reach AS (
+  SELECT n, count(*) AS reach2 FROM (
+    SELECT DISTINCT n, nbr FROM (
+      SELECT n, nbr FROM sym UNION ALL SELECT n, nbr FROM two
+    )
+  ) GROUP BY n
+),
+deg AS (SELECT n, count(*) AS degree FROM sym GROUP BY n)
+SELECT d.n AS doc_id, d.degree, r.reach2
+FROM deg d JOIN reach r ON d.n = r.n
+"""
+
+
+REGISTRY.update({"g2_two_hop_reach": (q_two_hop_reach, SQL_TWO_HOP_REACH)})
+
+
+# ---------------------------------------------------------------------------
+# A27 — RFM segmentation (recency / frequency / monetary quartiles)
+# ---------------------------------------------------------------------------
+
+def q_rfm_segments(spark, sf_dir):
+    """A27 — classic RFM user segmentation: per-user recency (days
+    since last event, vs the global max ts), frequency (event
+    count), monetary (exact scaled-int value sum), each scored 1-4
+    against GLOBAL nearest-rank quartiles, then segment-level
+    rollup.  The quartiles come from the distributed order-statistic
+    kernel (one range shuffle each, no single-task ranking window —
+    the same scale argument as a16/a26); scoring is a 3-row
+    broadcast joined back as pure Column comparisons.  Recency
+    scores INVERTED (recent = high score), the marketing
+    convention."""
+    from stampede_to_fresco_etl_spark.operators.order_stats import (
+        positional_select,
+    )
+
+    e = load(spark, sf_dir, "events")
+    ref = e.agg(F.max(F.unix_micros("ts")).alias("ref_us"))
+    pu = (
+        e.crossJoin(F.broadcast(ref))
+        .groupBy("user_id")
+        .agg(
+            F.floor(
+                (F.max("ref_us") - F.max(F.unix_micros("ts")))
+                / F.lit(86_400_000_000)
+            )
+            .cast("long")
+            .alias("rec"),
+            F.count("*").alias("freq"),
+            F.coalesce(
+                F.sum(
+                    F.floor(F.col("value") * F.lit(10000.0)).cast("long")
+                ),
+                F.lit(0).cast("long"),
+            ).alias("mon"),
+        )
+        .localCheckpoint()
+    )
+
+    def _nr(p):
+        return lambda n: (F.floor((n - 1) * p / 100) + 1).cast("long")
+
+    quart_ranks = [(f"q{i}", _nr(p)) for i, p in ((1, 25), (2, 50), (3, 75))]
+
+    scored = pu
+    for m, sname in (("rec", "r_raw"), ("freq", "f_score"), ("mon", "m_score")):
+        th = positional_select(
+            pu.select(F.lit(0).alias("g"), F.col(m).alias("v")),
+            ["g"],
+            "v",
+            quart_ranks,
+        ).select(
+            F.col("q1").alias(f"{m}_q1"),
+            F.col("q2").alias(f"{m}_q2"),
+            F.col("q3").alias(f"{m}_q3"),
+        )
+        scored = scored.crossJoin(F.broadcast(th)).withColumn(
+            sname,
+            F.lit(1)
+            + (F.col(m) > F.col(f"{m}_q1")).cast("int")
+            + (F.col(m) > F.col(f"{m}_q2")).cast("int")
+            + (F.col(m) > F.col(f"{m}_q3")).cast("int"),
+        )
+    scored = scored.withColumn("r_score", F.lit(5) - F.col("r_raw"))
+    return (
+        scored.groupBy(
+            (
+                F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")
+            ).alias("segment")
+        )
+        .agg(
+            F.count("*").alias("n_users"),
+            (
+                F.sum("mon").cast("double")
+                / (F.count("*").cast("double") * F.lit(10000.0))
+            ).alias("avg_monetary"),
+        )
+    )
+
+
+SQL_RFM_SEGMENTS = """
+WITH ref AS (SELECT max(epoch_us(ts)) AS ref_us FROM events),
+pu AS (
+  SELECT e.user_id,
+         CAST((max(r.ref_us) - max(epoch_us(e.ts))) // 86400000000
+              AS BIGINT) AS rec,
+         count(*) AS freq,
+         COALESCE(sum(CAST(FLOOR(e.value * 10000.0) AS BIGINT)),
+                  0::BIGINT) AS mon
+  FROM events e, ref r
+  GROUP BY e.user_id
+),
+q_rec AS (
+  SELECT max(CASE WHEN rn = (n-1)*25//100+1 THEN v END) AS q1,
+         max(CASE WHEN rn = (n-1)*50//100+1 THEN v END) AS q2,
+         max(CASE WHEN rn = (n-1)*75//100+1 THEN v END) AS q3
+  FROM (SELECT rec AS v, row_number() OVER (ORDER BY rec) AS rn,
+               count(*) OVER () AS n FROM pu)
+),
+q_freq AS (
+  SELECT max(CASE WHEN rn = (n-1)*25//100+1 THEN v END) AS q1,
+         max(CASE WHEN rn = (n-1)*50//100+1 THEN v END) AS q2,
+         max(CASE WHEN rn = (n-1)*75//100+1 THEN v END) AS q3
+  FROM (SELECT freq AS v, row_number() OVER (ORDER BY freq) AS rn,
+               count(*) OVER () AS n FROM pu)
+),
+q_mon AS (
+  SELECT max(CASE WHEN rn = (n-1)*25//100+1 THEN v END) AS q1,
+         max(CASE WHEN rn = (n-1)*50//100+1 THEN v END) AS q2,
+         max(CASE WHEN rn = (n-1)*75//100+1 THEN v END) AS q3
+  FROM (SELECT mon AS v, row_number() OVER (ORDER BY mon) AS rn,
+               count(*) OVER () AS n FROM pu)
+),
+scored AS (
+  SELECT pu.mon,
+         5 - (1 + CAST(pu.rec > qr.q1 AS INT)
+                + CAST(pu.rec > qr.q2 AS INT)
+                + CAST(pu.rec > qr.q3 AS INT)) AS r_score,
+         1 + CAST(pu.freq > qf.q1 AS INT)
+           + CAST(pu.freq > qf.q2 AS INT)
+           + CAST(pu.freq > qf.q3 AS INT) AS f_score,
+         1 + CAST(pu.mon > qm.q1 AS INT)
+           + CAST(pu.mon > qm.q2 AS INT)
+           + CAST(pu.mon > qm.q3 AS INT) AS m_score
+  FROM pu, q_rec qr, q_freq qf, q_mon qm
+)
+SELECT r_score * 100 + f_score * 10 + m_score AS segment,
+       count(*) AS n_users,
+       CAST(sum(mon) AS DOUBLE)
+         / (CAST(count(*) AS DOUBLE) * 10000.0) AS avg_monetary
+FROM scored
+GROUP BY r_score * 100 + f_score * 10 + m_score
+"""
+
+
+REGISTRY.update({"a27_rfm_segments": (q_rfm_segments, SQL_RFM_SEGMENTS)})
+
+
+# ---------------------------------------------------------------------------
+# W14 — week-over-week deltas on an aggregated weekly series
+# ---------------------------------------------------------------------------
+
+def q_week_over_week(spark, sf_dir):
+    """W14 — weekly revenue per event_type with week-over-week delta
+    and percent change.  Week key is pure integer arithmetic on
+    epoch microseconds — ``(days_since_epoch + 3) // 7`` aligns
+    weeks to Monday (1970-01-01 was a Thursday) with no timezone or
+    calendar library in the loop.  The lag window runs over the
+    AGGREGATED frame (G × #weeks rows, bounded regardless of input
+    scale), so the full data sees exactly one shuffle: the weekly
+    group-sum with map-side combine."""
+    e = load(spark, sf_dir, "events")
+    week = (
+        (F.unix_micros("ts") / F.lit(86_400_000_000)).cast("long") + 3
+    ) / 7
+    wk = (
+        e.groupBy(
+            "event_type", week.cast("long").alias("week_idx")
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("value") * F.lit(10000.0)).cast("long")
+            ).alias("rev_s"),
+            F.count("*").alias("n_events"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("week_idx")
+    prev = F.lag("rev_s").over(w)
+    return wk.select(
+        "event_type",
+        "week_idx",
+        (F.col("rev_s").cast("double") / 10000.0).alias("revenue"),
+        "n_events",
+        ((F.col("rev_s") - prev).cast("double") / 10000.0).alias("wow_delta"),
+        F.when(
+            prev.isNotNull() & (prev != 0),
+            (F.col("rev_s") - prev).cast("double") / prev.cast("double"),
+        ).alias("wow_pct"),
+    )
+
+
+SQL_WEEK_OVER_WEEK = """
+WITH wk AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) // 86400000000 + 3 AS BIGINT) // 7 AS week_idx,
+         sum(CAST(FLOOR(value * 10000.0) AS BIGINT)) AS rev_s,
+         count(*) AS n_events
+  FROM events
+  GROUP BY 1, 2
+)
+SELECT event_type, week_idx,
+       CAST(rev_s AS DOUBLE) / 10000.0 AS revenue,
+       n_events,
+       CAST(rev_s - lag(rev_s) OVER w AS DOUBLE) / 10000.0 AS wow_delta,
+       CASE WHEN lag(rev_s) OVER w IS NOT NULL
+             AND lag(rev_s) OVER w <> 0
+            THEN CAST(rev_s - lag(rev_s) OVER w AS DOUBLE)
+                   / CAST(lag(rev_s) OVER w AS DOUBLE)
+       END AS wow_pct
+FROM wk
+WINDOW w AS (PARTITION BY event_type ORDER BY week_idx)
+"""
+
+
+REGISTRY.update({"w14_week_over_week": (q_week_over_week, SQL_WEEK_OVER_WEEK)})
+
+
+# ---------------------------------------------------------------------------
+# X34 — curation funnel report (the capstone data card)
+# ---------------------------------------------------------------------------
+
+def q_curation_funnel(spark, sf_dir):
+    """X34 — end-to-end curation funnel: total → quality (length
+    gate) → language allowlist → exact-dedup survivors (min doc_id
+    per md5 fingerprint) → near-dup greedy survivors, one row per
+    stage with the retained count and fraction-of-total.  The report
+    every dataset card opens with.
+
+    Near-dup stage reuses d2's MinHash/LSH pairs computed per-doc
+    (signatures and band keys are per-document, so restricting the
+    ALL-docs pair set to prior-stage survivors is exactly the pair
+    set over survivors); the drop rule is the standard greedy
+    "later doc of any surviving candidate pair loses" (doc_b of an
+    a<b pair), deterministic and one anti-join — no CC pass in the
+    hot path.  At 100 TB each stage is a filter or semi/anti-join on
+    already-shuffled keys; counts come from one-row aggs."""
+    from stampede_to_fresco_etl_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+
+    docs = load(spark, sf_dir, "documents").localCheckpoint()
+    quality = docs.filter(F.col("n_chars") >= 120)
+    langed = quality.filter(F.col("lang").isin("en", "de", "fr", "es"))
+    keep = (
+        langed.groupBy(F.md5("text").alias("fp"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    exact_surv = langed.join(keep, "doc_id", "left_semi")
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=MINHASH_K, bands=MINHASH_BANDS
+    ).select("doc_a", "doc_b")
+    surv_ids = exact_surv.select("doc_id")
+    live_pairs = (
+        pairs.join(
+            surv_ids.withColumnRenamed("doc_id", "doc_a"), "doc_a", "left_semi"
+        ).join(
+            surv_ids.withColumnRenamed("doc_id", "doc_b"), "doc_b", "left_semi"
+        )
+    )
+    nd_surv = exact_surv.join(
+        live_pairs.select(F.col("doc_b").alias("doc_id")).distinct(),
+        "doc_id",
+        "left_anti",
+    )
+    stages = [
+        (0, "total", docs),
+        (1, "quality", quality),
+        (2, "language", langed),
+        (3, "exact_dedup", exact_surv),
+        (4, "near_dedup", nd_surv),
+    ]
+    counted = None
+    for sid, sname, frame in stages:
+        row = frame.agg(F.count("*").alias("n_docs")).select(
+            F.lit(sid).alias("stage_id"),
+            F.lit(sname).alias("stage"),
+            "n_docs",
+        )
+        counted = row if counted is None else counted.unionAll(row)
+    total = docs.agg(F.count("*").alias("n_total"))
+    return counted.crossJoin(F.broadcast(total)).select(
+        "stage_id",
+        "stage",
+        "n_docs",
+        (
+            F.col("n_docs").cast("double") / F.col("n_total").cast("double")
+        ).alias("pct_of_total"),
+    )
+
+
+def _sql_curation_funnel() -> str:
+    return f"""
+WITH nd AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM ({_sql_minhash()})
+),
+quality AS (SELECT * FROM documents WHERE n_chars >= 120),
+langed AS (
+  SELECT * FROM quality WHERE lang IN ('en', 'de', 'fr', 'es')
+),
+keep AS (
+  SELECT min(doc_id) AS doc_id FROM langed GROUP BY md5(text)
+),
+exact_surv AS (
+  SELECT l.* FROM langed l WHERE l.doc_id IN (SELECT doc_id FROM keep)
+),
+live_pairs AS (
+  SELECT p.doc_a, p.doc_b FROM nd p
+  WHERE p.doc_a IN (SELECT doc_id FROM exact_surv)
+    AND p.doc_b IN (SELECT doc_id FROM exact_surv)
+),
+nd_surv AS (
+  SELECT * FROM exact_surv
+  WHERE doc_id NOT IN (SELECT doc_b FROM live_pairs)
+),
+counts AS (
+  SELECT 0 AS stage_id, 'total' AS stage, count(*) AS n_docs
+  FROM documents
+  UNION ALL
+  SELECT 1, 'quality', count(*) FROM quality
+  UNION ALL
+  SELECT 2, 'language', count(*) FROM langed
+  UNION ALL
+  SELECT 3, 'exact_dedup', count(*) FROM exact_surv
+  UNION ALL
+  SELECT 4, 'near_dedup', count(*) FROM nd_surv
+)
+SELECT stage_id, stage, n_docs,
+       CAST(n_docs AS DOUBLE)
+         / CAST((SELECT count(*) FROM documents) AS DOUBLE)
+         AS pct_of_total
+FROM counts
+"""
+
+
+REGISTRY.update(
+    {"x34_curation_funnel": (q_curation_funnel, _sql_curation_funnel())}
+)
+
+
+# ---------------------------------------------------------------------------
+# S30 — Z-order (Morton) layout audit
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 16
+_Z_BUCKET_SHIFT = 26  # 32-bit z-value >> 26 → 64 layout buckets
+
+
+def q_zorder_layout(spark, sf_dir):
+    """S30 — Z-order (Morton-curve) layout: normalize l_partkey and
+    l_suppkey into 16-bit domains (min/max-scaled integer division —
+    the range normalization production OPTIMIZE ZORDER does), bit-
+    interleave them into a 32-bit z-value, bucket rows by its high
+    bits (the file a writer would emit), and report per-bucket row
+    count plus BOTH keys' min/max spans — the audit that shows why
+    z-ordered files prune on either predicate column (each bucket
+    covers a bounded rectangle in key space, unlike a single-column
+    sort where the second key's span is the full domain).  The
+    write-side layout operator behind Delta/Iceberg OPTIMIZE ZORDER,
+    as pure integer Column arithmetic: one tiny min/max agg
+    broadcast back, 32 shift-mask terms, no UDF, one group-by on the
+    bucket id."""
+    li = load(spark, sf_dir, "lineitem")
+    lim = li.agg(
+        F.min("l_partkey").alias("pmin"),
+        F.max("l_partkey").alias("pmax"),
+        F.min("l_suppkey").alias("smin"),
+        F.max("l_suppkey").alias("smax"),
+    )
+    li = li.crossJoin(F.broadcast(lim))
+    top = F.lit((1 << _Z_BITS) - 1).cast("long")
+
+    def _norm(c, lo, hi):
+        return F.when(
+            F.col(hi) > F.col(lo),
+            F.floor(
+                (F.col(c) - F.col(lo)) * top / (F.col(hi) - F.col(lo))
+            ).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+
+    x = _norm("l_partkey", "pmin", "pmax")
+    y = _norm("l_suppkey", "smin", "smax")
+    z = F.lit(0).cast("long")
+    for i in range(_Z_BITS):
+        z = z + F.shiftright(x, i).bitwiseAND(F.lit(1)).cast("long") * F.lit(
+            1 << (2 * i)
+        ) + F.shiftright(y, i).bitwiseAND(F.lit(1)).cast("long") * F.lit(
+            1 << (2 * i + 1)
+        )
+    return (
+        li.select(
+            F.shiftright(z, _Z_BUCKET_SHIFT).alias("z_bucket"),
+            "l_partkey",
+            "l_suppkey",
+        )
+        .groupBy("z_bucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("l_partkey").alias("part_lo"),
+            F.max("l_partkey").alias("part_hi"),
+            F.min("l_suppkey").alias("supp_lo"),
+            F.max("l_suppkey").alias("supp_hi"),
+            (
+                (F.max("l_partkey") - F.min("l_partkey"))
+                * (F.max("l_suppkey") - F.min("l_suppkey"))
+            ).alias("span_area"),
+        )
+    )
+
+
+def _sql_zorder_layout() -> str:
+    terms = " + ".join(
+        f"(((x >> {i}) & 1) << {2 * i}) + (((y >> {i}) & 1) << {2 * i + 1})"
+        for i in range(_Z_BITS)
+    )
+    top = (1 << _Z_BITS) - 1
+    return f"""
+WITH lim AS (
+  SELECT min(l_partkey) AS pmin, max(l_partkey) AS pmax,
+         min(l_suppkey) AS smin, max(l_suppkey) AS smax
+  FROM lineitem
+),
+keyed AS (
+  SELECT l.l_partkey, l.l_suppkey,
+         CASE WHEN m.pmax > m.pmin
+              THEN (l.l_partkey - m.pmin) * {top} // (m.pmax - m.pmin)
+              ELSE 0 END AS x,
+         CASE WHEN m.smax > m.smin
+              THEN (l.l_suppkey - m.smin) * {top} // (m.smax - m.smin)
+              ELSE 0 END AS y
+  FROM lineitem l, lim m
+),
+zed AS (
+  SELECT l_partkey, l_suppkey, ({terms}) >> {_Z_BUCKET_SHIFT} AS z_bucket
+  FROM keyed
+)
+SELECT z_bucket, count(*) AS n_rows,
+       min(l_partkey) AS part_lo, max(l_partkey) AS part_hi,
+       min(l_suppkey) AS supp_lo, max(l_suppkey) AS supp_hi,
+       (max(l_partkey) - min(l_partkey))
+         * (max(l_suppkey) - min(l_suppkey)) AS span_area
+FROM zed
+GROUP BY z_bucket
+"""
+
+
+REGISTRY.update(
+    {"s30_zorder_layout": (q_zorder_layout, _sql_zorder_layout())}
+)
+
+
+# ---------------------------------------------------------------------------
+# K3 — theta-sketch set intersection (KMV algebra)
+#
+# k1's KMV estimates one set's cardinality; the theta extension gives
+# SET ALGEBRA on sketches: keep the k smallest hashes of A∪B, let θ =
+# the k-th smallest, and count union-sketch members below θ present
+# in BOTH sets — |A∩B| ≈ count / (θ/2^60).  Everything before the
+# single final division is integer/hash arithmetic, so the estimate
+# is cross-engine exact; and the sketch is mergeable (min-merge per
+# part, θ re-derived after union), which is the whole 100 TB point:
+# per-source/day sketches combine without re-reading data.
+# ---------------------------------------------------------------------------
+
+_THETA_K = 256
+
+
+def q_theta_intersect(spark, sf_dir):
+    """K3 — estimated |users who click ∩ users who purchase| via a
+    k=256 theta sketch over md5 hashes, with the exact intersection
+    joined back for the audit column.  θ comes from the order-
+    statistic kernel (rank min(n, k) of the distinct union hashes —
+    no single-task sort); membership-below-θ is two broadcast-able
+    semi-joins.  Estimator convention: strictly-below-θ counting, so
+    a saturated sketch (n ≤ k) underestimates by at most the
+    boundary element."""
+    from stampede_to_fresco_etl_spark.operators.order_stats import (
+        positional_select,
+    )
+
+    e = load(spark, sf_dir, "events")
+    h = md5_int63(F.col("user_id"), salt="theta")
+    a = (
+        e.filter(F.col("event_type") == "click")
+        .select(h.alias("h"))
+        .distinct()
+    )
+    b = (
+        e.filter(F.col("event_type") == "purchase")
+        .select(h.alias("h"))
+        .distinct()
+    )
+    union = a.unionAll(b).distinct().localCheckpoint()
+    theta = positional_select(
+        union.select(F.lit(0).alias("g"), F.col("h").alias("v")),
+        ["g"],
+        "v",
+        [("theta", lambda n: F.least(n, F.lit(_THETA_K).cast("long")))],
+    ).select(F.col("theta"), F.col("n").alias("n_union_distinct"))
+    below_both = (
+        a.join(b, "h", "left_semi")
+        .crossJoin(F.broadcast(theta))
+        .filter(F.col("h") < F.col("theta"))
+        .agg(F.count("*").alias("n_below"))
+    )
+    exact = (
+        e.filter(F.col("event_type") == "click")
+        .select("user_id")
+        .distinct()
+        .join(
+            e.filter(F.col("event_type") == "purchase")
+            .select("user_id")
+            .distinct(),
+            "user_id",
+            "left_semi",
+        )
+        .agg(F.count("*").alias("exact_intersection"))
+    )
+    est = (
+        F.col("n_below").cast("double")
+        * F.lit(float(1 << 60))
+        / F.col("theta").cast("double")
+    )
+    return (
+        below_both.crossJoin(F.broadcast(theta))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            "n_union_distinct",
+            "n_below",
+            "exact_intersection",
+            est.alias("theta_estimate"),
+        )
+    )
+
+
+def _sql_theta_intersect() -> str:
+    h = md5_int63_sql("CAST(user_id AS VARCHAR)", salt="theta")
+    return f"""
+WITH a AS (
+  SELECT DISTINCT {h} AS h FROM events WHERE event_type = 'click'
+),
+b AS (
+  SELECT DISTINCT {h} AS h FROM events WHERE event_type = 'purchase'
+),
+un AS (
+  SELECT h FROM a UNION SELECT h FROM b
+),
+th AS (
+  SELECT max(CASE WHEN rn = LEAST(n, {_THETA_K}) THEN h END) AS theta,
+         max(n) AS n_union_distinct
+  FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn,
+               count(*) OVER () AS n FROM un)
+),
+below AS (
+  SELECT count(*) AS n_below
+  FROM a, th
+  WHERE a.h IN (SELECT h FROM b) AND a.h < th.theta
+),
+ex AS (
+  SELECT count(*) AS exact_intersection FROM (
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+    INTERSECT
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+  )
+)
+SELECT th.n_union_distinct, below.n_below, ex.exact_intersection,
+       CAST(below.n_below AS DOUBLE) * {float(1 << 60)!r}
+         / CAST(th.theta AS DOUBLE) AS theta_estimate
+FROM below, th, ex
+"""
+
+
+REGISTRY.update(
+    {"k3_theta_intersect": (q_theta_intersect, _sql_theta_intersect())}
+)
+
+
+# ---------------------------------------------------------------------------
+# A28 — decile lift / gains chart
+# ---------------------------------------------------------------------------
+
+def q_decile_lift(spark, sf_dir):
+    """A28 — gains chart: users ranked by monetary value, cut into
+    GLOBAL nearest-rank deciles (all NINE thresholds in ONE pass of
+    the order-statistic kernel — the multi-rank selection a26
+    established, on a single global group), then per-decile user
+    count, value share, and top-down cumulative capture — the
+    targeting curve every growth/quality team reads.  The cumulative
+    window runs over the 10-row aggregated frame only; exact scaled-
+    int sums, three pinned divisions."""
+    from stampede_to_fresco_etl_spark.operators.order_stats import (
+        positional_select,
+    )
+
+    e = load(spark, sf_dir, "events")
+    pu = (
+        e.groupBy("user_id")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.floor(F.col("value") * F.lit(10000.0)).cast("long")
+                ),
+                F.lit(0).cast("long"),
+            ).alias("mon")
+        )
+        .localCheckpoint()
+    )
+
+    def _nr(p):
+        return lambda n: (F.floor((n - 1) * p / 100) + 1).cast("long")
+
+    ths = positional_select(
+        pu.select(F.lit(0).alias("g"), F.col("mon").alias("v")),
+        ["g"],
+        "v",
+        [(f"d{i}", _nr(i * 10)) for i in range(1, 10)],
+    ).select(*[f"d{i}" for i in range(1, 10)])
+    bucket = F.lit(1)
+    for i in range(1, 10):
+        bucket = bucket + (F.col("mon") > F.col(f"d{i}")).cast("int")
+    per_dec = (
+        pu.crossJoin(F.broadcast(ths))
+        .groupBy(bucket.alias("decile"))
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum("mon").alias("mon_s"),
+        )
+    )
+    tot = per_dec.agg(
+        F.sum("n_users").alias("t_users"), F.sum("mon_s").alias("t_mon")
+    )
+    w_cum = Window.orderBy(F.col("decile").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        per_dec.crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n_users",
+            (F.col("mon_s").cast("double") / 10000.0).alias("monetary"),
+            F.when(
+                F.col("t_mon") != 0,
+                F.col("mon_s").cast("double") / F.col("t_mon").cast("double"),
+            ).alias("value_share"),
+            F.when(
+                F.col("t_mon") != 0,
+                F.sum("mon_s").over(w_cum).cast("double")
+                / F.col("t_mon").cast("double"),
+            ).alias("cum_capture_from_top"),
+        )
+    )
+
+
+SQL_DECILE_LIFT = """
+WITH pu AS (
+  SELECT user_id,
+         COALESCE(sum(CAST(FLOOR(value * 10000.0) AS BIGINT)),
+                  0::BIGINT) AS mon
+  FROM events GROUP BY user_id
+),
+ths AS (
+  SELECT max(CASE WHEN rn = (n-1)*10//100+1 THEN v END) AS d1,
+         max(CASE WHEN rn = (n-1)*20//100+1 THEN v END) AS d2,
+         max(CASE WHEN rn = (n-1)*30//100+1 THEN v END) AS d3,
+         max(CASE WHEN rn = (n-1)*40//100+1 THEN v END) AS d4,
+         max(CASE WHEN rn = (n-1)*50//100+1 THEN v END) AS d5,
+         max(CASE WHEN rn = (n-1)*60//100+1 THEN v END) AS d6,
+         max(CASE WHEN rn = (n-1)*70//100+1 THEN v END) AS d7,
+         max(CASE WHEN rn = (n-1)*80//100+1 THEN v END) AS d8,
+         max(CASE WHEN rn = (n-1)*90//100+1 THEN v END) AS d9
+  FROM (SELECT mon AS v, row_number() OVER (ORDER BY mon) AS rn,
+               count(*) OVER () AS n FROM pu)
+),
+per_dec AS (
+  SELECT 1 + CAST(pu.mon > t.d1 AS INT) + CAST(pu.mon > t.d2 AS INT)
+           + CAST(pu.mon > t.d3 AS INT) + CAST(pu.mon > t.d4 AS INT)
+           + CAST(pu.mon > t.d5 AS INT) + CAST(pu.mon > t.d6 AS INT)
+           + CAST(pu.mon > t.d7 AS INT) + CAST(pu.mon > t.d8 AS INT)
+           + CAST(pu.mon > t.d9 AS INT) AS decile,
+         count(*) AS n_users,
+         sum(pu.mon) AS mon_s
+  FROM pu, ths t
+  GROUP BY 1
+),
+tot AS (
+  SELECT sum(n_users) AS t_users, sum(mon_s) AS t_mon FROM per_dec
+)
+SELECT d.decile, d.n_users,
+       CAST(d.mon_s AS DOUBLE) / 10000.0 AS monetary,
+       CASE WHEN t.t_mon <> 0
+            THEN CAST(d.mon_s AS DOUBLE) / CAST(t.t_mon AS DOUBLE)
+       END AS value_share,
+       CASE WHEN t.t_mon <> 0
+            THEN CAST(sum(d.mon_s) OVER (ORDER BY d.decile DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS DOUBLE) / CAST(t.t_mon AS DOUBLE)
+       END AS cum_capture_from_top
+FROM per_dec d, tot t
+"""
+
+
+REGISTRY.update({"a28_decile_lift": (q_decile_lift, SQL_DECILE_LIFT)})
+
+
+# ---------------------------------------------------------------------------
+# S31 — compaction plan (manifest bin-packing)
+# ---------------------------------------------------------------------------
+
+_COMPACT_TARGET = 16_384  # plan granularity in bytes (chars proxy)
+
+
+def q_compaction_plan(spark, sf_dir):
+    """S31 — the small-file compaction planner (Iceberg/Delta
+    binPack): treat each source's document bytes as one input file,
+    order the manifest deterministically (source name), and assign
+    greedy first-fit-by-order bins by EXCLUSIVE cumulative size //
+    target.  The plan every table-maintenance job materializes
+    before rewriting.  The window runs over the MANIFEST (one row
+    per file/source — at 100 TB still ~10⁶ rows, orders of magnitude
+    below the data), never over the data itself; data is touched
+    only by the one group-sum that builds the manifest."""
+    docs = load(spark, sf_dir, "documents")
+    manifest = docs.groupBy("source").agg(
+        F.sum("n_chars").alias("f_bytes"),
+        F.count("*").alias("n_docs"),
+    )
+    w = Window.orderBy("source").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    planned = manifest.select(
+        "source",
+        "f_bytes",
+        "n_docs",
+        F.floor(
+            F.coalesce(F.sum("f_bytes").over(w), F.lit(0))
+            / F.lit(_COMPACT_TARGET)
+        )
+        .cast("long")
+        .alias("bin_id"),
+    )
+    return (
+        planned.groupBy("bin_id")
+        .agg(
+            F.count("*").alias("n_files"),
+            F.sum("f_bytes").alias("bin_bytes"),
+            F.sum("n_docs").alias("bin_docs"),
+            F.array_join(
+                F.array_sort(F.collect_list("source")), ","
+            ).alias("files"),
+        )
+    )
+
+
+SQL_COMPACTION_PLAN = f"""
+WITH manifest AS (
+  SELECT source, sum(n_chars) AS f_bytes, count(*) AS n_docs
+  FROM documents GROUP BY source
+),
+planned AS (
+  SELECT source, f_bytes, n_docs,
+         CAST(FLOOR(COALESCE(sum(f_bytes) OVER (ORDER BY source
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              / {_COMPACT_TARGET}) AS BIGINT) AS bin_id
+  FROM manifest
+)
+SELECT bin_id, count(*) AS n_files, sum(f_bytes) AS bin_bytes,
+       sum(n_docs) AS bin_docs,
+       list_aggregate(list_sort(list(source)), 'string_agg', ',')
+         AS files
+FROM planned
+GROUP BY bin_id
+"""
+
+
+REGISTRY.update(
+    {"s31_compaction_plan": (q_compaction_plan, SQL_COMPACTION_PLAN)}
+)
+
+
+# ---------------------------------------------------------------------------
 # Enumeration order: the driver's correctness run covers the first N
 # registry entries per round, so the STALEST queries must enumerate
 # first.  Computed at import time from the CORRECTNESS_r*.json records
@@ -10297,7 +11274,18 @@ _REVALIDATE = {
 #: r5 backlog (91 never-checked queries from the registry's r5 growth)
 #: must drain through the driver's 50-slot window first — new entries
 #: wait behind it (VERDICT r5 item 1).  Per-round maintenance.
-_DEFER_NEW: set[str] = {"a26_exact_percentiles"}
+_DEFER_NEW: set[str] = {
+    "a26_exact_percentiles",
+    "k2_hll_distinct",
+    "g2_two_hop_reach",
+    "a27_rfm_segments",
+    "w14_week_over_week",
+    "x34_curation_funnel",
+    "s30_zorder_layout",
+    "k3_theta_intersect",
+    "a28_decile_lift",
+    "s31_compaction_plan",
+}
 
 _FRESHNESS = _latest_green_round()
 _NEWEST_CHECKED = max(_FRESHNESS.values(), default=0)

@@ -1,0 +1,435 @@
+"""r6 batch operators (k2/g2/a27/w14/x34/s30): independent pure-
+Python / pandas references — the parity harness proves Spark ≡ DuckDB
+oracle; these prove the shared semantics are the intended ones."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from stampede_to_fresco_etl_spark.catalog import (
+    _HLL_M,
+    _HLL_NUM,
+    _HLL_P,
+    _HLL_WBITS,
+    _Z_BITS,
+    _Z_BUCKET_SHIFT,
+    MINHASH_BANDS,
+    MINHASH_K,
+    REGISTRY,
+    load,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _md5_int63(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+# ---------------------------------------------------------------------------
+# k2 — HyperLogLog
+# ---------------------------------------------------------------------------
+
+def test_hll_matches_pure_python_registers(spark):
+    """Replicate bucketing, rho, register max, and the integer-exact
+    fold with hashlib — byte-for-byte the estimate Spark computes —
+    and check exact_distinct against pandas nunique."""
+    got = (
+        REGISTRY["k2_hll_distinct"][0](spark, SF)
+        .toPandas()
+        .set_index("event_type")
+    )
+    e = load(spark, SF, "events").select("event_type", "event_id").toPandas()
+    for etype, grp in e.groupby("event_type"):
+        regs: dict[int, int] = {}
+        for eid in grp.event_id:
+            h = _md5_int63(f"hll:{eid}")
+            b, w = h % _HLL_M, h >> _HLL_P
+            rho = (_HLL_WBITS + 1) - w.bit_length() if w > 0 else _HLL_WBITS + 1
+            regs[b] = max(regs.get(b, 0), rho)
+        s = sum(1 << (52 - m) for m in regs.values())
+        s += (_HLL_M - len(regs)) * (1 << 52)
+        est = _HLL_NUM / float(s)
+        row = got.loc[etype]
+        assert row["exact_distinct"] == grp.event_id.nunique()
+        assert row["hll_estimate"] == est
+        # raw-regime sanity: the estimate is in the right ballpark
+        assert abs(row["rel_err"]) < 0.5
+
+
+# ---------------------------------------------------------------------------
+# g2 — two-hop reach
+# ---------------------------------------------------------------------------
+
+def test_two_hop_reach_matches_bfs(spark):
+    """Independent 2-hop BFS in pure Python over the same Jaccard
+    pair graph: reach2 = |{nodes at distance 1 or 2}|, self
+    excluded."""
+    from stampede_to_fresco_etl_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    docs = load(spark, SF, "documents")
+    pairs = (
+        ngram_jaccard_pairs(
+            docs, "doc_id", "text", min_jaccard=0.05, max_shingle_df=100
+        )
+        .select("doc_a", "doc_b")
+        .toPandas()
+    )
+    adj: dict[int, set[int]] = {}
+    for a, b in pairs.itertuples(index=False):
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    got = (
+        REGISTRY["g2_two_hop_reach"][0](spark, SF)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert set(got.index) == set(adj)
+    for n, nbrs in adj.items():
+        reach = set(nbrs)
+        for m in nbrs:
+            reach |= adj[m]
+        reach.discard(n)
+        assert got.loc[n, "degree"] == len(nbrs)
+        assert got.loc[n, "reach2"] == len(reach)
+
+
+# ---------------------------------------------------------------------------
+# a27 — RFM segmentation
+# ---------------------------------------------------------------------------
+
+def _nearest_rank(sorted_vals: list[int], p: int) -> int:
+    k = (len(sorted_vals) - 1) * p // 100 + 1
+    return sorted_vals[k - 1]
+
+
+def test_rfm_segments_match_pandas(spark):
+    got = (
+        REGISTRY["a27_rfm_segments"][0](spark, SF)
+        .toPandas()
+        .set_index("segment")
+        .sort_index()
+    )
+    e = (
+        load(spark, SF, "events")
+        .select("user_id", F.unix_micros("ts").alias("us"), "value")
+        .toPandas()
+    )
+    import math
+
+    ref_us = e.us.max()
+    rows = []
+    for uid, grp in e.groupby("user_id"):
+        mon = sum(int(math.floor(v * 10000.0)) for v in grp.value.dropna())
+        rows.append(
+            {
+                "user_id": uid,
+                "rec": int((ref_us - grp.us.max()) // 86_400_000_000),
+                "freq": len(grp),
+                "mon": mon,
+            }
+        )
+    pu = pd.DataFrame(rows)
+    seg_counts: dict[int, list[int]] = {}
+    qs = {
+        m: [_nearest_rank(sorted(pu[m]), p) for p in (25, 50, 75)]
+        for m in ("rec", "freq", "mon")
+    }
+
+    def _sc(v, m):
+        q = qs[m]
+        return 1 + (v > q[0]) + (v > q[1]) + (v > q[2])
+
+    for r in pu.itertuples():
+        seg = (5 - _sc(r.rec, "rec")) * 100 + _sc(r.freq, "freq") * 10 + _sc(
+            r.mon, "mon"
+        )
+        seg_counts.setdefault(seg, []).append(r.mon)
+    assert set(got.index) == set(seg_counts)
+    for seg, mons in seg_counts.items():
+        assert got.loc[seg, "n_users"] == len(mons)
+        assert got.loc[seg, "avg_monetary"] == sum(mons) / (
+            len(mons) * 10000.0
+        )
+
+
+# ---------------------------------------------------------------------------
+# w14 — week-over-week
+# ---------------------------------------------------------------------------
+
+def test_week_over_week_matches_pandas(spark):
+    got = REGISTRY["w14_week_over_week"][0](spark, SF).toPandas()
+    e = (
+        load(spark, SF, "events")
+        .select("event_type", F.unix_micros("ts").alias("us"), "value")
+        .toPandas()
+    )
+    import math
+
+    e["week_idx"] = (e.us // 86_400_000_000 + 3) // 7
+    e["v_s"] = [
+        int(math.floor(v * 10000.0)) if pd.notna(v) else 0 for v in e.value
+    ]
+    wk = (
+        e.groupby(["event_type", "week_idx"])
+        .agg(rev_s=("v_s", "sum"), n=("v_s", "size"))
+        .reset_index()
+        .sort_values(["event_type", "week_idx"])
+    )
+    wk["prev"] = wk.groupby("event_type").rev_s.shift(1)
+    g = got.set_index(["event_type", "week_idx"]).sort_index()
+    assert len(g) == len(wk)
+    for r in wk.itertuples():
+        row = g.loc[(r.event_type, r.week_idx)]
+        assert row["revenue"] == r.rev_s / 10000.0
+        assert row["n_events"] == r.n
+        if pd.isna(r.prev):
+            assert pd.isna(row["wow_delta"])
+        else:
+            assert row["wow_delta"] == (r.rev_s - r.prev) / 10000.0
+            if r.prev != 0:
+                assert row["wow_pct"] == (r.rev_s - r.prev) / r.prev
+
+
+# ---------------------------------------------------------------------------
+# x34 — curation funnel
+# ---------------------------------------------------------------------------
+
+def test_curation_funnel_stages_match_pandas(spark):
+    """Rebuild the funnel in pandas: length gate → lang allowlist →
+    exact-dedup keep-min → greedy near-dup drop of doc_b over the
+    restricted d2 candidate pairs."""
+    got = (
+        REGISTRY["x34_curation_funnel"][0](spark, SF)
+        .toPandas()
+        .set_index("stage")
+    )
+    docs = load(spark, SF, "documents").toPandas()
+    n_total = len(docs)
+    q = docs[docs.n_chars >= 120]
+    lg = q[q.lang.isin(["en", "de", "fr", "es"])]
+    keep = lg.assign(fp=[hashlib.md5(t.encode()).hexdigest() for t in lg.text])
+    keep_ids = set(keep.groupby("fp").doc_id.min())
+    ex = lg[lg.doc_id.isin(keep_ids)]
+    from stampede_to_fresco_etl_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+
+    pairs = (
+        minhash_lsh_pairs(
+            load(spark, SF, "documents"),
+            "doc_id",
+            "text",
+            num_hashes=MINHASH_K,
+            bands=MINHASH_BANDS,
+        )
+        .select("doc_a", "doc_b")
+        .toPandas()
+    )
+    surv = set(ex.doc_id)
+    drop = {
+        b
+        for a, b in pairs.itertuples(index=False)
+        if a in surv and b in surv
+    }
+    nd = ex[~ex.doc_id.isin(drop)]
+    expect = {
+        "total": n_total,
+        "quality": len(q),
+        "language": len(lg),
+        "exact_dedup": len(ex),
+        "near_dedup": len(nd),
+    }
+    for stage, n in expect.items():
+        assert got.loc[stage, "n_docs"] == n
+        assert got.loc[stage, "pct_of_total"] == n / float(n_total)
+    # funnel is monotone non-increasing by construction
+    order = ["total", "quality", "language", "exact_dedup", "near_dedup"]
+    ns = [expect[s] for s in order]
+    assert ns == sorted(ns, reverse=True)
+
+
+# ---------------------------------------------------------------------------
+# s30 — z-order layout
+# ---------------------------------------------------------------------------
+
+def _morton(x: int, y: int) -> int:
+    z = 0
+    for i in range(_Z_BITS):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def test_zorder_layout_matches_pure_python(spark):
+    got = (
+        REGISTRY["s30_zorder_layout"][0](spark, SF)
+        .toPandas()
+        .set_index("z_bucket")
+        .sort_index()
+    )
+    li = (
+        load(spark, SF, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .toPandas()
+    )
+    top = (1 << _Z_BITS) - 1
+    pmin, pmax = li.l_partkey.min(), li.l_partkey.max()
+    smin, smax = li.l_suppkey.min(), li.l_suppkey.max()
+    li["zb"] = [
+        _morton(
+            (p - pmin) * top // (pmax - pmin) if pmax > pmin else 0,
+            (s - smin) * top // (smax - smin) if smax > smin else 0,
+        )
+        >> _Z_BUCKET_SHIFT
+        for p, s in zip(li.l_partkey, li.l_suppkey)
+    ]
+    ref = li.groupby("zb").agg(
+        n=("zb", "size"),
+        plo=("l_partkey", "min"),
+        phi=("l_partkey", "max"),
+        slo=("l_suppkey", "min"),
+        shi=("l_suppkey", "max"),
+    )
+    assert set(got.index) == set(ref.index)
+    for zb, r in ref.iterrows():
+        row = got.loc[zb]
+        assert row["n_rows"] == r.n
+        assert (row["part_lo"], row["part_hi"]) == (r.plo, r.phi)
+        assert (row["supp_lo"], row["supp_hi"]) == (r.slo, r.shi)
+        assert row["span_area"] == (r.phi - r.plo) * (r.shi - r.slo)
+
+
+def test_zorder_buckets_bound_both_key_spans(spark):
+    """The point of z-order: every bucket covers a bounded rectangle
+    in (partkey, suppkey) space — both spans strictly below the full
+    domain, unlike a single-column sort where the second key's span
+    is the whole domain in every bucket."""
+    got = REGISTRY["s30_zorder_layout"][0](spark, SF).toPandas()
+    li = (
+        load(spark, SF, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .toPandas()
+    )
+    p_dom = li.l_partkey.max() - li.l_partkey.min()
+    s_dom = li.l_suppkey.max() - li.l_suppkey.min()
+    multi = got[got.n_rows >= 10]
+    assert len(multi) > 1
+    assert (multi.part_hi - multi.part_lo).max() < p_dom
+    assert (multi.supp_hi - multi.supp_lo).max() < s_dom
+
+
+# ---------------------------------------------------------------------------
+# k3 — theta-sketch intersection
+# ---------------------------------------------------------------------------
+
+def test_theta_intersect_matches_pure_python(spark):
+    """Rebuild the sketch with hashlib: distinct hashes per side,
+    θ = k-th smallest of the union, strictly-below-θ members of both
+    — and the estimate arithmetic byte-for-byte."""
+    from stampede_to_fresco_etl_spark.catalog import _THETA_K
+
+    got = REGISTRY["k3_theta_intersect"][0](spark, SF).toPandas().iloc[0]
+    e = load(spark, SF, "events").select("event_type", "user_id").toPandas()
+    a = {
+        _md5_int63(f"theta:{u}")
+        for u in e[e.event_type == "click"].user_id.dropna()
+    }
+    b = {
+        _md5_int63(f"theta:{u}")
+        for u in e[e.event_type == "purchase"].user_id.dropna()
+    }
+    un = sorted(a | b)
+    theta = un[min(len(un), _THETA_K) - 1]
+    n_below = sum(1 for h in (a & b) if h < theta)
+    assert got["n_union_distinct"] == len(un)
+    assert got["n_below"] == n_below
+    exact = len(
+        set(e[e.event_type == "click"].user_id.dropna())
+        & set(e[e.event_type == "purchase"].user_id.dropna())
+    )
+    assert got["exact_intersection"] == exact
+    assert got["theta_estimate"] == n_below * float(1 << 60) / float(theta)
+
+
+# ---------------------------------------------------------------------------
+# a28 — decile lift
+# ---------------------------------------------------------------------------
+
+def test_decile_lift_matches_pandas(spark):
+    import math
+
+    got = (
+        REGISTRY["a28_decile_lift"][0](spark, SF)
+        .toPandas()
+        .set_index("decile")
+        .sort_index()
+    )
+    e = load(spark, SF, "events").select("user_id", "value").toPandas()
+    mons = {
+        uid: sum(int(math.floor(v * 10000.0)) for v in grp.value.dropna())
+        for uid, grp in e.groupby("user_id")
+    }
+    vals = sorted(mons.values())
+    ths = [_nearest_rank(vals, p) for p in range(10, 100, 10)]
+    per = {}
+    for m in mons.values():
+        d = 1 + sum(m > t for t in ths)
+        n, s = per.get(d, (0, 0))
+        per[d] = (n + 1, s + m)
+    t_mon = sum(s for _, s in per.values())
+    assert set(got.index) == set(per)
+    cum = 0
+    for d in sorted(per, reverse=True):
+        n, s = per[d]
+        cum += s
+        assert got.loc[d, "n_users"] == n
+        assert got.loc[d, "monetary"] == s / 10000.0
+        assert got.loc[d, "value_share"] == s / t_mon
+        assert got.loc[d, "cum_capture_from_top"] == cum / t_mon
+    # gains curve sanity: top decile's share is the largest
+    shares = got["value_share"]
+    assert shares.loc[shares.index.max()] == shares.max()
+
+
+# ---------------------------------------------------------------------------
+# s31 — compaction plan
+# ---------------------------------------------------------------------------
+
+def test_compaction_plan_matches_greedy_reference(spark):
+    from stampede_to_fresco_etl_spark.catalog import _COMPACT_TARGET
+
+    got = (
+        REGISTRY["s31_compaction_plan"][0](spark, SF)
+        .toPandas()
+        .set_index("bin_id")
+        .sort_index()
+    )
+    docs = load(spark, SF, "documents").toPandas()
+    manifest = (
+        docs.groupby("source")
+        .agg(f_bytes=("n_chars", "sum"), n_docs=("n_chars", "size"))
+        .sort_index()
+    )
+    cum = 0
+    bins: dict[int, list[tuple[str, int, int]]] = {}
+    for src, r in manifest.iterrows():
+        b = cum // _COMPACT_TARGET
+        bins.setdefault(b, []).append((src, r.f_bytes, r.n_docs))
+        cum += r.f_bytes
+    assert set(got.index) == set(bins)
+    for b, files in bins.items():
+        assert got.loc[b, "n_files"] == len(files)
+        assert got.loc[b, "bin_bytes"] == sum(f[1] for f in files)
+        assert got.loc[b, "bin_docs"] == sum(f[2] for f in files)
+        assert got.loc[b, "files"] == ",".join(sorted(f[0] for f in files))
+    # every bin except possibly the last begins below one target of
+    # spill: first-fit-by-order never leaves a bin more than one
+    # file-size short
+    assert len(bins) >= 2
