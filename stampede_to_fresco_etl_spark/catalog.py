@@ -11210,6 +11210,207 @@ REGISTRY.update(
 
 
 # ---------------------------------------------------------------------------
+# V11 — product quantization encode (PQ codes + reconstruction error)
+#
+# The remaining classic ANN building block after LSH (v2/v3), IVF
+# (v4), int8 (v6), and binary signatures (v7): split each 64-dim
+# vector into 4 subvectors of 16 dims, quantize each against a
+# 16-entry per-subspace codebook, and emit the 4 codes (4 bytes — a
+# 64× compression of the float vector) plus the reconstruction
+# error.  Codebooks are deterministically seeded from the first 16
+# vectors' subvectors (the IVF seeding convention, similarity.py IVF
+# path — production would k-means-refine them; the encode path is
+# identical).  Encoding is IN-ROW Column arithmetic: 64 sequential-
+# fold L2² expressions, argmin via array_position over the distance
+# array — no join, no shuffle, no UDF; the only non-row work is the
+# 16-row seed collect (dimension data, same class as an IVF seed).
+# ---------------------------------------------------------------------------
+
+_PQ_M = 4  # subspaces
+_PQ_K = 16  # codes per subspace
+_PQ_DIMS = 16  # dims per subspace (m × dims = 64)
+
+
+def q_pq_codes(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    seeds = sorted(
+        emb.filter(F.col("vec_id") < _PQ_K)
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r.vec_id,
+    )
+    code_cols, err_cols = [], []
+    for s in range(_PQ_M):
+        sub = F.transform(
+            F.slice("embedding", s * _PQ_DIMS + 1, _PQ_DIMS),
+            lambda x: x.cast("double"),
+        )
+        dists = []
+        for j in range(_PQ_K):
+            cvec = F.array(
+                *[
+                    F.lit(float(v))
+                    for v in seeds[j].embedding[
+                        s * _PQ_DIMS : (s + 1) * _PQ_DIMS
+                    ]
+                ]
+            )
+            diffs = F.zip_with(sub, cvec, lambda a, b: (a - b) * (a - b))
+            dists.append(
+                F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+            )
+        arr = F.array(*dists)
+        best = F.array_min(arr)
+        code_cols.append(
+            (F.array_position(arr, best) - 1).cast("int").alias(f"code{s}")
+        )
+        err_cols.append(best)
+    recon = err_cols[0]
+    for c in err_cols[1:]:
+        recon = recon + c
+    return emb.select("vec_id", *code_cols, recon.alias("recon_err"))
+
+
+def _sql_pq_codes() -> str:
+    d2 = (
+        "list_reduce(list_transform(range(1, {n} + 1), "
+        "i -> (e.v[{off} + i] - c.cv[i]) * (e.v[{off} + i] - c.cv[i])), "
+        "(x, y) -> x + y)"
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (
+  SELECT s.range AS ss, seed.vec_id AS code,
+         seed.v[s.range * {_PQ_DIMS} + 1 :
+                (s.range + 1) * {_PQ_DIMS}] AS cv
+  FROM range(0, {_PQ_M}) s, (SELECT vec_id, v FROM e
+                             WHERE vec_id < {_PQ_K}) seed
+),
+pairs AS (
+  SELECT e.vec_id, c.ss, c.code,
+         {d2.format(n=_PQ_DIMS, off="c.ss * " + str(_PQ_DIMS))} AS d2
+  FROM e, cents c
+),
+sel AS (
+  SELECT vec_id, ss, code, d2,
+         min(d2) OVER (PARTITION BY vec_id, ss) AS mind2
+  FROM pairs
+),
+codes AS (
+  SELECT vec_id, ss,
+         min(CASE WHEN d2 = mind2 THEN code END) AS code,
+         max(mind2) AS err
+  FROM sel GROUP BY vec_id, ss
+),
+piv AS (
+  SELECT vec_id,
+         CAST(max(CASE WHEN ss = 0 THEN code END) AS INT) AS code0,
+         CAST(max(CASE WHEN ss = 1 THEN code END) AS INT) AS code1,
+         CAST(max(CASE WHEN ss = 2 THEN code END) AS INT) AS code2,
+         CAST(max(CASE WHEN ss = 3 THEN code END) AS INT) AS code3,
+         max(CASE WHEN ss = 0 THEN err END) AS e0,
+         max(CASE WHEN ss = 1 THEN err END) AS e1,
+         max(CASE WHEN ss = 2 THEN err END) AS e2,
+         max(CASE WHEN ss = 3 THEN err END) AS e3
+  FROM codes GROUP BY vec_id
+)
+SELECT vec_id, code0, code1, code2, code3,
+       ((e0 + e1) + e2) + e3 AS recon_err
+FROM piv
+"""
+
+
+REGISTRY.update({"v11_pq_codes": (q_pq_codes, _sql_pq_codes())})
+
+
+# ---------------------------------------------------------------------------
+# X35 — LSH sensitivity audit (measured S-curve)
+# ---------------------------------------------------------------------------
+
+def q_lsh_sensitivity_audit(spark, sf_dir):
+    """X35 — the measured LSH S-curve: take d4's exact-Jaccard pairs
+    as ground truth, flag which of them d2's MinHash/LSH banding
+    actually surfaced, and report the catch rate per 0.1-wide
+    Jaccard bucket — the empirical version of the 1−(1−j^r)^b
+    band-tuning curve (the analytic form rides pow(), which IEEE
+    does not pin, so the audit reports MEASURED rates only).
+    Completes the estimator-audit family: x33 measures MinHash's
+    value error, x28/v10 measure ANN recall, x35 measures the
+    candidate-generation miss rate that precedes both.  Bucket keys
+    are floor(10·j) on bit-identical doubles; rates are exact-int
+    counts with one pinned division.  Cost is candidate-bounded:
+    both inputs are the already-banded pair frames."""
+    from stampede_to_fresco_etl_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = load(spark, sf_dir, "documents").localCheckpoint()
+    truth = ngram_jaccard_pairs(
+        docs, "doc_id", "text", min_jaccard=0.05, max_shingle_df=100
+    )
+    cand = (
+        minhash_lsh_pairs(
+            docs, "doc_id", "text", num_hashes=MINHASH_K, bands=MINHASH_BANDS
+        )
+        .select("doc_a", "doc_b")
+        .withColumn("caught", F.lit(1).cast("long"))
+    )
+    joined = truth.join(cand, ["doc_a", "doc_b"], "left")
+    return (
+        joined.groupBy(
+            F.floor(F.col("jaccard") * 10).cast("long").alias("j_bucket")
+        )
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.coalesce(F.sum("caught"), F.lit(0).cast("long")).alias(
+                "n_caught"
+            ),
+        )
+        .select(
+            "j_bucket",
+            "n_pairs",
+            "n_caught",
+            (
+                F.col("n_caught").cast("double")
+                / F.col("n_pairs").cast("double")
+            ).alias("catch_rate"),
+        )
+    )
+
+
+def _sql_lsh_sensitivity_audit() -> str:
+    return f"""
+WITH truth AS MATERIALIZED ({SQL_NGRAM_JACCARD}),
+cand AS MATERIALIZED (
+  SELECT doc_a, doc_b, 1::BIGINT AS caught FROM ({_sql_minhash()})
+),
+joined AS (
+  SELECT t.jaccard, c.caught
+  FROM truth t LEFT JOIN cand c
+    ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+)
+SELECT CAST(FLOOR(jaccard * 10) AS BIGINT) AS j_bucket,
+       count(*) AS n_pairs,
+       COALESCE(sum(caught), 0::BIGINT) AS n_caught,
+       CAST(COALESCE(sum(caught), 0::BIGINT) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS catch_rate
+FROM joined
+GROUP BY CAST(FLOOR(jaccard * 10) AS BIGINT)
+"""
+
+
+REGISTRY.update(
+    {
+        "x35_lsh_sensitivity_audit": (
+            q_lsh_sensitivity_audit,
+            _sql_lsh_sensitivity_audit(),
+        )
+    }
+)
+
+
+# ---------------------------------------------------------------------------
 # Enumeration order: the driver's correctness run covers the first N
 # registry entries per round, so the STALEST queries must enumerate
 # first.  Computed at import time from the CORRECTNESS_r*.json records
@@ -11285,6 +11486,8 @@ _DEFER_NEW: set[str] = {
     "k3_theta_intersect",
     "a28_decile_lift",
     "s31_compaction_plan",
+    "v11_pq_codes",
+    "x35_lsh_sensitivity_audit",
 }
 
 _FRESHNESS = _latest_green_round()

@@ -433,3 +433,102 @@ def test_compaction_plan_matches_greedy_reference(spark):
     # spill: first-fit-by-order never leaves a bin more than one
     # file-size short
     assert len(bins) >= 2
+
+
+# ---------------------------------------------------------------------------
+# v11 — product quantization
+# ---------------------------------------------------------------------------
+
+def test_pq_codes_match_numpy(spark):
+    """Independent numpy rebuild: per-subspace L2² argmin against the
+    first-16-vector codebooks, first-index tie-break, summed
+    reconstruction error."""
+    import numpy as np
+
+    from stampede_to_fresco_etl_spark.catalog import _PQ_DIMS, _PQ_K, _PQ_M
+
+    got = (
+        REGISTRY["v11_pq_codes"][0](spark, SF)
+        .toPandas()
+        .set_index("vec_id")
+        .sort_index()
+    )
+    emb = load(spark, SF, "embeddings").toPandas()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb.itertuples()}
+    seeds = [vecs[i] for i in range(_PQ_K)]
+    assert len(got) == len(vecs)
+    for vid, v in vecs.items():
+        row = got.loc[vid]
+        total = 0.0
+        for s in range(_PQ_M):
+            sub = v[s * _PQ_DIMS : (s + 1) * _PQ_DIMS]
+            d2s = [
+                float(np.sum((sub - sd[s * _PQ_DIMS : (s + 1) * _PQ_DIMS]) ** 2))
+                for sd in seeds
+            ]
+            best = min(d2s)
+            code = d2s.index(best)
+            assert row[f"code{s}"] == code
+            total += best
+        # numpy's pairwise summation can differ in the last ulp from
+        # the engines' sequential fold — compare with a tolerance
+        assert abs(row["recon_err"] - total) < 1e-9 * max(1.0, total)
+    # seeds encode themselves exactly: code == vec_id per subspace,
+    # zero reconstruction error
+    for j in range(_PQ_K):
+        r = got.loc[j]
+        assert [r[f"code{s}"] for s in range(_PQ_M)] == [j] * _PQ_M
+        assert r["recon_err"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# x35 — LSH sensitivity audit
+# ---------------------------------------------------------------------------
+
+def test_lsh_sensitivity_matches_set_reference(spark):
+    """Python-set rebuild of bucketed catch rates from the two pair
+    frames, plus the structural property that catch_rate is the
+    fraction of truth pairs surfaced by banding."""
+    from stampede_to_fresco_etl_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = load(spark, SF, "documents")
+    truth = ngram_jaccard_pairs(
+        docs, "doc_id", "text", min_jaccard=0.05, max_shingle_df=100
+    ).toPandas()
+    cand = set(
+        map(
+            tuple,
+            minhash_lsh_pairs(
+                docs,
+                "doc_id",
+                "text",
+                num_hashes=MINHASH_K,
+                bands=MINHASH_BANDS,
+            )
+            .select("doc_a", "doc_b")
+            .toPandas()
+            .itertuples(index=False),
+        )
+    )
+    got = (
+        REGISTRY["x35_lsh_sensitivity_audit"][0](spark, SF)
+        .toPandas()
+        .set_index("j_bucket")
+        .sort_index()
+    )
+    import math
+
+    buckets: dict[int, list[int]] = {}
+    for r in truth.itertuples(index=False):
+        b = int(math.floor(r.jaccard * 10))
+        buckets.setdefault(b, []).append(
+            1 if (r.doc_a, r.doc_b) in cand else 0
+        )
+    assert set(got.index) == set(buckets)
+    for b, flags in buckets.items():
+        assert got.loc[b, "n_pairs"] == len(flags)
+        assert got.loc[b, "n_caught"] == sum(flags)
+        assert got.loc[b, "catch_rate"] == sum(flags) / len(flags)
