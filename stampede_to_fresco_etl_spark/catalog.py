@@ -11411,6 +11411,150 @@ REGISTRY.update(
 
 
 # ---------------------------------------------------------------------------
+# T14 — date-spine zero-fill (coverage grid)
+# ---------------------------------------------------------------------------
+
+def q_date_spine_zero_fill(spark, sf_dir):
+    """T14 — the date-spine pattern: build the full (day × event_type)
+    grid from the observed day range (F.sequence + explode — the
+    generated dimension never touches the fact table's scale), left-
+    join the daily counts, and zero-fill — the coverage report that
+    makes silent ingestion gaps VISIBLE (a day with no rows simply
+    doesn't exist in a plain group-by; t10 reports coverage of what
+    arrived, t14 reports what DIDN'T arrive).  Day keys are exact
+    integer epoch-days; the only data-sized operation is the one
+    daily group-sum."""
+    e = load(spark, sf_dir, "events")
+    days = e.select(
+        F.floor(F.unix_micros("ts") / F.lit(86_400_000_000))
+        .cast("long")
+        .alias("day_idx"),
+        "event_type",
+    )
+    counts = days.groupBy("day_idx", "event_type").agg(
+        F.count("*").alias("n")
+    )
+    rng = e.agg(
+        F.min(
+            F.floor(F.unix_micros("ts") / F.lit(86_400_000_000)).cast("long")
+        ).alias("lo"),
+        F.max(
+            F.floor(F.unix_micros("ts") / F.lit(86_400_000_000)).cast("long")
+        ).alias("hi"),
+    )
+    spine = rng.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("day_idx")
+    )
+    types = e.select("event_type").distinct()
+    grid = spine.crossJoin(types)
+    return (
+        grid.join(counts, ["day_idx", "event_type"], "left")
+        .select(
+            "day_idx",
+            "event_type",
+            F.coalesce(F.col("n"), F.lit(0).cast("long")).alias("n_events"),
+            (F.coalesce(F.col("n"), F.lit(0)) == 0).alias("is_gap"),
+        )
+    )
+
+
+SQL_DATE_SPINE_ZERO_FILL = """
+WITH days AS (
+  SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_idx,
+         event_type
+  FROM events
+),
+counts AS (
+  SELECT day_idx, event_type, count(*) AS n
+  FROM days GROUP BY day_idx, event_type
+),
+rng AS (SELECT min(day_idx) AS lo, max(day_idx) AS hi FROM days),
+spine AS (
+  SELECT CAST(u.d AS BIGINT) AS day_idx
+  FROM rng, UNNEST(range(rng.lo, rng.hi + 1)) AS u(d)
+),
+types AS (SELECT DISTINCT event_type FROM events)
+SELECT s.day_idx, t.event_type,
+       COALESCE(c.n, 0::BIGINT) AS n_events,
+       COALESCE(c.n, 0) = 0 AS is_gap
+FROM spine s
+CROSS JOIN types t
+LEFT JOIN counts c ON c.day_idx = s.day_idx AND c.event_type = t.event_type
+"""
+
+
+REGISTRY.update(
+    {
+        "t14_date_spine_zero_fill": (
+            q_date_spine_zero_fill,
+            SQL_DATE_SPINE_ZERO_FILL,
+        )
+    }
+)
+
+
+# ---------------------------------------------------------------------------
+# S32 — CDC changelog apply (MERGE with deletes)
+# ---------------------------------------------------------------------------
+
+def q_cdc_apply(spark, sf_dir):
+    """S32 — apply a CDC changelog to produce the final snapshot:
+    events are the ordered change stream per user ('error' rows are
+    DELETE markers, everything else an upsert), the survivor is each
+    user's LAST operation in (ts, event_id) order, and users whose
+    last op is a delete are absent from the snapshot — MERGE INTO
+    semantics (s19's upsert plus tombstones).  Selection is ONE
+    map-combinable max(struct) aggregate — lexicographic struct
+    ordering on the unique (ts_us, event_id) key — no ranking
+    window, so the shuffle carries one partial row per (partition,
+    user): the scale-correct argmax shape."""
+    e = load(spark, sf_dir, "events")
+    picked = (
+        e.select(
+            "user_id",
+            F.struct(
+                F.unix_micros("ts").alias("ts_us"),
+                F.col("event_id").alias("event_id"),
+                (F.col("event_type") == "error").alias("is_delete"),
+                F.floor(F.col("value") * F.lit(10000.0))
+                .cast("long")
+                .alias("v_s"),
+            ).alias("op"),
+        )
+        .groupBy("user_id")
+        .agg(F.max("op").alias("last"), F.count("*").alias("n_ops"))
+    )
+    return picked.filter(~F.col("last.is_delete")).select(
+        "user_id",
+        F.col("last.ts_us").alias("last_ts_us"),
+        (F.col("last.v_s").cast("double") / 10000.0).alias("last_value"),
+        "n_ops",
+    )
+
+
+SQL_CDC_APPLY = """
+WITH ranked AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+         event_type = 'error' AS is_delete,
+         CAST(FLOOR(value * 10000.0) AS BIGINT) AS v_s,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts) DESC, event_id DESC)
+           AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n_ops
+  FROM events
+)
+SELECT user_id, ts_us AS last_ts_us,
+       CAST(v_s AS DOUBLE) / 10000.0 AS last_value,
+       n_ops
+FROM ranked
+WHERE rn = 1 AND NOT is_delete
+"""
+
+
+REGISTRY.update({"s32_cdc_apply": (q_cdc_apply, SQL_CDC_APPLY)})
+
+
+# ---------------------------------------------------------------------------
 # Enumeration order: the driver's correctness run covers the first N
 # registry entries per round, so the STALEST queries must enumerate
 # first.  Computed at import time from the CORRECTNESS_r*.json records
@@ -11488,6 +11632,8 @@ _DEFER_NEW: set[str] = {
     "s31_compaction_plan",
     "v11_pq_codes",
     "x35_lsh_sensitivity_audit",
+    "t14_date_spine_zero_fill",
+    "s32_cdc_apply",
 }
 
 _FRESHNESS = _latest_green_round()

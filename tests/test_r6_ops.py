@@ -532,3 +532,84 @@ def test_lsh_sensitivity_matches_set_reference(spark):
         assert got.loc[b, "n_pairs"] == len(flags)
         assert got.loc[b, "n_caught"] == sum(flags)
         assert got.loc[b, "catch_rate"] == sum(flags) / len(flags)
+
+
+# ---------------------------------------------------------------------------
+# t14 — date-spine zero-fill
+# ---------------------------------------------------------------------------
+
+def test_date_spine_covers_full_grid(spark):
+    got = REGISTRY["t14_date_spine_zero_fill"][0](spark, SF).toPandas()
+    e = (
+        load(spark, SF, "events")
+        .select(F.unix_micros("ts").alias("us"), "event_type")
+        .toPandas()
+    )
+    e["day"] = e.us // 86_400_000_000
+    lo, hi = e.day.min(), e.day.max()
+    types = set(e.event_type)
+    # exact grid shape
+    assert len(got) == (hi - lo + 1) * len(types)
+    assert set(got.day_idx) == set(range(lo, hi + 1))
+    ref = e.groupby(["day_idx" if False else "day", "event_type"]).size()
+    g = got.set_index(["day_idx", "event_type"]).sort_index()
+    for (d, t), n in ref.items():
+        assert g.loc[(d, t), "n_events"] == n
+        assert not g.loc[(d, t), "is_gap"]
+    # every grid cell not observed is a zero-filled gap
+    observed = set(ref.index)
+    for (d, t), row in g.iterrows():
+        if (d, t) not in observed:
+            assert row["n_events"] == 0 and row["is_gap"]
+
+
+# ---------------------------------------------------------------------------
+# s32 — CDC apply
+# ---------------------------------------------------------------------------
+
+def test_cdc_apply_matches_sequential_replay(spark):
+    """Replay the changelog sequentially per user in pure Python —
+    the semantics MERGE INTO would produce — and compare the final
+    snapshot."""
+    import math
+
+    got = (
+        REGISTRY["s32_cdc_apply"][0](spark, SF)
+        .toPandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    e = (
+        load(spark, SF, "events")
+        .select(
+            "user_id",
+            F.unix_micros("ts").alias("us"),
+            "event_id",
+            "event_type",
+            "value",
+        )
+        .toPandas()
+        .sort_values(["user_id", "us", "event_id"])
+    )
+    state: dict[int, tuple] = {}
+    nops: dict[int, int] = {}
+    for r in e.itertuples(index=False):
+        nops[r.user_id] = nops.get(r.user_id, 0) + 1
+        if r.event_type == "error":
+            state.pop(r.user_id, None)
+        else:
+            v = (
+                math.floor(r.value * 10000.0) / 10000.0
+                if pd.notna(r.value)
+                else None
+            )
+            state[r.user_id] = (r.us, v)
+    assert set(got.index) == set(state)
+    for uid, (us, v) in state.items():
+        row = got.loc[uid]
+        assert row["last_ts_us"] == us
+        if v is None:
+            assert pd.isna(row["last_value"])
+        else:
+            assert row["last_value"] == v
+        assert row["n_ops"] == nops[uid]
