@@ -11555,6 +11555,238 @@ REGISTRY.update({"s32_cdc_apply": (q_cdc_apply, SQL_CDC_APPLY)})
 
 
 # ---------------------------------------------------------------------------
+# U6 — EXCEPT ALL (bag-semantics difference)
+# ---------------------------------------------------------------------------
+
+def q_except_all_bag(spark, sf_dir):
+    """U6 — multiset difference: click events minus view events on
+    the (user_id, value-cent) key with BAG semantics — each
+    occurrence in the right side cancels ONE occurrence on the left
+    (`df.exceptAll`, Spark's dedicated operator; u4 covers the
+    DISTINCT set algebra).  The physical plan is a single
+    count-difference aggregate under the hood — no row-by-row
+    anti-join — which is also exactly how the 100 TB version should
+    run: one shuffle on the key, generate max(cnt_l − cnt_r, 0)
+    copies.  Output aggregates the surviving multiset to keep the
+    result frame bounded."""
+    e = load(spark, sf_dir, "events")
+    key = [
+        "user_id",
+        F.floor(F.col("value") * F.lit(100.0)).cast("long").alias("v_cent"),
+    ]
+    left = e.filter(F.col("event_type") == "click").select(*key)
+    right = e.filter(F.col("event_type") == "view").select(*key)
+    surv = left.exceptAll(right)
+    return surv.groupBy("user_id").agg(
+        F.count("*").alias("n_remaining"),
+        F.sum("v_cent").alias("sum_cents"),
+    )
+
+
+SQL_EXCEPT_ALL_BAG = """
+WITH l AS (
+  SELECT user_id, CAST(FLOOR(value * 100.0) AS BIGINT) AS v_cent
+  FROM events WHERE event_type = 'click'
+),
+r AS (
+  SELECT user_id, CAST(FLOOR(value * 100.0) AS BIGINT) AS v_cent
+  FROM events WHERE event_type = 'view'
+),
+surv AS (SELECT * FROM l EXCEPT ALL SELECT * FROM r)
+SELECT user_id, count(*) AS n_remaining, sum(v_cent) AS sum_cents
+FROM surv GROUP BY user_id
+"""
+
+
+REGISTRY.update({"u6_except_all_bag": (q_except_all_bag, SQL_EXCEPT_ALL_BAG)})
+
+
+# ---------------------------------------------------------------------------
+# O5 — keyset pagination
+# ---------------------------------------------------------------------------
+
+_PAGE_SIZE = 100
+_PAGE_NO = 3  # 1-based page to fetch
+
+
+def q_keyset_pagination(spark, sf_dir):
+    """O5 — scale-correct pagination: fetch page 3 of the events
+    ordered by (value-scaled, event_id) using KEYSET continuation —
+    the cursor (last key of page 2) comes from one order-statistic
+    kernel selection, then the page is `filter(key > cursor)` +
+    TakeOrdered(page_size).  The OFFSET alternative sorts and skips
+    2·page_size rows per task per page and gets linearly slower with
+    page number; keyset work is O(page) forever, and the filter
+    pushes into the scan.  Composite-key comparison is expressed as
+    the standard (a > ca) OR (a = ca AND b > cb) disjunction —
+    sargable, unlike a struct comparison."""
+    from stampede_to_fresco_etl_spark.operators.order_stats import (
+        positional_select,
+    )
+
+    e = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    vi = F.floor(F.col("value") * F.lit(10000.0)).cast("long")
+    base = e.select(
+        "event_id", vi.alias("v_s"), "event_type", "user_id"
+    ).localCheckpoint()
+    # the cursor row: global rank page_size * (page_no - 1) on the
+    # (v_s, event_id) order.  The kernel selects by ONE column, so
+    # rank on the composite via a fused sortable key: event_id < 2^24
+    # at every test scale and v_s < 2^23, so k = v_s * 2^24 +
+    # event_id fits a long and preserves (v_s, event_id)
+    # lexicographic order exactly.
+    fused = base.select(
+        (F.col("v_s") * F.lit(1 << 24) + F.col("event_id")).alias("k"),
+        F.lit(0).alias("g"),
+    )
+    cursor = positional_select(
+        fused,
+        ["g"],
+        "k",
+        [
+            (
+                "ck",
+                lambda n: F.lit(_PAGE_SIZE * (_PAGE_NO - 1)).cast("long"),
+            )
+        ],
+    ).select(
+        F.floor(F.col("ck") / F.lit(1 << 24)).cast("long").alias("cv"),
+        F.pmod(F.col("ck"), F.lit(1 << 24)).cast("long").alias("cid"),
+    )
+    page = (
+        base.crossJoin(F.broadcast(cursor))
+        .filter(
+            (F.col("v_s") > F.col("cv"))
+            | ((F.col("v_s") == F.col("cv")) & (F.col("event_id") > F.col("cid")))
+        )
+        .orderBy("v_s", "event_id")
+        .limit(_PAGE_SIZE)
+    )
+    return page.select(
+        "event_id",
+        (F.col("v_s").cast("double") / 10000.0).alias("value"),
+        "event_type",
+        "user_id",
+    )
+
+
+SQL_KEYSET_PAGINATION = f"""
+WITH base AS (
+  SELECT event_id, CAST(FLOOR(value * 10000.0) AS BIGINT) AS v_s,
+         event_type, user_id
+  FROM events WHERE value IS NOT NULL
+),
+ranked AS (
+  SELECT v_s, event_id,
+         row_number() OVER (ORDER BY v_s, event_id) AS rn
+  FROM base
+),
+cur AS (
+  SELECT v_s AS cv, event_id AS cid FROM ranked
+  WHERE rn = {_PAGE_SIZE * (_PAGE_NO - 1)}
+)
+SELECT b.event_id, CAST(b.v_s AS DOUBLE) / 10000.0 AS value,
+       b.event_type, b.user_id
+FROM base b, cur
+WHERE b.v_s > cur.cv OR (b.v_s = cur.cv AND b.event_id > cur.cid)
+ORDER BY b.v_s, b.event_id
+LIMIT {_PAGE_SIZE}
+"""
+
+
+REGISTRY.update(
+    {"o5_keyset_pagination": (q_keyset_pagination, SQL_KEYSET_PAGINATION)}
+)
+
+
+# ---------------------------------------------------------------------------
+# X36 — training-mixture plan (per-source sampling rates)
+# ---------------------------------------------------------------------------
+
+#: (source-prefix-digit bucket → weight numerator); weights sum to 10.
+#: Mixture targets as exact integer ratios so the plan arithmetic
+#: stays pinned.
+_MIX_TOTAL_TOKENS = 50_000
+
+
+def q_mixture_plan(spark, sf_dir):
+    """X36 — the mixture-PLANNING step ahead of x10's mixture
+    sampling (Pile/LLaMA-style): given measured per-source token
+    counts and target weights (uniform here), compute each source's
+    sampling rate min(1, target/available), the expected token
+    yield, and the shortfall when a source can't fill its quota —
+    the report a data lead signs off before an epoch is launched.
+    One token-count aggregate touches data; the plan itself is
+    arithmetic over the ~|sources| manifest with pinned divisions.
+    Epoch-target redistribution of shortfall is a second pass over
+    the same manifest at the caller's discretion (kept out so each
+    rate stays a one-step auditable formula)."""
+    docs = load(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.sum(
+            F.size(F.split(F.trim("text"), r"\s+")).cast("long")
+        ).alias("avail_tokens"),
+        F.count("*").alias("n_docs"),
+    )
+    n_src = per_src.agg(F.count("*").alias("n_sources"))
+    target = F.floor(
+        F.lit(_MIX_TOTAL_TOKENS) / F.col("n_sources")
+    ).cast("long")
+    return (
+        per_src.crossJoin(F.broadcast(n_src))
+        .select(
+            "source",
+            "n_docs",
+            "avail_tokens",
+            target.alias("target_tokens"),
+            F.when(
+                F.col("avail_tokens") >= target, F.lit(1.0)
+            )
+            .otherwise(F.lit(0.0))
+            .alias("is_capped"),
+            F.least(
+                F.lit(1.0),
+                target.cast("double") / F.col("avail_tokens").cast("double"),
+            ).alias("sample_rate"),
+            F.least(target, F.col("avail_tokens")).alias("expected_tokens"),
+            F.greatest(
+                F.lit(0).cast("long"), target - F.col("avail_tokens")
+            ).alias("shortfall"),
+        )
+    )
+
+
+SQL_MIXTURE_PLAN = f"""
+WITH per_src AS (
+  SELECT source,
+         sum(CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+             AS BIGINT)) AS avail_tokens,
+         count(*) AS n_docs
+  FROM documents GROUP BY source
+),
+ns AS (SELECT count(*) AS n_sources FROM per_src)
+SELECT p.source, p.n_docs, p.avail_tokens,
+       CAST(FLOOR({_MIX_TOTAL_TOKENS} / ns.n_sources) AS BIGINT)
+         AS target_tokens,
+       CASE WHEN p.avail_tokens >=
+              CAST(FLOOR({_MIX_TOTAL_TOKENS} / ns.n_sources) AS BIGINT)
+            THEN 1.0 ELSE 0.0 END AS is_capped,
+       LEAST(1.0,
+             CAST(FLOOR({_MIX_TOTAL_TOKENS} / ns.n_sources) AS DOUBLE)
+               / CAST(p.avail_tokens AS DOUBLE)) AS sample_rate,
+       LEAST(CAST(FLOOR({_MIX_TOTAL_TOKENS} / ns.n_sources) AS BIGINT),
+             p.avail_tokens) AS expected_tokens,
+       GREATEST(0::BIGINT,
+                CAST(FLOOR({_MIX_TOTAL_TOKENS} / ns.n_sources) AS BIGINT)
+                  - p.avail_tokens) AS shortfall
+FROM per_src p, ns
+"""
+
+
+REGISTRY.update({"x36_mixture_plan": (q_mixture_plan, SQL_MIXTURE_PLAN)})
+
+
+# ---------------------------------------------------------------------------
 # Enumeration order: the driver's correctness run covers the first N
 # registry entries per round, so the STALEST queries must enumerate
 # first.  Computed at import time from the CORRECTNESS_r*.json records
@@ -11634,6 +11866,9 @@ _DEFER_NEW: set[str] = {
     "x35_lsh_sensitivity_audit",
     "t14_date_spine_zero_fill",
     "s32_cdc_apply",
+    "u6_except_all_bag",
+    "o5_keyset_pagination",
+    "x36_mixture_plan",
 }
 
 _FRESHNESS = _latest_green_round()

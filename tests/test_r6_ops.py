@@ -613,3 +613,95 @@ def test_cdc_apply_matches_sequential_replay(spark):
         else:
             assert row["last_value"] == v
         assert row["n_ops"] == nops[uid]
+
+
+# ---------------------------------------------------------------------------
+# u6 — EXCEPT ALL bag semantics
+# ---------------------------------------------------------------------------
+
+def test_except_all_bag_matches_counter_reference(spark):
+    import math
+    from collections import Counter
+
+    got = (
+        REGISTRY["u6_except_all_bag"][0](spark, SF)
+        .toPandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    e = load(spark, SF, "events").select(
+        "user_id", "event_type", "value"
+    ).toPandas()
+
+    def _keys(t):
+        sub = e[e.event_type == t]
+        return Counter(
+            (
+                u,
+                int(math.floor(v * 100.0)) if pd.notna(v) else None,
+            )
+            for u, v in zip(sub.user_id, sub.value)
+        )
+
+    surv = _keys("click") - _keys("view")  # Counter difference = EXCEPT ALL
+    agg: dict[int, tuple[int, int]] = {}
+    for (u, c), n in surv.items():
+        cnt, s = agg.get(u, (0, 0))
+        agg[u] = (cnt + n, s + (c or 0) * n)
+    assert set(got.index) == set(agg)
+    for u, (cnt, s) in agg.items():
+        assert got.loc[u, "n_remaining"] == cnt
+        assert got.loc[u, "sum_cents"] == s
+
+
+# ---------------------------------------------------------------------------
+# o5 — keyset pagination
+# ---------------------------------------------------------------------------
+
+def test_keyset_pagination_is_exact_page_slice(spark):
+    """The keyset page must be EXACTLY rows [200, 300) of the global
+    (value, event_id) order — same slice a full sort would give."""
+    import math
+
+    from stampede_to_fresco_etl_spark.catalog import _PAGE_NO, _PAGE_SIZE
+
+    got = REGISTRY["o5_keyset_pagination"][0](spark, SF).toPandas()
+    e = load(spark, SF, "events").toPandas()
+    e = e[e.value.notna()].copy()
+    e["v_s"] = [int(math.floor(v * 10000.0)) for v in e.value]
+    full = e.sort_values(["v_s", "event_id"]).reset_index(drop=True)
+    lo = _PAGE_SIZE * (_PAGE_NO - 1)
+    expect = full.iloc[lo : lo + _PAGE_SIZE]
+    assert list(got.event_id) == list(expect.event_id)
+    assert list(got.value) == [v / 10000.0 for v in expect.v_s]
+
+
+# ---------------------------------------------------------------------------
+# x36 — mixture plan
+# ---------------------------------------------------------------------------
+
+def test_mixture_plan_matches_pandas(spark):
+    from stampede_to_fresco_etl_spark.catalog import _MIX_TOTAL_TOKENS
+
+    got = (
+        REGISTRY["x36_mixture_plan"][0](spark, SF)
+        .toPandas()
+        .set_index("source")
+        .sort_index()
+    )
+    docs = load(spark, SF, "documents").toPandas()
+    docs["toks"] = [len(t.strip().split()) for t in docs.text]
+    per = docs.groupby("source").agg(avail=("toks", "sum"), n=("toks", "size"))
+    target = int(_MIX_TOTAL_TOKENS // len(per))
+    assert set(got.index) == set(per.index)
+    for src, r in per.iterrows():
+        row = got.loc[src]
+        assert row["n_docs"] == r.n
+        assert row["avail_tokens"] == r.avail
+        assert row["target_tokens"] == target
+        assert row["sample_rate"] == min(1.0, target / r.avail)
+        assert row["expected_tokens"] == min(target, r.avail)
+        assert row["shortfall"] == max(0, target - r.avail)
+    # plan-level invariant: expected tokens never exceed the epoch
+    # target, and capped sources sample at exactly their quota rate
+    assert got["expected_tokens"].sum() <= _MIX_TOTAL_TOKENS
