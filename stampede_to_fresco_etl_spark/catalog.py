@@ -11787,6 +11787,213 @@ REGISTRY.update({"x36_mixture_plan": (q_mixture_plan, SQL_MIXTURE_PLAN)})
 
 
 # ---------------------------------------------------------------------------
+# X37 — count-min sketch error audit
+# ---------------------------------------------------------------------------
+
+def q_cms_error_audit(spark, sf_dir):
+    """X37 — the CMS accuracy audit that completes the estimator-
+    audit family (x33 MinHash value error, x28/v10 ANN recall, x35
+    LSH catch rate): build ONE count-min sketch over the event-type
+    stream (c2's kernel, same depth/width), query every real type
+    plus an absent probe, and join the exact counts back — emitting
+    the overestimate (CMS error is one-sided: est ≥ exact always;
+    the absent item's estimate is pure collision noise, the most
+    informative row).  Sketch + exact are two independent aggregates
+    over the same scan; the audit join is 6 rows."""
+    from stampede_to_fresco_etl_spark.operators.sketches import (
+        cms_query,
+        cms_sketch,
+    )
+
+    e = load(spark, sf_dir, "events").filter(F.col("event_type").isNotNull())
+    sk = cms_sketch(e, [], "event_type", _C2_DEPTH, _C2_WIDTH)
+    est = cms_query(sk, _C2_ITEMS, [], _C2_WIDTH)
+    exact = e.groupBy(F.col("event_type").alias("item")).agg(
+        F.count("*").alias("exact_count")
+    )
+    return est.join(exact, "item", "left").select(
+        "item",
+        F.coalesce(F.col("exact_count"), F.lit(0).cast("long")).alias(
+            "exact_count"
+        ),
+        "est_count",
+        (
+            F.col("est_count")
+            - F.coalesce(F.col("exact_count"), F.lit(0).cast("long"))
+        ).alias("overestimate"),
+    )
+
+
+def _sql_cms_error_audit() -> str:
+    items = ", ".join(f"('{i}')" for i in _C2_ITEMS)
+    bucket = (
+        "(('0x' || substr(md5('cms' || CAST(r AS VARCHAR) || ':' || {v}), "
+        f"1, 15))::BIGINT % {_C2_WIDTH})"
+    )
+    return f"""
+WITH rows_ AS (SELECT unnest(range(0, {_C2_DEPTH})) AS r),
+probes(item) AS (VALUES {items}),
+pb AS (
+  SELECT item, r, {bucket.format(v='item')} AS bucket
+  FROM probes CROSS JOIN rows_
+),
+eb AS (
+  SELECT r, {bucket.format(v='event_type')} AS bucket, count(*) AS c
+  FROM events CROSS JOIN rows_
+  WHERE event_type IS NOT NULL
+  GROUP BY r, {bucket.format(v='event_type')}
+),
+per_row AS (
+  SELECT pb.item, pb.r, coalesce(eb.c, 0) AS c
+  FROM pb LEFT JOIN eb ON pb.r = eb.r AND pb.bucket = eb.bucket
+),
+est AS (
+  SELECT item, CAST(min(c) AS BIGINT) AS est_count
+  FROM per_row GROUP BY item
+),
+exact AS (
+  SELECT event_type AS item, count(*) AS exact_count
+  FROM events WHERE event_type IS NOT NULL GROUP BY event_type
+)
+SELECT e.item, COALESCE(x.exact_count, 0::BIGINT) AS exact_count,
+       e.est_count,
+       e.est_count - COALESCE(x.exact_count, 0::BIGINT) AS overestimate
+FROM est e LEFT JOIN exact x ON e.item = x.item
+"""
+
+
+REGISTRY.update(
+    {"x37_cms_error_audit": (q_cms_error_audit, _sql_cms_error_audit())}
+)
+
+
+# ---------------------------------------------------------------------------
+# J13 — SCD2 point-in-time (as-was) dimension join
+# ---------------------------------------------------------------------------
+
+def q_scd2_pit_join(spark, sf_dir):
+    """J13 — the point-in-time-correct dimension join ("as-was"
+    reporting): build the SCD2 state history from each user's NON-
+    purchase event stream (t9's run-collapse kernel on the state
+    stream), then join each purchase FACT to the single state
+    interval covering its timestamp — valid_from ≤ ts < valid_to,
+    open current record matches everything after its start, and a
+    purchase before the user's first state row is kept with a NULL
+    state (left join: the audit case).  The join carries user_id as
+    the EQUI key with the interval bounds as residual predicates —
+    partitioned hash join, never a cross product; at 100 TB the
+    dimension side is orders of magnitude smaller than facts and the
+    residual evaluates in the probe."""
+    from pyspark.sql import Window as W
+
+    e = load(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    state = e.filter(F.col("event_type") != "purchase")
+    byts = W.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = state.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        F.when(
+            F.lag("event_type").over(byts).isNull()
+            | (F.lag("event_type").over(byts) != F.col("event_type")),
+            1,
+        )
+        .otherwise(0)
+        .alias("chg"),
+    )
+    byus = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    runs = flagged.withColumn(
+        "run_id",
+        F.sum("chg").over(
+            byus.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    grouped = runs.groupBy("user_id", "run_id", "event_type").agg(
+        F.min("ts_us").alias("valid_from_us")
+    )
+    byrun = W.partitionBy("user_id").orderBy("run_id")
+    dim = grouped.select(
+        F.col("user_id").alias("d_user"),
+        F.col("event_type").alias("state_type"),
+        "valid_from_us",
+        F.lead("valid_from_us").over(byrun).alias("valid_to_us"),
+    )
+    facts = e.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.floor(F.col("value") * F.lit(10000.0)).cast("long").alias("v_s"),
+    )
+    joined = facts.join(
+        dim,
+        (F.col("user_id") == F.col("d_user"))
+        & (F.col("valid_from_us") <= F.col("ts_us"))
+        & (
+            F.col("valid_to_us").isNull()
+            | (F.col("ts_us") < F.col("valid_to_us"))
+        ),
+        "left",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        (F.col("v_s").cast("double") / 10000.0).alias("value"),
+        "state_type",
+        F.col("valid_from_us").alias("state_since_us"),
+    )
+
+
+SQL_SCD2_PIT_JOIN = """
+WITH state AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                OR lag(event_type) OVER w <> event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+  WHERE user_id IS NOT NULL AND event_type <> 'purchase'
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+),
+runs AS (
+  SELECT *, sum(chg) OVER (PARTITION BY user_id
+                           ORDER BY ts_us, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS run_id
+  FROM state
+),
+grouped AS (
+  SELECT user_id, run_id, event_type,
+         min(ts_us) AS valid_from_us
+  FROM runs GROUP BY user_id, run_id, event_type
+),
+dim AS (
+  SELECT user_id AS d_user, event_type AS state_type, valid_from_us,
+         lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY run_id)
+           AS valid_to_us
+  FROM grouped
+),
+facts AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+         CAST(FLOOR(value * 10000.0) AS BIGINT) AS v_s
+  FROM events
+  WHERE user_id IS NOT NULL AND event_type = 'purchase'
+)
+SELECT f.event_id, f.user_id, f.ts_us,
+       CAST(f.v_s AS DOUBLE) / 10000.0 AS value,
+       d.state_type, d.valid_from_us AS state_since_us
+FROM facts f
+LEFT JOIN dim d
+  ON f.user_id = d.d_user
+ AND d.valid_from_us <= f.ts_us
+ AND (d.valid_to_us IS NULL OR f.ts_us < d.valid_to_us)
+"""
+
+
+REGISTRY.update({"j13_scd2_pit_join": (q_scd2_pit_join, SQL_SCD2_PIT_JOIN)})
+
+
+# ---------------------------------------------------------------------------
 # Enumeration order: the driver's correctness run covers the first N
 # registry entries per round, so the STALEST queries must enumerate
 # first.  Computed at import time from the CORRECTNESS_r*.json records
@@ -11869,6 +12076,8 @@ _DEFER_NEW: set[str] = {
     "u6_except_all_bag",
     "o5_keyset_pagination",
     "x36_mixture_plan",
+    "x37_cms_error_audit",
+    "j13_scd2_pit_join",
 }
 
 _FRESHNESS = _latest_green_round()

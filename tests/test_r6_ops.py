@@ -705,3 +705,69 @@ def test_mixture_plan_matches_pandas(spark):
     # plan-level invariant: expected tokens never exceed the epoch
     # target, and capped sources sample at exactly their quota rate
     assert got["expected_tokens"].sum() <= _MIX_TOTAL_TOKENS
+
+
+# ---------------------------------------------------------------------------
+# x37 — CMS error audit
+# ---------------------------------------------------------------------------
+
+def test_cms_audit_overestimate_is_one_sided(spark):
+    """CMS guarantee: est ≥ exact for every item, the exact counts
+    match pandas, and the absent probe's estimate equals its
+    collision mass (est with exact 0)."""
+    got = (
+        REGISTRY["x37_cms_error_audit"][0](spark, SF)
+        .toPandas()
+        .set_index("item")
+    )
+    e = load(spark, SF, "events").select("event_type").toPandas()
+    counts = e.event_type.value_counts().to_dict()
+    for item, row in got.iterrows():
+        assert row["exact_count"] == counts.get(item, 0)
+        assert row["overestimate"] >= 0  # one-sided error
+        assert row["est_count"] == row["exact_count"] + row["overestimate"]
+    assert got.loc["nosuch_event", "exact_count"] == 0
+
+
+# ---------------------------------------------------------------------------
+# j13 — SCD2 point-in-time join
+# ---------------------------------------------------------------------------
+
+def test_scd2_pit_join_matches_replay(spark):
+    """For every purchase: the joined state must be the user's most
+    recent non-purchase event type at-or-before the purchase ts,
+    with state_since_us the start of that run — derived by a
+    sequential replay independent of the interval construction."""
+    got = (
+        REGISTRY["j13_scd2_pit_join"][0](spark, SF)
+        .toPandas()
+        .set_index("event_id")
+        .sort_index()
+    )
+    e = (
+        load(spark, SF, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            F.unix_micros("ts").alias("us"),
+            "event_type",
+        )
+        .toPandas()
+        .sort_values(["user_id", "us", "event_id"])
+    )
+    purchases = e[e.event_type == "purchase"]
+    assert len(got) == len(purchases)
+    for uid, grp in e.groupby("user_id"):
+        state_type, state_since = None, None
+        for r in grp.itertuples(index=False):
+            if r.event_type == "purchase":
+                row = got.loc[r.event_id]
+                if state_type is None:
+                    assert pd.isna(row["state_type"])
+                else:
+                    assert row["state_type"] == state_type
+                    assert row["state_since_us"] == state_since
+            else:
+                if r.event_type != state_type:
+                    state_type, state_since = r.event_type, r.us
