@@ -11994,6 +11994,185 @@ REGISTRY.update({"j13_scd2_pit_join": (q_scd2_pit_join, SQL_SCD2_PIT_JOIN)})
 
 
 # ---------------------------------------------------------------------------
+# A29 — higher moments (skewness / kurtosis) from exact power sums
+#
+# a3/a21 cover mean/weighted moments; this adds the 3rd/4th
+# standardized moments — the distribution-shape card — WITHOUT the
+# engines' built-in skewness()/kurtosis() (whose streaming update
+# orders differ and can never hash-match).  The four power sums
+# Σv..Σv⁴ are EXACT: v is the floor-scaled int, powers are DECIMAL
+# products (v⁴ ≤ 10²⁷ and 600k-row sums ≤ 10³³ both fit DECIMAL(38)
+# / DuckDB HUGEINT — the a25 technique), and the float assembly is
+# one identical pinned expression tree on both engines (+,−,×,÷,
+# sqrt are all IEEE-pinned; no pow()).
+# ---------------------------------------------------------------------------
+
+def q_higher_moments(spark, sf_dir):
+    e = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    c = (
+        F.floor(F.col("value") * F.lit(10000.0))
+        .cast("long")
+        .cast("decimal(12,0)")
+    )
+    sums = e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(c).cast("decimal(38,0)").alias("s1"),
+        F.sum(c * c).cast("decimal(38,0)").alias("s2"),
+        F.sum(c * c * c).cast("decimal(38,0)").alias("s3"),
+        F.sum(c * c * c * c).cast("decimal(38,0)").alias("s4"),
+    )
+    n = F.col("n").cast("double")
+    s1 = F.col("s1").cast("double")
+    s2 = F.col("s2").cast("double")
+    s3 = F.col("s3").cast("double")
+    s4 = F.col("s4").cast("double")
+    mean = s1 / n
+    m2 = s2 / n - mean * mean
+    m3 = s3 / n - mean * (s2 / n) * 3.0 + mean * mean * mean * 2.0
+    m4 = (
+        s4 / n
+        - mean * (s3 / n) * 4.0
+        + mean * mean * (s2 / n) * 6.0
+        - mean * mean * mean * mean * 3.0
+    )
+    return sums.select(
+        "event_type",
+        "n",
+        (mean / 10000.0).alias("mean"),
+        F.when(F.col("n") > 1, m2).alias("m2_scaled"),
+        F.when((F.col("n") > 2) & (m2 > 0), m3 / (m2 * F.sqrt(m2))).alias(
+            "skewness"
+        ),
+        F.when((F.col("n") > 3) & (m2 > 0), m4 / (m2 * m2) - 3.0).alias(
+            "excess_kurtosis"
+        ),
+    )
+
+
+SQL_HIGHER_MOMENTS = """
+WITH base AS (
+  SELECT event_type,
+         CAST(CAST(FLOOR(value * 10000.0) AS BIGINT) AS HUGEINT) AS c
+  FROM events WHERE value IS NOT NULL
+),
+sums AS (
+  SELECT event_type, count(*) AS n,
+         sum(c) AS s1, sum(c * c) AS s2,
+         sum(c * c * c) AS s3, sum(c * c * c * c) AS s4
+  FROM base GROUP BY event_type
+),
+f AS (
+  SELECT event_type, n,
+         CAST(n AS DOUBLE) AS nd,
+         CAST(s1 AS DOUBLE) AS s1, CAST(s2 AS DOUBLE) AS s2,
+         CAST(s3 AS DOUBLE) AS s3, CAST(s4 AS DOUBLE) AS s4
+  FROM sums
+),
+m AS (
+  SELECT event_type, n, s1 / nd AS mean,
+         s2 / nd - (s1 / nd) * (s1 / nd) AS m2,
+         s3 / nd - (s1 / nd) * (s2 / nd) * 3.0
+           + (s1 / nd) * (s1 / nd) * (s1 / nd) * 2.0 AS m3,
+         s4 / nd - (s1 / nd) * (s3 / nd) * 4.0
+           + (s1 / nd) * (s1 / nd) * (s2 / nd) * 6.0
+           - (s1 / nd) * (s1 / nd) * (s1 / nd) * (s1 / nd) * 3.0 AS m4
+  FROM f
+)
+SELECT event_type, n, mean / 10000.0 AS mean,
+       CASE WHEN n > 1 THEN m2 END AS m2_scaled,
+       CASE WHEN n > 2 AND m2 > 0
+            THEN m3 / (m2 * sqrt(m2)) END AS skewness,
+       CASE WHEN n > 3 AND m2 > 0
+            THEN m4 / (m2 * m2) - 3.0 END AS excess_kurtosis
+FROM m
+"""
+
+
+REGISTRY.update(
+    {"a29_higher_moments": (q_higher_moments, SQL_HIGHER_MOMENTS)}
+)
+
+
+# ---------------------------------------------------------------------------
+# T15 — native session windows (batch session_window)
+# ---------------------------------------------------------------------------
+
+_T15_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
+
+
+def q_native_session_window(spark, sf_dir):
+    """T15 — Spark's NATIVE `F.session_window` in batch mode (the
+    same operator Structured Streaming uses for stateful sessions;
+    t7 is the hand-rolled islands twin): events merge while each
+    falls strictly within the 30-minute gap after the previous one;
+    the window's end is last-event + gap.  Output is the per-user
+    session ledger with exact scaled-int value sums.  The oracle
+    reproduces the semantics via the lag-gap islands construction —
+    a new session exactly when Δts ≥ gap (session_window intervals
+    are half-open).  One (user, session) hash aggregation after the
+    session assignment; Spark plans the session merge without a
+    ranking window."""
+    e = load(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    sw = F.session_window("ts", "30 minutes")
+    agg = (
+        e.groupBy("user_id", sw.alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.coalesce(
+                F.sum(
+                    F.floor(F.col("value") * F.lit(10000.0)).cast("long")
+                ),
+                F.lit(0).cast("long"),
+            ).alias("sum_s"),
+        )
+    )
+    return agg.select(
+        "user_id",
+        F.unix_micros("w.start").alias("session_start_us"),
+        F.unix_micros("w.end").alias("session_end_us"),
+        "n_events",
+        (F.col("sum_s").cast("double") / 10000.0).alias("sum_value"),
+    )
+
+
+SQL_NATIVE_SESSION_WINDOW = f"""
+WITH o AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, value,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                   >= {_T15_GAP_US}
+              THEN 1 ELSE 0 END AS chg
+  FROM events WHERE user_id IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))
+),
+runs AS (
+  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts_us
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS sid
+  FROM o
+)
+SELECT user_id,
+       min(ts_us) AS session_start_us,
+       max(ts_us) + {_T15_GAP_US} AS session_end_us,
+       count(*) AS n_events,
+       CAST(COALESCE(sum(CAST(FLOOR(value * 10000.0) AS BIGINT)),
+                     0::BIGINT) AS DOUBLE) / 10000.0 AS sum_value
+FROM runs
+GROUP BY user_id, sid
+"""
+
+
+REGISTRY.update(
+    {
+        "t15_native_session_window": (
+            q_native_session_window,
+            SQL_NATIVE_SESSION_WINDOW,
+        )
+    }
+)
+
+
+# ---------------------------------------------------------------------------
 # Enumeration order: the driver's correctness run covers the first N
 # registry entries per round, so the STALEST queries must enumerate
 # first.  Computed at import time from the CORRECTNESS_r*.json records
@@ -12078,6 +12257,8 @@ _DEFER_NEW: set[str] = {
     "x36_mixture_plan",
     "x37_cms_error_audit",
     "j13_scd2_pit_join",
+    "a29_higher_moments",
+    "t15_native_session_window",
 }
 
 _FRESHNESS = _latest_green_round()

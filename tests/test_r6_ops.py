@@ -771,3 +771,90 @@ def test_scd2_pit_join_matches_replay(spark):
             else:
                 if r.event_type != state_type:
                     state_type, state_since = r.event_type, r.us
+
+
+# ---------------------------------------------------------------------------
+# a29 — higher moments
+# ---------------------------------------------------------------------------
+
+def test_higher_moments_match_python_int_reference(spark):
+    """Exact-integer power sums in pure Python (unbounded ints), the
+    same pinned float assembly — and a sign sanity check against
+    scipy-free formulas."""
+    import math
+
+    got = (
+        REGISTRY["a29_higher_moments"][0](spark, SF)
+        .toPandas()
+        .set_index("event_type")
+    )
+    e = load(spark, SF, "events").select("event_type", "value").toPandas()
+    e = e[e.value.notna()]
+    for etype, grp in e.groupby("event_type"):
+        vs = [int(math.floor(v * 10000.0)) for v in grp.value]
+        n = len(vs)
+        s1, s2 = sum(vs), sum(v * v for v in vs)
+        s3, s4 = sum(v**3 for v in vs), sum(v**4 for v in vs)
+        nd = float(n)
+        s1f, s2f, s3f, s4f = float(s1), float(s2), float(s3), float(s4)
+        mean = s1f / nd
+        m2 = s2f / nd - mean * mean
+        m3 = s3f / nd - mean * (s2f / nd) * 3.0 + mean * mean * mean * 2.0
+        m4 = (
+            s4f / nd
+            - mean * (s3f / nd) * 4.0
+            + mean * mean * (s2f / nd) * 6.0
+            - mean * mean * mean * mean * 3.0
+        )
+        row = got.loc[etype]
+        assert row["n"] == n
+        assert row["mean"] == mean / 10000.0
+        assert row["m2_scaled"] == m2
+        assert row["skewness"] == m3 / (m2 * math.sqrt(m2))
+        assert row["excess_kurtosis"] == m4 / (m2 * m2) - 3.0
+
+
+# ---------------------------------------------------------------------------
+# t15 — native session window
+# ---------------------------------------------------------------------------
+
+def test_native_session_window_matches_gap_replay(spark):
+    """Sequential gap replay per user: sessions break exactly at
+    Δts ≥ 30 min; window end is last event + gap; counts and exact
+    sums per session."""
+    import math
+
+    from stampede_to_fresco_etl_spark.catalog import _T15_GAP_US
+
+    got = (
+        REGISTRY["t15_native_session_window"][0](spark, SF)
+        .toPandas()
+        .set_index(["user_id", "session_start_us"])
+        .sort_index()
+    )
+    e = (
+        load(spark, SF, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select("user_id", F.unix_micros("ts").alias("us"), "value")
+        .toPandas()
+        .sort_values(["user_id", "us"])
+    )
+    sessions = []
+    for uid, grp in e.groupby("user_id"):
+        cur = None
+        for r in grp.itertuples(index=False):
+            v = int(math.floor(r.value * 10000.0)) if pd.notna(r.value) else 0
+            if cur is None or r.us - cur["last"] >= _T15_GAP_US:
+                if cur:
+                    sessions.append(cur)
+                cur = {"uid": uid, "start": r.us, "last": r.us, "n": 1, "s": v}
+            else:
+                cur["last"], cur["n"], cur["s"] = r.us, cur["n"] + 1, cur["s"] + v
+        if cur:
+            sessions.append(cur)
+    assert len(got) == len(sessions)
+    for s in sessions:
+        row = got.loc[(s["uid"], s["start"])]
+        assert row["session_end_us"] == s["last"] + _T15_GAP_US
+        assert row["n_events"] == s["n"]
+        assert row["sum_value"] == s["s"] / 10000.0
