@@ -12173,6 +12173,127 @@ REGISTRY.update(
 
 
 # ---------------------------------------------------------------------------
+# G3 — integer PageRank (the iterative-join pattern, exactly
+# reproducible)
+#
+# CC (d5) demonstrated convergence loops; g3 demonstrates the other
+# canonical iterative shape — fixed-round PageRank as a loop of
+# join → aggregate → join-back with a localCheckpoint per round to
+# cut lineage (without it the plan doubles per iteration, the
+# classic iterative-Spark failure).  Floating PageRank can never be
+# oracle-exact (per-node sums reorder), so ranks are INTEGERS at
+# 10¹² scale and every step is `div` / `%`-free integer arithmetic:
+# contribution = rank div degree, damping = (85·recv) div 100 —
+# bit-identical on any engine, and the deliberate floor mass-loss is
+# part of the defined semantics (documented: production would run
+# float with a convergence threshold; the loop structure is
+# identical).
+# ---------------------------------------------------------------------------
+
+_G3_SCALE = 1_000_000_000_000  # initial integer rank per node
+_G3_ITERS = 3
+_G3_TELEPORT = 15 * _G3_SCALE // 100
+
+
+def q_pagerank_int(spark, sf_dir):
+    from stampede_to_fresco_etl_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = (
+        ngram_jaccard_pairs(
+            docs, "doc_id", "text", min_jaccard=0.05, max_shingle_df=100
+        )
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
+    sym = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionAll(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    deg = sym.groupBy("src").agg(F.count("*").alias("deg"))
+    edges = sym.join(deg, "src").localCheckpoint()
+    ranks = deg.select(
+        F.col("src").alias("node"),
+        F.lit(_G3_SCALE).cast("long").alias("rank"),
+    )
+    for _ in range(_G3_ITERS):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.node)
+            .select(
+                F.col("dst"),
+                F.expr("rank div deg").alias("c"),
+            )
+        )
+        recv = contrib.groupBy("dst").agg(F.sum("c").alias("recv"))
+        ranks = (
+            deg.select(F.col("src").alias("node"))
+            .join(recv, F.col("node") == F.col("dst"), "left")
+            .select(
+                "node",
+                (
+                    F.lit(_G3_TELEPORT).cast("long")
+                    + F.expr(
+                        "(85 * coalesce(recv, CAST(0 AS BIGINT))) div 100"
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select(
+        F.col("node").alias("doc_id"),
+        F.col("rank").alias("rank_i"),
+        (F.col("rank").cast("double") / F.lit(float(_G3_SCALE))).alias(
+            "rank_norm"
+        ),
+    )
+
+
+def _sql_pagerank_int() -> str:
+    it = """
+r{n} AS (
+  SELECT d.node,
+         {tp}::BIGINT + (85 * COALESCE(rv.recv, 0::BIGINT)) // 100 AS rank
+  FROM (SELECT node FROM deg) d
+  LEFT JOIN (
+    SELECT e.dst, sum(r.rank // e.deg) AS recv
+    FROM edges e JOIN r{p} r ON e.src = r.node
+    GROUP BY e.dst
+  ) rv ON d.node = rv.dst
+)"""
+    iters = ",".join(
+        it.format(n=i + 1, p=i, tp=_G3_TELEPORT) for i in range(_G3_ITERS)
+    )
+    return f"""
+WITH p AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM ({SQL_NGRAM_JACCARD})
+),
+sym AS (
+  SELECT doc_a AS src, doc_b AS dst FROM p
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM p
+),
+degs AS (SELECT src, count(*) AS deg FROM sym GROUP BY src),
+deg AS (SELECT src AS node, deg FROM degs),
+edges AS (
+  SELECT s.src, s.dst, d.deg FROM sym s JOIN degs d ON s.src = d.src
+),
+r0 AS (SELECT node, {_G3_SCALE}::BIGINT AS rank FROM deg),
+{iters}
+SELECT node AS doc_id, rank AS rank_i,
+       CAST(rank AS DOUBLE) / {float(_G3_SCALE)!r} AS rank_norm
+FROM r{_G3_ITERS}
+"""
+
+
+REGISTRY.update(
+    {"g3_pagerank_int": (q_pagerank_int, _sql_pagerank_int())}
+)
+
+
+# ---------------------------------------------------------------------------
 # Enumeration order: the driver's correctness run covers the first N
 # registry entries per round, so the STALEST queries must enumerate
 # first.  Computed at import time from the CORRECTNESS_r*.json records
@@ -12259,6 +12380,7 @@ _DEFER_NEW: set[str] = {
     "j13_scd2_pit_join",
     "a29_higher_moments",
     "t15_native_session_window",
+    "g3_pagerank_int",
 }
 
 _FRESHNESS = _latest_green_round()

