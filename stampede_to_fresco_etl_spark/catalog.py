@@ -12294,6 +12294,128 @@ REGISTRY.update(
 
 
 # ---------------------------------------------------------------------------
+# W15 — rolling median (robust smoothing over a bounded ROWS frame)
+# ---------------------------------------------------------------------------
+
+_W15_WIN = 50  # trailing rows per frame (49 preceding + current)
+
+
+def q_rolling_median(spark, sf_dir):
+    """W15 — per-type rolling median of the last 50 values: the
+    robust smoother that x14's rolling mean/stddev family cannot
+    express (a median resists the spike that drags a mean).  The
+    frame's values ride an in-row array — collect_list over the
+    bounded ROWS window, array_sort, nearest-rank pick — so the
+    whole median is Column arithmetic with NO second pass; memory
+    per row is the 50-element frame, invariant at any scale.  Same
+    keyed-sort shape as x14/w13 (bounded rolling windows are
+    sequential per key by definition; event_type keys the sort)."""
+    e = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.unix_micros("ts"), "event_id")
+        .rowsBetween(-(_W15_WIN - 1), 0)
+    )
+    vi = F.floor(F.col("value") * F.lit(10000.0)).cast("long")
+    arr = F.array_sort(F.collect_list(vi).over(w))
+    k = (F.floor((F.size(arr) - 1) * 50 / 100) + 1).cast("int")
+    return e.select(
+        "event_id",
+        "event_type",
+        (vi.cast("double") / 10000.0).alias("value"),
+        (F.element_at(arr, k).cast("double") / 10000.0).alias(
+            "rolling_median"
+        ),
+    )
+
+
+SQL_ROLLING_MEDIAN = f"""
+WITH base AS (
+  SELECT event_id, event_type, epoch_us(ts) AS ts_us,
+         CAST(FLOOR(value * 10000.0) AS BIGINT) AS v_s
+  FROM events WHERE value IS NOT NULL
+),
+framed AS (
+  SELECT event_id, event_type, v_s,
+         list_sort(list(v_s) OVER (
+           PARTITION BY event_type ORDER BY ts_us, event_id
+           ROWS BETWEEN {_W15_WIN - 1} PRECEDING AND CURRENT ROW
+         )) AS arr
+  FROM base
+)
+SELECT event_id, event_type,
+       CAST(v_s AS DOUBLE) / 10000.0 AS value,
+       CAST(arr[CAST((len(arr) - 1) * 50 // 100 + 1 AS INT)] AS DOUBLE)
+         / 10000.0 AS rolling_median
+FROM framed
+"""
+
+
+REGISTRY.update(
+    {"w15_rolling_median": (q_rolling_median, SQL_ROLLING_MEDIAN)}
+)
+
+
+# ---------------------------------------------------------------------------
+# X38 — feature hashing (the hashing trick)
+# ---------------------------------------------------------------------------
+
+_X38_DIMS = 64
+
+
+def q_feature_hashing(spark, sf_dir):
+    """X38 — Weinberger et al.'s feature hashing: every token maps
+    to dimension md5(token) mod D with a ±1 sign from an independent
+    hash bit, summed per (doc, dim) — the vocabulary-free text
+    featurizer (no vocab build, no OOV, bounded width) that feeds
+    linear quality classifiers at corpus scale.  Output is the
+    sparse COO frame (zero-sum cells dropped — cancellation is part
+    of the trick's semantics); the only shuffle is the (doc, dim)
+    hash aggregation, map-side combined.  x19/x21/x22's BPE family
+    is the learned-vocabulary alternative."""
+    docs = load(spark, sf_dir, "documents")
+    tok = F.explode(F.split(F.trim("text"), r"\s+")).alias("tok")
+    toks = docs.select("doc_id", tok)
+    h = md5_int63(F.col("tok"), salt="fh")
+    dim = F.pmod(h, F.lit(_X38_DIMS))
+    sign = F.when(
+        F.shiftright(h, 6).bitwiseAND(F.lit(1)) == 0, F.lit(1)
+    ).otherwise(F.lit(-1))
+    coo = (
+        toks.select("doc_id", dim.alias("dim"), sign.alias("s"))
+        .groupBy("doc_id", "dim")
+        .agg(F.sum("s").cast("long").alias("weight"))
+        .filter(F.col("weight") != 0)
+    )
+    return coo
+
+
+def _sql_feature_hashing() -> str:
+    h = md5_int63_sql("tok", salt="fh")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, u.tok
+  FROM documents,
+       UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS u(tok)
+),
+hashed AS (
+  SELECT doc_id,
+         {h} % {_X38_DIMS} AS dim,
+         CASE WHEN ({h} >> 6) & 1 = 0 THEN 1 ELSE -1 END AS s
+  FROM toks
+)
+SELECT doc_id, dim, CAST(sum(s) AS BIGINT) AS weight
+FROM hashed GROUP BY doc_id, dim
+HAVING sum(s) <> 0
+"""
+
+
+REGISTRY.update(
+    {"x38_feature_hashing": (q_feature_hashing, _sql_feature_hashing())}
+)
+
+
+# ---------------------------------------------------------------------------
 # Enumeration order: the driver's correctness run covers the first N
 # registry entries per round, so the STALEST queries must enumerate
 # first.  Computed at import time from the CORRECTNESS_r*.json records
@@ -12381,6 +12503,8 @@ _DEFER_NEW: set[str] = {
     "a29_higher_moments",
     "t15_native_session_window",
     "g3_pagerank_int",
+    "w15_rolling_median",
+    "x38_feature_hashing",
 }
 
 _FRESHNESS = _latest_green_round()

@@ -908,3 +908,68 @@ def test_pagerank_int_matches_pure_python_iterations(spark):
     for n, r in ranks.items():
         assert got.loc[n, "rank_i"] == r
         assert got.loc[n, "rank_norm"] == r / float(_G3_SCALE)
+
+
+# ---------------------------------------------------------------------------
+# w15 — rolling median
+# ---------------------------------------------------------------------------
+
+def test_rolling_median_matches_pandas_rolling(spark):
+    import math
+
+    from stampede_to_fresco_etl_spark.catalog import _W15_WIN
+
+    got = (
+        REGISTRY["w15_rolling_median"][0](spark, SF)
+        .toPandas()
+        .set_index("event_id")
+        .sort_index()
+    )
+    e = (
+        load(spark, SF, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_id",
+            "event_type",
+            F.unix_micros("ts").alias("us"),
+            "value",
+        )
+        .toPandas()
+        .sort_values(["event_type", "us", "event_id"])
+    )
+    e["v_s"] = [int(math.floor(v * 10000.0)) for v in e.value]
+    for _, grp in e.groupby("event_type"):
+        vals = list(grp.v_s)
+        for i, eid in enumerate(grp.event_id):
+            win = sorted(vals[max(0, i - _W15_WIN + 1) : i + 1])
+            k = (len(win) - 1) * 50 // 100 + 1
+            assert got.loc[eid, "rolling_median"] == win[k - 1] / 10000.0
+    # robustness property: the median never exceeds the frame's max
+    assert len(got) == len(e)
+
+
+# ---------------------------------------------------------------------------
+# x38 — feature hashing
+# ---------------------------------------------------------------------------
+
+def test_feature_hashing_matches_pure_python(spark):
+    got = (
+        REGISTRY["x38_feature_hashing"][0](spark, SF)
+        .toPandas()
+        .set_index(["doc_id", "dim"])
+        .sort_index()
+    )
+    from stampede_to_fresco_etl_spark.catalog import _X38_DIMS
+
+    docs = load(spark, SF, "documents").toPandas()
+    ref: dict[tuple[int, int], int] = {}
+    for r in docs.itertuples(index=False):
+        for tok in r.text.strip().split():
+            h = _md5_int63(f"fh:{tok}")
+            d = h % _X38_DIMS
+            s = 1 if (h >> 6) & 1 == 0 else -1
+            ref[(r.doc_id, d)] = ref.get((r.doc_id, d), 0) + s
+    ref = {k: v for k, v in ref.items() if v != 0}
+    assert set(got.index) == set(ref)
+    for k, v in ref.items():
+        assert got.loc[k, "weight"] == v
