@@ -12416,6 +12416,146 @@ REGISTRY.update(
 
 
 # ---------------------------------------------------------------------------
+# X39 — BM25 retrieval top-k (log-free rational idf)
+# ---------------------------------------------------------------------------
+
+_X39_QUERIES = {
+    0: ["hash", "join"],
+    1: ["stream", "merge"],
+    2: ["scan", "filter", "agg"],
+}
+_X39_K1 = 1.2
+_X39_B = 0.75
+_X39_TOPK = 5
+
+
+def q_bm25_topk(spark, sf_dir):
+    """X39 — BM25 retrieval over the corpus for three literal term
+    queries, top-5 docs each: the scoring kernel behind
+    retrieval-based corpus curation (find the docs most about X).
+    idf is the RATIONAL Robertson form (N−df+0.5)/(df+0.5) without
+    the log — ln() is not IEEE-pinned, so the log variant can never
+    hash-match; monotonicity (hence ranking) is identical (x6's
+    rational-idf precedent).  Per-term tf comes from one conditional
+    aggregation over the exploded tokens; per-term scores are summed
+    in FIXED term order (explicit column adds, never a row-order
+    SUM); each query's top-5 is orderBy+limit —
+    TakeOrderedAndProject, no global sort.  Scale: the token explode
+    + (doc) aggregation is the only data-sized work; everything
+    after runs on the (doc × query) score frame."""
+    docs = load(spark, sf_dir, "documents")
+    all_terms = sorted({t for ts in _X39_QUERIES.values() for t in ts})
+    tok = F.explode(F.split(F.trim("text"), r"\s+")).alias("tok")
+    toks = docs.select("doc_id", tok)
+    per_doc = toks.groupBy("doc_id").agg(
+        F.count("*").alias("dl"),
+        *[
+            F.sum(F.when(F.col("tok") == t, 1).otherwise(0))
+            .cast("long")
+            .alias(f"tf_{i}")
+            for i, t in enumerate(all_terms)
+        ],
+    )
+    glob = per_doc.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").alias("dl_sum"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(all_terms))
+        ],
+    )
+    scored_base = per_doc.crossJoin(F.broadcast(glob))
+    avgdl = F.col("dl_sum").cast("double") / F.col("n_docs").cast("double")
+    outs = []
+    for qid, terms in _X39_QUERIES.items():
+        score = None
+        for t in terms:
+            i = all_terms.index(t)
+            tf = F.col(f"tf_{i}").cast("double")
+            df = F.col(f"df_{i}").cast("double")
+            idf = (F.col("n_docs").cast("double") - df + 0.5) / (df + 0.5)
+            denom = tf + _X39_K1 * (
+                1.0 - _X39_B + _X39_B * F.col("dl").cast("double") / avgdl
+            )
+            s = idf * (tf * (_X39_K1 + 1.0)) / denom
+            score = s if score is None else score + s
+        top = (
+            scored_base.select(
+                F.lit(qid).alias("query_id"),
+                "doc_id",
+                score.alias("score"),
+            )
+            .filter(F.col("score") > 0)
+            .orderBy(F.col("score").desc(), "doc_id")
+            .limit(_X39_TOPK)
+        )
+        outs.append(top)
+    out = outs[0]
+    for t in outs[1:]:
+        out = out.unionAll(t)
+    return out
+
+
+def _sql_bm25_topk() -> str:
+    all_terms = sorted({t for ts in _X39_QUERIES.values() for t in ts})
+    tf_cols = ",\n         ".join(
+        f"CAST(sum(CASE WHEN tok = '{t}' THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS tf_{i}"
+        for i, t in enumerate(all_terms)
+    )
+    df_cols = ",\n         ".join(
+        f"sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(all_terms))
+    )
+    arms = []
+    for qid, terms in _X39_QUERIES.items():
+        parts = []
+        for t in terms:
+            i = all_terms.index(t)
+            tf = f"CAST(p.tf_{i} AS DOUBLE)"
+            df = f"CAST(g.df_{i} AS DOUBLE)"
+            idf = f"((CAST(g.n_docs AS DOUBLE) - {df} + 0.5) / ({df} + 0.5))"
+            denom = (
+                f"({tf} + {_X39_K1!r} * (1.0 - {_X39_B!r} + {_X39_B!r}"
+                f" * CAST(p.dl AS DOUBLE)"
+                f" / (CAST(g.dl_sum AS DOUBLE) / CAST(g.n_docs AS DOUBLE))))"
+            )
+            parts.append(f"({idf} * ({tf} * {_X39_K1 + 1.0!r}) / {denom})")
+        # fixed-order left-assoc sum, mirroring the Column adds
+        score = parts[0]
+        for p in parts[1:]:
+            score = f"({score} + {p})"
+        arms.append(f"""
+  SELECT query_id, doc_id, score FROM (
+    SELECT {qid} AS query_id, p.doc_id, {score} AS score,
+           row_number() OVER (ORDER BY {score} DESC, p.doc_id) AS rn
+    FROM per_doc p, gl g
+    WHERE {score} > 0
+  ) WHERE rn <= {_X39_TOPK}""")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, u.tok
+  FROM documents,
+       UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS u(tok)
+),
+per_doc AS (
+  SELECT doc_id, count(*) AS dl,
+         {tf_cols}
+  FROM toks GROUP BY doc_id
+),
+gl AS (
+  SELECT count(*) AS n_docs, sum(dl) AS dl_sum,
+         {df_cols}
+  FROM per_doc
+)
+{" UNION ALL ".join(arms)}
+"""
+
+
+REGISTRY.update({"x39_bm25_topk": (q_bm25_topk, _sql_bm25_topk())})
+
+
+# ---------------------------------------------------------------------------
 # Enumeration order: the driver's correctness run covers the first N
 # registry entries per round, so the STALEST queries must enumerate
 # first.  Computed at import time from the CORRECTNESS_r*.json records
@@ -12505,6 +12645,7 @@ _DEFER_NEW: set[str] = {
     "g3_pagerank_int",
     "w15_rolling_median",
     "x38_feature_hashing",
+    "x39_bm25_topk",
 }
 
 _FRESHNESS = _latest_green_round()

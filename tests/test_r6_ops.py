@@ -973,3 +973,52 @@ def test_feature_hashing_matches_pure_python(spark):
     assert set(got.index) == set(ref)
     for k, v in ref.items():
         assert got.loc[k, "weight"] == v
+
+
+# ---------------------------------------------------------------------------
+# x39 — BM25 top-k
+# ---------------------------------------------------------------------------
+
+def test_bm25_topk_matches_pure_python(spark):
+    """Full BM25 rebuild in pure Python with the same rational idf
+    and fixed term order; asserts the exact top-5 per query."""
+    from stampede_to_fresco_etl_spark.catalog import (
+        _X39_B,
+        _X39_K1,
+        _X39_QUERIES,
+        _X39_TOPK,
+    )
+
+    got = (
+        REGISTRY["x39_bm25_topk"][0](spark, SF)
+        .toPandas()
+        .sort_values(["query_id", "doc_id"])
+        .reset_index(drop=True)
+    )
+    docs = load(spark, SF, "documents").toPandas()
+    toks = {r.doc_id: r.text.strip().split() for r in docs.itertuples()}
+    dls = {d: len(t) for d, t in toks.items()}
+    n_docs = len(toks)
+    avgdl = float(sum(dls.values())) / float(n_docs)
+    for qid, terms in _X39_QUERIES.items():
+        scores = {}
+        for d, t in toks.items():
+            s = None
+            for term in terms:
+                tf = float(t.count(term))
+                df = float(sum(1 for tt in toks.values() if term in tt))
+                idf = (float(n_docs) - df + 0.5) / (df + 0.5)
+                denom = tf + _X39_K1 * (
+                    1.0 - _X39_B + _X39_B * float(dls[d]) / avgdl
+                )
+                v = idf * (tf * (_X39_K1 + 1.0)) / denom
+                s = v if s is None else s + v
+            if s > 0:
+                scores[d] = s
+        top = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[
+            :_X39_TOPK
+        ]
+        sub = got[got.query_id == qid]
+        assert set(zip(sub.doc_id, sub.score)) == set(
+            (d, s) for d, s in top
+        )
