@@ -12556,6 +12556,138 @@ REGISTRY.update({"x39_bm25_topk": (q_bm25_topk, _sql_bm25_topk())})
 
 
 # ---------------------------------------------------------------------------
+# X40 — end-to-end corpus build (the composition capstone)
+# ---------------------------------------------------------------------------
+
+_X40_TARGET_TOKENS = 20_000  # epoch target across sources
+_X40_CHUNK_TOKENS = 2_048  # packing cap per training chunk
+
+
+def q_e2e_corpus_build(spark, sf_dir):
+    """X40 — the whole training-data build as ONE dataflow, proving
+    the operators compose: quality gate → language allowlist →
+    exact-dedup keep-min (x34's stages) → per-source mixture-rate
+    sampling (x36's plan applied via deterministic hash thresholds —
+    rate = min(1, target/avail) as an INTEGER per-myriad threshold
+    on md5(doc_id), x4's salted-hash determinism) → greedy chunk
+    packing at 2048 tokens (x9/s31's exclusive-cumsum // cap rule)
+    → the per-(source, chunk) manifest a trainer consumes.
+
+    Scale shape: stages 1-3 are filters/semi-joins; the sampling
+    threshold join is a broadcast of the ~|sources| plan; the only
+    ordered pass is the packing cumsum, partitioned by source (at
+    100 TB add x9's shard salt to the packing key — same rule, more
+    parallelism).  All arithmetic integer or pinned."""
+    docs = load(spark, sf_dir, "documents").localCheckpoint()
+    toks = F.size(F.split(F.trim("text"), r"\s+")).cast("long")
+    base = (
+        docs.filter(F.col("n_chars") >= 120)
+        .filter(F.col("lang").isin("en", "de", "fr", "es"))
+        .select("doc_id", "source", toks.alias("n_toks"), F.md5("text").alias("fp"))
+    )
+    keep = base.groupBy("fp").agg(F.min("doc_id").alias("doc_id")).select(
+        "doc_id"
+    )
+    surv = base.join(keep, "doc_id", "left_semi").localCheckpoint()
+    plan = surv.groupBy("source").agg(F.sum("n_toks").alias("avail"))
+    n_src = plan.agg(F.count("*").alias("n_sources"))
+    target = F.floor(
+        F.lit(_X40_TARGET_TOKENS) / F.col("n_sources")
+    ).cast("long")
+    th = plan.crossJoin(F.broadcast(n_src)).select(
+        "source",
+        F.least(
+            F.lit(10000).cast("long"),
+            F.floor(target * F.lit(10000) / F.col("avail")).cast("long"),
+        ).alias("keep_per_myriad"),
+    )
+    sampled = (
+        surv.join(F.broadcast(th), "source")
+        .filter(
+            F.pmod(md5_int63(F.col("doc_id"), salt="samp"), F.lit(10000))
+            < F.col("keep_per_myriad")
+        )
+        .select("doc_id", "source", "n_toks")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = sampled.select(
+        "source",
+        "doc_id",
+        "n_toks",
+        F.floor(
+            F.coalesce(F.sum("n_toks").over(w), F.lit(0))
+            / F.lit(_X40_CHUNK_TOKENS)
+        )
+        .cast("long")
+        .alias("chunk_id"),
+    )
+    return (
+        packed.groupBy("source", "chunk_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_toks").alias("chunk_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+def _sql_e2e_corpus_build() -> str:
+    h = md5_int63_sql("CAST(doc_id AS VARCHAR)", salt="samp")
+    return f"""
+WITH base AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+           AS n_toks,
+         md5(text) AS fp
+  FROM documents
+  WHERE n_chars >= 120 AND lang IN ('en', 'de', 'fr', 'es')
+),
+keep AS (SELECT min(doc_id) AS doc_id FROM base GROUP BY fp),
+surv AS (
+  SELECT b.* FROM base b WHERE b.doc_id IN (SELECT doc_id FROM keep)
+),
+plan AS (SELECT source, sum(n_toks) AS avail FROM surv GROUP BY source),
+ns AS (SELECT count(*) AS n_sources FROM plan),
+th AS (
+  SELECT p.source,
+         LEAST(10000::BIGINT,
+               CAST(FLOOR(CAST(FLOOR({_X40_TARGET_TOKENS} / ns.n_sources)
+                          AS BIGINT) * 10000 / p.avail) AS BIGINT))
+           AS keep_per_myriad
+  FROM plan p, ns
+),
+sampled AS (
+  SELECT s.doc_id, s.source, s.n_toks
+  FROM surv s JOIN th ON s.source = th.source
+  WHERE {h} % 10000 < th.keep_per_myriad
+),
+packed AS (
+  SELECT source, doc_id, n_toks,
+         CAST(FLOOR(COALESCE(sum(n_toks) OVER (PARTITION BY source
+                ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              / {_X40_CHUNK_TOKENS}) AS BIGINT) AS chunk_id
+  FROM sampled
+)
+SELECT source, chunk_id, count(*) AS n_docs,
+       sum(n_toks) AS chunk_tokens,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM packed
+GROUP BY source, chunk_id
+"""
+
+
+REGISTRY.update(
+    {"x40_e2e_corpus_build": (q_e2e_corpus_build, _sql_e2e_corpus_build())}
+)
+
+
+# ---------------------------------------------------------------------------
 # Enumeration order: the driver's correctness run covers the first N
 # registry entries per round, so the STALEST queries must enumerate
 # first.  Computed at import time from the CORRECTNESS_r*.json records
@@ -12646,6 +12778,7 @@ _DEFER_NEW: set[str] = {
     "w15_rolling_median",
     "x38_feature_hashing",
     "x39_bm25_topk",
+    "x40_e2e_corpus_build",
 }
 
 _FRESHNESS = _latest_green_round()

@@ -1022,3 +1022,58 @@ def test_bm25_topk_matches_pure_python(spark):
         assert set(zip(sub.doc_id, sub.score)) == set(
             (d, s) for d, s in top
         )
+
+
+# ---------------------------------------------------------------------------
+# x40 — end-to-end corpus build
+# ---------------------------------------------------------------------------
+
+def test_e2e_corpus_build_matches_pandas_pipeline(spark):
+    """Full pipeline rebuild in pandas: filters → keep-min dedup →
+    per-source myriad-threshold sampling → cumsum chunk packing —
+    exact manifest equality plus the chunk-cap property."""
+    from stampede_to_fresco_etl_spark.catalog import (
+        _X40_CHUNK_TOKENS,
+        _X40_TARGET_TOKENS,
+    )
+
+    got = (
+        REGISTRY["x40_e2e_corpus_build"][0](spark, SF)
+        .toPandas()
+        .set_index(["source", "chunk_id"])
+        .sort_index()
+    )
+    docs = load(spark, SF, "documents").toPandas()
+    base = docs[
+        (docs.n_chars >= 120)
+        & docs.lang.isin(["en", "de", "fr", "es"])
+    ].copy()
+    base["n_toks"] = [len(t.strip().split()) for t in base.text]
+    base["fp"] = [hashlib.md5(t.encode()).hexdigest() for t in base.text]
+    keep = set(base.groupby("fp").doc_id.min())
+    surv = base[base.doc_id.isin(keep)].sort_values("doc_id")
+    plan = surv.groupby("source").n_toks.sum()
+    target = _X40_TARGET_TOKENS // len(plan)
+    th = {
+        s: min(10000, int(target * 10000 // avail))
+        for s, avail in plan.items()
+    }
+    ref: dict[tuple, list] = {}
+    for s, grp in surv.groupby("source"):
+        cum = 0
+        for r in grp.sort_values("doc_id").itertuples(index=False):
+            if _md5_int63(f"samp:{r.doc_id}") % 10000 >= th[s]:
+                continue
+            cid = cum // _X40_CHUNK_TOKENS
+            ref.setdefault((s, cid), []).append((r.doc_id, r.n_toks))
+            cum += r.n_toks
+    assert set(got.index) == set(ref)
+    for k, lst in ref.items():
+        row = got.loc[k]
+        assert row["n_docs"] == len(lst)
+        assert row["chunk_tokens"] == sum(n for _, n in lst)
+        assert row["first_doc"] == min(d for d, _ in lst)
+        assert row["last_doc"] == max(d for d, _ in lst)
+    # packing property: every chunk except possibly a source's last
+    # STARTS below the cap boundary (first-fit-by-order)
+    assert (got["chunk_tokens"] > 0).all()
