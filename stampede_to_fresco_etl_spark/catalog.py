@@ -12688,6 +12688,142 @@ REGISTRY.update(
 
 
 # ---------------------------------------------------------------------------
+# J14 — numeric ε-band join (1-D member of the banded-join family)
+# ---------------------------------------------------------------------------
+
+_J14_EPS = 100  # band half-width in value-scaled units (0.01)
+
+
+def q_value_band_join(spark, sf_dir):
+    """J14 — |value_a − value_b| ≤ ε join between click and purchase
+    events: the 1-D numeric member of the banded-join family (time →
+    j1b, space → geo1, strings → d8, vectors → LSH).  cell = v div ε;
+    the probe side explodes its 3-cell neighborhood, the equi-join on
+    the cell id replaces the quadratic inequality join, and the exact
+    integer residual filters in-row.  Exactly-once by construction:
+    the build side sits in its unique home cell and each probe visits
+    any cell once.  At 100 TB ε sizes the per-cell occupancy — the
+    same knob as geo1's grid and d8's length buckets."""
+    e = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    vi = F.floor(F.col("value") * F.lit(10000.0)).cast("long")
+    a = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("id_a"), vi.alias("va")
+    )
+    b = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("id_b"),
+        vi.alias("vb"),
+        F.floor(vi / F.lit(_J14_EPS)).alias("cell"),
+    )
+    probe = (
+        a.withColumn("off", F.expr("explode(array(-1, 0, 1))"))
+        .select(
+            "id_a",
+            "va",
+            (F.floor(F.col("va") / F.lit(_J14_EPS)) + F.col("off")).alias(
+                "cell"
+            ),
+        )
+    )
+    return (
+        probe.join(b, "cell")
+        .filter(F.abs(F.col("va") - F.col("vb")) <= _J14_EPS)
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("va").cast("double") / 10000.0).alias("value_a"),
+            (F.col("vb").cast("double") / 10000.0).alias("value_b"),
+            F.abs(F.col("va") - F.col("vb")).alias("delta_scaled"),
+        )
+    )
+
+
+SQL_VALUE_BAND_JOIN = f"""
+WITH base AS (
+  SELECT event_id, event_type,
+         CAST(FLOOR(value * 10000.0) AS BIGINT) AS v_s
+  FROM events WHERE value IS NOT NULL
+),
+a AS (SELECT event_id AS id_a, v_s AS va FROM base
+      WHERE event_type = 'click'),
+b AS (SELECT event_id AS id_b, v_s AS vb FROM base
+      WHERE event_type = 'purchase')
+SELECT a.id_a, b.id_b,
+       CAST(a.va AS DOUBLE) / 10000.0 AS value_a,
+       CAST(b.vb AS DOUBLE) / 10000.0 AS value_b,
+       abs(a.va - b.vb) AS delta_scaled
+FROM a JOIN b ON abs(a.va - b.vb) <= {_J14_EPS}
+"""
+
+
+REGISTRY.update(
+    {"j14_value_band_join": (q_value_band_join, SQL_VALUE_BAND_JOIN)}
+)
+
+
+# ---------------------------------------------------------------------------
+# X41 — shingle novelty score (first-occurrence curation signal)
+# ---------------------------------------------------------------------------
+
+def q_novelty_score(spark, sf_dir):
+    """X41 — per-document novelty: the fraction of a doc's distinct
+    shingles whose FIRST occurrence (min doc_id over the corpus) is
+    this doc — the curation signal that separates originators from
+    echoes (a doc full of previously-seen shingles is boilerplate or
+    near-dup even when no single pair crosses d4's threshold).  Two
+    aggregations over the d4 shingle frame (shingle→min doc, then
+    per-doc counts) and one join — no pair explosion at all, so
+    unlike d4 this needs NO df cap: a hot shingle contributes one
+    min() row.  Docs too short to shingle are absent (documented)."""
+    from stampede_to_fresco_etl_spark.operators.dedup import _shingled
+
+    docs = load(spark, sf_dir, "documents")
+    sh = _shingled(docs, "doc_id", "text", 3).localCheckpoint()
+    first = sh.groupBy("shingle").agg(F.min("doc").alias("first_doc"))
+    joined = sh.join(first, "shingle")
+    return (
+        joined.groupBy(F.col("doc").alias("doc_id"))
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(
+                (F.col("first_doc") == F.col("doc")).cast("long")
+            ).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            (
+                F.col("n_novel").cast("double")
+                / F.col("n_shingles").cast("double")
+            ).alias("novelty_ratio"),
+        )
+    )
+
+
+SQL_NOVELTY_SCORE = f"""
+WITH toks AS (
+  SELECT doc_id AS doc, {_D_TOKS} AS t FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc, u.s
+  FROM toks, UNNEST({_D_SHINGLES}) AS u(s)
+),
+first AS (SELECT s, min(doc) AS first_doc FROM sh GROUP BY s)
+SELECT sh.doc AS doc_id,
+       count(*) AS n_shingles,
+       CAST(sum(CASE WHEN f.first_doc = sh.doc THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       CAST(sum(CASE WHEN f.first_doc = sh.doc THEN 1 ELSE 0 END)
+            AS DOUBLE) / CAST(count(*) AS DOUBLE) AS novelty_ratio
+FROM sh JOIN first f ON sh.s = f.s
+GROUP BY sh.doc
+"""
+
+
+REGISTRY.update({"x41_novelty_score": (q_novelty_score, SQL_NOVELTY_SCORE)})
+
+
+# ---------------------------------------------------------------------------
 # Enumeration order: the driver's correctness run covers the first N
 # registry entries per round, so the STALEST queries must enumerate
 # first.  Computed at import time from the CORRECTNESS_r*.json records
@@ -12779,6 +12915,8 @@ _DEFER_NEW: set[str] = {
     "x38_feature_hashing",
     "x39_bm25_topk",
     "x40_e2e_corpus_build",
+    "j14_value_band_join",
+    "x41_novelty_score",
 }
 
 _FRESHNESS = _latest_green_round()

@@ -1077,3 +1077,66 @@ def test_e2e_corpus_build_matches_pandas_pipeline(spark):
     # packing property: every chunk except possibly a source's last
     # STARTS below the cap boundary (first-fit-by-order)
     assert (got["chunk_tokens"] > 0).all()
+
+
+# ---------------------------------------------------------------------------
+# j14 — value band join
+# ---------------------------------------------------------------------------
+
+def test_value_band_join_matches_bruteforce(spark):
+    """Brute-force O(n·m) pandas join: exact pair set equality —
+    proves the cell decomposition finds every qualifying pair
+    exactly once."""
+    import math
+
+    from stampede_to_fresco_etl_spark.catalog import _J14_EPS
+
+    got = REGISTRY["j14_value_band_join"][0](spark, SF).toPandas()
+    e = load(spark, SF, "events").toPandas()
+    e = e[e.value.notna()].copy()
+    e["v_s"] = [int(math.floor(v * 10000.0)) for v in e.value]
+    a = e[e.event_type == "click"]
+    b = e[e.event_type == "purchase"]
+    expect = set()
+    for ra in a.itertuples(index=False):
+        for rb in b.itertuples(index=False):
+            if abs(ra.v_s - rb.v_s) <= _J14_EPS:
+                expect.add((ra.event_id, rb.event_id))
+    assert set(zip(got.id_a, got.id_b)) == expect
+    assert len(got) == len(expect)  # exactly-once: no dup pairs
+    assert (got.delta_scaled <= _J14_EPS).all()
+
+
+# ---------------------------------------------------------------------------
+# x41 — novelty score
+# ---------------------------------------------------------------------------
+
+def test_novelty_score_matches_set_reference(spark):
+    got = (
+        REGISTRY["x41_novelty_score"][0](spark, SF)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    docs = load(spark, SF, "documents").toPandas().sort_values("doc_id")
+    shingles: dict[int, set] = {}
+    for r in docs.itertuples(index=False):
+        t = r.text.strip().split()
+        shingles[r.doc_id] = {
+            " ".join(t[i : i + 3]) for i in range(len(t) - 2)
+        }
+    first: dict[str, int] = {}
+    for d in sorted(shingles):
+        for s in shingles[d]:
+            first.setdefault(s, d)
+    for d, ss in shingles.items():
+        if not ss:
+            assert d not in got.index
+            continue
+        novel = sum(1 for s in ss if first[s] == d)
+        assert got.loc[d, "n_shingles"] == len(ss)
+        assert got.loc[d, "n_novel"] == novel
+        assert got.loc[d, "novelty_ratio"] == novel / len(ss)
+    # doc 0 (smallest id with shingles) is fully novel by definition
+    d0 = min(d for d, ss in shingles.items() if ss)
+    assert got.loc[d0, "novelty_ratio"] == 1.0
