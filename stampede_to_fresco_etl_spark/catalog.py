@@ -12824,6 +12824,224 @@ REGISTRY.update({"x41_novelty_score": (q_novelty_score, SQL_NOVELTY_SCORE)})
 
 
 # ---------------------------------------------------------------------------
+# MM9 — perceptual image dHash + near-dup pairs
+#
+# mm7 deduplicates frames by EXACT digest; mm9 adds the perceptual
+# layer: the classic difference hash (dHash) over the 8×8 synthetic
+# image grid — luminance = r+g+b per pixel, one bit per horizontal
+# neighbor comparison (8 rows × 7 = 56 bits in a BIGINT) — then
+# near-dup pairs via d6's pigeonhole banding: 4 bands of 14 bits, a
+# pair within Hamming ≤ 3 must agree on ≥1 whole band, candidates
+# verified with bit_count(XOR).  All in-row integer arithmetic on
+# the hex payload (the mm3 byte-grid convention), reproduced
+# bit-for-bit by the oracle; the only shuffles are the 4 band
+# equi-joins, candidate-bounded like d6.
+# ---------------------------------------------------------------------------
+
+_MM9_W, _MM9_H = 8, 8
+_MM9_BANDS = 4
+_MM9_BAND_BITS = 14  # 56 dHash bits / 4 bands
+_MM9_MAX_HAMMING = 3
+
+
+def _mm9_dhash_col() -> F.Column:
+    hx = F.lower(
+        F.hex(
+            F.rpad(_ascii_text(), _MM9_W * _MM9_H * 3, " ").cast("binary")
+        )
+    )
+
+    def lum(y, x):
+        off = ((y * _MM9_W + x) * 3) * 2 + 1
+        return (
+            F.conv(F.substring(hx, off, 2), 16, 10).cast("long")
+            + F.conv(F.substring(hx, off + 2, 2), 16, 10).cast("long")
+            + F.conv(F.substring(hx, off + 4, 2), 16, 10).cast("long")
+        )
+
+    h = F.lit(0).cast("long")
+    bit = 0
+    for y in range(_MM9_H):
+        for x in range(_MM9_W - 1):
+            h = h + (lum(y, x + 1) > lum(y, x)).cast("long") * F.lit(
+                1 << bit
+            )
+            bit += 1
+    return h
+
+
+def q_perceptual_dhash_pairs(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    hashed = docs.select(
+        F.col("doc_id").alias("media_id"), _mm9_dhash_col().alias("dh")
+    ).localCheckpoint()
+    mask = (1 << _MM9_BAND_BITS) - 1
+    bands = None
+    for b in range(_MM9_BANDS):
+        part = hashed.select(
+            "media_id",
+            "dh",
+            F.lit(b).alias("band_idx"),
+            F.shiftright("dh", b * _MM9_BAND_BITS)
+            .bitwiseAND(F.lit(mask))
+            .alias("band_key"),
+        )
+        bands = part if bands is None else bands.unionAll(part)
+    cand = (
+        bands.alias("l")
+        .join(
+            bands.alias("r"),
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col("l.media_id") < F.col("r.media_id")),
+        )
+        .select(
+            F.col("l.media_id").alias("media_a"),
+            F.col("r.media_id").alias("media_b"),
+            F.col("l.dh").alias("dh_a"),
+            F.col("r.dh").alias("dh_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("dh_a").bitwiseXOR(F.col("dh_b")))
+    return (
+        cand.filter(ham <= _MM9_MAX_HAMMING)
+        .select(
+            "media_a", "media_b", ham.cast("int").alias("hamming")
+        )
+    )
+
+
+def _sql_perceptual_dhash_pairs() -> str:
+    n = _MM9_W * _MM9_H * 3
+
+    def lum(y, x):
+        off = ((y * _MM9_W + x) * 3) * 2 + 1
+        return (
+            f"(('0x' || substr(hx, {off}, 2))::BIGINT"
+            f" + ('0x' || substr(hx, {off + 2}, 2))::BIGINT"
+            f" + ('0x' || substr(hx, {off + 4}, 2))::BIGINT)"
+        )
+
+    terms = []
+    bit = 0
+    for y in range(_MM9_H):
+        for x in range(_MM9_W - 1):
+            terms.append(
+                f"(CASE WHEN {lum(y, x + 1)} > {lum(y, x)}"
+                f" THEN {1 << bit}::BIGINT ELSE 0::BIGINT END)"
+            )
+            bit += 1
+    dh = " + ".join(terms)
+    mask = (1 << _MM9_BAND_BITS) - 1
+    band_selects = "\n  UNION ALL\n  ".join(
+        f"SELECT media_id, dh, {b} AS band_idx,"
+        f" (dh >> {b * _MM9_BAND_BITS}) & {mask} AS band_key FROM hashed"
+        for b in range(_MM9_BANDS)
+    )
+    return f"""
+WITH s AS (
+  SELECT doc_id AS media_id,
+         lower(hex(rpad({_SQL_ASCII_TEXT}, {n}, ' ')::BLOB)) AS hx
+  FROM documents
+),
+hashed AS MATERIALIZED (
+  SELECT media_id, ({dh}) AS dh FROM s
+),
+bands AS (
+  {band_selects}
+),
+cand AS (
+  SELECT DISTINCT l.media_id AS media_a, r.media_id AS media_b,
+         l.dh AS dh_a, r.dh AS dh_b
+  FROM bands l JOIN bands r
+    ON l.band_idx = r.band_idx AND l.band_key = r.band_key
+   AND l.media_id < r.media_id
+)
+SELECT media_a, media_b,
+       CAST(bit_count(xor(dh_a, dh_b)) AS INT) AS hamming
+FROM cand
+WHERE bit_count(xor(dh_a, dh_b)) <= {_MM9_MAX_HAMMING}
+"""
+
+
+REGISTRY.update(
+    {
+        "mm9_perceptual_dhash_pairs": (
+            q_perceptual_dhash_pairs,
+            _sql_perceptual_dhash_pairs(),
+        )
+    }
+)
+
+
+# ---------------------------------------------------------------------------
+# D13 — cross-source duplicate matrix
+# ---------------------------------------------------------------------------
+
+def q_cross_source_dups(spark, sf_dir):
+    """D13 — the cross-source shared-boilerplate matrix for the
+    dataset card: for every pair of sources, how many first-8-token
+    prefix fingerprints they share and how many doc copies those
+    involve — the report that tells a data lead WHICH feeds carry
+    the same templates/headers and need deduplicating against each
+    other (full-text md5 is the d1 key; the prefix key is the
+    boilerplate-sensitive variant that fires across feeds).  Per-
+    (fp, source) partial counts, then a within-fp source-pair
+    self-join (bounded: sources-per-fp ≤ |sources|), then one
+    matrix aggregation."""
+    docs = load(spark, sf_dir, "documents")
+    fp = F.md5(
+        F.array_join(
+            F.slice(F.split(F.trim("text"), r"\s+"), 1, 8), " "
+        )
+    )
+    fps = (
+        docs.select(fp.alias("fp"), "source")
+        .groupBy("fp", "source")
+        .agg(F.count("*").alias("n"))
+    ).localCheckpoint()
+    pairs = (
+        fps.alias("l")
+        .join(
+            fps.alias("r"),
+            (F.col("l.fp") == F.col("r.fp"))
+            & (F.col("l.source") < F.col("r.source")),
+        )
+        .select(
+            F.col("l.source").alias("source_a"),
+            F.col("r.source").alias("source_b"),
+            F.col("l.fp").alias("fp"),
+            (F.col("l.n") + F.col("r.n")).alias("n_docs"),
+        )
+    )
+    return pairs.groupBy("source_a", "source_b").agg(
+        F.count("*").alias("shared_fps"),
+        F.sum("n_docs").alias("docs_involved"),
+    )
+
+
+SQL_CROSS_SOURCE_DUPS = r"""
+WITH fps AS (
+  SELECT md5(array_to_string(
+           regexp_split_to_array(trim(text), '\s+')[1:8], ' ')) AS fp,
+         source, count(*) AS n
+  FROM documents GROUP BY 1, 2
+)
+SELECT l.source AS source_a, r.source AS source_b,
+       count(*) AS shared_fps,
+       sum(l.n + r.n) AS docs_involved
+FROM fps l JOIN fps r ON l.fp = r.fp AND l.source < r.source
+GROUP BY l.source, r.source
+"""
+
+
+REGISTRY.update(
+    {"d13_cross_source_dups": (q_cross_source_dups, SQL_CROSS_SOURCE_DUPS)}
+)
+
+
+# ---------------------------------------------------------------------------
 # Enumeration order: the driver's correctness run covers the first N
 # registry entries per round, so the STALEST queries must enumerate
 # first.  Computed at import time from the CORRECTNESS_r*.json records
@@ -12917,6 +13135,8 @@ _DEFER_NEW: set[str] = {
     "x40_e2e_corpus_build",
     "j14_value_band_join",
     "x41_novelty_score",
+    "mm9_perceptual_dhash_pairs",
+    "d13_cross_source_dups",
 }
 
 _FRESHNESS = _latest_green_round()

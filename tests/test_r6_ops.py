@@ -1140,3 +1140,82 @@ def test_novelty_score_matches_set_reference(spark):
     # doc 0 (smallest id with shingles) is fully novel by definition
     d0 = min(d for d, ss in shingles.items() if ss)
     assert got.loc[d0, "novelty_ratio"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# mm9 — perceptual dHash pairs
+# ---------------------------------------------------------------------------
+
+def _dhash56(text: str) -> int:
+    import re
+
+    from stampede_to_fresco_etl_spark.catalog import _MM9_H, _MM9_W
+
+    ascii_text = re.sub(r"[^\x20-\x7e]", "", text)
+    buf = ascii_text.encode()[: _MM9_W * _MM9_H * 3].ljust(
+        _MM9_W * _MM9_H * 3, b" "
+    )
+    h, bit = 0, 0
+    for y in range(_MM9_H):
+        for x in range(_MM9_W - 1):
+            def lum(xx):
+                o = (y * _MM9_W + xx) * 3
+                return buf[o] + buf[o + 1] + buf[o + 2]
+            if lum(x + 1) > lum(x):
+                h |= 1 << bit
+            bit += 1
+    return h
+
+
+def test_perceptual_dhash_pairs_match_bruteforce(spark):
+    """Pure-Python dHash of every payload + O(n²) Hamming scan: the
+    banded join must surface EXACTLY the pairs within Hamming ≤ 3
+    (pigeonhole guarantees no misses at this threshold)."""
+    from stampede_to_fresco_etl_spark.catalog import _MM9_MAX_HAMMING
+
+    got = REGISTRY["mm9_perceptual_dhash_pairs"][0](spark, SF).toPandas()
+    docs = load(spark, SF, "documents").toPandas()
+    hashes = {r.doc_id: _dhash56(r.text) for r in docs.itertuples()}
+    ids = sorted(hashes)
+    expect = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            ham = bin(hashes[a] ^ hashes[b]).count("1")
+            if ham <= _MM9_MAX_HAMMING:
+                expect[(a, b)] = ham
+    assert {
+        (r.media_a, r.media_b): r.hamming for r in got.itertuples()
+    } == expect
+
+
+# ---------------------------------------------------------------------------
+# d13 — cross-source boilerplate matrix
+# ---------------------------------------------------------------------------
+
+def test_cross_source_dups_match_pandas(spark):
+    got = (
+        REGISTRY["d13_cross_source_dups"][0](spark, SF)
+        .toPandas()
+        .set_index(["source_a", "source_b"])
+        .sort_index()
+    )
+    docs = load(spark, SF, "documents").toPandas()
+    docs["fp"] = [
+        hashlib.md5(" ".join(t.strip().split()[:8]).encode()).hexdigest()
+        for t in docs.text
+    ]
+    per = docs.groupby(["fp", "source"]).size()
+    from collections import defaultdict
+
+    mat = defaultdict(lambda: [0, 0])
+    for fp, grp in per.groupby(level=0):
+        srcs = sorted((s, n) for (_, s), n in grp.items())
+        for i in range(len(srcs)):
+            for j in range(i + 1, len(srcs)):
+                key = (srcs[i][0], srcs[j][0])
+                mat[key][0] += 1
+                mat[key][1] += srcs[i][1] + srcs[j][1]
+    assert set(got.index) == set(mat)
+    for k, (fps_, nd) in mat.items():
+        assert got.loc[k, "shared_fps"] == fps_
+        assert got.loc[k, "docs_involved"] == nd
