@@ -13042,6 +13042,116 @@ REGISTRY.update(
 
 
 # ---------------------------------------------------------------------------
+# S33 — Bloom zone map (file-skipping index for unsorted string keys)
+# ---------------------------------------------------------------------------
+
+_S33_HASHES = 4
+_S33_BITS = 2048
+_S33_ITEMS = ["hash", "join", "stream", "zzz_no_such_token"]
+
+
+def q_bloom_zone_map(spark, sf_dir):
+    """S33 — the Bloom zone map: per-source Bloom filters over each
+    source's DISTINCT token set, probed with a literal token list,
+    with the exact answer joined back — min/max zone maps (s16/s30)
+    prune on SORTED keys; a per-file Bloom word is what Parquet/ORC
+    actually store to skip files on arbitrary string predicates.
+    `maybe=false ⇒ skip the file` is sound (no false negatives);
+    the audit column shows each probe's false positives, the rate
+    the width/hash knobs control.  Build is b1's kernel grouped by
+    source (word partials OR-combine map-side); probes are
+    broadcast-exploded literals; the exact arm is one semi-filtered
+    distinct."""
+    from stampede_to_fresco_etl_spark.operators.sketches import (
+        bloom_query,
+        bloom_sketch,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(
+            F.array_distinct(F.split(F.trim("text"), r"\s+"))
+        ).alias("tok"),
+    ).distinct()
+    sk = bloom_sketch(
+        toks, ["source"], "tok", num_hashes=_S33_HASHES, width_bits=_S33_BITS
+    )
+    maybe = bloom_query(
+        sk, _S33_ITEMS, ["source"],
+        num_hashes=_S33_HASHES, width_bits=_S33_BITS,
+    )
+    exact = (
+        toks.filter(F.col("tok").isin(_S33_ITEMS))
+        .groupBy("source", F.col("tok").alias("item"))
+        .agg(F.lit(True).alias("exact_present"))
+    )
+    return (
+        maybe.join(exact, ["source", "item"], "left")
+        .select(
+            "source",
+            "item",
+            F.col("maybe_member").alias("bloom_maybe"),
+            F.coalesce(F.col("exact_present"), F.lit(False)).alias(
+                "exact_present"
+            ),
+            (
+                F.col("maybe_member")
+                & ~F.coalesce(F.col("exact_present"), F.lit(False))
+            ).alias("false_positive"),
+        )
+    )
+
+
+def _sql_bloom_zone_map() -> str:
+    items = ", ".join(f"('{i}')" for i in _S33_ITEMS)
+    pos = (
+        "(('0x' || substr(md5('bloom' || CAST(i AS VARCHAR) || ':' || "
+        f"{{v}}), 1, 15))::BIGINT % {_S33_BITS})"
+    )
+    return f"""
+WITH hashes AS (SELECT unnest(range(0, {_S33_HASHES})) AS i),
+toks AS (
+  SELECT DISTINCT source, u.tok
+  FROM documents,
+       UNNEST(list_distinct(regexp_split_to_array(trim(text), '\\s+')))
+         AS u(tok)
+),
+probes(item) AS (VALUES {items}),
+setbits AS (
+  SELECT DISTINCT source, {pos.format(v='tok')} AS pos
+  FROM toks CROSS JOIN hashes
+),
+pp AS (
+  SELECT g.source, p.item, {pos.format(v='p.item')} AS pos
+  FROM probes p CROSS JOIN hashes
+       CROSS JOIN (SELECT DISTINCT source FROM toks) g
+),
+mb AS (
+  SELECT pp.source, pp.item,
+         bool_and(sb.pos IS NOT NULL) AS bloom_maybe
+  FROM pp LEFT JOIN setbits sb
+         ON pp.source = sb.source AND pp.pos = sb.pos
+  GROUP BY pp.source, pp.item
+),
+ex AS (
+  SELECT source, tok AS item, TRUE AS exact_present
+  FROM toks WHERE tok IN ({", ".join(f"'{i}'" for i in _S33_ITEMS)})
+)
+SELECT m.source, m.item, m.bloom_maybe,
+       COALESCE(e.exact_present, FALSE) AS exact_present,
+       m.bloom_maybe AND NOT COALESCE(e.exact_present, FALSE)
+         AS false_positive
+FROM mb m LEFT JOIN ex e ON m.source = e.source AND m.item = e.item
+"""
+
+
+REGISTRY.update(
+    {"s33_bloom_zone_map": (q_bloom_zone_map, _sql_bloom_zone_map())}
+)
+
+
+# ---------------------------------------------------------------------------
 # Enumeration order: the driver's correctness run covers the first N
 # registry entries per round, so the STALEST queries must enumerate
 # first.  Computed at import time from the CORRECTNESS_r*.json records
@@ -13137,6 +13247,7 @@ _DEFER_NEW: set[str] = {
     "x41_novelty_score",
     "mm9_perceptual_dhash_pairs",
     "d13_cross_source_dups",
+    "s33_bloom_zone_map",
 }
 
 _FRESHNESS = _latest_green_round()

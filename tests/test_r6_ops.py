@@ -1219,3 +1219,37 @@ def test_cross_source_dups_match_pandas(spark):
     for k, (fps_, nd) in mat.items():
         assert got.loc[k, "shared_fps"] == fps_
         assert got.loc[k, "docs_involved"] == nd
+
+
+# ---------------------------------------------------------------------------
+# s33 — bloom zone map
+# ---------------------------------------------------------------------------
+
+def test_bloom_zone_map_soundness(spark):
+    """No false negatives (every exact presence has bloom_maybe) —
+    the property that makes skip-if-not-maybe sound — and
+    exact_present matches a pandas token scan."""
+    got = (
+        REGISTRY["s33_bloom_zone_map"][0](spark, SF)
+        .toPandas()
+        .set_index(["source", "item"])
+        .sort_index()
+    )
+    from stampede_to_fresco_etl_spark.catalog import _S33_ITEMS
+
+    docs = load(spark, SF, "documents").toPandas()
+    present: set = set()
+    for r in docs.itertuples(index=False):
+        toks = set(r.text.strip().split())
+        for it in _S33_ITEMS:
+            if it in toks:
+                present.add((r.source, it))
+    n_src = docs.source.nunique()
+    assert len(got) == n_src * len(_S33_ITEMS)
+    for (src, it), row in got.iterrows():
+        assert row["exact_present"] == ((src, it) in present)
+        if row["exact_present"]:
+            assert row["bloom_maybe"]  # no false negatives, ever
+        assert row["false_positive"] == (
+            row["bloom_maybe"] and not row["exact_present"]
+        )
