@@ -13152,6 +13152,127 @@ REGISTRY.update(
 
 
 # ---------------------------------------------------------------------------
+# T16 — lateness / watermark audit
+# ---------------------------------------------------------------------------
+
+def q_lateness_watermark_audit(spark, sf_dir):
+    """T16 — the out-of-orderness audit that justifies a streaming
+    watermark: per user (the streaming key), each event's lateness
+    is how far its event time sits behind the key's running-max
+    event time in arrival order (event_id is the arrival proxy —
+    documented), bucketed into the operational bands
+    (in-order / ≤10 s / ≤60 s / ≤5 min / beyond) with cumulative
+    coverage — read off "watermark 60 s keeps 99.7% of events".
+    The running max partitions by user_id (high-cardinality key —
+    no straggler), the report window runs over 5 rows.  This is the
+    BATCH measurement that calibrates streaming/ingest's
+    withWatermark choices."""
+    e = load(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_max = F.max(F.unix_micros("ts")).over(w)
+    late_s = F.when(
+        prev_max.isNull(), F.lit(0).cast("long")
+    ).otherwise(
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.floor((prev_max - F.unix_micros("ts")) / 1_000_000).cast(
+                "long"
+            ),
+        )
+    )
+    bucket = (
+        F.when(late_s <= 0, 0)
+        .when(late_s <= 10, 1)
+        .when(late_s <= 60, 2)
+        .when(late_s <= 300, 3)
+        .otherwise(4)
+    )
+    label = (
+        F.when(late_s <= 0, "in_order")
+        .when(late_s <= 10, "late_le_10s")
+        .when(late_s <= 60, "late_le_60s")
+        .when(late_s <= 300, "late_le_5min")
+        .otherwise("late_over_5min")
+    )
+    counts = (
+        e.select(bucket.alias("bucket_id"), label.alias("label"))
+        .groupBy("bucket_id", "label")
+        .agg(F.count("*").alias("n_events"))
+    )
+    tot = counts.agg(F.sum("n_events").alias("n_total"))
+    w_cum = Window.orderBy("bucket_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket_id",
+            "label",
+            "n_events",
+            (
+                F.col("n_events").cast("double")
+                / F.col("n_total").cast("double")
+            ).alias("pct"),
+            (
+                F.sum("n_events").over(w_cum).cast("double")
+                / F.col("n_total").cast("double")
+            ).alias("cum_pct"),
+        )
+    )
+
+
+SQL_LATENESS_WATERMARK_AUDIT = """
+WITH o AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         max(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING) AS prev_max
+  FROM events WHERE user_id IS NOT NULL
+),
+lat AS (
+  SELECT CASE WHEN prev_max IS NULL THEN 0
+              ELSE GREATEST(0::BIGINT,
+                     CAST(FLOOR((prev_max - ts_us) / 1000000) AS BIGINT))
+         END AS late_s
+  FROM o
+),
+counts AS (
+  SELECT CASE WHEN late_s <= 0 THEN 0 WHEN late_s <= 10 THEN 1
+              WHEN late_s <= 60 THEN 2 WHEN late_s <= 300 THEN 3
+              ELSE 4 END AS bucket_id,
+         CASE WHEN late_s <= 0 THEN 'in_order'
+              WHEN late_s <= 10 THEN 'late_le_10s'
+              WHEN late_s <= 60 THEN 'late_le_60s'
+              WHEN late_s <= 300 THEN 'late_le_5min'
+              ELSE 'late_over_5min' END AS label,
+         count(*) AS n_events
+  FROM lat GROUP BY 1, 2
+),
+tot AS (SELECT sum(n_events) AS n_total FROM counts)
+SELECT c.bucket_id, c.label, c.n_events,
+       CAST(c.n_events AS DOUBLE) / CAST(t.n_total AS DOUBLE) AS pct,
+       CAST(sum(c.n_events) OVER (ORDER BY c.bucket_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DOUBLE) / CAST(t.n_total AS DOUBLE) AS cum_pct
+FROM counts c, tot t
+"""
+
+
+REGISTRY.update(
+    {
+        "t16_lateness_watermark_audit": (
+            q_lateness_watermark_audit,
+            SQL_LATENESS_WATERMARK_AUDIT,
+        )
+    }
+)
+
+
+# ---------------------------------------------------------------------------
 # Enumeration order: the driver's correctness run covers the first N
 # registry entries per round, so the STALEST queries must enumerate
 # first.  Computed at import time from the CORRECTNESS_r*.json records
@@ -13248,6 +13369,7 @@ _DEFER_NEW: set[str] = {
     "mm9_perceptual_dhash_pairs",
     "d13_cross_source_dups",
     "s33_bloom_zone_map",
+    "t16_lateness_watermark_audit",
 }
 
 _FRESHNESS = _latest_green_round()

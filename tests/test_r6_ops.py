@@ -1253,3 +1253,51 @@ def test_bloom_zone_map_soundness(spark):
         assert row["false_positive"] == (
             row["bloom_maybe"] and not row["exact_present"]
         )
+
+
+# ---------------------------------------------------------------------------
+# t16 — lateness watermark audit
+# ---------------------------------------------------------------------------
+
+def test_lateness_audit_matches_sequential_replay(spark):
+    got = (
+        REGISTRY["t16_lateness_watermark_audit"][0](spark, SF)
+        .toPandas()
+        .set_index("bucket_id")
+        .sort_index()
+    )
+    e = (
+        load(spark, SF, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select("user_id", "event_id", F.unix_micros("ts").alias("us"))
+        .toPandas()
+        .sort_values(["user_id", "event_id"])
+    )
+    from collections import Counter
+
+    buckets = Counter()
+    for _, grp in e.groupby("user_id"):
+        mx = None
+        for r in grp.itertuples(index=False):
+            late = 0 if mx is None else max(0, (mx - r.us) // 1_000_000)
+            if late <= 0:
+                buckets[0] += 1
+            elif late <= 10:
+                buckets[1] += 1
+            elif late <= 60:
+                buckets[2] += 1
+            elif late <= 300:
+                buckets[3] += 1
+            else:
+                buckets[4] += 1
+            mx = r.us if mx is None else max(mx, r.us)
+    total = sum(buckets.values())
+    assert set(got.index) == set(buckets)
+    cum = 0
+    for b in sorted(buckets):
+        cum += buckets[b]
+        assert got.loc[b, "n_events"] == buckets[b]
+        assert got.loc[b, "pct"] == buckets[b] / total
+        assert got.loc[b, "cum_pct"] == cum / total
+    # coverage is monotone and ends at 1.0
+    assert got["cum_pct"].iloc[-1] == 1.0
