@@ -13273,6 +13273,219 @@ REGISTRY.update(
 
 
 # ---------------------------------------------------------------------------
+# A30 — weekly latency bands (SLA percentiles on composite groups)
+# ---------------------------------------------------------------------------
+
+def q_weekly_latency_bands(spark, sf_dir):
+    """A30 — the SLA dashboard row: exact p50/p95/p99 of value per
+    (event_type, week), all three ranks selected in ONE pass of the
+    order-statistic kernel over the COMPOSITE group key — a26 showed
+    the multi-rank trick on a single key; this is the production
+    shape (time × dimension grid, hundreds of groups, one range
+    shuffle total, still no per-group ranking sort).  Week keys are
+    w14's integer Monday-aligned convention."""
+    from stampede_to_fresco_etl_spark.operators.order_stats import (
+        positional_select,
+    )
+
+    e = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    week = (
+        (F.unix_micros("ts") / F.lit(86_400_000_000)).cast("long") + 3
+    ) / 7
+    base = e.select(
+        "event_type",
+        week.cast("long").alias("week_idx"),
+        F.floor(F.col("value") * F.lit(10000.0)).cast("long").alias("v"),
+    )
+
+    def _nr(p):
+        return lambda n: (F.floor((n - 1) * p / 100) + 1).cast("long")
+
+    sel = positional_select(
+        base,
+        ["event_type", "week_idx"],
+        "v",
+        [(f"p{p:02d}", _nr(p)) for p in (50, 95, 99)],
+    )
+    return sel.select(
+        "event_type",
+        "week_idx",
+        F.col("n").alias("n_events"),
+        *[
+            (F.col(f"p{p:02d}").cast("double") / 10000.0).alias(f"p{p:02d}")
+            for p in (50, 95, 99)
+        ],
+    )
+
+
+SQL_WEEKLY_LATENCY_BANDS = """
+WITH base AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) // 86400000000 + 3 AS BIGINT) // 7 AS week_idx,
+         CAST(FLOOR(value * 10000.0) AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL
+),
+ranked AS (
+  SELECT event_type, week_idx, v,
+         row_number() OVER (PARTITION BY event_type, week_idx
+                            ORDER BY v) AS rn,
+         count(*) OVER (PARTITION BY event_type, week_idx) AS n
+  FROM base
+)
+SELECT event_type, week_idx, max(n) AS n_events,
+       CAST(max(CASE WHEN rn = (n-1)*50//100+1 THEN v END)
+            AS DOUBLE) / 10000.0 AS p50,
+       CAST(max(CASE WHEN rn = (n-1)*95//100+1 THEN v END)
+            AS DOUBLE) / 10000.0 AS p95,
+       CAST(max(CASE WHEN rn = (n-1)*99//100+1 THEN v END)
+            AS DOUBLE) / 10000.0 AS p99
+FROM ranked
+GROUP BY event_type, week_idx
+"""
+
+
+REGISTRY.update(
+    {
+        "a30_weekly_latency_bands": (
+            q_weekly_latency_bands,
+            SQL_WEEKLY_LATENCY_BANDS,
+        )
+    }
+)
+
+
+# ---------------------------------------------------------------------------
+# X42 — dedup-aware token budget (effective corpus size)
+# ---------------------------------------------------------------------------
+
+def q_dedup_token_budget(spark, sf_dir):
+    """X42 — the effective-corpus-size card in TOKENS (x34 counts
+    documents; token budgets are what training plans are written
+    in): raw token total, tokens after exact-dedup keep-min, tokens
+    after the greedy near-dup pass, per source plus corpus total
+    (grouping-sets style union with source='__all__'), with each
+    level's retention fraction.  The same survivor sets as x34 (d2
+    pair restriction is exact, see there); three aggregations over
+    the survivor chain, no new shuffle shapes."""
+    from stampede_to_fresco_etl_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+
+    docs = load(spark, sf_dir, "documents").localCheckpoint()
+    toks = F.size(F.split(F.trim("text"), r"\s+")).cast("long")
+    base = docs.select("doc_id", "source", toks.alias("n_toks"))
+    keep = (
+        docs.groupBy(F.md5("text").alias("fp"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    ex = base.join(keep, "doc_id", "left_semi")
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=MINHASH_K, bands=MINHASH_BANDS
+    ).select("doc_a", "doc_b")
+    ex_ids = ex.select("doc_id")
+    live = (
+        pairs.join(
+            ex_ids.withColumnRenamed("doc_id", "doc_a"), "doc_a", "left_semi"
+        ).join(
+            ex_ids.withColumnRenamed("doc_id", "doc_b"), "doc_b", "left_semi"
+        )
+    )
+    nd = ex.join(
+        live.select(F.col("doc_b").alias("doc_id")).distinct(),
+        "doc_id",
+        "left_anti",
+    )
+
+    def _tok_sum(frame, name):
+        per_src = frame.groupBy("source").agg(F.sum("n_toks").alias(name))
+        allrow = frame.agg(F.sum("n_toks").alias(name)).select(
+            F.lit("__all__").alias("source"), name
+        )
+        return per_src.unionByName(allrow)
+
+    raw = _tok_sum(base, "raw_tokens")
+    exs = _tok_sum(ex, "exact_dedup_tokens")
+    nds = _tok_sum(nd, "near_dedup_tokens")
+    joined = raw.join(exs, "source", "left").join(nds, "source", "left")
+    return joined.select(
+        "source",
+        "raw_tokens",
+        F.coalesce(F.col("exact_dedup_tokens"), F.lit(0).cast("long")).alias(
+            "exact_dedup_tokens"
+        ),
+        F.coalesce(F.col("near_dedup_tokens"), F.lit(0).cast("long")).alias(
+            "near_dedup_tokens"
+        ),
+        (
+            F.coalesce(F.col("near_dedup_tokens"), F.lit(0)).cast("double")
+            / F.col("raw_tokens").cast("double")
+        ).alias("retention"),
+    )
+
+
+def _sql_dedup_token_budget() -> str:
+    return f"""
+WITH nd_pairs AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM ({_sql_minhash()})
+),
+base AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+           AS n_toks
+  FROM documents
+),
+keep AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+),
+ex AS (
+  SELECT b.* FROM base b WHERE b.doc_id IN (SELECT doc_id FROM keep)
+),
+live AS (
+  SELECT p.doc_b FROM nd_pairs p
+  WHERE p.doc_a IN (SELECT doc_id FROM ex)
+    AND p.doc_b IN (SELECT doc_id FROM ex)
+),
+nd AS (
+  SELECT * FROM ex WHERE doc_id NOT IN (SELECT doc_b FROM live)
+),
+raw_s AS (
+  SELECT source, sum(n_toks) AS raw_tokens FROM base GROUP BY source
+  UNION ALL
+  SELECT '__all__', sum(n_toks) FROM base
+),
+ex_s AS (
+  SELECT source, sum(n_toks) AS exact_dedup_tokens FROM ex GROUP BY source
+  UNION ALL
+  SELECT '__all__', sum(n_toks) FROM ex
+),
+nd_s AS (
+  SELECT source, sum(n_toks) AS near_dedup_tokens FROM nd GROUP BY source
+  UNION ALL
+  SELECT '__all__', sum(n_toks) FROM nd
+)
+SELECT r.source, r.raw_tokens,
+       COALESCE(e.exact_dedup_tokens, 0::BIGINT) AS exact_dedup_tokens,
+       COALESCE(n.near_dedup_tokens, 0::BIGINT) AS near_dedup_tokens,
+       CAST(COALESCE(n.near_dedup_tokens, 0) AS DOUBLE)
+         / CAST(r.raw_tokens AS DOUBLE) AS retention
+FROM raw_s r
+LEFT JOIN ex_s e ON r.source = e.source
+LEFT JOIN nd_s n ON r.source = n.source
+"""
+
+
+REGISTRY.update(
+    {
+        "x42_dedup_token_budget": (
+            q_dedup_token_budget,
+            _sql_dedup_token_budget(),
+        )
+    }
+)
+
+
+# ---------------------------------------------------------------------------
 # Enumeration order: the driver's correctness run covers the first N
 # registry entries per round, so the STALEST queries must enumerate
 # first.  Computed at import time from the CORRECTNESS_r*.json records
@@ -13370,6 +13583,8 @@ _DEFER_NEW: set[str] = {
     "d13_cross_source_dups",
     "s33_bloom_zone_map",
     "t16_lateness_watermark_audit",
+    "a30_weekly_latency_bands",
+    "x42_dedup_token_budget",
 }
 
 _FRESHNESS = _latest_green_round()

@@ -1301,3 +1301,89 @@ def test_lateness_audit_matches_sequential_replay(spark):
         assert got.loc[b, "cum_pct"] == cum / total
     # coverage is monotone and ends at 1.0
     assert got["cum_pct"].iloc[-1] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# a30 — weekly latency bands
+# ---------------------------------------------------------------------------
+
+def test_weekly_latency_bands_match_pandas(spark):
+    import math
+
+    got = (
+        REGISTRY["a30_weekly_latency_bands"][0](spark, SF)
+        .toPandas()
+        .set_index(["event_type", "week_idx"])
+        .sort_index()
+    )
+    e = (
+        load(spark, SF, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", F.unix_micros("ts").alias("us"), "value")
+        .toPandas()
+    )
+    e["week_idx"] = (e.us // 86_400_000_000 + 3) // 7
+    e["v"] = [int(math.floor(v * 10000.0)) for v in e.value]
+    for (t, w), grp in e.groupby(["event_type", "week_idx"]):
+        vals = sorted(grp.v)
+        row = got.loc[(t, w)]
+        assert row["n_events"] == len(vals)
+        for p in (50, 95, 99):
+            assert row[f"p{p:02d}"] == _nearest_rank(vals, p) / 10000.0
+
+
+# ---------------------------------------------------------------------------
+# x42 — dedup token budget
+# ---------------------------------------------------------------------------
+
+def test_dedup_token_budget_matches_pandas(spark):
+    got = (
+        REGISTRY["x42_dedup_token_budget"][0](spark, SF)
+        .toPandas()
+        .set_index("source")
+        .sort_index()
+    )
+    docs = load(spark, SF, "documents").toPandas()
+    docs["n_toks"] = [len(t.strip().split()) for t in docs.text]
+    docs["fp"] = [hashlib.md5(t.encode()).hexdigest() for t in docs.text]
+    keep = set(docs.groupby("fp").doc_id.min())
+    ex = docs[docs.doc_id.isin(keep)]
+    from stampede_to_fresco_etl_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+
+    pairs = (
+        minhash_lsh_pairs(
+            load(spark, SF, "documents"),
+            "doc_id",
+            "text",
+            num_hashes=MINHASH_K,
+            bands=MINHASH_BANDS,
+        )
+        .select("doc_a", "doc_b")
+        .toPandas()
+    )
+    surv = set(ex.doc_id)
+    drop = {
+        b for a, b in pairs.itertuples(index=False) if a in surv and b in surv
+    }
+    nd = ex[~ex.doc_id.isin(drop)]
+    frames = {"raw": docs, "ex": ex, "nd": nd}
+    for src in list(docs.source.unique()) + ["__all__"]:
+        row = got.loc[src]
+        for key, col in (
+            ("raw", "raw_tokens"),
+            ("ex", "exact_dedup_tokens"),
+            ("nd", "near_dedup_tokens"),
+        ):
+            f = frames[key]
+            n = (
+                f.n_toks.sum()
+                if src == "__all__"
+                else f[f.source == src].n_toks.sum()
+            )
+            assert row[col] == n
+        assert row["retention"] == row["near_dedup_tokens"] / row["raw_tokens"]
+    # budgets shrink monotonically through the funnel
+    assert (got.raw_tokens >= got.exact_dedup_tokens).all()
+    assert (got.exact_dedup_tokens >= got.near_dedup_tokens).all()
