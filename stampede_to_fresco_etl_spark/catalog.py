@@ -13486,6 +13486,178 @@ REGISTRY.update(
 
 
 # ---------------------------------------------------------------------------
+# X43 — train/eval split leakage report
+# ---------------------------------------------------------------------------
+
+_X43_HASH_SPACE = 1 << 60
+_X43_B_TRAIN = int(0.9 * _X43_HASH_SPACE)
+
+
+def q_split_leakage(spark, sf_dir):
+    """X43 — eval-hygiene report: assign splits with x11's salted-
+    hash rule (train < 0.9 boundary; val/test are the eval side),
+    then count per-language how many TRAIN docs share at least one
+    3-gram shingle with the eval side, plus the distinct leaked
+    shingles — x16 decontaminates against an EXTERNAL benchmark;
+    x43 audits leakage across the corpus's OWN splits, the check
+    every split design ships with.  The eval shingle set semi-joins
+    the train shingles on the shingle key (broadcast-sized at
+    sane eval fractions); counts are two aggregations."""
+    from stampede_to_fresco_etl_spark.operators.dedup import _shingled
+
+    docs = load(spark, sf_dir, "documents")
+    h = F.pmod(
+        md5_int63(F.col("doc_id"), salt="split"), F.lit(_X43_HASH_SPACE)
+    )
+    tagged = docs.withColumn(
+        "split",
+        F.when(h < F.lit(_X43_B_TRAIN), "train").otherwise("eval"),
+    )
+    sh = _shingled(
+        tagged.select("doc_id", "text"), "doc_id", "text", 3
+    ).localCheckpoint()
+    labels = tagged.select("doc_id", "lang", "split")
+    shl = sh.join(
+        labels.withColumnRenamed("doc_id", "doc"), "doc"
+    )
+    eval_sh = (
+        shl.filter(F.col("split") == "eval").select("shingle").distinct()
+    )
+    train_sh = shl.filter(F.col("split") == "train")
+    leaked = train_sh.join(eval_sh, "shingle", "left_semi")
+    per_lang = (
+        leaked.groupBy("lang")
+        .agg(
+            F.countDistinct("doc").alias("leaked_train_docs"),
+            F.countDistinct("shingle").alias("leaked_shingles"),
+        )
+    )
+    train_tot = (
+        train_sh.groupBy("lang")
+        .agg(F.countDistinct("doc").alias("train_docs"))
+    )
+    return (
+        train_tot.join(per_lang, "lang", "left")
+        .select(
+            "lang",
+            "train_docs",
+            F.coalesce(F.col("leaked_train_docs"), F.lit(0).cast("long"))
+            .alias("leaked_train_docs"),
+            F.coalesce(F.col("leaked_shingles"), F.lit(0).cast("long"))
+            .alias("leaked_shingles"),
+            (
+                F.coalesce(F.col("leaked_train_docs"), F.lit(0)).cast(
+                    "double"
+                )
+                / F.col("train_docs").cast("double")
+            ).alias("leak_rate"),
+        )
+    )
+
+
+def _sql_split_leakage() -> str:
+    h = md5_int63_sql("CAST(doc_id AS VARCHAR)", salt="split")
+    return f"""
+WITH tagged AS (
+  SELECT doc_id, lang, text,
+         CASE WHEN {h} % {_X43_HASH_SPACE} < {_X43_B_TRAIN}
+              THEN 'train' ELSE 'eval' END AS split
+  FROM documents
+),
+toks AS (
+  SELECT doc_id AS doc, lang, split, {_D_TOKS} AS t FROM tagged
+),
+sh AS (
+  SELECT DISTINCT doc, lang, split, u.s
+  FROM toks, UNNEST({_D_SHINGLES}) AS u(s)
+),
+eval_sh AS (SELECT DISTINCT s FROM sh WHERE split = 'eval'),
+train_sh AS (SELECT * FROM sh WHERE split = 'train'),
+leaked AS (
+  SELECT t.* FROM train_sh t WHERE t.s IN (SELECT s FROM eval_sh)
+),
+per_lang AS (
+  SELECT lang, count(DISTINCT doc) AS leaked_train_docs,
+         count(DISTINCT s) AS leaked_shingles
+  FROM leaked GROUP BY lang
+),
+train_tot AS (
+  SELECT lang, count(DISTINCT doc) AS train_docs
+  FROM train_sh GROUP BY lang
+)
+SELECT t.lang, t.train_docs,
+       COALESCE(p.leaked_train_docs, 0::BIGINT) AS leaked_train_docs,
+       COALESCE(p.leaked_shingles, 0::BIGINT) AS leaked_shingles,
+       CAST(COALESCE(p.leaked_train_docs, 0) AS DOUBLE)
+         / CAST(t.train_docs AS DOUBLE) AS leak_rate
+FROM train_tot t LEFT JOIN per_lang p ON t.lang = p.lang
+"""
+
+
+REGISTRY.update(
+    {"x43_split_leakage": (q_split_leakage, _sql_split_leakage())}
+)
+
+
+# ---------------------------------------------------------------------------
+# T17 — downtime windows (global no-data intervals)
+# ---------------------------------------------------------------------------
+
+def q_downtime_windows(spark, sf_dir):
+    """T17 — global downtime detection: coalesce the event stream to
+    distinct OCCUPIED MINUTES (the aggregation bounds the frame by
+    the calendar span — ≤ 43k rows per month regardless of event
+    volume, which is what makes the global lag window safe at any
+    scale), then every gap of ≥ 2 minutes between consecutive
+    occupied minutes is a downtime interval [prev+1, cur−1].  The
+    ops monitor that t14's per-day zero-fill summarizes; t13's
+    sweep-line is the interval-algebra cousin."""
+    e = load(spark, sf_dir, "events")
+    mins = (
+        e.select(
+            F.floor(F.unix_micros("ts") / F.lit(60_000_000))
+            .cast("long")
+            .alias("minute")
+        )
+        .distinct()
+    )
+    w = Window.orderBy("minute")
+    gaps = mins.select(
+        "minute", F.lag("minute").over(w).alias("prev_minute")
+    ).filter(
+        F.col("prev_minute").isNotNull()
+        & (F.col("minute") - F.col("prev_minute") >= 2)
+    )
+    return gaps.select(
+        (F.col("prev_minute") + 1).alias("downtime_start_min"),
+        (F.col("minute") - 1).alias("downtime_end_min"),
+        (F.col("minute") - F.col("prev_minute") - 1).alias("n_minutes"),
+    )
+
+
+SQL_DOWNTIME_WINDOWS = """
+WITH mins AS (
+  SELECT DISTINCT CAST(epoch_us(ts) // 60000000 AS BIGINT) AS minute
+  FROM events
+),
+gaps AS (
+  SELECT minute, lag(minute) OVER (ORDER BY minute) AS prev_minute
+  FROM mins
+)
+SELECT prev_minute + 1 AS downtime_start_min,
+       minute - 1 AS downtime_end_min,
+       minute - prev_minute - 1 AS n_minutes
+FROM gaps
+WHERE prev_minute IS NOT NULL AND minute - prev_minute >= 2
+"""
+
+
+REGISTRY.update(
+    {"t17_downtime_windows": (q_downtime_windows, SQL_DOWNTIME_WINDOWS)}
+)
+
+
+# ---------------------------------------------------------------------------
 # Enumeration order: the driver's correctness run covers the first N
 # registry entries per round, so the STALEST queries must enumerate
 # first.  Computed at import time from the CORRECTNESS_r*.json records
@@ -13585,6 +13757,8 @@ _DEFER_NEW: set[str] = {
     "t16_lateness_watermark_audit",
     "a30_weekly_latency_bands",
     "x42_dedup_token_budget",
+    "x43_split_leakage",
+    "t17_downtime_windows",
 }
 
 _FRESHNESS = _latest_green_round()

@@ -1387,3 +1387,87 @@ def test_dedup_token_budget_matches_pandas(spark):
     # budgets shrink monotonically through the funnel
     assert (got.raw_tokens >= got.exact_dedup_tokens).all()
     assert (got.exact_dedup_tokens >= got.near_dedup_tokens).all()
+
+
+# ---------------------------------------------------------------------------
+# x43 — split leakage
+# ---------------------------------------------------------------------------
+
+def test_split_leakage_matches_set_reference(spark):
+    from stampede_to_fresco_etl_spark.catalog import (
+        _X43_B_TRAIN,
+        _X43_HASH_SPACE,
+    )
+
+    got = (
+        REGISTRY["x43_split_leakage"][0](spark, SF)
+        .toPandas()
+        .set_index("lang")
+        .sort_index()
+    )
+    docs = load(spark, SF, "documents").toPandas()
+    sh = {}
+    split = {}
+    for r in docs.itertuples(index=False):
+        t = r.text.strip().split()
+        sh[r.doc_id] = {" ".join(t[i : i + 3]) for i in range(len(t) - 2)}
+        h = _md5_int63(f"split:{r.doc_id}") % _X43_HASH_SPACE
+        split[r.doc_id] = "train" if h < _X43_B_TRAIN else "eval"
+    eval_sh = set()
+    for d, ss in sh.items():
+        if split[d] == "eval":
+            eval_sh |= ss
+    langs = dict(zip(docs.doc_id, docs.lang))
+    per = {}
+    for d, ss in sh.items():
+        if split[d] != "train" or not ss:
+            continue
+        lang = langs[d]
+        ent = per.setdefault(lang, {"train": 0, "leak": 0, "sh": set()})
+        ent["train"] += 1
+        hit = ss & eval_sh
+        if hit:
+            ent["leak"] += 1
+            ent["sh"] |= hit
+    assert set(got.index) == set(per)
+    for lang, ent in per.items():
+        row = got.loc[lang]
+        assert row["train_docs"] == ent["train"]
+        assert row["leaked_train_docs"] == ent["leak"]
+        assert row["leaked_shingles"] == len(ent["sh"])
+        assert row["leak_rate"] == ent["leak"] / ent["train"]
+
+
+# ---------------------------------------------------------------------------
+# t17 — downtime windows
+# ---------------------------------------------------------------------------
+
+def test_downtime_windows_match_replay(spark):
+    got = (
+        REGISTRY["t17_downtime_windows"][0](spark, SF)
+        .toPandas()
+        .sort_values("downtime_start_min")
+        .reset_index(drop=True)
+    )
+    e = load(spark, SF, "events").select(
+        F.unix_micros("ts").alias("us")
+    ).toPandas()
+    mins = sorted({u // 60_000_000 for u in e.us})
+    expect = []
+    for prev, cur in zip(mins, mins[1:]):
+        if cur - prev >= 2:
+            expect.append((prev + 1, cur - 1, cur - prev - 1))
+    assert (
+        list(
+            zip(
+                got.downtime_start_min,
+                got.downtime_end_min,
+                got.n_minutes,
+            )
+        )
+        == expect
+    )
+    # downtime intervals never contain an occupied minute
+    occupied = set(mins)
+    for s, t, _ in expect[:50]:
+        assert not any(m in occupied for m in range(s, t + 1))
