@@ -13658,6 +13658,158 @@ REGISTRY.update(
 
 
 # ---------------------------------------------------------------------------
+# A31 — Pearson correlation / sample covariance (exact fixed-point)
+# ---------------------------------------------------------------------------
+
+def q_corr_covar(spark, sf_dir):
+    """A31 — per-group Pearson correlation + sample covariance of
+    (l_quantity, l_discount) and corr(l_quantity, l_tax), computed
+    cross-engine-deterministically: quantize each measure to a 1e-4
+    fixed-point BIGINT (the FSUM convention), accumulate the five
+    moment sums as EXACT integers (order-independent, so Spark's
+    partial aggregation and DuckDB's agree bit-for-bit), then apply
+    one identical double-precision closed form at the end.  One
+    map-side-combinable hash aggregate over 3 groups — no window, no
+    shuffle beyond the 3-row combine; the plan is scale-free.
+
+    Overflow headroom: qi ≤ 5e5, di/ti ≤ 1e3, so the largest term
+    sum (Σqi²) is ~2.5e11/row — BIGINT-safe beyond sf10; a 100 TB
+    deployment would widen the accumulators to DECIMAL(38,0) (Spark:
+    cast qi to decimal before the product) on the same plan shape.
+    Extends the reference's aggregation family (SURVEY §2.5) with the
+    bivariate moments the reference's per-metric pipelines never
+    needed; covariance descales by 1e8 (both factors carry 1e4)."""
+    li = load(spark, sf_dir, "lineitem")
+    s = li.select(
+        "l_returnflag",
+        F.floor(F.col("l_quantity") * 10000).cast("long").alias("qi"),
+        F.floor(F.col("l_discount") * 10000).cast("long").alias("di"),
+        F.floor(F.col("l_tax") * 10000).cast("long").alias("ti"),
+    )
+    g = s.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum("qi").alias("sq"),
+        F.sum("di").alias("sd"),
+        F.sum("ti").alias("st"),
+        F.sum(F.col("qi") * F.col("di")).alias("sqd"),
+        F.sum(F.col("qi") * F.col("ti")).alias("sqt"),
+        F.sum(F.col("qi") * F.col("qi")).alias("sqq"),
+        F.sum(F.col("di") * F.col("di")).alias("sdd"),
+        F.sum(F.col("ti") * F.col("ti")).alias("stt"),
+    )
+    n = F.col("n").cast("double")
+
+    def _d(c):
+        return F.col(c).cast("double")
+
+    def _corr(sxy, sx, sy, sxx, syy):
+        num = n * _d(sxy) - _d(sx) * _d(sy)
+        den = F.sqrt(n * _d(sxx) - _d(sx) * _d(sx)) * F.sqrt(
+            n * _d(syy) - _d(sy) * _d(sy)
+        )
+        return num / den
+
+    covar = (
+        (n * _d("sqd") - _d("sq") * _d("sd"))
+        / (n * (n - F.lit(1.0)))
+        / F.lit(1.0e8)
+    )
+    return g.select(
+        "l_returnflag",
+        "n",
+        _corr("sqd", "sq", "sd", "sqq", "sdd").alias("corr_qty_disc"),
+        _corr("sqt", "sq", "st", "sqq", "stt").alias("corr_qty_tax"),
+        covar.alias("covar_qty_disc"),
+    )
+
+
+SQL_CORR_COVAR = """
+WITH s AS (
+  SELECT l_returnflag,
+         CAST(FLOOR(l_quantity * 10000) AS BIGINT) AS qi,
+         CAST(FLOOR(l_discount * 10000) AS BIGINT) AS di,
+         CAST(FLOOR(l_tax * 10000) AS BIGINT) AS ti
+  FROM lineitem
+),
+g AS (
+  SELECT l_returnflag, count(*) AS n,
+         SUM(qi) AS sq, SUM(di) AS sd, SUM(ti) AS st,
+         SUM(qi * di) AS sqd, SUM(qi * ti) AS sqt,
+         SUM(qi * qi) AS sqq, SUM(di * di) AS sdd, SUM(ti * ti) AS stt
+  FROM s GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       (CAST(n AS DOUBLE) * CAST(sqd AS DOUBLE)
+          - CAST(sq AS DOUBLE) * CAST(sd AS DOUBLE))
+         / (sqrt(CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE)
+                   - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+            * sqrt(CAST(n AS DOUBLE) * CAST(sdd AS DOUBLE)
+                     - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE)))
+         AS corr_qty_disc,
+       (CAST(n AS DOUBLE) * CAST(sqt AS DOUBLE)
+          - CAST(sq AS DOUBLE) * CAST(st AS DOUBLE))
+         / (sqrt(CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE)
+                   - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+            * sqrt(CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
+                     - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)))
+         AS corr_qty_tax,
+       (CAST(n AS DOUBLE) * CAST(sqd AS DOUBLE)
+          - CAST(sq AS DOUBLE) * CAST(sd AS DOUBLE))
+         / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) / 1.0e8
+         AS covar_qty_disc
+FROM g
+"""
+
+
+REGISTRY.update({"a31_corr_covar": (q_corr_covar, SQL_CORR_COVAR)})
+
+
+# ---------------------------------------------------------------------------
+# A32 — unpivot / melt (inverse of the A6 pivot)
+# ---------------------------------------------------------------------------
+
+def q_unpivot_long(spark, sf_dir):
+    """A32 — wide→long unpivot, the inverse of A6's pivot (the
+    reference only ever pivots long→wide; a user migrating wide
+    outputs back into the long event-form needs this direction).
+    Spark's native ``DataFrame.unpivot`` explodes in-row (no shuffle,
+    no UDF — one generator per input row), then a single hash
+    aggregate re-keys by (group, measure).  The measure labels are
+    the source column names, matching the UNION ALL oracle's
+    literals.  Sums ride the FSUM fixed-point convention so both
+    engines fold exactly."""
+    li = load(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ids=["l_returnflag"],
+        values=["l_quantity", "l_extendedprice", "l_discount"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    )
+    return long.groupBy("l_returnflag", "measure").agg(
+        dsum(F.col("val")).alias("sum_val"),
+        F.count("*").alias("n"),
+    )
+
+
+SQL_UNPIVOT_LONG = f"""
+WITH long AS (
+  SELECT l_returnflag, 'l_quantity' AS measure, l_quantity AS val
+  FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'l_extendedprice', l_extendedprice FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+)
+SELECT l_returnflag, measure, {DSUM.format(x='val')} AS sum_val,
+       count(*) AS n
+FROM long GROUP BY l_returnflag, measure
+"""
+
+
+REGISTRY.update({"a32_unpivot_long": (q_unpivot_long, SQL_UNPIVOT_LONG)})
+
+
+# ---------------------------------------------------------------------------
 # Enumeration order: the driver's correctness run covers the first N
 # registry entries per round, so the STALEST queries must enumerate
 # first.  Computed at import time from the CORRECTNESS_r*.json records
@@ -13759,6 +13911,8 @@ _DEFER_NEW: set[str] = {
     "x42_dedup_token_budget",
     "x43_split_leakage",
     "t17_downtime_windows",
+    "a31_corr_covar",
+    "a32_unpivot_long",
 }
 
 _FRESHNESS = _latest_green_round()

@@ -7,6 +7,7 @@ from __future__ import annotations
 import hashlib
 
 import pandas as pd
+import pytest
 from pyspark.sql import functions as F
 
 from stampede_to_fresco_etl_spark.catalog import (
@@ -1471,3 +1472,65 @@ def test_downtime_windows_match_replay(spark):
     occupied = set(mins)
     for s, t, _ in expect[:50]:
         assert not any(m in occupied for m in range(s, t + 1))
+
+
+# ---------------------------------------------------------------------------
+# a31 — correlation / covariance
+# ---------------------------------------------------------------------------
+
+def test_corr_covar_matches_numpy(spark):
+    """The fixed-point closed form must agree with numpy's corrcoef /
+    cov on the QUANTIZED values (quantization is part of the contract;
+    at 1e-4 resolution it is exact for TPC-H's 2-decimal measures)."""
+    import numpy as np
+
+    got = (
+        REGISTRY["a31_corr_covar"][0](spark, SF)
+        .toPandas()
+        .set_index("l_returnflag")
+        .sort_index()
+    )
+    li = load(spark, SF, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_discount", "l_tax"
+    ).toPandas()
+    for flag, grp in li.groupby("l_returnflag"):
+        q = np.floor(grp.l_quantity.to_numpy() * 10000)
+        d = np.floor(grp.l_discount.to_numpy() * 10000)
+        t = np.floor(grp.l_tax.to_numpy() * 10000)
+        row = got.loc[flag]
+        assert row["n"] == len(grp)
+        assert row["corr_qty_disc"] == pytest.approx(
+            np.corrcoef(q, d)[0, 1], rel=1e-9
+        )
+        assert row["corr_qty_tax"] == pytest.approx(
+            np.corrcoef(q, t)[0, 1], rel=1e-9
+        )
+        assert row["covar_qty_disc"] == pytest.approx(
+            np.cov(q, d, ddof=1)[0, 1] / 1e8, rel=1e-9
+        )
+
+
+# ---------------------------------------------------------------------------
+# a32 — unpivot / melt
+# ---------------------------------------------------------------------------
+
+def test_unpivot_long_matches_pandas_melt(spark):
+    got = (
+        REGISTRY["a32_unpivot_long"][0](spark, SF)
+        .toPandas()
+        .set_index(["l_returnflag", "measure"])
+        .sort_index()
+    )
+    li = load(spark, SF, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice", "l_discount"
+    ).toPandas()
+    melted = li.melt(
+        id_vars=["l_returnflag"], var_name="measure", value_name="val"
+    )
+    for (flag, meas), grp in melted.groupby(["l_returnflag", "measure"]):
+        row = got.loc[(flag, meas)]
+        assert row["n"] == len(grp)
+        # FSUM fixed-point fold, replicated exactly
+        assert row["sum_val"] == (
+            sum(int(v * 10000 // 1) for v in grp.val) / 10000.0
+        )
