@@ -13810,6 +13810,162 @@ REGISTRY.update({"a32_unpivot_long": (q_unpivot_long, SQL_UNPIVOT_LONG)})
 
 
 # ---------------------------------------------------------------------------
+# A33 — OLS linear trend of the daily volume series
+# ---------------------------------------------------------------------------
+
+def q_linear_trend(spark, sf_dir):
+    """A33 — per-type least-squares trend (slope/intercept) of the
+    daily event-count series: one map-combinable (type, day) count,
+    then one moment aggregate — x is the epoch-day index and y the
+    count, so ALL five moment sums are exact integers with no
+    quantization step at all; the closed form is one pinned double
+    expression (a31's engine-determinism argument, integer-native).
+    The intercept reuses the slope subexpression — deterministic
+    doubles make recompute-vs-reuse bit-identical, so the oracle can
+    inline it.  No window anywhere; both aggregations are hash
+    aggregates, the second over ≤ calendar-span rows per type."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.floor(F.unix_micros("ts") / F.lit(86_400_000_000))
+        .cast("long")
+        .alias("day"),
+    ).agg(F.count("*").alias("c"))
+    g = daily.groupBy("event_type").agg(
+        F.count("*").alias("n_days"),
+        F.sum("day").alias("sx"),
+        F.sum("c").alias("sy"),
+        F.sum(F.col("day") * F.col("c")).alias("sxy"),
+        F.sum(F.col("day") * F.col("day")).alias("sxx"),
+    )
+    n = F.col("n_days").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    return g.select(
+        "event_type",
+        "n_days",
+        slope.alias("slope_per_day"),
+        intercept.alias("intercept"),
+    )
+
+
+SQL_LINEAR_TREND = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+         count(*) AS c
+  FROM events GROUP BY event_type, day
+),
+g AS (
+  SELECT event_type, count(*) AS n_days,
+         SUM(day) AS sx, SUM(c) AS sy,
+         SUM(day * c) AS sxy, SUM(day * day) AS sxx
+  FROM daily GROUP BY event_type
+)
+SELECT event_type, n_days,
+       (CAST(n_days AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / (CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         AS slope_per_day,
+       (CAST(sy AS DOUBLE)
+          - ((CAST(n_days AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+            * CAST(sx AS DOUBLE))
+         / CAST(n_days AS DOUBLE) AS intercept
+FROM g
+"""
+
+
+REGISTRY.update({"a33_linear_trend": (q_linear_trend, SQL_LINEAR_TREND)})
+
+
+# ---------------------------------------------------------------------------
+# A34 — lag-1 autocorrelation of the daily volume series
+# ---------------------------------------------------------------------------
+
+def q_autocorr(spark, sf_dir):
+    """A34 — lag-1 autocorrelation (the seasonality/burstiness
+    screen) of each type's daily count series: lag the DAILY series
+    (the window rides ≤ calendar-span rows per type — t17's
+    bound-by-calendar argument, so the 5-partition window is
+    scale-free), pair (prev, cur), then a31's exact-integer-moment
+    Pearson over the pairs.  Consecutive OBSERVED days are paired;
+    calendar gaps are adjacent observations by definition (the
+    zero-filled variant is one t14 date-spine join away)."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.floor(F.unix_micros("ts") / F.lit(86_400_000_000))
+        .cast("long")
+        .alias("day"),
+    ).agg(F.count("*").alias("c"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    pairs = daily.select(
+        "event_type",
+        F.col("c").alias("y"),
+        F.lag("c").over(w).alias("x"),
+    ).filter(F.col("x").isNotNull())
+    g = pairs.groupBy("event_type").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n_pairs").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    r1 = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    return g.select("event_type", "n_pairs", r1.alias("autocorr_lag1"))
+
+
+SQL_AUTOCORR = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+         count(*) AS c
+  FROM events GROUP BY event_type, day
+),
+pairs AS (
+  SELECT event_type, c AS y,
+         lag(c) OVER (PARTITION BY event_type ORDER BY day) AS x
+  FROM daily
+),
+g AS (
+  SELECT event_type, count(*) AS n_pairs,
+         SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+         SUM(x * x) AS sxx, SUM(y * y) AS syy
+  FROM pairs WHERE x IS NOT NULL GROUP BY event_type
+)
+SELECT event_type, n_pairs,
+       (CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / (sqrt(CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+            * sqrt(CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+         AS autocorr_lag1
+FROM g
+"""
+
+
+REGISTRY.update({"a34_autocorr": (q_autocorr, SQL_AUTOCORR)})
+
+
+# ---------------------------------------------------------------------------
 # Enumeration order: the driver's correctness run covers the first N
 # registry entries per round, so the STALEST queries must enumerate
 # first.  Computed at import time from the CORRECTNESS_r*.json records
@@ -13913,6 +14069,8 @@ _DEFER_NEW: set[str] = {
     "t17_downtime_windows",
     "a31_corr_covar",
     "a32_unpivot_long",
+    "a33_linear_trend",
+    "a34_autocorr",
 }
 
 _FRESHNESS = _latest_green_round()

@@ -1534,3 +1534,58 @@ def test_unpivot_long_matches_pandas_melt(spark):
         assert row["sum_val"] == (
             sum(int(v * 10000 // 1) for v in grp.val) / 10000.0
         )
+
+
+# ---------------------------------------------------------------------------
+# a33 — linear trend
+# ---------------------------------------------------------------------------
+
+def test_linear_trend_matches_numpy_polyfit(spark):
+    import numpy as np
+
+    got = (
+        REGISTRY["a33_linear_trend"][0](spark, SF)
+        .toPandas()
+        .set_index("event_type")
+        .sort_index()
+    )
+    e = load(spark, SF, "events").select(
+        "event_type", F.unix_micros("ts").alias("us")
+    ).toPandas()
+    e["day"] = e.us // 86_400_000_000
+    for etype, grp in e.groupby("event_type"):
+        daily = grp.groupby("day").size()
+        x = daily.index.to_numpy(dtype=float)
+        y = daily.to_numpy(dtype=float)
+        slope, intercept = np.polyfit(x, y, 1)
+        row = got.loc[etype]
+        assert row["n_days"] == len(daily)
+        assert row["slope_per_day"] == pytest.approx(slope, rel=1e-6)
+        assert row["intercept"] == pytest.approx(intercept, rel=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# a34 — lag-1 autocorrelation
+# ---------------------------------------------------------------------------
+
+def test_autocorr_matches_numpy_shifted_corr(spark):
+    import numpy as np
+
+    got = (
+        REGISTRY["a34_autocorr"][0](spark, SF)
+        .toPandas()
+        .set_index("event_type")
+        .sort_index()
+    )
+    e = load(spark, SF, "events").select(
+        "event_type", F.unix_micros("ts").alias("us")
+    ).toPandas()
+    e["day"] = e.us // 86_400_000_000
+    for etype, grp in e.groupby("event_type"):
+        daily = grp.groupby("day").size().sort_index().to_numpy(dtype=float)
+        x, y = daily[:-1], daily[1:]
+        row = got.loc[etype]
+        assert row["n_pairs"] == len(x)
+        assert row["autocorr_lag1"] == pytest.approx(
+            np.corrcoef(x, y)[0, 1], rel=1e-9
+        )
