@@ -13966,6 +13966,75 @@ REGISTRY.update({"a34_autocorr": (q_autocorr, SQL_AUTOCORR)})
 
 
 # ---------------------------------------------------------------------------
+# W16 — truncated EWMA (exponentially-weighted moving average)
+# ---------------------------------------------------------------------------
+
+_EWMA_ALPHA = 0.3
+_EWMA_K = 20  # (1-α)^20 ≈ 8e-4 — truncation error below float display
+
+
+def q_ewma(spark, sf_dir):
+    """W16 — per-user EWMA of the value series, truncated at K=20
+    observations: ewma_t = Σ_{j<K} w_j·x_{t-j} / Σ_{j<K} w_j over the
+    rows that exist, with w_j = (1-α)^j.  The infinite-history EWMA
+    recurrence is non-associative (order-dependent floats), so the
+    cross-engine-exact formulation generates the K lag terms
+    EXPLICITLY and folds them in one pinned left-associative chain —
+    both engines evaluate the identical double expression, and Spark
+    computes all K lags in a single WindowExec pass over one keyed
+    shuffle (user_id is the high-cardinality partition key; no
+    serialization point).  Weight literals are Python-repr doubles,
+    bit-identical to DuckDB's parse of the same literal.  At 100 TB
+    this is the same single shuffle; K bounds per-row work, not
+    state."""
+    e = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull() & F.col("user_id").isNotNull())
+        .select("event_id", "user_id", "ts", "value")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    weights = [(1.0 - _EWMA_ALPHA) ** j for j in range(_EWMA_K)]
+    lags = [F.lag("value", j).over(w) for j in range(_EWMA_K)]
+    num = None
+    den = None
+    for j, (wt, lg) in enumerate(zip(weights, lags)):
+        term = F.coalesce(lg * F.lit(wt), F.lit(0.0))
+        mask = F.when(lg.isNotNull(), F.lit(wt)).otherwise(F.lit(0.0))
+        num = term if num is None else num + term
+        den = mask if den is None else den + mask
+    return e.select(
+        "event_id", "user_id", "ts", "value", (num / den).alias("ewma")
+    )
+
+
+def _sql_ewma() -> str:
+    terms = []
+    masks = []
+    for j in range(_EWMA_K):
+        wt = repr((1.0 - _EWMA_ALPHA) ** j)
+        lg = f"lag(value, {j}) OVER w" if j else "value"
+        # CAST each weight literal: bare numerics parse as DECIMAL in
+        # DuckDB, and a DECIMAL mask chain folds in exact decimal
+        # arithmetic — diverging from Spark's double sum by 1 ulp.
+        terms.append(f"COALESCE(({lg}) * CAST({wt} AS DOUBLE), 0.0)")
+        masks.append(
+            f"CASE WHEN ({lg}) IS NOT NULL"
+            f" THEN CAST({wt} AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END"
+        )
+    num = " + ".join(terms)
+    den = " + ".join(masks)
+    return f"""
+SELECT event_id, user_id, ts, value, ({num}) / ({den}) AS ewma
+FROM events
+WHERE value IS NOT NULL AND user_id IS NOT NULL
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+REGISTRY.update({"w16_ewma": (q_ewma, _sql_ewma())})
+
+
+# ---------------------------------------------------------------------------
 # Enumeration order: the driver's correctness run covers the first N
 # registry entries per round, so the STALEST queries must enumerate
 # first.  Computed at import time from the CORRECTNESS_r*.json records
@@ -14071,6 +14140,7 @@ _DEFER_NEW: set[str] = {
     "a32_unpivot_long",
     "a33_linear_trend",
     "a34_autocorr",
+    "w16_ewma",
 }
 
 _FRESHNESS = _latest_green_round()

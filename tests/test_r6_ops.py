@@ -1589,3 +1589,49 @@ def test_autocorr_matches_numpy_shifted_corr(spark):
         assert row["autocorr_lag1"] == pytest.approx(
             np.corrcoef(x, y)[0, 1], rel=1e-9
         )
+
+
+# ---------------------------------------------------------------------------
+# w16 — truncated EWMA
+# ---------------------------------------------------------------------------
+
+def test_ewma_matches_pure_python_fold(spark):
+    """Replicate the truncated-EWMA fold exactly (same weights, same
+    left-associative order) and check a pandas ewm cross-reference on
+    short series where truncation is inactive."""
+    from stampede_to_fresco_etl_spark.catalog import _EWMA_ALPHA, _EWMA_K
+
+    got = (
+        REGISTRY["w16_ewma"][0](spark, SF)
+        .toPandas()
+        .set_index("event_id")
+    )
+    e = (
+        load(spark, SF, "events")
+        .select("event_id", "user_id", "ts", "value")
+        .toPandas()
+        .dropna(subset=["user_id", "value"])
+    )
+    weights = [(1.0 - _EWMA_ALPHA) ** j for j in range(_EWMA_K)]
+    n_checked = 0
+    for _, grp in e.groupby("user_id"):
+        grp = grp.sort_values(["ts", "event_id"])
+        vals = list(grp.value)
+        for i, eid in enumerate(grp.event_id):
+            num = 0.0
+            den = 0.0
+            for j in range(_EWMA_K):
+                if i - j >= 0:
+                    num = num + vals[i - j] * weights[j]
+                    den = den + weights[j]
+            assert got.loc[eid, "ewma"] == num / den
+            n_checked += 1
+    assert n_checked == len(got)
+    # cross-reference: pandas ewm(adjust=True) equals the truncated
+    # formula when the series is shorter than K
+    short = e.groupby("user_id").filter(lambda g: len(g) < _EWMA_K)
+    for _, grp in list(short.groupby("user_id"))[:20]:
+        grp = grp.sort_values(["ts", "event_id"])
+        ref = grp.value.ewm(alpha=_EWMA_ALPHA, adjust=True).mean()
+        for eid, r in zip(grp.event_id, ref):
+            assert got.loc[eid, "ewma"] == pytest.approx(r, rel=1e-12)
