@@ -1635,3 +1635,45 @@ def test_ewma_matches_pure_python_fold(spark):
         ref = grp.value.ewm(alpha=_EWMA_ALPHA, adjust=True).mean()
         for eid, r in zip(grp.event_id, ref):
             assert got.loc[eid, "ewma"] == pytest.approx(r, rel=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# a35 — ABC / Pareto classes
+# ---------------------------------------------------------------------------
+
+def test_abc_pareto_matches_pandas_scan(spark):
+    import math
+
+    got = (
+        REGISTRY["a35_abc_pareto"][0](spark, SF)
+        .toPandas()
+        .set_index("abc_class")
+        .sort_index()
+    )
+    li = load(spark, SF, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_discount"
+    ).toPandas()
+    li["rev_i"] = [
+        int(math.floor(p * (1 - d) * 10000.0))
+        for p, d in zip(li.l_extendedprice, li.l_discount)
+    ]
+    rev = li.groupby("l_partkey").rev_i.sum().reset_index()
+    rev = rev.sort_values(["rev_i", "l_partkey"], ascending=[False, True])
+    tot = int(rev.rev_i.sum())
+    cum = 0
+    agg: dict[str, list[int]] = {}
+    for r in rev.itertuples():
+        cum += r.rev_i
+        cls = "A" if cum * 100 <= 80 * tot else (
+            "B" if cum * 100 <= 95 * tot else "C"
+        )
+        agg.setdefault(cls, []).append(r.rev_i)
+    assert set(got.index) == set(agg)
+    for cls, revs in agg.items():
+        row = got.loc[cls]
+        assert row["n_parts"] == len(revs)
+        assert row["class_revenue"] == sum(revs) / 10000.0
+        assert row["revenue_share"] == sum(revs) / float(tot)
+    # Pareto sanity: A-class parts are few but carry most revenue
+    if {"A", "C"} <= set(agg):
+        assert got.loc["A", "revenue_share"] > got.loc["C", "revenue_share"]
