@@ -14123,6 +14123,167 @@ REGISTRY.update({"a35_abc_pareto": (q_abc_pareto, SQL_ABC_PARETO)})
 
 
 # ---------------------------------------------------------------------------
+# V12 — hybrid retrieval via reciprocal rank fusion (RRF)
+# ---------------------------------------------------------------------------
+
+_V12_TERMS = ["stream", "merge"]
+_V12_POOL = 50  # candidate pool size (per-query top-N, the RRF unit)
+_V12_RRF_K = 60  # the standard RRF damping constant
+
+
+def q_hybrid_rrf(spark, sf_dir):
+    """V12 — hybrid retrieval: BM25 lexical relevance (x39's rational
+    Robertson kernel, one query) fused with a document-quality prior
+    (x13's stopword-ratio signal) by reciprocal rank fusion,
+    rrf = 1/(K+r_lex) + 1/(K+r_qual).  The production shape: the
+    corpus-sized work is exactly one BM25 pass ending in
+    TakeOrderedAndProject (top-50 candidate pool); BOTH rank windows
+    then run on the 50-row pool — RRF always fuses per-query top-N
+    lists, never whole-corpus rankings, so the single-partition
+    ranking is bounded by the pool constant at any corpus size.
+    Ranks are integers and the fusion adds two pinned doubles, so the
+    result is cross-engine exact.  Ties in either ranking break on
+    doc_id (total order)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok")
+    )
+    per_doc = toks.groupBy("doc_id").agg(
+        F.count("*").alias("dl"),
+        *[
+            F.sum(F.when(F.col("tok") == t, 1).otherwise(0))
+            .cast("long")
+            .alias(f"tf_{i}")
+            for i, t in enumerate(_V12_TERMS)
+        ],
+    )
+    glob = per_doc.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").alias("dl_sum"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(_V12_TERMS))
+        ],
+    )
+    avgdl = F.col("dl_sum").cast("double") / F.col("n_docs").cast("double")
+    score = None
+    for i in range(len(_V12_TERMS)):
+        tf = F.col(f"tf_{i}").cast("double")
+        df = F.col(f"df_{i}").cast("double")
+        idf = (F.col("n_docs").cast("double") - df + 0.5) / (df + 0.5)
+        denom = tf + _X39_K1 * (
+            1.0 - _X39_B + _X39_B * F.col("dl").cast("double") / avgdl
+        )
+        s = idf * (tf * (_X39_K1 + 1.0)) / denom
+        score = s if score is None else score + s
+    pool = (
+        per_doc.crossJoin(F.broadcast(glob))
+        .select("doc_id", score.alias("bm25"))
+        .filter(F.col("bm25") > 0)
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(_V12_POOL)
+    )
+    from stampede_to_fresco_etl_spark.operators import text as T
+
+    qual = docs.join(pool, "doc_id").select(
+        "doc_id", "bm25", T.stopword_ratio("text").alias("quality")
+    )
+    w_lex = Window.orderBy(F.col("bm25").desc(), "doc_id")
+    w_q = Window.orderBy(F.col("quality").desc(), "doc_id")
+    ranked = qual.select(
+        "doc_id",
+        "bm25",
+        "quality",
+        F.row_number().over(w_lex).cast("long").alias("rank_lex"),
+        F.row_number().over(w_q).cast("long").alias("rank_qual"),
+    )
+    k = F.lit(float(_V12_RRF_K))
+    rrf = (
+        F.lit(1.0) / (k + F.col("rank_lex").cast("double"))
+        + F.lit(1.0) / (k + F.col("rank_qual").cast("double"))
+    )
+    return ranked.select(
+        "doc_id", "rank_lex", "rank_qual", rrf.alias("rrf_score")
+    )
+
+
+def _sql_hybrid_rrf() -> str:
+    from stampede_to_fresco_etl_spark.operators.text import STOPWORDS
+
+    tf_cols = ",\n         ".join(
+        f"CAST(sum(CASE WHEN tok = '{t}' THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS tf_{i}"
+        for i, t in enumerate(_V12_TERMS)
+    )
+    df_cols = ",\n         ".join(
+        f"sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(_V12_TERMS))
+    )
+    parts = []
+    for i in range(len(_V12_TERMS)):
+        tf = f"CAST(p.tf_{i} AS DOUBLE)"
+        df = f"CAST(g.df_{i} AS DOUBLE)"
+        idf = f"((CAST(g.n_docs AS DOUBLE) - {df} + 0.5) / ({df} + 0.5))"
+        denom = (
+            f"({tf} + {_X39_K1!r} * (1.0 - {_X39_B!r} + {_X39_B!r}"
+            f" * CAST(p.dl AS DOUBLE)"
+            f" / (CAST(g.dl_sum AS DOUBLE) / CAST(g.n_docs AS DOUBLE))))"
+        )
+        parts.append(f"({idf} * ({tf} * {_X39_K1 + 1.0!r}) / {denom})")
+    score = parts[0]
+    for p in parts[1:]:
+        score = f"({score} + {p})"
+    cond = " OR ".join(f"x = '{w}'" for w in STOPWORDS)
+    n_stop = f"CAST(len(list_filter({_D_TOKS}, x -> {cond})) AS BIGINT)"
+    n_tok = f"CAST(len({_D_TOKS}) AS BIGINT)"
+    ratio = f"(CAST({n_stop} AS DOUBLE) / CAST({n_tok} AS DOUBLE))"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, u.tok
+  FROM documents, UNNEST(regexp_split_to_array(trim(text), '\\s+'))
+       AS u(tok)
+),
+p AS (
+  SELECT doc_id, count(*) AS dl,
+         {tf_cols}
+  FROM toks GROUP BY doc_id
+),
+g AS (
+  SELECT count(*) AS n_docs, SUM(dl) AS dl_sum,
+         {df_cols}
+  FROM p
+),
+pool AS (
+  SELECT p.doc_id, {score} AS bm25
+  FROM p CROSS JOIN g
+  WHERE {score} > 0
+  ORDER BY bm25 DESC, p.doc_id
+  LIMIT {_V12_POOL}
+),
+qual AS (
+  SELECT pool.doc_id, pool.bm25, {ratio} AS quality
+  FROM pool JOIN documents ON pool.doc_id = documents.doc_id
+),
+ranked AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT)
+           AS rank_lex,
+         CAST(row_number() OVER (ORDER BY quality DESC, doc_id) AS BIGINT)
+           AS rank_qual
+  FROM qual
+)
+SELECT doc_id, rank_lex, rank_qual,
+       (1.0 / (CAST({_V12_RRF_K} AS DOUBLE) + CAST(rank_lex AS DOUBLE))
+        + 1.0 / (CAST({_V12_RRF_K} AS DOUBLE) + CAST(rank_qual AS DOUBLE)))
+         AS rrf_score
+FROM ranked
+"""
+
+
+REGISTRY.update({"v12_hybrid_rrf": (q_hybrid_rrf, _sql_hybrid_rrf())})
+
+
+# ---------------------------------------------------------------------------
 # Enumeration order: the driver's correctness run covers the first N
 # registry entries per round, so the STALEST queries must enumerate
 # first.  Computed at import time from the CORRECTNESS_r*.json records
@@ -14230,6 +14391,7 @@ _DEFER_NEW: set[str] = {
     "a34_autocorr",
     "w16_ewma",
     "a35_abc_pareto",
+    "v12_hybrid_rrf",
 }
 
 _FRESHNESS = _latest_green_round()

@@ -1677,3 +1677,75 @@ def test_abc_pareto_matches_pandas_scan(spark):
     # Pareto sanity: A-class parts are few but carry most revenue
     if {"A", "C"} <= set(agg):
         assert got.loc["A", "revenue_share"] > got.loc["C", "revenue_share"]
+
+
+# ---------------------------------------------------------------------------
+# v12 — hybrid RRF
+# ---------------------------------------------------------------------------
+
+def test_hybrid_rrf_matches_pure_python(spark):
+    """Rebuild BM25 (rational idf), the top-50 pool, the stopword
+    quality prior, both rankings, and the fusion in pure Python."""
+    from stampede_to_fresco_etl_spark.catalog import (
+        _V12_POOL,
+        _V12_RRF_K,
+        _V12_TERMS,
+        _X39_B,
+        _X39_K1,
+    )
+    from stampede_to_fresco_etl_spark.operators.text import STOPWORDS
+
+    got = (
+        REGISTRY["v12_hybrid_rrf"][0](spark, SF)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    docs = load(spark, SF, "documents").toPandas()
+    toks = {r.doc_id: r.text.strip().split() for r in docs.itertuples()}
+    n_docs = len(toks)
+    dl = {d: len(t) for d, t in toks.items()}
+    avgdl = sum(dl.values()) / n_docs
+    tf = {
+        d: [sum(1 for x in t if x == term) for term in _V12_TERMS]
+        for d, t in toks.items()
+    }
+    df = [
+        sum(1 for d in toks if tf[d][i] > 0)
+        for i in range(len(_V12_TERMS))
+    ]
+    scores = {}
+    for d in toks:
+        s = 0.0
+        for i in range(len(_V12_TERMS)):
+            idf = (n_docs - df[i] + 0.5) / (df[i] + 0.5)
+            denom = tf[d][i] + _X39_K1 * (
+                1.0 - _X39_B + _X39_B * dl[d] / avgdl
+            )
+            s += idf * (tf[d][i] * (_X39_K1 + 1.0)) / denom
+        if s > 0:
+            scores[d] = s
+    pool = sorted(scores, key=lambda d: (-scores[d], d))[:_V12_POOL]
+    qual = {
+        d: sum(1 for x in toks[d] if x in STOPWORDS) / len(toks[d])
+        for d in pool
+    }
+    r_lex = {
+        d: i + 1
+        for i, d in enumerate(sorted(pool, key=lambda d: (-scores[d], d)))
+    }
+    r_q = {
+        d: i + 1
+        for i, d in enumerate(sorted(pool, key=lambda d: (-qual[d], d)))
+    }
+    assert set(got.index) == set(pool)
+    for d in pool:
+        row = got.loc[d]
+        assert row["rank_lex"] == r_lex[d]
+        assert row["rank_qual"] == r_q[d]
+        assert row["rrf_score"] == (
+            1.0 / (_V12_RRF_K + r_lex[d]) + 1.0 / (_V12_RRF_K + r_q[d])
+        )
+    # fusion property: the top RRF doc is strong in at least one list
+    best = max(pool, key=lambda d: (got.loc[d, "rrf_score"]))
+    assert min(r_lex[best], r_q[best]) <= 5
