@@ -14284,6 +14284,145 @@ REGISTRY.update({"v12_hybrid_rrf": (q_hybrid_rrf, _sql_hybrid_rrf())})
 
 
 # ---------------------------------------------------------------------------
+# X44 — data-quality constraint report (Deequ / great-expectations shape)
+# ---------------------------------------------------------------------------
+
+_X44_COLS = ["event_id", "ts", "user_id", "event_type", "value"]
+
+
+def q_dq_report(spark, sf_dir):
+    """X44 — the per-column data-quality profile every ingestion gate
+    runs (Deequ's completeness/uniqueness metrics): for each column,
+    row count, null count, null fraction, and exact distinct count,
+    in ONE aggregate pass over one scan (the multi-countDistinct
+    plans via Spark's Expand — a bounded ×C row amplification that
+    map-side combines, never C scans), then a C-row literal unpivot
+    to the long (column, metric…) report.  The fraction is one
+    exact-integer division.  At 100 TB the exact distincts are the
+    honest cost; the sketch family (k1 KMV / k2 HLL) is the
+    documented approximate drop-in."""
+    e = load(spark, sf_dir, "events")
+    aggs = [F.count("*").alias("n_rows")]
+    for c in _X44_COLS:
+        aggs.append(
+            F.sum(F.col(c).isNull().cast("long")).alias(f"nulls_{c}")
+        )
+        aggs.append(F.countDistinct(c).alias(f"dist_{c}"))
+    one = e.agg(*aggs)
+    rows = []
+    for c in _X44_COLS:
+        rows.append(
+            one.select(
+                F.lit(c).alias("column"),
+                F.col("n_rows"),
+                F.col(f"nulls_{c}").alias("n_nulls"),
+                (
+                    F.col(f"nulls_{c}").cast("double")
+                    / F.col("n_rows").cast("double")
+                ).alias("null_frac"),
+                F.col(f"dist_{c}").alias("n_distinct"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out
+
+
+def _sql_dq_report() -> str:
+    aggs = ["count(*) AS n_rows"]
+    for c in _X44_COLS:
+        aggs.append(
+            f"SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)::BIGINT"
+            f" AS nulls_{c}"
+        )
+        aggs.append(f"count(DISTINCT {c}) AS dist_{c}")
+    arms = []
+    for c in _X44_COLS:
+        arms.append(
+            f"SELECT '{c}' AS column, n_rows, nulls_{c} AS n_nulls,\n"
+            f"       CAST(nulls_{c} AS DOUBLE) / CAST(n_rows AS DOUBLE)"
+            f" AS null_frac,\n"
+            f"       dist_{c} AS n_distinct FROM one"
+        )
+    return (
+        "WITH one AS (\n  SELECT " + ",\n         ".join(aggs)
+        + "\n  FROM events\n)\n"
+        + "\nUNION ALL\n".join(arms)
+    )
+
+
+REGISTRY.update({"x44_dq_report": (q_dq_report, _sql_dq_report())})
+
+
+# ---------------------------------------------------------------------------
+# X45 — PPS systematic sample (probability proportional to size)
+# ---------------------------------------------------------------------------
+
+_X45_K = 100  # target sample size
+
+
+def q_pps_sample(spark, sf_dir):
+    """X45 — deterministic systematic sampling proportional to size
+    (token count): the LLM-mixture primitive that picks k docs with
+    inclusion probability ∝ weight WITHOUT replacement and without
+    any float randomness — order docs by doc_id, take the exact
+    integer cumulative token weight (the Blelloch scan kernel — no
+    single-partition window over the corpus), set stride =
+    total // k, and keep each doc whose cumulative weight crosses a
+    stride boundary: cum // stride > (cum − w) // stride.  All-BIGINT
+    arithmetic end to end, so selection is bit-reproducible across
+    engines and runs (the float Efraimidis–Spirakis exponential-key
+    variant cannot hash-match — pow/ln are not IEEE-pinned; this is
+    the exact-arithmetic industry alternative).  Docs heavier than
+    the stride are always included — the PPS guarantee."""
+    from stampede_to_fresco_etl_spark.operators.order_stats import (
+        prefix_sum_with_running_min,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    wtd = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("w"),
+    )
+    tot = wtd.agg(F.sum("w").alias("total_w"))
+    scanned = prefix_sum_with_running_min(
+        wtd, group_cols=[], order_cols=["doc_id"], value_col="w",
+        out_sum="cum",
+    )
+    return (
+        scanned.crossJoin(F.broadcast(tot))
+        .withColumn("stride", F.expr(f"total_w div {_X45_K}"))
+        # exact BIGINT division (SQL `div`), never a double `/` cast
+        # back to long — double rounding could cross a boundary
+        .filter(F.expr("(cum div stride) > ((cum - w) div stride)"))
+        .select("doc_id", "w", "cum")
+    )
+
+
+SQL_PPS_SAMPLE = f"""
+WITH wtd AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+           AS w
+  FROM documents
+),
+scanned AS (
+  SELECT doc_id, w,
+         SUM(w) OVER (ORDER BY doc_id) AS cum,
+         SUM(w) OVER () AS total_w
+  FROM wtd
+)
+SELECT doc_id, w, CAST(cum AS BIGINT) AS cum
+FROM scanned
+WHERE cum // (total_w // {_X45_K}) > (cum - w) // (total_w // {_X45_K})
+"""
+
+
+REGISTRY.update({"x45_pps_sample": (q_pps_sample, SQL_PPS_SAMPLE)})
+
+
+# ---------------------------------------------------------------------------
 # Enumeration order: the driver's correctness run covers the first N
 # registry entries per round, so the STALEST queries must enumerate
 # first.  Computed at import time from the CORRECTNESS_r*.json records
@@ -14392,6 +14531,8 @@ _DEFER_NEW: set[str] = {
     "w16_ewma",
     "a35_abc_pareto",
     "v12_hybrid_rrf",
+    "x44_dq_report",
+    "x45_pps_sample",
 }
 
 _FRESHNESS = _latest_green_round()

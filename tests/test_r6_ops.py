@@ -1749,3 +1749,62 @@ def test_hybrid_rrf_matches_pure_python(spark):
     # fusion property: the top RRF doc is strong in at least one list
     best = max(pool, key=lambda d: (got.loc[d, "rrf_score"]))
     assert min(r_lex[best], r_q[best]) <= 5
+
+
+# ---------------------------------------------------------------------------
+# x44 — data-quality report
+# ---------------------------------------------------------------------------
+
+def test_dq_report_matches_pandas_profile(spark):
+    from stampede_to_fresco_etl_spark.catalog import _X44_COLS
+
+    got = (
+        REGISTRY["x44_dq_report"][0](spark, SF)
+        .toPandas()
+        .set_index("column")
+    )
+    e = load(spark, SF, "events").select(*_X44_COLS).toPandas()
+    assert set(got.index) == set(_X44_COLS)
+    for c in _X44_COLS:
+        row = got.loc[c]
+        n_nulls = int(e[c].isna().sum())
+        assert row["n_rows"] == len(e)
+        assert row["n_nulls"] == n_nulls
+        assert row["null_frac"] == n_nulls / len(e)
+        assert row["n_distinct"] == e[c].nunique(dropna=True)
+
+
+# ---------------------------------------------------------------------------
+# x45 — PPS systematic sample
+# ---------------------------------------------------------------------------
+
+def test_pps_sample_matches_sequential_scan(spark):
+    from stampede_to_fresco_etl_spark.catalog import _X45_K
+
+    got = (
+        REGISTRY["x45_pps_sample"][0](spark, SF)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    docs = load(spark, SF, "documents").toPandas()
+    w = {
+        r.doc_id: len(r.text.strip().split())
+        for r in docs.itertuples()
+    }
+    total = sum(w.values())
+    stride = total // _X45_K
+    cum = 0
+    expect = {}
+    for d in sorted(w):
+        prev = cum
+        cum += w[d]
+        if cum // stride > prev // stride:
+            expect[d] = (w[d], cum)
+    assert dict(zip(got.index, zip(got.w, got.cum))) == expect
+    # PPS guarantees: ~k docs selected; any doc heavier than the
+    # stride is always included
+    assert abs(len(expect) - _X45_K) <= 2
+    for d, wd in w.items():
+        if wd > stride:
+            assert d in expect
