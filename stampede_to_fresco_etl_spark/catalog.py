@@ -14423,6 +14423,300 @@ REGISTRY.update({"x45_pps_sample": (q_pps_sample, SQL_PPS_SAMPLE)})
 
 
 # ---------------------------------------------------------------------------
+# A36 — robust trend: Theil–Sen slope + Mann–Kendall S
+# ---------------------------------------------------------------------------
+
+def q_robust_trend(spark, sf_dir):
+    """A36 — the robust counterpart of a33's OLS trend: Theil–Sen
+    slope (median of all pairwise slopes — breakdown point 29%) and
+    the Mann–Kendall S statistic (Σ sign(c_j − c_i), the
+    distribution-free trend test), per event type over the daily
+    count series.  The pair stage self-joins the DAILY frame on
+    type with day_i < day_j — pairs are bounded by the SQUARE OF THE
+    CALENDAR SPAN per type (t17's argument squared: ~66k pairs/year,
+    forever), never by data volume; the one data-sized pass is the
+    (type, day) count.  S is pure integer; each slope is ONE double
+    division of two exact integers (identical in both engines), and
+    the median is a positional pick on the bounded pair frame with a
+    (slope, day_i, day_j) total order — lower median at even counts,
+    so no float averaging anywhere."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.floor(F.unix_micros("ts") / F.lit(86_400_000_000))
+        .cast("long")
+        .alias("day"),
+    ).agg(F.count("*").alias("c"))
+    a = daily.select(
+        "event_type",
+        F.col("day").alias("d1"),
+        F.col("c").alias("c1"),
+    )
+    b = daily.select(
+        "event_type",
+        F.col("day").alias("d2"),
+        F.col("c").alias("c2"),
+    )
+    pairs = a.join(b, "event_type").filter(F.col("d1") < F.col("d2"))
+    slopes = pairs.select(
+        "event_type",
+        "d1",
+        "d2",
+        (
+            (F.col("c2") - F.col("c1")).cast("double")
+            / (F.col("d2") - F.col("d1")).cast("double")
+        ).alias("slope"),
+        F.signum((F.col("c2") - F.col("c1")).cast("double"))
+        .cast("long")
+        .alias("sgn"),
+    )
+    w = Window.partitionBy("event_type").orderBy("slope", "d1", "d2")
+    ranked = slopes.select(
+        "event_type",
+        "slope",
+        "sgn",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("event_type")).alias("np"),
+    )
+    return ranked.groupBy("event_type").agg(
+        F.max("np").alias("n_pairs"),
+        F.sum("sgn").alias("mk_s"),
+        # lower-median rank: rn == ceil(np/2)  ⇔  rn*2 == np + np%2
+        F.max(
+            F.when(
+                F.col("rn") * 2 == F.col("np") + (F.col("np") % 2),
+                F.col("slope"),
+            )
+        ).alias("theil_sen_slope"),
+    )
+
+
+SQL_ROBUST_TREND = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+         count(*) AS c
+  FROM events GROUP BY event_type, day
+),
+pairs AS (
+  SELECT a.event_type, a.day AS d1, b.day AS d2,
+         CAST(b.c - a.c AS DOUBLE) / CAST(b.day - a.day AS DOUBLE)
+           AS slope,
+         CAST(CASE WHEN b.c > a.c THEN 1
+                   WHEN b.c < a.c THEN -1 ELSE 0 END AS BIGINT) AS sgn
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.day < b.day
+),
+ranked AS (
+  SELECT event_type, slope, sgn,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY slope, d1, d2) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS np
+  FROM pairs
+)
+SELECT event_type,
+       max(np) AS n_pairs,
+       SUM(sgn) AS mk_s,
+       max(CASE WHEN rn * 2 = np + (np % 2) THEN slope END)
+         AS theil_sen_slope
+FROM ranked GROUP BY event_type
+"""
+
+
+REGISTRY.update({"a36_robust_trend": (q_robust_trend, SQL_ROBUST_TREND)})
+
+
+# ---------------------------------------------------------------------------
+# A37 — Gini coefficient of revenue concentration
+# ---------------------------------------------------------------------------
+
+def q_gini(spark, sf_dir):
+    """A37 — exact Gini coefficient of per-part revenue (a35's
+    concentration surface as one scalar):
+    G = 2·((n+1)·T − Σcum_i) / (n·T) − (n+1)/n over the
+    ASCENDING-sorted revenue prefix sums (the Σ i·x_i identity
+    rewritten in cumulative-sum form so the Blelloch scan kernel
+    supplies the only ordered pass — never a global ranking window).
+    Every accumulation is exact: scaled-BIGINT revenues, BIGINT
+    prefix sums, and the three >int64 products/sums ((n+1)·T, n·T,
+    Σcum) in DECIMAL(38,0) on the Spark side and HUGEINT in DuckDB
+    (a29's exact-wide-integer precedent) — both engines cast the
+    same exact integers to double for the final two divisions."""
+    from stampede_to_fresco_etl_spark.operators.order_stats import (
+        prefix_sum_with_running_min,
+    )
+
+    li = load(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        fsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "rev_i"
+        )
+    )
+    scanned = prefix_sum_with_running_min(
+        rev, group_cols=[], order_cols=["rev_i", "l_partkey"],
+        value_col="rev_i", out_sum="cum",
+    )
+    g = scanned.agg(
+        F.count("*").alias("n"),
+        F.sum("rev_i").alias("total"),
+        F.sum(F.col("cum").cast("decimal(38,0)")).alias("s_cum"),
+    )
+    n_d = F.col("n").cast("decimal(38,0)")
+    t_d = F.col("total").cast("decimal(38,0)")
+    num = (
+        (n_d + F.lit(1).cast("decimal(38,0)")) * t_d - F.col("s_cum")
+    ).cast("double")
+    den = (n_d * t_d).cast("double")
+    gini = (F.lit(2.0) * num) / den - (
+        (F.col("n") + F.lit(1)).cast("double") / F.col("n").cast("double")
+    )
+    return g.select(
+        "n",
+        (F.col("total").cast("double") / F.lit(10000.0)).alias(
+            "total_revenue"
+        ),
+        gini.alias("gini"),
+    )
+
+
+SQL_GINI = f"""
+WITH rev AS (
+  SELECT l_partkey,
+         {FSUM.format(x='l_extendedprice * (1 - l_discount)')} AS rev_i
+  FROM lineitem GROUP BY l_partkey
+),
+scanned AS (
+  SELECT rev_i,
+         SUM(rev_i) OVER (ORDER BY rev_i, l_partkey) AS cum
+  FROM rev
+),
+g AS (
+  SELECT count(*) AS n, SUM(rev_i) AS total, SUM(cum) AS s_cum
+  FROM scanned
+)
+SELECT n,
+       CAST(total AS DOUBLE) / 10000.0 AS total_revenue,
+       (2.0 * CAST((CAST(n AS HUGEINT) + 1) * CAST(total AS HUGEINT)
+                     - CAST(s_cum AS HUGEINT) AS DOUBLE))
+         / CAST(CAST(n AS HUGEINT) * CAST(total AS HUGEINT) AS DOUBLE)
+         - (CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE)) AS gini
+FROM g
+"""
+
+
+REGISTRY.update({"a37_gini": (q_gini, SQL_GINI)})
+
+
+# ---------------------------------------------------------------------------
+# A38 — two-sample Kolmogorov–Smirnov statistic
+# ---------------------------------------------------------------------------
+
+_A38_G1 = "click"
+_A38_G2 = "purchase"
+
+
+def q_ks_two_sample(spark, sf_dir):
+    """A38 — exact two-sample KS statistic between the `value`
+    distributions of two event types: D = max_v |F1(v) − F2(v)|,
+    computed in pure integers via cross-multiplication —
+    D = max |c1(v)·n2 − c2(v)·n1| / (n1·n2) where c_g(v) is the
+    cumulative count of group g at distinct value v.  BOTH running
+    counts ride ONE Blelloch scan pass by packing (cnt1, cnt2) into
+    a single BIGINT as cnt1·2³² + cnt2 — prefix sums distribute over
+    the packing because neither half can carry (each half's total is
+    the group size < 2³¹; a 100 TB run re-packs at 2⁴² or runs the
+    kernel twice).  The only float is the final division of two
+    exact integers.  Distributional drift detection (train/serve
+    skew, A/B sanity) in one pass."""
+    from stampede_to_fresco_etl_spark.operators.order_stats import (
+        prefix_sum_with_running_min,
+    )
+
+    e = (
+        load(spark, sf_dir, "events")
+        .filter(
+            F.col("value").isNotNull()
+            & F.col("event_type").isin(_A38_G1, _A38_G2)
+        )
+        .select("event_type", "value")
+    )
+    per_v = e.groupBy("value").agg(
+        F.sum((F.col("event_type") == _A38_G1).cast("long")).alias("k1"),
+        F.sum((F.col("event_type") == _A38_G2).cast("long")).alias("k2"),
+    )
+    packed = per_v.select(
+        "value",
+        (F.col("k1") * F.lit(1 << 32) + F.col("k2")).alias("pk"),
+    )
+    scanned = prefix_sum_with_running_min(
+        packed, group_cols=[], order_cols=["value"], value_col="pk",
+        out_sum="cum",
+    )
+    c1 = F.shiftright(F.col("cum"), 32)
+    c2 = F.col("cum") - (c1 * F.lit(1 << 32))
+    tot = scanned.agg(F.max("cum").alias("cum_tot")).select(
+        F.shiftright(F.col("cum_tot"), 32).alias("n1"),
+        (
+            F.col("cum_tot")
+            - F.shiftright(F.col("cum_tot"), 32) * F.lit(1 << 32)
+        ).alias("n2"),
+    )
+    return (
+        scanned.crossJoin(F.broadcast(tot))
+        .select(
+            "n1",
+            "n2",
+            F.abs(c1 * F.col("n2") - c2 * F.col("n1")).alias("m"),
+        )
+        .groupBy("n1", "n2")
+        .agg(F.max("m").alias("m_max"))
+        .select(
+            "n1",
+            "n2",
+            (
+                F.col("m_max").cast("double")
+                / (F.col("n1") * F.col("n2")).cast("double")
+            ).alias("ks_d"),
+        )
+    )
+
+
+SQL_KS_TWO_SAMPLE = f"""
+WITH e AS (
+  SELECT event_type, value FROM events
+  WHERE value IS NOT NULL AND event_type IN ('{_A38_G1}', '{_A38_G2}')
+),
+per_v AS (
+  SELECT value,
+         SUM(CASE WHEN event_type = '{_A38_G1}' THEN 1 ELSE 0 END)::BIGINT
+           AS k1,
+         SUM(CASE WHEN event_type = '{_A38_G2}' THEN 1 ELSE 0 END)::BIGINT
+           AS k2
+  FROM e GROUP BY value
+),
+scanned AS (
+  SELECT CAST(SUM(k1 * 4294967296 + k2)
+              OVER (ORDER BY value) AS BIGINT) AS cum
+  FROM per_v
+),
+tot AS (
+  SELECT max(cum) // 4294967296 AS n1,
+         max(cum) % 4294967296 AS n2
+  FROM scanned
+)
+SELECT n1, n2,
+       CAST(max(abs((cum // 4294967296) * n2
+                    - (cum % 4294967296) * n1)) AS DOUBLE)
+         / CAST(n1 * n2 AS DOUBLE) AS ks_d
+FROM scanned CROSS JOIN tot
+GROUP BY n1, n2
+"""
+
+
+REGISTRY.update({"a38_ks_two_sample": (q_ks_two_sample, SQL_KS_TWO_SAMPLE)})
+
+
+# ---------------------------------------------------------------------------
 # Enumeration order: the driver's correctness run covers the first N
 # registry entries per round, so the STALEST queries must enumerate
 # first.  Computed at import time from the CORRECTNESS_r*.json records
@@ -14533,6 +14827,9 @@ _DEFER_NEW: set[str] = {
     "v12_hybrid_rrf",
     "x44_dq_report",
     "x45_pps_sample",
+    "a36_robust_trend",
+    "a37_gini",
+    "a38_ks_two_sample",
 }
 
 _FRESHNESS = _latest_green_round()

@@ -1808,3 +1808,91 @@ def test_pps_sample_matches_sequential_scan(spark):
     for d, wd in w.items():
         if wd > stride:
             assert d in expect
+
+
+# ---------------------------------------------------------------------------
+# a36 — Theil–Sen + Mann–Kendall
+# ---------------------------------------------------------------------------
+
+def test_robust_trend_matches_pure_python(spark):
+    got = (
+        REGISTRY["a36_robust_trend"][0](spark, SF)
+        .toPandas()
+        .set_index("event_type")
+        .sort_index()
+    )
+    e = load(spark, SF, "events").select(
+        "event_type", F.unix_micros("ts").alias("us")
+    ).toPandas()
+    e["day"] = e.us // 86_400_000_000
+    for etype, grp in e.groupby("event_type"):
+        daily = sorted(grp.groupby("day").size().items())
+        slopes = []
+        s = 0
+        for i in range(len(daily)):
+            for j in range(i + 1, len(daily)):
+                (d1, c1), (d2, c2) = daily[i], daily[j]
+                slopes.append(((c2 - c1) / (d2 - d1), d1, d2))
+                s += (c2 > c1) - (c2 < c1)
+        slopes.sort()
+        np_ = len(slopes)
+        lower_median = slopes[(np_ + 1) // 2 - 1][0]
+        row = got.loc[etype]
+        assert row["n_pairs"] == np_
+        assert row["mk_s"] == s
+        assert row["theil_sen_slope"] == lower_median
+
+
+# ---------------------------------------------------------------------------
+# a37 — Gini coefficient
+# ---------------------------------------------------------------------------
+
+def test_gini_matches_numpy(spark):
+    import math
+
+    import numpy as np
+
+    got = REGISTRY["a37_gini"][0](spark, SF).toPandas()
+    li = load(spark, SF, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_discount"
+    ).toPandas()
+    li["rev_i"] = [
+        int(math.floor(p * (1 - d) * 10000.0))
+        for p, d in zip(li.l_extendedprice, li.l_discount)
+    ]
+    x = np.sort(li.groupby("l_partkey").rev_i.sum().to_numpy())
+    n = len(x)
+    gini_ref = (2 * np.sum((np.arange(1, n + 1)) * x)) / (
+        n * x.sum()
+    ) - (n + 1) / n
+    assert len(got) == 1
+    assert got.n[0] == n
+    assert got.total_revenue[0] == int(x.sum()) / 10000.0
+    assert got.gini[0] == pytest.approx(gini_ref, rel=1e-9)
+    assert 0.0 <= got.gini[0] <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# a38 — two-sample KS
+# ---------------------------------------------------------------------------
+
+def test_ks_two_sample_matches_scipy_style_scan(spark):
+    from stampede_to_fresco_etl_spark.catalog import _A38_G1, _A38_G2
+
+    got = REGISTRY["a38_ks_two_sample"][0](spark, SF).toPandas()
+    e = load(spark, SF, "events").select("event_type", "value").toPandas()
+    e = e.dropna(subset=["value"])
+    x1 = sorted(e[e.event_type == _A38_G1].value)
+    x2 = sorted(e[e.event_type == _A38_G2].value)
+    n1, n2 = len(x1), len(x2)
+    vals = sorted(set(x1) | set(x2))
+    import bisect
+
+    m = 0
+    for v in vals:
+        c1 = bisect.bisect_right(x1, v)
+        c2 = bisect.bisect_right(x2, v)
+        m = max(m, abs(c1 * n2 - c2 * n1))
+    assert len(got) == 1
+    assert got.n1[0] == n1 and got.n2[0] == n2
+    assert got.ks_d[0] == m / (n1 * n2)
