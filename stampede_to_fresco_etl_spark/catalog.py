@@ -14717,6 +14717,103 @@ REGISTRY.update({"a38_ks_two_sample": (q_ks_two_sample, SQL_KS_TWO_SAMPLE)})
 
 
 # ---------------------------------------------------------------------------
+# A39 — Mann–Whitney U / exact ROC-AUC
+# ---------------------------------------------------------------------------
+
+def q_rank_auc(spark, sf_dir):
+    """A39 — Mann–Whitney U with tie midranks, and its ROC-AUC
+    equivalence AUC = U1/(n1·n2) — "how well does `value` separate
+    the two event types", the rank-sum twin of a38's KS on the SAME
+    packed-count scan: with per-value counts (k1, k2) and cumulative
+    counts (c1, c2) from one no-carry BIGINT Blelloch pass,
+    2·U1 = Σ_v k1·(2·(c2 − k2) + k2) — every term an exact integer
+    (the ×2 absorbs the ½ tie midrank), so U and AUC are
+    bit-reproducible; the only float is the final division.  The
+    doubling identity: each g1 obs at v beats the c2−k2 g2 obs below
+    it (×2) and half-ties the k2 at it (×1)."""
+    from stampede_to_fresco_etl_spark.operators.order_stats import (
+        prefix_sum_with_running_min,
+    )
+
+    e = (
+        load(spark, sf_dir, "events")
+        .filter(
+            F.col("value").isNotNull()
+            & F.col("event_type").isin(_A38_G1, _A38_G2)
+        )
+        .select("event_type", "value")
+    )
+    per_v = e.groupBy("value").agg(
+        F.sum((F.col("event_type") == _A38_G1).cast("long")).alias("k1"),
+        F.sum((F.col("event_type") == _A38_G2).cast("long")).alias("k2"),
+    )
+    packed = per_v.select(
+        "value",
+        "k1",
+        "k2",
+        (F.col("k1") * F.lit(1 << 32) + F.col("k2")).alias("pk"),
+    )
+    scanned = prefix_sum_with_running_min(
+        packed, group_cols=[], order_cols=["value"], value_col="pk",
+        out_sum="cum",
+    )
+    c2 = F.col("cum") - F.shiftright(F.col("cum"), 32) * F.lit(1 << 32)
+    g = scanned.agg(
+        F.sum("k1").alias("n1"),
+        F.sum("k2").alias("n2"),
+        F.sum(
+            F.col("k1")
+            * (F.lit(2) * (c2 - F.col("k2")) + F.col("k2"))
+        ).alias("u1_x2"),
+    )
+    return g.select(
+        "n1",
+        "n2",
+        (F.col("u1_x2").cast("double") / F.lit(2.0)).alias("u1"),
+        (
+            F.col("u1_x2").cast("double")
+            / (F.lit(2.0) * (F.col("n1") * F.col("n2")).cast("double"))
+        ).alias("auc"),
+    )
+
+
+SQL_RANK_AUC = f"""
+WITH e AS (
+  SELECT event_type, value FROM events
+  WHERE value IS NOT NULL AND event_type IN ('{_A38_G1}', '{_A38_G2}')
+),
+per_v AS (
+  SELECT value,
+         SUM(CASE WHEN event_type = '{_A38_G1}' THEN 1 ELSE 0 END)::BIGINT
+           AS k1,
+         SUM(CASE WHEN event_type = '{_A38_G2}' THEN 1 ELSE 0 END)::BIGINT
+           AS k2
+  FROM e GROUP BY value
+),
+scanned AS (
+  SELECT k1, k2,
+         CAST(SUM(k1 * 4294967296 + k2)
+              OVER (ORDER BY value) AS BIGINT) AS cum
+  FROM per_v
+),
+g AS (
+  SELECT SUM(k1) AS n1, SUM(k2) AS n2,
+         SUM(k1 * (2 * ((cum % 4294967296) - k2) + k2)) AS u1_x2
+  FROM scanned
+)
+SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+       CAST(u1_x2 AS DOUBLE) / 2.0 AS u1,
+       CAST(u1_x2 AS DOUBLE)
+         / (2.0 * CAST(CAST(n1 AS BIGINT) * CAST(n2 AS BIGINT)
+                       AS DOUBLE)) AS auc
+FROM g
+"""
+
+
+REGISTRY.update({"a39_rank_auc": (q_rank_auc, SQL_RANK_AUC)})
+
+
+# ---------------------------------------------------------------------------
 # Enumeration order: the driver's correctness run covers the first N
 # registry entries per round, so the STALEST queries must enumerate
 # first.  Computed at import time from the CORRECTNESS_r*.json records
@@ -14830,6 +14927,7 @@ _DEFER_NEW: set[str] = {
     "a36_robust_trend",
     "a37_gini",
     "a38_ks_two_sample",
+    "a39_rank_auc",
 }
 
 _FRESHNESS = _latest_green_round()

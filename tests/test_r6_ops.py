@@ -1896,3 +1896,31 @@ def test_ks_two_sample_matches_scipy_style_scan(spark):
     assert len(got) == 1
     assert got.n1[0] == n1 and got.n2[0] == n2
     assert got.ks_d[0] == m / (n1 * n2)
+
+
+# ---------------------------------------------------------------------------
+# a39 — Mann–Whitney U / ROC-AUC
+# ---------------------------------------------------------------------------
+
+def test_rank_auc_matches_brute_force(spark):
+    from stampede_to_fresco_etl_spark.catalog import _A38_G1, _A38_G2
+
+    got = REGISTRY["a39_rank_auc"][0](spark, SF).toPandas()
+    e = load(spark, SF, "events").select("event_type", "value").toPandas()
+    e = e.dropna(subset=["value"])
+    x1 = list(e[e.event_type == _A38_G1].value)
+    x2 = list(e[e.event_type == _A38_G2].value)
+    # O(n1·n2) definition: wins + half-ties (doubled to stay integer)
+    u1_x2 = 0
+    import bisect
+
+    x2s = sorted(x2)
+    for v in x1:
+        lo = bisect.bisect_left(x2s, v)
+        hi = bisect.bisect_right(x2s, v)
+        u1_x2 += 2 * lo + (hi - lo)
+    assert len(got) == 1
+    assert got.n1[0] == len(x1) and got.n2[0] == len(x2)
+    assert got.u1[0] == u1_x2 / 2.0
+    assert got.auc[0] == u1_x2 / (2.0 * (len(x1) * len(x2)))
+    assert 0.0 <= got.auc[0] <= 1.0
