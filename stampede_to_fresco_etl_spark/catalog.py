@@ -14814,6 +14814,103 @@ REGISTRY.update({"a39_rank_auc": (q_rank_auc, SQL_RANK_AUC)})
 
 
 # ---------------------------------------------------------------------------
+# A40 — Spearman rank correlation (exact, tie midranks)
+# ---------------------------------------------------------------------------
+
+def q_spearman(spark, sf_dir):
+    """A40 — exact Spearman ρ between per-part total quantity and
+    revenue: midranks with ties kept INTEGER by the ×2 trick
+    (2·midrank(v) = 2·c(v−) + k + 1 = 2·cum − k + 1), each
+    variable's cumulative count from one Blelloch scan over its
+    distinct-value frame, ranks joined back on the value equi-key,
+    then Pearson on the doubled ranks with DECIMAL(38)/HUGEINT
+    moment sums (a29/a37 precedent — 2·rank reaches 4e6 at sf1, so
+    rank products overflow int64 under the sum).  The ×2 cancels in
+    ρ.  Every quantity is an exact integer until the final pinned
+    sqrt/divide, so both engines agree bit-for-bit."""
+    from stampede_to_fresco_etl_spark.operators.order_stats import (
+        prefix_sum_with_running_min,
+    )
+
+    li = load(spark, sf_dir, "lineitem")
+    pp = li.groupBy("l_partkey").agg(
+        fsum(F.col("l_quantity")).alias("x"),
+        fsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "y"
+        ),
+    )
+
+    def ranks(col):
+        per_v = pp.groupBy(col).agg(F.count("*").alias("k"))
+        scanned = prefix_sum_with_running_min(
+            per_v, group_cols=[], order_cols=[col], value_col="k",
+            out_sum="cum",
+        )
+        return scanned.select(
+            col,
+            (
+                F.lit(2) * F.col("cum") - F.col("k") + F.lit(1)
+            ).alias(f"r2_{col}"),
+        )
+
+    ranked = pp.join(ranks("x"), "x").join(ranks("y"), "y")
+    dx = F.col("r2_x").cast("decimal(19,0)")
+    dy = F.col("r2_y").cast("decimal(19,0)")
+    g = ranked.agg(
+        F.count("*").alias("n"),
+        F.sum(dx).alias("sx"),
+        F.sum(dy).alias("sy"),
+        F.sum(dx * dy).alias("sxy"),
+        F.sum(dx * dx).alias("sxx"),
+        F.sum(dy * dy).alias("syy"),
+    )
+    nd = F.col("n").cast("decimal(38,0)")
+    num = (nd * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den1 = (nd * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    den2 = (nd * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return g.select(
+        "n",
+        (num / (F.sqrt(den1) * F.sqrt(den2))).alias("spearman_rho"),
+    )
+
+
+SQL_SPEARMAN = f"""
+WITH pp AS (
+  SELECT l_partkey,
+         {FSUM.format(x='l_quantity')} AS x,
+         {FSUM.format(x='l_extendedprice * (1 - l_discount)')} AS y
+  FROM lineitem GROUP BY l_partkey
+),
+rx AS (
+  SELECT x, 2 * SUM(k) OVER (ORDER BY x) - k + 1 AS r2_x
+  FROM (SELECT x, count(*) AS k FROM pp GROUP BY x)
+),
+ry AS (
+  SELECT y, 2 * SUM(k) OVER (ORDER BY y) - k + 1 AS r2_y
+  FROM (SELECT y, count(*) AS k FROM pp GROUP BY y)
+),
+ranked AS (
+  SELECT CAST(r2_x AS HUGEINT) AS dx, CAST(r2_y AS HUGEINT) AS dy
+  FROM pp JOIN rx USING (x) JOIN ry USING (y)
+),
+g AS (
+  SELECT count(*) AS n, SUM(dx) AS sx, SUM(dy) AS sy,
+         SUM(dx * dy) AS sxy, SUM(dx * dx) AS sxx, SUM(dy * dy) AS syy
+  FROM ranked
+)
+SELECT n,
+       CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+         / (sqrt(CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE))
+            * sqrt(CAST(CAST(n AS HUGEINT) * syy - sy * sy AS DOUBLE)))
+         AS spearman_rho
+FROM g
+"""
+
+
+REGISTRY.update({"a40_spearman": (q_spearman, SQL_SPEARMAN)})
+
+
+# ---------------------------------------------------------------------------
 # Enumeration order: the driver's correctness run covers the first N
 # registry entries per round, so the STALEST queries must enumerate
 # first.  Computed at import time from the CORRECTNESS_r*.json records
@@ -14928,6 +15025,7 @@ _DEFER_NEW: set[str] = {
     "a37_gini",
     "a38_ks_two_sample",
     "a39_rank_auc",
+    "a40_spearman",
 }
 
 _FRESHNESS = _latest_green_round()

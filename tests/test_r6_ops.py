@@ -1924,3 +1924,44 @@ def test_rank_auc_matches_brute_force(spark):
     assert got.u1[0] == u1_x2 / 2.0
     assert got.auc[0] == u1_x2 / (2.0 * (len(x1) * len(x2)))
     assert 0.0 <= got.auc[0] <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# a40 — Spearman rank correlation
+# ---------------------------------------------------------------------------
+
+def test_spearman_matches_scipy_style_midranks(spark):
+    import math
+
+    import numpy as np
+
+    got = REGISTRY["a40_spearman"][0](spark, SF).toPandas()
+    li = load(spark, SF, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    ).toPandas()
+    li["xq"] = [int(math.floor(q * 10000.0)) for q in li.l_quantity]
+    li["yr"] = [
+        int(math.floor(p * (1 - d) * 10000.0))
+        for p, d in zip(li.l_extendedprice, li.l_discount)
+    ]
+    pp = li.groupby("l_partkey").agg(x=("xq", "sum"), y=("yr", "sum"))
+
+    def midranks(vals):
+        order = np.argsort(vals, kind="stable")
+        ranks = np.empty(len(vals))
+        sv = np.asarray(vals)[order]
+        i = 0
+        while i < len(sv):
+            j = i
+            while j + 1 < len(sv) and sv[j + 1] == sv[i]:
+                j += 1
+            ranks[order[i : j + 1]] = (i + j) / 2 + 1
+            i = j + 1
+        return ranks
+
+    rx = midranks(pp.x.to_numpy())
+    ry = midranks(pp.y.to_numpy())
+    rho_ref = np.corrcoef(rx, ry)[0, 1]
+    assert len(got) == 1
+    assert got.n[0] == len(pp)
+    assert got.spearman_rho[0] == pytest.approx(rho_ref, rel=1e-9)
