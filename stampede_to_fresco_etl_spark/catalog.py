@@ -14911,6 +14911,121 @@ REGISTRY.update({"a40_spearman": (q_spearman, SQL_SPEARMAN)})
 
 
 # ---------------------------------------------------------------------------
+# A41 — difference-in-differences estimator
+# ---------------------------------------------------------------------------
+
+_A41_CUT = "2024-01-16 00:00:00"  # pre/post boundary (data spans Jan)
+_A41_SPACE = 1 << 60
+_A41_TREAT = _A41_SPACE // 2  # 50/50 assignment
+
+
+def q_diff_in_diff(spark, sf_dir):
+    """A41 — the 2×2 difference-in-differences estimator: users
+    assigned to treatment/control by the deterministic salted-hash
+    rule (x11's split convention — assignment is data-independent
+    and reproducible), periods split at a fixed boundary, and
+    DiD = (ȳ_T,post − ȳ_T,pre) − (ȳ_C,post − ȳ_C,pre) from four
+    cell means.  One map-combinable aggregate pass builds all four
+    cells (conditional fixed-point sums + counts — a14's conditional-
+    aggregation shape); the cell means and the DiD combination are
+    pinned double arithmetic over exact integers.  The experiment-
+    analysis primitive on top of a25's Welch t."""
+    e = load(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("user_id").isNotNull()
+    )
+    h = F.pmod(
+        md5_int63(F.col("user_id").cast("string"), salt="did"),
+        F.lit(_A41_SPACE),
+    )
+    tagged = e.select(
+        F.when(h < F.lit(_A41_TREAT), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("treated"),
+        F.when(
+            F.col("ts") >= F.lit(_A41_CUT).cast("timestamp"), F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .alias("post"),
+        "value",
+    )
+    cells = []
+    for t in (0, 1):
+        for p in (0, 1):
+            m = (F.col("treated") == t) & (F.col("post") == p)
+            cells.append(
+                fsum(F.when(m, F.col("value"))).alias(f"s_{t}{p}")
+            )
+            cells.append(
+                F.sum(m.cast("long")).alias(f"n_{t}{p}")
+            )
+    g = tagged.agg(*cells)
+
+    def mean(t, p):
+        return (
+            F.col(f"s_{t}{p}").cast("double") / F.lit(10000.0)
+        ) / F.col(f"n_{t}{p}").cast("double")
+
+    did = (mean(1, 1) - mean(1, 0)) - (mean(0, 1) - mean(0, 0))
+    return g.select(
+        F.col("n_00"),
+        F.col("n_01"),
+        F.col("n_10"),
+        F.col("n_11"),
+        mean(0, 0).alias("mean_c_pre"),
+        mean(0, 1).alias("mean_c_post"),
+        mean(1, 0).alias("mean_t_pre"),
+        mean(1, 1).alias("mean_t_post"),
+        did.alias("did"),
+    )
+
+
+def _sql_diff_in_diff() -> str:
+    h = md5_int63_sql("CAST(user_id AS VARCHAR)", salt="did")
+    cells = []
+    for t in (0, 1):
+        for p in (0, 1):
+            m = f"treated = {t} AND post = {p}"
+            cells.append(
+                f"SUM(CASE WHEN {m} THEN"
+                f" CAST(FLOOR(value * 10000.0) AS BIGINT) END) AS s_{t}{p}"
+            )
+            cells.append(
+                f"SUM(CASE WHEN {m} THEN 1 ELSE 0 END)::BIGINT AS n_{t}{p}"
+            )
+
+    def mean(t, p):
+        return (
+            f"((CAST(s_{t}{p} AS DOUBLE) / 10000.0)"
+            f" / CAST(n_{t}{p} AS DOUBLE))"
+        )
+
+    did = (
+        f"(({mean(1,1)} - {mean(1,0)}) - ({mean(0,1)} - {mean(0,0)}))"
+    )
+    return f"""
+WITH tagged AS (
+  SELECT CASE WHEN {h} % {_A41_SPACE} < {_A41_TREAT}
+              THEN 1 ELSE 0 END AS treated,
+         CASE WHEN ts >= TIMESTAMP '{_A41_CUT}' THEN 1 ELSE 0 END AS post,
+         value
+  FROM events
+  WHERE value IS NOT NULL AND user_id IS NOT NULL
+),
+g AS (
+  SELECT {', '.join(cells)} FROM tagged
+)
+SELECT n_00, n_01, n_10, n_11,
+       {mean(0,0)} AS mean_c_pre, {mean(0,1)} AS mean_c_post,
+       {mean(1,0)} AS mean_t_pre, {mean(1,1)} AS mean_t_post,
+       {did} AS did
+FROM g
+"""
+
+
+REGISTRY.update({"a41_diff_in_diff": (q_diff_in_diff, _sql_diff_in_diff())})
+
+
+# ---------------------------------------------------------------------------
 # Enumeration order: the driver's correctness run covers the first N
 # registry entries per round, so the STALEST queries must enumerate
 # first.  Computed at import time from the CORRECTNESS_r*.json records
@@ -15026,6 +15141,7 @@ _DEFER_NEW: set[str] = {
     "a38_ks_two_sample",
     "a39_rank_auc",
     "a40_spearman",
+    "a41_diff_in_diff",
 }
 
 _FRESHNESS = _latest_green_round()

@@ -1965,3 +1965,45 @@ def test_spearman_matches_scipy_style_midranks(spark):
     assert len(got) == 1
     assert got.n[0] == len(pp)
     assert got.spearman_rho[0] == pytest.approx(rho_ref, rel=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# a41 — difference-in-differences
+# ---------------------------------------------------------------------------
+
+def test_diff_in_diff_matches_pandas_cells(spark):
+    import math
+
+    from stampede_to_fresco_etl_spark.catalog import (
+        _A41_CUT,
+        _A41_SPACE,
+        _A41_TREAT,
+    )
+
+    got = REGISTRY["a41_diff_in_diff"][0](spark, SF).toPandas()
+    e = load(spark, SF, "events").select(
+        "user_id", "ts", "value"
+    ).toPandas().dropna(subset=["user_id", "value"])
+    cut = pd.Timestamp(_A41_CUT)
+    cells = {}
+    for r in e.itertuples():
+        t = int(
+            _md5_int63(f"did:{int(r.user_id)}") % _A41_SPACE < _A41_TREAT
+        )
+        p = int(r.ts >= cut)
+        s, n = cells.get((t, p), (0, 0))
+        cells[(t, p)] = (s + int(math.floor(r.value * 10000.0)), n + 1)
+
+    def mean(t, p):
+        s, n = cells[(t, p)]
+        return (s / 10000.0) / n
+
+    assert len(got) == 1
+    for t in (0, 1):
+        for p in (0, 1):
+            assert got[f"n_{t}{p}"][0] == cells[(t, p)][1]
+    assert got.mean_c_pre[0] == mean(0, 0)
+    assert got.mean_t_post[0] == mean(1, 1)
+    assert got.did[0] == (mean(1, 1) - mean(1, 0)) - (
+        mean(0, 1) - mean(0, 0)
+    )
