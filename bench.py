@@ -98,6 +98,10 @@ EXTENSION = [
     "k2_hll_distinct",  # new r6: HyperLogLog register fold
     "x34_curation_funnel",  # new r6: 5-stage curation capstone
     "s30_zorder_layout",  # new r6: Morton layout audit
+    "a35_abc_pareto",  # new r6b: Blelloch-scan cumulative share
+    "a38_ks_two_sample",  # new r6b: packed-count KS scan
+    "v12_hybrid_rrf",  # new r6b: BM25 + quality RRF fusion
+    "x45_pps_sample",  # new r6b: integer PPS systematic sample
 ]
 
 HEADLINE = CORE + EXTENSION
