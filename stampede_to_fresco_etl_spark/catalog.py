@@ -15026,6 +15026,120 @@ REGISTRY.update({"a41_diff_in_diff": (q_diff_in_diff, _sql_diff_in_diff())})
 
 
 # ---------------------------------------------------------------------------
+# A42 — chi-square independence + Cramér's V
+# ---------------------------------------------------------------------------
+
+_A42_TYPES = ["click", "view", "purchase", "signup", "error"]
+_A42_DOWS = list(range(7))  # epoch-day mod 7
+
+
+def q_cramers_v(spark, sf_dir):
+    """A42 — chi-square independence test + Cramér's V between
+    event_type and day-of-week: the 5×7 contingency table is built
+    by ONE conditional-aggregate pass (35 map-combinable cells — the
+    a41/a14 shape, never a pivot shuffle), and
+    χ² = N·(Σ O²/(R·C) − 1) is assembled from the EXPLICIT 35-term
+    left-associative sum (w16's pinning technique: a groupBy SUM over
+    cells would be order-dependent float; 35 generated column adds
+    are bit-identical in both engines).  Each term is one double
+    division of exact integers (O² ≤ 4e11/cell at sf1; R·C in
+    DECIMAL/BIGINT range).  V = sqrt(χ²/(N·min(r−1,c−1))).  Day-of-
+    week = epoch-day mod 7 (deterministic, calendar-library-free)."""
+    e = load(spark, sf_dir, "events")
+    tagged = e.select(
+        "event_type",
+        F.pmod(
+            F.floor(F.unix_micros("ts") / F.lit(86_400_000_000)).cast(
+                "long"
+            ),
+            F.lit(7),
+        ).alias("dow"),
+    )
+    aggs = [F.count("*").alias("n")]
+    for t in _A42_TYPES:
+        aggs.append(
+            F.sum((F.col("event_type") == t).cast("long")).alias(
+                f"r_{t}"
+            )
+        )
+    for d in _A42_DOWS:
+        aggs.append(
+            F.sum((F.col("dow") == d).cast("long")).alias(f"c_{d}")
+        )
+    for t in _A42_TYPES:
+        for d in _A42_DOWS:
+            aggs.append(
+                F.sum(
+                    (
+                        (F.col("event_type") == t) & (F.col("dow") == d)
+                    ).cast("long")
+                ).alias(f"o_{t}_{d}")
+            )
+    g = tagged.agg(*aggs)
+    acc = None
+    for t in _A42_TYPES:
+        for d in _A42_DOWS:
+            o = F.col(f"o_{t}_{d}")
+            term = (o * o).cast("double") / (
+                F.col(f"r_{t}") * F.col(f"c_{d}")
+            ).cast("double")
+            acc = term if acc is None else acc + term
+    n_d = F.col("n").cast("double")
+    chi2 = n_d * (acc - F.lit(1.0))
+    k = min(len(_A42_TYPES) - 1, len(_A42_DOWS) - 1)
+    v = F.sqrt(chi2 / (n_d * F.lit(float(k))))
+    return g.select("n", chi2.alias("chi2"), v.alias("cramers_v"))
+
+
+def _sql_cramers_v() -> str:
+    aggs = ["count(*) AS n"]
+    for t in _A42_TYPES:
+        aggs.append(
+            f"SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END)::BIGINT"
+            f" AS r_{t}"
+        )
+    for d in _A42_DOWS:
+        aggs.append(
+            f"SUM(CASE WHEN dow = {d} THEN 1 ELSE 0 END)::BIGINT AS c_{d}"
+        )
+    for t in _A42_TYPES:
+        for d in _A42_DOWS:
+            aggs.append(
+                f"SUM(CASE WHEN event_type = '{t}' AND dow = {d}"
+                f" THEN 1 ELSE 0 END)::BIGINT AS o_{t}_{d}"
+            )
+    terms = []
+    for t in _A42_TYPES:
+        for d in _A42_DOWS:
+            terms.append(
+                f"(CAST(o_{t}_{d} * o_{t}_{d} AS DOUBLE)"
+                f" / CAST(r_{t} * c_{d} AS DOUBLE))"
+            )
+    acc = terms[0]
+    for x in terms[1:]:
+        acc = f"({acc} + {x})"
+    k = min(len(_A42_TYPES) - 1, len(_A42_DOWS) - 1)
+    chi2 = f"(CAST(n AS DOUBLE) * ({acc} - 1.0))"
+    return f"""
+WITH tagged AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) % 7 AS dow
+  FROM events
+),
+g AS (
+  SELECT {', '.join(aggs)} FROM tagged
+)
+SELECT n, {chi2} AS chi2,
+       sqrt({chi2} / (CAST(n AS DOUBLE) * CAST({k} AS DOUBLE)))
+         AS cramers_v
+FROM g
+"""
+
+
+REGISTRY.update({"a42_cramers_v": (q_cramers_v, _sql_cramers_v())})
+
+
+# ---------------------------------------------------------------------------
 # Enumeration order: the driver's correctness run covers the first N
 # registry entries per round, so the STALEST queries must enumerate
 # first.  Computed at import time from the CORRECTNESS_r*.json records
@@ -15142,6 +15256,7 @@ _DEFER_NEW: set[str] = {
     "a39_rank_auc",
     "a40_spearman",
     "a41_diff_in_diff",
+    "a42_cramers_v",
 }
 
 _FRESHNESS = _latest_green_round()

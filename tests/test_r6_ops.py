@@ -2007,3 +2007,29 @@ def test_diff_in_diff_matches_pandas_cells(spark):
     assert got.did[0] == (mean(1, 1) - mean(1, 0)) - (
         mean(0, 1) - mean(0, 0)
     )
+
+
+# ---------------------------------------------------------------------------
+# a42 — chi-square / Cramér's V
+# ---------------------------------------------------------------------------
+
+def test_cramers_v_matches_numpy_contingency(spark):
+    import numpy as np
+
+    got = REGISTRY["a42_cramers_v"][0](spark, SF).toPandas()
+    e = load(spark, SF, "events").select(
+        "event_type", F.unix_micros("ts").alias("us")
+    ).toPandas()
+    e["dow"] = (e.us // 86_400_000_000) % 7
+    ct = pd.crosstab(e.event_type, e.dow).to_numpy()
+    n = ct.sum()
+    expected = np.outer(ct.sum(axis=1), ct.sum(axis=0)) / n
+    chi2_ref = ((ct - expected) ** 2 / expected).sum()
+    k = min(ct.shape[0] - 1, ct.shape[1] - 1)
+    assert len(got) == 1
+    assert got.n[0] == n
+    assert got.chi2[0] == pytest.approx(chi2_ref, rel=1e-9)
+    assert got.cramers_v[0] == pytest.approx(
+        np.sqrt(chi2_ref / (n * k)), rel=1e-9
+    )
+    assert 0.0 <= got.cramers_v[0] <= 1.0
