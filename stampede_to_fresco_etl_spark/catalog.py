@@ -15140,6 +15140,74 @@ REGISTRY.update({"a42_cramers_v": (q_cramers_v, _sql_cramers_v())})
 
 
 # ---------------------------------------------------------------------------
+# X46 — per-source template (common-prefix boilerplate) extraction
+# ---------------------------------------------------------------------------
+
+_X46_MAXP = 64  # template prefix cap (chars)
+
+
+def q_source_templates(spark, sf_dir):
+    """X46 — extract each source's shared boilerplate prefix (the
+    scraped-site template header d13 counts but never shows), using
+    the classic order-statistics identity: the longest common prefix
+    of a SET of strings equals LCP(min(s), max(s)) — so the corpus
+    pass is ONE min/max string aggregate per source (map-combinable,
+    no pairwise anything), and the LCP itself is computed on the
+    #sources-row dimension frame as Σ_{i≤64} [substr(min,1,i) =
+    substr(max,1,i)] — pure integer indicator sums (no float-order
+    concern), capped at 64 chars and clamped by both string lengths
+    for the equal-strings edge.  Output: source, doc count, template
+    length, and the template string itself."""
+    docs = load(spark, sf_dir, "documents")
+    g = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.min("text").alias("lo"),
+        F.max("text").alias("hi"),
+    )
+    ind = None
+    for i in range(1, _X46_MAXP + 1):
+        t = (
+            F.substring("lo", 1, i) == F.substring("hi", 1, i)
+        ).cast("long")
+        ind = t if ind is None else ind + t
+    lcp = F.least(
+        ind, F.length("lo").cast("long"), F.length("hi").cast("long")
+    )
+    return g.withColumn("__lcp", lcp).select(
+        "source",
+        "n_docs",
+        F.col("__lcp").alias("template_len"),
+        # dynamic-length substring needs the SQL expression form
+        F.expr("substring(lo, 1, CAST(__lcp AS INT))").alias("template"),
+    )
+
+
+def _sql_source_templates() -> str:
+    ind = " + ".join(
+        f"CASE WHEN substring(lo, 1, {i}) = substring(hi, 1, {i})"
+        f" THEN 1 ELSE 0 END"
+        for i in range(1, _X46_MAXP + 1)
+    )
+    lcp = f"LEAST({ind}, length(lo), length(hi))"
+    return f"""
+WITH g AS (
+  SELECT source, count(*) AS n_docs,
+         min(text) AS lo, max(text) AS hi
+  FROM documents GROUP BY source
+)
+SELECT source, n_docs,
+       CAST({lcp} AS BIGINT) AS template_len,
+       substring(lo, 1, CAST({lcp} AS INT)) AS template
+FROM g
+"""
+
+
+REGISTRY.update(
+    {"x46_source_templates": (q_source_templates, _sql_source_templates())}
+)
+
+
+# ---------------------------------------------------------------------------
 # Enumeration order: the driver's correctness run covers the first N
 # registry entries per round, so the STALEST queries must enumerate
 # first.  Computed at import time from the CORRECTNESS_r*.json records
@@ -15257,6 +15325,7 @@ _DEFER_NEW: set[str] = {
     "a40_spearman",
     "a41_diff_in_diff",
     "a42_cramers_v",
+    "x46_source_templates",
 }
 
 _FRESHNESS = _latest_green_round()

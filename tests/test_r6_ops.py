@@ -2033,3 +2033,29 @@ def test_cramers_v_matches_numpy_contingency(spark):
         np.sqrt(chi2_ref / (n * k)), rel=1e-9
     )
     assert 0.0 <= got.cramers_v[0] <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# x46 — source templates (min/max LCP)
+# ---------------------------------------------------------------------------
+
+def test_source_templates_match_direct_lcp(spark):
+    """The min/max-LCP identity vs the DIRECT all-strings common
+    prefix, plus the 64-char cap."""
+    import os
+
+    from stampede_to_fresco_etl_spark.catalog import _X46_MAXP
+
+    got = (
+        REGISTRY["x46_source_templates"][0](spark, SF)
+        .toPandas()
+        .set_index("source")
+    )
+    docs = load(spark, SF, "documents").toPandas()
+    for src, grp in docs.groupby("source"):
+        texts = list(grp.text)
+        pfx = os.path.commonprefix(texts)[:_X46_MAXP]
+        row = got.loc[src]
+        assert row["n_docs"] == len(texts)
+        assert row["template_len"] == len(pfx)
+        assert row["template"] == pfx
