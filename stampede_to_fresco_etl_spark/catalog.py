@@ -15208,6 +15208,93 @@ REGISTRY.update(
 
 
 # ---------------------------------------------------------------------------
+# X47 — token-weighted median quality per language
+# ---------------------------------------------------------------------------
+
+def q_token_weighted_median(spark, sf_dir):
+    """X47 — the quality score the MEDIAN TOKEN sees, per language:
+    doc-level medians over-weight short docs, but training mixes by
+    tokens, so the curation-relevant center is the token-weighted
+    median of the per-doc quality signal (stopword ratio).  Kernel:
+    per-doc (ratio, token weight) → grouped Blelloch scan over
+    (lang) ordered by (ratio, doc_id) for exact integer cumulative
+    weights → the lower weighted median is the FIRST row where
+    2·cum ≥ W, picked by an integer filter + one min per group
+    (no ranking window).  The ratio itself is a deterministic
+    exact-integer division; ties and selection are all integer."""
+    from stampede_to_fresco_etl_spark.operators import text as T
+    from stampede_to_fresco_etl_spark.operators.order_stats import (
+        prefix_sum_with_running_min,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    pd_ = docs.select(
+        "doc_id",
+        "lang",
+        T.stopword_ratio("text").alias("ratio"),
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("w"),
+    )
+    scanned = prefix_sum_with_running_min(
+        pd_, group_cols=["lang"], order_cols=["ratio", "doc_id"],
+        value_col="w", out_sum="cum",
+    )
+    tot = scanned.groupBy("lang").agg(F.max("cum").alias("wtot"))
+    hit = (
+        scanned.join(tot, "lang")
+        .filter(F.lit(2) * F.col("cum") >= F.col("wtot"))
+        .groupBy("lang")
+        .agg(
+            F.max("wtot").alias("total_tokens"),
+            F.min_by(
+                F.col("ratio"), F.struct("cum", "doc_id")
+            ).alias("weighted_median_ratio"),
+        )
+    )
+    return hit.select("lang", "total_tokens", "weighted_median_ratio")
+
+
+def _sql_token_weighted_median() -> str:
+    from stampede_to_fresco_etl_spark.operators.text import STOPWORDS
+
+    cond = " OR ".join(f"x = '{w}'" for w in STOPWORDS)
+    n_stop = f"CAST(len(list_filter({_D_TOKS}, x -> {cond})) AS BIGINT)"
+    n_tok = f"CAST(len({_D_TOKS}) AS BIGINT)"
+    ratio = f"(CAST({n_stop} AS DOUBLE) / CAST({n_tok} AS DOUBLE))"
+    return f"""
+WITH pd AS (
+  SELECT doc_id, lang, {ratio} AS ratio, {n_tok} AS w
+  FROM documents
+),
+scanned AS (
+  SELECT lang, doc_id, ratio, w,
+         SUM(w) OVER (PARTITION BY lang
+                      ORDER BY ratio, doc_id) AS cum,
+         SUM(w) OVER (PARTITION BY lang) AS wtot
+  FROM pd
+),
+hits AS (
+  SELECT lang, ratio, cum, doc_id, wtot,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY cum, doc_id) AS rn
+  FROM scanned WHERE 2 * cum >= wtot
+)
+SELECT lang, CAST(wtot AS BIGINT) AS total_tokens,
+       ratio AS weighted_median_ratio
+FROM hits WHERE rn = 1
+"""
+
+
+REGISTRY.update(
+    {
+        "x47_token_weighted_median": (
+            q_token_weighted_median,
+            _sql_token_weighted_median(),
+        )
+    }
+)
+
+
+# ---------------------------------------------------------------------------
 # Enumeration order: the driver's correctness run covers the first N
 # registry entries per round, so the STALEST queries must enumerate
 # first.  Computed at import time from the CORRECTNESS_r*.json records
@@ -15326,6 +15413,7 @@ _DEFER_NEW: set[str] = {
     "a41_diff_in_diff",
     "a42_cramers_v",
     "x46_source_templates",
+    "x47_token_weighted_median",
 }
 
 _FRESHNESS = _latest_green_round()

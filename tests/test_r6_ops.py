@@ -2059,3 +2059,40 @@ def test_source_templates_match_direct_lcp(spark):
         assert row["n_docs"] == len(texts)
         assert row["template_len"] == len(pfx)
         assert row["template"] == pfx
+
+
+# ---------------------------------------------------------------------------
+# x47 — token-weighted median
+# ---------------------------------------------------------------------------
+
+def test_token_weighted_median_matches_sequential(spark):
+    from stampede_to_fresco_etl_spark.operators.text import STOPWORDS
+
+    got = (
+        REGISTRY["x47_token_weighted_median"][0](spark, SF)
+        .toPandas()
+        .set_index("lang")
+    )
+    docs = load(spark, SF, "documents").toPandas()
+    rows = []
+    for r in docs.itertuples():
+        toks = r.text.strip().split()
+        ratio = sum(1 for x in toks if x in STOPWORDS) / len(toks)
+        rows.append((r.lang, ratio, r.doc_id, len(toks)))
+    import collections
+
+    by_lang = collections.defaultdict(list)
+    for lang, ratio, did, w in rows:
+        by_lang[lang].append((ratio, did, w))
+    assert set(got.index) == set(by_lang)
+    for lang, items in by_lang.items():
+        items.sort()
+        wtot = sum(w for _, _, w in items)
+        cum = 0
+        for ratio, _, w in items:
+            cum += w
+            if 2 * cum >= wtot:
+                break
+        row = got.loc[lang]
+        assert row["total_tokens"] == wtot
+        assert row["weighted_median_ratio"] == ratio
