@@ -15295,6 +15295,153 @@ REGISTRY.update(
 
 
 # ---------------------------------------------------------------------------
+# U7 — snapshot reconciliation report (datacompy shape)
+# ---------------------------------------------------------------------------
+
+def q_reconcile(spark, sf_dir):
+    """U7 — the two-snapshot reconciliation report every migration
+    signs off on (datacompy/reconcile shape): given versions A and B
+    of the event table (derived here by deterministic arithmetic
+    rules so the oracle sees identical versions), classify every key
+    as only_a / only_b / changed / identical with ONE full outer
+    join on the key and a 4-way CASE — never four separate
+    anti/semi-joins over the data.  Count + per-class fixed-point
+    value delta sum; all integer until the one descale division.
+    u4/u6 are the set-algebra primitives; u7 is the operational
+    report built on them."""
+    e = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    v = F.floor(F.col("value") * F.lit(10000.0)).cast("long")
+    a = e.filter(F.col("event_id") % 3 != 0).select(
+        "event_id", v.alias("va")
+    )
+    b = e.filter(F.col("event_id") % 5 != 0).select(
+        "event_id",
+        F.when(F.col("event_id") % 7 == 0, v * F.lit(2))
+        .otherwise(v)
+        .alias("vb"),
+    )
+    j = a.join(b, "event_id", "full_outer")
+    cls = (
+        F.when(F.col("vb").isNull(), "only_a")
+        .when(F.col("va").isNull(), "only_b")
+        .when(F.col("va") != F.col("vb"), "changed")
+        .otherwise("identical")
+    )
+    return (
+        j.select(
+            cls.alias("status"),
+            F.coalesce(F.col("vb"), F.lit(0)).alias("vb0"),
+            F.coalesce(F.col("va"), F.lit(0)).alias("va0"),
+        )
+        .groupBy("status")
+        .agg(
+            F.count("*").alias("n_keys"),
+            (
+                F.sum(F.col("vb0") - F.col("va0")).cast("double")
+                / F.lit(10000.0)
+            ).alias("value_delta"),
+        )
+    )
+
+
+SQL_RECONCILE = """
+WITH e AS (
+  SELECT event_id, CAST(FLOOR(value * 10000.0) AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL
+),
+a AS (
+  SELECT event_id, v AS va FROM e WHERE event_id % 3 <> 0
+),
+b AS (
+  SELECT event_id,
+         CASE WHEN event_id % 7 = 0 THEN v * 2 ELSE v END AS vb
+  FROM e WHERE event_id % 5 <> 0
+),
+j AS (
+  SELECT COALESCE(a.event_id, b.event_id) AS event_id, va, vb
+  FROM a FULL OUTER JOIN b ON a.event_id = b.event_id
+)
+SELECT CASE WHEN vb IS NULL THEN 'only_a'
+            WHEN va IS NULL THEN 'only_b'
+            WHEN va <> vb THEN 'changed'
+            ELSE 'identical' END AS status,
+       count(*) AS n_keys,
+       CAST(SUM(COALESCE(vb, 0) - COALESCE(va, 0)) AS DOUBLE) / 10000.0
+         AS value_delta
+FROM j GROUP BY status
+"""
+
+
+REGISTRY.update({"u7_reconcile": (q_reconcile, SQL_RECONCILE)})
+
+
+# ---------------------------------------------------------------------------
+# X48 — heavy-change token detection (distribution drift)
+# ---------------------------------------------------------------------------
+
+_X48_TOPK = 20
+_X48_SPACE = 1 << 60
+
+
+def q_heavy_change(spark, sf_dir):
+    """X48 — heavy-CHANGE detection between two corpus halves (the
+    drift question CMS-difference sketches answer approximately,
+    exact here): split docs deterministically by salted hash, count
+    each token's frequency on both sides in ONE conditional
+    aggregate over the exploded tokens, score |n_a − n_b| (pure
+    integer), and TakeOrdered the top 20 with a token tiebreak.
+    The vocabulary-drift screen run between crawl snapshots; pairs
+    with a38's KS (numeric drift) on the text side."""
+    docs = load(spark, sf_dir, "documents")
+    h = F.pmod(
+        md5_int63(F.col("doc_id").cast("string"), salt="drift"),
+        F.lit(_X48_SPACE),
+    )
+    tagged = docs.select(
+        (h < F.lit(_X48_SPACE // 2)).alias("in_a"),
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"),
+    )
+    cnt = tagged.groupBy("tok").agg(
+        F.sum(F.col("in_a").cast("long")).alias("n_a"),
+        F.sum((~F.col("in_a")).cast("long")).alias("n_b"),
+    )
+    return (
+        cnt.select(
+            "tok",
+            "n_a",
+            "n_b",
+            F.abs(F.col("n_a") - F.col("n_b")).alias("abs_change"),
+        )
+        .orderBy(F.col("abs_change").desc(), "tok")
+        .limit(_X48_TOPK)
+    )
+
+
+def _sql_heavy_change() -> str:
+    h = md5_int63_sql("CAST(doc_id AS VARCHAR)", salt="drift")
+    return f"""
+WITH tagged AS (
+  SELECT ({h} % {_X48_SPACE} < {_X48_SPACE // 2}) AS in_a, u.tok
+  FROM documents,
+       UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS u(tok)
+),
+cnt AS (
+  SELECT tok,
+         SUM(CASE WHEN in_a THEN 1 ELSE 0 END)::BIGINT AS n_a,
+         SUM(CASE WHEN in_a THEN 0 ELSE 1 END)::BIGINT AS n_b
+  FROM tagged GROUP BY tok
+)
+SELECT tok, n_a, n_b, abs(n_a - n_b) AS abs_change
+FROM cnt
+ORDER BY abs_change DESC, tok
+LIMIT {_X48_TOPK}
+"""
+
+
+REGISTRY.update({"x48_heavy_change": (q_heavy_change, _sql_heavy_change())})
+
+
+# ---------------------------------------------------------------------------
 # Enumeration order: the driver's correctness run covers the first N
 # registry entries per round, so the STALEST queries must enumerate
 # first.  Computed at import time from the CORRECTNESS_r*.json records
@@ -15414,6 +15561,8 @@ _DEFER_NEW: set[str] = {
     "a42_cramers_v",
     "x46_source_templates",
     "x47_token_weighted_median",
+    "u7_reconcile",
+    "x48_heavy_change",
 }
 
 _FRESHNESS = _latest_green_round()

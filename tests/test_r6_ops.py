@@ -2096,3 +2096,77 @@ def test_token_weighted_median_matches_sequential(spark):
         row = got.loc[lang]
         assert row["total_tokens"] == wtot
         assert row["weighted_median_ratio"] == ratio
+
+
+# ---------------------------------------------------------------------------
+# u7 — reconciliation report
+# ---------------------------------------------------------------------------
+
+def test_reconcile_matches_pandas_classes(spark):
+    import math
+
+    got = (
+        REGISTRY["u7_reconcile"][0](spark, SF)
+        .toPandas()
+        .set_index("status")
+    )
+    e = load(spark, SF, "events").select("event_id", "value").toPandas()
+    e = e.dropna(subset=["value"])
+    v = {
+        int(r.event_id): int(math.floor(r.value * 10000.0))
+        for r in e.itertuples()
+    }
+    a = {k: x for k, x in v.items() if k % 3 != 0}
+    b = {
+        k: (x * 2 if k % 7 == 0 else x)
+        for k, x in v.items()
+        if k % 5 != 0
+    }
+    agg = {}
+    for k in set(a) | set(b):
+        if k not in b:
+            st = "only_a"
+        elif k not in a:
+            st = "only_b"
+        elif a[k] != b[k]:
+            st = "changed"
+        else:
+            st = "identical"
+        n, d = agg.get(st, (0, 0))
+        agg[st] = (n + 1, d + b.get(k, 0) - a.get(k, 0))
+    assert set(got.index) == set(agg)
+    for st, (n, d) in agg.items():
+        assert got.loc[st, "n_keys"] == n
+        assert got.loc[st, "value_delta"] == d / 10000.0
+
+
+# ---------------------------------------------------------------------------
+# x48 — heavy-change tokens
+# ---------------------------------------------------------------------------
+
+def test_heavy_change_matches_counter_diff(spark):
+    import collections
+
+    from stampede_to_fresco_etl_spark.catalog import _X48_SPACE, _X48_TOPK
+
+    got = REGISTRY["x48_heavy_change"][0](spark, SF).toPandas()
+    docs = load(spark, SF, "documents").toPandas()
+    ca: collections.Counter = collections.Counter()
+    cb: collections.Counter = collections.Counter()
+    for r in docs.itertuples():
+        side = (
+            ca
+            if _md5_int63(f"drift:{r.doc_id}") % _X48_SPACE
+            < _X48_SPACE // 2
+            else cb
+        )
+        side.update(r.text.strip().split())
+    scored = sorted(
+        ((abs(ca[t] - cb[t]), t) for t in set(ca) | set(cb)),
+        key=lambda p: (-p[0], p[1]),
+    )[:_X48_TOPK]
+    assert list(zip(got.abs_change, got.tok)) == [
+        (c, t) for c, t in scored
+    ]
+    for r in got.itertuples():
+        assert r.n_a == ca[r.tok] and r.n_b == cb[r.tok]
