@@ -15442,6 +15442,93 @@ REGISTRY.update({"x48_heavy_change": (q_heavy_change, _sql_heavy_change())})
 
 
 # ---------------------------------------------------------------------------
+# D14 — per-document nearest-neighbor report
+# ---------------------------------------------------------------------------
+
+def q_nearest_neighbor_doc(spark, sf_dir):
+    """D14 — the "who is my closest duplicate" report: for every doc
+    with at least one candidate pair, its single most-similar other
+    doc by exact n-gram Jaccard (d4's candidate-bounded pair stage —
+    shared-shingle equi-join with the hot-shingle df cap, never
+    all-pairs), symmetrized, then ONE row per doc via a window
+    partitioned by the high-cardinality doc key (jaccard desc, nn
+    asc — total order, so the pick is deterministic).  The triage
+    view a dedup reviewer actually reads; d4 lists pairs, d14
+    answers per doc."""
+    from stampede_to_fresco_etl_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", min_jaccard=0.05, max_shingle_df=100
+    )
+    sym = pairs.select(
+        F.col("doc_a").alias("doc"),
+        F.col("doc_b").alias("nn"),
+        "jaccard",
+    ).unionAll(
+        pairs.select(
+            F.col("doc_b").alias("doc"),
+            F.col("doc_a").alias("nn"),
+            "jaccard",
+        )
+    )
+    w = Window.partitionBy("doc").orderBy(F.col("jaccard").desc(), "nn")
+    return (
+        sym.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc", "nn", "jaccard")
+    )
+
+
+SQL_NEAREST_NEIGHBOR_DOC = f"""
+WITH toks AS (
+  SELECT doc_id AS doc, {_D_TOKS} AS t FROM documents
+),
+sh0 AS (
+  SELECT DISTINCT doc, u.s
+  FROM toks, UNNEST({_D_SHINGLES}) AS u(s)
+),
+keep AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 100),
+sh AS (SELECT sh0.doc, sh0.s FROM sh0 JOIN keep USING (s)),
+sizes AS (SELECT doc, count(*) AS sz FROM sh GROUP BY doc),
+inter AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc < b.doc
+  GROUP BY a.doc, b.doc
+),
+pairs AS (
+  SELECT i.doc_a, i.doc_b,
+         CAST(i.inter AS DOUBLE)
+           / CAST(sa.sz + sb.sz - i.inter AS DOUBLE) AS jaccard
+  FROM inter i
+  JOIN sizes sa ON i.doc_a = sa.doc
+  JOIN sizes sb ON i.doc_b = sb.doc
+  WHERE CAST(i.inter AS DOUBLE)
+          / CAST(sa.sz + sb.sz - i.inter AS DOUBLE) >= 0.05
+),
+sym AS (
+  SELECT doc_a AS doc, doc_b AS nn, jaccard FROM pairs
+  UNION ALL
+  SELECT doc_b AS doc, doc_a AS nn, jaccard FROM pairs
+),
+ranked AS (
+  SELECT doc, nn, jaccard,
+         row_number() OVER (PARTITION BY doc
+                            ORDER BY jaccard DESC, nn) AS rn
+  FROM sym
+)
+SELECT doc, nn, jaccard FROM ranked WHERE rn = 1
+"""
+
+
+REGISTRY.update(
+    {"d14_nearest_neighbor_doc": (q_nearest_neighbor_doc, SQL_NEAREST_NEIGHBOR_DOC)}
+)
+
+
+# ---------------------------------------------------------------------------
 # Enumeration order: the driver's correctness run covers the first N
 # registry entries per round, so the STALEST queries must enumerate
 # first.  Computed at import time from the CORRECTNESS_r*.json records
@@ -15563,6 +15650,7 @@ _DEFER_NEW: set[str] = {
     "x47_token_weighted_median",
     "u7_reconcile",
     "x48_heavy_change",
+    "d14_nearest_neighbor_doc",
 }
 
 _FRESHNESS = _latest_green_round()

@@ -2170,3 +2170,39 @@ def test_heavy_change_matches_counter_diff(spark):
     ]
     for r in got.itertuples():
         assert r.n_a == ca[r.tok] and r.n_b == cb[r.tok]
+
+
+# ---------------------------------------------------------------------------
+# d14 — nearest-neighbor doc report
+# ---------------------------------------------------------------------------
+
+def test_nearest_neighbor_doc_matches_pair_argmax(spark):
+    from stampede_to_fresco_etl_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    docs = load(spark, SF, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", min_jaccard=0.05, max_shingle_df=100
+    ).toPandas()
+    best: dict[int, tuple[float, int]] = {}
+    for r in pairs.itertuples():
+        for d, nn in ((r.doc_a, r.doc_b), (r.doc_b, r.doc_a)):
+            cur = best.get(d)
+            cand = (-r.jaccard, nn)
+            if cur is None or cand < cur:
+                best[d] = cand
+    got = (
+        REGISTRY["d14_nearest_neighbor_doc"][0](spark, SF)
+        .toPandas()
+        .set_index("doc")
+    )
+    assert set(got.index) == set(best)
+    for d, (negj, nn) in best.items():
+        assert got.loc[d, "nn"] == nn
+        assert got.loc[d, "jaccard"] == -negj
+    # symmetry sanity: a doc's NN relation uses the same pair set,
+    # so jaccard(doc → nn) equals jaccard(nn → doc) when mutual
+    mutual = [d for d in best if best.get(best[d][1], (0, -1))[1] == d]
+    for d in mutual[:20]:
+        assert got.loc[d, "jaccard"] == got.loc[best[d][1], "jaccard"]
