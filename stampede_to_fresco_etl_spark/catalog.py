@@ -15529,6 +15529,85 @@ REGISTRY.update(
 
 
 # ---------------------------------------------------------------------------
+# X49 — cluster-safe train/eval split (the fix x43 audits for)
+# ---------------------------------------------------------------------------
+
+_X49_SPACE = 1 << 60
+_X49_B_TRAIN = int(0.9 * _X49_SPACE)
+
+
+def q_cluster_safe_split(spark, sf_dir):
+    """X49 — leakage-proof splitting: x43 measures how many near-dup
+    shingles straddle a doc-hash split; the FIX is to assign splits
+    at the NEAR-DUP-CLUSTER level — hash the d5 connected-component
+    label (singletons label themselves), so an entire dup cluster
+    lands on one side by construction and the x43 near-dup leak rate
+    is structurally zero.  Spark side: d5's iterative CC + one left
+    join + the salted-hash rule; oracle recomputes the closure with
+    the shared recursive CTE.  Output: per-split doc and cluster
+    counts (the no-straddle invariant is pinned by the independent
+    test)."""
+    from stampede_to_fresco_etl_spark.operators.dedup import dup_clusters
+
+    docs = load(spark, sf_dir, "documents")
+    cc = dup_clusters(
+        docs, "doc_id", "text",
+        shingle_k=3, min_jaccard=0.3, max_shingle_df=100,
+    ).select("doc_id", "cluster_id")
+    lab = (
+        docs.select("doc_id")
+        .join(cc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", "doc_id").alias("cluster"),
+        )
+    )
+    h = F.pmod(
+        md5_int63(F.col("cluster").cast("string"), salt="ccsplit"),
+        F.lit(_X49_SPACE),
+    )
+    tagged = lab.select(
+        "doc_id",
+        "cluster",
+        F.when(h < F.lit(_X49_B_TRAIN), "train")
+        .otherwise("eval")
+        .alias("split"),
+    )
+    return tagged.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("cluster").alias("n_clusters"),
+    )
+
+
+def _sql_cluster_safe_split() -> str:
+    h = md5_int63_sql("CAST(cluster AS VARCHAR)", salt="ccsplit")
+    return f"""{_SQL_CC_CLOSURE},
+cc AS (
+  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+  FROM reach GROUP BY src
+),
+lab AS (
+  SELECT d.doc_id, COALESCE(cc.cluster_id, d.doc_id) AS cluster
+  FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id
+),
+tagged AS (
+  SELECT doc_id, cluster,
+         CASE WHEN {h} % {_X49_SPACE} < {_X49_B_TRAIN}
+              THEN 'train' ELSE 'eval' END AS split
+  FROM lab
+)
+SELECT split, count(*) AS n_docs,
+       count(DISTINCT cluster) AS n_clusters
+FROM tagged GROUP BY split
+"""
+
+
+REGISTRY.update(
+    {"x49_cluster_safe_split": (q_cluster_safe_split, _sql_cluster_safe_split())}
+)
+
+
+# ---------------------------------------------------------------------------
 # Enumeration order: the driver's correctness run covers the first N
 # registry entries per round, so the STALEST queries must enumerate
 # first.  Computed at import time from the CORRECTNESS_r*.json records
@@ -15651,6 +15730,7 @@ _DEFER_NEW: set[str] = {
     "u7_reconcile",
     "x48_heavy_change",
     "d14_nearest_neighbor_doc",
+    "x49_cluster_safe_split",
 }
 
 _FRESHNESS = _latest_green_round()

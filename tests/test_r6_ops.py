@@ -2206,3 +2206,66 @@ def test_nearest_neighbor_doc_matches_pair_argmax(spark):
     mutual = [d for d in best if best.get(best[d][1], (0, -1))[1] == d]
     for d in mutual[:20]:
         assert got.loc[d, "jaccard"] == got.loc[best[d][1], "jaccard"]
+
+
+# ---------------------------------------------------------------------------
+# x49 — cluster-safe split
+# ---------------------------------------------------------------------------
+
+def test_cluster_safe_split_never_straddles(spark):
+    """The core invariant: no near-dup cluster straddles the split —
+    plus count parity with a pure-Python union-find replay."""
+    from stampede_to_fresco_etl_spark.catalog import (
+        _X49_B_TRAIN,
+        _X49_SPACE,
+    )
+    from stampede_to_fresco_etl_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    docs = load(spark, SF, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", min_jaccard=0.3, max_shingle_df=100
+    ).toPandas()
+    ids = [r.doc_id for r in docs.select("doc_id").collect()]
+    parent = {d: d for d in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs.itertuples():
+        ra, rb = find(r.doc_a), find(r.doc_b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    clusters = {d: find(d) for d in ids}
+    split = {
+        d: (
+            "train"
+            if _md5_int63(f"ccsplit:{c}") % _X49_SPACE < _X49_B_TRAIN
+            else "eval"
+        )
+        for d, c in clusters.items()
+    }
+    # invariant: all docs of a cluster share the split
+    by_c: dict[int, set[str]] = {}
+    for d, c in clusters.items():
+        by_c.setdefault(c, set()).add(split[d])
+    assert all(len(s) == 1 for s in by_c.values())
+    got = (
+        REGISTRY["x49_cluster_safe_split"][0](spark, SF)
+        .toPandas()
+        .set_index("split")
+    )
+    import collections
+
+    n_docs = collections.Counter(split.values())
+    n_clusters = collections.Counter(
+        {s: len({c for d, c in clusters.items() if split[d] == s})
+         for s in set(split.values())}
+    )
+    for s in n_docs:
+        assert got.loc[s, "n_docs"] == n_docs[s]
+        assert got.loc[s, "n_clusters"] == n_clusters[s]
