@@ -15608,6 +15608,109 @@ REGISTRY.update(
 
 
 # ---------------------------------------------------------------------------
+# W17 — rolling OLS trend slope (7-observation frame)
+# ---------------------------------------------------------------------------
+
+_W17_K = 7
+
+
+def q_rolling_trend(spark, sf_dir):
+    """W17 — a33's OLS slope as a ROLLING signal: for each (type,
+    day), the least-squares slope of the last ≤7 daily counts — the
+    local trend monitor (a33 is the global fit; w17 localizes it).
+    Same pinning strategy as w16: the 7 (day, count) lag pairs are
+    generated EXPLICITLY over one calendar-bounded window, the five
+    moment sums are exact integers (masked adds — missing lags
+    contribute zero), and the slope is one pinned double closed
+    form, NULL until two observations exist.  One WindowExec over
+    the daily series (≤ calendar span per type, the t17 bound)."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.floor(F.unix_micros("ts") / F.lit(86_400_000_000))
+        .cast("long")
+        .alias("day"),
+    ).agg(F.count("*").alias("c"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    lags = [
+        (F.lag("day", j).over(w), F.lag("c", j).over(w))
+        for j in range(_W17_K)
+    ]
+    zero = F.lit(0).cast("long")
+    n = sx = sy = sxy = sxx = None
+    for d_j, c_j in lags:
+        have = d_j.isNotNull()
+        terms = (
+            F.when(have, F.lit(1).cast("long")).otherwise(zero),
+            F.when(have, d_j).otherwise(zero),
+            F.when(have, c_j).otherwise(zero),
+            F.when(have, d_j * c_j).otherwise(zero),
+            F.when(have, d_j * d_j).otherwise(zero),
+        )
+        n = terms[0] if n is None else n + terms[0]
+        sx = terms[1] if sx is None else sx + terms[1]
+        sy = terms[2] if sy is None else sy + terms[2]
+        sxy = terms[3] if sxy is None else sxy + terms[3]
+        sxx = terms[4] if sxx is None else sxx + terms[4]
+    nd = n.cast("double")
+    slope = F.when(
+        n >= 2,
+        (nd * sxy.cast("double") - sx.cast("double") * sy.cast("double"))
+        / (
+            nd * sxx.cast("double")
+            - sx.cast("double") * sx.cast("double")
+        ),
+    )
+    return daily.select(
+        "event_type", "day", "c", slope.alias("rolling_slope")
+    )
+
+
+def _sql_rolling_trend() -> str:
+    ns, sxs, sys_, sxys, sxxs = [], [], [], [], []
+    for j in range(_W17_K):
+        d = f"lag(day, {j}) OVER w" if j else "day"
+        c = f"lag(c, {j}) OVER w" if j else "c"
+        have = f"({d}) IS NOT NULL"
+        ns.append(f"CASE WHEN {have} THEN 1 ELSE 0 END")
+        sxs.append(f"CASE WHEN {have} THEN ({d}) ELSE 0 END")
+        sys_.append(f"CASE WHEN {have} THEN ({c}) ELSE 0 END")
+        sxys.append(f"CASE WHEN {have} THEN ({d}) * ({c}) ELSE 0 END")
+        sxxs.append(f"CASE WHEN {have} THEN ({d}) * ({d}) ELSE 0 END")
+
+    def fold(parts):
+        return "(" + " + ".join(parts) + ")"
+
+    n, sx, sy, sxy, sxx = (
+        fold(ns),
+        fold(sxs),
+        fold(sys_),
+        fold(sxys),
+        fold(sxxs),
+    )
+    return f"""
+WITH daily AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+         count(*) AS c
+  FROM events GROUP BY event_type, day
+)
+SELECT event_type, day, c,
+       CASE WHEN {n} >= 2 THEN
+         (CAST({n} AS DOUBLE) * CAST({sxy} AS DOUBLE)
+            - CAST({sx} AS DOUBLE) * CAST({sy} AS DOUBLE))
+           / (CAST({n} AS DOUBLE) * CAST({sxx} AS DOUBLE)
+                - CAST({sx} AS DOUBLE) * CAST({sx} AS DOUBLE))
+       END AS rolling_slope
+FROM daily
+WINDOW w AS (PARTITION BY event_type ORDER BY day)
+"""
+
+
+REGISTRY.update({"w17_rolling_trend": (q_rolling_trend, _sql_rolling_trend())})
+
+
+# ---------------------------------------------------------------------------
 # Enumeration order: the driver's correctness run covers the first N
 # registry entries per round, so the STALEST queries must enumerate
 # first.  Computed at import time from the CORRECTNESS_r*.json records
@@ -15731,6 +15834,7 @@ _DEFER_NEW: set[str] = {
     "x48_heavy_change",
     "d14_nearest_neighbor_doc",
     "x49_cluster_safe_split",
+    "w17_rolling_trend",
 }
 
 _FRESHNESS = _latest_green_round()

@@ -2269,3 +2269,41 @@ def test_cluster_safe_split_never_straddles(spark):
     for s in n_docs:
         assert got.loc[s, "n_docs"] == n_docs[s]
         assert got.loc[s, "n_clusters"] == n_clusters[s]
+
+
+# ---------------------------------------------------------------------------
+# w17 — rolling OLS slope
+# ---------------------------------------------------------------------------
+
+def test_rolling_trend_matches_numpy_windowed_polyfit(spark):
+    import numpy as np
+
+    from stampede_to_fresco_etl_spark.catalog import _W17_K
+
+    got = (
+        REGISTRY["w17_rolling_trend"][0](spark, SF)
+        .toPandas()
+        .set_index(["event_type", "day"])
+        .sort_index()
+    )
+    e = load(spark, SF, "events").select(
+        "event_type", F.unix_micros("ts").alias("us")
+    ).toPandas()
+    e["day"] = e.us // 86_400_000_000
+    for etype, grp in e.groupby("event_type"):
+        daily = sorted(grp.groupby("day").size().items())
+        for i, (day, c) in enumerate(daily):
+            window = daily[max(0, i - _W17_K + 1) : i + 1]
+            row = got.loc[(etype, day)]
+            assert row["c"] == c
+            if len(window) < 2:
+                assert pd.isna(row["rolling_slope"])
+            else:
+                x = np.array([d for d, _ in window], dtype=float)
+                y = np.array([v for _, v in window], dtype=float)
+                slope = np.polyfit(x, y, 1)[0]
+                # abs tolerance: the exact-integer formula returns a
+                # clean 0.0 where polyfit's float solver leaves ~1e-12
+                assert row["rolling_slope"] == pytest.approx(
+                    slope, rel=1e-9, abs=1e-9
+                )
