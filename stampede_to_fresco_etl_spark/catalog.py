@@ -15711,6 +15711,86 @@ REGISTRY.update({"w17_rolling_trend": (q_rolling_trend, _sql_rolling_trend())})
 
 
 # ---------------------------------------------------------------------------
+# J16 — join-skew diagnosis report
+# ---------------------------------------------------------------------------
+
+_J16_TOPK = 20
+
+
+def q_join_skew_report(spark, sf_dir):
+    """J16 — the pre-flight skew diagnosis every big join should run:
+    for orders ⋈ lineitem on custkey-side keys (o_custkey), count
+    each key's multiplicity on BOTH sides (two hash aggregates over
+    key-only projections — never the join itself), join the two
+    count frames on the key, and report the top 20 keys by output
+    fan-out n_a·n_b together with each key's share of the total join
+    output.  All integers except the one share division; the total
+    rides the same frame as one grouped sum (DECIMAL(38) — Σ n_a·n_b
+    is the join's output cardinality, which at 100 TB exceeds
+    int64).  The report that tells you WHETHER you need the skew
+    salting operator before you pay for the shuffle."""
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k")
+    )
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k")
+    )
+    na = o.groupBy("k").agg(F.count("*").alias("n_a"))
+    nb = c.groupBy("k").agg(F.count("*").alias("n_b"))
+    j = na.join(nb, "k").select(
+        "k",
+        "n_a",
+        "n_b",
+        (F.col("n_a") * F.col("n_b")).alias("fanout"),
+    )
+    tot = j.agg(
+        F.sum(F.col("fanout").cast("decimal(38,0)")).alias("total_out")
+    )
+    return (
+        j.crossJoin(F.broadcast(tot))
+        .select(
+            "k",
+            "n_a",
+            "n_b",
+            "fanout",
+            (
+                F.col("fanout").cast("double")
+                / F.col("total_out").cast("double")
+            ).alias("output_share"),
+        )
+        .orderBy(F.col("fanout").desc(), "k")
+        .limit(_J16_TOPK)
+    )
+
+
+SQL_JOIN_SKEW_REPORT = f"""
+WITH na AS (
+  SELECT o_custkey AS k, count(*) AS n_a FROM orders GROUP BY o_custkey
+),
+nb AS (
+  SELECT c_custkey AS k, count(*) AS n_b FROM customer
+  GROUP BY c_custkey
+),
+j AS (
+  SELECT na.k, n_a, n_b, n_a * n_b AS fanout
+  FROM na JOIN nb ON na.k = nb.k
+),
+tot AS (SELECT SUM(fanout) AS total_out FROM j)
+SELECT k, n_a, n_b, fanout,
+       CAST(fanout AS DOUBLE)
+         / CAST((SELECT total_out FROM tot) AS DOUBLE) AS output_share
+FROM j
+ORDER BY fanout DESC, k
+LIMIT {_J16_TOPK}
+"""
+
+
+REGISTRY.update(
+    {"j16_join_skew_report": (q_join_skew_report, SQL_JOIN_SKEW_REPORT)}
+)
+
+
+# ---------------------------------------------------------------------------
 # Enumeration order: the driver's correctness run covers the first N
 # registry entries per round, so the STALEST queries must enumerate
 # first.  Computed at import time from the CORRECTNESS_r*.json records
@@ -15835,6 +15915,7 @@ _DEFER_NEW: set[str] = {
     "d14_nearest_neighbor_doc",
     "x49_cluster_safe_split",
     "w17_rolling_trend",
+    "j16_join_skew_report",
 }
 
 _FRESHNESS = _latest_green_round()

@@ -2307,3 +2307,32 @@ def test_rolling_trend_matches_numpy_windowed_polyfit(spark):
                 assert row["rolling_slope"] == pytest.approx(
                     slope, rel=1e-9, abs=1e-9
                 )
+
+
+# ---------------------------------------------------------------------------
+# j16 — join-skew report
+# ---------------------------------------------------------------------------
+
+def test_join_skew_report_matches_counter_product(spark):
+    import collections
+
+    from stampede_to_fresco_etl_spark.catalog import _J16_TOPK
+
+    got = REGISTRY["j16_join_skew_report"][0](spark, SF).toPandas()
+    o = load(spark, SF, "orders").select("o_custkey").toPandas()
+    c = load(spark, SF, "customer").select("c_custkey").toPandas()
+    na = collections.Counter(o.o_custkey)
+    nb = collections.Counter(c.c_custkey)
+    fan = {
+        k: na[k] * nb[k] for k in set(na) & set(nb)
+    }
+    total = sum(fan.values())
+    top = sorted(fan.items(), key=lambda p: (-p[1], p[0]))[:_J16_TOPK]
+    assert list(zip(got.k, got.fanout)) == top
+    for r in got.itertuples():
+        assert r.n_a == na[r.k] and r.n_b == nb[r.k]
+        assert r.output_share == fan[r.k] / total
+    # the report's fan-out equals the true join output for those keys
+    joined = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+    for r in got.itertuples():
+        assert len(joined[joined.o_custkey == r.k]) == r.fanout
