@@ -15791,6 +15791,57 @@ REGISTRY.update(
 
 
 # ---------------------------------------------------------------------------
+# A43 — Gini–Simpson source-diversity index per language
+# ---------------------------------------------------------------------------
+
+def q_simpson_diversity(spark, sf_dir):
+    """A43 — corpus balance as the unbiased Gini–Simpson index:
+    per language, D = 1 − Σᵢ nᵢ(nᵢ−1) / (N(N−1)) over source counts
+    — the probability two random docs come from DIFFERENT sources.
+    The log-free diversity twin of a Shannon entropy (ln is not
+    IEEE-pinned, so entropy can never hash-match; Simpson is exact):
+    two hash aggregates ((lang, source) counts, then per-lang sums)
+    and ONE double division of exact integers.  Complements a23's
+    HHI (concentration) with the diversity direction, per language
+    rather than global."""
+    docs = load(spark, sf_dir, "documents")
+    per = docs.groupBy("lang", "source").agg(F.count("*").alias("n_i"))
+    g = per.groupBy("lang").agg(
+        F.sum("n_i").alias("n"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum(F.col("n_i") * (F.col("n_i") - F.lit(1))).alias("same"),
+    )
+    d = F.lit(1.0) - (
+        F.col("same").cast("double")
+        / (F.col("n") * (F.col("n") - F.lit(1))).cast("double")
+    )
+    return g.select("lang", "n", "n_sources", d.alias("simpson_diversity"))
+
+
+SQL_SIMPSON_DIVERSITY = """
+WITH per AS (
+  SELECT lang, source, count(*) AS n_i
+  FROM documents GROUP BY lang, source
+),
+g AS (
+  SELECT lang, SUM(n_i) AS n, count(DISTINCT source) AS n_sources,
+         SUM(n_i * (n_i - 1)) AS same
+  FROM per GROUP BY lang
+)
+SELECT lang, CAST(n AS BIGINT) AS n, n_sources,
+       1.0 - (CAST(same AS DOUBLE)
+                / CAST(CAST(n AS BIGINT) * (CAST(n AS BIGINT) - 1)
+                       AS DOUBLE)) AS simpson_diversity
+FROM g
+"""
+
+
+REGISTRY.update(
+    {"a43_simpson_diversity": (q_simpson_diversity, SQL_SIMPSON_DIVERSITY)}
+)
+
+
+# ---------------------------------------------------------------------------
 # Enumeration order: the driver's correctness run covers the first N
 # registry entries per round, so the STALEST queries must enumerate
 # first.  Computed at import time from the CORRECTNESS_r*.json records
@@ -15916,6 +15967,7 @@ _DEFER_NEW: set[str] = {
     "x49_cluster_safe_split",
     "w17_rolling_trend",
     "j16_join_skew_report",
+    "a43_simpson_diversity",
 }
 
 _FRESHNESS = _latest_green_round()

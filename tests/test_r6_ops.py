@@ -2336,3 +2336,25 @@ def test_join_skew_report_matches_counter_product(spark):
     joined = o.merge(c, left_on="o_custkey", right_on="c_custkey")
     for r in got.itertuples():
         assert len(joined[joined.o_custkey == r.k]) == r.fanout
+
+
+# ---------------------------------------------------------------------------
+# a43 — Gini–Simpson diversity
+# ---------------------------------------------------------------------------
+
+def test_simpson_diversity_matches_pandas(spark):
+    got = (
+        REGISTRY["a43_simpson_diversity"][0](spark, SF)
+        .toPandas()
+        .set_index("lang")
+    )
+    docs = load(spark, SF, "documents").toPandas()
+    for lang, grp in docs.groupby("lang"):
+        cnt = grp.source.value_counts()
+        n = len(grp)
+        same = sum(c * (c - 1) for c in cnt)
+        row = got.loc[lang]
+        assert row["n"] == n
+        assert row["n_sources"] == len(cnt)
+        assert row["simpson_diversity"] == 1.0 - same / (n * (n - 1))
+        assert 0.0 <= row["simpson_diversity"] <= 1.0
