@@ -1204,15 +1204,19 @@ def q_global_sort(spark, sf_dir):
     """O2 — global multi-key sort of final output
     (rough_transform...py:120).  Hash compare is order-insensitive;
     the operator under test is the total ordering itself, surfaced as
-    a dense rank column."""
-    e = load(spark, sf_dir, "events")
-    w = Window.orderBy("ts", "event_id")
-    return (
-        e.orderBy("ts", "event_id")
-        .select(
-            "event_id", "ts",
-            F.row_number().over(w).cast("long").alias("pos"),
-        )
+    a rank column.  The rank rides order_stats.row_ranks (range
+    partition + frozen id + P-row offset frame — VERDICT r6 item 3),
+    NOT `row_number() OVER (ORDER BY ...)`: a global sort
+    range-partitions fine, but the unpartitioned rank window funneled
+    the whole table through one task — the last data-sized
+    `Exchange SinglePartition` in the repo.  The output is globally
+    ordered by construction (partitions are range-ordered, rows
+    sorted within)."""
+    from stampede_to_fresco_etl_spark.operators.order_stats import row_ranks
+
+    e = load(spark, sf_dir, "events").select("event_id", "ts")
+    return row_ranks(e, [], ["ts", "event_id"], out_name="pos").select(
+        "event_id", "ts", "pos"
     )
 
 
@@ -5497,8 +5501,17 @@ def q_analytic_windows(spark, sf_dir):
     the total order for the row-keyed functions; the running sum is an
     explicit ROWS frame (the default RANGE frame would pool tie
     peers).  Values ride as floor-scaled bigints so lag/lead/sum are
-    integer-exact; percent_rank/cume_dist divide small exact integers
-    — bit-identical across engines."""
+    integer-exact; percent_rank/cume_dist are emitted as EXACT
+    INTEGER RATIONALS (pr = pr_num/pr_den = (rank−1)/(n−1), cd =
+    cd_num/cd_den = peers≤row / n) rather than raw float divisions —
+    the repo's exactness doctrine, and the fix for the r6 driver red
+    row (VERDICT r6 item 1): two engines' float division of the same
+    integers need not be bit-identical, their integers are.  cd_num
+    rides the by_day spec's DEFAULT frame (RANGE unbounded→current
+    row, which pools tie peers — both engines' default).  w5 remains
+    the API-surface canary (per-type full-table sort windows);
+    `w5b_analytic_windows_kernel` is the scale-safe production twin
+    computing identical outputs with no data-sized sort window."""
     e = load(spark, sf_dir, "events")
     day = F.date_trunc("day", F.col("ts"))
     vi = F.floor(F.col("value") * F.lit(10000.0)).cast("long")
@@ -5510,6 +5523,8 @@ def q_analytic_windows(spark, sf_dir):
     by_day = W.partitionBy("event_type").orderBy("day")
     total = W.partitionBy("event_type").orderBy("day", "event_id")
     running = total.rowsBetween(W.unboundedPreceding, W.currentRow)
+    whole = W.partitionBy("event_type")
+    n = F.count(F.lit(1)).over(whole)
     return base.select(
         "event_id",
         "event_type",
@@ -5519,8 +5534,10 @@ def q_analytic_windows(spark, sf_dir):
         F.rank().over(by_day).alias("rnk"),
         F.dense_rank().over(by_day).alias("drnk"),
         F.ntile(4).over(total).alias("nt4"),
-        F.percent_rank().over(by_day).alias("pr"),
-        F.cume_dist().over(by_day).alias("cd"),
+        (F.rank().over(by_day) - 1).cast("long").alias("pr_num"),
+        (n - 1).cast("long").alias("pr_den"),
+        F.count(F.lit(1)).over(by_day).cast("long").alias("cd_num"),
+        n.cast("long").alias("cd_den"),
         F.lag("value_i").over(total).alias("prev_vi"),
         F.lead("value_i").over(total).alias("next_vi"),
         F.sum("value_i").over(running).alias("run_sum"),
@@ -5534,13 +5551,16 @@ SELECT event_id, event_type, date_trunc('day', ts) AS day,
        CAST(rank()       OVER by_day AS INTEGER) AS rnk,
        CAST(dense_rank() OVER by_day AS INTEGER) AS drnk,
        CAST(ntile(4)     OVER total AS INTEGER) AS nt4,
-       percent_rank()    OVER by_day AS pr,
-       cume_dist()       OVER by_day AS cd,
+       CAST(rank() OVER by_day AS BIGINT) - 1 AS pr_num,
+       CAST(count(*) OVER whole AS BIGINT) - 1 AS pr_den,
+       CAST(count(*) OVER by_day AS BIGINT) AS cd_num,
+       CAST(count(*) OVER whole AS BIGINT) AS cd_den,
        lag(CAST(FLOOR(value * 10000.0) AS BIGINT))  OVER total AS prev_vi,
        lead(CAST(FLOOR(value * 10000.0) AS BIGINT)) OVER total AS next_vi,
        sum(CAST(FLOOR(value * 10000.0) AS BIGINT))  OVER running AS run_sum
 FROM events
 WINDOW
+  whole   AS (PARTITION BY event_type),
   by_day  AS (PARTITION BY event_type ORDER BY date_trunc('day', ts)),
   total   AS (PARTITION BY event_type ORDER BY date_trunc('day', ts), event_id),
   running AS (PARTITION BY event_type ORDER BY date_trunc('day', ts), event_id
