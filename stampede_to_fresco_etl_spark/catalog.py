@@ -5568,6 +5568,135 @@ WINDOW
 """
 
 
+def q_analytic_windows_kernel(spark, sf_dir):
+    """W5b — w5's nine analytic-window outputs computed SCALE-SAFE
+    (VERDICT r6 item 4): identical result set, but no per-event_type
+    full-table sort window anywhere in the plan.  w5 is the
+    API-surface canary (one WindowExec per spec, each a per-type
+    total sort — one task per type at 100×); w5b is the production
+    shape: ONE range-partitioned kernel pass, then everything by
+    arithmetic on bounded frames.
+
+      1. range-partition on (type, day, event_id) + local sort +
+         frozen monotonic id (order_stats' skeleton, one realization
+         via localCheckpoint) — the only full-data exchange;
+      2. per-(pid, type) LOCAL windows (bounded by rows/P): running
+         sum, lag, lead;
+      3. a P·G stats frame chains partition totals into rank/sum
+         offsets and carries each partition's first/last value so
+         lag/lead cross partition boundaries by a window over P rows,
+         not data;
+      4. rn / run_sum / prev / next by arithmetic after a broadcast
+         join-back;
+      5. a (type, day) frame (calendar-bounded) derives the tie-aware
+         family — rank = min rn of the day, dense_rank = row_number
+         over the day frame, cume_dist numerator = min rn + day count
+         − 1 — and ntile(4) is integer arithmetic on (rn, n) using
+         SQL ntile's first-(n mod k)-buckets-get-ceil rule.
+
+    The oracle is w5's — byte-identical output is the point."""
+    try:
+        P = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        P = 200
+    e = load(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    vi = F.floor(F.col("value") * F.lit(10000.0)).cast("long")
+    base = e.select(
+        "event_id", "event_type", day.alias("day"), vi.alias("value_i")
+    )
+    from pyspark.sql import Window as W
+
+    part = (
+        base.repartitionByRange(P, "event_type", "day", "event_id")
+        .sortWithinPartitions("event_type", "day", "event_id")
+        .withColumn("__mid", F.monotonically_increasing_id())
+        .localCheckpoint()
+        .withColumn("__pid", F.shiftright("__mid", 33))
+    )
+    w_loc = W.partitionBy("__pid", "event_type").orderBy("__mid")
+    w_run = w_loc.rowsBetween(W.unboundedPreceding, W.currentRow)
+    loc = part.select(
+        "event_id",
+        "event_type",
+        "day",
+        "value_i",
+        "__mid",
+        "__pid",
+        F.sum("value_i").over(w_run).alias("__lsum"),
+        F.lag("value_i").over(w_loc).alias("__lprev"),
+        F.lead("value_i").over(w_loc).alias("__lnext"),
+    )
+    stats = part.groupBy("__pid", "event_type").agg(
+        F.min("__mid").alias("__m0"),
+        F.max("__mid").alias("__m1"),
+        F.count("*").alias("__c"),
+        F.sum("value_i").alias("__tot"),
+        F.min_by("value_i", "__mid").alias("__first_vi"),
+        F.max_by("value_i", "__mid").alias("__last_vi"),
+    )
+    w_chain = W.partitionBy("event_type").orderBy("__pid")
+    w_prev = w_chain.rowsBetween(W.unboundedPreceding, -1)
+    w_type = W.partitionBy("event_type")
+    offs = stats.select(
+        "__pid",
+        "event_type",
+        "__m0",
+        "__m1",
+        F.coalesce(F.sum("__c").over(w_prev), F.lit(0)).alias("__off"),
+        F.coalesce(F.sum("__tot").over(w_prev), F.lit(0)).alias("__soff"),
+        F.sum("__c").over(w_type).alias("__n"),
+        F.lag("__last_vi").over(w_chain).alias("__prev_last"),
+        F.lead("__first_vi").over(w_chain).alias("__next_first"),
+    )
+    rn = F.col("__mid") - F.col("__m0") + F.col("__off") + 1
+    rows = loc.join(F.broadcast(offs), ["__pid", "event_type"]).select(
+        "event_id",
+        "event_type",
+        "day",
+        "value_i",
+        rn.alias("__rn"),
+        (F.col("__lsum") + F.col("__soff")).alias("run_sum"),
+        F.when(F.col("__mid") == F.col("__m0"), F.col("__prev_last"))
+        .otherwise(F.col("__lprev"))
+        .alias("prev_vi"),
+        F.when(F.col("__mid") == F.col("__m1"), F.col("__next_first"))
+        .otherwise(F.col("__lnext"))
+        .alias("next_vi"),
+        "__n",
+    )
+    dayf = rows.groupBy("event_type", "day").agg(
+        F.min("__rn").alias("__rnk"), F.count("*").alias("__dc")
+    )
+    w_day = W.partitionBy("event_type").orderBy("day")
+    dayf = dayf.withColumn("__drnk", F.row_number().over(w_day))
+    out = rows.join(F.broadcast(dayf), ["event_type", "day"])
+    # SQL ntile(k): first (n mod k) buckets hold ceil(n/k) rows
+    n, r_ = F.col("__n"), F.col("__n") % 4
+    q_ = F.floor(n / 4)
+    head = (q_ + 1) * r_
+    nt4 = F.when(
+        F.col("__rn") <= head, F.floor((F.col("__rn") - 1) / (q_ + 1)) + 1
+    ).otherwise(r_ + F.floor((F.col("__rn") - head - 1) / q_) + 1)
+    return out.select(
+        "event_id",
+        "event_type",
+        "day",
+        "value_i",
+        F.col("__rn").cast("int").alias("rn"),
+        F.col("__rnk").cast("int").alias("rnk"),
+        F.col("__drnk").cast("int").alias("drnk"),
+        nt4.cast("int").alias("nt4"),
+        (F.col("__rnk") - 1).cast("long").alias("pr_num"),
+        (n - 1).cast("long").alias("pr_den"),
+        (F.col("__rnk") + F.col("__dc") - 1).cast("long").alias("cd_num"),
+        n.cast("long").alias("cd_den"),
+        "prev_vi",
+        "next_vi",
+        "run_sum",
+    )
+
+
 def q_interval_overlap(spark, sf_dir):
     """J10 — interval×interval overlap join: every (purchase ±1h) ×
     (click ±30min) window overlap for the same user.  Uses
@@ -5911,6 +6040,10 @@ REGISTRY.update(
         "tpch_q15": (q_tpch_q15, SQL_TPCH_Q15),
         "tpch_q20": (q_tpch_q20, SQL_TPCH_Q20),
         "w5_analytic_windows": (q_analytic_windows, SQL_ANALYTIC_WINDOWS),
+        "w5b_analytic_windows_kernel": (
+            q_analytic_windows_kernel,
+            SQL_ANALYTIC_WINDOWS,
+        ),
         "j10_interval_overlap": (q_interval_overlap, SQL_INTERVAL_OVERLAP),
         "u4_intersect_except": (q_intersect_except, SQL_INTERSECT_EXCEPT),
         "s16_partitioned_pruning": (
@@ -15874,8 +16007,13 @@ REGISTRY.update(
 # ---------------------------------------------------------------------------
 
 
-def _latest_green_round() -> dict[str, int]:
-    """name -> newest round with a green driver row for that query."""
+def _driver_row_history() -> tuple[dict[str, int], set[str]]:
+    """(name -> newest round with a GREEN driver row,
+        names whose NEWEST driver row is RED).
+
+    A red row must enumerate before everything else (VERDICT r6: the
+    stale-first enumeration must rank a red row first) — a failed
+    driver check is the single most urgent thing to re-validate."""
     import glob as _glob
     import json as _json
     import os as _os
@@ -15883,7 +16021,8 @@ def _latest_green_round() -> dict[str, int]:
 
     here = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
     join = _os.path.join
-    latest: dict[str, int] = {}
+    latest_green: dict[str, int] = {}
+    newest_row: dict[str, tuple[int, bool]] = {}
     for path in _glob.glob(join(here, "CORRECTNESS_r*.json")):
         m = _re.search(r"_r(\d+)\.json$", path)
         if not m:
@@ -15897,14 +16036,22 @@ def _latest_green_round() -> dict[str, int]:
         if not isinstance(rows, dict):
             continue
         for name, row in rows.items():
-            if not isinstance(row, dict) or row.get("err") is not None:
+            if not isinstance(row, dict):
                 continue
-            green = row.get("rows_match") and row.get("schema_match") is not False
             # hash_match is None for no-oracle (rows-only) checks —
             # count those as green; False is a real mismatch.
-            if green and row.get("hash_match") is not False:
-                latest[name] = max(latest.get(name, 0), rnd)
-    return latest
+            green = (
+                row.get("err") is None
+                and row.get("rows_match")
+                and row.get("schema_match") is not False
+                and row.get("hash_match") is not False
+            )
+            if green:
+                latest_green[name] = max(latest_green.get(name, 0), rnd)
+            if name not in newest_row or rnd > newest_row[name][0]:
+                newest_row[name] = (rnd, green)
+    red_latest = {n for n, (_, g) in newest_row.items() if not g}
+    return latest_green, red_latest
 
 
 #: Queries whose OPERATOR CODE or oracle changed this round: a prior
@@ -15918,108 +16065,63 @@ def _latest_green_round() -> dict[str, int]:
 #: (a16/w10/x25/x31 are never-checked so already tier 0); d5/d7 CC
 #: touched by the count-skip shave; x28/v10 recall audits now
 #:  left-join (ADVICE r5) — all never-checked except d5/d7.
+#: r7: w5 (integer-rational pr/cd — also red-latest so tier 0 anyway),
+#: o2 (row_ranks rewrite), w10/w11 (shared med/MAD calibration),
+#: x1 (shared tokenized projection).  x47/x21/x22 touched too but
+#: never driver-checked, so already ahead of this tier.
 _REVALIDATE = {
-    "d5_dup_clusters", "d7_dedup_keep_best",
+    "w5_analytic_windows",
+    "o2_global_sort",
+    "w10_mad_outliers",
+    "w11_cusum_drift",
+    "x1_token_stats",
 }
 
 #: Queries FIRST ADDED this round: they are never-checked too, but the
-#: r5 backlog (91 never-checked queries from the registry's r5 growth)
-#: must drain through the driver's 50-slot window first — new entries
-#: wait behind it (VERDICT r5 item 1).  Per-round maintenance.
+#: accumulated backlog (the 102 r5/r6 additions without a driver row,
+#: VERDICT r6 item 2) must drain through the driver's 50-slot window
+#: first — new entries wait behind it.  Per-round maintenance: r7
+#: empties the r6 list (its 61 queries now enumerate as plain
+#: never-checked, tier 1) and defers only the r7 additions.
 _DEFER_NEW: set[str] = {
-    "a26_exact_percentiles",
-    "k2_hll_distinct",
-    "g2_two_hop_reach",
-    "a27_rfm_segments",
-    "w14_week_over_week",
-    "x34_curation_funnel",
-    "s30_zorder_layout",
-    "k3_theta_intersect",
-    "a28_decile_lift",
-    "s31_compaction_plan",
-    "v11_pq_codes",
-    "x35_lsh_sensitivity_audit",
-    "t14_date_spine_zero_fill",
-    "s32_cdc_apply",
-    "u6_except_all_bag",
-    "o5_keyset_pagination",
-    "x36_mixture_plan",
-    "x37_cms_error_audit",
-    "j13_scd2_pit_join",
-    "a29_higher_moments",
-    "t15_native_session_window",
-    "g3_pagerank_int",
-    "w15_rolling_median",
-    "x38_feature_hashing",
-    "x39_bm25_topk",
-    "x40_e2e_corpus_build",
-    "j14_value_band_join",
-    "x41_novelty_score",
-    "mm9_perceptual_dhash_pairs",
-    "d13_cross_source_dups",
-    "s33_bloom_zone_map",
-    "t16_lateness_watermark_audit",
-    "a30_weekly_latency_bands",
-    "x42_dedup_token_budget",
-    "x43_split_leakage",
-    "t17_downtime_windows",
-    "a31_corr_covar",
-    "a32_unpivot_long",
-    "a33_linear_trend",
-    "a34_autocorr",
-    "w16_ewma",
-    "a35_abc_pareto",
-    "v12_hybrid_rrf",
-    "x44_dq_report",
-    "x45_pps_sample",
-    "a36_robust_trend",
-    "a37_gini",
-    "a38_ks_two_sample",
-    "a39_rank_auc",
-    "a40_spearman",
-    "a41_diff_in_diff",
-    "a42_cramers_v",
-    "x46_source_templates",
-    "x47_token_weighted_median",
-    "u7_reconcile",
-    "x48_heavy_change",
-    "d14_nearest_neighbor_doc",
-    "x49_cluster_safe_split",
-    "w17_rolling_trend",
-    "j16_join_skew_report",
-    "a43_simpson_diversity",
+    "w5b_analytic_windows_kernel",
 }
 
-_FRESHNESS = _latest_green_round()
+_FRESHNESS, _RED_LATEST = _driver_row_history()
 _NEWEST_CHECKED = max(_FRESHNESS.values(), default=0)
 
 
 def _enum_rank(name: str) -> tuple[int, int]:
     """Priority tiers for the driver's first-N correctness window.
 
-    Tier 0 — never-checked backlog (the registry grew 95→186 in r5;
-    the driver samples 50/round, so these clear over r6+r7; VERDICT
-    r5 item 1 makes this the round's top ask).  Registry insertion
-    order within the tier keeps the ordering deterministic.
-    Tier 1 — fresh rows whose operator/oracle changed this round
+    Tier 0 — queries whose NEWEST driver row is red: a recorded
+    failure outranks everything (VERDICT r6 item 1 — w5's red row
+    must be re-sampled first).
+    Tier 1 — never-checked backlog (102 r5/r6 additions as of r7;
+    the driver samples 50/round, so r7+r8 clear it; VERDICT r6
+    item 2).  Registry insertion order within the tier keeps the
+    ordering deterministic.
+    Tier 2 — fresh rows whose operator/oracle changed this round
     (_REVALIDATE): green evidence predates the code change.
-    Tier 2 — checked in SOME round but not the newest (stale
+    Tier 3 — checked in SOME round but not the newest (stale
     evidence; testdata regeneration can break formerly-green paths,
     as the r4 NTZ swap proved).  Stalest first within the tier.
-    Tier 3 — queries first added this round (_DEFER_NEW): behind the
-    r5 backlog by policy.
-    Tier 4 — fresh and unchanged.
+    Tier 4 — queries first added this round (_DEFER_NEW): behind the
+    backlog by policy.
+    Tier 5 — fresh and unchanged.
     """
+    if name in _RED_LATEST:
+        return (0, 0)
     fresh = _FRESHNESS.get(name)
     if fresh is None and name not in _DEFER_NEW:
-        return (0, 0)
-    if name in _REVALIDATE:
         return (1, 0)
+    if name in _REVALIDATE:
+        return (2, 0)
     if fresh is not None and fresh < _NEWEST_CHECKED:
-        return (2, fresh)
+        return (3, fresh)
     if fresh is None:
-        return (3, 0)
-    return (4, fresh)
+        return (4, 0)
+    return (5, fresh)
 
 
 REGISTRY = dict(

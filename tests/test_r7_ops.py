@@ -1,0 +1,114 @@
+"""Round-7 operators: row_ranks kernel (o2's de-serialized global
+rank), the w5 integer-rational fix, and w5b — the kernel-backed
+production twin of the analytic window suite (VERDICT r6 items 1-4).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from stampede_to_fresco_etl_spark.operators.order_stats import row_ranks
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_row_ranks_grouped_vs_pandas(spark):
+    rows = [(f"g{i % 5}", (i * 37) % 97, i) for i in range(300)]
+    df = spark.createDataFrame(rows, "g string, v long, tie long")
+    got = {
+        (r["g"], r["tie"]): r["rn"]
+        for r in row_ranks(
+            df, ["g"], ["v", "tie"], num_partitions=16
+        ).collect()
+    }
+    pdf = pd.DataFrame(rows, columns=["g", "v", "tie"])
+    pdf["rn"] = pdf.sort_values(["v", "tie"]).groupby("g").cumcount() + 1
+    for _, r in pdf.iterrows():
+        assert got[(r["g"], r["tie"])] == r["rn"]
+    assert len(got) == len(rows)
+
+
+def test_row_ranks_global_total_order(spark):
+    rows = [((i * 61) % 211, i) for i in range(211)]
+    df = spark.createDataFrame(rows, "v long, tie long")
+    out = row_ranks(df, [], ["v", "tie"], out_name="pos").collect()
+    by_v = {r["v"]: r["pos"] for r in out}
+    assert by_v == {v: v + 1 for v, _ in rows}
+
+
+def test_o2_no_single_partition_window(spark):
+    """o2's rank must never move the table through one task: no
+    unpartitioned data-sized WindowExec (the r6 counter-example to
+    SCALE.md's claim) — every window spec in its plan carries an
+    explicit partition key, and the rank is join-recovered."""
+    from stampede_to_fresco_etl_spark.catalog import REGISTRY
+
+    df = REGISTRY["o2_global_sort"][0](spark, SF)
+    plan = _plan(df)
+    specs = re.findall(r"windowspecdefinition\([^)]*\)", plan)
+    assert specs, "offset frame window expected"
+    for s in specs:
+        # every spec partitions by something (first arg not an
+        # ORDER BY expr): the unpartitioned form prints
+        # windowspecdefinition(<order> ASC NULLS FIRST, ...)
+        first = s.split("(", 1)[1].split(",", 1)[0]
+        assert "ASC" not in first and "DESC" not in first, s
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_w5b_matches_w5_exactly(spark):
+    from stampede_to_fresco_etl_spark.catalog import REGISTRY
+
+    w5 = REGISTRY["w5_analytic_windows"][0](spark, SF).toPandas()
+    w5b = REGISTRY["w5b_analytic_windows_kernel"][0](
+        spark, SF
+    ).toPandas()
+    assert list(w5.columns) == list(w5b.columns)
+    key = ["event_type", "event_id"]
+    w5 = w5.sort_values(key).reset_index(drop=True)
+    w5b = w5b.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(w5, w5b, check_exact=True)
+
+
+def test_w5b_plan_canary(spark):
+    """w5b plan canary: no window spec ordered by event_id (w5's
+    per-type full-table sort signature) — the only specs allowed are
+    the (pid, type) local pass, the P·G stats chain, and the
+    calendar-bounded day frame; joins back are broadcast."""
+    from stampede_to_fresco_etl_spark.catalog import REGISTRY
+
+    df = REGISTRY["w5b_analytic_windows_kernel"][0](spark, SF)
+    plan = _plan(df)
+    specs = re.findall(r"windowspecdefinition\([^)]*\)", plan)
+    assert specs
+    assert not any("event_id" in s for s in specs), specs
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("- Exchange (") <= 8
+
+
+def test_w5_rationals_are_exact_integers(spark):
+    """The r6 red row's root cause stays dead: w5 emits no raw float
+    division — pr/cd ride as (num, den) bigint pairs that satisfy the
+    percent_rank/cume_dist identities."""
+    from stampede_to_fresco_etl_spark.catalog import REGISTRY
+
+    pdf = REGISTRY["w5_analytic_windows"][0](spark, SF).toPandas()
+    for c in ("pr_num", "pr_den", "cd_num", "cd_den"):
+        assert str(pdf[c].dtype) == "int64", c
+    # identities on one partition: pr_num = rnk-1; cd covers all rows
+    g = pdf[pdf.event_type == pdf.event_type.iloc[0]]
+    assert (g.pr_num == g.rnk - 1).all()
+    assert (g.cd_den == len(g)).all()
+    assert g.cd_num.max() == len(g)
+    assert (g.groupby("day").cd_num.nunique() == 1).all()
