@@ -23,13 +23,14 @@ asserts exactly this).
 
 Exactly-once across crashes: Spark's checkpoint replays an unfinished
 batch with the SAME batch id and file set.  State snapshots are
-versioned by batch id; the snapshot write's own `_SUCCESS` marker is
-the commit point (the touched-month list is written BEFORE the
-snapshot, so it exists whenever the commit does).  A replayed batch
-whose snapshot is committed skips the merge (no double-count) and
-only re-runs the output rewrite — idempotent, because it is a
-dynamic-partition overwrite of the recorded months from the same
-committed state.
+versioned by batch id; the commit point is the snapshot's own
+`_MONTHS` marker — published ATOMICALLY (temp + rename) after the
+parquet job, with the touched-month list as its content, so snapshot
+and replay metadata are ONE artifact (no second side-file whose
+commit could diverge).  A replayed batch whose snapshot is committed
+skips the merge (no double-count) and only re-runs the output
+rewrite — idempotent, because it is a dynamic-partition overwrite of
+the marker's months from the same committed state.
 
 Scale notes (100 TB / 1000 executors):
   - per-batch work ∝ batch size for the join+group, ∝ |state| for the
@@ -72,9 +73,17 @@ def _fs(spark: SparkSession, path: str):
     return p.getFileSystem(spark._jsc.hadoopConfiguration()), jvm
 
 
+_MARKER = "_MONTHS"
+
+
 def _committed_ids(spark: SparkSession, state_dir: str) -> list[int]:
-    """Batch ids with a fully-committed state snapshot (v{id}/_SUCCESS
-    present — Spark's own output-commit marker is the commit point)."""
+    """Batch ids with a fully-committed state snapshot.  The commit
+    point is the snapshot's own `_MONTHS` marker — written ATOMICALLY
+    (temp + rename) after the parquet job finishes, carrying the
+    batch's touched-month list as its content, so the snapshot and
+    the replay metadata commit as ONE artifact (r6 follow-up: the
+    month list used to ride a separate m{id} side-dir whose own
+    commit could in principle diverge from the snapshot's)."""
     fs, jvm = _fs(spark, state_dir)
     root = jvm.org.apache.hadoop.fs.Path(state_dir)
     if not fs.exists(root):
@@ -84,11 +93,46 @@ def _committed_ids(spark: SparkSession, state_dir: str) -> list[int]:
         name = st.getPath().getName()
         if name.startswith("v") and name[1:].isdigit():
             ok = jvm.org.apache.hadoop.fs.Path(
-                f"{state_dir}/{name}/_SUCCESS"
+                f"{state_dir}/{name}/{_MARKER}"
             )
             if fs.exists(ok):
                 ids.append(int(name[1:]))
     return sorted(ids)
+
+
+def _write_marker(
+    spark: SparkSession, snap_dir: str, months: list[str]
+) -> None:
+    """Atomically publish `{snap_dir}/_MONTHS` with the month list as
+    JSON content: write to a dotted temp name, then rename — rename is
+    atomic on HDFS and local FS, so a reader never observes a partial
+    marker, and the marker's existence IS the snapshot commit."""
+    import json
+
+    fs, jvm = _fs(spark, snap_dir)
+    tmp = jvm.org.apache.hadoop.fs.Path(f"{snap_dir}/._MONTHS.tmp")
+    final = jvm.org.apache.hadoop.fs.Path(f"{snap_dir}/{_MARKER}")
+    out = fs.create(tmp, True)
+    out.write(bytearray(json.dumps(sorted(months)).encode("utf-8")))
+    out.close()
+    if fs.exists(final):
+        fs.delete(final, False)
+    fs.rename(tmp, final)
+
+
+def _read_marker(spark: SparkSession, snap_dir: str) -> list[str]:
+    import json
+
+    fs, jvm = _fs(spark, snap_dir)
+    path = jvm.org.apache.hadoop.fs.Path(f"{snap_dir}/{_MARKER}")
+    stream = fs.open(path)
+    try:
+        data = jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()
+    return json.loads(data)
 
 
 def _month_col(col: str = "time"):
@@ -111,8 +155,10 @@ def apply_step2_batch(
 
     if batch_id in committed:
         # replayed batch: state already merged — only the idempotent
-        # output rewrite of the recorded months runs again
+        # output rewrite of the months recorded in the snapshot's own
+        # marker runs again
         state = spark.read.parquet(f"{state_dir}/v{batch_id}")
+        months = _read_marker(spark, f"{state_dir}/v{batch_id}")
     else:
         partial = partial_step2(batch_df, accounting, window_sec)
         prev_ids = [i for i in committed if i < batch_id]
@@ -122,40 +168,41 @@ def apply_step2_batch(
         else:
             merged = partial
         merged.persist()
-        # record touched months BEFORE the state commit so a replay
-        # always finds them.  The list is EVERY month of the touched
-        # jobs' buckets in the MERGED state — not just the batch's own
+        # the touched-month list is EVERY month of the touched jobs'
+        # buckets in the MERGED state — not just the batch's own
         # months: host_list is a per-job cross-month column, so a job
         # that gains a host in a later-month-only batch must have its
-        # earlier months' partitions rewritten too.  Tiny frame (an
+        # earlier months' partitions rewritten too.  Tiny list (an
         # HPC stream spans 1-2 live months; a spanning job adds its
-        # neighbors).
+        # neighbors) — collected driver-side and published INSIDE the
+        # snapshot as its commit marker, so state + replay metadata
+        # are one atomic unit.
         touched = partial.select(*_JOB_KEY).distinct()
-        (
-            merged.join(F.broadcast(touched), _JOB_KEY, "left_semi")
-            .select(_month_col().alias("month"))
-            .distinct()
-            .coalesce(1)
-            .write.mode("overwrite")
-            .json(f"{state_dir}/m{batch_id}")
-        )
+        months = [
+            r["month"]
+            for r in (
+                merged.join(F.broadcast(touched), _JOB_KEY, "left_semi")
+                .select(_month_col().alias("month"))
+                .distinct()
+                .collect()
+            )
+        ]
         merged.write.mode("overwrite").option(
             "compression", "zstd"
         ).parquet(f"{state_dir}/v{batch_id}")
         merged.unpersist()
+        # THE commit point: atomic marker carrying the month list.
+        # A crash before this line leaves v{batch_id} uncommitted —
+        # the replay re-merges and overwrites it wholesale.
+        _write_marker(spark, f"{state_dir}/v{batch_id}", months)
         state = spark.read.parquet(f"{state_dir}/v{batch_id}")
-        # GC snapshots older than the previous one
+        # GC snapshots older than the previous one (m{old} is the
+        # pre-r7 side-dir layout — removed if present)
         fs, jvm = _fs(spark, state_dir)
         for old in committed[: -(keep_versions - 1) or None]:
             for d in (f"{state_dir}/v{old}", f"{state_dir}/m{old}"):
                 fs.delete(jvm.org.apache.hadoop.fs.Path(d), True)
 
-    months = [
-        r["month"]
-        for r in spark.read.schema("month string")
-        .json(f"{state_dir}/m{batch_id}")
-        .collect()
-    ]
     if not months:
         return
 

@@ -227,6 +227,84 @@ def test_streaming_step2_cross_month_late_host(spark, dirs):
     pd.testing.assert_frame_equal(got, want, check_exact=False, rtol=1e-12)
 
 
+def test_marker_and_months_are_one_atomic_unit(spark, dirs):
+    """r7: the touched-month list lives INSIDE the snapshot as its
+    commit marker (_MONTHS) — one artifact, not two.  Drives the
+    foreachBatch body directly through every crash window:
+
+      (a) after the parquet job but BEFORE the marker → the snapshot
+          is NOT committed; a replay re-merges without double-count;
+      (b) after the marker → committed; a replay skips the merge,
+          reads the months from the marker, and the rewrite is
+          byte-stable.
+    """
+    from stampede_to_fresco_etl_spark.streaming import step2_stream as S
+
+    accounting = parse_accounting(spark.createDataFrame(ACCT_ROWS))
+    batch0 = spark.createDataFrame(FILES[0], schema=FRESCO_LONG)
+    batch1 = spark.createDataFrame(FILES[1], schema=FRESCO_LONG)
+
+    S.apply_step2_batch(
+        spark, batch0, 0, accounting, dirs["state"], dirs["out"]
+    )
+    assert S._committed_ids(spark, dirs["state"]) == [0]
+    assert S._read_marker(spark, f"{dirs['state']}/v0") == ["2013-03"]
+
+    # crash window (a): kill the marker write — batch 1's snapshot
+    # parquet lands but the commit never happens
+    real_write = S._write_marker
+
+    def boom(*a, **k):
+        raise RuntimeError("injected crash before marker")
+
+    S._write_marker = boom
+    try:
+        with pytest.raises(RuntimeError):
+            S.apply_step2_batch(
+                spark, batch1, 1, accounting, dirs["state"], dirs["out"]
+            )
+    finally:
+        S._write_marker = real_write
+    # snapshot dir exists but is NOT committed (no marker) — replay
+    # must re-merge from v0, not read the orphan
+    assert S._committed_ids(spark, dirs["state"]) == [0]
+
+    # replay batch 1 (same id, same rows) — exactly-once: the merge
+    # runs once on top of v0, and the marker commits atomically
+    S.apply_step2_batch(
+        spark, batch1, 1, accounting, dirs["state"], dirs["out"]
+    )
+    assert S._committed_ids(spark, dirs["state"]) == [0, 1]
+    months = S._read_marker(spark, f"{dirs['state']}/v1")
+    assert months == ["2013-03"]
+
+    # crash window (b): replay an ALREADY-committed batch — the merge
+    # is skipped (state unchanged), months come from the marker, and
+    # the output rewrite is idempotent
+    before = _sorted_pdf(spark.read.parquet(dirs["out"]))
+    state_before = (
+        spark.read.parquet(f"{dirs['state']}/v1").orderBy("jid").collect()
+    )
+    S.apply_step2_batch(
+        spark, batch1, 1, accounting, dirs["state"], dirs["out"]
+    )
+    after = _sorted_pdf(spark.read.parquet(dirs["out"]))
+    state_after = (
+        spark.read.parquet(f"{dirs['state']}/v1").orderBy("jid").collect()
+    )
+    pd.testing.assert_frame_equal(before, after, check_exact=True)
+    assert state_before == state_after
+
+    # converged to the batch plan: (10+20)/2 cpuuser and h1,h2,h3
+    metrics = spark.createDataFrame(
+        FILES[0] + FILES[1], schema=FRESCO_LONG
+    )
+    want = _sorted_pdf(join_and_widen(metrics, accounting))
+    pd.testing.assert_frame_equal(
+        after, want, check_exact=False, rtol=1e-12
+    )
+
+
 def test_streaming_step3_finalize_matches_batch(spark, tmp_path):
     """Streaming finalize over arriving wide files equals batch
     finalize on the same rows; replays are exactly-once."""
