@@ -102,6 +102,9 @@ EXTENSION = [
     "a38_ks_two_sample",  # new r6b: packed-count KS scan
     "v12_hybrid_rrf",  # new r6b: BM25 + quality RRF fusion
     "x45_pps_sample",  # new r6b: integer PPS systematic sample
+    "w5b_analytic_windows_kernel",  # new r7: kernel twin of w5
+    "o2_global_sort",  # new r7: row_ranks global rank (de-serialized)
+    "x47_token_weighted_median",  # new r7: shared token projection
 ]
 
 HEADLINE = CORE + EXTENSION

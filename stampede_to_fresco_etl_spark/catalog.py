@@ -99,6 +99,20 @@ FSUM = "SUM(CAST(FLOOR(({x}) * 10000.0) AS BIGINT))"
 DSUM = "(CAST(SUM(CAST(FLOOR(({x}) * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0)"
 
 
+def _zero_key(col) -> F.Column:
+    """A non-foldable all-zeros partition key for windows over
+    BOUNDED control-plane frames (a decile frame, a source manifest,
+    a calendar-minute spine, a top-k pool).  Semantically identical
+    to an unpartitioned window — but the spec is EXPLICIT, so Spark's
+    "No Partition Defined" WindowExec warning never fires for bounded
+    frames and stays a true canary for the one shape that matters:
+    a data-sized serial window (o2's pre-r7 plan).  `col >> 62` of a
+    non-negative long is 0 for every row; a raw literal would be
+    constant-folded out of the spec by Catalyst."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.shiftright(c.cast("long"), 62)
+
+
 # ---------------------------------------------------------------------------
 # S1-S3/P1/P3/P4/P5 — scan with projection + membership & range filters
 # ---------------------------------------------------------------------------
@@ -11284,7 +11298,9 @@ def q_decile_lift(spark, sf_dir):
     tot = per_dec.agg(
         F.sum("n_users").alias("t_users"), F.sum("mon_s").alias("t_mon")
     )
-    w_cum = Window.orderBy(F.col("decile").desc()).rowsBetween(
+    w_cum = Window.partitionBy(_zero_key("decile")).orderBy(
+        F.col("decile").desc()
+    ).rowsBetween(
         Window.unboundedPreceding, 0
     )
     return (
@@ -11379,7 +11395,9 @@ def q_compaction_plan(spark, sf_dir):
         F.sum("n_chars").alias("f_bytes"),
         F.count("*").alias("n_docs"),
     )
-    w = Window.orderBy("source").rowsBetween(
+    w = Window.partitionBy(_zero_key(F.length("source"))).orderBy(
+        "source"
+    ).rowsBetween(
         Window.unboundedPreceding, -1
     )
     planned = manifest.select(
@@ -13427,7 +13445,9 @@ def q_lateness_watermark_audit(spark, sf_dir):
         .agg(F.count("*").alias("n_events"))
     )
     tot = counts.agg(F.sum("n_events").alias("n_total"))
-    w_cum = Window.orderBy("bucket_id").rowsBetween(
+    w_cum = Window.partitionBy(_zero_key("bucket_id")).orderBy(
+        "bucket_id"
+    ).rowsBetween(
         Window.unboundedPreceding, 0
     )
     return (
@@ -13844,7 +13864,7 @@ def q_downtime_windows(spark, sf_dir):
         )
         .distinct()
     )
-    w = Window.orderBy("minute")
+    w = Window.partitionBy(_zero_key("minute")).orderBy("minute")
     gaps = mins.select(
         "minute", F.lag("minute").over(w).alias("prev_minute")
     ).filter(
@@ -14411,8 +14431,12 @@ def q_hybrid_rrf(spark, sf_dir):
     qual = docs.join(pool, "doc_id").select(
         "doc_id", "bm25", T.stopword_ratio("text").alias("quality")
     )
-    w_lex = Window.orderBy(F.col("bm25").desc(), "doc_id")
-    w_q = Window.orderBy(F.col("quality").desc(), "doc_id")
+    w_lex = Window.partitionBy(_zero_key("doc_id")).orderBy(
+        F.col("bm25").desc(), "doc_id"
+    )
+    w_q = Window.partitionBy(_zero_key("doc_id")).orderBy(
+        F.col("quality").desc(), "doc_id"
+    )
     ranked = qual.select(
         "doc_id",
         "bm25",

@@ -287,8 +287,11 @@ def prefix_sum_with_running_min(
         F.sum(value_col).alias("__tot"),
         F.min("__lsum").alias("__pmin"),
     )
+    # empty-group case: same non-foldable constant key as row_ranks —
+    # the bounded P-row chain gets an EXPLICIT single partition so the
+    # "No Partition Defined" warning stays a true data-sized canary
     w_prev = (
-        Window.partitionBy(*gcols)
+        Window.partitionBy(*(gcols or [F.shiftright("__pid", 63)]))
         .orderBy("__pid")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
