@@ -16093,6 +16093,286 @@ REGISTRY.update(
 
 
 # ---------------------------------------------------------------------------
+# A44 — first/last-touch conversion attribution
+# ---------------------------------------------------------------------------
+
+def q_attribution(spark, sf_dir):
+    """A44 — marketing-style conversion attribution: each purchase is
+    credited to the user's FIRST and LAST preceding touch event
+    (click/view/signup, strictly earlier in (ts, event_id) order);
+    purchases with no prior touch credit 'direct'.  Revenue per
+    (model, touch_type) with the repo's floor-scaled exact sum.
+
+    Spark-first: ONE per-user ordered window over the union frame —
+    `last(touch, ignoreNulls)` / `first(touch, ignoreNulls)` with a
+    ROWS UNBOUNDED PRECEDING..1 PRECEDING frame is the carry-forward
+    idiom (t8's ffill shape), so there is no self-join and no as-of
+    search.  user_id is a high-cardinality key: partitions stay
+    balanced at 100 TB, and the final rollup is ≤ 8 rows."""
+    ev = load(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "view", "signup", "purchase")
+    )
+    touch = F.when(
+        F.col("event_type") != "purchase", F.col("event_type")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    attributed = (
+        ev.select(
+            "user_id", "ts", "event_id", "event_type", "value",
+            F.last(touch, ignorenulls=True).over(w).alias("lt"),
+            F.first(touch, ignorenulls=True).over(w).alias("ft"),
+        )
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.coalesce("lt", F.lit("direct")).alias("last_touch"),
+            F.coalesce("ft", F.lit("direct")).alias("first_touch"),
+            "value",
+        )
+    )
+    lt = attributed.groupBy(
+        F.lit("last_touch").alias("model"),
+        F.col("last_touch").alias("touch"),
+    ).agg(
+        F.count("*").alias("n_purchases"),
+        (fsum(F.col("value")).cast("double") / F.lit(10000.0))
+        .alias("revenue"),
+    )
+    ft = attributed.groupBy(
+        F.lit("first_touch").alias("model"),
+        F.col("first_touch").alias("touch"),
+    ).agg(
+        F.count("*").alias("n_purchases"),
+        (fsum(F.col("value")).cast("double") / F.lit(10000.0))
+        .alias("revenue"),
+    )
+    return lt.unionAll(ft)
+
+
+SQL_ATTRIBUTION = f"""
+WITH ev AS (
+  SELECT user_id, ts, event_id, event_type, value,
+         CASE WHEN event_type <> 'purchase' THEN event_type END AS touch
+  FROM events
+  WHERE event_type IN ('click', 'view', 'signup', 'purchase')
+),
+attributed AS (
+  SELECT
+    COALESCE(last_value(touch IGNORE NULLS) OVER w, 'direct')
+      AS last_touch,
+    COALESCE(first_value(touch IGNORE NULLS) OVER w, 'direct')
+      AS first_touch,
+    value, event_type
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT 'last_touch' AS model, last_touch AS touch,
+       count(*) AS n_purchases,
+       CAST({FSUM.format(x='value')} AS DOUBLE) / 10000.0 AS revenue
+FROM attributed WHERE event_type = 'purchase'
+GROUP BY last_touch
+UNION ALL
+SELECT 'first_touch' AS model, first_touch AS touch,
+       count(*) AS n_purchases,
+       CAST({FSUM.format(x='value')} AS DOUBLE) / 10000.0 AS revenue
+FROM attributed WHERE event_type = 'purchase'
+GROUP BY first_touch
+"""
+
+
+REGISTRY.update({"a44_attribution": (q_attribution, SQL_ATTRIBUTION)})
+
+
+# ---------------------------------------------------------------------------
+# A45 — Kaplan–Meier risk table (survival analysis, exact integers)
+# ---------------------------------------------------------------------------
+
+def q_kaplan_meier(spark, sf_dir):
+    """A45 — survival-analysis risk table over SESSION lifetimes:
+    sessions are t7's 30-minute-gap sessionization (one per-user lag
+    + running-sum window, high-cardinality key), duration = whole
+    minutes between a session's first and last event; sessions whose
+    last event falls within 60 minutes of the corpus end are CENSORED
+    (possibly still open), the rest are completed (the "death"
+    event).  Emits the classic KM risk table — per distinct duration
+    t: n_risk (sessions with duration ≥ t), d_churn (completions at
+    t), c_censored (censored at t) — plus the per-step hazard as an
+    exact integer rational (hazard_num/hazard_den = d/n_risk).  The
+    cumulative KM product is deliberately NOT emitted: cross-engine
+    float products are not bit-stable, while every column here is an
+    exact integer (VERDICT r6 item 1's doctrine); all time arithmetic
+    is integer microseconds.
+
+    Scale shape: one keyed window pass + one hash agg keyed by
+    (user, session) (high cardinality), one scalar max, then all
+    remaining work on the ≤ |distinct durations| control-plane frame
+    (bounded by the calendar span, explicit _zero_key spec)."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    gap = F.lag("us").over(w)
+    new_sess = (
+        gap.isNull() | (F.col("us") - gap > F.lit(30 * 60 * 1_000_000))
+    ).cast("long")
+    sess = ev.select(
+        "user_id", "us", new_sess.alias("brk")
+    ).select(
+        "user_id", "us",
+        F.sum("brk")
+        .over(
+            Window.partitionBy("user_id")
+            .orderBy("us")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .alias("sid"),
+    )
+    per_sess = sess.groupBy("user_id", "sid").agg(
+        F.min("us").alias("first_us"), F.max("us").alias("last_us")
+    )
+    cut = ev.agg(
+        (F.max("us") - F.lit(60 * 60 * 1_000_000)).alias("cut_us")
+    )
+    lab = per_sess.crossJoin(F.broadcast(cut)).select(
+        F.expr("(last_us - first_us) div 60000000").alias("t"),
+        (F.col("last_us") < F.col("cut_us")).cast("long").alias("observed"),
+    )
+    steps = lab.groupBy("t").agg(
+        F.sum("observed").alias("d_churn"),
+        F.sum(F.lit(1) - F.col("observed")).alias("c_censored"),
+    )
+    w = (
+        Window.partitionBy(_zero_key(F.col("t")))
+        .orderBy(F.col("t").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        steps.select(
+            "t", "d_churn", "c_censored",
+            F.sum(F.col("d_churn") + F.col("c_censored"))
+            .over(w)
+            .alias("n_risk"),
+        )
+        .select(
+            "t", "n_risk", "d_churn", "c_censored",
+            F.col("d_churn").alias("hazard_num"),
+            F.col("n_risk").alias("hazard_den"),
+        )
+    )
+
+
+SQL_KAPLAN_MEIER = """
+WITH ev AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+),
+lagged AS (
+  SELECT user_id, us,
+         lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+           AS p
+  FROM ev
+),
+sess AS (
+  SELECT user_id, us,
+         SUM(CASE WHEN p IS NULL OR us - p > CAST(1800000000 AS BIGINT)
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY us
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS sid
+  FROM lagged
+),
+per_sess AS (
+  SELECT user_id, sid, min(us) AS first_us, max(us) AS last_us
+  FROM sess GROUP BY user_id, sid
+),
+cut AS (
+  SELECT max(us) - CAST(3600000000 AS BIGINT) AS cut_us FROM ev
+),
+lab AS (
+  SELECT (last_us - first_us) // 60000000 AS t,
+         CAST(last_us < (SELECT cut_us FROM cut) AS BIGINT)
+           AS observed
+  FROM per_sess
+),
+steps AS (
+  SELECT t, SUM(observed) AS d_churn,
+         SUM(1 - observed) AS c_censored
+  FROM lab GROUP BY t
+)
+SELECT t,
+       SUM(d_churn + c_censored) OVER (ORDER BY t DESC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_risk,
+       d_churn, c_censored,
+       d_churn AS hazard_num,
+       SUM(d_churn + c_censored) OVER (ORDER BY t DESC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hazard_den
+FROM steps
+"""
+
+
+REGISTRY.update({"a45_kaplan_meier": (q_kaplan_meier, SQL_KAPLAN_MEIER)})
+
+
+# ---------------------------------------------------------------------------
+# W18 — longest consecutive-day activity streak (gaps and islands)
+# ---------------------------------------------------------------------------
+
+def q_longest_streak(spark, sf_dir):
+    """W18 — the canonical gaps-and-islands computation: per user,
+    the longest run of CONSECUTIVE active calendar days.  island key
+    = day − row_number(day): constant within a consecutive run,
+    distinct across gaps — the whole algorithm is two hash
+    aggregates and one per-user window (high-cardinality partition
+    key, no data-sized sort).  Output: per user, active-day count,
+    number of distinct streaks, and the longest streak length — all
+    exact integers."""
+    ev = load(spark, sf_dir, "events")
+    active = ev.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    islands = active.select(
+        "user_id", "day",
+        F.date_sub("day", F.row_number().over(w)).alias("island"),
+    )
+    runs = islands.groupBy("user_id", "island").agg(
+        F.count("*").alias("run_len")
+    )
+    return runs.groupBy("user_id").agg(
+        F.sum("run_len").alias("n_active_days"),
+        F.count("*").alias("n_streaks"),
+        F.max("run_len").alias("longest_streak"),
+    )
+
+
+SQL_LONGEST_STREAK = """
+WITH active AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+islands AS (
+  SELECT user_id, day,
+         day - CAST(row_number() OVER (PARTITION BY user_id
+                                       ORDER BY day) AS INTEGER)
+           AS island
+  FROM active
+),
+runs AS (
+  SELECT user_id, island, count(*) AS run_len
+  FROM islands GROUP BY user_id, island
+)
+SELECT user_id, SUM(run_len) AS n_active_days,
+       count(*) AS n_streaks, MAX(run_len) AS longest_streak
+FROM runs GROUP BY user_id
+"""
+
+
+REGISTRY.update({"w18_longest_streak": (q_longest_streak, SQL_LONGEST_STREAK)})
+
+
+# ---------------------------------------------------------------------------
 # Enumeration order: the driver's correctness run covers the first N
 # registry entries per round, so the STALEST queries must enumerate
 # first.  Computed at import time from the CORRECTNESS_r*.json records
@@ -16184,6 +16464,9 @@ _REVALIDATE = {
 #: never-checked, tier 1) and defers only the r7 additions.
 _DEFER_NEW: set[str] = {
     "w5b_analytic_windows_kernel",
+    "a44_attribution",
+    "a45_kaplan_meier",
+    "w18_longest_streak",
 }
 
 _FRESHNESS, _RED_LATEST = _driver_row_history()

@@ -112,3 +112,63 @@ def test_w5_rationals_are_exact_integers(spark):
     assert (g.cd_den == len(g)).all()
     assert g.cd_num.max() == len(g)
     assert (g.groupby("day").cd_num.nunique() == 1).all()
+
+
+def test_attribution_models_agree_on_totals(spark):
+    """Both attribution models must distribute the SAME purchase set:
+    identical n_purchases totals and identical total revenue, with
+    every touch label drawn from the touch types + 'direct'."""
+    from stampede_to_fresco_etl_spark.catalog import REGISTRY
+
+    pdf = REGISTRY["a44_attribution"][0](spark, SF).toPandas()
+    assert set(pdf.model) == {"first_touch", "last_touch"}
+    tot = pdf.groupby("model").n_purchases.sum()
+    assert tot.nunique() == 1
+    rev = pdf.groupby("model").revenue.sum().round(4)
+    assert rev.nunique() == 1
+    assert set(pdf.touch) <= {"click", "view", "signup", "direct"}
+
+
+def test_kaplan_meier_risk_table_invariants(spark):
+    """n_risk is the suffix sum of (d+c), strictly decreasing in t,
+    and row 0 carries the full population."""
+    from stampede_to_fresco_etl_spark.catalog import REGISTRY
+
+    pdf = (
+        REGISTRY["a45_kaplan_meier"][0](spark, SF)
+        .toPandas()
+        .sort_values("t")
+        .reset_index(drop=True)
+    )
+    assert (pdf.hazard_num == pdf.d_churn).all()
+    assert (pdf.hazard_den == pdf.n_risk).all()
+    suffix = (pdf.d_churn + pdf.c_censored)[::-1].cumsum()[::-1]
+    assert (pdf.n_risk == suffix).all()
+    assert pdf.n_risk.iloc[0] == (pdf.d_churn + pdf.c_censored).sum()
+
+
+def test_longest_streak_vs_pandas(spark):
+    from stampede_to_fresco_etl_spark.catalog import REGISTRY
+
+    got = (
+        REGISTRY["w18_longest_streak"][0](spark, SF)
+        .toPandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    days = (
+        ev.assign(day=pd.to_datetime(ev.ts).dt.normalize())[
+            ["user_id", "day"]
+        ]
+        .drop_duplicates()
+        .sort_values(["user_id", "day"])
+    )
+    days["island"] = days.day - pd.to_timedelta(
+        days.groupby("user_id").cumcount() + 1, unit="D"
+    )
+    runs = days.groupby(["user_id", "island"]).size()
+    want_longest = runs.groupby("user_id").max()
+    want_days = runs.groupby("user_id").sum()
+    assert (got.longest_streak == want_longest).all()
+    assert (got.n_active_days == want_days).all()
