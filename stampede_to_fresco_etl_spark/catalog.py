@@ -16373,6 +16373,411 @@ REGISTRY.update({"w18_longest_streak": (q_longest_streak, SQL_LONGEST_STREAK)})
 
 
 # ---------------------------------------------------------------------------
+# X50 — per-source total-variation drift vs the corpus distribution
+# ---------------------------------------------------------------------------
+
+def q_source_tv_shift(spark, sf_dir):
+    """X50 — distribution-shift audit: for each source, the total
+    variation distance between its token unigram distribution and the
+    corpus-wide distribution — TV(s) = ½ Σ_t |n(s,t)/N_s − m(t)/M|.
+    The log-free drift metric (KL/JS need ln and can never
+    hash-match; TV is exact integers to ONE final division).
+
+    Tokens ABSENT from a source still contribute m(t)/M to the sum —
+    but materializing the source×vocab grid would be quadratic.  The
+    pigeonhole identity avoids it: Σ_{t∉s} m(t)·N_s = N_s·(M −
+    Σ_{t∈s} m(t)), so only (source, token) rows that EXIST are
+    touched.  Products ride DECIMAL(38) (HUGEINT in the oracle) so
+    count·total never overflows at corpus scale; the one division is
+    a deterministic IEEE op on identical operands.
+
+    Scale shape: one explode + two hash aggregates (token counts are
+    map-combined), a broadcast of the S-row source-size frame, and a
+    scalar M — no grid, no window."""
+    from stampede_to_fresco_etl_spark.operators import text as T
+
+    docs = load(spark, sf_dir, "documents")
+    per = (
+        docs.select(
+            "source", F.explode(T.tokens("text")).alias("tok")
+        )
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("n"))
+    )
+    m = per.groupBy("tok").agg(F.sum("n").alias("m"))
+    ns = per.groupBy("source").agg(F.sum("n").alias("n_s"))
+    mm = ns.agg(F.sum("n_s").alias("mt"))
+    dec = "decimal(38,0)"
+    j = (
+        per.join(m, "tok")
+        .join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(mm))
+    )
+    inner = j.groupBy("source").agg(
+        F.first("n_s").alias("n_s"),
+        F.first("mt").alias("mt"),
+        F.sum(
+            F.abs(
+                F.col("n").cast(dec) * F.col("mt").cast(dec)
+                - F.col("m").cast(dec) * F.col("n_s").cast(dec)
+            )
+        ).alias("inner_abs"),
+        F.sum("m").alias("covered_m"),
+    )
+    num = F.col("inner_abs") + F.col("n_s").cast(dec) * (
+        F.col("mt") - F.col("covered_m")
+    ).cast(dec)
+    den = (
+        F.lit(2).cast(dec)
+        * F.col("n_s").cast(dec)
+        * F.col("mt").cast(dec)
+    )
+    return inner.select(
+        "source",
+        F.col("n_s").alias("n_tokens"),
+        (num.cast("double") / den.cast("double")).alias("tv_vs_corpus"),
+    )
+
+
+SQL_SOURCE_TV_SHIFT = f"""
+WITH toks AS (
+  SELECT source, u.tok
+  FROM documents, UNNEST({_D_TOKS}) AS u(tok)
+),
+per AS (
+  SELECT source, tok, count(*) AS n FROM toks GROUP BY source, tok
+),
+m AS (SELECT tok, SUM(n) AS m FROM per GROUP BY tok),
+ns AS (SELECT source, SUM(n) AS n_s FROM per GROUP BY source),
+mm AS (SELECT SUM(n_s) AS mt FROM ns),
+inner_t AS (
+  SELECT p.source,
+         any_value(ns.n_s) AS n_s,
+         any_value(mm.mt) AS mt,
+         SUM(abs(CAST(p.n AS HUGEINT) * CAST(mm.mt AS HUGEINT)
+                 - CAST(m.m AS HUGEINT) * CAST(ns.n_s AS HUGEINT)))
+           AS inner_abs,
+         SUM(m.m) AS covered_m
+  FROM per p JOIN m USING (tok) JOIN ns USING (source), mm
+  GROUP BY p.source
+)
+SELECT source, CAST(n_s AS BIGINT) AS n_tokens,
+       CAST(inner_abs + CAST(n_s AS HUGEINT)
+              * CAST(mt - covered_m AS HUGEINT) AS DOUBLE)
+         / CAST(CAST(2 AS HUGEINT) * CAST(n_s AS HUGEINT)
+                * CAST(mt AS HUGEINT) AS DOUBLE) AS tv_vs_corpus
+FROM inner_t
+"""
+
+
+REGISTRY.update({"x50_source_tv_shift": (q_source_tv_shift, SQL_SOURCE_TV_SHIFT)})
+
+
+# ---------------------------------------------------------------------------
+# K4 — cumulative distinct-users time series: exact first-seen scan
+# vs merged daily HyperLogLog sketches
+# ---------------------------------------------------------------------------
+
+def q_hll_cumulative(spark, sf_dir):
+    """K4 — the mergeability story K2 only claims: distinct users TO
+    DATE per day, computed twice — exactly, via the first-seen-day
+    trick (min(day) per user → per-day arrival counts → running sum
+    on the calendar-bounded spine: the 100 TB-exact path, ONE hash
+    agg on the high-cardinality key and no count-distinct window),
+    and approximately, by folding per-day HLL register maxima
+    cumulatively (running max per register over the day×register
+    grid — the shape a sketch store materializes when merging daily
+    sketches into as-of-date cardinalities).  rel_err audits the
+    estimate against the exact arm; at 100 TB you keep the sketch
+    and drop the audit (k1b's division of labor).
+
+    Register arithmetic is K2's: md5 bucket + leading-zero rho, all
+    integers; the estimate is one double division of identical
+    operands.  Every window here rides a bounded frame (register
+    grid ≤ days×128 rows; spine ≤ days rows, explicit _zero_key)."""
+    e = load(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    h = md5_int63(F.col("user_id"), salt="hllts")
+    w = F.shiftright(h, _HLL_P)
+    rho = (
+        F.when(w > 0, F.lit(_HLL_WBITS + 1) - F.length(F.bin(w)))
+        .otherwise(F.lit(_HLL_WBITS + 1))
+        .cast("int")
+    )
+    daily = (
+        e.select(
+            "day", F.pmod(h, F.lit(_HLL_M)).alias("b"), rho.alias("r")
+        )
+        .groupBy("day", "b")
+        .agg(F.max("r").alias("m"))
+    )
+    days = e.select("day").distinct()
+    grid = days.crossJoin(daily.select("b").distinct()).join(
+        daily, ["day", "b"], "left"
+    )
+    wb = (
+        Window.partitionBy("b")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = grid.select(
+        "day", "b", F.max("m").over(wb).alias("mc")
+    ).where(F.col("mc").isNotNull())
+    folded = cum.groupBy("day").agg(
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 52 - mc)")).alias(
+            "s_used"
+        ),
+        F.count("*").alias("nb"),
+    )
+    arrivals = (
+        e.groupBy("user_id")
+        .agg(F.min("day").alias("day"))
+        .groupBy("day")
+        .agg(F.count("*").alias("new_users"))
+    )
+    ws = (
+        Window.partitionBy(_zero_key(F.datediff("day", F.lit("2000-01-01"))))
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    spine = (
+        days.join(arrivals, "day", "left")
+        .select(
+            "day", F.coalesce("new_users", F.lit(0)).alias("new_users")
+        )
+        .select(
+            "day", "new_users",
+            F.sum("new_users").over(ws).alias("exact_users_to_date"),
+        )
+    )
+    s_total = (
+        F.col("s_used")
+        + (F.lit(_HLL_M).cast("long") - F.col("nb"))
+        * F.lit(1 << 52).cast("long")
+    ).cast("double")
+    est = F.lit(_HLL_NUM) / s_total
+    return spine.join(folded, "day").select(
+        "day", "new_users", "exact_users_to_date",
+        est.alias("hll_estimate"),
+        (
+            (est - F.col("exact_users_to_date").cast("double"))
+            / F.col("exact_users_to_date").cast("double")
+        ).alias("rel_err"),
+    )
+
+
+def _sql_hll_cumulative() -> str:
+    h = md5_int63_sql("CAST(user_id AS VARCHAR)", salt="hllts")
+    return f"""
+WITH e AS (
+  SELECT CAST(ts AS DATE) AS day, user_id FROM events
+),
+hashed AS (
+  SELECT day, {h} % {_HLL_M} AS b, {h} >> {_HLL_P} AS w FROM e
+),
+daily AS (
+  SELECT day, b,
+         max(CASE WHEN w > 0
+                  THEN {_HLL_WBITS + 1} - length(bin(w))
+                  ELSE {_HLL_WBITS + 1} END) AS m
+  FROM hashed GROUP BY day, b
+),
+days AS (SELECT DISTINCT day FROM e),
+grid AS (
+  SELECT days.day, bs.b, daily.m
+  FROM days CROSS JOIN (SELECT DISTINCT b FROM daily) bs
+  LEFT JOIN daily ON daily.day = days.day AND daily.b = bs.b
+),
+cum AS (
+  SELECT day, b,
+         max(m) OVER (PARTITION BY b ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mc
+  FROM grid
+),
+folded AS (
+  SELECT day, sum((1::BIGINT) << (52 - mc)) AS s_used,
+         count(*) AS nb
+  FROM cum WHERE mc IS NOT NULL GROUP BY day
+),
+arrivals AS (
+  SELECT day, count(*) AS new_users
+  FROM (SELECT user_id, min(day) AS day FROM e GROUP BY user_id)
+  GROUP BY day
+),
+spine AS (
+  SELECT days.day, COALESCE(arrivals.new_users, 0) AS new_users,
+         SUM(COALESCE(arrivals.new_users, 0)) OVER (ORDER BY days.day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS exact_users_to_date
+  FROM days LEFT JOIN arrivals USING (day)
+)
+SELECT s.day, s.new_users, s.exact_users_to_date,
+       {_HLL_NUM!r} / CAST(f.s_used
+           + ({_HLL_M}::BIGINT - f.nb) * (1::BIGINT << 52)
+           AS DOUBLE) AS hll_estimate,
+       ({_HLL_NUM!r} / CAST(f.s_used
+           + ({_HLL_M}::BIGINT - f.nb) * (1::BIGINT << 52)
+           AS DOUBLE) - CAST(s.exact_users_to_date AS DOUBLE))
+         / CAST(s.exact_users_to_date AS DOUBLE) AS rel_err
+FROM spine s JOIN folded f ON s.day = f.day
+"""
+
+
+REGISTRY.update({"k4_hll_cumulative": (q_hll_cumulative, _sql_hll_cumulative())})
+
+
+# ---------------------------------------------------------------------------
+# G4 — modularity of the source partition over the near-dup graph
+# ---------------------------------------------------------------------------
+
+def q_source_modularity(spark, sf_dir):
+    """G4 — Newman modularity of the SOURCE partition evaluated on
+    the d4/d5 near-dup graph (k=3 shingles, Jaccard ≥ 0.3, df-cap
+    100): do near-duplicates stay within a source, or leak across?
+    Q = Σ_c [e_c/m − (deg_c/(2m))²] = (4m·Σe_c − Σ_c deg_c²)/(4m²) —
+    everything integer (DECIMAL(38)/HUGEINT products) until ONE final
+    division; q_num/q_den ride along as exact rationals.
+
+    Scale shape: d4's banded pair stage (df-capped — never
+    all-pairs), one broadcast of the doc→source map onto the pair
+    frame, two tiny aggregates (per-source degree sums, intra-edge
+    counts), one scalar combine.  No CC iteration: the partition
+    under evaluation is an existing label, which is exactly how a
+    modularity audit runs against any candidate community
+    assignment at 100 TB."""
+    from stampede_to_fresco_etl_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text",
+        shingle_k=3, min_jaccard=0.3, max_shingle_df=100,
+    ).select("doc_a", "doc_b")
+    src = docs.select("doc_id", "source")
+    lab = (
+        pairs.join(
+            src.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
+                "source", "src_a"
+            ),
+            "doc_a",
+        )
+        .join(
+            src.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+                "source", "src_b"
+            ),
+            "doc_b",
+        )
+    )
+    dec = "decimal(38,0)"
+    deg = (
+        lab.select(F.col("src_a").alias("src"))
+        .unionAll(lab.select(F.col("src_b").alias("src")))
+        .groupBy("src")
+        .agg(F.count("*").alias("deg_c"))
+    )
+    stats = lab.agg(
+        F.count("*").alias("m_edges"),
+        F.sum(
+            (F.col("src_a") == F.col("src_b")).cast("long")
+        ).alias("intra_edges"),
+    )
+    degsq = deg.agg(
+        F.sum(F.col("deg_c").cast(dec) * F.col("deg_c").cast(dec)).alias(
+            "sum_deg_sq"
+        ),
+        F.count("*").alias("n_communities"),
+    )
+    j = stats.crossJoin(degsq)
+    q_num = (
+        F.lit(4).cast(dec)
+        * F.col("m_edges").cast(dec)
+        * F.col("intra_edges").cast(dec)
+        - F.col("sum_deg_sq")
+    )
+    q_den = (
+        F.lit(4).cast(dec)
+        * F.col("m_edges").cast(dec)
+        * F.col("m_edges").cast(dec)
+    )
+    return j.select(
+        "m_edges", "intra_edges", "n_communities",
+        F.col("sum_deg_sq").cast("long").alias("sum_deg_sq"),
+        q_num.cast("long").alias("q_num"),
+        q_den.cast("long").alias("q_den"),
+        (q_num.cast("double") / q_den.cast("double")).alias("modularity"),
+    )
+
+
+SQL_SOURCE_MODULARITY = f"""
+WITH toks AS (
+  SELECT doc_id AS doc, {_D_TOKS} AS t FROM documents
+),
+sh0 AS (
+  SELECT DISTINCT doc, u.s
+  FROM toks, UNNEST({_D_SHINGLES}) AS u(s)
+),
+keep AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 100),
+sh AS (SELECT sh0.doc, sh0.s FROM sh0 JOIN keep USING (s)),
+sizes AS (SELECT doc, count(*) AS sz FROM sh GROUP BY doc),
+inter AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc < b.doc
+  GROUP BY a.doc, b.doc
+),
+pairs AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN sizes sa ON i.doc_a = sa.doc
+  JOIN sizes sb ON i.doc_b = sb.doc
+  WHERE CAST(i.inter AS DOUBLE)
+          / CAST(sa.sz + sb.sz - i.inter AS DOUBLE) >= 0.3
+),
+lab AS (
+  SELECT da.source AS src_a, db.source AS src_b
+  FROM pairs
+  JOIN documents da ON pairs.doc_a = da.doc_id
+  JOIN documents db ON pairs.doc_b = db.doc_id
+),
+deg AS (
+  SELECT src, count(*) AS deg_c FROM (
+    SELECT src_a AS src FROM lab
+    UNION ALL SELECT src_b AS src FROM lab
+  ) GROUP BY src
+),
+stats AS (
+  SELECT count(*) AS m_edges,
+         SUM(CAST(src_a = src_b AS BIGINT)) AS intra_edges
+  FROM lab
+),
+degsq AS (
+  SELECT SUM(CAST(deg_c AS HUGEINT) * CAST(deg_c AS HUGEINT))
+           AS sum_deg_sq,
+         count(*) AS n_communities
+  FROM deg
+)
+SELECT m_edges, intra_edges, n_communities,
+       CAST(sum_deg_sq AS BIGINT) AS sum_deg_sq,
+       CAST(CAST(4 AS HUGEINT) * CAST(m_edges AS HUGEINT)
+              * CAST(intra_edges AS HUGEINT) - sum_deg_sq AS BIGINT)
+         AS q_num,
+       CAST(CAST(4 AS HUGEINT) * CAST(m_edges AS HUGEINT)
+              * CAST(m_edges AS HUGEINT) AS BIGINT) AS q_den,
+       CAST(CAST(4 AS HUGEINT) * CAST(m_edges AS HUGEINT)
+              * CAST(intra_edges AS HUGEINT) - sum_deg_sq AS DOUBLE)
+         / CAST(CAST(4 AS HUGEINT) * CAST(m_edges AS HUGEINT)
+                * CAST(m_edges AS HUGEINT) AS DOUBLE) AS modularity
+FROM stats, degsq
+"""
+
+
+REGISTRY.update(
+    {"g4_source_modularity": (q_source_modularity, SQL_SOURCE_MODULARITY)}
+)
+
+
+# ---------------------------------------------------------------------------
 # Enumeration order: the driver's correctness run covers the first N
 # registry entries per round, so the STALEST queries must enumerate
 # first.  Computed at import time from the CORRECTNESS_r*.json records
@@ -16467,6 +16872,9 @@ _DEFER_NEW: set[str] = {
     "a44_attribution",
     "a45_kaplan_meier",
     "w18_longest_streak",
+    "x50_source_tv_shift",
+    "k4_hll_cumulative",
+    "g4_source_modularity",
 }
 
 _FRESHNESS, _RED_LATEST = _driver_row_history()

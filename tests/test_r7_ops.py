@@ -172,3 +172,74 @@ def test_longest_streak_vs_pandas(spark):
     want_days = runs.groupby("user_id").sum()
     assert (got.longest_streak == want_longest).all()
     assert (got.n_active_days == want_days).all()
+
+
+def test_source_tv_shift_vs_pandas(spark):
+    """TV distance replayed in pandas from raw token counts,
+    including the absent-token correction term."""
+    from stampede_to_fresco_etl_spark.catalog import REGISTRY
+
+    got = (
+        REGISTRY["x50_source_tv_shift"][0](spark, SF)
+        .toPandas()
+        .set_index("source")
+        .sort_index()
+    )
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    from collections import Counter
+
+    corpus = Counter()
+    per_src: dict[str, Counter] = {}
+    for _, r in docs.iterrows():
+        toks = r["text"].strip().split()
+        corpus.update(toks)
+        per_src.setdefault(r["source"], Counter()).update(toks)
+    M = sum(corpus.values())
+    for src, cnt in per_src.items():
+        ns = sum(cnt.values())
+        tv = 0.5 * sum(
+            abs(cnt.get(t, 0) / ns - m / M) for t, m in corpus.items()
+        )
+        assert got.loc[src, "n_tokens"] == ns
+        assert abs(got.loc[src, "tv_vs_corpus"] - tv) < 1e-12
+        assert 0.0 <= got.loc[src, "tv_vs_corpus"] <= 1.0
+
+
+def test_hll_cumulative_exact_arm_and_monotonicity(spark):
+    from stampede_to_fresco_etl_spark.catalog import REGISTRY
+
+    pdf = (
+        REGISTRY["k4_hll_cumulative"][0](spark, SF)
+        .toPandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    ev["day"] = pd.to_datetime(ev.ts).dt.normalize()
+    want = (
+        ev.groupby("user_id").day.min().value_counts().sort_index().cumsum()
+    )
+    assert pdf.exact_users_to_date.iloc[-1] == ev.user_id.nunique()
+    assert (pdf.new_users.cumsum() == pdf.exact_users_to_date).all()
+    # exact arm matches the pandas first-seen replay on arrival days
+    got = pdf.set_index(pd.to_datetime(pdf.day)).exact_users_to_date
+    for d, v in want.items():
+        assert got.loc[d] == v
+    # cumulative-merge property: the estimate is non-decreasing
+    assert (pdf.hll_estimate.diff().dropna() >= -1e-9).all()
+    assert (
+        pdf.rel_err
+        == (pdf.hll_estimate - pdf.exact_users_to_date)
+        / pdf.exact_users_to_date
+    ).all()
+
+
+def test_source_modularity_identities(spark):
+    from stampede_to_fresco_etl_spark.catalog import REGISTRY
+
+    r = REGISTRY["g4_source_modularity"][0](spark, SF).toPandas().iloc[0]
+    assert r.intra_edges <= r.m_edges
+    assert r.q_den == 4 * r.m_edges * r.m_edges
+    assert r.q_num == 4 * r.m_edges * r.intra_edges - r.sum_deg_sq
+    assert abs(r.modularity - r.q_num / r.q_den) < 1e-15
+    assert -1.0 <= r.modularity <= 1.0
