@@ -16778,6 +16778,262 @@ REGISTRY.update(
 
 
 # ---------------------------------------------------------------------------
+# V13 — MMR diverse top-k (greedy re-ranking over a bounded pool)
+# ---------------------------------------------------------------------------
+
+_MMR_POOL = 20
+_MMR_K = 5
+_MMR_LAM = 0.7
+
+
+def q_mmr_diverse_topk(spark, sf_dir):
+    """V13 — diversity-aware retrieval: brute-force cosine top-20
+    pool for probe vec_id=0 (TakeOrdered — map-side partial top-k,
+    never a global sort), then `operators.similarity.mmr_select`
+    greedily re-ranks 5 picks by λ·rel − (1−λ)·max-sim-to-selected.
+    The greedy loop is k−1 rounds of anti-join + max-agg + 1-row
+    TakeOrdered on the P-row pool — iterative compute no single SQL
+    window expresses, yet bit-reproducible (the oracle unrolls the
+    rounds as chained CTEs).  At 100 TB only the pool stage touches
+    the corpus; MMR is O(k·P)."""
+    from stampede_to_fresco_etl_spark.operators.similarity import (
+        as_double_vec, cosine, mmr_select,
+    )
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_vec("embedding").alias("v")
+    )
+    q = emb.where(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    scored = emb.crossJoin(F.broadcast(q)).select(
+        "vec_id", "v",
+        cosine(F.col("v"), F.col("qv")).alias("rel"),
+    )
+    pool = (
+        scored.orderBy(F.col("rel").desc(), "vec_id")
+        .limit(_MMR_POOL)
+        .localCheckpoint()
+    )
+    return mmr_select(
+        pool, "vec_id", "v", "rel", k=_MMR_K, lam=_MMR_LAM
+    )
+
+
+def _sql_mmr_diverse_topk() -> str:
+    dot_vq = _D_DOT.format(a="e.v", b="q.qv")
+    n_v = _D_DOT.format(a="e.v", b="e.v")
+    n_q = _D_DOT.format(a="q.qv", b="q.qv")
+    dot_ab = _D_DOT.format(a="a.v", b="b.v")
+    n_a = _D_DOT.format(a="a.v", b="a.v")
+    n_b = _D_DOT.format(a="b.v", b="b.v")
+    head = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id, e.v,
+         {dot_vq} / NULLIF(sqrt({n_v}) * sqrt({n_q}), 0.0) AS rel
+  FROM e, q
+),
+pool AS (
+  SELECT * FROM scored ORDER BY rel DESC, vec_id LIMIT {_MMR_POOL}
+),
+pairs AS (
+  SELECT a.vec_id AS ida, b.vec_id AS idb,
+         {dot_ab} / NULLIF(sqrt({n_a}) * sqrt({n_b}), 0.0) AS sim
+  FROM pool a JOIN pool b ON a.vec_id <> b.vec_id
+),
+acc1 AS (
+  SELECT vec_id, rel, rel AS score, CAST(1 AS BIGINT) AS sel_rank
+  FROM pool ORDER BY rel DESC, vec_id LIMIT 1
+)"""
+    chains = []
+    for i in range(2, _MMR_K + 1):
+        prev = f"acc{i - 1}"
+        chains.append(f""",
+sel{i} AS (
+  SELECT p.vec_id, p.rel,
+         {_MMR_LAM!r} * p.rel - {1.0 - _MMR_LAM!r} * m.msim AS score,
+         CAST({i} AS BIGINT) AS sel_rank
+  FROM pool p
+  JOIN (SELECT ida, max(sim) AS msim
+        FROM pairs JOIN {prev} ON pairs.idb = {prev}.vec_id
+        GROUP BY ida) m ON p.vec_id = m.ida
+  WHERE p.vec_id NOT IN (SELECT vec_id FROM {prev})
+  ORDER BY score DESC, p.vec_id LIMIT 1
+),
+acc{i} AS (SELECT * FROM {prev} UNION ALL SELECT * FROM sel{i})""")
+    return (
+        head
+        + "".join(chains)
+        + f"""
+SELECT sel_rank, vec_id, rel, score AS mmr_score FROM acc{_MMR_K}
+"""
+    )
+
+
+REGISTRY.update(
+    {"v13_mmr_diverse_topk": (q_mmr_diverse_topk, _sql_mmr_diverse_topk())}
+)
+
+
+# ---------------------------------------------------------------------------
+# V14 — one Lloyd refinement of the IVF seed centroids (k-means step)
+# ---------------------------------------------------------------------------
+
+_KM_CELLS = 8
+
+
+def q_kmeans_refine(spark, sf_dir):
+    """V14 — the iterative-ML step every IVF index build runs and
+    v4 deliberately skips: ONE Lloyd iteration over the
+    `seed_centroids` cells.  assign₁ (argmin sq-distance to the 8
+    md5-seeded centroids, ties by cell) → centroid update (per-cell
+    per-dim floor-scaled exact mean, v5's trick — the only
+    cross-engine-exact mean) → assign₂ against the refined
+    centroids.  Output per refined cell: iter-1/iter-2 member
+    counts and the floor-scaled SSE (the k-means objective).
+
+    Scale shape: centroids are dimension-sized state — the 8×64
+    mean frame is collected and replayed as literals (the IVF-seed
+    precedent; at 10⁹ vectors this is still 512 numbers), so both
+    assignments are broadcast-free single scans of the corpus and
+    the update is one map-combined hash aggregate on (cell, dim).
+    More Lloyd rounds = more of the same pass, state never grows."""
+    from stampede_to_fresco_etl_spark.operators import similarity as S
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", S.as_double_vec("embedding").alias("v")
+    )
+    seeds = S.seed_centroids(emb, "vec_id", "v", _KM_CELLS)
+    c0 = F.array(*[F.array(*[F.lit(x) for x in ctr]) for ctr in seeds])
+    a1 = (
+        emb.withColumn(
+            "__d", F.transform(c0, lambda ctr: S._sqdist(F.col("v"), ctr))
+        )
+        .withColumn("cell", S._nearest_cells("v", "__d", 1)[0])
+        .drop("__d")
+    )
+    ex = a1.select("cell", F.posexplode("v").alias("dim", "x"))
+    mean_rows = (
+        ex.groupBy("cell", F.col("dim").alias("dim"))
+        .agg(
+            (
+                (fsum(F.col("x")).cast("double") / F.lit(10000.0))
+                / F.count("*").cast("double")
+            ).alias("mx")
+        )
+        .collect()
+    )
+    by_cell: dict[int, dict[int, float]] = {}
+    for r in mean_rows:
+        by_cell.setdefault(int(r["cell"]), {})[int(r["dim"])] = float(
+            r["mx"]
+        )
+    cells = sorted(by_cell)
+    c1 = F.array(
+        *[
+            F.array(
+                *[
+                    F.lit(by_cell[c][d])
+                    for d in sorted(by_cell[c])
+                ]
+            )
+            for c in cells
+        ]
+    )
+    cell_ids = F.array(*[F.lit(c).cast("long") for c in cells])
+    a2 = (
+        emb.withColumn(
+            "__d", F.transform(c1, lambda ctr: S._sqdist(F.col("v"), ctr))
+        )
+        .withColumn("__idx", S._nearest_cells("v", "__d", 1)[0])
+        .select(
+            F.element_at(cell_ids, F.col("__idx") + 1).alias("cell"),
+            F.element_at(F.col("__d"), F.col("__idx") + 1).alias("dist"),
+        )
+    )
+    n1 = a1.groupBy(F.col("cell").cast("long").alias("cell")).agg(
+        F.count("*").alias("n_iter1")
+    )
+    n2 = a2.groupBy("cell").agg(
+        F.count("*").alias("n_iter2"),
+        (fsum(F.col("dist")).cast("double") / F.lit(10000.0)).alias("sse"),
+    )
+    return (
+        n1.join(n2, "cell", "full_outer")
+        .select(
+            "cell",
+            F.coalesce("n_iter1", F.lit(0)).alias("n_iter1"),
+            F.coalesce("n_iter2", F.lit(0)).alias("n_iter2"),
+            F.coalesce("sse", F.lit(0.0)).alias("sse"),
+        )
+    )
+
+
+def _sql_kmeans_refine() -> str:
+    sq0 = _D_SQDIST.format(a="e.v", b="s.cv")
+    sq1 = _D_SQDIST.format(a="e.v", b="c1.cv")
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+seeds AS (
+  SELECT CAST(row_number() OVER (ORDER BY h) - 1 AS INTEGER) AS cell,
+         v AS cv
+  FROM (SELECT v, md5(CAST(vec_id AS VARCHAR)) AS h
+        FROM e ORDER BY h LIMIT {_KM_CELLS})
+),
+a1 AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, s.cell,
+           row_number() OVER (
+             PARTITION BY e.vec_id ORDER BY {sq0}, s.cell
+           ) AS rn
+    FROM e CROSS JOIN seeds s
+  ) WHERE rn = 1
+),
+ex AS (
+  SELECT cell, CAST(r.i - 1 AS BIGINT) AS dim, v[r.i] AS x
+  FROM a1, UNNEST(range(1, len(v) + 1)) AS r(i)
+),
+means AS (
+  SELECT cell, dim,
+         (CAST({FSUM.format(x='x')} AS DOUBLE) / 10000.0)
+           / CAST(count(*) AS DOUBLE) AS mx
+  FROM ex GROUP BY cell, dim
+),
+c1 AS (
+  SELECT cell, list(mx ORDER BY dim) AS cv FROM means GROUP BY cell
+),
+a2 AS (
+  SELECT cell, dist FROM (
+    SELECT c1.cell, {sq1} AS dist,
+           row_number() OVER (
+             PARTITION BY e.vec_id ORDER BY {sq1}, c1.cell
+           ) AS rn
+    FROM e CROSS JOIN c1
+  ) WHERE rn = 1
+),
+n1 AS (
+  SELECT CAST(cell AS BIGINT) AS cell, count(*) AS n_iter1
+  FROM a1 GROUP BY cell
+),
+n2 AS (
+  SELECT CAST(cell AS BIGINT) AS cell, count(*) AS n_iter2,
+         CAST({FSUM.format(x='dist')} AS DOUBLE) / 10000.0 AS sse
+  FROM a2 GROUP BY cell
+)
+SELECT COALESCE(n1.cell, n2.cell) AS cell,
+       COALESCE(n_iter1, 0) AS n_iter1,
+       COALESCE(n_iter2, 0) AS n_iter2,
+       COALESCE(sse, 0.0) AS sse
+FROM n1 FULL OUTER JOIN n2 ON n1.cell = n2.cell
+"""
+
+
+REGISTRY.update(
+    {"v14_kmeans_refine": (q_kmeans_refine, _sql_kmeans_refine())}
+)
+
+
+# ---------------------------------------------------------------------------
 # Enumeration order: the driver's correctness run covers the first N
 # registry entries per round, so the STALEST queries must enumerate
 # first.  Computed at import time from the CORRECTNESS_r*.json records
@@ -16875,6 +17131,8 @@ _DEFER_NEW: set[str] = {
     "x50_source_tv_shift",
     "k4_hll_cumulative",
     "g4_source_modularity",
+    "v13_mmr_diverse_topk",
+    "v14_kmeans_refine",
 }
 
 _FRESHNESS, _RED_LATEST = _driver_row_history()

@@ -661,3 +661,88 @@ def hamming_topk(
         (-F.col("neg_hamming")).alias("hamming"),
         "rank",
     )
+
+
+def mmr_select(
+    pool: DataFrame,
+    id_col: str,
+    vec_col: str,
+    rel_col: str,
+    k: int = 5,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein '98) diverse
+    top-k over a BOUNDED candidate pool: greedily pick the item
+    maximizing  lam·rel − (1−lam)·max_{s∈S} cos(item, s),  ties by
+    id.  The pool is expected to be a TakeOrdered top-P frame
+    (pool-sized, not data-sized): the P×P pairwise-cosine frame is
+    localCheckpointed once, and each of the k−1 selection rounds is
+    an anti-join + max-aggregate + 1-row TakeOrdered on ≤ P rows —
+    all distributed, nothing collected.  At 100 TB the pool stage
+    (brute/LSH/IVF top-P) does the data-sized work; MMR's cost is
+    O(k·P) regardless of corpus size.
+
+    Determinism: cosines are the left-fold doubles (`cosine`), the
+    λ-combination is one multiply-subtract of identical operands,
+    and every argmax carries the id tiebreak — bit-reproducible in
+    SQL.  Returns (sel_rank, id, rel, mmr_score); sel_rank 1's score
+    is its relevance (nothing selected yet to diversify against)."""
+    pairs = (
+        pool.select(
+            F.col(id_col).alias("__ida"), F.col(vec_col).alias("__va")
+        )
+        .crossJoin(
+            pool.select(
+                F.col(id_col).alias("__idb"), F.col(vec_col).alias("__vb")
+            )
+        )
+        .where(F.col("__ida") != F.col("__idb"))
+        .select(
+            "__ida", "__idb",
+            cosine(F.col("__va"), F.col("__vb")).alias("__sim"),
+        )
+        .localCheckpoint()
+    )
+    rel = pool.select(
+        F.col(id_col).alias("__id"), F.col(rel_col).alias("__rel")
+    )
+    selected = (
+        rel.orderBy(F.col("__rel").desc(), "__id")
+        .limit(1)
+        .select(
+            "__id", "__rel",
+            F.col("__rel").alias("__score"),
+            F.lit(1).cast("long").alias("sel_rank"),
+        )
+        .localCheckpoint()
+    )
+    for i in range(2, k + 1):
+        msim = (
+            pairs.join(
+                selected.select(F.col("__id").alias("__idb")), "__idb"
+            )
+            .groupBy("__ida")
+            .agg(F.max("__sim").alias("__msim"))
+        )
+        cand = rel.join(selected.select("__id"), "__id", "left_anti")
+        scored = cand.join(
+            msim, cand["__id"] == msim["__ida"]
+        ).select(
+            "__id", "__rel",
+            (
+                F.lit(lam) * F.col("__rel")
+                - F.lit(1.0 - lam) * F.col("__msim")
+            ).alias("__score"),
+        )
+        pick = (
+            scored.orderBy(F.col("__score").desc(), "__id")
+            .limit(1)
+            .withColumn("sel_rank", F.lit(i).cast("long"))
+        )
+        selected = selected.unionByName(pick).localCheckpoint()
+    return selected.select(
+        "sel_rank",
+        F.col("__id").alias(id_col),
+        F.col("__rel").alias(rel_col),
+        F.col("__score").alias("mmr_score"),
+    )

@@ -243,3 +243,85 @@ def test_source_modularity_identities(spark):
     assert r.q_num == 4 * r.m_edges * r.intra_edges - r.sum_deg_sq
     assert abs(r.modularity - r.q_num / r.q_den) < 1e-15
     assert -1.0 <= r.modularity <= 1.0
+
+
+def test_mmr_vs_numpy_greedy(spark):
+    """Full numpy replay of the pool build + greedy MMR selection."""
+    import numpy as np
+
+    from stampede_to_fresco_etl_spark.catalog import (
+        _MMR_K, _MMR_LAM, _MMR_POOL, REGISTRY,
+    )
+
+    got = (
+        REGISTRY["v13_mmr_diverse_topk"][0](spark, SF)
+        .toPandas()
+        .sort_values("sel_rank")
+        .reset_index(drop=True)
+    )
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    V = np.stack(emb.embedding.to_numpy()).astype("float64")
+    ids = emb.vec_id.to_numpy()
+    q = V[ids == 0][0]
+    sims = V @ q / (np.linalg.norm(V, axis=1) * np.linalg.norm(q))
+    order = np.lexsort((ids, -sims))[:_MMR_POOL]
+    pool_ids, pool_rel = ids[order], sims[order]
+    Vp = V[order]
+    Pn = Vp / np.linalg.norm(Vp, axis=1, keepdims=True)
+    S = Pn @ Pn.T
+    sel = [int(np.lexsort((pool_ids, -pool_rel))[0])]
+    for _ in range(_MMR_K - 1):
+        best, best_score = None, None
+        for c in range(len(pool_ids)):
+            if c in sel:
+                continue
+            sc = _MMR_LAM * pool_rel[c] - (1 - _MMR_LAM) * max(
+                S[c][s] for s in sel
+            )
+            if (
+                best is None
+                or sc > best_score + 1e-12
+                or (abs(sc - best_score) <= 1e-12
+                    and pool_ids[c] < pool_ids[best])
+            ):
+                best, best_score = c, sc
+        sel.append(best)
+    assert list(got.vec_id) == [int(pool_ids[s]) for s in sel]
+    assert got.sel_rank.tolist() == list(range(1, _MMR_K + 1))
+    # diversity property: picks 2..k are never the pure-relevance order
+    assert (got.mmr_score.iloc[1:] <= got.rel.iloc[1:] + 1e-12).all()
+
+
+def test_kmeans_refine_improves_balance_and_counts(spark):
+    from stampede_to_fresco_etl_spark.catalog import _KM_CELLS, REGISTRY
+
+    pdf = REGISTRY["v14_kmeans_refine"][0](spark, SF).toPandas()
+    n = pd.read_parquet(f"{SF}/embeddings.parquet").shape[0]
+    assert pdf.n_iter1.sum() == n
+    assert pdf.n_iter2.sum() == n
+    assert len(pdf) <= _KM_CELLS
+    assert (pdf.sse >= 0).all()
+
+
+def test_mmr_plan_pool_is_take_ordered(spark):
+    """The pool must come from TakeOrdered (map-side partial top-k),
+    never a global Sort of the scored corpus."""
+    from stampede_to_fresco_etl_spark.catalog import (
+        _MMR_POOL, N_PROBES,
+    )
+    from stampede_to_fresco_etl_spark.operators.similarity import (
+        as_double_vec, cosine,
+    )
+    from stampede_to_fresco_etl_spark.catalog import load
+
+    emb = load(spark, SF, "embeddings").select(
+        "vec_id", as_double_vec("embedding").alias("v")
+    )
+    q = emb.where(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    scored = emb.crossJoin(F.broadcast(q)).select(
+        "vec_id", "v", cosine(F.col("v"), F.col("qv")).alias("rel")
+    )
+    pool = scored.orderBy(F.col("rel").desc(), "vec_id").limit(_MMR_POOL)
+    plan = _plan(pool)
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
