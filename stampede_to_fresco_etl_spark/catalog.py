@@ -17034,6 +17034,96 @@ REGISTRY.update(
 
 
 # ---------------------------------------------------------------------------
+# MM10 — shot-boundary detection (L1 frame difference over
+# video-as-binary; mapInPandas + numpy, exact integer diffs)
+# ---------------------------------------------------------------------------
+
+_MM10_B = 24  # frame bytes
+_MM10_F = 6  # frames per payload
+_MM10_T = 8  # boundary threshold on the L1 byte difference
+
+
+def q_shot_boundaries(spark, sf_dir):
+    """MM10 — scene-cut detection: payloads are 6 synthetic frames
+    built from document text where frames come in PAIRS copying the
+    same source segment (f div 2), so intra-pair diffs are exactly 0
+    and cross-pair diffs jump — deterministic shots the oracle can
+    re-derive byte-for-byte.  Every 7th payload is truncated by one
+    byte (malformed → the NULL-row contract).  The kernel
+    (`multimodal.shot_boundaries`) is Arrow mapInPandas with a
+    vectorized numpy reshape/diff; this query returns the raw
+    per-pair L1 diffs + boundary flags."""
+    from stampede_to_fresco_etl_spark.operators.multimodal import (
+        shot_boundaries,
+    )
+
+    padded = F.rpad(_ascii_text(), 3 * _MM10_B, " ")
+    frames = [
+        F.substring(padded, (f // 2) * _MM10_B + 1, _MM10_B)
+        for f in range(_MM10_F)
+    ]
+    payload = F.concat(*frames)
+    payload = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.substring(payload, 1, _MM10_B * _MM10_F - 1),
+    ).otherwise(payload)
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        payload.cast("binary").alias("payload"),
+    )
+    return shot_boundaries(docs, _MM10_B, _MM10_T)
+
+
+def _sql_shot_boundaries() -> str:
+    seg = " || ".join(
+        f"substr(padded, {(f // 2) * _MM10_B + 1}, {_MM10_B})"
+        for f in range(_MM10_F)
+    )
+    byte_i = (
+        f"(('0x' || substr(hx, (i*{_MM10_B}+p)*2+1, 2))::BIGINT)"
+    )
+    byte_prev = (
+        f"(('0x' || substr(hx, ((i-1)*{_MM10_B}+p)*2+1, 2))::BIGINT)"
+    )
+    diff = (
+        f"list_sum(list_transform(range(0, {_MM10_B}), "
+        f"p -> abs({byte_i} - {byte_prev})))"
+    )
+    return f"""
+WITH padded_t AS (
+  SELECT doc_id AS media_id, (doc_id % 7 != 0) AS ok,
+         rpad({_SQL_ASCII_TEXT}, {3 * _MM10_B}, ' ') AS padded
+  FROM documents
+),
+s AS (
+  SELECT media_id, ok,
+         lower(hex(CASE WHEN ok THEN ({seg})
+                        ELSE substr({seg}, 1, {_MM10_B * _MM10_F - 1})
+                   END::BLOB)) AS hx
+  FROM padded_t
+),
+pairs AS (
+  SELECT media_id, hx, u.i AS i
+  FROM s, UNNEST(range(1, {_MM10_F})) AS u(i)
+  WHERE ok
+)
+SELECT media_id, CAST(i AS BIGINT) AS frame_idx,
+       CAST({diff} AS BIGINT) AS diff,
+       {diff} > {_MM10_T} AS is_boundary
+FROM pairs
+UNION ALL
+SELECT media_id, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       CAST(NULL AS BOOLEAN)
+FROM s WHERE NOT ok
+"""
+
+
+REGISTRY.update(
+    {"mm10_shot_boundaries": (q_shot_boundaries, _sql_shot_boundaries())}
+)
+
+
+# ---------------------------------------------------------------------------
 # Enumeration order: the driver's correctness run covers the first N
 # registry entries per round, so the STALEST queries must enumerate
 # first.  Computed at import time from the CORRECTNESS_r*.json records
@@ -17133,6 +17223,7 @@ _DEFER_NEW: set[str] = {
     "g4_source_modularity",
     "v13_mmr_diverse_topk",
     "v14_kmeans_refine",
+    "mm10_shot_boundaries",
 }
 
 _FRESHNESS, _RED_LATEST = _driver_row_history()

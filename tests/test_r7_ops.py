@@ -325,3 +325,22 @@ def test_mmr_plan_pool_is_take_ordered(spark):
     plan = _plan(pool)
     assert "TakeOrderedAndProject" in plan
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_shot_boundaries_pair_structure(spark):
+    """Frames come in pairs copying the same segment: odd frame_idx
+    (intra-pair) diffs are exactly 0 and never boundaries; malformed
+    payloads (doc_id % 7 == 0) surface as the single NULL row."""
+    from stampede_to_fresco_etl_spark.catalog import REGISTRY
+
+    pdf = REGISTRY["mm10_shot_boundaries"][0](spark, SF).toPandas()
+    ok = pdf[pdf.frame_idx.notna()]
+    bad = pdf[pdf.frame_idx.isna()]
+    assert (bad.media_id % 7 == 0).all() and len(bad) > 0
+    assert not (ok.media_id % 7 == 0).any()
+    intra = ok[ok.frame_idx % 2 == 1]
+    assert (intra["diff"] == 0).all()
+    assert (~intra.is_boundary).all()
+    # every media with 6 frames emits exactly 5 pair rows
+    assert (ok.groupby("media_id").size() == 5).all()
+    assert (ok.is_boundary == (ok["diff"] > 8)).all()
