@@ -344,3 +344,18 @@ def test_shot_boundaries_pair_structure(spark):
     # every media with 6 frames emits exactly 5 pair rows
     assert (ok.groupby("media_id").size() == 5).all()
     assert (ok.is_boundary == (ok["diff"] > 8)).all()
+
+
+def test_doc_token_frame_survives_eviction(spark):
+    """bench.py's _free_blocks unpersists every lingering RDD between
+    timed runs.  The cross-query shared token projection must SURVIVE
+    that (recompute via lineage), not crash with
+    CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND — the failure mode of a
+    localCheckpoint-backed cache."""
+    from stampede_to_fresco_etl_spark.catalog import REGISTRY
+
+    fn = REGISTRY["x1_token_stats"][0]
+    first = fn(spark, SF).count()
+    for r in spark.sparkContext._jsc.getPersistentRDDs().values():
+        r.unpersist(False)
+    assert fn(spark, SF).count() == first
