@@ -720,6 +720,7 @@ def dup_clusters(
     shingle_k: int = 3,
     min_jaccard: float = 0.3,
     max_shingle_df: int | None = 100,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """End-to-end near-dup clustering: n-gram Jaccard pairs →
     connected components → (doc_id, cluster_id, is_canonical).
@@ -727,13 +728,20 @@ def dup_clusters(
     Output covers only docs that appear in at least one near-dup
     pair.  To deduplicate the corpus, LEFT-join this onto it and keep
     rows where ``is_canonical`` is true OR null — docs with no
-    near-duplicate never enter the pair graph and must survive."""
-    pairs = ngram_jaccard_pairs(
-        df, id_col, text_col,
-        shingle_k=shingle_k,
-        min_jaccard=min_jaccard,
-        max_shingle_df=max_shingle_df,
-    )
+    near-duplicate never enter the pair graph and must survive.
+
+    ``pairs``: a precomputed (doc_a, doc_b)-unique pair frame (e.g. a
+    shared/materialized pair stage) — when given, the shingle/join
+    stage is skipped entirely and the shingle parameters are unused.
+    Every consumer of the same corpus snapshot should pass the same
+    shared frame: the pair stage dominates dedup cost and is pure."""
+    if pairs is None:
+        pairs = ngram_jaccard_pairs(
+            df, id_col, text_col,
+            shingle_k=shingle_k,
+            min_jaccard=min_jaccard,
+            max_shingle_df=max_shingle_df,
+        )
     # pair output is grouped on (doc_a, doc_b) with doc_a < doc_b —
     # unique by construction, so CC can skip its edge-dedup shuffle
     cc = connected_components(pairs, "doc_a", "doc_b", pairs_unique=True)
@@ -878,6 +886,7 @@ def dedup_keep_best(
     shingle_k: int = 3,
     min_jaccard: float = 0.3,
     max_shingle_df: int | None = 100,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """End-to-end near-dup deduplication, quality-aware: cluster the
     corpus (`dup_clusters`), then keep the HIGHEST-`quality_col` doc
@@ -899,6 +908,7 @@ def dedup_keep_best(
         shingle_k=shingle_k,
         min_jaccard=min_jaccard,
         max_shingle_df=max_shingle_df,
+        pairs=pairs,
     ).select(id_col, "cluster_id")
     joined = (
         df.select(id_col, F.col(quality_col).alias("quality"))
