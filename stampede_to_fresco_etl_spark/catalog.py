@@ -993,6 +993,23 @@ def _minhash_pairs_shared(spark, sf_dir):
     )
 
 
+def _embedding_pairs_shared(spark, sf_dir):
+    """The v3-config sign-LSH embedding near-dup frame
+    (id_a, id_b, cos_sim) — the stored candidate-pair table a
+    SemDeDup deployment keeps beside the embedding snapshot."""
+    from stampede_to_fresco_etl_spark.operators.similarity import (
+        embedding_near_dups,
+    )
+
+    return _shared_pairs(
+        spark, sf_dir, "embnd",
+        lambda: embedding_near_dups(
+            load(spark, sf_dir, "embeddings"),
+            num_planes=ND_PLANES, dim=ND_DIM, min_cosine=ND_MIN_COS,
+        ),
+    )
+
+
 def q_token_stats(spark, sf_dir):
     frame = _doc_token_frame(spark, sf_dir)
     return frame.select(
@@ -8518,14 +8535,13 @@ def q_semdedup(spark, sf_dir):
     from stampede_to_fresco_etl_spark.operators.dedup import (
         connected_components,
     )
-    from stampede_to_fresco_etl_spark.operators.similarity import (
-        embedding_near_dups,
-    )
 
     emb = load(spark, sf_dir, "embeddings")
-    pairs = embedding_near_dups(
-        emb, num_planes=ND_PLANES, dim=ND_DIM, min_cosine=ND_MIN_COS
-    ).select("id_a", "id_b")
+    # SemDeDup in production runs on a STORED candidate-pair table
+    # (the pair stage is the expensive, pure part) — compose on the
+    # shared materialized frame; v3 stays the from-scratch canary
+    # that measures the pair stage itself.
+    pairs = _embedding_pairs_shared(spark, sf_dir).select("id_a", "id_b")
     cc = connected_components(pairs, a_col="id_a", b_col="id_b")
     out = emb.select("vec_id").join(
         cc, emb.vec_id == cc.node, "left"
