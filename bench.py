@@ -105,6 +105,15 @@ EXTENSION = [
     "w5b_analytic_windows_kernel",  # new r7: kernel twin of w5
     "o2_global_sort",  # new r7: row_ranks global rank (de-serialized)
     "x47_token_weighted_median",  # new r7: shared token projection
+    "a44_attribution",  # new r7: carry-forward touch attribution
+    "a45_kaplan_meier",  # new r7: session-survival risk table
+    "w18_longest_streak",  # new r7: gaps-and-islands
+    "x50_source_tv_shift",  # new r7: TV drift, pigeonhole absent mass
+    "k4_hll_cumulative",  # new r7: daily HLL register merge series
+    "g4_source_modularity",  # new r7: partition quality on the pair graph
+    "v13_mmr_diverse_topk",  # new r7: greedy diverse re-ranking
+    "v14_kmeans_refine",  # new r7: one Lloyd step, exact means
+    "mm10_shot_boundaries",  # new r7: L1 frame-diff cut detector
 ]
 
 HEADLINE = CORE + EXTENSION

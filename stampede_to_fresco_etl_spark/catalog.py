@@ -17192,6 +17192,129 @@ REGISTRY.update(
 
 
 # ---------------------------------------------------------------------------
+# A46 — ordered window funnel (ClickHouse windowFunnel semantics)
+# ---------------------------------------------------------------------------
+
+_A46_WINDOW_DAYS = 7
+
+
+def q_window_funnel(spark, sf_dir):
+    """A46 — the ORDERED funnel a14's global counts cannot express:
+    per user, the deepest stage of signup → click → purchase reached
+    with strictly increasing timestamps, the whole sequence within 7
+    days of the signup.  Stage k's entry time is the user's EARLIEST
+    qualifying event after stage k−1 (the standard windowFunnel
+    greedy choice — earliest entry maximizes completion).
+
+    Spark-first: three chained per-user conditional MIN aggregates
+    (each one hash agg keyed by the high-cardinality user id,
+    map-combined; joins are co-partitioned on the same key so AQE
+    collapses them onto one exchange) — no per-user ordered scan, no
+    window sort, no UDF.  Output: one row per stage with the user
+    count that reached it."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    horizon = F.lit(_A46_WINDOW_DAYS * 86_400 * 1_000_000)
+    s1 = ev.where(F.col("event_type") == "signup").groupBy("user_id").agg(
+        F.min("us").alias("t1")
+    )
+    s2 = (
+        ev.where(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .where((F.col("us") > F.col("t1")) & (F.col("us") <= F.col("t1") + horizon))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t2"), F.first("t1").alias("t1"))
+    )
+    s3 = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .where((F.col("us") > F.col("t2")) & (F.col("us") <= F.col("t1") + horizon))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t3"))
+    )
+    n1 = s1.agg(F.count("*").alias("n_users")).select(
+        F.lit(1).cast("long").alias("stage"),
+        F.lit("signup").alias("stage_name"), "n_users",
+    )
+    n2 = s2.agg(F.count("*").alias("n_users")).select(
+        F.lit(2).cast("long").alias("stage"),
+        F.lit("click_after_signup").alias("stage_name"), "n_users",
+    )
+    n3 = s3.agg(F.count("*").alias("n_users")).select(
+        F.lit(3).cast("long").alias("stage"),
+        F.lit("purchase_after_click").alias("stage_name"), "n_users",
+    )
+    return n1.unionAll(n2).unionAll(n3)
+
+
+SQL_WINDOW_FUNNEL = f"""
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+),
+s1 AS (
+  SELECT user_id, min(us) AS t1 FROM ev
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+s2 AS (
+  SELECT ev.user_id, min(ev.us) AS t2, any_value(s1.t1) AS t1
+  FROM ev JOIN s1 ON ev.user_id = s1.user_id
+  WHERE ev.event_type = 'click' AND ev.us > s1.t1
+    AND ev.us <= s1.t1 + CAST({_A46_WINDOW_DAYS * 86_400 * 1_000_000} AS BIGINT)
+  GROUP BY ev.user_id
+),
+s3 AS (
+  SELECT ev.user_id, min(ev.us) AS t3
+  FROM ev JOIN s2 ON ev.user_id = s2.user_id
+  WHERE ev.event_type = 'purchase' AND ev.us > s2.t2
+    AND ev.us <= s2.t1 + CAST({_A46_WINDOW_DAYS * 86_400 * 1_000_000} AS BIGINT)
+  GROUP BY ev.user_id
+)
+SELECT CAST(1 AS BIGINT) AS stage, 'signup' AS stage_name,
+       count(*) AS n_users FROM s1
+UNION ALL
+SELECT CAST(2 AS BIGINT), 'click_after_signup', count(*) FROM s2
+UNION ALL
+SELECT CAST(3 AS BIGINT), 'purchase_after_click', count(*) FROM s3
+"""
+
+
+REGISTRY.update({"a46_window_funnel": (q_window_funnel, SQL_WINDOW_FUNNEL)})
+
+
+# ---------------------------------------------------------------------------
+# SQL1 — verbatim-SQL pass-through: ONE ANSI statement executed by
+# BOTH engines (spark.sql over the registered views; DuckDB as the
+# oracle).  The proof that the engine's SQL front-end is a first-
+# class entry point, not just the DataFrame API: register_tables +
+# spark.sql IS the user path.
+# ---------------------------------------------------------------------------
+
+#: Engine-portable ANSI: explicit CASTs, no engine-specific
+#: functions, exact integer aggregates only.
+_SQL1_VERBATIM = """
+SELECT e.event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users,
+       CAST(min(e.event_id) AS BIGINT) AS first_event_id,
+       CAST(max(e.event_id) AS BIGINT) AS last_event_id
+FROM events e
+WHERE e.value >= 0
+GROUP BY e.event_type
+"""
+
+
+def q_sql_passthrough(spark, sf_dir):
+    register_tables(spark, sf_dir)
+    return spark.sql(_SQL1_VERBATIM)
+
+
+REGISTRY.update(
+    {"sql1_verbatim_passthrough": (q_sql_passthrough, _SQL1_VERBATIM)}
+)
+
+
+# ---------------------------------------------------------------------------
 # Enumeration order: the driver's correctness run covers the first N
 # registry entries per round, so the STALEST queries must enumerate
 # first.  Computed at import time from the CORRECTNESS_r*.json records
@@ -17292,6 +17415,8 @@ _DEFER_NEW: set[str] = {
     "v13_mmr_diverse_topk",
     "v14_kmeans_refine",
     "mm10_shot_boundaries",
+    "a46_window_funnel",
+    "sql1_verbatim_passthrough",
 }
 
 _FRESHNESS, _RED_LATEST = _driver_row_history()

@@ -359,3 +359,55 @@ def test_doc_token_frame_survives_eviction(spark):
     for r in spark.sparkContext._jsc.getPersistentRDDs().values():
         r.unpersist(False)
     assert fn(spark, SF).count() == first
+
+
+def test_window_funnel_monotone_and_ordered(spark):
+    """Funnel counts are non-increasing by stage, and a brute-force
+    pandas replay of the greedy earliest-entry semantics agrees."""
+    from stampede_to_fresco_etl_spark.catalog import (
+        _A46_WINDOW_DAYS, REGISTRY,
+    )
+
+    pdf = (
+        REGISTRY["a46_window_funnel"][0](spark, SF)
+        .toPandas()
+        .sort_values("stage")
+        .reset_index(drop=True)
+    )
+    assert pdf.n_users.is_monotonic_decreasing
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    # the parquet ts is TIMESTAMP(NANOS); force ns before µs division
+    # (a ms-precision read silently yields ms → a 1000× window)
+    ev["us"] = ev.ts.astype("datetime64[ns]").astype("int64") // 1000
+    horizon = _A46_WINDOW_DAYS * 86_400 * 1_000_000
+    got = {1: 0, 2: 0, 3: 0}
+    for _, g in ev.groupby("user_id"):
+        sg = g[g.event_type == "signup"]
+        if sg.empty:
+            continue
+        t1 = sg.us.min()
+        got[1] += 1
+        ck = g[(g.event_type == "click") & (g.us > t1)
+               & (g.us <= t1 + horizon)]
+        if ck.empty:
+            continue
+        t2 = ck.us.min()
+        got[2] += 1
+        pu = g[(g.event_type == "purchase") & (g.us > t2)
+               & (g.us <= t1 + horizon)]
+        if not pu.empty:
+            got[3] += 1
+    assert dict(zip(pdf.stage, pdf.n_users)) == got
+
+
+def test_sql_passthrough_is_verbatim(spark):
+    """The registered-views SQL entry point: the SAME statement text
+    runs on spark.sql and serves as the DuckDB oracle."""
+    from stampede_to_fresco_etl_spark.catalog import (
+        _SQL1_VERBATIM, REGISTRY,
+    )
+
+    fn, sql = REGISTRY["sql1_verbatim_passthrough"]
+    assert sql == _SQL1_VERBATIM
+    pdf = fn(spark, SF).toPandas()
+    assert len(pdf) == 5 and (pdf.n_events > 0).all()
