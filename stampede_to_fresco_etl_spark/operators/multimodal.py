@@ -510,37 +510,67 @@ def shot_boundaries(
         import pandas as _pd
 
         for pdf in batches:
-            ids, idxs, diffs, bnds = [], [], [], []
-            for mid, p in zip(pdf[id_col], pdf[payload_col]):
-                if (
-                    p is None
-                    or len(p) < 2 * frame_bytes
-                    or len(p) % frame_bytes != 0
-                ):
-                    ids.append(mid)
-                    idxs.append(None)
-                    diffs.append(None)
-                    bnds.append(None)
-                    continue
-                a = (
-                    _np.frombuffer(bytes(p), dtype=_np.uint8)
-                    .astype(_np.int64)
-                    .reshape(-1, frame_bytes)
-                )
-                d = _np.abs(_np.diff(a, axis=0)).sum(axis=1)
-                for i, dv in enumerate(d, start=1):
-                    ids.append(mid)
-                    idxs.append(i)
-                    diffs.append(int(dv))
-                    bnds.append(bool(dv > threshold))
-            yield _pd.DataFrame(
-                {
-                    "media_id": _pd.array(ids, dtype="Int64"),
-                    "frame_idx": _pd.array(idxs, dtype="Int64"),
-                    "diff": _pd.array(diffs, dtype="Int64"),
-                    "is_boundary": _pd.array(bnds, dtype="boolean"),
-                }
+            # Vectorize ACROSS payloads, not per payload: a Python
+            # loop over rows costs ~0.3 ms/row and turned the sf1
+            # rehearsal 29× superlinear.  Well-formed payloads with a
+            # common frame count are concatenated into ONE buffer and
+            # diffed as a single (docs, frames, frame_bytes) tensor.
+            lens = pdf[payload_col].map(
+                lambda p: -1 if p is None else len(p)
             )
+            ok = (
+                (lens >= 2 * frame_bytes) & (lens % frame_bytes == 0)
+            ).to_numpy()
+            bad_ids = pdf[id_col][~ok]
+            frames = []
+            if len(bad_ids):
+                frames.append(
+                    _pd.DataFrame(
+                        {
+                            "media_id": _pd.array(
+                                bad_ids, dtype="Int64"
+                            ),
+                            "frame_idx": _pd.array(
+                                [None] * len(bad_ids), dtype="Int64"
+                            ),
+                            "diff": _pd.array(
+                                [None] * len(bad_ids), dtype="Int64"
+                            ),
+                            "is_boundary": _pd.array(
+                                [None] * len(bad_ids), dtype="boolean"
+                            ),
+                        }
+                    )
+                )
+            good = pdf[ok]
+            for nf, grp in good.groupby(
+                (lens[ok] // frame_bytes).to_numpy()
+            ):
+                n = len(grp)
+                buf = _np.frombuffer(
+                    b"".join(bytes(p) for p in grp[payload_col]),
+                    dtype=_np.uint8,
+                ).astype(_np.int64).reshape(n, nf, frame_bytes)
+                d = _np.abs(_np.diff(buf, axis=1)).sum(axis=2)
+                mids = _np.repeat(
+                    grp[id_col].to_numpy(dtype=_np.int64), nf - 1
+                )
+                idxs = _np.tile(_np.arange(1, nf), n)
+                dv = d.reshape(-1)
+                frames.append(
+                    _pd.DataFrame(
+                        {
+                            "media_id": _pd.array(mids, dtype="Int64"),
+                            "frame_idx": _pd.array(idxs, dtype="Int64"),
+                            "diff": _pd.array(dv, dtype="Int64"),
+                            "is_boundary": _pd.array(
+                                dv > threshold, dtype="boolean"
+                            ),
+                        }
+                    )
+                )
+            if frames:
+                yield _pd.concat(frames, ignore_index=True)
 
     return df.select(
         F.col(id_col).alias(id_col), F.col(payload_col)
