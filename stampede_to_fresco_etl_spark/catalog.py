@@ -17341,6 +17341,336 @@ REGISTRY.update(
 
 
 # ---------------------------------------------------------------------------
+# A47 — one-way ANOVA F statistic (exact moment sums)
+# ---------------------------------------------------------------------------
+
+def q_anova_f(spark, sf_dir):
+    """A47 — one-way ANOVA of floor-scaled `value` across event
+    types, by the computational identity SSB = Σ S_g²/n_g − S²/N and
+    SSW = Σ Q_g − Σ S_g²/n_g: per-group integer moment sums (S_g in
+    BIGINT, Q_g in DECIMAL(38) — squares of ×10⁴ scaled values
+    overflow int64 at corpus scale), every division a deterministic
+    IEEE op on identical operands (a31/a25's doctrine — never the
+    engines' order-dependent streaming variance).  One map-combined
+    hash aggregate over the data, then a G-row combine.  Completes
+    the experiment-analysis family: a25 Welch t (2 groups) → a47 F
+    (k groups)."""
+    dec = "decimal(38,0)"
+    e = load(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    x = F.floor(F.col("value") * F.lit(10000.0)).cast("long")
+    aggs = []
+    for t in EVENT_TYPES:
+        m = F.col("event_type") == t
+        aggs += [
+            F.sum(F.when(m, 1).otherwise(0)).alias(f"n_{t}"),
+            F.sum(F.when(m, x).otherwise(0)).alias(f"s_{t}"),
+            F.sum(
+                F.when(m, x.cast(dec) * x.cast(dec)).otherwise(
+                    F.lit(0).cast(dec)
+                )
+            ).alias(f"q_{t}"),
+        ]
+    tot = e.agg(*aggs)
+    # EXPLICIT left-assoc chains over the fixed 5-type dimension
+    # (a42's doctrine): a groupBy SUM of the per-group double terms
+    # would fold in nondeterministic order.
+    term = {
+        t: (
+            F.col(f"s_{t}").cast("double")
+            * F.col(f"s_{t}").cast("double")
+            / F.col(f"n_{t}").cast("double")
+        )
+        for t in EVENT_TYPES
+    }
+    sg2 = term[EVENT_TYPES[0]]
+    for t in EVENT_TYPES[1:]:
+        sg2 = sg2 + term[t]
+    n = F.col(f"n_{EVENT_TYPES[0]}")
+    s = F.col(f"s_{EVENT_TYPES[0]}")
+    q = F.col(f"q_{EVENT_TYPES[0]}")
+    for t in EVENT_TYPES[1:]:
+        n = n + F.col(f"n_{t}")
+        s = s + F.col(f"s_{t}")
+        q = q + F.col(f"q_{t}")
+    k = F.lit(len(EVENT_TYPES)).cast("long")
+    ssb = sg2 - s.cast("double") * s.cast("double") / n.cast("double")
+    ssw = q.cast("double") - sg2
+    f_stat = (ssb / (k - F.lit(1)).cast("double")) / (
+        ssw / (n - k).cast("double")
+    )
+    return tot.select(
+        k.alias("k"),
+        n.cast("long").alias("n"),
+        (ssb / F.lit(1e8)).alias("ssb"),
+        (ssw / F.lit(1e8)).alias("ssw"),
+        f_stat.alias("f_stat"),
+    )
+
+
+def _sql_anova_f() -> str:
+    xs = "CAST(FLOOR(value * 10000.0) AS BIGINT)"
+    per_n = {
+        t: f"SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END)"
+        for t in EVENT_TYPES
+    }
+    per_s = {
+        t: f"SUM(CASE WHEN event_type = '{t}' THEN {xs} ELSE 0 END)"
+        for t in EVENT_TYPES
+    }
+    per_q = {
+        t: (
+            f"SUM(CASE WHEN event_type = '{t}' THEN "
+            f"CAST({xs} AS HUGEINT) * CAST({xs} AS HUGEINT) "
+            f"ELSE CAST(0 AS HUGEINT) END)"
+        )
+        for t in EVENT_TYPES
+    }
+    cols = ", ".join(
+        f"{per_n[t]} AS n_{t}, {per_s[t]} AS s_{t}, {per_q[t]} AS q_{t}"
+        for t in EVENT_TYPES
+    )
+    t0, rest = EVENT_TYPES[0], EVENT_TYPES[1:]
+    sg2 = f"(CAST(s_{t0} AS DOUBLE) * CAST(s_{t0} AS DOUBLE) / CAST(n_{t0} AS DOUBLE))"
+    for t in rest:
+        sg2 = (
+            f"({sg2} + (CAST(s_{t} AS DOUBLE) * CAST(s_{t} AS DOUBLE)"
+            f" / CAST(n_{t} AS DOUBLE)))"
+        )
+    n = f"n_{t0}"
+    s = f"s_{t0}"
+    q = f"q_{t0}"
+    for t in rest:
+        n = f"({n} + n_{t})"
+        s = f"({s} + s_{t})"
+        q = f"({q} + q_{t})"
+    k = len(EVENT_TYPES)
+    ssb = f"({sg2} - CAST({s} AS DOUBLE) * CAST({s} AS DOUBLE) / CAST({n} AS DOUBLE))"
+    ssw = f"(CAST({q} AS DOUBLE) - {sg2})"
+    return f"""
+WITH tot AS (
+  SELECT {cols}
+  FROM events WHERE value IS NOT NULL
+)
+SELECT CAST({k} AS BIGINT) AS k, CAST({n} AS BIGINT) AS n,
+       {ssb} / 1e8 AS ssb,
+       {ssw} / 1e8 AS ssw,
+       ({ssb} / CAST({k} - 1 AS DOUBLE))
+         / ({ssw} / CAST({n} - {k} AS DOUBLE)) AS f_stat
+FROM tot
+"""
+
+
+REGISTRY.update({"a47_anova_f": (q_anova_f, _sql_anova_f())})
+
+
+# ---------------------------------------------------------------------------
+# X51 — dedup threshold-sensitivity curve (rides the shared pair frame)
+# ---------------------------------------------------------------------------
+
+def q_threshold_sweep(spark, sf_dir):
+    """X51 — how many near-dup pairs would each Jaccard threshold
+    keep?  The tuning curve every dedup deployment plots before
+    fixing its cut: pairs bucketed by floor(jaccard·20) (0.05
+    steps), then ONE suffix-sum window over the ≤20-row bucket frame
+    gives cumulative pairs-at-or-above and the floor-scaled mean
+    jaccard above each threshold.  Reads the shared d4-config pair
+    frame — the sweep costs two tiny aggregates, not a pair-stage
+    recompute.  All outputs exact integers or pinned divisions."""
+    pairs = _jaccard_pairs_005(spark, sf_dir)
+    b = F.floor(F.col("jaccard") * F.lit(20.0)).cast("long")
+    js = F.floor(F.col("jaccard") * F.lit(1000000.0)).cast("long")
+    per = pairs.groupBy(b.alias("bucket")).agg(
+        F.count("*").alias("n_b"),
+        F.sum(js).alias("j_b"),
+    )
+    w = (
+        Window.partitionBy(_zero_key(F.col("bucket")))
+        .orderBy(F.col("bucket").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = per.select(
+        "bucket",
+        F.sum("n_b").over(w).alias("n_pairs_ge"),
+        F.sum("j_b").over(w).alias("j_sum_ge"),
+    )
+    return cum.select(
+        (F.col("bucket").cast("double") / F.lit(20.0)).alias("threshold"),
+        "n_pairs_ge",
+        (
+            F.col("j_sum_ge").cast("double")
+            / F.lit(1000000.0)
+            / F.col("n_pairs_ge").cast("double")
+        ).alias("mean_jaccard_ge"),
+    )
+
+
+SQL_THRESHOLD_SWEEP = f"""
+WITH toks AS (
+  SELECT doc_id AS doc, {_D_TOKS} AS t FROM documents
+),
+sh0 AS (
+  SELECT DISTINCT doc, u.s
+  FROM toks, UNNEST({_D_SHINGLES}) AS u(s)
+),
+keep AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 100),
+sh AS (SELECT sh0.doc, sh0.s FROM sh0 JOIN keep USING (s)),
+sizes AS (SELECT doc, count(*) AS sz FROM sh GROUP BY doc),
+inter AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc < b.doc
+  GROUP BY a.doc, b.doc
+),
+pairs AS (
+  SELECT CAST(i.inter AS DOUBLE)
+           / CAST(sa.sz + sb.sz - i.inter AS DOUBLE) AS jaccard
+  FROM inter i
+  JOIN sizes sa ON i.doc_a = sa.doc
+  JOIN sizes sb ON i.doc_b = sb.doc
+  WHERE CAST(i.inter AS DOUBLE)
+          / CAST(sa.sz + sb.sz - i.inter AS DOUBLE) >= 0.05
+),
+per AS (
+  SELECT CAST(FLOOR(jaccard * 20.0) AS BIGINT) AS bucket,
+         count(*) AS n_b,
+         SUM(CAST(FLOOR(jaccard * 1000000.0) AS BIGINT)) AS j_b
+  FROM pairs GROUP BY 1
+),
+cum AS (
+  SELECT bucket,
+         SUM(n_b) OVER (ORDER BY bucket DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS n_pairs_ge,
+         SUM(j_b) OVER (ORDER BY bucket DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS j_sum_ge
+  FROM per
+)
+SELECT CAST(bucket AS DOUBLE) / 20.0 AS threshold,
+       n_pairs_ge,
+       CAST(j_sum_ge AS DOUBLE) / 1000000.0
+         / CAST(n_pairs_ge AS DOUBLE) AS mean_jaccard_ge
+FROM cum
+"""
+
+
+REGISTRY.update({"x51_threshold_sweep": (q_threshold_sweep, SQL_THRESHOLD_SWEEP)})
+
+
+# ---------------------------------------------------------------------------
+# W19 — Bollinger bands over the daily close series
+# ---------------------------------------------------------------------------
+
+_W19_N = 5  # band window (periods)
+
+
+def q_bollinger_bands(spark, sf_dir):
+    """W19 — the classic mean-reversion band: per event_type, the
+    daily CLOSE (last value by (ts, event_id) within the day — one
+    keyed row_number pass) with a 5-period rolling mean ± 2σ.
+    Variance rides the exact integer identity N·Σx² − (Σx)² over
+    floor-scaled closes (4 explicit lags, w17's pattern — never the
+    engines' order-dependent streaming stddev); σ is ONE pinned
+    sqrt, the bands two pinned multiply-adds.  NULL until the window
+    fills.  Windows partition by event_type and are bounded by the
+    calendar span."""
+    e = load(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    wpick = Window.partitionBy("event_type", F.to_date("ts")).orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    closes = (
+        e.select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            "ts", "event_id",
+            F.floor(F.col("value") * F.lit(10000.0))
+            .cast("long")
+            .alias("c"),
+        )
+        .withColumn("rn", F.row_number().over(wpick))
+        .where(F.col("rn") == 1)
+        .select("event_type", "day", "c")
+    )
+    wlag = Window.partitionBy("event_type").orderBy("day")
+    lags = [F.col("c")] + [
+        F.lag("c", i).over(wlag) for i in range(1, _W19_N)
+    ]
+    xsum = lags[0]
+    for x in lags[1:]:
+        xsum = xsum + x
+    x2sum = lags[0] * lags[0]
+    for x in lags[1:]:
+        x2sum = x2sum + x * x
+    num = F.lit(_W19_N) * x2sum - xsum * xsum
+    mean = xsum.cast("double") / F.lit(_W19_N * 10000.0)
+    sigma = F.sqrt(num.cast("double")) / F.lit(_W19_N * 10000.0)
+    upper = mean + F.lit(2.0) * sigma
+    lower = mean - F.lit(2.0) * sigma
+    close_d = F.col("c").cast("double") / F.lit(10000.0)
+    return closes.select(
+        "event_type", "day",
+        close_d.alias("close"),
+        mean.alias("mean5"),
+        sigma.alias("sigma5"),
+        upper.alias("upper"),
+        lower.alias("lower"),
+        (close_d > upper).alias("breach_hi"),
+        (close_d < lower).alias("breach_lo"),
+    )
+
+
+def _sql_bollinger_bands() -> str:
+    n = _W19_N
+    lag_cols = ", ".join(
+        f"lag(c, {i}) OVER w AS l{i}" for i in range(1, n)
+    )
+    xs = " + ".join(["c"] + [f"l{i}" for i in range(1, n)])
+    x2 = " + ".join(["c * c"] + [f"l{i} * l{i}" for i in range(1, n)])
+    return f"""
+WITH closes AS (
+  SELECT event_type, day, c FROM (
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           CAST(FLOOR(value * 10000.0) AS BIGINT) AS c,
+           row_number() OVER (
+             PARTITION BY event_type, CAST(ts AS DATE)
+             ORDER BY ts DESC, event_id DESC
+           ) AS rn
+    FROM events WHERE value IS NOT NULL
+  ) WHERE rn = 1
+),
+lagged AS (
+  SELECT event_type, day, c, {lag_cols}
+  FROM closes
+  WINDOW w AS (PARTITION BY event_type ORDER BY day)
+)
+SELECT event_type, day,
+       CAST(c AS DOUBLE) / 10000.0 AS close,
+       CAST(({xs}) AS DOUBLE) / {n * 10000.0} AS mean5,
+       sqrt(CAST({n} * ({x2}) - ({xs}) * ({xs}) AS DOUBLE))
+         / {n * 10000.0} AS sigma5,
+       CAST(({xs}) AS DOUBLE) / {n * 10000.0}
+         + 2.0 * (sqrt(CAST({n} * ({x2}) - ({xs}) * ({xs}) AS DOUBLE))
+                  / {n * 10000.0}) AS upper,
+       CAST(({xs}) AS DOUBLE) / {n * 10000.0}
+         - 2.0 * (sqrt(CAST({n} * ({x2}) - ({xs}) * ({xs}) AS DOUBLE))
+                  / {n * 10000.0}) AS lower,
+       CAST(c AS DOUBLE) / 10000.0
+         > CAST(({xs}) AS DOUBLE) / {n * 10000.0}
+           + 2.0 * (sqrt(CAST({n} * ({x2}) - ({xs}) * ({xs}) AS DOUBLE))
+                    / {n * 10000.0}) AS breach_hi,
+       CAST(c AS DOUBLE) / 10000.0
+         < CAST(({xs}) AS DOUBLE) / {n * 10000.0}
+           - 2.0 * (sqrt(CAST({n} * ({x2}) - ({xs}) * ({xs}) AS DOUBLE))
+                    / {n * 10000.0}) AS breach_lo
+FROM lagged
+"""
+
+
+REGISTRY.update(
+    {"w19_bollinger_bands": (q_bollinger_bands, _sql_bollinger_bands())}
+)
+
+
+# ---------------------------------------------------------------------------
 # Enumeration order: the driver's correctness run covers the first N
 # registry entries per round, so the STALEST queries must enumerate
 # first.  Computed at import time from the CORRECTNESS_r*.json records
@@ -17443,6 +17773,9 @@ _DEFER_NEW: set[str] = {
     "mm10_shot_boundaries",
     "a46_window_funnel",
     "sql1_verbatim_passthrough",
+    "a47_anova_f",
+    "x51_threshold_sweep",
+    "w19_bollinger_bands",
 }
 
 _FRESHNESS, _RED_LATEST = _driver_row_history()

@@ -193,7 +193,15 @@ def build_vocab(
     )
     from pyspark.sql import Window as W
 
-    order = W.orderBy(F.col("n_occurrences").desc(), F.col("token"))
+    # Explicit all-zeros partition key (catalog._zero_key's idiom:
+    # a non-negative long >> 62 is always 0, and the expression is
+    # non-foldable): semantically the same single partition, but the
+    # spec is EXPLICIT, so Spark's "No Partition Defined" WindowExec
+    # warning stays a true canary for data-sized serial windows —
+    # this one is dimension-sized by the min_count contract above.
+    order = W.partitionBy(
+        F.shiftright(F.col("n_occurrences"), 62)
+    ).orderBy(F.col("n_occurrences").desc(), F.col("token"))
     return counts.select(
         (F.row_number().over(order) - 1).cast("long").alias("token_id"),
         "token",

@@ -411,3 +411,76 @@ def test_sql_passthrough_is_verbatim(spark):
     assert sql == _SQL1_VERBATIM
     pdf = fn(spark, SF).toPandas()
     assert len(pdf) == 5 and (pdf.n_events > 0).all()
+
+
+def test_vocab_rank_window_spec_is_explicit(spark):
+    """x21/x22/x26's vocabulary id window must carry the explicit
+    all-zeros partition key (dimension-sized by the min_count
+    contract) so the 'No Partition Defined' warning stays a true
+    canary; scripts/plan_audit.py enforces the same over the whole
+    registry per round."""
+    from stampede_to_fresco_etl_spark.catalog import REGISTRY
+
+    for q in ("x21_build_vocab", "x22_encode_corpus",
+              "x26_token_rarity"):
+        df = REGISTRY[q][0](spark, SF)
+        plan = _plan(df)
+        for s in re.findall(r"windowspecdefinition\([^)]*\)", plan):
+            first = s.split("(", 1)[1].split(",", 1)[0]
+            assert "ASC" not in first and "DESC" not in first, (q, s)
+
+
+def test_anova_f_vs_scipy_formula(spark):
+    """F statistic replayed with numpy group moments on the
+    floor-scaled values."""
+    import numpy as np
+
+    from stampede_to_fresco_etl_spark.catalog import REGISTRY
+
+    r = REGISTRY["a47_anova_f"][0](spark, SF).toPandas().iloc[0]
+    ev = pd.read_parquet(f"{SF}/events.parquet").dropna(
+        subset=["value"]
+    )
+    x = np.floor(ev.value.to_numpy() * 10000.0)
+    g = ev.event_type.to_numpy()
+    groups = [x[g == t] for t in sorted(set(g))]
+    grand = x.mean()
+    ssb = sum(len(a) * (a.mean() - grand) ** 2 for a in groups)
+    ssw = sum(((a - a.mean()) ** 2).sum() for a in groups)
+    k, n = len(groups), len(x)
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert r.k == k and r.n == n
+    assert abs(r.f_stat - f) < 1e-9 * max(1.0, abs(f))
+    assert abs(r.ssb - ssb / 1e8) < 1e-6
+    assert abs(r.ssw - ssw / 1e8) < 1e-4
+
+
+def test_threshold_sweep_monotone(spark):
+    from stampede_to_fresco_etl_spark.catalog import REGISTRY
+
+    pdf = (
+        REGISTRY["x51_threshold_sweep"][0](spark, SF)
+        .toPandas()
+        .sort_values("threshold")
+        .reset_index(drop=True)
+    )
+    assert pdf.n_pairs_ge.is_monotonic_decreasing
+    assert (pdf.mean_jaccard_ge >= pdf.threshold).all()
+    assert (pdf.mean_jaccard_ge <= 1.0).all()
+
+
+def test_bollinger_bands_vs_pandas(spark):
+    from stampede_to_fresco_etl_spark.catalog import REGISTRY
+
+    got = REGISTRY["w19_bollinger_bands"][0](spark, SF).toPandas()
+    g = got[got.event_type == "click"].sort_values("day")
+    # a full window computes mean of the last 5 closes exactly
+    c = g.close.to_numpy()
+    m = g.mean5.to_numpy()
+    s = g.sigma5.to_numpy()
+    for i in range(4, len(c)):
+        w = c[i - 4 : i + 1]
+        assert abs(m[i] - w.mean()) < 1e-9
+        assert abs(s[i] - w.std()) < 1e-6  # population std, N divisor
+    assert (g.upper - g.mean5 - 2 * g.sigma5).abs().max() < 1e-12
+    assert g.mean5.isna().sum() == 4  # first 4 rows lack the window
