@@ -17745,6 +17745,11 @@ def _driver_row_history() -> tuple[dict[str, int], set[str]]:
 #: o2 (row_ranks rewrite), w10/w11 (shared med/MAD calibration),
 #: x1 (shared tokenized projection).  x47/x21/x22 touched too but
 #: never driver-checked, so already ahead of this tier.
+#: r7 (late): the shared pair-stage materialization rewired every
+#: dedup/graph consumer, and build_vocab's id window gained its
+#: explicit partition key — queries with a prior green driver row
+#: re-validate (sweep-verified bit-exact, but the ledger should
+#: confirm).
 _REVALIDATE = {
     "w5_analytic_windows",
     "o2_global_sort",
@@ -17752,6 +17757,22 @@ _REVALIDATE = {
     "w11_cusum_drift",
     "x1_token_stats",
     "x2_quality_lang",
+    "d2_minhash_lsh",
+    "d4_ngram_jaccard",
+    "d5_dup_clusters",
+    "d7_dedup_keep_best",
+    "d12_semdedup",
+    "d14_nearest_neighbor_doc",
+    "x34_curation_funnel",
+    "x35_lsh_sensitivity_audit",
+    "x42_dedup_token_budget",
+    "x49_cluster_safe_split",
+    "g1_triangle_stats",
+    "g2_two_hop_reach",
+    "g3_pagerank_int",
+    "x21_build_vocab",
+    "x22_encode_corpus",
+    "x26_token_rarity",
 }
 
 #: Queries FIRST ADDED this round: they are never-checked too, but the
