@@ -484,3 +484,34 @@ def test_bollinger_bands_vs_pandas(spark):
         assert abs(s[i] - w.std()) < 1e-6  # population std, N divisor
     assert (g.upper - g.mean5 - 2 * g.sigma5).abs().max() < 1e-12
     assert g.mean5.isna().sum() == 4  # first 4 rows lack the window
+
+
+def test_write_with_manifest_roundtrip(spark, tmp_path):
+    from stampede_to_fresco_etl_spark.catalog import load
+    from stampede_to_fresco_etl_spark.sources.writers import (
+        ManifestMismatchError,
+        verify_manifest,
+        write_with_manifest,
+    )
+
+    path = str(tmp_path / "snap")
+    df = load(spark, SF, "events").select(
+        "event_id", "event_type", "user_id"
+    )
+    m = write_with_manifest(df, path, partition_by=["event_type"])
+    assert m["total_rows"] == df.count()
+    assert m["n_files"] >= 5  # one per partition value at least
+    v = verify_manifest(spark, path)
+    assert v["total_rows"] == m["total_rows"]
+
+    # corrupt: truncate one file -> size drift must be named
+    import glob, os
+
+    victim = sorted(glob.glob(f"{path}/**/*.parquet", recursive=True))[0]
+    with open(victim, "r+b") as fh:
+        fh.truncate(os.path.getsize(victim) - 1)
+    try:
+        verify_manifest(spark, path)
+        raise AssertionError("expected ManifestMismatchError")
+    except ManifestMismatchError as ex:
+        assert "size drift" in str(ex)
