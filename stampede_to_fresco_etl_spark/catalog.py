@@ -17671,6 +17671,238 @@ REGISTRY.update(
 
 
 # ---------------------------------------------------------------------------
+# X52 — dedup survivor-bias audit
+# ---------------------------------------------------------------------------
+
+def q_survivor_bias(spark, sf_dir):
+    """X52 — does quality-aware dedup (d7) systematically shift the
+    corpus?  The kept/dropped cohorts compared on the two quality
+    axes the pipeline selects by: floor-scaled mean stopword-quality
+    and mean length.  A large kept-vs-dropped gap is WORKING AS
+    INTENDED (d7 keeps the best copy); a drift in the KEPT cohort vs
+    the full corpus is the bias a data lead watches.  Rides the
+    shared d5-config pair frame + the same keep-best pick — the
+    audit costs two broadcast-scale joins and one 3-row aggregate
+    beyond work already materialized."""
+    from stampede_to_fresco_etl_spark.operators import text as T
+    from stampede_to_fresco_etl_spark.operators.dedup import (
+        dedup_keep_best,
+    )
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "quality", T.stopword_ratio("text")
+    )
+    kept = dedup_keep_best(
+        docs, "doc_id", "text", "quality",
+        shingle_k=3, min_jaccard=0.3, max_shingle_df=100,
+        pairs=_jaccard_pairs_03(spark, sf_dir),
+    ).select("doc_id")
+    lab = docs.join(
+        kept.withColumn("__kept", F.lit(True)), "doc_id", "left"
+    ).select(
+        F.when(F.col("__kept"), F.lit("kept"))
+        .otherwise(F.lit("dropped"))
+        .alias("cohort"),
+        "quality", "n_chars",
+    )
+    both = lab.unionAll(
+        lab.select(
+            F.lit("corpus").alias("cohort"), "quality", "n_chars"
+        )
+    )
+    return both.groupBy("cohort").agg(
+        F.count("*").alias("n_docs"),
+        (
+            fsum(F.col("quality")).cast("double")
+            / F.lit(10000.0)
+            / F.count("*").cast("double")
+        ).alias("mean_quality"),
+        (
+            F.sum("n_chars").cast("double")
+            / F.count("*").cast("double")
+        ).alias("mean_chars"),
+    )
+
+
+def _sql_survivor_bias() -> str:
+    from stampede_to_fresco_etl_spark.operators.text import STOPWORDS
+
+    cond = " OR ".join(f"x = '{w}'" for w in STOPWORDS)
+    ratio = (
+        f"(CAST(len(list_filter({_D_TOKS}, x -> {cond})) AS DOUBLE)"
+        f" / CAST(len({_D_TOKS}) AS DOUBLE))"
+    )
+    return f"""{_SQL_CC_CLOSURE},
+cc AS (
+  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+  FROM reach GROUP BY src
+),
+q AS (
+  SELECT doc_id, n_chars, {ratio} AS quality FROM documents
+),
+j AS (
+  SELECT q.doc_id, coalesce(cc.cluster_id, q.doc_id) AS cluster_id,
+         q.quality, q.n_chars
+  FROM q LEFT JOIN cc USING (doc_id)
+),
+r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY cluster_id ORDER BY quality DESC, doc_id
+  ) AS rk FROM j
+),
+lab AS (
+  SELECT CASE WHEN rk = 1 THEN 'kept' ELSE 'dropped' END AS cohort,
+         quality, n_chars
+  FROM r
+  UNION ALL
+  SELECT 'corpus' AS cohort, quality, n_chars FROM r
+)
+SELECT cohort, count(*) AS n_docs,
+       CAST({FSUM.format(x='quality')} AS DOUBLE) / 10000.0
+         / CAST(count(*) AS DOUBLE) AS mean_quality,
+       CAST(SUM(n_chars) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS mean_chars
+FROM lab GROUP BY cohort
+"""
+
+
+REGISTRY.update({"x52_survivor_bias": (q_survivor_bias, _sql_survivor_bias())})
+
+
+# ---------------------------------------------------------------------------
+# V15 — IVF recall-vs-n_probe tuning curve
+# ---------------------------------------------------------------------------
+
+_V15_NPROBES = (1, 2, 4)
+
+
+def q_recall_nprobe_curve(spark, sf_dir):
+    """V15 — x51's tuning-curve idea applied to ANN: mean recall@k
+    of IVF search vs the exact brute-force top-k, one row per
+    n_probe setting — the first plot anyone tunes an IVF index
+    with (recall climbs with probed cells; n_probe = n_centroids
+    degrades to exact).  Reuses v1/v4's registry operators with
+    identical parameters; each config costs one cell-restricted
+    search, and the exact side is computed ONCE.  Recall is exact
+    integers to one pinned division."""
+    from stampede_to_fresco_etl_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    exact = brute_force_topk(emb, probes, k=TOPK_K).select(
+        "probe_id", "vec_id"
+    ).localCheckpoint()
+    out = None
+    for np_ in _V15_NPROBES:
+        approx = ivf_topk(
+            emb, probes, k=TOPK_K,
+            n_centroids=IVF_CENTROIDS, n_probe=np_,
+        ).select("probe_id", "vec_id")
+        hits = exact.join(approx, ["probe_id", "vec_id"]).agg(
+            F.count("*").alias("n_hits")
+        )
+        row = hits.select(
+            F.lit(np_).cast("long").alias("n_probe"),
+            "n_hits",
+            (
+                F.col("n_hits").cast("double")
+                / F.lit(float(N_PROBES * TOPK_K))
+            ).alias("mean_recall"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
+def _sql_recall_nprobe_curve() -> str:
+    sq_cs = _D_SQDIST.format(a="e.v", b="s.cv")
+    sq_ps = _D_SQDIST.format(a="p.pv", b="s.cv")
+    pair_dot = _D_DOT.format(a="pc.pv", b="a.v")
+    n_c = _D_DOT.format(a="a.v", b="a.v")
+    n_p = _D_DOT.format(a="pc.pv", b="pc.pv")
+    dot_pc = _D_DOT.format(a="c.v", b="p.pv")
+    nb_c = _D_DOT.format(a="c.v", b="c.v")
+    nb_p = _D_DOT.format(a="p.pv", b="p.pv")
+    per = []
+    for np_ in _V15_NPROBES:
+        per.append(f"""
+pcells_{np_} AS (
+  SELECT probe_id, pv, cell FROM (
+    SELECT p.probe_id, p.pv, s.cell,
+           row_number() OVER (
+             PARTITION BY p.probe_id ORDER BY {sq_ps}, s.cell
+           ) AS rn
+    FROM (SELECT vec_id AS probe_id, v AS pv
+          FROM e WHERE vec_id < {N_PROBES}) p
+    CROSS JOIN seeds s
+  ) WHERE rn <= {np_}
+),
+approx_{np_} AS (
+  SELECT probe_id, vec_id FROM (
+    SELECT pc.probe_id, a.vec_id,
+           row_number() OVER (
+             PARTITION BY pc.probe_id
+             ORDER BY {pair_dot}
+               / NULLIF(sqrt({n_p}) * sqrt({n_c}), 0.0) DESC,
+               a.vec_id
+           ) AS rank
+    FROM assigned a JOIN pcells_{np_} pc ON a.cell = pc.cell
+  ) WHERE rank <= {TOPK_K}
+),
+row_{np_} AS (
+  SELECT CAST({np_} AS BIGINT) AS n_probe,
+         count(*) AS n_hits,
+         CAST(count(*) AS DOUBLE)
+           / {float(N_PROBES * TOPK_K)!r} AS mean_recall
+  FROM exact JOIN approx_{np_} USING (probe_id, vec_id)
+)""")
+    unions = "\nUNION ALL\n".join(
+        f"SELECT * FROM row_{np_}" for np_ in _V15_NPROBES
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+seeds AS (
+  SELECT CAST(row_number() OVER (ORDER BY h) - 1 AS INTEGER) AS cell,
+         v AS cv
+  FROM (SELECT v, md5(CAST(vec_id AS VARCHAR)) AS h
+        FROM e ORDER BY h LIMIT {IVF_CENTROIDS})
+),
+assigned AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, s.cell,
+           row_number() OVER (
+             PARTITION BY e.vec_id ORDER BY {sq_cs}, s.cell
+           ) AS rn
+    FROM e CROSS JOIN seeds s
+  ) WHERE rn = 1
+),
+exact AS (
+  SELECT probe_id, vec_id FROM (
+    SELECT p.probe_id, c.vec_id,
+           row_number() OVER (
+             PARTITION BY p.probe_id
+             ORDER BY {dot_pc}
+               / (sqrt({nb_p}) * sqrt({nb_c})) DESC, c.vec_id
+           ) AS rank
+    FROM (SELECT vec_id, v FROM e) c
+    CROSS JOIN (SELECT vec_id AS probe_id, v AS pv
+                FROM e WHERE vec_id < {N_PROBES}) p
+  ) WHERE rank <= {TOPK_K}
+),{",".join(per)}
+{unions}
+"""
+
+
+REGISTRY.update(
+    {"v15_recall_nprobe_curve": (q_recall_nprobe_curve, _sql_recall_nprobe_curve())}
+)
+
+
+# ---------------------------------------------------------------------------
 # Enumeration order: the driver's correctness run covers the first N
 # registry entries per round, so the STALEST queries must enumerate
 # first.  Computed at import time from the CORRECTNESS_r*.json records
@@ -17797,6 +18029,8 @@ _DEFER_NEW: set[str] = {
     "a47_anova_f",
     "x51_threshold_sweep",
     "w19_bollinger_bands",
+    "x52_survivor_bias",
+    "v15_recall_nprobe_curve",
 }
 
 _FRESHNESS, _RED_LATEST = _driver_row_history()

@@ -515,3 +515,41 @@ def test_write_with_manifest_roundtrip(spark, tmp_path):
         raise AssertionError("expected ManifestMismatchError")
     except ManifestMismatchError as ex:
         assert "size drift" in str(ex)
+
+
+def test_survivor_bias_cohort_arithmetic(spark):
+    from stampede_to_fresco_etl_spark.catalog import REGISTRY
+
+    pdf = (
+        REGISTRY["x52_survivor_bias"][0](spark, SF)
+        .toPandas()
+        .set_index("cohort")
+    )
+    assert set(pdf.index) == {"kept", "dropped", "corpus"}
+    assert (
+        pdf.loc["kept", "n_docs"] + pdf.loc["dropped", "n_docs"]
+        == pdf.loc["corpus", "n_docs"]
+    )
+    # quality-argmax keep: kept cohort can't be worse than the corpus
+    assert pdf.loc["kept", "mean_quality"] >= pdf.loc[
+        "corpus", "mean_quality"
+    ] - 1e-12
+
+
+def test_recall_nprobe_curve_monotone(spark):
+    from stampede_to_fresco_etl_spark.catalog import (
+        _V15_NPROBES, REGISTRY,
+    )
+
+    pdf = (
+        REGISTRY["v15_recall_nprobe_curve"][0](spark, SF)
+        .toPandas()
+        .sort_values("n_probe")
+        .reset_index(drop=True)
+    )
+    assert list(pdf.n_probe) == list(_V15_NPROBES)
+    # more probed cells can only add candidates: recall is monotone
+    assert pdf.mean_recall.is_monotonic_increasing
+    assert (pdf.mean_recall <= 1.0).all() and (
+        pdf.mean_recall >= 0.0
+    ).all()
