@@ -553,3 +553,17 @@ def test_recall_nprobe_curve_monotone(spark):
     assert (pdf.mean_recall <= 1.0).all() and (
         pdf.mean_recall >= 0.0
     ).all()
+
+
+def test_shared_pair_frames_survive_eviction(spark):
+    """Same contract as the token projection: every shared pair
+    cache must self-heal (persist lineage) after a caller unpersists
+    all RDDs — not crash on missing checkpoint blocks."""
+    from stampede_to_fresco_etl_spark.catalog import REGISTRY
+
+    for q in ("d5_dup_clusters", "d2_minhash_lsh", "d12_semdedup"):
+        fn = REGISTRY[q][0]
+        first = fn(spark, SF).count()
+        for r in spark.sparkContext._jsc.getPersistentRDDs().values():
+            r.unpersist(False)
+        assert fn(spark, SF).count() == first
