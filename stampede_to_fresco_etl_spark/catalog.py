@@ -17966,6 +17966,257 @@ REGISTRY.update(
 
 
 # ---------------------------------------------------------------------------
+# D15 — incremental MinHash dedup: a new ingest batch probed against
+# an already-indexed corpus.  The production steady state at 100 TB:
+# the index side's banded signatures are computed once per corpus
+# snapshot and STORED; each batch hashes only its own delta and
+# band-joins into the stored buckets, so per-batch cost is
+# O(|batch| + matches) — never index×index, never all-pairs.
+# Here the "batch" is carved deterministically from `documents` with
+# x11's salted-hash split convention (salt 'ingest', 20% new), so the
+# oracle can reproduce the exact same partition.
+# ---------------------------------------------------------------------------
+
+INGEST_SPLIT_SALT = "ingest"
+#: hash-space boundary: docs BELOW are the indexed corpus (~80%)
+INGEST_IDX_BOUND = int(0.8 * (1 << 60))
+
+
+def q_incremental_dedup(spark, sf_dir):
+    """D15 — candidate near-dup pairs between the incoming 20% batch
+    and the indexed 80% corpus (d2's MinHash config: k=6, 3 bands).
+    Output (new_doc, indexed_doc, est_jaccard): each new doc's
+    collisions against the stored index.  Scale notes in
+    operators.dedup.lsh_pairs_between — the new side never joins
+    itself, the indexed side's signature table is the reusable
+    artifact."""
+    from stampede_to_fresco_etl_spark.functions import md5_int63
+    from stampede_to_fresco_etl_spark.operators.dedup import (
+        lsh_pairs_between,
+        minhash_signatures,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    is_idx = md5_int63("doc_id", salt=INGEST_SPLIT_SALT) < F.lit(
+        INGEST_IDX_BOUND
+    )
+    new_sigs = minhash_signatures(
+        docs.filter(~is_idx), "doc_id", "text", MINHASH_K
+    )
+    idx_sigs = minhash_signatures(
+        docs.filter(is_idx), "doc_id", "text", MINHASH_K
+    )
+    return lsh_pairs_between(
+        new_sigs, idx_sigs, num_hashes=MINHASH_K, bands=MINHASH_BANDS
+    )
+
+
+def _sql_incremental_dedup() -> str:
+    k, bands = MINHASH_K, MINHASH_BANDS
+    rows = k // bands
+    h = md5_int63_sql("CAST(doc_id AS VARCHAR)", salt=INGEST_SPLIT_SALT)
+    mh_cols = ",\n         ".join(
+        f"min({_d_mh(j)}) AS mh{j}" for j in range(k)
+    )
+    band_selects = "\n  UNION ALL\n  ".join(
+        f"SELECT doc, is_idx, {b} AS band_idx, "
+        + " || '_' || ".join(
+            f"CAST(mh{b * rows + r} AS VARCHAR)" for r in range(rows)
+        )
+        + " AS band_key FROM mh"
+        for b in range(bands)
+    )
+    eqs = " + ".join(
+        f"(CASE WHEN a.mh{j} = b.mh{j} THEN 1 ELSE 0 END)" for j in range(k)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS doc,
+         CASE WHEN {h} < {INGEST_IDX_BOUND} THEN 1 ELSE 0 END AS is_idx,
+         {_D_TOKS} AS t
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc, is_idx, u.s
+  FROM toks, UNNEST({_D_SHINGLES}) AS u(s)
+),
+mh AS (
+  SELECT doc, is_idx, {mh_cols}
+  FROM sh GROUP BY doc, is_idx
+),
+bands AS (
+  {band_selects}
+),
+pairs AS (
+  SELECT DISTINCT l.doc AS new_doc, r.doc AS indexed_doc
+  FROM bands l
+  JOIN bands r
+    ON l.band_idx = r.band_idx AND l.band_key = r.band_key
+  WHERE l.is_idx = 0 AND r.is_idx = 1
+)
+SELECT p.new_doc, p.indexed_doc, ({eqs}) / {float(k)} AS est_jaccard
+FROM pairs p
+JOIN mh a ON p.new_doc = a.doc
+JOIN mh b ON p.indexed_doc = b.doc
+"""
+
+
+REGISTRY.update(
+    {"d15_incremental_dedup": (q_incremental_dedup, _sql_incremental_dedup())}
+)
+
+
+# ---------------------------------------------------------------------------
+# W20 — rolling 7-day distinct active users (WAU), exact and
+# window-free over the data: the classic "COUNT(DISTINCT) OVER RANGE"
+# that engines refuse to plan.  Kernel: attribute each user to the
+# MOST RECENT active day ≤ the window end, so each user counts exactly
+# once per window end; a user's active day d covers window ends
+# [d, min(d+6, next_active_day−1)] — a ≤7-row explode per (user,
+# active day).  The only window is per-user (lead over active days):
+# user_id is the high-cardinality key, so the sort is a hash
+# partition's local sort, never data-sized.  The day spine rides a
+# one-row min/max aggregate — days with no active user in the
+# trailing week report 0, not a missing row.
+# ---------------------------------------------------------------------------
+
+def q_rolling_wau(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    ud = (
+        load(spark, sf_dir, "events")
+        .select("user_id", F.col("ts").cast("date").alias("d"))
+        .distinct()
+    )
+    nxt = F.lead("d").over(W.partitionBy("user_id").orderBy("d"))
+    cover = ud.select("user_id", "d", nxt.alias("nxt")).select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("d"),
+                F.least(
+                    F.date_add(F.col("d"), 6),
+                    F.coalesce(
+                        F.date_sub("nxt", 1), F.date_add(F.col("d"), 6)
+                    ),
+                ),
+                F.expr("interval 1 day"),
+            )
+        ).alias("day"),
+    )
+    counts = cover.groupBy("day").agg(F.count("*").alias("wau"))
+    spine = (
+        ud.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+        .select(
+            F.explode(
+                F.sequence("d0", "d1", F.expr("interval 1 day"))
+            ).alias("day")
+        )
+    )
+    return spine.join(counts, "day", "left").select(
+        "day", F.coalesce(F.col("wau"), F.lit(0)).cast("long").alias("wau")
+    )
+
+
+SQL_ROLLING_WAU = """
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+),
+b AS (SELECT min(d) AS d0, max(d) AS d1 FROM ud),
+days AS (
+  SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+         AS day
+  FROM b
+)
+SELECT days.day, count(DISTINCT ud.user_id) AS wau
+FROM days
+LEFT JOIN ud ON ud.d BETWEEN days.day - INTERVAL 6 DAY AND days.day
+GROUP BY days.day
+"""
+
+
+REGISTRY.update({"w20_rolling_wau": (q_rolling_wau, SQL_ROLLING_WAU)})
+
+
+# ---------------------------------------------------------------------------
+# X53 — inverted index build (token → postings), the retrieval-side
+# artifact of a curation pipeline.  Two-stage so hot tokens never
+# materialize a posting list: stage 1 reduces to one row per
+# (token, doc) with the in-doc term frequency (map-combined — the
+# explode never shuffles raw text); stage 2 aggregates df / total tf
+# per token; postings are collected ONLY for tokens under the df cap
+# (a semi-join back onto the (token, doc) frame), mirroring how real
+# indexes treat stopword-frequency terms: stats yes, full posting
+# list no.  Everything downstream of the explode is integers and
+# bounded lists.
+# ---------------------------------------------------------------------------
+
+#: posting lists are materialized only for tokens in ≤ this many docs
+X53_POSTINGS_DF_CAP = 32
+
+
+def q_inverted_index(spark, sf_dir):
+    from stampede_to_fresco_etl_spark.operators import text as T
+
+    docs = load(spark, sf_dir, "documents")
+    td = (
+        docs.select(
+            "doc_id", F.explode(T.tokens("text")).alias("token")
+        )
+        .groupBy("token", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+    stats = td.groupBy("token").agg(
+        F.count("*").cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("total_tf"),
+    )
+    rare = stats.filter(F.col("df") <= X53_POSTINGS_DF_CAP).select("token")
+    postings = (
+        td.join(rare, "token")
+        .groupBy("token")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+            ).alias("postings")
+        )
+    )
+    return stats.join(postings, "token", "left").select(
+        "token", "df", "total_tf", "postings"
+    )
+
+
+SQL_INVERTED_INDEX = f"""
+WITH td AS (
+  SELECT u.token, doc_id, count(*) AS tf
+  FROM documents, UNNEST({_D_TOKS}) AS u(token)
+  GROUP BY u.token, doc_id
+),
+stats AS (
+  SELECT token, count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf
+  FROM td GROUP BY token
+),
+p AS (
+  SELECT td.token,
+         string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+         AS postings
+  FROM td
+  JOIN stats ON td.token = stats.token
+  WHERE stats.df <= {X53_POSTINGS_DF_CAP}
+  GROUP BY td.token
+)
+SELECT stats.token, stats.df, stats.total_tf, p.postings
+FROM stats LEFT JOIN p ON stats.token = p.token
+"""
+
+
+REGISTRY.update({"x53_inverted_index": (q_inverted_index, SQL_INVERTED_INDEX)})
+
+
+# ---------------------------------------------------------------------------
 # Enumeration order: the driver's correctness run covers the first N
 # registry entries per round, so the STALEST queries must enumerate
 # first.  Computed at import time from the CORRECTNESS_r*.json records
@@ -18094,6 +18345,9 @@ _DEFER_NEW: set[str] = {
     "w19_bollinger_bands",
     "x52_survivor_bias",
     "v15_recall_nprobe_curve",
+    "d15_incremental_dedup",
+    "w20_rolling_wau",
+    "x53_inverted_index",
 }
 
 _FRESHNESS, _RED_LATEST = _driver_row_history()

@@ -186,6 +186,68 @@ def minhash_lsh_pairs(
     return lsh_candidate_pairs(sigs, num_hashes, bands)
 
 
+def lsh_pairs_between(
+    new_sigs: DataFrame,
+    indexed_sigs: DataFrame,
+    num_hashes: int = 8,
+    bands: int = 4,
+    materialize: bool = True,
+) -> DataFrame:
+    """Incremental LSH: candidate pairs between an incoming batch and
+    an already-indexed corpus — never indexed×indexed.  This is the
+    production ingestion path at 100 TB: the index side's banded
+    signatures are computed once per corpus snapshot and STORED
+    (bucketed by band key); each new batch hashes only its own delta
+    and probes the stored buckets with a band equi-join, so per-batch
+    cost is O(|batch| + matches), independent of corpus size.  The
+    full-corpus pair stage (`lsh_candidate_pairs`) is the bootstrap;
+    this is the steady state.
+
+    Output: (new_doc, indexed_doc, est_jaccard).  No `doc <` tiebreak
+    — the two sides are disjoint by construction, so every candidate
+    appears exactly once with the incoming doc on the left."""
+    if materialize:
+        new_sigs = new_sigs.localCheckpoint()
+        indexed_sigs = indexed_sigs.localCheckpoint()
+    rows = num_hashes // bands
+    band_keys = [
+        F.concat_ws("_", *[F.col(f"mh{b * rows + r}") for r in range(rows)])
+        for b in range(bands)
+    ]
+
+    def banded(sigs: DataFrame) -> DataFrame:
+        return sigs.select(
+            F.col("doc"),
+            *[F.col(f"mh{j}") for j in range(num_hashes)],
+            F.posexplode(F.array(*band_keys)).alias("band_idx", "band_key"),
+        )
+
+    left = banded(new_sigs).alias("l")
+    right = banded(indexed_sigs).alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_key") == F.col("r.band_key")),
+        )
+        .select(
+            F.col("l.doc").alias("new_doc"),
+            F.col("r.doc").alias("indexed_doc"),
+            *[
+                (F.col(f"l.mh{j}") == F.col(f"r.mh{j}"))
+                .cast("int")
+                .alias(f"eq{j}")
+                for j in range(num_hashes)
+            ],
+        )
+        .distinct()
+    )
+    est = sum(F.col(f"eq{j}") for j in range(num_hashes)) / F.lit(
+        float(num_hashes)
+    )
+    return pairs.select("new_doc", "indexed_doc", est.alias("est_jaccard"))
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,

@@ -567,3 +567,133 @@ def test_shared_pair_frames_survive_eviction(spark):
         for r in spark.sparkContext._jsc.getPersistentRDDs().values():
             r.unpersist(False)
         assert fn(spark, SF).count() == first
+
+
+def test_lsh_pairs_between_structure(spark):
+    """Incremental LSH (d15's kernel): identical docs across the
+    split collide with est_jaccard 1.0; the batch side never joins
+    itself (no new×new pair even for identical new docs); each
+    candidate appears exactly once with the new doc on the left."""
+    from stampede_to_fresco_etl_spark.operators.dedup import (
+        lsh_pairs_between,
+        minhash_signatures,
+    )
+
+    body = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, body),            # indexed
+        (2, body),            # new — dup of 1 and of 3
+        (3, body),            # new — dup of 1, but NOT paired with 2
+        (4, "one two three four five six seven eight nine"),  # indexed
+        (5, "совсем другой текст без общих шинглов вообще да"),  # new
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = minhash_signatures(
+        docs.filter(F.col("doc_id").isin(1, 4)), "doc_id", "text", 6
+    )
+    new = minhash_signatures(
+        docs.filter(~F.col("doc_id").isin(1, 4)), "doc_id", "text", 6
+    )
+    out = lsh_pairs_between(new, idx, num_hashes=6, bands=3).collect()
+    pairs = {(r["new_doc"], r["indexed_doc"]): r["est_jaccard"] for r in out}
+    assert pairs[(2, 1)] == 1.0
+    assert pairs[(3, 1)] == 1.0
+    assert (2, 3) not in pairs and (3, 2) not in pairs  # never new×new
+    assert (4, 1) not in pairs and (1, 4) not in pairs  # never idx×idx
+    assert all(a in (2, 3, 5) and b in (1, 4) for a, b in pairs)
+    assert len(out) == len(pairs)  # one row per candidate
+
+
+def test_d15_split_is_x11_convention(spark):
+    """d15's batch/index split must reproduce with the salted-hash
+    convention (deterministic, engine-independent): both sides are
+    non-empty at sf0.001 and partition the doc_id set exactly."""
+    from stampede_to_fresco_etl_spark.catalog import (
+        INGEST_IDX_BOUND,
+        INGEST_SPLIT_SALT,
+    )
+    from stampede_to_fresco_etl_spark.functions import md5_int63
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    h = md5_int63("doc_id", salt=INGEST_SPLIT_SALT)
+    n_idx = docs.filter(h < F.lit(INGEST_IDX_BOUND)).count()
+    n_new = docs.filter(h >= F.lit(INGEST_IDX_BOUND)).count()
+    assert n_idx > 0 and n_new > 0
+    assert n_idx + n_new == docs.count()
+    assert n_idx > n_new  # ~80/20
+
+
+def test_rolling_wau_vs_bruteforce(spark):
+    """w20's lag/explode kernel vs the O(days×users) definition."""
+    import datetime as dt
+
+    from stampede_to_fresco_etl_spark.catalog import REGISTRY
+
+    got = {
+        r["day"]: r["wau"]
+        for r in REGISTRY["w20_rolling_wau"][0](spark, SF).collect()
+    }
+    ev = spark.read.parquet(f"{SF}/events.parquet").select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    )
+    active = {(r["user_id"], r["d"]) for r in ev.distinct().collect()}
+    days = sorted({d for _, d in active})
+    d0, d1 = days[0], days[-1]
+    spine = [
+        d0 + dt.timedelta(days=i) for i in range((d1 - d0).days + 1)
+    ]
+    assert set(got) == set(spine)  # full spine, zeros included
+    for day in spine:
+        want = len(
+            {
+                u
+                for u, d in active
+                if day - dt.timedelta(days=6) <= d <= day
+            }
+        )
+        assert got[day] == want, day
+
+
+def test_rolling_wau_window_is_user_partitioned(spark):
+    """w20 plan canary: the only window spec partitions by user_id —
+    no data-sized single-partition sort anywhere."""
+    from stampede_to_fresco_etl_spark.catalog import REGISTRY
+
+    plan = _plan(REGISTRY["w20_rolling_wau"][0](spark, SF))
+    specs = re.findall(r"windowspecdefinition\([^)]*\)", plan)
+    assert specs
+    for s in specs:
+        assert s.split("(", 1)[1].split(",", 1)[0].startswith("user_id"), s
+
+
+def test_inverted_index_invariants(spark):
+    """x53: postings materialize iff df ≤ cap; the list length equals
+    df; ids are ascending; df/total_tf match a brute-force count."""
+    from collections import Counter
+
+    from stampede_to_fresco_etl_spark.catalog import (
+        REGISTRY,
+        X53_POSTINGS_DF_CAP,
+    )
+
+    out = REGISTRY["x53_inverted_index"][0](spark, SF).collect()
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    df_b: Counter = Counter()
+    tf_b: Counter = Counter()
+    post_b: dict[str, set] = {}
+    for r in docs:
+        toks = r["text"].strip().split()
+        tf_b.update(toks)
+        for t in set(toks):
+            df_b[t] += 1
+            post_b.setdefault(t, set()).add(r["doc_id"])
+    assert len(out) == len(df_b)
+    for r in out:
+        t = r["token"]
+        assert r["df"] == df_b[t]
+        assert r["total_tf"] == tf_b[t]
+        if r["df"] <= X53_POSTINGS_DF_CAP:
+            ids = [int(x) for x in r["postings"].split(",")]
+            assert ids == sorted(post_b[t])
+        else:
+            assert r["postings"] is None
