@@ -114,6 +114,9 @@ EXTENSION = [
     "v13_mmr_diverse_topk",  # new r7: greedy diverse re-ranking
     "v14_kmeans_refine",  # new r7: one Lloyd step, exact means
     "mm10_shot_boundaries",  # new r7: L1 frame-diff cut detector
+    "d15_incremental_dedup",  # new r7: batch-vs-index LSH probe
+    "w20_rolling_wau",  # new r7: exact rolling distinct via lead/explode
+    "x53_inverted_index",  # new r7: df-capped postings build
 ]
 
 HEADLINE = CORE + EXTENSION
