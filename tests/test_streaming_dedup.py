@@ -121,3 +121,35 @@ def test_first_batch_empty_index(spark, dirs):
     rows = spark.read.parquet(dirs["matches"]).collect()
     assert rows and all(r["kind"] == "batch" for r in rows)
     assert {(r["new_doc"], r["matched_doc"]) for r in rows} == {(1, 2)}
+
+
+def test_incremental_covers_full_corpus_pairs(spark):
+    """Completeness identity: intra(A) ∪ intra(B) ∪ cross(B→A) over
+    any two-way corpus split equals the full-corpus LSH pairs —
+    banding the union is the union of banded rows, so incremental
+    ingestion loses NO candidate pair vs a batch recompute (and adds
+    none).  This is the contract that makes the steady-state index
+    safe to trust."""
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    a = docs.filter(F.col("doc_id") % 3 == 0)
+    b = docs.filter(F.col("doc_id") % 3 != 0)
+    sa = minhash_signatures(a, "doc_id", "text", 6)
+    sb = minhash_signatures(b, "doc_id", "text", 6)
+    sall = minhash_signatures(docs, "doc_id", "text", 6)
+
+    def key(x, y):
+        return (min(x, y), max(x, y))
+
+    inc = set()
+    for sigs in (sa, sb):
+        for r in lsh_candidate_pairs(sigs, 6, 3).collect():
+            inc.add(key(r["doc_a"], r["doc_b"]))
+    for r in lsh_pairs_between(sb, sa, 6, 3).collect():
+        inc.add(key(r["new_doc"], r["indexed_doc"]))
+    full = {
+        key(r["doc_a"], r["doc_b"])
+        for r in lsh_candidate_pairs(sall, 6, 3).collect()
+    }
+    assert inc == full and full
