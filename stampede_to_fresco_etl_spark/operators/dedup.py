@@ -117,6 +117,31 @@ def minhash_signatures(
     return sh.groupBy("doc").agg(*aggs)
 
 
+def band_signatures(
+    signatures: DataFrame, num_hashes: int = 8, bands: int = 4
+) -> DataFrame:
+    """The exploded LSH band table: one row per (doc, band) carrying
+    (doc, mh0..mh{k-1}, band_idx, band_key) — built with ONE
+    posexplode, no N self-unions.
+
+    This is the STORED form of an LSH index at scale: a deployment
+    writes this table bucketed by (band_idx, band_key) beside the
+    corpus snapshot, and every future ingest batch probes it with a
+    band equi-join that shuffles only the batch side
+    (`lsh_pairs_between(indexed_bands=...)`) — the index is banded
+    once per snapshot, never per probe."""
+    rows = num_hashes // bands
+    band_keys = [
+        F.concat_ws("_", *[F.col(f"mh{b * rows + r}") for r in range(rows)])
+        for b in range(bands)
+    ]
+    return signatures.select(
+        F.col("doc"),
+        *[F.col(f"mh{j}") for j in range(num_hashes)],
+        F.posexplode(F.array(*band_keys)).alias("band_idx", "band_key"),
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     num_hashes: int = 8,
@@ -137,16 +162,7 @@ def lsh_candidate_pairs(
     persist(DISK_ONLY) or a checkpoint dir."""
     if materialize:
         signatures = signatures.localCheckpoint()
-    rows = num_hashes // bands
-    band_keys = [
-        F.concat_ws("_", *[F.col(f"mh{b * rows + r}") for r in range(rows)])
-        for b in range(bands)
-    ]
-    banded = signatures.select(
-        F.col("doc"),
-        *[F.col(f"mh{j}") for j in range(num_hashes)],
-        F.posexplode(F.array(*band_keys)).alias("band_idx", "band_key"),
-    )
+    banded = band_signatures(signatures, num_hashes, bands)
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (
@@ -188,42 +204,42 @@ def minhash_lsh_pairs(
 
 def lsh_pairs_between(
     new_sigs: DataFrame,
-    indexed_sigs: DataFrame,
+    indexed_sigs: DataFrame | None = None,
     num_hashes: int = 8,
     bands: int = 4,
     materialize: bool = True,
+    indexed_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental LSH: candidate pairs between an incoming batch and
     an already-indexed corpus — never indexed×indexed.  This is the
-    production ingestion path at 100 TB: the index side's banded
-    signatures are computed once per corpus snapshot and STORED
-    (bucketed by band key); each new batch hashes only its own delta
-    and probes the stored buckets with a band equi-join, so per-batch
-    cost is O(|batch| + matches), independent of corpus size.  The
-    full-corpus pair stage (`lsh_candidate_pairs`) is the bootstrap;
-    this is the steady state.
+    production ingestion path at 100 TB: the index side's band table
+    (`band_signatures`) is computed once per corpus snapshot and
+    STORED (bucketed by band key); each new batch hashes only its own
+    delta and probes the stored buckets with a band equi-join, so
+    per-batch cost is O(|batch| + matches), independent of corpus
+    size.  The full-corpus pair stage (`lsh_candidate_pairs`) is the
+    bootstrap; this is the steady state.
+
+    Pass `indexed_bands` (the stored band table) to probe without
+    re-banding the index — the steady-state form; `indexed_sigs`
+    bands on the fly for one-shot use.
 
     Output: (new_doc, indexed_doc, est_jaccard).  No `doc <` tiebreak
     — the two sides are disjoint by construction, so every candidate
     appears exactly once with the incoming doc on the left."""
+    if (indexed_sigs is None) == (indexed_bands is None):
+        raise ValueError(
+            "exactly one of indexed_sigs / indexed_bands required"
+        )
     if materialize:
         new_sigs = new_sigs.localCheckpoint()
-        indexed_sigs = indexed_sigs.localCheckpoint()
-    rows = num_hashes // bands
-    band_keys = [
-        F.concat_ws("_", *[F.col(f"mh{b * rows + r}") for r in range(rows)])
-        for b in range(bands)
-    ]
+        if indexed_sigs is not None:
+            indexed_sigs = indexed_sigs.localCheckpoint()
+    if indexed_bands is None:
+        indexed_bands = band_signatures(indexed_sigs, num_hashes, bands)
 
-    def banded(sigs: DataFrame) -> DataFrame:
-        return sigs.select(
-            F.col("doc"),
-            *[F.col(f"mh{j}") for j in range(num_hashes)],
-            F.posexplode(F.array(*band_keys)).alias("band_idx", "band_key"),
-        )
-
-    left = banded(new_sigs).alias("l")
-    right = banded(indexed_sigs).alias("r")
+    left = band_signatures(new_sigs, num_hashes, bands).alias("l")
+    right = indexed_bands.alias("r")
     pairs = (
         left.join(
             right,

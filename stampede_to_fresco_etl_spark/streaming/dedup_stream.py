@@ -28,12 +28,13 @@ upgrade when readers are concurrent.
 
 Scale notes (100 TB): per-batch cost is O(|batch| + matches) —
 the corpus is touched only through the band equi-join against its
-stored signatures (k=6 longs per doc, ~50 B/doc: a 10-billion-doc
-index is ~500 GB of parquet, scanned column-pruned).  In a real
-deployment the index stores the EXPLODED band table bucketed by
-(band_idx, band_key) so each probe shuffles only the batch side into
-existing buckets; here the index is small enough that the band
-projection recomputes per batch.  State lives entirely in the two
+stored index, and the index stores the EXPLODED band table
+(`band_signatures`: bands × (k+2) longs per doc, ~200 B/doc — a
+10-billion-doc index is ~2 TB of parquet, scanned column-pruned), so
+the probe NEVER re-bands the corpus: banding cost is paid once, on
+each batch's own delta, at append time.  On a cluster, write the
+index `bucketBy(band_idx, band_key)` so the probe shuffles only the
+batch side into existing buckets.  State lives entirely in the two
 parquet sinks — the streaming query itself is stateless, so there is
 no store-growth or watermark concern.
 """
@@ -47,6 +48,7 @@ from pyspark.sql.types import StructType
 from pyspark.sql.utils import AnalysisException
 
 from stampede_to_fresco_etl_spark.operators.dedup import (
+    band_signatures,
     lsh_candidate_pairs,
     lsh_pairs_between,
     minhash_signatures,
@@ -59,9 +61,9 @@ DOC_SCHEMA = "doc_id long, text string"
 def _read_index(
     spark: SparkSession, index_dir: str, exclude_batch_id: int
 ) -> DataFrame | None:
-    """The stored signature index, minus the current batch's own
-    partition (present on crash-replay).  None before the first
-    commit."""
+    """The stored BAND-TABLE index (`band_signatures` rows), minus
+    the current batch's own partition (present on crash-replay).
+    None before the first commit."""
     try:
         idx = spark.read.parquet(index_dir)
     except AnalysisException:
@@ -99,7 +101,7 @@ def apply_dedup_batch(
     if index is not None:
         cross = lsh_pairs_between(
             sigs,
-            index,
+            indexed_bands=index,
             num_hashes=num_hashes,
             bands=bands,
             materialize=False,
@@ -114,9 +116,9 @@ def apply_dedup_batch(
     matches.write.mode("overwrite").parquet(
         f"{matches_dir}/batch_id={batch_id}"
     )
-    sigs.write.mode("overwrite").parquet(
-        f"{index_dir}/batch_id={batch_id}"
-    )
+    band_signatures(sigs, num_hashes, bands).write.mode(
+        "overwrite"
+    ).parquet(f"{index_dir}/batch_id={batch_id}")
 
 
 def run_incremental_dedup(

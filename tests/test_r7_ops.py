@@ -697,3 +697,40 @@ def test_inverted_index_invariants(spark):
             assert ids == sorted(post_b[t])
         else:
             assert r["postings"] is None
+
+
+def test_probe_stored_bands_equals_on_the_fly(spark):
+    """d15 steady state: probing a STORED band table
+    (band_signatures written to parquet, the 100 TB index artifact)
+    returns exactly the pairs of the on-the-fly indexed_sigs form."""
+    import tempfile
+
+    from stampede_to_fresco_etl_spark.operators.dedup import (
+        band_signatures,
+        lsh_pairs_between,
+        minhash_signatures,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    idx = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    si = minhash_signatures(idx, "doc_id", "text", 6)
+    sn = minhash_signatures(new, "doc_id", "text", 6)
+    path = tempfile.mkdtemp() + "/bands"
+    band_signatures(si, 6, 3).write.parquet(path)
+
+    def key(rows):
+        return {(r["new_doc"], r["indexed_doc"], r["est_jaccard"]) for r in rows}
+
+    direct = key(lsh_pairs_between(sn, si, 6, 3).collect())
+    stored = key(
+        lsh_pairs_between(
+            sn,
+            indexed_bands=spark.read.parquet(path),
+            num_hashes=6,
+            bands=3,
+        ).collect()
+    )
+    assert direct == stored and direct

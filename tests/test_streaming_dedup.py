@@ -77,9 +77,12 @@ def test_two_waves_match_batch_kernels(spark, dirs):
     assert cross and all(
         a not in w1_ids and b in w1_ids for a, b in cross
     )  # cross pairs always (new, indexed) — never index×index
-    # index now holds every doc's signature exactly once
+    # index is the stored band table: bands rows per doc, every doc
+    # exactly once
     idx = spark.read.parquet(dirs["index"])
-    assert idx.count() == len(WAVE1) + len(WAVE2)
+    n_docs = len(WAVE1) + len(WAVE2)
+    assert idx.select("doc").distinct().count() == n_docs
+    assert idx.count() == n_docs * 3  # 3 bands per doc
     assert set(idx.select("batch_id").distinct().toPandas()["batch_id"]) == {0, 1}
 
 
@@ -98,6 +101,7 @@ def test_replay_converges(spark, dirs):
         map(tuple, spark.read.parquet(dirs["matches"]).collect())
     )
     idx_before = spark.read.parquet(dirs["index"]).count()
+    assert idx_before == (len(WAVE1) + len(WAVE2)) * 3
 
     apply_dedup_batch(  # replay batch 1
         spark, _docs(spark, WAVE2), 1, dirs["index"], dirs["matches"]
