@@ -263,6 +263,7 @@ def ivf_topk(
     k: int = 10,
     n_centroids: int = 16,
     n_probe: int = 4,
+    broadcast_probes: bool = True,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: partition the corpus
     into cells around deterministic seed centroids, assign every
@@ -276,6 +277,14 @@ def ivf_topk(
     from `seed_centroids` (md5-ordered corpus sample) rather than
     KMeans.fit so the whole query — including cell assignment — is
     deterministic and SQL-checkable.
+
+    `broadcast_probes=True` (default) fits the query-serving shape: a
+    handful of probes replicated to every cell partition.  Pass False
+    when the probe side is itself large — an ingest batch probing the
+    stored index (v16) — so the join shuffles BOTH sides by cell
+    instead of broadcasting gigabytes: exactly how a partitioned IVF
+    layout absorbs a batch, each batch vector routed to its n_probe
+    cells.
     """
     centroids = seed_centroids(corpus, id_col, vec_col, n_centroids)
     cent_lits = F.array(
@@ -303,7 +312,7 @@ def ivf_topk(
         probe_id_col, "p_vec", "p_nrm", F.explode("cells").alias("cell")
     )
     scored = assigned.withColumn("c_nrm", _norm(F.col("c_vec"))).join(
-        F.broadcast(p), "cell"
+        F.broadcast(p) if broadcast_probes else p, "cell"
     ).select(
         probe_id_col,
         id_col,

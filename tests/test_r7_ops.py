@@ -734,3 +734,34 @@ def test_probe_stored_bands_equals_on_the_fly(spark):
         ).collect()
     )
     assert direct == stored and direct
+
+
+def test_v16_incremental_ann_invariants(spark):
+    """Each incoming vector appears at most once (top-1), its match
+    is on the indexed side of the split, cos_sim ∈ [-1, 1], and the
+    probe join is NOT hint-forced broadcast (the batch side is data-
+    sized; AQE may still choose broadcast at runtime — the design
+    point is no static gigabyte-broadcast hint)."""
+    from stampede_to_fresco_etl_spark.catalog import (
+        INGEST_IDX_BOUND,
+        INGEST_SPLIT_SALT,
+        REGISTRY,
+    )
+    from stampede_to_fresco_etl_spark.functions import md5_int63
+
+    df = REGISTRY["v16_incremental_ann"][0](spark, SF)
+    assert "ResolvedHint" not in df._jdf.queryExecution().analyzed().toString()
+    rows = df.collect()
+    assert rows
+    new_ids = [r["new_id"] for r in rows]
+    assert len(new_ids) == len(set(new_ids))
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    h = md5_int63("vec_id", salt=INGEST_SPLIT_SALT)
+    idx_ids = {
+        r["vec_id"]
+        for r in emb.filter(h < F.lit(INGEST_IDX_BOUND)).collect()
+    }
+    for r in rows:
+        assert r["new_id"] not in idx_ids
+        assert r["indexed_id"] in idx_ids
+        assert -1.0 - 1e-9 <= r["cos_sim"] <= 1.0 + 1e-9
