@@ -17997,17 +17997,24 @@ def q_incremental_dedup(spark, sf_dir):
     )
 
     docs = load(spark, sf_dir, "documents")
-    is_idx = md5_int63("doc_id", salt=INGEST_SPLIT_SALT) < F.lit(
+    # ONE shingle-explode + minhash pass over the corpus, split on the
+    # signature frame afterwards (the split key is arithmetic on the
+    # doc id, so no flag needs to ride the aggregate) — two filtered
+    # minhash_signatures calls would run the expensive pass twice.
+    # In the steady state the index side is a STORED artifact anyway
+    # (see lsh_pairs_between / streaming.dedup_stream).
+    sigs = minhash_signatures(
+        docs, "doc_id", "text", MINHASH_K
+    ).localCheckpoint()
+    is_idx = md5_int63("doc", salt=INGEST_SPLIT_SALT) < F.lit(
         INGEST_IDX_BOUND
     )
-    new_sigs = minhash_signatures(
-        docs.filter(~is_idx), "doc_id", "text", MINHASH_K
-    )
-    idx_sigs = minhash_signatures(
-        docs.filter(is_idx), "doc_id", "text", MINHASH_K
-    )
     return lsh_pairs_between(
-        new_sigs, idx_sigs, num_hashes=MINHASH_K, bands=MINHASH_BANDS
+        sigs.filter(~is_idx),
+        sigs.filter(is_idx),
+        num_hashes=MINHASH_K,
+        bands=MINHASH_BANDS,
+        materialize=False,
     )
 
 
