@@ -765,3 +765,75 @@ def test_v16_incremental_ann_invariants(spark):
         assert r["new_id"] not in idx_ids
         assert r["indexed_id"] in idx_ids
         assert -1.0 - 1e-9 <= r["cos_sim"] <= 1.0 + 1e-9
+
+
+def test_banded_index_bucketed_probe_shuffles_batch_only(spark, tmp_path):
+    """The 100 TB claim in dedup_stream's docstring, executed: a band
+    table stored with bucketBy(band_idx, band_key) is probed by a new
+    batch with the INDEX side read bucket-aligned (Bucketed: true,
+    no Exchange above its scan) — only the batch side shuffles into
+    the existing buckets.  And the bucketed probe returns exactly the
+    on-the-fly pairs."""
+    from stampede_to_fresco_etl_spark.operators.dedup import (
+        band_signatures,
+        lsh_pairs_between,
+        minhash_signatures,
+    )
+    from stampede_to_fresco_etl_spark.sources.writers import (
+        write_bucketed_table,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    idx_sigs = minhash_signatures(
+        docs.filter(F.col("doc_id") % 2 == 0), "doc_id", "text", 6
+    )
+    new_sigs = minhash_signatures(
+        docs.filter(F.col("doc_id") % 2 == 1), "doc_id", "text", 6
+    ).localCheckpoint()
+    table = "band_index_probe_test"
+    write_bucketed_table(
+        band_signatures(idx_sigs, 6, 3),
+        table,
+        ["band_idx", "band_key"],
+        num_buckets=8,
+        path=str(tmp_path / "bandidx"),
+    )
+    try:
+        out = lsh_pairs_between(
+            new_sigs,
+            indexed_bands=spark.table(table),
+            num_hashes=6,
+            bands=3,
+            materialize=False,
+        )
+        conf = spark.conf
+        old_aqe = conf.get("spark.sql.adaptive.enabled")
+        old_bc = conf.get("spark.sql.autoBroadcastJoinThreshold")
+        conf.set("spark.sql.adaptive.enabled", "false")
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = _plan(out)
+        finally:
+            conf.set("spark.sql.adaptive.enabled", old_aqe)
+            conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        assert "Bucketed: true" in plan, plan
+        band_exchanges = len(
+            re.findall(r"Arguments: hashpartitioning\(band_idx", plan)
+        )
+        assert band_exchanges == 1, plan  # the batch side, nothing else
+
+        want = {
+            (r["new_doc"], r["indexed_doc"], r["est_jaccard"])
+            for r in lsh_pairs_between(
+                new_sigs, idx_sigs, 6, 3, materialize=False
+            ).collect()
+        }
+        got = {
+            (r["new_doc"], r["indexed_doc"], r["est_jaccard"])
+            for r in out.collect()
+        }
+        assert got == want and got
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
