@@ -18331,6 +18331,92 @@ REGISTRY.update(
 
 
 # ---------------------------------------------------------------------------
+# W21 — day-of-week seasonal baseline + exact residuals: the metric-
+# monitoring decomposition (observed − same-weekday expectation) that
+# sits under every "is today unusual?" dashboard.  Weekday index is
+# pmod(days-since-epoch, 7) — engine-agnostic integer arithmetic, no
+# dayofweek() convention mismatch (Spark is 1=Sun..7, DuckDB
+# 0=Sun..6).  Residuals stay EXACT: resid_num = day_total_i·dow_n −
+# dow_sum_i over denominator dow_n, all bigint; the seasonal mean is
+# the one pinned division.  Two hash aggregates (day grain, then the
+# ≤ types×7 weekday frame) + a broadcast join-back — no window, no
+# sort, linear scan shape.
+# ---------------------------------------------------------------------------
+
+def q_seasonal_dow(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    day = F.col("ts").cast("date")
+    daily = (
+        e.select(
+            "event_type",
+            day.alias("day"),
+            F.floor(F.col("value") * F.lit(10000.0))
+            .cast("long")
+            .alias("vi"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("vi").alias("day_total_i"))
+        .withColumn(
+            "dow",
+            F.pmod(
+                F.datediff(F.col("day"), F.lit("1970-01-01").cast("date")),
+                F.lit(7),
+            ).cast("int"),
+        )
+    )
+    dw = daily.groupBy("event_type", "dow").agg(
+        F.sum("day_total_i").alias("dow_sum_i"),
+        F.count("*").alias("dow_n"),
+    )
+    return daily.join(F.broadcast(dw), ["event_type", "dow"]).select(
+        "event_type",
+        "day",
+        "dow",
+        (F.col("day_total_i").cast("double") / F.lit(10000.0)).alias(
+            "day_total"
+        ),
+        (
+            F.col("dow_sum_i").cast("double")
+            / (F.col("dow_n") * F.lit(10000.0)).cast("double")
+        ).alias("seasonal_mean"),
+        (
+            F.col("day_total_i") * F.col("dow_n") - F.col("dow_sum_i")
+        ).alias("resid_num"),
+        F.col("dow_n").cast("long").alias("resid_den"),
+    )
+
+
+SQL_SEASONAL_DOW = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         {FSUM.format(x='value')} AS day_total_i
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+d2 AS (
+  SELECT *,
+         CAST(((day - DATE '1970-01-01') % 7 + 7) % 7 AS INTEGER) AS dow
+  FROM daily
+),
+dw AS (
+  SELECT event_type, dow,
+         CAST(sum(day_total_i) AS BIGINT) AS dow_sum_i,
+         count(*) AS dow_n
+  FROM d2 GROUP BY event_type, dow
+)
+SELECT d2.event_type, d2.day, d2.dow,
+       CAST(day_total_i AS DOUBLE) / 10000.0 AS day_total,
+       CAST(dow_sum_i AS DOUBLE) / CAST(dow_n * 10000 AS DOUBLE)
+         AS seasonal_mean,
+       day_total_i * dow_n - dow_sum_i AS resid_num,
+       CAST(dow_n AS BIGINT) AS resid_den
+FROM d2 JOIN dw ON d2.event_type = dw.event_type AND d2.dow = dw.dow
+"""
+
+
+REGISTRY.update({"w21_seasonal_dow": (q_seasonal_dow, SQL_SEASONAL_DOW)})
+
+
+# ---------------------------------------------------------------------------
 # Enumeration order: the driver's correctness run covers the first N
 # registry entries per round, so the STALEST queries must enumerate
 # first.  Computed at import time from the CORRECTNESS_r*.json records
@@ -18463,6 +18549,7 @@ _DEFER_NEW: set[str] = {
     "w20_rolling_wau",
     "x53_inverted_index",
     "v16_incremental_ann",
+    "w21_seasonal_dow",
 }
 
 _FRESHNESS, _RED_LATEST = _driver_row_history()

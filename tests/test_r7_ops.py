@@ -837,3 +837,30 @@ def test_banded_index_bucketed_probe_shuffles_batch_only(spark, tmp_path):
         assert got == want and got
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_seasonal_dow_vs_pandas(spark):
+    """w21 replayed in pandas: day totals, weekday means, and the
+    exact residual rationals."""
+    from stampede_to_fresco_etl_spark.catalog import REGISTRY
+
+    got = REGISTRY["w21_seasonal_dow"][0](spark, SF).toPandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    ev["day"] = pd.to_datetime(ev.ts).dt.normalize()
+    ev["vi"] = (ev.value * 10000.0).apply(__import__("math").floor)
+    daily = (
+        ev.groupby(["event_type", "day"]).vi.sum().rename("tot").reset_index()
+    )
+    daily["dow"] = (
+        (daily.day - pd.Timestamp("1970-01-01")).dt.days % 7
+    ).astype(int)
+    dw = daily.groupby(["event_type", "dow"]).tot.agg(["sum", "count"])
+    assert len(got) == len(daily)
+    g = got.set_index(["event_type", pd.to_datetime(got.day)])
+    for _, r in daily.iterrows():
+        row = g.loc[(r.event_type, r.day)]
+        s, n = dw.loc[(r.event_type, r.dow)]
+        assert row["dow"] == r.dow
+        assert row["resid_num"] == r.tot * n - s
+        assert row["resid_den"] == n
+        assert row["day_total"] == r.tot / 10000.0
