@@ -117,6 +117,7 @@ EXTENSION = [
     "d15_incremental_dedup",  # new r7: batch-vs-index LSH probe
     "w20_rolling_wau",  # new r7: exact rolling distinct via lead/explode
     "x53_inverted_index",  # new r7: df-capped postings build
+    "w21_seasonal_dow",  # new r7: weekday baseline, exact residuals
 ]
 
 HEADLINE = CORE + EXTENSION
