@@ -18519,6 +18519,11 @@ _REVALIDATE = {
     "x21_build_vocab",
     "x22_encode_corpus",
     "x26_token_rarity",
+    # r7 (later): band_signatures extraction rewired lsh_candidate_pairs
+    # (d2-family, already listed) and ivf_topk gained broadcast_probes
+    # (default path unchanged, but its consumers should re-confirm)
+    "v4_ivf_topk",
+    "v10_ivf_recall_audit",
 }
 
 #: Queries FIRST ADDED this round: they are never-checked too, but the
