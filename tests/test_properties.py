@@ -636,3 +636,122 @@ def test_cusum_prefix_identity_property(spark, ys):
     for row, y in zip(out, ys):
         s = max(0, s + y)
         assert row["s"] == s
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=40),  # user
+            st.integers(min_value=0, max_value=25),  # day offset
+        ),
+        min_size=1,
+        max_size=120,
+    )
+)
+def test_rolling_wau_property(spark, events):
+    """w20's lag/explode kernel == the O(days×users) definition on
+    random (user, day) activity sets: full spine, zeros included."""
+    import datetime as dt
+
+    from pyspark.sql import Window as W
+
+    base = dt.date(2024, 3, 1)
+    rows = [(u, base + dt.timedelta(days=d)) for u, d in events]
+    ud = spark.createDataFrame(rows, "user_id long, d date").distinct()
+    nxt = F.lead("d").over(W.partitionBy("user_id").orderBy("d"))
+    cover = ud.select("user_id", "d", nxt.alias("nxt")).select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("d"),
+                F.least(
+                    F.date_add(F.col("d"), 6),
+                    F.coalesce(
+                        F.date_sub("nxt", 1), F.date_add(F.col("d"), 6)
+                    ),
+                ),
+                F.expr("interval 1 day"),
+            )
+        ).alias("day"),
+    )
+    counts = cover.groupBy("day").agg(F.count("*").alias("wau"))
+    spine = ud.agg(F.min("d").alias("d0"), F.max("d").alias("d1")).select(
+        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias(
+            "day"
+        )
+    )
+    got = {
+        r["day"]: r["wau"]
+        for r in spine.join(counts, "day", "left")
+        .select("day", F.coalesce("wau", F.lit(0)).alias("wau"))
+        .collect()
+    }
+    active = {(u, d) for u, d in rows}
+    days = sorted({d for _, d in active})
+    spine_py = [
+        days[0] + dt.timedelta(days=i)
+        for i in range((days[-1] - days[0]).days + 1)
+    ]
+    assert set(got) == set(spine_py)
+    for day in spine_py:
+        want = len(
+            {
+                u
+                for u, d in active
+                if day - dt.timedelta(days=6) <= d <= day
+            }
+        )
+        assert got[day] == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.sampled_from(
+            [
+                "aa bb cc dd ee ff gg",
+                "aa bb cc dd ee ff hh",
+                "xx yy zz ww vv uu tt",
+                "mm nn oo pp qq rr ss",
+                "aa bb cc xx yy zz ww",
+            ]
+        ),
+        min_size=2,
+        max_size=20,
+    ),
+    st.integers(min_value=1, max_value=5),
+)
+def test_incremental_lsh_split_invariance_property(spark, texts, mod):
+    """For ANY split of a random corpus, intra(A) ∪ intra(B) ∪
+    cross(B→A) == full-corpus LSH candidates (unordered)."""
+    from stampede_to_fresco_etl_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        lsh_pairs_between,
+        minhash_signatures,
+    )
+
+    rows = list(enumerate(texts))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    a = docs.filter(F.col("doc_id") % (mod + 1) == 0)
+    b = docs.filter(F.col("doc_id") % (mod + 1) != 0)
+    sall = minhash_signatures(docs, "doc_id", "text", 6)
+    sa = minhash_signatures(a, "doc_id", "text", 6)
+    sb = minhash_signatures(b, "doc_id", "text", 6)
+
+    def key(x, y):
+        return (min(x, y), max(x, y))
+
+    inc = set()
+    for sigs, side in ((sa, a), (sb, b)):
+        if side.count():
+            for r in lsh_candidate_pairs(sigs, 6, 3).collect():
+                inc.add(key(r["doc_a"], r["doc_b"]))
+    if a.count() and b.count():
+        for r in lsh_pairs_between(sb, sa, 6, 3).collect():
+            inc.add(key(r["new_doc"], r["indexed_doc"]))
+    full = {
+        key(r["doc_a"], r["doc_b"])
+        for r in lsh_candidate_pairs(sall, 6, 3).collect()
+    }
+    assert inc == full
