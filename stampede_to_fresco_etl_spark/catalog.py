@@ -18509,6 +18509,69 @@ REGISTRY.update({"x54_pii_redaction": (q_pii_redaction, SQL_PII_REDACTION)})
 
 
 # ---------------------------------------------------------------------------
+# J17 — salted hot-key enrichment join, oracle-gated.  events ⋈ dim
+# on event_type is the pathological equi-join: FIVE distinct keys, so
+# a plain shuffle join lands the whole table on five reducers no
+# matter how many executors exist.  `skew.replicate_salted_join`
+# fans each hot key across `salt` reducers by replicating the
+# (tiny) build side and salting the probe side deterministically
+# (xxhash64 of row identity — retries/speculation agree, never
+# rand()).  The oracle is the PLAIN join: salting must be invisible
+# in the result — this query gates exactly that.  Post-join rollup
+# uses decomposable aggregates only, per the salted-agg doctrine.
+# ---------------------------------------------------------------------------
+
+def q_salted_hot_join(spark, sf_dir):
+    from stampede_to_fresco_etl_spark.operators.skew import (
+        replicate_salted_join,
+    )
+
+    e = load(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * F.lit(10000.0)).cast("long").alias("vi"),
+    )
+    dim = e.groupBy("event_type").agg(
+        F.sum("vi").alias("type_total_i"), F.count("*").alias("type_n")
+    )
+    # no broadcast hint: the point is the salted SHUFFLE join shape
+    # (at this dim size the engine may still pick broadcast — the
+    # query gates the semantics: salting must be invisible in the
+    # result; scripts/skew_rehearsal.py measures the mechanics)
+    j = replicate_salted_join(e, dim, "event_type", salt=8)
+    return j.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("vi").alias("sum_vi"),
+        F.min("type_total_i").alias("type_total_i"),
+        F.min("type_n").cast("long").alias("type_n"),
+        F.sum(F.col("vi") * F.col("type_n")).alias("weighted_i"),
+    )
+
+
+SQL_SALTED_HOT_JOIN = """
+WITH e AS (
+  SELECT event_type, event_id,
+         CAST(FLOOR(value * 10000.0) AS BIGINT) AS vi
+  FROM events
+),
+dim AS (
+  SELECT event_type, CAST(sum(vi) AS BIGINT) AS type_total_i,
+         count(*) AS type_n
+  FROM e GROUP BY event_type
+)
+SELECT e.event_type, count(*) AS n, CAST(sum(e.vi) AS BIGINT) AS sum_vi,
+       min(dim.type_total_i) AS type_total_i,
+       CAST(min(dim.type_n) AS BIGINT) AS type_n,
+       CAST(sum(e.vi * dim.type_n) AS BIGINT) AS weighted_i
+FROM e JOIN dim ON e.event_type = dim.event_type
+GROUP BY e.event_type
+"""
+
+
+REGISTRY.update({"j17_salted_hot_join": (q_salted_hot_join, SQL_SALTED_HOT_JOIN)})
+
+
+# ---------------------------------------------------------------------------
 # Enumeration order: the driver's correctness run covers the first N
 # registry entries per round, so the STALEST queries must enumerate
 # first.  Computed at import time from the CORRECTNESS_r*.json records
@@ -18648,6 +18711,7 @@ _DEFER_NEW: set[str] = {
     "v16_incremental_ann",
     "w21_seasonal_dow",
     "x54_pii_redaction",
+    "j17_salted_hot_join",
 }
 
 _FRESHNESS, _RED_LATEST = _driver_row_history()
