@@ -18572,6 +18572,78 @@ REGISTRY.update({"j17_salted_hot_join": (q_salted_hot_join, SQL_SALTED_HOT_JOIN)
 
 
 # ---------------------------------------------------------------------------
+# X56 — target encoding (leave-one-out + m-smoothed), the categorical
+# feature-engineering staple.  Both encodings ride as EXACT bigint
+# rationals — LOO = (Σcat − y_i)/(n_cat − 1), smoothed =
+# (Σcat·N + m·Σglobal) / ((n_cat + m)·N) — with no division anywhere
+# (the trainer divides; the pipeline's job is the exact moments).
+# LOO with n_cat = 1 yields NULL (0/0), the standard convention.
+# Shape: one per-category aggregate (G rows, broadcast back) + one
+# one-row global aggregate (broadcast cross join) over the scan —
+# no window, no shuffle of the fact table.
+# ---------------------------------------------------------------------------
+
+X56_SMOOTH_M = 10
+
+
+def q_target_encoding(spark, sf_dir):
+    e = load(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * F.lit(10000.0)).cast("long").alias("vi"),
+    )
+    cat = e.groupBy("event_type").agg(
+        F.sum("vi").alias("cat_sum"), F.count("*").alias("cat_n")
+    )
+    glob = e.agg(
+        F.sum("vi").alias("g_sum"), F.count("*").alias("g_n")
+    )
+    m = F.lit(X56_SMOOTH_M)
+    j = e.join(F.broadcast(cat), "event_type").crossJoin(F.broadcast(glob))
+    return j.select(
+        "event_id",
+        "event_type",
+        "vi",
+        F.when(
+            F.col("cat_n") > 1, F.col("cat_sum") - F.col("vi")
+        ).alias("loo_num"),
+        F.when(F.col("cat_n") > 1, F.col("cat_n") - 1)
+        .cast("long")
+        .alias("loo_den"),
+        (
+            F.col("cat_sum") * F.col("g_n") + m * F.col("g_sum")
+        ).alias("sm_num"),
+        ((F.col("cat_n") + m) * F.col("g_n")).cast("long").alias("sm_den"),
+    )
+
+
+SQL_TARGET_ENCODING = f"""
+WITH e AS (
+  SELECT event_id, event_type,
+         CAST(FLOOR(value * 10000.0) AS BIGINT) AS vi
+  FROM events
+),
+cat AS (
+  SELECT event_type, CAST(sum(vi) AS BIGINT) AS cat_sum,
+         count(*) AS cat_n
+  FROM e GROUP BY event_type
+),
+g AS (SELECT CAST(sum(vi) AS BIGINT) AS g_sum, count(*) AS g_n FROM e)
+SELECT e.event_id, e.event_type, e.vi,
+       CASE WHEN cat_n > 1 THEN cat_sum - vi END AS loo_num,
+       CASE WHEN cat_n > 1 THEN CAST(cat_n - 1 AS BIGINT) END AS loo_den,
+       cat_sum * g_n + {X56_SMOOTH_M} * g_sum AS sm_num,
+       CAST((cat_n + {X56_SMOOTH_M}) * g_n AS BIGINT) AS sm_den
+FROM e JOIN cat ON e.event_type = cat.event_type CROSS JOIN g
+"""
+
+
+REGISTRY.update(
+    {"x56_target_encoding": (q_target_encoding, SQL_TARGET_ENCODING)}
+)
+
+
+# ---------------------------------------------------------------------------
 # Enumeration order: the driver's correctness run covers the first N
 # registry entries per round, so the STALEST queries must enumerate
 # first.  Computed at import time from the CORRECTNESS_r*.json records
@@ -18712,6 +18784,7 @@ _DEFER_NEW: set[str] = {
     "w21_seasonal_dow",
     "x54_pii_redaction",
     "j17_salted_hot_join",
+    "x56_target_encoding",
 }
 
 _FRESHNESS, _RED_LATEST = _driver_row_history()

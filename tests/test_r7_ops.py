@@ -887,3 +887,30 @@ def test_pii_redaction_counts_and_placeholders(spark):
         red.select("doc_id", "red_fp"), "doc_id"
     )
     assert joined.count() == docs.count()
+
+
+def test_target_encoding_vs_pandas(spark):
+    """x56 rationals replayed in pandas: LOO = (Σcat − y)/(n−1),
+    smoothed = (Σcat·N + m·Σg)/((n+m)·N); singleton categories NULL."""
+    from stampede_to_fresco_etl_spark.catalog import (
+        REGISTRY,
+        X56_SMOOTH_M,
+    )
+
+    got = REGISTRY["x56_target_encoding"][0](spark, SF).toPandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    ev["vi"] = (ev.value * 10000.0).apply(__import__("math").floor)
+    cat = ev.groupby("event_type").vi.agg(["sum", "count"])
+    gs, gn = ev.vi.sum(), len(ev)
+    assert len(got) == len(ev)
+    g = got.set_index("event_id")
+    for _, r in ev.iterrows():
+        s, n = cat.loc[r.event_type]
+        row = g.loc[r.event_id]
+        if n > 1:
+            assert row["loo_num"] == s - row["vi"]
+            assert row["loo_den"] == n - 1
+        else:
+            assert pd.isna(row["loo_num"]) and pd.isna(row["loo_den"])
+        assert row["sm_num"] == s * gn + X56_SMOOTH_M * gs
+        assert row["sm_den"] == (n + X56_SMOOTH_M) * gn
