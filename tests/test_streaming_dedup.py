@@ -157,3 +157,37 @@ def test_incremental_covers_full_corpus_pairs(spark):
         for r in lsh_candidate_pairs(sall, 6, 3).collect()
     }
     assert inc == full and full
+
+
+def test_replay_after_partial_commit(spark, dirs, tmp_path):
+    """Crash between the matches write and the index write (the two
+    are not atomic together): batch 1's matches exist, its index
+    partition does not.  Replay must converge to exactly the clean
+    two-batch state — matches rewritten identically, index completed."""
+    import shutil
+
+    apply_dedup_batch(
+        spark, _docs(spark, WAVE1), 0, dirs["index"], dirs["matches"]
+    )
+    apply_dedup_batch(
+        spark, _docs(spark, WAVE2), 1, dirs["index"], dirs["matches"]
+    )
+    clean_matches = sorted(
+        map(tuple, spark.read.parquet(dirs["matches"]).collect())
+    )
+    clean_index = sorted(
+        map(tuple, spark.read.parquet(dirs["index"]).collect())
+    )
+    # simulate the crash window: batch 1 matches committed, index not
+    shutil.rmtree(dirs["index"] + "/batch_id=1")
+    apply_dedup_batch(  # checkpoint replays batch 1
+        spark, _docs(spark, WAVE2), 1, dirs["index"], dirs["matches"]
+    )
+    assert (
+        sorted(map(tuple, spark.read.parquet(dirs["matches"]).collect()))
+        == clean_matches
+    )
+    assert (
+        sorted(map(tuple, spark.read.parquet(dirs["index"]).collect()))
+        == clean_index
+    )
