@@ -8,7 +8,7 @@ column-wise and row-wise; exact equality implies the driver's
 order-insensitive value-hash matches).  Non-empty enforced except for
 the documented small-sf exceptions (test_oracle_parity._MAY_BE_EMPTY).
 
-Run:  python scripts/sweep.py [sf_dir] [name_substring ...]
+Run:  python scripts/sweep.py [sf_dir] [name_substring ...] [--shard=i/n]
 Default sf_dir: /root/testdata/sf0.01 (the driver's gate scale).
 Optional name substrings restrict the sweep to matching queries.
 
@@ -27,6 +27,15 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0] + "/tests")
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     needles = sys.argv[2:]
+    # --shard i/n splits the (sorted) name list into n contiguous
+    # slices and runs slice i (0-based) — lets a caller with a
+    # bounded per-command window cover the registry in pieces.
+    shard = None
+    for a in list(needles):
+        if a.startswith("--shard"):
+            needles.remove(a)
+            i, n = a.split("=", 1)[1].split("/")
+            shard = (int(i), int(n))
 
     import pandas as pd
     from pyspark.sql import SparkSession
@@ -46,6 +55,9 @@ def main() -> int:
         for n in sorted(REGISTRY)
         if not needles or any(s in n for s in needles)
     ]
+    if shard is not None:
+        i, n = shard
+        names = [q for j, q in enumerate(names) if j % n == i]
     t0 = time.time()
     ok, bad = 0, 0
     for name in names:
