@@ -18166,12 +18166,17 @@ def q_inverted_index(spark, sf_dir):
     from stampede_to_fresco_etl_spark.operators import text as T
 
     docs = load(spark, sf_dir, "documents")
+    # materialize the (token, doc, tf) reduction ONCE: stats, the df
+    # cap, and the postings collect all derive from it — without the
+    # checkpoint Spark re-runs the corpus scan + explode three times
+    # (verified in the plan: three parquet scans → one)
     td = (
         docs.select(
             "doc_id", F.explode(T.tokens("text")).alias("token")
         )
         .groupBy("token", "doc_id")
         .agg(F.count("*").alias("tf"))
+        .localCheckpoint()
     )
     stats = td.groupBy("token").agg(
         F.count("*").cast("long").alias("df"),
