@@ -1,0 +1,182 @@
+"""Streaming incremental ANN — v16's batch-vs-IVF-index probe run
+continuously over an embedding ingest stream (the vector-side twin
+of `dedup_stream`).
+
+foreachBatch body per arriving embedding batch:
+
+  1. FREEZE cells on first contact: batch 0 seeds the centroids
+     (`similarity.seed_centroids` — md5-ordered sample, fully
+     deterministic, so crash-replay of batch 0 re-derives the
+     identical centroid artifact) and persists them as the index's
+     companion table;
+  2. assign the batch's vectors to their nearest cell (the storable
+     index rows) and to their `n_probe` nearest cells (the probe
+     fan-out);
+  3. probe the STORED index (batch_id != current — replay-safe) with
+     a cell equi-join, keep each new vector's top-1 indexed
+     neighbor;
+  4. append the batch's (vec_id, v, cell) rows to the index
+     partition.
+
+Exactly-once follows dedup_stream: deterministic per-batch partition
+overwrite for matches and index, deterministic re-seed for the
+centroid artifact.  At 100 TB the index is stored partitioned (on a
+cluster: bucketed) BY CELL, so the probe shuffles only the batch
+side into existing cell files — `broadcast` never appears: the batch
+is data-sized (v16's `broadcast_probes=False` rationale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.types import StructType
+from pyspark.sql.utils import AnalysisException
+
+from stampede_to_fresco_etl_spark.operators.similarity import (
+    _nearest_cells,
+    _norm,
+    _sqdist,
+    as_double_vec,
+    cosine_with_norms,
+    partial_topk,
+    seed_centroids,
+)
+
+EMB_SCHEMA = "vec_id long, embedding array<double>"
+
+N_CENTROIDS = 8
+N_PROBE = 2
+
+
+def _load_or_seed_centroids(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    centroids_dir: str,
+    n_centroids: int,
+) -> list[list[float]]:
+    """Frozen cell centroids: read the companion artifact if it
+    exists; otherwise (first batch, or its replay) seed from this
+    batch deterministically and publish.  Replay of batch 0 rewrites
+    byte-identical content — md5 ordering has no RNG."""
+    try:
+        rows = (
+            spark.read.parquet(centroids_dir)
+            .orderBy("cell")
+            .collect()
+        )
+        return [[float(x) for x in r["cv"]] for r in rows]
+    except AnalysisException:
+        pass
+    cents = seed_centroids(batch_df, "vec_id", "embedding", n_centroids)
+    spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)],
+        "cell int, cv array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(centroids_dir)
+    return cents
+
+
+def apply_ann_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    index_dir: str,
+    matches_dir: str,
+    centroids_dir: str,
+    n_centroids: int = N_CENTROIDS,
+    n_probe: int = N_PROBE,
+) -> None:
+    """One micro-batch: assign, probe, record matches, grow the
+    index.  Idempotent via per-batch partition overwrite."""
+    cents = _load_or_seed_centroids(
+        spark, batch_df, batch_id, centroids_dir, n_centroids
+    )
+    cent_lits = F.array(
+        *[F.array(*[F.lit(x) for x in c]) for c in cents]
+    )
+    b = batch_df.select(
+        "vec_id", as_double_vec("embedding").alias("v")
+    ).withColumn(
+        "d", F.transform(cent_lits, lambda c: _sqdist(F.col("v"), c))
+    )
+    assigned = b.select(
+        "vec_id", "v", _nearest_cells("v", "d", 1)[0].alias("cell")
+    ).localCheckpoint()
+
+    index = None
+    try:
+        index = spark.read.parquet(index_dir).filter(
+            F.col("batch_id") != batch_id
+        )
+    except AnalysisException:
+        pass
+    if index is not None:
+        probes = b.select(
+            F.col("vec_id").alias("new_id"),
+            F.col("v").alias("pv"),
+            _norm(F.col("v")).alias("p_nrm"),
+            F.explode(_nearest_cells("v", "d", n_probe)).alias("cell"),
+        )
+        scored = (
+            index.withColumn("c_nrm", _norm(F.col("v")))
+            .join(probes, "cell")
+            .select(
+                "new_id",
+                F.col("vec_id"),
+                cosine_with_norms(
+                    F.col("pv"), F.col("v"),
+                    F.col("p_nrm"), F.col("c_nrm"),
+                ).alias("cos_sim"),
+            )
+        )
+        matches = partial_topk(scored, "new_id", "vec_id", 1).select(
+            "new_id",
+            F.col("vec_id").alias("indexed_id"),
+            "cos_sim",
+        )
+    else:
+        matches = spark.createDataFrame(
+            [], "new_id long, indexed_id long, cos_sim double"
+        )
+    matches.write.mode("overwrite").parquet(
+        f"{matches_dir}/batch_id={batch_id}"
+    )
+    assigned.write.mode("overwrite").parquet(
+        f"{index_dir}/batch_id={batch_id}"
+    )
+
+
+def run_incremental_ann(
+    spark: SparkSession,
+    landing_dir: str,
+    index_dir: str,
+    matches_dir: str,
+    centroids_dir: str,
+    checkpoint_dir: str,
+    schema: StructType | str = EMB_SCHEMA,
+    n_centroids: int = N_CENTROIDS,
+    n_probe: int = N_PROBE,
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(landing_dir)
+    writer = stream.writeStream.foreachBatch(
+        lambda df, bid: apply_ann_batch(
+            spark,
+            df,
+            bid,
+            index_dir,
+            matches_dir,
+            centroids_dir,
+            n_centroids=n_centroids,
+            n_probe=n_probe,
+        )
+    ).option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
