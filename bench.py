@@ -118,6 +118,9 @@ EXTENSION = [
     "w20_rolling_wau",  # new r7: exact rolling distinct via lead/explode
     "x53_inverted_index",  # new r7: df-capped postings build
     "w21_seasonal_dow",  # new r7: weekday baseline, exact residuals
+    "x54_pii_redaction",  # new r7: regex scrub stage
+    "j17_salted_hot_join",  # new r7: salted five-key join
+    "x56_target_encoding",  # new r7: LOO/smoothed rationals
 ]
 
 HEADLINE = CORE + EXTENSION
