@@ -22,14 +22,15 @@ import time
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 sys.path.insert(0, __file__.rsplit("/", 2)[0] + "/tests")
+sys.path.insert(0, __file__.rsplit("/", 2)[0] + "/scripts")
 
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     needles = sys.argv[2:]
-    # --shard i/n splits the (sorted) name list into n contiguous
-    # slices and runs slice i (0-based) — lets a caller with a
-    # bounded per-command window cover the registry in pieces.
+    # --shard i/n selects names round-robin (j % n == i) from the
+    # sorted list — lets a caller with a bounded per-command window
+    # cover the registry in pieces.
     shard = None
     for a in list(needles):
         if a.startswith("--shard"):
@@ -78,11 +79,28 @@ def main() -> int:
         except Exception as ex:  # noqa: BLE001 — report and continue
             bad += 1
             print(f"FAIL {name}: {str(ex)[:300]}", flush=True)
+    # Representation lint (VERDICT r7 item 2): value comparison above
+    # runs check_dtype=False, which is blind to DuckDB type widening
+    # (HUGEINT/DECIMAL render as float in pandas while Spark emits
+    # int64 — the exact class behind w5's r6/r7 driver reds).  The
+    # lint DESCRIBEs every oracle and fails the sweep on any banned
+    # output type, full-registry only (a needle-restricted run keeps
+    # its narrow scope).
+    lint_bad = 0
+    if not needles and shard is None:
+        from oracle_lint import lint as _rep_lint
+
+        banned, _dates = _rep_lint(sf_dir)
+        for qname, col, typ in banned:
+            lint_bad += 1
+            print(f"LINT-FAIL {qname}.{col}: {typ}", flush=True)
     print(
-        f"SWEEP {sf_dir}: {ok}/{ok + bad} exact in {time.time() - t0:.0f}s",
+        f"SWEEP {sf_dir}: {ok}/{ok + bad} exact, "
+        f"{lint_bad} representation-lint failures, "
+        f"in {time.time() - t0:.0f}s",
         flush=True,
     )
-    return 0 if bad == 0 else 1
+    return 0 if bad == 0 and lint_bad == 0 else 1
 
 
 if __name__ == "__main__":

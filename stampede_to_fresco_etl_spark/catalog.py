@@ -5722,7 +5722,8 @@ SELECT event_id, event_type, date_trunc('day', ts) AS day,
        CAST(count(*) OVER whole AS BIGINT) AS cd_den,
        lag(CAST(FLOOR(value * 10000.0) AS BIGINT))  OVER total AS prev_vi,
        lead(CAST(FLOOR(value * 10000.0) AS BIGINT)) OVER total AS next_vi,
-       sum(CAST(FLOOR(value * 10000.0) AS BIGINT))  OVER running AS run_sum
+       CAST(sum(CAST(FLOOR(value * 10000.0) AS BIGINT)) OVER running
+            AS BIGINT) AS run_sum
 FROM events
 WINDOW
   whole   AS (PARTITION BY event_type),
@@ -11543,8 +11544,9 @@ planned AS (
               / {_COMPACT_TARGET}) AS BIGINT) AS bin_id
   FROM manifest
 )
-SELECT bin_id, count(*) AS n_files, sum(f_bytes) AS bin_bytes,
-       sum(n_docs) AS bin_docs,
+SELECT bin_id, count(*) AS n_files,
+       CAST(sum(f_bytes) AS BIGINT) AS bin_bytes,
+       CAST(sum(n_docs) AS BIGINT) AS bin_docs,
        list_aggregate(list_sort(list(source)), 'string_agg', ',')
          AS files
 FROM planned
@@ -11736,7 +11738,7 @@ joined AS (
 )
 SELECT CAST(FLOOR(jaccard * 10) AS BIGINT) AS j_bucket,
        count(*) AS n_pairs,
-       COALESCE(sum(caught), 0::BIGINT) AS n_caught,
+       CAST(COALESCE(sum(caught), 0::BIGINT) AS BIGINT) AS n_caught,
        CAST(COALESCE(sum(caught), 0::BIGINT) AS DOUBLE)
          / CAST(count(*) AS DOUBLE) AS catch_rate
 FROM joined
@@ -11937,7 +11939,8 @@ r AS (
   FROM events WHERE event_type = 'view'
 ),
 surv AS (SELECT * FROM l EXCEPT ALL SELECT * FROM r)
-SELECT user_id, count(*) AS n_remaining, sum(v_cent) AS sum_cents
+SELECT user_id, count(*) AS n_remaining,
+       CAST(sum(v_cent) AS BIGINT) AS sum_cents
 FROM surv GROUP BY user_id
 """
 
@@ -12109,20 +12112,22 @@ WITH per_src AS (
   FROM documents GROUP BY source
 ),
 ns AS (SELECT count(*) AS n_sources FROM per_src)
-SELECT p.source, p.n_docs, p.avail_tokens,
+SELECT p.source, p.n_docs,
+       CAST(p.avail_tokens AS BIGINT) AS avail_tokens,
        CAST(FLOOR({_MIX_TOTAL_TOKENS} / ns.n_sources) AS BIGINT)
          AS target_tokens,
        CASE WHEN p.avail_tokens >=
               CAST(FLOOR({_MIX_TOTAL_TOKENS} / ns.n_sources) AS BIGINT)
-            THEN 1.0 ELSE 0.0 END AS is_capped,
+            THEN CAST(1.0 AS DOUBLE)
+            ELSE CAST(0.0 AS DOUBLE) END AS is_capped,
        LEAST(1.0,
              CAST(FLOOR({_MIX_TOTAL_TOKENS} / ns.n_sources) AS DOUBLE)
                / CAST(p.avail_tokens AS DOUBLE)) AS sample_rate,
-       LEAST(CAST(FLOOR({_MIX_TOTAL_TOKENS} / ns.n_sources) AS BIGINT),
-             p.avail_tokens) AS expected_tokens,
-       GREATEST(0::BIGINT,
+       CAST(LEAST(CAST(FLOOR({_MIX_TOTAL_TOKENS} / ns.n_sources) AS BIGINT),
+             p.avail_tokens) AS BIGINT) AS expected_tokens,
+       CAST(GREATEST(0::BIGINT,
                 CAST(FLOOR({_MIX_TOTAL_TOKENS} / ns.n_sources) AS BIGINT)
-                  - p.avail_tokens) AS shortfall
+                  - p.avail_tokens) AS BIGINT) AS shortfall
 FROM per_src p, ns
 """
 
@@ -12624,7 +12629,7 @@ edges AS (
 ),
 r0 AS (SELECT node, {_G3_SCALE}::BIGINT AS rank FROM deg),
 {iters}
-SELECT node AS doc_id, rank AS rank_i,
+SELECT node AS doc_id, CAST(rank AS BIGINT) AS rank_i,
        CAST(rank AS DOUBLE) / {float(_G3_SCALE)!r} AS rank_norm
 FROM r{_G3_ITERS}
 """
@@ -13017,7 +13022,7 @@ packed AS (
   FROM sampled
 )
 SELECT source, chunk_id, count(*) AS n_docs,
-       sum(n_toks) AS chunk_tokens,
+       CAST(sum(n_toks) AS BIGINT) AS chunk_tokens,
        min(doc_id) AS first_doc, max(doc_id) AS last_doc
 FROM packed
 GROUP BY source, chunk_id
@@ -13372,7 +13377,7 @@ WITH fps AS (
 )
 SELECT l.source AS source_a, r.source AS source_b,
        count(*) AS shared_fps,
-       sum(l.n + r.n) AS docs_involved
+       CAST(sum(l.n + r.n) AS BIGINT) AS docs_involved
 FROM fps l JOIN fps r ON l.fp = r.fp AND l.source < r.source
 GROUP BY l.source, r.source
 """
@@ -13806,9 +13811,11 @@ nd_s AS (
   UNION ALL
   SELECT '__all__', sum(n_toks) FROM nd
 )
-SELECT r.source, r.raw_tokens,
-       COALESCE(e.exact_dedup_tokens, 0::BIGINT) AS exact_dedup_tokens,
-       COALESCE(n.near_dedup_tokens, 0::BIGINT) AS near_dedup_tokens,
+SELECT r.source, CAST(r.raw_tokens AS BIGINT) AS raw_tokens,
+       CAST(COALESCE(e.exact_dedup_tokens, 0::BIGINT) AS BIGINT)
+         AS exact_dedup_tokens,
+       CAST(COALESCE(n.near_dedup_tokens, 0::BIGINT) AS BIGINT)
+         AS near_dedup_tokens,
        CAST(COALESCE(n.near_dedup_tokens, 0) AS DOUBLE)
          / CAST(r.raw_tokens AS DOUBLE) AS retention
 FROM raw_s r
@@ -14862,7 +14869,7 @@ ranked AS (
 )
 SELECT event_type,
        max(np) AS n_pairs,
-       SUM(sgn) AS mk_s,
+       CAST(SUM(sgn) AS BIGINT) AS mk_s,
        max(CASE WHEN rn * 2 = np + (np % 2) THEN slope END)
          AS theil_sen_slope
 FROM ranked GROUP BY event_type
@@ -16401,12 +16408,15 @@ steps AS (
   FROM lab GROUP BY t
 )
 SELECT t,
-       SUM(d_churn + c_censored) OVER (ORDER BY t DESC
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_risk,
-       d_churn, c_censored,
-       d_churn AS hazard_num,
-       SUM(d_churn + c_censored) OVER (ORDER BY t DESC
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hazard_den
+       CAST(SUM(d_churn + c_censored) OVER (ORDER BY t DESC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS BIGINT) AS n_risk,
+       CAST(d_churn AS BIGINT) AS d_churn,
+       CAST(c_censored AS BIGINT) AS c_censored,
+       CAST(d_churn AS BIGINT) AS hazard_num,
+       CAST(SUM(d_churn + c_censored) OVER (ORDER BY t DESC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS BIGINT) AS hazard_den
 FROM steps
 """
 
@@ -16461,7 +16471,7 @@ runs AS (
   SELECT user_id, island, count(*) AS run_len
   FROM islands GROUP BY user_id, island
 )
-SELECT user_id, SUM(run_len) AS n_active_days,
+SELECT user_id, CAST(SUM(run_len) AS BIGINT) AS n_active_days,
        count(*) AS n_streaks, MAX(run_len) AS longest_streak
 FROM runs GROUP BY user_id
 """
@@ -16710,7 +16720,8 @@ spine AS (
            AS exact_users_to_date
   FROM days LEFT JOIN arrivals USING (day)
 )
-SELECT s.day, s.new_users, s.exact_users_to_date,
+SELECT s.day, s.new_users,
+       CAST(s.exact_users_to_date AS BIGINT) AS exact_users_to_date,
        {_HLL_NUM!r} / CAST(f.s_used
            + ({_HLL_M}::BIGINT - f.nb) * (1::BIGINT << 52)
            AS DOUBLE) AS hll_estimate,
@@ -16852,7 +16863,8 @@ degsq AS (
          count(*) AS n_communities
   FROM deg
 )
-SELECT m_edges, intra_edges, n_communities,
+SELECT m_edges, CAST(intra_edges AS BIGINT) AS intra_edges,
+       n_communities,
        CAST(sum_deg_sq AS BIGINT) AS sum_deg_sq,
        CAST(CAST(4 AS HUGEINT) * CAST(m_edges AS HUGEINT)
               * CAST(intra_edges AS HUGEINT) - sum_deg_sq AS BIGINT)
@@ -17573,7 +17585,7 @@ cum AS (
   FROM per
 )
 SELECT CAST(bucket AS DOUBLE) / 20.0 AS threshold,
-       n_pairs_ge,
+       CAST(n_pairs_ge AS BIGINT) AS n_pairs_ge,
        CAST(j_sum_ge AS DOUBLE) / 1000000.0
          / CAST(n_pairs_ge AS DOUBLE) AS mean_jaccard_ge
 FROM cum
@@ -18412,7 +18424,7 @@ SELECT d2.event_type, d2.day, d2.dow,
        CAST(day_total_i AS DOUBLE) / 10000.0 AS day_total,
        CAST(dow_sum_i AS DOUBLE) / CAST(dow_n * 10000 AS DOUBLE)
          AS seasonal_mean,
-       day_total_i * dow_n - dow_sum_i AS resid_num,
+       CAST(day_total_i * dow_n - dow_sum_i AS BIGINT) AS resid_num,
        CAST(dow_n AS BIGINT) AS resid_den
 FROM d2 JOIN dw ON d2.event_type = dw.event_type AND d2.dow = dw.dow
 """
@@ -18728,34 +18740,32 @@ def _driver_row_history() -> tuple[dict[str, int], set[str]]:
 #: explicit partition key — queries with a prior green driver row
 #: re-validate (sweep-verified bit-exact, but the ledger should
 #: confirm).
+#: r8: the HUGEINT/DECIMAL oracle-representation fix (VERDICT r7
+#: item 1) touched 17 oracles — w5 is red-latest (tier 0) and the
+#: other 16 are never-checked (tier 1), so none need this tier for
+#: sampling; listed here are only queries with a PRIOR GREEN driver
+#: row whose operator/oracle changed this round.
 _REVALIDATE = {
     "w5_analytic_windows",
-    "o2_global_sort",
-    "w10_mad_outliers",
-    "w11_cusum_drift",
-    "x1_token_stats",
-    "x2_quality_lang",
-    "d2_minhash_lsh",
-    "d4_ngram_jaccard",
-    "d5_dup_clusters",
-    "d7_dedup_keep_best",
-    "d12_semdedup",
-    "d14_nearest_neighbor_doc",
-    "x34_curation_funnel",
-    "x35_lsh_sensitivity_audit",
+    # The 16 cast-fixed never-checked oracles (tier 1 already —
+    # listed per VERDICT r7 item 3 so any that gain a driver row
+    # before the code settles re-sample rather than going stale).
+    "w5b_analytic_windows_kernel",
+    "a45_kaplan_meier",
     "x42_dedup_token_budget",
-    "x49_cluster_safe_split",
-    "g1_triangle_stats",
-    "g2_two_hop_reach",
+    "x36_mixture_plan",
+    "s31_compaction_plan",
+    "w18_longest_streak",
+    "k4_hll_cumulative",
+    "g4_source_modularity",
+    "w21_seasonal_dow",
+    "x51_threshold_sweep",
+    "a36_robust_trend",
     "g3_pagerank_int",
-    "x21_build_vocab",
-    "x22_encode_corpus",
-    "x26_token_rarity",
-    # r7 (later): band_signatures extraction rewired lsh_candidate_pairs
-    # (d2-family, already listed) and ivf_topk gained broadcast_probes
-    # (default path unchanged, but its consumers should re-confirm)
-    "v4_ivf_topk",
-    "v10_ivf_recall_audit",
+    "x35_lsh_sensitivity_audit",
+    "u6_except_all_bag",
+    "x40_e2e_corpus_build",
+    "d13_cross_source_dups",
 }
 
 #: Queries FIRST ADDED this round: they are never-checked too, but the
@@ -18764,33 +18774,11 @@ _REVALIDATE = {
 #: first — new entries wait behind it.  Per-round maintenance: r7
 #: empties the r6 list (its 61 queries now enumerate as plain
 #: never-checked, tier 1) and defers only the r7 additions.
-_DEFER_NEW: set[str] = {
-    "w5b_analytic_windows_kernel",
-    "a44_attribution",
-    "a45_kaplan_meier",
-    "w18_longest_streak",
-    "x50_source_tv_shift",
-    "k4_hll_cumulative",
-    "g4_source_modularity",
-    "v13_mmr_diverse_topk",
-    "v14_kmeans_refine",
-    "mm10_shot_boundaries",
-    "a46_window_funnel",
-    "sql1_verbatim_passthrough",
-    "a47_anova_f",
-    "x51_threshold_sweep",
-    "w19_bollinger_bands",
-    "x52_survivor_bias",
-    "v15_recall_nprobe_curve",
-    "d15_incremental_dedup",
-    "w20_rolling_wau",
-    "x53_inverted_index",
-    "v16_incremental_ann",
-    "w21_seasonal_dow",
-    "x54_pii_redaction",
-    "j17_salted_hot_join",
-    "x56_target_encoding",
-}
+#: r8 empties the r7 list (its 25 queries enumerate as plain
+#: never-checked, tier 1, draining with the 53-query r5/r6 backlog)
+#: and defers only the r8 additions — held to ≤25 this round by
+#: VERDICT r7 item 3 so the ledger catches up.
+_DEFER_NEW: set[str] = set()
 
 _FRESHNESS, _RED_LATEST = _driver_row_history()
 _NEWEST_CHECKED = max(_FRESHNESS.values(), default=0)

@@ -78,3 +78,25 @@ def test_query_matches_oracle(spark, name):
         assert len(got) > 0, (
             f"{name}: oracle-matching but EMPTY — degenerate at this sf"
         )
+
+
+def test_oracle_representation_lint():
+    """No oracle may emit HUGEINT/UHUGEINT/DECIMAL output columns
+    (VERDICT r7 item 2): the value compare above runs
+    check_dtype=False, which is blind to DuckDB's type widening —
+    pandas renders HUGEINT as float (1234567.0) while Spark emits
+    int64 (1234567), a guaranteed driver hash-mismatch with correct
+    values (w5's r6/r7 red rows).  Every oracle output column must be
+    CAST to the Spark-side type.  DATE columns are tolerated by the
+    driver's canonicalizer (u4's green row) — tracked in
+    scripts/oracle_lint.py's NOTE channel, not failed here."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    from oracle_lint import lint
+
+    banned, _dates = lint(SF_DIR)
+    assert not banned, (
+        "oracle output columns with driver-hash-unsafe types: "
+        + ", ".join(f"{q}.{c}:{t}" for q, c, t in banned)
+    )
