@@ -18003,10 +18003,17 @@ def q_incremental_dedup(spark, sf_dir):
     """D15 — candidate near-dup pairs between the incoming 20% batch
     and the indexed 80% corpus (d2's MinHash config: k=6, 3 bands).
     Output (new_doc, indexed_doc, est_jaccard): each new doc's
-    collisions against the stored index.  Scale notes in
-    operators.dedup.lsh_pairs_between — the new side never joins
-    itself, the indexed side's signature table is the reusable
-    artifact."""
+    collisions against the stored index.
+
+    The index side is a real parquet artifact
+    (`index_store.dedup_index_dir`): the exploded band table in
+    exactly the layout `streaming.dedup_stream` appends to —
+    banded + written once per session (the snapshot bootstrap), then
+    every later call minhashes ONLY the 20% batch and band-joins the
+    stored files (`lsh_pairs_between(indexed_bands=...)`), the
+    O(|batch| + matches) steady state.  Scale notes in
+    operators.dedup.lsh_pairs_between."""
+    from stampede_to_fresco_etl_spark import index_store
     from stampede_to_fresco_etl_spark.functions import md5_int63
     from stampede_to_fresco_etl_spark.operators.dedup import (
         lsh_pairs_between,
@@ -18014,21 +18021,26 @@ def q_incremental_dedup(spark, sf_dir):
     )
 
     docs = load(spark, sf_dir, "documents")
-    # ONE shingle-explode + minhash pass over the corpus, split on the
-    # signature frame afterwards (the split key is arithmetic on the
-    # doc id, so no flag needs to ride the aggregate) — two filtered
-    # minhash_signatures calls would run the expensive pass twice.
-    # In the steady state the index side is a STORED artifact anyway
-    # (see lsh_pairs_between / streaming.dedup_stream).
-    sigs = minhash_signatures(
-        docs, "doc_id", "text", MINHASH_K
-    ).localCheckpoint()
-    is_idx = md5_int63("doc", salt=INGEST_SPLIT_SALT) < F.lit(
+    is_idx = md5_int63("doc_id", salt=INGEST_SPLIT_SALT) < F.lit(
         INGEST_IDX_BOUND
     )
+    # The artifact build minhashes only the 80% side, and only on the
+    # session's first call; the probe side hashes its 20% on every
+    # call.  (The old one-pass-then-split form re-ran BOTH sides per
+    # call — cheaper once, more expensive always after.)
+    idx_dir = index_store.dedup_index_dir(
+        spark,
+        sf_dir,
+        minhash_signatures(docs.filter(is_idx), "doc_id", "text", MINHASH_K),
+        MINHASH_K,
+        MINHASH_BANDS,
+    )
+    new_sigs = minhash_signatures(
+        docs.filter(~is_idx), "doc_id", "text", MINHASH_K
+    )
     return lsh_pairs_between(
-        sigs.filter(~is_idx),
-        sigs.filter(is_idx),
+        new_sigs,
+        indexed_bands=index_store.read_dedup_index(spark, idx_dir),
         num_hashes=MINHASH_K,
         bands=MINHASH_BANDS,
         materialize=False,
@@ -18270,8 +18282,19 @@ V16_NPROBE = 2
 
 
 def q_incremental_ann(spark, sf_dir):
+    """V16 — probe the incoming 20% embedding batch against the
+    STORED frozen-centroid IVF index of the 80% corpus.  The index
+    is a parquet artifact (`index_store.ann_index_dirs`): centroids
+    + (vec_id, v, cell) assignment rows in exactly the layout
+    `streaming.ann_stream` grows — materialized once per session,
+    then every call (and the streaming twin) reads the same files.
+    Probe semantics = `similarity.ivf_probe_stored`, shared with the
+    stream."""
+    from stampede_to_fresco_etl_spark import index_store
     from stampede_to_fresco_etl_spark.functions import md5_int63
-    from stampede_to_fresco_etl_spark.operators.similarity import ivf_topk
+    from stampede_to_fresco_etl_spark.operators.similarity import (
+        ivf_probe_stored,
+    )
 
     emb = load(spark, sf_dir, "embeddings")
     h = md5_int63("vec_id", salt=INGEST_SPLIT_SALT)
@@ -18279,12 +18302,15 @@ def q_incremental_ann(spark, sf_dir):
     new = emb.filter(h >= F.lit(INGEST_IDX_BOUND)).select(
         F.col("vec_id").alias("new_id"), "embedding"
     )
-    out = ivf_topk(
-        idx,
+    index_dir, cent_dir = index_store.ann_index_dirs(
+        spark, sf_dir, idx, V16_CENTROIDS
+    )
+    out = ivf_probe_stored(
+        index_store.read_ann_index(spark, index_dir),
+        index_store.read_ann_centroids(spark, cent_dir),
         new,
         probe_id_col="new_id",
         k=1,
-        n_centroids=V16_CENTROIDS,
         n_probe=V16_NPROBE,
         broadcast_probes=False,
     )

@@ -1,0 +1,156 @@
+"""Snapshot-keyed stored-index artifacts — the parquet form of the
+dedup band table and the IVF centroid/assignment index, shared
+between the batch catalog queries (d15/v16) and the streaming twins
+(`streaming.dedup_stream` / `streaming.ann_stream`).
+
+Why this exists (VERDICT r7 item 5): the streams already read/write
+real parquet artifacts (band rows under ``batch_id=N`` partitions, a
+single-file centroid companion), but the batch queries were
+rebuilding their "stored" index from scratch on every call — session
+persist at best.  At 100 TB the index IS the artifact: banded /
+assigned once per corpus snapshot, then probed by every batch and
+every ad-hoc query alike.  This module materializes each artifact
+once per (session, sf_dir) under the catalog scratch dir in EXACTLY
+the layout the streams maintain, so
+
+- a batch query probes the same parquet a streaming daemon grows,
+- `tests/test_index_store.py` proves batch ≡ stream on one artifact.
+
+Layout contract (identical to the streams'):
+
+- dedup band index:  ``band_signatures`` rows
+  ``(doc, mh0..mh{k-1}, band_idx, band_key)`` under
+  ``<dir>/batch_id=N`` partitions (the snapshot bootstrap is
+  ``batch_id=0``).  At cluster scale: ``bucketBy(band_idx,
+  band_key)`` so probes shuffle only the batch side.
+- ANN index: ``(vec_id, v, cell)`` rows under ``<dir>/batch_id=N``;
+  at cluster scale stored partitioned/bucketed BY CELL.
+- ANN centroids: ``(cell int, cv array<double>)``, one file —
+  dimension-sized companion state.
+
+Freshness: the first touch in a Spark session overwrites the
+artifact (so a regenerated testdata dir can never leak a stale index
+across sessions); every later touch in the same session reuses the
+parquet — the steady-state read path.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: (applicationId, artifact dir) -> materialized this session
+_MATERIALIZED: dict[tuple[str, str], bool] = {}
+
+
+def _scratch() -> str:
+    from stampede_to_fresco_etl_spark.catalog import _SCRATCH
+
+    return _SCRATCH
+
+
+def _key(sf_dir: str) -> str:
+    # never leading "_" — Spark's file listing skips paths whose
+    # basename starts with "_" (the _SUCCESS/_metadata convention)
+    return re.sub(
+        r"[^A-Za-z0-9_.-]+", "_", sf_dir.rstrip("/")
+    ).lstrip("_.")
+
+
+def _fresh_this_session(spark: SparkSession, path: str) -> bool:
+    k = (spark.sparkContext.applicationId, path)
+    if _MATERIALIZED.get(k):
+        return True
+    _MATERIALIZED[k] = True
+    return False
+
+
+def dedup_index_dir(
+    spark: SparkSession,
+    sf_dir: str,
+    indexed_sigs: DataFrame,
+    num_hashes: int,
+    bands: int,
+) -> str:
+    """Materialize (once per session) the stored LSH band table for a
+    corpus snapshot and return its directory — the same layout
+    `streaming.dedup_stream.apply_dedup_batch` appends to, with the
+    snapshot bootstrap as ``batch_id=0``."""
+    from stampede_to_fresco_etl_spark.operators.dedup import band_signatures
+
+    path = f"{_scratch()}/index_store/dedup/{_key(sf_dir)}"
+    if not _fresh_this_session(spark, path):
+        band_signatures(indexed_sigs, num_hashes, bands).write.mode(
+            "overwrite"
+        ).parquet(f"{path}/batch_id=0")
+    return path
+
+
+def read_dedup_index(spark: SparkSession, path: str) -> DataFrame:
+    """The stored band table across all its batch partitions (the
+    probe side of `lsh_pairs_between(indexed_bands=...)`)."""
+    return spark.read.parquet(path).drop("batch_id")
+
+
+def ann_index_dirs(
+    spark: SparkSession,
+    sf_dir: str,
+    indexed_emb: DataFrame,
+    n_centroids: int,
+) -> tuple[str, str]:
+    """Materialize (once per session) the frozen-centroid IVF index
+    for a corpus snapshot: the centroid companion table plus the
+    assigned ``(vec_id, v, cell)`` rows as ``batch_id=0`` — the
+    layout `streaming.ann_stream.apply_ann_batch` grows.  Returns
+    ``(index_dir, centroids_dir)``."""
+    from stampede_to_fresco_etl_spark.operators.similarity import (
+        _nearest_cells,
+        _sqdist,
+        as_double_vec,
+        seed_centroids,
+    )
+
+    base = f"{_scratch()}/index_store/ann/{_key(sf_dir)}"
+    index_dir, centroids_dir = f"{base}/index", f"{base}/centroids"
+    if not _fresh_this_session(spark, base):
+        cents = seed_centroids(
+            indexed_emb, "vec_id", "embedding", n_centroids
+        )
+        spark.createDataFrame(
+            [(i, c) for i, c in enumerate(cents)],
+            "cell int, cv array<double>",
+        ).coalesce(1).write.mode("overwrite").parquet(centroids_dir)
+        cent_lits = F.array(
+            *[F.array(*[F.lit(x) for x in c]) for c in cents]
+        )
+        assigned = (
+            indexed_emb.select(
+                "vec_id", as_double_vec("embedding").alias("v")
+            )
+            .withColumn(
+                "d",
+                F.transform(cent_lits, lambda c: _sqdist(F.col("v"), c)),
+            )
+            .select(
+                "vec_id", "v", _nearest_cells("v", "d", 1)[0].alias("cell")
+            )
+        )
+        assigned.write.mode("overwrite").parquet(f"{index_dir}/batch_id=0")
+    return index_dir, centroids_dir
+
+
+def read_ann_centroids(
+    spark: SparkSession, centroids_dir: str
+) -> list[list[float]]:
+    """The frozen centroid companion, cell-ordered (dimension-sized
+    state — a bounded collect by construction)."""
+    rows = spark.read.parquet(centroids_dir).orderBy("cell").collect()
+    return [[float(x) for x in r["cv"]] for r in rows]
+
+
+def read_ann_index(spark: SparkSession, index_dir: str) -> DataFrame:
+    """The stored ``(vec_id, v, cell)`` assignment rows across all
+    batch partitions."""
+    return spark.read.parquet(index_dir).drop("batch_id")

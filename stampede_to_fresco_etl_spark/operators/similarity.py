@@ -324,6 +324,60 @@ def ivf_topk(
     return partial_topk(scored, probe_id_col, id_col, k)
 
 
+def ivf_probe_stored(
+    index: DataFrame,
+    centroids: list[list[float]],
+    probes: DataFrame,
+    probe_id_col: str = "probe_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_probe: int = 4,
+    broadcast_probes: bool = False,
+) -> DataFrame:
+    """The probe-only half of `ivf_topk`, against a STORED index:
+    `index` is the ``(vec_id, v, cell)`` assignment table a snapshot
+    build wrote (`index_store.ann_index_dirs`) or a streaming daemon
+    grew (`streaming.ann_stream`), and `centroids` its frozen
+    companion.  Identical ranking semantics to `ivf_topk` — nearest
+    cells by (sqdist, cell), cosine, `partial_topk` ties by id — so
+    batch query and stream produce the same matches on the same
+    artifact.
+
+    Default `broadcast_probes=False` is the ingest shape: the probe
+    side is a data-sized batch, so both sides shuffle by cell (at
+    cluster scale the index side is already bucketed by cell — only
+    the batch moves).  Pass True only for a handful of serving
+    queries."""
+    cent_lits = F.array(
+        *[F.array(*[F.lit(x) for x in ctr]) for ctr in centroids]
+    )
+    p = probes.select(
+        F.col(probe_id_col), as_double_vec(vec_col).alias("p_vec")
+    ).withColumn("p_nrm", _norm(F.col("p_vec")))
+    p_dists = F.transform(cent_lits, lambda ctr: _sqdist(F.col("p_vec"), ctr))
+    p = (
+        p.withColumn("d", p_dists)
+        .withColumn("cells", _nearest_cells("p_vec", "d", n_probe))
+        .select(
+            probe_id_col, "p_vec", "p_nrm", F.explode("cells").alias("cell")
+        )
+    )
+    scored = (
+        index.withColumnRenamed("v", "c_vec")
+        .withColumn("c_nrm", _norm(F.col("c_vec")))
+        .join(F.broadcast(p) if broadcast_probes else p, "cell")
+        .select(
+            probe_id_col,
+            "vec_id",
+            cosine_with_norms(
+                F.col("p_vec"), F.col("c_vec"),
+                F.col("p_nrm"), F.col("c_nrm"),
+            ).alias("cos_sim"),
+        )
+    )
+    return partial_topk(scored, probe_id_col, "vec_id", k)
+
+
 def recommended_planes(
     n_rows: int,
     target_bucket_rows: int = 1024,

@@ -36,11 +36,9 @@ from pyspark.sql.utils import AnalysisException
 
 from stampede_to_fresco_etl_spark.operators.similarity import (
     _nearest_cells,
-    _norm,
     _sqdist,
     as_double_vec,
-    cosine_with_norms,
-    partial_topk,
+    ivf_probe_stored,
     seed_centroids,
 )
 
@@ -113,25 +111,21 @@ def apply_ann_batch(
     except AnalysisException:
         pass
     if index is not None:
-        probes = b.select(
-            F.col("vec_id").alias("new_id"),
-            F.col("v").alias("pv"),
-            _norm(F.col("v")).alias("p_nrm"),
-            F.explode(_nearest_cells("v", "d", n_probe)).alias("cell"),
-        )
-        scored = (
-            index.withColumn("c_nrm", _norm(F.col("v")))
-            .join(probes, "cell")
-            .select(
-                "new_id",
-                F.col("vec_id"),
-                cosine_with_norms(
-                    F.col("pv"), F.col("v"),
-                    F.col("p_nrm"), F.col("c_nrm"),
-                ).alias("cos_sim"),
-            )
-        )
-        matches = partial_topk(scored, "new_id", "vec_id", 1).select(
+        # The probe half is the SHARED kernel (`ivf_probe_stored`) —
+        # the batch catalog query v16 runs the identical code over
+        # the identical artifact layout, so batch ≡ stream is
+        # structural, not coincidental.
+        matches = ivf_probe_stored(
+            index.drop("batch_id"),
+            cents,
+            batch_df.select(
+                F.col("vec_id").alias("new_id"), "embedding"
+            ),
+            probe_id_col="new_id",
+            k=1,
+            n_probe=n_probe,
+            broadcast_probes=False,
+        ).select(
             "new_id",
             F.col("vec_id").alias("indexed_id"),
             "cos_sim",
