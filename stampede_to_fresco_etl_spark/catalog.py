@@ -10636,6 +10636,13 @@ def q_hll_distinct(spark, sf_dir):
         .groupBy("event_type", "b")
         .agg(F.max("r").alias("m"))
     )
+    # latent edge (ADVICE r7, shared with streaming
+    # estimate_from_registers, clamped there): m can reach
+    # _HLL_WBITS + 1 = 54 with probability ~2^-52 per hash, where
+    # 52 - m goes negative — Spark's shiftleft wraps the count
+    # mod 64 and DuckDB's << differs, so a hit would surface as an
+    # oracle mismatch, not a crash.  Effectively unreachable; noted
+    # rather than branch-guarded to keep the fold one expression.
     folded = regs.groupBy("event_type").agg(
         F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 52 - m)")).alias(
             "s_used"
@@ -16324,14 +16331,18 @@ def q_kaplan_meier(spark, sf_dir):
     new_sess = (
         gap.isNull() | (F.col("us") - gap > F.lit(30 * 60 * 1_000_000))
     ).cast("long")
+    # running-sum window tiebreaks on event_id like the gap window
+    # (t7_sessionize's idiom, ADVICE r7): a (user_id, us) tie at a
+    # session boundary must land in the same session in every engine
+    # and every run.
     sess = ev.select(
-        "user_id", "us", new_sess.alias("brk")
+        "user_id", "us", "event_id", new_sess.alias("brk")
     ).select(
         "user_id", "us",
         F.sum("brk")
         .over(
             Window.partitionBy("user_id")
-            .orderBy("us")
+            .orderBy("us", "event_id")
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         .alias("sid"),
@@ -16375,7 +16386,7 @@ WITH ev AS (
   SELECT user_id, event_id, epoch_us(ts) AS us FROM events
 ),
 lagged AS (
-  SELECT user_id, us,
+  SELECT user_id, us, event_id,
          lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
            AS p
   FROM ev
@@ -16384,7 +16395,7 @@ sess AS (
   SELECT user_id, us,
          SUM(CASE WHEN p IS NULL OR us - p > CAST(1800000000 AS BIGINT)
                   THEN 1 ELSE 0 END)
-           OVER (PARTITION BY user_id ORDER BY us
+           OVER (PARTITION BY user_id ORDER BY us, event_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
            AS sid
   FROM lagged

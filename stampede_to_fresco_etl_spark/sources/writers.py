@@ -223,9 +223,11 @@ def write_with_manifest(
     data read); the manifest is file-count-sized, written by the
     driver.  At 100 TB this is the object-store manifest every lake
     table format maintains; this is the engine-native, format-free
-    version."""
+    version.  Enumeration and manifest IO go through the Hadoop
+    FileSystem API (the compact_parquet precedent, ADVICE r7) so the
+    integrity check works on `s3a://`/`hdfs://` snapshots, not just
+    local mode."""
     import json as _json
-    import os as _os
 
     w = df.write.mode("overwrite")
     if partition_by:
@@ -233,22 +235,11 @@ def write_with_manifest(
     w.parquet(path)
 
     spark = df.sparkSession
-    files = []
-    for root, _dirs, names in _os.walk(path):
-        for n in sorted(names):
-            if n.endswith(".parquet"):
-                files.append(_os.path.join(root, n))
     per_file = []
     total_rows = 0
-    for f in sorted(files):
-        n_rows = spark.read.parquet(f).count()  # footer-only count
-        per_file.append(
-            {
-                "path": _os.path.relpath(f, path),
-                "bytes": _os.path.getsize(f),
-                "rows": n_rows,
-            }
-        )
+    for rel, size, full in _fs_list_parquet(spark, path):
+        n_rows = spark.read.parquet(full).count()  # footer-only count
+        per_file.append({"path": rel, "bytes": size, "rows": n_rows})
         total_rows += n_rows
     manifest = {
         "version": 1,
@@ -257,8 +248,11 @@ def write_with_manifest(
         "total_bytes": sum(e["bytes"] for e in per_file),
         "files": per_file,
     }
-    with open(_os.path.join(path, "_manifest.json"), "w") as fh:
-        _json.dump(manifest, fh, indent=1, sort_keys=True)
+    _fs_write_text(
+        spark,
+        path.rstrip("/") + "/_manifest.json",
+        _json.dumps(manifest, indent=1, sort_keys=True),
+    )
     return manifest
 
 
@@ -266,30 +260,76 @@ class ManifestMismatchError(Exception):
     """Dataset on disk does not match its _manifest.json."""
 
 
+def _fs_handles(spark, path: str):
+    """(jvm, FileSystem, Path) for a path via the Hadoop FS API —
+    resolves whatever scheme the path carries (file://, s3a://,
+    hdfs://)."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return jvm, p.getFileSystem(conf), p
+
+
+def _fs_list_parquet(spark, path: str) -> list[tuple[str, int, str]]:
+    """Recursive data-file listing via FileSystem.listFiles: sorted
+    (relative path, bytes, fully-qualified path) for every .parquet
+    under `path`."""
+    _jvm, fs, base = _fs_handles(spark, path)
+    prefix = fs.makeQualified(base).toString().rstrip("/") + "/"
+    it = fs.listFiles(base, True)
+    out = []
+    while it.hasNext():
+        st = it.next()
+        full = st.getPath().toString()
+        if full.endswith(".parquet"):
+            rel = full[len(prefix):] if full.startswith(prefix) else full
+            out.append((rel, int(st.getLen()), full))
+    return sorted(out)
+
+
+def _fs_write_text(spark, path: str, text: str) -> None:
+    _jvm, fs, p = _fs_handles(spark, path)
+    stream = fs.create(p, True)
+    try:
+        stream.write(bytearray(text.encode("utf-8")))
+    finally:
+        stream.close()
+
+
+def _fs_read_text(spark, path: str) -> str:
+    jvm, fs, p = _fs_handles(spark, path)
+    stream = fs.open(p)
+    try:
+        data = jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+    finally:
+        stream.close()
+    return bytes(data).decode("utf-8")
+
+
 def verify_manifest(spark, path: str) -> dict:
     """Re-enumerate the dataset and compare against
     `<path>/_manifest.json`.  Raises ManifestMismatchError naming
     every missing/extra/resized file and any row-count drift;
-    returns the verified manifest on success."""
+    returns the verified manifest on success.  Hadoop-FS-API
+    enumeration, so the check runs against object-store snapshots
+    exactly as against local ones."""
     import json as _json
-    import os as _os
 
-    with open(_os.path.join(path, "_manifest.json")) as fh:
-        manifest = _json.load(fh)
+    manifest = _json.loads(
+        _fs_read_text(spark, path.rstrip("/") + "/_manifest.json")
+    )
     want = {e["path"]: e for e in manifest["files"]}
-    got = {}
-    for root, _dirs, names in _os.walk(path):
-        for n in names:
-            if n.endswith(".parquet"):
-                f = _os.path.join(root, n)
-                got[_os.path.relpath(f, path)] = f
+    got = {
+        rel: (size, full)
+        for rel, size, full in _fs_list_parquet(spark, path)
+    }
     problems = []
     for rel in sorted(set(want) - set(got)):
         problems.append(f"missing file: {rel}")
     for rel in sorted(set(got) - set(want)):
         problems.append(f"unexpected file: {rel}")
     for rel in sorted(set(want) & set(got)):
-        sz = _os.path.getsize(got[rel])
+        sz = got[rel][0]
         if sz != want[rel]["bytes"]:
             problems.append(
                 f"size drift: {rel} ({want[rel]['bytes']} -> {sz})"

@@ -116,7 +116,17 @@ def streaming_hll_registers(
 
 def estimate_from_registers(registers: dict[int, int]) -> float:
     """The raw HLL estimate from {bucket: max rank} — identical
-    arithmetic to the batch queries' fold."""
-    s_used = sum(1 << (52 - m) for m in registers.values())
+    arithmetic to the batch queries' fold.
+
+    m is clamped to 52 before the shift: rank can reach
+    HLL_WBITS + 1 = 54 (a 53-bit hash window of 0 or 1 — probability
+    ~2^-52 per hash), where `1 << (52 - m)` would go negative and
+    raise instead of degrading (ADVICE r7).  The clamp floors such a
+    register's contribution at 1/2^52 — within the estimator's noise
+    for an event this rare.  The batch k2/k4 shiftleft expressions
+    share the same latent edge; Spark's shiftleft on a negative count
+    wraps (mod 64) rather than raising, so the clamp is noted beside
+    them rather than applied."""
+    s_used = sum(1 << (52 - min(m, 52)) for m in registers.values())
     s_total = s_used + (HLL_M - len(registers)) * (1 << 52)
     return HLL_NUM / float(s_total)

@@ -30,10 +30,16 @@ current batch's own index partition).
 Scale: the gate is zero-shuffle column math; the probe touches the
 corpus only through the band equi-join (store the index bucketed by
 band key on a cluster); per-batch cost is O(|batch| + matches).
-Admission thresholds: a near-dup is est_jaccard ≥ `dup_threshold`
-against any indexed doc OR any earlier-admitted doc in the same
-batch (intra-batch pairs keep the lower doc_id — deterministic, no
-arrival-order dependence).
+Admission rule: a doc is rejected when est_jaccard ≥ `dup_threshold`
+against any INDEXED doc, or against any LOWER-doc_id gate-survivor
+of the same batch — regardless of whether that lower doc is itself
+admitted (lower-id-wins, TRANSITIVE: if 5 is an index dup and 9
+matches only 5, 9 is dropped too, on the connected-components-dedup
+reading that 9 ≈ 5 ≈ corpus makes 9 a transitive near-dup of the
+corpus).  Deterministic and arrival-order-free; the alternative —
+admission-aware filtering, where a doc is kept if its only matches
+were themselves rejected — would need an iterative peel over match
+chains and re-admit content the transitive rule treats as covered.
 """
 
 from __future__ import annotations
