@@ -121,6 +121,15 @@ EXTENSION = [
     "x54_pii_redaction",  # new r7: regex scrub stage
     "j17_salted_hot_join",  # new r7: salted five-key join
     "x56_target_encoding",  # new r7: LOO/smoothed rationals
+    "v16_incremental_ann",  # new r8: stored-IVF probe (shared artifact)
+    "t18_time_weighted_avg",  # new r8: holding-time-weighted daily mean
+    "a48_cuped",  # new r8: CUPED variance-reduced A/B effect
+    "k6_bloom_fpr_audit",  # new r8: empirical Bloom FPR vs membership
+    "t19_prorated_allocation",  # new r8: month-calendarized revenue
+    "g5_label_propagation",  # new r8: 3-round deterministic LPA
+    "x57_bm25_stored_index",  # new r8: BM25 probe of stored postings
+    "d16_incremental_exact_dedup",  # new r8: stored-fp exact gate
+    "f19_url_parse",  # new r8: URL parse/normalize rollup
 ]
 
 HEADLINE = CORE + EXTENSION

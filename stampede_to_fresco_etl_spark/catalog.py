@@ -18703,6 +18703,1120 @@ REGISTRY.update(
 
 
 # ---------------------------------------------------------------------------
+# T18 — time-weighted average: each event's value holds until the
+# next event of the same type within the calendar day (last one
+# holds to midnight), and the daily mean weights by holding time —
+# the correct aggregate for irregularly-sampled gauges (sensor
+# readings, account balances), where a plain AVG over-weights bursts.
+# Exact: integer-microsecond weights × floor-scaled values; ONE
+# pinned division.  Scale: one keyed window partitioned by
+# (type, day) — calendar-bounded partitions, never a global sort.
+# ---------------------------------------------------------------------------
+
+
+def q_time_weighted_avg(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.unix_micros("ts").alias("us"),
+        F.floor(F.col("value") * F.lit(10000.0)).cast("long").alias("vi"),
+    )
+    day_end = F.unix_micros(
+        F.col("day") + F.expr("INTERVAL 1 DAY")
+    )
+    w = Window.partitionBy("event_type", "day").orderBy("us", "event_id")
+    weighted = ev.select(
+        "event_type",
+        "day",
+        "vi",
+        (F.coalesce(F.lead("us").over(w), day_end) - F.col("us")).alias(
+            "w_us"
+        ),
+    )
+    return weighted.groupBy("event_type", "day").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("vi") * F.col("w_us")).alias("twa_num"),
+        F.sum("w_us").alias("twa_den"),
+        (
+            F.sum(F.col("vi") * F.col("w_us")).cast("double")
+            / (F.sum("w_us").cast("double") * F.lit(10000.0))
+        ).alias("twa"),
+    )
+
+
+SQL_TIME_WEIGHTED_AVG = """
+WITH ev AS (
+  SELECT event_id, event_type, date_trunc('day', ts) AS day,
+         epoch_us(ts) AS us,
+         CAST(FLOOR(value * 10000.0) AS BIGINT) AS vi
+  FROM events
+),
+weighted AS (
+  SELECT event_type, day, vi,
+         COALESCE(
+           lead(us) OVER (PARTITION BY event_type, day
+                          ORDER BY us, event_id),
+           epoch_us(day + INTERVAL 1 DAY)
+         ) - us AS w_us
+  FROM ev
+)
+SELECT event_type, day, count(*) AS n_events,
+       CAST(SUM(vi * w_us) AS BIGINT) AS twa_num,
+       CAST(SUM(w_us) AS BIGINT) AS twa_den,
+       CAST(SUM(vi * w_us) AS DOUBLE)
+         / (CAST(SUM(w_us) AS DOUBLE) * 10000.0) AS twa
+FROM weighted GROUP BY event_type, day
+"""
+
+
+REGISTRY.update(
+    {"t18_time_weighted_avg": (q_time_weighted_avg, SQL_TIME_WEIGHTED_AVG)}
+)
+
+
+# ---------------------------------------------------------------------------
+# W22 — IGNORE NULLS value-window canary: last/first non-null
+# neighbor on a gappy series (every 7th reading nulled), both
+# directions, plus the coalesce-carry ffill idiom.  w5 canaries the
+# rank family; this pins the other analytic-window family the
+# reference-grade surface needs (LAST_VALUE IGNORE NULLS is the
+# standard gap-repair idiom).  The backward carry rides a DESC-order
+# PRECEDING frame — never an UNBOUNDED FOLLOWING frame, which Spark
+# plans O(n²) (t11's lesson).  Windows partition by (type, day):
+# calendar-bounded, scale-safe.
+# ---------------------------------------------------------------------------
+
+
+def q_value_windows(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.unix_micros("ts").alias("us"),
+        F.when(
+            F.col("event_id") % 7 != 0,
+            F.floor(F.col("value") * F.lit(10000.0)).cast("long"),
+        ).alias("vn"),
+    )
+    fwd = (
+        Window.partitionBy("event_type", "day")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bwd = (
+        Window.partitionBy("event_type", "day")
+        .orderBy(F.col("us").desc(), F.col("event_id").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        "day",
+        "vn",
+        F.last("vn", ignorenulls=True).over(fwd).alias("prev_nn"),
+        F.last("vn", ignorenulls=True).over(bwd).alias("next_nn"),
+        F.coalesce(
+            "vn", F.last("vn", ignorenulls=True).over(fwd)
+        ).alias("carried"),
+    )
+
+
+SQL_VALUE_WINDOWS = """
+WITH ev AS (
+  SELECT event_id, event_type, date_trunc('day', ts) AS day,
+         epoch_us(ts) AS us,
+         CASE WHEN event_id % 7 <> 0
+              THEN CAST(FLOOR(value * 10000.0) AS BIGINT) END AS vn
+  FROM events
+)
+SELECT event_id, event_type, day, vn,
+       last_value(vn IGNORE NULLS) OVER (
+         PARTITION BY event_type, day ORDER BY us, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_nn,
+       last_value(vn IGNORE NULLS) OVER (
+         PARTITION BY event_type, day ORDER BY us DESC, event_id DESC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS next_nn,
+       COALESCE(vn, last_value(vn IGNORE NULLS) OVER (
+         PARTITION BY event_type, day ORDER BY us, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)) AS carried
+FROM ev
+"""
+
+
+REGISTRY.update(
+    {"w22_value_windows": (q_value_windows, SQL_VALUE_WINDOWS)}
+)
+
+
+# ---------------------------------------------------------------------------
+# A48 — CUPED variance reduction: the industry-standard A/B
+# adjustment (Deng et al., WSDM'13) — regress the experiment-period
+# outcome on the pre-period covariate and remove the explained
+# variance: Y' = Y − θ(X − X̄), θ = cov(X,Y)/var(X).  Arms by
+# user_id parity (a25's convention), pre/post split at 48h before
+# the corpus end (a45's cut idiom).  All sums are exact bigints
+# (cents scaling — ×100, products of per-user sums must stay far
+# inside int64); θ and the effects are pinned IEEE arithmetic on
+# doubles cast FROM those exact ints, so both engines compute
+# identical floats.  Scale: one scan → per-user hash agg → one
+# scalar agg; nothing data-sized after the first aggregate.
+# ---------------------------------------------------------------------------
+
+
+def q_cuped(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        F.floor(F.col("value") * F.lit(100.0)).cast("long").alias("vc"),
+    )
+    cut = ev.agg(
+        (F.max("us") - F.lit(48 * 3600 * 1_000_000)).alias("cut_us")
+    )
+    per_user = (
+        ev.crossJoin(F.broadcast(cut))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("us") < F.col("cut_us"), F.col("vc")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("x"),
+            F.sum(
+                F.when(
+                    F.col("us") >= F.col("cut_us"), F.col("vc")
+                ).otherwise(F.lit(0))
+            ).alias("y"),
+        )
+        .select(
+            (F.col("user_id") % 2 == 1).cast("long").alias("arm"),
+            "x",
+            "y",
+        )
+    )
+    tot = per_user.agg(
+        F.count("*").alias("n_users"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("arm").alias("n_t"),
+        F.sum(F.when(F.col("arm") == 1, F.col("x")).otherwise(0)).alias(
+            "sxt"
+        ),
+        F.sum(F.when(F.col("arm") == 1, F.col("y")).otherwise(0)).alias(
+            "syt"
+        ),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    n, sx, sy = d("n_users"), d("sx"), d("sy")
+    theta = (n * d("sxy") - sx * sy) / (n * d("sxx") - sx * sx)
+    n_c = n - d("n_t")
+    sxc, syc = sx - d("sxt"), sy - d("syt")
+    eff_raw = d("syt") / d("n_t") - syc / n_c
+    eff_cuped = (d("syt") - theta * d("sxt")) / d("n_t") - (
+        syc - theta * sxc
+    ) / n_c
+    return tot.select(
+        "n_users",
+        "n_t",
+        "sx",
+        "sy",
+        "sxy",
+        "sxx",
+        theta.alias("theta"),
+        eff_raw.alias("effect_raw"),
+        eff_cuped.alias("effect_cuped"),
+    )
+
+
+SQL_CUPED = """
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS us,
+         CAST(FLOOR(value * 100.0) AS BIGINT) AS vc
+  FROM events
+),
+cut AS (
+  SELECT max(us) - CAST(172800000000 AS BIGINT) AS cut_us FROM ev
+),
+per_user AS (
+  SELECT CAST(user_id % 2 = 1 AS BIGINT) AS arm,
+         CAST(SUM(CASE WHEN us < (SELECT cut_us FROM cut)
+                       THEN vc ELSE 0 END) AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN us >= (SELECT cut_us FROM cut)
+                       THEN vc ELSE 0 END) AS BIGINT) AS y
+  FROM ev GROUP BY user_id
+),
+tot AS (
+  SELECT count(*) AS n_users,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(arm) AS BIGINT) AS n_t,
+         CAST(SUM(CASE WHEN arm = 1 THEN x ELSE 0 END) AS BIGINT) AS sxt,
+         CAST(SUM(CASE WHEN arm = 1 THEN y ELSE 0 END) AS BIGINT) AS syt
+  FROM per_user
+)
+SELECT n_users, n_t, sx, sy, sxy, sxx,
+       (CAST(n_users AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       / (CAST(n_users AS DOUBLE) * CAST(sxx AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS theta,
+       CAST(syt AS DOUBLE) / CAST(n_t AS DOUBLE)
+         - (CAST(sy AS DOUBLE) - CAST(syt AS DOUBLE))
+           / (CAST(n_users AS DOUBLE) - CAST(n_t AS DOUBLE)) AS effect_raw,
+       (CAST(syt AS DOUBLE)
+          - ((CAST(n_users AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n_users AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+            * CAST(sxt AS DOUBLE)) / CAST(n_t AS DOUBLE)
+       - ((CAST(sy AS DOUBLE) - CAST(syt AS DOUBLE))
+          - ((CAST(n_users AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n_users AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+            * (CAST(sx AS DOUBLE) - CAST(sxt AS DOUBLE)))
+         / (CAST(n_users AS DOUBLE) - CAST(n_t AS DOUBLE)) AS effect_cuped
+FROM tot
+"""
+
+
+REGISTRY.update({"a48_cuped": (q_cuped, SQL_CUPED)})
+
+
+# ---------------------------------------------------------------------------
+# F19 — URL parse + normalize: the crawl-pipeline stage every
+# web-corpus build runs before frontier dedup (scheme/host
+# lowercasing, www-stripping, component extraction).  The synthetic
+# corpus has no URL column, so each doc gets a deterministic
+# doc_id-derived URL (x54's injection convention — both engines
+# reproduce the same bytes), exercising mixed-case schemes/hosts,
+# 0-3 path segments, and optional query strings.  All extraction is
+# string arithmetic + Java∩RE2 common-dialect regexes (x54's
+# doctrine).  Scale: per-row zero-shuffle expressions + one hash
+# aggregate on (tld, domain)-grain keys.
+# ---------------------------------------------------------------------------
+
+
+def q_url_parse(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    tld = F.element_at(
+        F.array(F.lit("com"), F.lit("org"), F.lit("net")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    www = F.when(F.col("doc_id") % 2 == 0, F.lit("WWW.")).otherwise(
+        F.lit("www.")
+    )
+    host = F.concat(
+        www,
+        F.lit("s"),
+        (F.col("doc_id") % 97).cast("string"),
+        F.lit("."),
+        tld,
+    )
+    path = F.element_at(
+        F.array(
+            F.lit(""),
+            F.lit("/docs"),
+            F.lit("/docs/guide"),
+            F.concat(
+                F.lit("/docs/guide/v"), (F.col("doc_id") % 5).cast("string")
+            ),
+        ),
+        (F.col("doc_id") % 4 + 1).cast("int"),
+    )
+    query = F.when(
+        F.col("doc_id") % 5 == 0, F.concat(F.lit("?ref="), F.col("lang"))
+    ).otherwise(F.lit(""))
+    scheme = F.when(F.col("doc_id") % 2 == 0, F.lit("HTTPS")).otherwise(
+        F.lit("https")
+    )
+    url = F.concat(scheme, F.lit("://"), host, path, query)
+    u = docs.select("doc_id", url.alias("url"))
+    hostp = F.regexp_extract("url", r"^[a-zA-Z]+://([^/?]+)", 1)
+    pathp = F.regexp_extract("url", r"^[a-zA-Z]+://[^/?]+(/[^?]*)?", 1)
+    domain = F.regexp_replace(F.lower(hostp), r"^www\.", "")
+    parsed = u.select(
+        "doc_id",
+        F.lower(F.regexp_extract("url", r"^([a-zA-Z]+)://", 1)).alias(
+            "scheme"
+        ),
+        domain.alias("domain"),
+        F.regexp_extract(domain, r"\.([a-z]+)$", 1).alias("tld"),
+        (
+            F.length(pathp)
+            - F.length(F.regexp_replace(pathp, r"/", ""))
+        ).cast("long").alias("depth"),
+        F.contains(F.col("url"), F.lit("?")).cast("long").alias(
+            "has_query"
+        ),
+    )
+    return parsed.groupBy("tld").agg(
+        F.count("*").alias("n_urls"),
+        F.countDistinct("domain").alias("n_domains"),
+        F.sum("has_query").alias("n_query"),
+        F.max("depth").alias("max_depth"),
+        F.sum("depth").alias("depth_sum"),
+    )
+
+
+SQL_URL_PARSE = """
+WITH u AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END)
+         || '://'
+         || (CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE 'www.' END)
+         || 's' || CAST(doc_id % 97 AS VARCHAR) || '.'
+         || (['com', 'org', 'net'])[CAST(doc_id % 3 + 1 AS INTEGER)]
+         || (['', '/docs', '/docs/guide',
+              '/docs/guide/v' || CAST(doc_id % 5 AS VARCHAR)
+             ])[CAST(doc_id % 4 + 1 AS INTEGER)]
+         || (CASE WHEN doc_id % 5 = 0 THEN '?ref=' || lang ELSE '' END)
+           AS url
+  FROM documents
+),
+parsed AS (
+  SELECT doc_id,
+         lower(regexp_extract(url, '^([a-zA-Z]+)://', 1)) AS scheme,
+         regexp_replace(
+           lower(regexp_extract(url, '^[a-zA-Z]+://([^/?]+)', 1)),
+           '^www\\.', '') AS domain,
+         regexp_extract(url, '^[a-zA-Z]+://[^/?]+(/[^?]*)?', 1) AS pathp,
+         CAST(contains(url, '?') AS BIGINT) AS has_query
+  FROM u
+)
+SELECT regexp_extract(domain, '\\.([a-z]+)$', 1) AS tld,
+       count(*) AS n_urls,
+       count(DISTINCT domain) AS n_domains,
+       CAST(SUM(has_query) AS BIGINT) AS n_query,
+       CAST(MAX(length(pathp) - length(replace(pathp, '/', '')))
+            AS BIGINT) AS max_depth,
+       CAST(SUM(length(pathp) - length(replace(pathp, '/', '')))
+            AS BIGINT) AS depth_sum
+FROM parsed GROUP BY 1
+"""
+
+
+REGISTRY.update({"f19_url_parse": (q_url_parse, SQL_URL_PARSE)})
+
+
+# ---------------------------------------------------------------------------
+# F20 — whitespace scrub: the text-normalization pass (strip
+# leading/trailing space, collapse runs of whitespace to one space)
+# that precedes tokenization in every corpus build.  The clean
+# synthetic corpus gets deterministic dirt injected by doc_id class
+# (x54's convention): leading/trailing tab padding, or doubled
+# inner spaces.  Per-source report: docs changed and exact bytes
+# removed.  Scale: per-row zero-shuffle string kernels + one hash
+# aggregate.
+# ---------------------------------------------------------------------------
+
+
+def q_whitespace_scrub(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    dirty = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("  "), F.col("text"), F.lit("\t\t")),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.regexp_replace(F.col("text"), r" ", "  "),
+        )
+        .otherwise(F.col("text"))
+    )
+    d = docs.select("source", dirty.alias("dirty"))
+    clean = F.regexp_replace(F.trim(F.col("dirty")), r"\s+", " ")
+    scrubbed = d.select(
+        "source",
+        (F.col("dirty") != clean).cast("long").alias("changed"),
+        (F.length("dirty") - F.length(clean)).cast("long").alias(
+            "removed"
+        ),
+    )
+    return scrubbed.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("changed").alias("n_changed"),
+        F.sum("removed").alias("chars_removed"),
+        (
+            F.sum("removed").cast("double") / F.count("*").cast("double")
+        ).alias("mean_removed"),
+    )
+
+
+SQL_WHITESPACE_SCRUB = """
+WITH d AS (
+  SELECT source,
+         CASE WHEN doc_id % 3 = 0 THEN '  ' || text || chr(9) || chr(9)
+              WHEN doc_id % 3 = 1 THEN regexp_replace(text, ' ', '  ', 'g')
+              ELSE text END AS dirty
+  FROM documents
+),
+s AS (
+  SELECT source,
+         CAST(dirty <> regexp_replace(trim(dirty), '\\s+', ' ', 'g')
+              AS BIGINT) AS changed,
+         CAST(length(dirty)
+              - length(regexp_replace(trim(dirty), '\\s+', ' ', 'g'))
+              AS BIGINT) AS removed
+  FROM d
+)
+SELECT source, count(*) AS n_docs,
+       CAST(SUM(changed) AS BIGINT) AS n_changed,
+       CAST(SUM(removed) AS BIGINT) AS chars_removed,
+       CAST(SUM(removed) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         AS mean_removed
+FROM s GROUP BY source
+"""
+
+
+REGISTRY.update(
+    {"f20_whitespace_scrub": (q_whitespace_scrub, SQL_WHITESPACE_SCRUB)}
+)
+
+
+# ---------------------------------------------------------------------------
+# K6 — Bloom false-positive-rate audit: build b1's filter over the
+# purchase-user member set, probe EVERY distinct user, and measure
+# the empirical FPR against exact membership — the calibration run
+# that decides whether a deployed filter's m/k budget is adequate
+# before it gates a 100 TB anti-join.  No false negatives is part of
+# the contract and is emitted as a checkable column (n_fn).  Scale:
+# setbits are ≤ m rows (broadcast); the probe side explodes ×k then
+# one hash agg per user — never a value×value join.
+# ---------------------------------------------------------------------------
+
+_K6_HASHES, _K6_BITS = 4, 2048
+
+
+def q_bloom_fpr_audit(spark, sf_dir):
+    from stampede_to_fresco_etl_spark.operators.sketches import _bloom_pos
+
+    e = load(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    # member set = REPEAT purchasers (≥2 purchase events): at every
+    # sf this leaves both member and non-member probes, so the FPR
+    # denominator is never degenerate ("any purchase" saturates to
+    # all users already at sf0.01).
+    members = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("__n"))
+        .filter(F.col("__n") >= 2)
+        .select("user_id")
+    )
+    ks = F.explode(F.sequence(F.lit(0), F.lit(_K6_HASHES - 1))).alias("i")
+    setbits = (
+        members.select(F.col("user_id").alias("__v"), ks)
+        .select(
+            _bloom_pos(F.col("__v"), F.col("i"), _K6_BITS).alias("pos")
+        )
+        .distinct()
+    )
+    probes = e.select("user_id").distinct()
+    pp = probes.select("user_id", ks).select(
+        "user_id",
+        _bloom_pos(F.col("user_id"), F.col("i"), _K6_BITS).alias("pos"),
+    )
+    flagged = (
+        pp.join(
+            F.broadcast(setbits.withColumn("hit", F.lit(1))),
+            "pos",
+            "left",
+        )
+        .groupBy("user_id")
+        .agg(
+            F.min(F.coalesce("hit", F.lit(0))).cast("long").alias("maybe")
+        )
+    )
+    lab = flagged.join(
+        members.withColumn("member", F.lit(1)), "user_id", "left"
+    ).select(
+        "maybe", F.coalesce("member", F.lit(0)).cast("long").alias("member")
+    )
+    agg = lab.agg(
+        F.count("*").alias("n_tests"),
+        F.sum("member").alias("n_members"),
+        F.sum("maybe").alias("n_flagged"),
+        F.sum(
+            ((F.col("maybe") == 1) & (F.col("member") == 0)).cast("long")
+        ).alias("n_fp"),
+        F.sum(
+            ((F.col("maybe") == 0) & (F.col("member") == 1)).cast("long")
+        ).alias("n_fn"),
+    )
+    return agg.select(
+        F.lit(_K6_BITS).cast("long").alias("m_bits"),
+        F.lit(_K6_HASHES).cast("long").alias("k_hashes"),
+        "n_tests",
+        "n_members",
+        "n_flagged",
+        "n_fp",
+        "n_fn",
+        F.when(
+            F.col("n_tests") > F.col("n_members"),
+            F.col("n_fp").cast("double")
+            / (F.col("n_tests") - F.col("n_members")).cast("double"),
+        ).alias("fpr"),
+    )
+
+
+def _sql_bloom_fpr_audit() -> str:
+    pos = (
+        "(('0x' || substr(md5('bloom' || CAST(i AS VARCHAR) || ':' || "
+        f"CAST({{v}} AS VARCHAR)), 1, 15))::BIGINT % {_K6_BITS})"
+    )
+    return f"""
+WITH hashes AS (SELECT unnest(range(0, {_K6_HASHES})) AS i),
+members AS (
+  SELECT user_id FROM events
+  WHERE user_id IS NOT NULL AND event_type = 'purchase'
+  GROUP BY user_id HAVING count(*) >= 2
+),
+setbits AS (
+  SELECT DISTINCT {pos.format(v='user_id')} AS pos
+  FROM members CROSS JOIN hashes
+),
+probes AS (
+  SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL
+),
+flagged AS (
+  SELECT p.user_id,
+         CAST(bool_and(sb.pos IS NOT NULL) AS BIGINT) AS maybe
+  FROM (SELECT user_id, {pos.format(v='user_id')} AS pos
+        FROM probes CROSS JOIN hashes) p
+  LEFT JOIN setbits sb ON p.pos = sb.pos
+  GROUP BY p.user_id
+),
+lab AS (
+  SELECT f.maybe,
+         CAST(m.user_id IS NOT NULL AS BIGINT) AS member
+  FROM flagged f LEFT JOIN members m ON f.user_id = m.user_id
+)
+SELECT CAST({_K6_BITS} AS BIGINT) AS m_bits,
+       CAST({_K6_HASHES} AS BIGINT) AS k_hashes,
+       count(*) AS n_tests,
+       CAST(SUM(member) AS BIGINT) AS n_members,
+       CAST(SUM(maybe) AS BIGINT) AS n_flagged,
+       CAST(SUM(CASE WHEN maybe = 1 AND member = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_fp,
+       CAST(SUM(CASE WHEN maybe = 0 AND member = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_fn,
+       CASE WHEN count(*) > SUM(member) THEN
+         CAST(SUM(CASE WHEN maybe = 1 AND member = 0 THEN 1 ELSE 0 END)
+              AS DOUBLE)
+           / CAST(count(*) - SUM(member) AS DOUBLE) END AS fpr
+FROM lab
+"""
+
+
+REGISTRY.update(
+    {"k6_bloom_fpr_audit": (q_bloom_fpr_audit, _sql_bloom_fpr_audit())}
+)
+
+
+# ---------------------------------------------------------------------------
+# T19 — calendarized (prorated) revenue allocation: spread each line
+# item's price across the calendar months its order→ship interval
+# touches, proportional to day overlap — the finance "revenue
+# recognition" kernel (MRR calendarization).  Exact: day counts are
+# integers, cents are floor-scaled, the per-(row, month) allocation
+# is INTEGER division (floor of cents·overlap/total — deterministic
+# pennies), months ride a bounded sequence-explode.  Scale: the
+# explode factor is the interval's month span (bounded by data
+# contract), then one hash agg by month; no window, no sort.
+# ---------------------------------------------------------------------------
+
+
+def q_prorated_allocation(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_shipdate",
+        F.floor(F.col("l_extendedprice") * F.lit(100.0))
+        .cast("long")
+        .alias("pc"),
+    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    j = li.join(
+        o, li.l_orderkey == o.o_orderkey
+    ).filter(F.col("l_shipdate") >= F.col("o_orderdate"))
+    j = j.select(
+        "pc",
+        "o_orderdate",
+        "l_shipdate",
+        (F.datediff("l_shipdate", "o_orderdate") + 1)
+        .cast("long")
+        .alias("total_days"),
+        F.explode(
+            F.sequence(
+                F.date_trunc("month", F.col("o_orderdate")),
+                F.date_trunc("month", F.col("l_shipdate")),
+                F.expr("INTERVAL 1 MONTH"),
+            )
+        ).alias("month"),
+    )
+    month_last = F.col("month") + F.expr("INTERVAL 1 MONTH") - F.expr(
+        "INTERVAL 1 DAY"
+    )
+    overlap = (
+        F.datediff(
+            F.least(F.col("l_shipdate"), month_last),
+            F.greatest(F.col("o_orderdate"), F.col("month")),
+        )
+        + 1
+    ).cast("long")
+    alloc = F.expr("(pc * __ov) div total_days")
+    per = j.withColumn("__ov", overlap).select(
+        "month", alloc.alias("alloc_c")
+    )
+    return per.groupBy("month").agg(
+        F.count("*").alias("n_allocs"),
+        F.sum("alloc_c").alias("alloc_cents"),
+        (F.sum("alloc_c").cast("double") / F.lit(100.0)).alias(
+            "alloc_dollars"
+        ),
+    )
+
+
+SQL_PRORATED_ALLOCATION = """
+WITH j AS (
+  SELECT CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT) AS pc,
+         o_orderdate, l_shipdate,
+         CAST(date_diff('day', o_orderdate, l_shipdate) + 1 AS BIGINT)
+           AS total_days
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_shipdate >= o_orderdate
+),
+ex AS (
+  SELECT pc, o_orderdate, l_shipdate, total_days, u.month
+  FROM j, UNNEST(generate_series(date_trunc('month', o_orderdate),
+                                 date_trunc('month', l_shipdate),
+                                 INTERVAL 1 MONTH)) AS u(month)
+),
+per AS (
+  SELECT month,
+         (pc * (date_diff('day',
+                  greatest(o_orderdate, month),
+                  least(l_shipdate,
+                        month + INTERVAL 1 MONTH - INTERVAL 1 DAY))
+                + 1)) // total_days AS alloc_c
+  FROM ex
+)
+SELECT month, count(*) AS n_allocs,
+       CAST(SUM(alloc_c) AS BIGINT) AS alloc_cents,
+       CAST(SUM(alloc_c) AS DOUBLE) / 100.0 AS alloc_dollars
+FROM per GROUP BY month
+"""
+
+
+REGISTRY.update(
+    {
+        "t19_prorated_allocation": (
+            q_prorated_allocation,
+            SQL_PRORATED_ALLOCATION,
+        )
+    }
+)
+
+
+# ---------------------------------------------------------------------------
+# X58 — quota shortfall redistribution: the second pass x36's plan
+# deliberately left out — capped sources can't fill their quota, so
+# the aggregate shortfall is re-dealt to uncapped sources pro-rata
+# to their surplus capacity (floored integer shares, each clipped to
+# its surplus).  One control-plane pass over the per-source frame:
+# the data-sized token count is the same one aggregate x36 runs.
+# ---------------------------------------------------------------------------
+
+
+def q_quota_redistribute(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.sum(F.size(F.split(F.trim("text"), r"\s+")).cast("long")).alias(
+            "avail_tokens"
+        ),
+        F.count("*").alias("n_docs"),
+    )
+    ns = per.agg(F.count("*").alias("n_sources"))
+    target = F.floor(
+        F.lit(_MIX_TOTAL_TOKENS) / F.col("n_sources")
+    ).cast("long")
+    p = per.crossJoin(F.broadcast(ns)).select(
+        "source",
+        "avail_tokens",
+        target.alias("target_tokens"),
+        F.greatest(
+            F.lit(0).cast("long"), target - F.col("avail_tokens")
+        ).alias("deficit"),
+        F.greatest(
+            F.lit(0).cast("long"), F.col("avail_tokens") - target
+        ).alias("surplus"),
+    )
+    tot = p.agg(
+        F.sum("deficit").alias("s_total"),
+        F.sum("surplus").alias("t_total"),
+    )
+    w = p.crossJoin(F.broadcast(tot))
+    extra = F.when(
+        (F.col("t_total") > 0) & (F.col("surplus") > 0),
+        F.least(
+            F.col("surplus"),
+            F.expr("(s_total * surplus) div t_total"),
+        ),
+    ).otherwise(F.lit(0).cast("long"))
+    return w.select(
+        "source",
+        "avail_tokens",
+        "target_tokens",
+        "deficit",
+        "surplus",
+        extra.alias("extra_tokens"),
+        (
+            F.least(F.col("avail_tokens"), F.col("target_tokens")) + extra
+        ).alias("final_quota"),
+    )
+
+
+SQL_QUOTA_REDISTRIBUTE = f"""
+WITH per AS (
+  SELECT source,
+         CAST(sum(CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+             AS BIGINT)) AS BIGINT) AS avail_tokens,
+         count(*) AS n_docs
+  FROM documents GROUP BY source
+),
+ns AS (SELECT count(*) AS n_sources FROM per),
+p AS (
+  SELECT source, avail_tokens,
+         CAST(FLOOR({_MIX_TOTAL_TOKENS} / ns.n_sources) AS BIGINT)
+           AS target_tokens,
+         GREATEST(0::BIGINT,
+           CAST(FLOOR({_MIX_TOTAL_TOKENS} / ns.n_sources) AS BIGINT)
+             - avail_tokens) AS deficit,
+         GREATEST(0::BIGINT, avail_tokens
+             - CAST(FLOOR({_MIX_TOTAL_TOKENS} / ns.n_sources) AS BIGINT))
+           AS surplus
+  FROM per, ns
+),
+tot AS (
+  SELECT CAST(SUM(deficit) AS BIGINT) AS s_total,
+         CAST(SUM(surplus) AS BIGINT) AS t_total
+  FROM p
+)
+SELECT source, avail_tokens, target_tokens, deficit, surplus,
+       CAST(CASE WHEN t_total > 0 AND surplus > 0
+            THEN LEAST(surplus, (s_total * surplus) // t_total)
+            ELSE 0 END AS BIGINT) AS extra_tokens,
+       CAST(LEAST(avail_tokens, target_tokens)
+            + CASE WHEN t_total > 0 AND surplus > 0
+              THEN LEAST(surplus, (s_total * surplus) // t_total)
+              ELSE 0 END AS BIGINT) AS final_quota
+FROM p, tot
+"""
+
+
+REGISTRY.update(
+    {
+        "x58_quota_redistribute": (
+            q_quota_redistribute,
+            SQL_QUOTA_REDISTRIBUTE,
+        )
+    }
+)
+
+
+# ---------------------------------------------------------------------------
+# G5 — label propagation communities (Raghavan et al. 2007, made
+# deterministic): over the d4 near-dup graph, each node adopts the
+# MODE of its neighbors' labels each round (ties → smallest label),
+# three synchronous rounds from identity labels.  Complements the
+# g-family: d5/d9's components answer "connected at all"; LPA's
+# majority vote finds dense cores inside weakly-bridged components
+# (two cliques joined by one edge keep distinct labels here but
+# merge under CC).  Scale: per round ONE edge join + ONE (node,
+# label) hash agg + ONE argmax agg — all keyed on node ids; the
+# shared pair frame is the only corpus-sized input.
+# ---------------------------------------------------------------------------
+
+_G5_ITERS = 3
+
+
+def q_label_propagation(spark, sf_dir):
+    pairs = _jaccard_pairs_005(spark, sf_dir).select("doc_a", "doc_b")
+    sym = pairs.selectExpr("doc_a AS src", "doc_b AS dst").unionAll(
+        pairs.selectExpr("doc_b AS src", "doc_a AS dst")
+    ).localCheckpoint()
+    labels = sym.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(_G5_ITERS):
+        votes = (
+            sym.join(
+                labels.withColumnRenamed("node", "dst"), "dst"
+            )
+            .groupBy(F.col("src").alias("node"), "label")
+            .agg(F.count("*").alias("cnt"))
+        )
+        labels = votes.groupBy("node").agg(
+            F.max_by(
+                "label", F.struct(F.col("cnt"), (-F.col("label")))
+            ).alias("label")
+        )
+    return labels.select("node", "label").withColumnRenamed(
+        "node", "doc_id"
+    )
+
+
+def _sql_label_propagation() -> str:
+    iters = []
+    prev = "l0"
+    for i in range(1, _G5_ITERS + 1):
+        iters.append(f"""
+v{i} AS (
+  SELECT s.src AS node, p.label, count(*) AS cnt
+  FROM sym s JOIN {prev} p ON s.dst = p.node
+  GROUP BY s.src, p.label
+),
+l{i} AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node
+                              ORDER BY cnt DESC, label) AS rn
+    FROM v{i}
+  ) WHERE rn = 1
+)""")
+        prev = f"l{i}"
+    return f"""
+WITH p AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM ({SQL_NGRAM_JACCARD})
+),
+sym AS (
+  SELECT doc_a AS src, doc_b AS dst FROM p
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM p
+),
+l0 AS (
+  SELECT DISTINCT src AS node, src AS label FROM sym
+),{",".join(iters)}
+SELECT node AS doc_id, CAST(label AS BIGINT) AS label
+FROM l{_G5_ITERS}
+"""
+
+
+REGISTRY.update(
+    {
+        "g5_label_propagation": (
+            q_label_propagation,
+            _sql_label_propagation(),
+        )
+    }
+)
+
+
+# ---------------------------------------------------------------------------
+# X57 — BM25 over the STORED text index: the retrieval steady state.
+# x39 scores from the corpus (the bootstrap shape); a deployment
+# stores the postings/doclen/totals parquet once per snapshot
+# (`index_store.text_index_dirs`) and every query reads ONLY its
+# terms' postings — predicate pushdown on `token` reaches the scan,
+# and at cluster scale the postings are bucketed BY TOKEN so a probe
+# touches a handful of files, never the corpus.  Scoring follows
+# x39's doctrine: rational Robertson idf (no ln — not IEEE-pinned),
+# per-term tf pivoted to FIXED columns so the score is a fixed-order
+# float expression, top-k via orderBy+limit
+# (TakeOrderedAndProject).
+# ---------------------------------------------------------------------------
+
+_X57_TERMS = ["hash", "merge", "filter"]
+_X57_TOPK = 10
+
+
+def q_bm25_stored_index(spark, sf_dir):
+    from stampede_to_fresco_etl_spark import index_store
+
+    docs = load(spark, sf_dir, "documents")
+    postings_dir, doclen_dir, totals_dir = index_store.text_index_dirs(
+        spark, sf_dir, docs
+    )
+    post = spark.read.parquet(postings_dir).filter(
+        F.col("token").isin(_X57_TERMS)
+    )
+    per_doc = post.groupBy("doc_id").agg(
+        *[
+            F.max(
+                F.when(F.col("token") == t, F.col("tf")).otherwise(
+                    F.lit(0).cast("long")
+                )
+            ).alias(f"tf_{i}")
+            for i, t in enumerate(_X57_TERMS)
+        ]
+    )
+    dfs = post.groupBy("token").agg(F.count("*").alias("df"))
+    df_row = dfs.groupBy().agg(
+        *[
+            F.max(
+                F.when(F.col("token") == t, F.col("df")).otherwise(
+                    F.lit(0).cast("long")
+                )
+            ).alias(f"df_{i}")
+            for i, t in enumerate(_X57_TERMS)
+        ]
+    )
+    totals = spark.read.parquet(totals_dir)
+    dl = spark.read.parquet(doclen_dir)
+    base = (
+        per_doc.join(dl, "doc_id")
+        .crossJoin(F.broadcast(df_row))
+        .crossJoin(F.broadcast(totals))
+    )
+    avgdl = F.col("dl_sum").cast("double") / F.col("n_docs").cast("double")
+    score = None
+    for i in range(len(_X57_TERMS)):
+        tf = F.col(f"tf_{i}").cast("double")
+        df = F.col(f"df_{i}").cast("double")
+        idf = (F.col("n_docs").cast("double") - df + 0.5) / (df + 0.5)
+        denom = tf + _X39_K1 * (
+            1.0 - _X39_B + _X39_B * F.col("dl").cast("double") / avgdl
+        )
+        s = idf * (tf * (_X39_K1 + 1.0)) / denom
+        score = s if score is None else score + s
+    return (
+        base.select("doc_id", score.alias("score"))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(_X57_TOPK)
+    )
+
+
+def _sql_bm25_stored_index() -> str:
+    terms = ", ".join(f"'{t}'" for t in _X57_TERMS)
+    tf_cols = ",\n         ".join(
+        f"CAST(MAX(CASE WHEN token = '{t}' THEN tf ELSE 0 END) AS BIGINT)"
+        f" AS tf_{i}"
+        for i, t in enumerate(_X57_TERMS)
+    )
+    df_cols = ",\n         ".join(
+        f"CAST(MAX(CASE WHEN token = '{t}' THEN df ELSE 0 END) AS BIGINT)"
+        f" AS df_{i}"
+        for i, t in enumerate(_X57_TERMS)
+    )
+    parts = []
+    for i in range(len(_X57_TERMS)):
+        tf = f"CAST(p.tf_{i} AS DOUBLE)"
+        df = f"CAST(d.df_{i} AS DOUBLE)"
+        idf = f"((CAST(t.n_docs AS DOUBLE) - {df} + 0.5) / ({df} + 0.5))"
+        denom = (
+            f"({tf} + {_X39_K1} * (1.0 - {_X39_B} + {_X39_B} "
+            f"* CAST(l.dl AS DOUBLE) "
+            f"/ (CAST(t.dl_sum AS DOUBLE) / CAST(t.n_docs AS DOUBLE))))"
+        )
+        parts.append(f"{idf} * ({tf} * ({_X39_K1} + 1.0)) / {denom}")
+    score = " + ".join(parts)
+    return f"""
+WITH td AS (
+  SELECT u.token, doc_id, count(*) AS tf
+  FROM documents, UNNEST({_D_TOKS}) AS u(token)
+  GROUP BY u.token, doc_id
+),
+doclen AS (
+  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM td GROUP BY doc_id
+),
+tot AS (
+  SELECT count(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS dl_sum
+  FROM doclen
+),
+post AS (SELECT * FROM td WHERE token IN ({terms})),
+p AS (
+  SELECT doc_id,
+         {tf_cols}
+  FROM post GROUP BY doc_id
+),
+dfs AS (SELECT token, count(*) AS df FROM post GROUP BY token),
+d AS (
+  SELECT {df_cols}
+  FROM dfs
+)
+SELECT p.doc_id, {score} AS score
+FROM p JOIN doclen l ON p.doc_id = l.doc_id
+CROSS JOIN d CROSS JOIN tot t
+ORDER BY score DESC, p.doc_id LIMIT {_X57_TOPK}
+"""
+
+
+REGISTRY.update(
+    {
+        "x57_bm25_stored_index": (
+            q_bm25_stored_index,
+            _sql_bm25_stored_index(),
+        )
+    }
+)
+
+
+# ---------------------------------------------------------------------------
+# D16 — incremental EXACT dedup vs the stored fingerprint table:
+# the cheapest gate in the ingest chain (runs before d15's near-dup
+# probe) — md5 the batch, anti/left-join the snapshot's distinct
+# fingerprint parquet (`index_store.exact_fp_dir`).  Same 80/20
+# split convention as d15/v16.  Scale: 32-byte keys; the stored side
+# is bucketed by fp at cluster scale so only the batch shuffles.
+# ---------------------------------------------------------------------------
+
+
+def q_incremental_exact_dedup(spark, sf_dir):
+    from stampede_to_fresco_etl_spark import index_store
+    from stampede_to_fresco_etl_spark.functions import md5_int63
+
+    docs = load(spark, sf_dir, "documents")
+    is_idx = md5_int63("doc_id", salt=INGEST_SPLIT_SALT) < F.lit(
+        INGEST_IDX_BOUND
+    )
+    fp_dir = index_store.exact_fp_dir(spark, sf_dir, docs.filter(is_idx))
+    idx = index_store.read_exact_fp(spark, fp_dir)
+    new = docs.filter(~is_idx).select(
+        "doc_id", F.md5("text").alias("fp")
+    )
+    return new.join(idx, "fp", "left").select(
+        "doc_id",
+        "fp",
+        F.col("n_docs").isNotNull().cast("long").alias("known"),
+        F.coalesce("n_docs", F.lit(0).cast("long")).alias(
+            "n_known_copies"
+        ),
+    )
+
+
+def _sql_incremental_exact_dedup() -> str:
+    h = md5_int63_sql("CAST(doc_id AS VARCHAR)", salt=INGEST_SPLIT_SALT)
+    return f"""
+WITH split AS (
+  SELECT doc_id, md5(text) AS fp,
+         CASE WHEN {h} < {INGEST_IDX_BOUND} THEN 1 ELSE 0 END AS is_idx
+  FROM documents
+),
+idx AS (
+  SELECT fp, count(*) AS n_docs FROM split WHERE is_idx = 1 GROUP BY fp
+)
+SELECT s.doc_id, s.fp,
+       CAST(i.fp IS NOT NULL AS BIGINT) AS known,
+       CAST(COALESCE(i.n_docs, 0) AS BIGINT) AS n_known_copies
+FROM split s LEFT JOIN idx i ON s.fp = i.fp
+WHERE s.is_idx = 0
+"""
+
+
+REGISTRY.update(
+    {
+        "d16_incremental_exact_dedup": (
+            q_incremental_exact_dedup,
+            _sql_incremental_exact_dedup(),
+        )
+    }
+)
+
+
+# ---------------------------------------------------------------------------
 # Enumeration order: the driver's correctness run covers the first N
 # registry entries per round, so the STALEST queries must enumerate
 # first.  Computed at import time from the CORRECTNESS_r*.json records
@@ -18818,9 +19932,21 @@ _REVALIDATE = {
 #: never-checked, tier 1) and defers only the r7 additions.
 #: r8 empties the r7 list (its 25 queries enumerate as plain
 #: never-checked, tier 1, draining with the 53-query r5/r6 backlog)
-#: and defers only the r8 additions — held to ≤25 this round by
-#: VERDICT r7 item 3 so the ledger catches up.
-_DEFER_NEW: set[str] = set()
+#: and defers only the r8 additions — held to 11 this round (≤25 by
+#: VERDICT r7 item 3) so the ledger catches up.
+_DEFER_NEW: set[str] = {
+    "t18_time_weighted_avg",
+    "w22_value_windows",
+    "a48_cuped",
+    "f19_url_parse",
+    "f20_whitespace_scrub",
+    "k6_bloom_fpr_audit",
+    "t19_prorated_allocation",
+    "x58_quota_redistribute",
+    "g5_label_propagation",
+    "x57_bm25_stored_index",
+    "d16_incremental_exact_dedup",
+}
 
 _FRESHNESS, _RED_LATEST = _driver_row_history()
 _NEWEST_CHECKED = max(_FRESHNESS.values(), default=0)

@@ -154,3 +154,63 @@ def read_ann_index(spark: SparkSession, index_dir: str) -> DataFrame:
     """The stored ``(vec_id, v, cell)`` assignment rows across all
     batch partitions."""
     return spark.read.parquet(index_dir).drop("batch_id")
+
+
+def text_index_dirs(
+    spark: SparkSession, sf_dir: str, docs: DataFrame
+) -> tuple[str, str, str]:
+    """Materialize (once per session) the stored TEXT retrieval
+    index for a corpus snapshot: the full postings table
+    ``(token, doc_id, tf)``, the doc-length table ``(doc_id, dl)``,
+    and a one-row totals companion ``(n_docs, dl_sum)``.  This is
+    the parquet a search/curation deployment keeps beside the corpus
+    — BM25 probes (catalog x57) read ONLY their query terms'
+    postings (predicate pushdown on token; at cluster scale the
+    postings are partitioned/bucketed BY TOKEN so a probe touches a
+    handful of files), never the corpus.  Returns
+    ``(postings_dir, doclen_dir, totals_dir)``."""
+    base = f"{_scratch()}/index_store/text/{_key(sf_dir)}"
+    postings, doclen, totals = (
+        f"{base}/postings",
+        f"{base}/doclen",
+        f"{base}/totals",
+    )
+    if not _fresh_this_session(spark, base):
+        toks = docs.select(
+            "doc_id",
+            F.explode(F.split(F.trim("text"), r"\s+")).alias("token"),
+        )
+        td = toks.groupBy("token", "doc_id").agg(
+            F.count("*").cast("long").alias("tf")
+        )
+        td.write.mode("overwrite").parquet(postings)
+        dl = toks.groupBy("doc_id").agg(
+            F.count("*").cast("long").alias("dl")
+        )
+        dl.write.mode("overwrite").parquet(doclen)
+        dl.agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("dl").cast("long").alias("dl_sum"),
+        ).coalesce(1).write.mode("overwrite").parquet(totals)
+    return postings, doclen, totals
+
+
+def exact_fp_dir(
+    spark: SparkSession, sf_dir: str, indexed_docs: DataFrame
+) -> str:
+    """Materialize (once per session) the stored EXACT-dedup
+    fingerprint table for a corpus snapshot: distinct
+    ``(fp = md5(text), n_docs)`` rows as ``batch_id=0`` — the hash
+    set every ingest batch anti-joins before any near-dup work
+    (32-byte keys; at cluster scale bucketed by fp so the probe
+    shuffles only the batch side)."""
+    path = f"{_scratch()}/index_store/exact_fp/{_key(sf_dir)}"
+    if not _fresh_this_session(spark, path):
+        indexed_docs.groupBy(F.md5("text").alias("fp")).agg(
+            F.count("*").cast("long").alias("n_docs")
+        ).write.mode("overwrite").parquet(f"{path}/batch_id=0")
+    return path
+
+
+def read_exact_fp(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path).drop("batch_id")
