@@ -130,6 +130,7 @@ EXTENSION = [
     "x57_bm25_stored_index",  # new r8: BM25 probe of stored postings
     "d16_incremental_exact_dedup",  # new r8: stored-fp exact gate
     "f19_url_parse",  # new r8: URL parse/normalize rollup
+    "v17_pq_adc_topk",  # new r8: PQ asymmetric-distance serving path
 ]
 
 HEADLINE = CORE + EXTENSION
@@ -206,9 +207,18 @@ def main() -> None:
     # section) — used to attribute small upticks to the UI event bus
     # vs real plan changes (VERDICT r3 item 5).
     ui_on = os.environ.get("SPARK_GRAFT_BENCH_UI", "1") != "0"
+    # retainedStages must exceed the whole run's stage count: the io
+    # section diffs CUMULATIVE completed-stage totals before/after
+    # each query, and once the UI evicts stages (default cap 1000)
+    # the cumulative total DROPS — late queries then record negative
+    # deltas (x50/w20's negative shuffle bytes in BENCH_IO_r7).
     spark = get_spark(
         app_name="bench",
-        extra_conf={"spark.ui.enabled": "true" if ui_on else "false"},
+        extra_conf={
+            "spark.ui.enabled": "true" if ui_on else "false",
+            "spark.ui.retainedStages": "100000",
+            "spark.ui.retainedJobs": "100000",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
 

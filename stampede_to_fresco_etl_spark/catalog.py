@@ -19844,6 +19844,195 @@ REGISTRY.update(
 
 
 # ---------------------------------------------------------------------------
+# V17 — PQ asymmetric-distance (ADC) top-k: the SERVING half of
+# product quantization (Jégou et al., PAMI'11) that v11's code build
+# exists for.  Per probe, the per-(subspace, codeword) distance
+# table is computed ONCE in-engine (M·K = 64 doubles — bounded,
+# collected and replayed as literals, the IVF-seed precedent), and
+# each corpus vector's distance is M table lookups on its CODES plus
+# a fixed-order add chain — the corpus scan reads M bytes of codes
+# per vector, never the raw vectors: the memory-bound ANN layout at
+# 10⁹ vectors.  Fold order matches the oracle's list_reduce exactly
+# (v11's parity), top-k per probe is TakeOrdered.
+# ---------------------------------------------------------------------------
+
+_V17_PROBES = 3
+_V17_TOPK = 10
+
+#: (applicationId, sf_dir) -> (distance tables, codes artifact dir) —
+#: probe-calibration state (M·K·P doubles) + the snapshot codes path,
+#: collected/materialized once per session (the _KM_CACHE pattern):
+#: a repeat search pays only the codes-parquet scan + TakeOrdered.
+_V17_CACHE: dict = {}
+
+
+def q_pq_adc_topk(spark, sf_dir):
+    ck = (spark.sparkContext.applicationId, sf_dir)
+    cached = _V17_CACHE.get(ck)
+    if cached is not None:
+        return _pq_adc_from(spark, *cached)
+    emb = load(spark, sf_dir, "embeddings")
+    # distance tables, engine-side: (probe, subspace, code, d2)
+    subs = []
+    for s in range(_PQ_M):
+        sl = F.transform(
+            F.slice("embedding", s * _PQ_DIMS + 1, _PQ_DIMS),
+            lambda x: x.cast("double"),
+        )
+        subs.append(sl.alias("sub"))
+    cents = None
+    for s in range(_PQ_M):
+        part = emb.filter(F.col("vec_id") < _PQ_K).select(
+            F.col("vec_id").alias("code"),
+            F.lit(s).alias("ss"),
+            subs[s],
+        )
+        cents = part if cents is None else cents.unionAll(part)
+    probes = None
+    for s in range(_PQ_M):
+        part = emb.filter(F.col("vec_id") < _V17_PROBES).select(
+            F.col("vec_id").alias("probe_id"),
+            F.lit(s).alias("pss"),
+            subs[s].alias("psub"),
+        )
+        probes = part if probes is None else probes.unionAll(part)
+    tbl_rows = (
+        probes.join(cents, probes.pss == cents.ss)
+        .select(
+            "probe_id",
+            "ss",
+            "code",
+            F.aggregate(
+                F.zip_with(
+                    "psub", "sub", lambda a, b: (a - b) * (a - b)
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("d2"),
+        )
+        .collect()
+    )
+    tab: dict[tuple[int, int], list[float]] = {}
+    for r in tbl_rows:
+        tab.setdefault(
+            (int(r["probe_id"]), int(r["ss"])), [0.0] * _PQ_K
+        )[int(r["code"])] = float(r["d2"])
+    # the code table is a STORED snapshot artifact (v11's build,
+    # materialized once per session via index_store — M bytes of
+    # payload per vector); every search call scans only the codes
+    # parquet
+    from stampede_to_fresco_etl_spark import index_store
+
+    codes_dir = index_store.pq_codes_dir(
+        spark, sf_dir, q_pq_codes(spark, sf_dir)
+    )
+    _V17_CACHE[ck] = (tab, codes_dir)
+    return _pq_adc_from(spark, tab, codes_dir)
+
+
+def _pq_adc_from(spark, tab, codes_dir):
+    from stampede_to_fresco_etl_spark import index_store
+
+    codes = index_store.read_pq_codes(spark, codes_dir).select(
+        "vec_id", *[f"code{s}" for s in range(_PQ_M)]
+    )
+    outs = []
+    for p in range(_V17_PROBES):
+        adc = None
+        for s in range(_PQ_M):
+            lut = F.array(*[F.lit(v) for v in tab[(p, s)]])
+            term = F.element_at(lut, F.col(f"code{s}") + 1)
+            adc = term if adc is None else adc + term
+        outs.append(
+            codes.select(
+                F.lit(p).cast("long").alias("probe_id"),
+                "vec_id",
+                adc.alias("adc_dist"),
+            )
+            .orderBy(F.col("adc_dist").asc(), "vec_id")
+            .limit(_V17_TOPK)
+        )
+    out = outs[0]
+    for t in outs[1:]:
+        out = out.unionAll(t)
+    return out
+
+
+def _sql_pq_adc_topk() -> str:
+    d2 = (
+        "list_reduce(list_transform(range(1, {n} + 1), "
+        "i -> (e.v[{off} + i] - c.cv[i]) * (e.v[{off} + i] - c.cv[i])), "
+        "(x, y) -> x + y)"
+    )
+    pd2 = (
+        "list_reduce(list_transform(range(1, {n} + 1), "
+        "i -> (p.v[{off} + i] - c.cv[i]) * (p.v[{off} + i] - c.cv[i])), "
+        "(x, y) -> x + y)"
+    )
+    code_cols = ",\n         ".join(
+        f"CAST(MAX(CASE WHEN ss = {s} THEN code END) AS INTEGER)"
+        f" AS code{s}"
+        for s in range(_PQ_M)
+    )
+    adc = " + ".join(f"t{s}.d2" for s in range(_PQ_M))
+    tjoins = "\n".join(
+        f"JOIN tbl t{s} ON t{s}.probe_id = pr.probe_id AND t{s}.ss = {s}"
+        f" AND t{s}.code = k.code{s}"
+        for s in range(_PQ_M)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (
+  SELECT s.range AS ss, seed.vec_id AS code,
+         seed.v[s.range * {_PQ_DIMS} + 1 :
+                (s.range + 1) * {_PQ_DIMS}] AS cv
+  FROM range(0, {_PQ_M}) s, (SELECT vec_id, v FROM e
+                             WHERE vec_id < {_PQ_K}) seed
+),
+pairs AS (
+  SELECT e.vec_id, c.ss, c.code,
+         {d2.format(n=_PQ_DIMS, off="c.ss * " + str(_PQ_DIMS))} AS d2
+  FROM e, cents c
+),
+sel AS (
+  SELECT vec_id, ss, code FROM (
+    SELECT vec_id, ss, code,
+           row_number() OVER (PARTITION BY vec_id, ss
+                              ORDER BY d2, code) AS rn
+    FROM pairs
+  ) WHERE rn = 1
+),
+k AS (
+  SELECT vec_id,
+         {code_cols}
+  FROM sel GROUP BY vec_id
+),
+tbl AS (
+  SELECT p.vec_id AS probe_id, c.ss, c.code,
+         {pd2.format(n=_PQ_DIMS, off="c.ss * " + str(_PQ_DIMS))} AS d2
+  FROM (SELECT vec_id, v FROM e WHERE vec_id < {_V17_PROBES}) p, cents c
+),
+pr AS (SELECT DISTINCT probe_id FROM tbl),
+scored AS (
+  SELECT pr.probe_id, k.vec_id, {adc} AS adc_dist
+  FROM pr CROSS JOIN k
+  {tjoins}
+)
+SELECT CAST(probe_id AS BIGINT) AS probe_id, vec_id, adc_dist FROM (
+  SELECT probe_id, vec_id, adc_dist,
+         row_number() OVER (PARTITION BY probe_id
+                            ORDER BY adc_dist, vec_id) AS rn
+  FROM scored
+) WHERE rn <= {_V17_TOPK}
+"""
+
+
+REGISTRY.update(
+    {"v17_pq_adc_topk": (q_pq_adc_topk, _sql_pq_adc_topk())}
+)
+
+
+# ---------------------------------------------------------------------------
 # Enumeration order: the driver's correctness run covers the first N
 # registry entries per round, so the STALEST queries must enumerate
 # first.  Computed at import time from the CORRECTNESS_r*.json records
@@ -19959,7 +20148,7 @@ _REVALIDATE = {
 #: never-checked, tier 1) and defers only the r7 additions.
 #: r8 empties the r7 list (its 25 queries enumerate as plain
 #: never-checked, tier 1, draining with the 53-query r5/r6 backlog)
-#: and defers only the r8 additions — held to 11 this round (≤25 by
+#: and defers only the r8 additions — held to 12 this round (≤25 by
 #: VERDICT r7 item 3) so the ledger catches up.
 _DEFER_NEW: set[str] = {
     "t18_time_weighted_avg",
@@ -19973,6 +20162,7 @@ _DEFER_NEW: set[str] = {
     "g5_label_propagation",
     "x57_bm25_stored_index",
     "d16_incremental_exact_dedup",
+    "v17_pq_adc_topk",
 }
 
 _FRESHNESS, _RED_LATEST = _driver_row_history()

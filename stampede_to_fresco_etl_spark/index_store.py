@@ -214,3 +214,22 @@ def exact_fp_dir(
 
 def read_exact_fp(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path).drop("batch_id")
+
+
+def pq_codes_dir(
+    spark: SparkSession, sf_dir: str, codes: DataFrame
+) -> str:
+    """Materialize (once per session) the PQ code table for a corpus
+    snapshot — ``(vec_id, code0..code{M-1}, recon_err)``, M bytes of
+    payload per vector.  This IS product quantization's deployment
+    artifact: codes are assigned once per snapshot (v11), and every
+    ADC search (catalog v17) scans ONLY this table — at 10⁹ vectors
+    the raw embeddings never leave cold storage."""
+    path = f"{_scratch()}/index_store/pq_codes/{_key(sf_dir)}"
+    if not _fresh_this_session(spark, path):
+        codes.write.mode("overwrite").parquet(f"{path}/batch_id=0")
+    return path
+
+
+def read_pq_codes(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path).drop("batch_id")

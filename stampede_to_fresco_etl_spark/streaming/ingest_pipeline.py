@@ -40,6 +40,15 @@ corpus).  Deterministic and arrival-order-free; the alternative —
 admission-aware filtering, where a doc is kept if its only matches
 were themselves rejected — would need an iterative peel over match
 chains and re-admit content the transitive rule treats as covered.
+
+Staging note: a deployment usually inserts the exact-fingerprint
+gate (the batch query d16 / `index_store.exact_fp_dir`) between the
+quality gate and the LSH probe — md5-identical docs then skip
+minhashing entirely.  It is deliberately NOT a stage here: an exact
+duplicate minhashes to an identical signature, so the LSH probe
+already rejects it (est_jaccard = 1.0 ≥ threshold) — the fp gate is
+a cost short-circuit, not a semantic stage, and this composition
+pins semantics.
 """
 
 from __future__ import annotations

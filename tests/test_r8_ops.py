@@ -152,3 +152,24 @@ def test_whitespace_scrub_accounting(spark):
     pdf = _q("f20_whitespace_scrub")(spark, SF).toPandas()
     assert (pdf.n_changed <= pdf.n_docs).all()
     assert (pdf.chars_removed >= pdf.n_changed).all()  # >=1 char each
+
+
+def test_pq_adc_self_distance_minimal(spark):
+    """ADC distance of a probe to ITSELF must equal its own
+    quantization (reconstruction) error — and no other vector can
+    beat a perfect-code match on a probe that is also a codeword."""
+    top = _q("v17_pq_adc_topk")(spark, SF).toPandas()
+    from stampede_to_fresco_etl_spark.catalog import (
+        _V17_PROBES,
+        _V17_TOPK,
+    )
+
+    assert set(top.probe_id) == set(range(_V17_PROBES))
+    for p, grp in top.groupby("probe_id"):
+        assert len(grp) == _V17_TOPK
+        assert grp.adc_dist.is_monotonic_increasing
+        assert (grp.adc_dist >= 0).all()
+    # probes are codewords (vec_id < K), so their own code row has
+    # zero subspace distance in every table -> self adc == 0 exactly
+    self_rows = top[top.probe_id == top.vec_id]
+    assert (self_rows.adc_dist == 0.0).all() and len(self_rows) == 3
