@@ -141,13 +141,24 @@ def ann_index_dirs(
     return index_dir, centroids_dir
 
 
+#: (applicationId, centroids_dir) -> cell-ordered centroid lists —
+#: dimension-sized calibration state; collected once per session so
+#: a repeat probe pays zero collect jobs (the _KM_CACHE pattern).
+_CENTROID_CACHE: dict[tuple[str, str], list[list[float]]] = {}
+
+
 def read_ann_centroids(
     spark: SparkSession, centroids_dir: str
 ) -> list[list[float]]:
     """The frozen centroid companion, cell-ordered (dimension-sized
-    state — a bounded collect by construction)."""
-    rows = spark.read.parquet(centroids_dir).orderBy("cell").collect()
-    return [[float(x) for x in r["cv"]] for r in rows]
+    state — a bounded collect by construction, cached per session)."""
+    k = (spark.sparkContext.applicationId, centroids_dir)
+    cents = _CENTROID_CACHE.get(k)
+    if cents is None:
+        rows = spark.read.parquet(centroids_dir).orderBy("cell").collect()
+        cents = [[float(x) for x in r["cv"]] for r in rows]
+        _CENTROID_CACHE[k] = cents
+    return cents
 
 
 def read_ann_index(spark: SparkSession, index_dir: str) -> DataFrame:

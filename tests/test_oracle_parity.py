@@ -34,7 +34,10 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
         if s.dtype == object:
             non_null = s.dropna()
             if len(non_null) and not isinstance(non_null.iloc[0], str):
-                df[c] = pd.to_datetime(s, errors="ignore")
+                try:
+                    df[c] = pd.to_datetime(s)
+                except (ValueError, TypeError):
+                    pass  # non-datetime object column: leave as-is
         if str(df[c].dtype).startswith("datetime64"):
             df[c] = df[c].astype("datetime64[us]")
         if str(df[c].dtype) in ("int32", "int64", "Int32", "Int64"):

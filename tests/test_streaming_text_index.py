@@ -1,0 +1,83 @@
+"""Streaming text-index maintenance ≡ the batch snapshot artifact:
+two ingest waves through the foreachBatch body must grow postings /
+doclen partitions whose UNION equals what `index_store` materializes
+from the same corpus in one shot — content equality makes any probe
+(x57's BM25) trivially batch ≡ stream — and crash-replay of a batch
+must converge."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from stampede_to_fresco_etl_spark import index_store
+from stampede_to_fresco_etl_spark.catalog import load
+from stampede_to_fresco_etl_spark.streaming.text_index_stream import (
+    apply_text_index_batch,
+    read_text_totals,
+    run_text_index_stream,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _postings_set(df):
+    return {
+        (r["token"], r["doc_id"], r["tf"])
+        for r in df.select("token", "doc_id", "tf").collect()
+    }
+
+
+def test_two_waves_equal_snapshot_artifact(spark, tmp_path):
+    docs = load(spark, SF, "documents").select("doc_id", "text")
+    landing = str(tmp_path / "landing")
+    postings = str(tmp_path / "postings")
+    doclen = str(tmp_path / "doclen")
+    ckpt = str(tmp_path / "ckpt")
+    cut = docs.agg(
+        F.expr("percentile(doc_id, 0.5)").cast("long").alias("c")
+    ).collect()[0]["c"]
+
+    for wave in (
+        docs.filter(F.col("doc_id") <= cut),
+        docs.filter(F.col("doc_id") > cut),
+    ):
+        wave.write.mode("append").parquet(landing)
+        run_text_index_stream(
+            spark, landing, postings, doclen, ckpt
+        ).awaitTermination(120)
+
+    grown = spark.read.parquet(postings).drop("batch_id")
+    snap_p, snap_l, snap_t = index_store.text_index_dirs(
+        spark, SF, docs
+    )
+    snap = spark.read.parquet(snap_p)
+    assert _postings_set(grown) == _postings_set(snap)
+
+    grown_dl = {
+        (r["doc_id"], r["dl"])
+        for r in spark.read.parquet(doclen)
+        .select("doc_id", "dl")
+        .collect()
+    }
+    snap_dl = {
+        (r["doc_id"], r["dl"])
+        for r in spark.read.parquet(snap_l).collect()
+    }
+    assert grown_dl == snap_dl
+
+    tot = read_text_totals(spark, doclen).collect()[0]
+    snap_tot = spark.read.parquet(snap_t).collect()[0]
+    assert tot["n_docs"] == snap_tot["n_docs"]
+    assert tot["dl_sum"] == snap_tot["dl_sum"]
+
+
+def test_replay_converges(spark, tmp_path):
+    docs = load(spark, SF, "documents").select("doc_id", "text")
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    postings = str(tmp_path / "postings")
+    doclen = str(tmp_path / "doclen")
+    apply_text_index_batch(spark, batch, 3, postings, doclen)
+    first = _postings_set(spark.read.parquet(postings).drop("batch_id"))
+    apply_text_index_batch(spark, batch, 3, postings, doclen)  # replay
+    again = _postings_set(spark.read.parquet(postings).drop("batch_id"))
+    assert first == again and len(first) > 0
