@@ -131,6 +131,7 @@ EXTENSION = [
     "d16_incremental_exact_dedup",  # new r8: stored-fp exact gate
     "f19_url_parse",  # new r8: URL parse/normalize rollup
     "v17_pq_adc_topk",  # new r8: PQ asymmetric-distance serving path
+    "x59_adc_recall_audit",  # new r8: PQ recall vs exact L2 top-k
 ]
 
 HEADLINE = CORE + EXTENSION

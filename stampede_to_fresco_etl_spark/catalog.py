@@ -20033,6 +20033,92 @@ REGISTRY.update(
 
 
 # ---------------------------------------------------------------------------
+# X59 — ADC recall audit: v17's quantized top-k against the EXACT
+# L2 top-k per probe — the number that decides whether M/K is an
+# acceptable compression (completes the audit family: x28 audits
+# sign-LSH recall, v10 audits IVF recall, this audits PQ).  The
+# exact arm is a brute-force scan (at deployment: over an audit
+# sample); its top-k rides the salted two-stage window with
+# sim = −d², never a per-probe global sort.  Recall is exact
+# integers to one pinned division.
+# ---------------------------------------------------------------------------
+
+
+def q_adc_recall_audit(spark, sf_dir):
+    from stampede_to_fresco_etl_spark.operators.similarity import (
+        _sqdist,
+        as_double_vec,
+        partial_topk,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < _V17_PROBES).select(
+        F.col("vec_id").alias("probe_id"),
+        as_double_vec("embedding").alias("pv"),
+    )
+    corpus = emb.select(
+        "vec_id", as_double_vec("embedding").alias("cv")
+    )
+    scored = corpus.join(F.broadcast(probes)).select(
+        "probe_id",
+        "vec_id",
+        (-_sqdist(F.col("pv"), F.col("cv"))).alias("cos_sim"),
+    )
+    exact = partial_topk(scored, "probe_id", "vec_id", _V17_TOPK).select(
+        "probe_id", "vec_id"
+    )
+    adc = q_pq_adc_topk(spark, sf_dir).select("probe_id", "vec_id")
+    hits = exact.join(adc, ["probe_id", "vec_id"]).groupBy(
+        "probe_id"
+    ).agg(F.count("*").alias("n_hits"))
+    return probes.select("probe_id").join(hits, "probe_id", "left").select(
+        "probe_id",
+        F.coalesce("n_hits", F.lit(0).cast("long")).alias("n_hits"),
+        (
+            F.coalesce("n_hits", F.lit(0)).cast("double")
+            / F.lit(float(_V17_TOPK))
+        ).alias("recall"),
+    )
+
+
+def _sql_adc_recall_audit() -> str:
+    d2 = _D_SQDIST.format(a="p.pv", b="c.cv")
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+probes AS (
+  SELECT vec_id AS probe_id, v AS pv FROM e
+  WHERE vec_id < {_V17_PROBES}
+),
+corpus AS (SELECT vec_id, v AS cv FROM e),
+exact AS (
+  SELECT probe_id, vec_id FROM (
+    SELECT p.probe_id, c.vec_id,
+           row_number() OVER (PARTITION BY p.probe_id
+                              ORDER BY {d2}, c.vec_id) AS rn
+    FROM probes p CROSS JOIN corpus c
+  ) WHERE rn <= {_V17_TOPK}
+),
+adc AS (SELECT probe_id, vec_id FROM ({_sql_pq_adc_topk()})),
+hits AS (
+  SELECT e.probe_id, count(*) AS n_hits
+  FROM exact e JOIN adc a
+    ON e.probe_id = a.probe_id AND e.vec_id = a.vec_id
+  GROUP BY e.probe_id
+)
+SELECT p.probe_id,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(COALESCE(h.n_hits, 0) AS DOUBLE)
+         / {float(_V17_TOPK)!r} AS recall
+FROM probes p LEFT JOIN hits h ON p.probe_id = h.probe_id
+"""
+
+
+REGISTRY.update(
+    {"x59_adc_recall_audit": (q_adc_recall_audit, _sql_adc_recall_audit())}
+)
+
+
+# ---------------------------------------------------------------------------
 # Enumeration order: the driver's correctness run covers the first N
 # registry entries per round, so the STALEST queries must enumerate
 # first.  Computed at import time from the CORRECTNESS_r*.json records
@@ -20148,7 +20234,7 @@ _REVALIDATE = {
 #: never-checked, tier 1) and defers only the r7 additions.
 #: r8 empties the r7 list (its 25 queries enumerate as plain
 #: never-checked, tier 1, draining with the 53-query r5/r6 backlog)
-#: and defers only the r8 additions — held to 12 this round (≤25 by
+#: and defers only the r8 additions — held to 13 this round (≤25 by
 #: VERDICT r7 item 3) so the ledger catches up.
 _DEFER_NEW: set[str] = {
     "t18_time_weighted_avg",
@@ -20163,6 +20249,7 @@ _DEFER_NEW: set[str] = {
     "x57_bm25_stored_index",
     "d16_incremental_exact_dedup",
     "v17_pq_adc_topk",
+    "x59_adc_recall_audit",
 }
 
 _FRESHNESS, _RED_LATEST = _driver_row_history()

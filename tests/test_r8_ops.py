@@ -173,3 +173,14 @@ def test_pq_adc_self_distance_minimal(spark):
     # zero subspace distance in every table -> self adc == 0 exactly
     self_rows = top[top.probe_id == top.vec_id]
     assert (self_rows.adc_dist == 0.0).all() and len(self_rows) == 3
+
+
+def test_adc_recall_bounds_and_self_hit(spark):
+    pdf = _q("x59_adc_recall_audit")(spark, SF).toPandas()
+    from stampede_to_fresco_etl_spark.catalog import _V17_PROBES
+
+    assert len(pdf) == _V17_PROBES
+    assert ((pdf.recall >= 0) & (pdf.recall <= 1)).all()
+    # a probe is its own exact-L2 nearest neighbor AND its ADC self
+    # distance is 0 (codeword probe), so recall can never be 0
+    assert (pdf.n_hits >= 1).all()
