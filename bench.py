@@ -132,6 +132,7 @@ EXTENSION = [
     "f19_url_parse",  # new r8: URL parse/normalize rollup
     "v17_pq_adc_topk",  # new r8: PQ asymmetric-distance serving path
     "x59_adc_recall_audit",  # new r8: PQ recall vs exact L2 top-k
+    "x60_ingest_report",  # new r8: gate->fp->LSH->admit batch capstone
 ]
 
 HEADLINE = CORE + EXTENSION

@@ -20119,6 +20119,143 @@ REGISTRY.update(
 
 
 # ---------------------------------------------------------------------------
+# X60 — batch ingest report: the gate → exact-fp → near-dup → admit
+# composition (streaming/ingest_pipeline's stages, d16's fp gate
+# included) as ONE oracle-gated batch query — per source, how the
+# incoming 20% batch splits into dropped / exact-dup / near-dup /
+# admitted.  The streaming capstone is pytest-gated; this puts the
+# same composition under the driver's hash gate.  Category priority:
+# gate-drop > exact (stored fp hit) > near (LSH est ≥ 0.8 vs the
+# stored band index) > admitted.  Scale: each stage is the already-
+# audited operator — zero-shuffle gate math, fp equi-join, band
+# equi-join — plus one per-source hash agg.
+# ---------------------------------------------------------------------------
+
+
+def q_ingest_report(spark, sf_dir):
+    from stampede_to_fresco_etl_spark.streaming.curation_stream import (
+        score_and_route,
+    )
+    from stampede_to_fresco_etl_spark.streaming.ingest_pipeline import (
+        DUP_THRESHOLD,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    is_idx = md5_int63("doc_id", salt=INGEST_SPLIT_SALT) < F.lit(
+        INGEST_IDX_BOUND
+    )
+    batch = docs.filter(~is_idx).select("doc_id", "text", "source")
+    kept = (
+        score_and_route(batch.select("doc_id", "text"))
+        .filter(F.col("keep"))
+        .select("doc_id")
+    )
+    exact = (
+        q_incremental_exact_dedup(spark, sf_dir)
+        .filter(F.col("known") == 1)
+        .select("doc_id")
+    )
+    near = (
+        q_incremental_dedup(spark, sf_dir)
+        .filter(F.col("est_jaccard") >= F.lit(DUP_THRESHOLD))
+        .select(F.col("new_doc").alias("doc_id"))
+        .distinct()
+    )
+    lab = (
+        batch.join(kept.withColumn("k", F.lit(1)), "doc_id", "left")
+        .join(exact.withColumn("e", F.lit(1)), "doc_id", "left")
+        .join(near.withColumn("n", F.lit(1)), "doc_id", "left")
+        .select(
+            "source",
+            F.coalesce("k", F.lit(0)).cast("long").alias("kept"),
+            F.coalesce("e", F.lit(0)).cast("long").alias("ex"),
+            F.coalesce("n", F.lit(0)).cast("long").alias("nd"),
+        )
+    )
+    k, e, n = F.col("kept"), F.col("ex"), F.col("nd")
+    return lab.groupBy("source").agg(
+        F.count("*").alias("n_batch"),
+        F.sum(1 - k).alias("n_dropped"),
+        F.sum(k * e).alias("n_exact_dup"),
+        F.sum(k * (1 - e) * n).alias("n_near_dup"),
+        F.sum(k * (1 - e) * (1 - n)).alias("n_admitted"),
+    )
+
+
+def _sql_ingest_report() -> str:
+    from stampede_to_fresco_etl_spark.streaming.curation_stream import (
+        MEAN_WLEN_HI,
+        MEAN_WLEN_LO,
+        MIN_ALPHA_FRAC,
+        MIN_WORDS,
+    )
+    from stampede_to_fresco_etl_spark.streaming.ingest_pipeline import (
+        DUP_THRESHOLD,
+    )
+
+    h = md5_int63_sql("CAST(doc_id AS VARCHAR)", salt=INGEST_SPLIT_SALT)
+    return f"""
+WITH split AS (
+  SELECT doc_id, text, source,
+         CASE WHEN {h} < {INGEST_IDX_BOUND} THEN 1 ELSE 0 END AS is_idx
+  FROM documents
+),
+b AS (SELECT doc_id, text, source FROM split WHERE is_idx = 0),
+sig AS (
+  SELECT doc_id,
+         CAST(len(t) AS BIGINT) AS n_words,
+         CAST(coalesce(list_sum(list_transform(t, x -> length(x))), 0)
+              AS BIGINT) AS word_chars,
+         CAST(len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]')))
+              AS BIGINT) AS alpha_words
+  FROM (SELECT doc_id, {_D_TOKS} AS t FROM b)
+),
+keepers AS (
+  SELECT doc_id FROM sig
+  WHERE n_words >= {MIN_WORDS}
+    AND CAST(word_chars AS DOUBLE) / CAST(n_words AS DOUBLE)
+          >= {MEAN_WLEN_LO!r}
+    AND CAST(word_chars AS DOUBLE) / CAST(n_words AS DOUBLE)
+          <= {MEAN_WLEN_HI!r}
+    AND CAST(alpha_words AS DOUBLE) / CAST(n_words AS DOUBLE)
+          >= {MIN_ALPHA_FRAC!r}
+),
+idxfp AS (
+  SELECT DISTINCT md5(text) AS fp FROM split WHERE is_idx = 1
+),
+ex AS (
+  SELECT b.doc_id FROM b JOIN idxfp ON md5(b.text) = idxfp.fp
+),
+nd AS (
+  SELECT DISTINCT new_doc AS doc_id
+  FROM ({_sql_incremental_dedup()})
+  WHERE est_jaccard >= {DUP_THRESHOLD!r}
+),
+lab AS (
+  SELECT b.source,
+         CAST(k.doc_id IS NOT NULL AS BIGINT) AS kept,
+         CAST(e.doc_id IS NOT NULL AS BIGINT) AS ex,
+         CAST(n.doc_id IS NOT NULL AS BIGINT) AS nd
+  FROM b
+  LEFT JOIN keepers k ON b.doc_id = k.doc_id
+  LEFT JOIN ex e ON b.doc_id = e.doc_id
+  LEFT JOIN nd n ON b.doc_id = n.doc_id
+)
+SELECT source, count(*) AS n_batch,
+       CAST(SUM(1 - kept) AS BIGINT) AS n_dropped,
+       CAST(SUM(kept * ex) AS BIGINT) AS n_exact_dup,
+       CAST(SUM(kept * (1 - ex) * nd) AS BIGINT) AS n_near_dup,
+       CAST(SUM(kept * (1 - ex) * (1 - nd)) AS BIGINT) AS n_admitted
+FROM lab GROUP BY source
+"""
+
+
+REGISTRY.update(
+    {"x60_ingest_report": (q_ingest_report, _sql_ingest_report())}
+)
+
+
+# ---------------------------------------------------------------------------
 # Enumeration order: the driver's correctness run covers the first N
 # registry entries per round, so the STALEST queries must enumerate
 # first.  Computed at import time from the CORRECTNESS_r*.json records
@@ -20234,7 +20371,7 @@ _REVALIDATE = {
 #: never-checked, tier 1) and defers only the r7 additions.
 #: r8 empties the r7 list (its 25 queries enumerate as plain
 #: never-checked, tier 1, draining with the 53-query r5/r6 backlog)
-#: and defers only the r8 additions — held to 13 this round (≤25 by
+#: and defers only the r8 additions — held to 14 this round (≤25 by
 #: VERDICT r7 item 3) so the ledger catches up.
 _DEFER_NEW: set[str] = {
     "t18_time_weighted_avg",
@@ -20250,6 +20387,7 @@ _DEFER_NEW: set[str] = {
     "d16_incremental_exact_dedup",
     "v17_pq_adc_topk",
     "x59_adc_recall_audit",
+    "x60_ingest_report",
 }
 
 _FRESHNESS, _RED_LATEST = _driver_row_history()

@@ -184,3 +184,27 @@ def test_adc_recall_bounds_and_self_hit(spark):
     # a probe is its own exact-L2 nearest neighbor AND its ADC self
     # distance is 0 (codeword probe), so recall can never be 0
     assert (pdf.n_hits >= 1).all()
+
+
+def test_ingest_report_partition_of_batch(spark):
+    """The four categories partition every batch doc exactly once,
+    and the category flags agree with the stage operators."""
+    pdf = _q("x60_ingest_report")(spark, SF).toPandas()
+    assert (
+        pdf.n_dropped + pdf.n_exact_dup + pdf.n_near_dup + pdf.n_admitted
+        == pdf.n_batch
+    ).all()
+    assert int(pdf.n_batch.sum()) > 0
+    # cross-check the batch size against the split convention
+    from stampede_to_fresco_etl_spark.catalog import (
+        INGEST_IDX_BOUND,
+        INGEST_SPLIT_SALT,
+    )
+    from stampede_to_fresco_etl_spark.functions import md5_int63
+
+    docs = load(spark, SF, "documents")
+    n_batch = docs.filter(
+        md5_int63("doc_id", salt=INGEST_SPLIT_SALT)
+        >= F.lit(INGEST_IDX_BOUND)
+    ).count()
+    assert int(pdf.n_batch.sum()) == n_batch
