@@ -133,6 +133,7 @@ EXTENSION = [
     "v17_pq_adc_topk",  # new r8: PQ asymmetric-distance serving path
     "x59_adc_recall_audit",  # new r8: PQ recall vs exact L2 top-k
     "x60_ingest_report",  # new r8: gate->fp->LSH->admit batch capstone
+    "a50_two_proportion_z",  # new r8: conversion-rate z-test
 ]
 
 HEADLINE = CORE + EXTENSION

@@ -20271,6 +20271,101 @@ REGISTRY.update(
 
 
 # ---------------------------------------------------------------------------
+# A50 — two-proportion z-test on conversion: the binary-outcome twin
+# of a25's Welch t (rates, not means) — did the treatment arm's
+# purchase-conversion rate move?  Converted = user with ≥1 purchase
+# event, arms by user parity.  Counts are exact bigints; p̂'s, the
+# pooled variance, and z are pinned IEEE arithmetic on doubles cast
+# from those ints (ONE sqrt).  Scale: per-user hash agg → one scalar
+# aggregate.
+# ---------------------------------------------------------------------------
+
+
+def q_two_proportion_z(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    # converted = REPEAT purchaser (≥2 purchases — k6's convention):
+    # "any purchase" saturates to every user already at sf0.01, which
+    # degenerates p_pool to 1 and the pooled SE to 0
+    per_user = ev.groupBy("user_id").agg(
+        (
+            F.sum((F.col("event_type") == "purchase").cast("long"))
+            >= 2
+        )
+        .cast("long")
+        .alias("conv")
+    )
+    tot = per_user.select(
+        (F.col("user_id") % 2 == 1).cast("long").alias("arm"), "conv"
+    ).agg(
+        F.sum("arm").alias("n_t"),
+        F.sum(F.lit(1) - F.col("arm")).alias("n_c"),
+        F.sum(F.col("arm") * F.col("conv")).alias("c_t"),
+        F.sum((F.lit(1) - F.col("arm")) * F.col("conv")).alias("c_c"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    p_t, p_c = d("c_t") / d("n_t"), d("c_c") / d("n_c")
+    p_pool = (d("c_t") + d("c_c")) / (d("n_t") + d("n_c"))
+    se = F.sqrt(
+        p_pool * (F.lit(1.0) - p_pool)
+        * (F.lit(1.0) / d("n_t") + F.lit(1.0) / d("n_c"))
+    )
+    return tot.select(
+        "n_t",
+        "n_c",
+        "c_t",
+        "c_c",
+        p_t.alias("p_t"),
+        p_c.alias("p_c"),
+        F.when(se > 0.0, (p_t - p_c) / se).alias("z"),
+    )
+
+
+SQL_TWO_PROPORTION_Z = """
+WITH per_user AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN event_type = 'purchase'
+                       THEN 1 ELSE 0 END) >= 2 AS BIGINT) AS conv
+  FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+),
+tot AS (
+  SELECT CAST(SUM(CAST(user_id % 2 = 1 AS BIGINT)) AS BIGINT) AS n_t,
+         CAST(SUM(CAST(user_id % 2 = 0 AS BIGINT)) AS BIGINT) AS n_c,
+         CAST(SUM(CASE WHEN user_id % 2 = 1 THEN conv ELSE 0 END)
+              AS BIGINT) AS c_t,
+         CAST(SUM(CASE WHEN user_id % 2 = 0 THEN conv ELSE 0 END)
+              AS BIGINT) AS c_c
+  FROM per_user
+)
+SELECT n_t, n_c, c_t, c_c,
+       CAST(c_t AS DOUBLE) / CAST(n_t AS DOUBLE) AS p_t,
+       CAST(c_c AS DOUBLE) / CAST(n_c AS DOUBLE) AS p_c,
+       CASE WHEN sqrt(((CAST(c_t AS DOUBLE) + CAST(c_c AS DOUBLE))
+                 / (CAST(n_t AS DOUBLE) + CAST(n_c AS DOUBLE)))
+              * (1.0 - (CAST(c_t AS DOUBLE) + CAST(c_c AS DOUBLE))
+                   / (CAST(n_t AS DOUBLE) + CAST(n_c AS DOUBLE)))
+              * (1.0 / CAST(n_t AS DOUBLE)
+                 + 1.0 / CAST(n_c AS DOUBLE))) > 0.0 THEN
+       (CAST(c_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+          - CAST(c_c AS DOUBLE) / CAST(n_c AS DOUBLE))
+       / sqrt(((CAST(c_t AS DOUBLE) + CAST(c_c AS DOUBLE))
+                 / (CAST(n_t AS DOUBLE) + CAST(n_c AS DOUBLE)))
+              * (1.0 - (CAST(c_t AS DOUBLE) + CAST(c_c AS DOUBLE))
+                   / (CAST(n_t AS DOUBLE) + CAST(n_c AS DOUBLE)))
+              * (1.0 / CAST(n_t AS DOUBLE)
+                 + 1.0 / CAST(n_c AS DOUBLE)))
+       END AS z
+FROM tot
+"""
+
+
+REGISTRY.update(
+    {"a50_two_proportion_z": (q_two_proportion_z, SQL_TWO_PROPORTION_Z)}
+)
+
+
+# ---------------------------------------------------------------------------
 # Enumeration order: the driver's correctness run covers the first N
 # registry entries per round, so the STALEST queries must enumerate
 # first.  Computed at import time from the CORRECTNESS_r*.json records
@@ -20386,7 +20481,7 @@ _REVALIDATE = {
 #: never-checked, tier 1) and defers only the r7 additions.
 #: r8 empties the r7 list (its 25 queries enumerate as plain
 #: never-checked, tier 1, draining with the 53-query r5/r6 backlog)
-#: and defers only the r8 additions — held to 14 this round (≤25 by
+#: and defers only the r8 additions — held to 15 this round (≤25 by
 #: VERDICT r7 item 3) so the ledger catches up.
 _DEFER_NEW: set[str] = {
     "t18_time_weighted_avg",
@@ -20403,6 +20498,7 @@ _DEFER_NEW: set[str] = {
     "v17_pq_adc_topk",
     "x59_adc_recall_audit",
     "x60_ingest_report",
+    "a50_two_proportion_z",
 }
 
 _FRESHNESS, _RED_LATEST = _driver_row_history()

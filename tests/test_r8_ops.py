@@ -208,3 +208,29 @@ def test_ingest_report_partition_of_batch(spark):
         >= F.lit(INGEST_IDX_BOUND)
     ).count()
     assert int(pdf.n_batch.sum()) == n_batch
+
+
+def test_two_proportion_z_pandas_replay(spark):
+    import math
+
+    row = _q("a50_two_proportion_z")(spark, SF).collect()[0]
+    ev = load(spark, SF, "events").toPandas()
+    ev = ev[ev.user_id.notna()]
+    conv = (
+        ev.assign(p=(ev.event_type == "purchase").astype(int))
+        .groupby("user_id")["p"]
+        .sum()
+        .ge(2)
+        .astype(int)
+    )
+    arms = conv.index.astype("int64") % 2
+    n_t, n_c = int((arms == 1).sum()), int((arms == 0).sum())
+    c_t = int(conv[arms == 1].sum())
+    c_c = int(conv[arms == 0].sum())
+    assert (row["n_t"], row["n_c"], row["c_t"], row["c_c"]) == (
+        n_t, n_c, c_t, c_c,
+    )
+    pp = (c_t + c_c) / (n_t + n_c)
+    se = math.sqrt(pp * (1 - pp) * (1 / n_t + 1 / n_c))
+    if se > 0:
+        assert abs(row["z"] - (c_t / n_t - c_c / n_c) / se) < 1e-12
