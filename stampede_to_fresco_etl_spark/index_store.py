@@ -224,7 +224,15 @@ def exact_fp_dir(
 
 
 def read_exact_fp(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.parquet(path).drop("batch_id")
+    """(fp, n_docs) aggregated across batch partitions — one fp can
+    appear in several batches of a stream-grown artifact
+    (`streaming.exact_fp_stream`), so copies are summed on read; for
+    the one-partition snapshot bootstrap this is the identity."""
+    return (
+        spark.read.parquet(path)
+        .groupBy("fp")
+        .agg(F.sum("n_docs").cast("long").alias("n_docs"))
+    )
 
 
 def pq_codes_dir(

@@ -81,3 +81,48 @@ def test_replay_converges(spark, tmp_path):
     apply_text_index_batch(spark, batch, 3, postings, doclen)  # replay
     again = _postings_set(spark.read.parquet(postings).drop("batch_id"))
     assert first == again and len(first) > 0
+
+
+def test_exact_fp_stream_equals_snapshot(spark, tmp_path):
+    """Two fp-stream waves over the d16 split's indexed corpus must
+    aggregate to exactly the snapshot artifact's (fp, n_docs) rows,
+    so the batch probe (d16) is artifact-source-agnostic."""
+    from stampede_to_fresco_etl_spark.catalog import (
+        INGEST_IDX_BOUND,
+        INGEST_SPLIT_SALT,
+    )
+    from stampede_to_fresco_etl_spark.functions import md5_int63
+    from stampede_to_fresco_etl_spark.streaming.exact_fp_stream import (
+        run_exact_fp_stream,
+    )
+
+    docs = load(spark, SF, "documents").select("doc_id", "text")
+    idx = docs.filter(
+        md5_int63("doc_id", salt=INGEST_SPLIT_SALT)
+        < F.lit(INGEST_IDX_BOUND)
+    )
+    landing = str(tmp_path / "landing")
+    fp_dir = str(tmp_path / "fps")
+    ckpt = str(tmp_path / "ckpt")
+    cut = idx.agg(
+        F.expr("percentile(doc_id, 0.5)").cast("long").alias("c")
+    ).collect()[0]["c"]
+    for wave in (
+        idx.filter(F.col("doc_id") <= cut),
+        idx.filter(F.col("doc_id") > cut),
+    ):
+        wave.write.mode("append").parquet(landing)
+        run_exact_fp_stream(spark, landing, fp_dir, ckpt).awaitTermination(
+            120
+        )
+
+    grown = {
+        (r["fp"], r["n_docs"])
+        for r in index_store.read_exact_fp(spark, fp_dir).collect()
+    }
+    snap_dir = index_store.exact_fp_dir(spark, SF, idx)
+    snap = {
+        (r["fp"], r["n_docs"])
+        for r in index_store.read_exact_fp(spark, snap_dir).collect()
+    }
+    assert grown == snap and len(grown) > 0
