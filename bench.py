@@ -134,6 +134,9 @@ EXTENSION = [
     "x59_adc_recall_audit",  # new r8: PQ recall vs exact L2 top-k
     "x60_ingest_report",  # new r8: gate->fp->LSH->admit batch capstone
     "a50_two_proportion_z",  # new r8: conversion-rate z-test
+    "w22_value_windows",  # new r8: IGNORE NULLS window canary
+    "f20_whitespace_scrub",  # new r8: normalization accounting
+    "x58_quota_redistribute",  # new r8: shortfall second pass
 ]
 
 HEADLINE = CORE + EXTENSION

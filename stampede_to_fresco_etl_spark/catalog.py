@@ -18925,7 +18925,14 @@ def q_cuped(spark, sf_dir):
     )
     d = lambda c: F.col(c).cast("double")  # noqa: E731
     n, sx, sy = d("n_users"), d("sx"), d("sy")
-    theta = (n * d("sxy") - sx * sy) / (n * d("sxx") - sx * sx)
+    # var(X) = 0 (every user's pre-period sum identical) would make
+    # the θ division raise under ANSI — emit NULL θ/adjustment
+    # instead of crashing (degenerate covariate ⇒ no adjustment
+    # exists); effectively unreachable on real data, guarded anyway
+    var_den = n * d("sxx") - sx * sx
+    theta = F.when(
+        var_den != 0.0, (n * d("sxy") - sx * sy) / var_den
+    )
     n_c = n - d("n_t")
     sxc, syc = sx - d("sxt"), sy - d("syt")
     eff_raw = d("syt") / d("n_t") - syc / n_c
@@ -18973,28 +18980,27 @@ tot AS (
          CAST(SUM(CASE WHEN arm = 1 THEN y ELSE 0 END) AS BIGINT) AS syt
   FROM per_user
 )
-SELECT n_users, n_t, sx, sy, sxy, sxx,
-       (CAST(n_users AS DOUBLE) * CAST(sxy AS DOUBLE)
-          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-       / (CAST(n_users AS DOUBLE) * CAST(sxx AS DOUBLE)
-          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS theta,
+t2 AS (
+  SELECT *,
+         CASE WHEN CAST(n_users AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0.0
+              THEN (CAST(n_users AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / (CAST(n_users AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         END AS theta
+  FROM tot
+)
+SELECT n_users, n_t, sx, sy, sxy, sxx, theta,
        CAST(syt AS DOUBLE) / CAST(n_t AS DOUBLE)
          - (CAST(sy AS DOUBLE) - CAST(syt AS DOUBLE))
            / (CAST(n_users AS DOUBLE) - CAST(n_t AS DOUBLE)) AS effect_raw,
-       (CAST(syt AS DOUBLE)
-          - ((CAST(n_users AS DOUBLE) * CAST(sxy AS DOUBLE)
-              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-             / (CAST(n_users AS DOUBLE) * CAST(sxx AS DOUBLE)
-                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
-            * CAST(sxt AS DOUBLE)) / CAST(n_t AS DOUBLE)
+       (CAST(syt AS DOUBLE) - theta * CAST(sxt AS DOUBLE))
+         / CAST(n_t AS DOUBLE)
        - ((CAST(sy AS DOUBLE) - CAST(syt AS DOUBLE))
-          - ((CAST(n_users AS DOUBLE) * CAST(sxy AS DOUBLE)
-              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-             / (CAST(n_users AS DOUBLE) * CAST(sxx AS DOUBLE)
-                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
-            * (CAST(sx AS DOUBLE) - CAST(sxt AS DOUBLE)))
+          - theta * (CAST(sx AS DOUBLE) - CAST(sxt AS DOUBLE)))
          / (CAST(n_users AS DOUBLE) - CAST(n_t AS DOUBLE)) AS effect_cuped
-FROM tot
+FROM t2
 """
 
 
