@@ -18979,7 +18979,7 @@ tot AS (
          CAST(SUM(CASE WHEN arm = 1 THEN x ELSE 0 END) AS BIGINT) AS sxt,
          CAST(SUM(CASE WHEN arm = 1 THEN y ELSE 0 END) AS BIGINT) AS syt
   FROM per_user
-)
+),
 t2 AS (
   SELECT *,
          CASE WHEN CAST(n_users AS DOUBLE) * CAST(sxx AS DOUBLE)
