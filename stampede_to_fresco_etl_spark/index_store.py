@@ -252,3 +252,64 @@ def pq_codes_dir(
 
 def read_pq_codes(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path).drop("batch_id")
+
+
+def compact_index(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 256 * 1024 * 1024,
+) -> int:
+    """Fold a batch-partitioned artifact's accreted ``batch_id=N``
+    partitions into one consolidated ``batch_id=0`` snapshot — the
+    maintenance pass the streaming docstrings promise: a daemon that
+    has run 10⁴ micro-batches leaves 10⁴ partitions whose file-open
+    overhead eventually dominates probe scans.
+
+    Correctness with the streams' replay protocol: the probe-side
+    exclusion reads ``batch_id != current``; once the checkpoint has
+    progressed past the folded batches, every live batch id exceeds
+    0, so consolidating history INTO ``batch_id=0`` preserves both
+    the exclusion and `read_*`'s aggregate semantics (contents are
+    unioned either way).  Run it from the maintenance window, never
+    concurrently with the daemon (compact_parquet's swap contract).
+    Returns the new file count."""
+    from stampede_to_fresco_etl_spark.sources.writers import (
+        compact_parquet,
+    )
+
+    df = (
+        spark.read.option("basePath", path)
+        .parquet(path)
+        .withColumn("batch_id", F.lit(0))
+    )
+    # materialize the folded rows BEFORE the swap deletes their
+    # source files (compact_parquet re-reads the live path; here the
+    # input and output are the same dir, so stage through lineage-
+    # free storage)
+    df = df.localCheckpoint()
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    live = jvm.org.apache.hadoop.fs.Path(path)
+    fs = live.getFileSystem(conf)
+    size = fs.getContentSummary(live).getLength()
+    n_files = max(1, -(-int(size) // int(target_file_bytes)))
+    tmp_s = path.rstrip("/") + "__compact_tmp"
+    bak_s = path.rstrip("/") + "__compact_bak"
+    (
+        df.repartition(n_files)
+        .write.mode("overwrite")
+        .option("compression", "zstd")
+        .partitionBy("batch_id")
+        .parquet(tmp_s)
+    )
+    tmp = jvm.org.apache.hadoop.fs.Path(tmp_s)
+    bak = jvm.org.apache.hadoop.fs.Path(bak_s)
+    if fs.exists(bak):
+        fs.delete(bak, True)
+    if not fs.rename(live, bak):
+        raise IOError(f"compact_index: could not move {path} aside")
+    if not fs.rename(tmp, live):
+        fs.rename(bak, live)  # roll back
+        raise IOError(f"compact_index: could not swap in {tmp_s}")
+    fs.delete(bak, True)
+    return n_files

@@ -126,3 +126,37 @@ def test_exact_fp_stream_equals_snapshot(spark, tmp_path):
         for r in index_store.read_exact_fp(spark, snap_dir).collect()
     }
     assert grown == snap and len(grown) > 0
+
+
+def test_compact_index_folds_partitions(spark, tmp_path):
+    """Growing an artifact over three batches then compacting must
+    leave one batch_id=0 snapshot with identical probe-visible
+    content."""
+    from stampede_to_fresco_etl_spark.streaming.exact_fp_stream import (
+        apply_exact_fp_batch,
+    )
+
+    docs = load(spark, SF, "documents").select("doc_id", "text")
+    fp_dir = str(tmp_path / "fps")
+    for i in range(3):
+        apply_exact_fp_batch(
+            spark, docs.filter(F.col("doc_id") % 3 == i), i, fp_dir
+        )
+    before = {
+        (r["fp"], r["n_docs"])
+        for r in index_store.read_exact_fp(spark, fp_dir).collect()
+    }
+    index_store.compact_index(spark, fp_dir)
+    after = {
+        (r["fp"], r["n_docs"])
+        for r in index_store.read_exact_fp(spark, fp_dir).collect()
+    }
+    assert before == after and len(after) > 0
+    bids = (
+        spark.read.option("basePath", fp_dir)
+        .parquet(fp_dir)
+        .select("batch_id")
+        .distinct()
+        .collect()
+    )
+    assert [r["batch_id"] for r in bids] == [0]
