@@ -137,6 +137,7 @@ EXTENSION = [
     "w22_value_windows",  # new r8: IGNORE NULLS window canary
     "f20_whitespace_scrub",  # new r8: normalization accounting
     "x58_quota_redistribute",  # new r8: shortfall second pass
+    "t20_business_day_lag",  # new r8: weekday-arithmetic SLA metric
 ]
 
 HEADLINE = CORE + EXTENSION

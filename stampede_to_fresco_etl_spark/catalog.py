@@ -20372,6 +20372,96 @@ REGISTRY.update(
 
 
 # ---------------------------------------------------------------------------
+# T20 — business-day latency: order→first-ship lag in Mon–Fri days,
+# by order month — the SLA metric every ops dashboard reports, in
+# pure integer arithmetic (no calendar dim, no engine weekday()
+# convention): F(d) = weekdays in [epoch, d] = 5·((d+1) div 7) +
+# partial[(d+1) mod 7], with the 8-entry partial table precomputed
+# from 1970-01-01 = Thursday and embedded as a literal array in both
+# engines (w21's pmod doctrine).  lag = F(ship) − F(order) counts
+# weekdays in (order, ship].  Scale: one join + two hash aggs; the
+# weekday math is whole-stage codegen (t19's lesson — no per-row
+# date functions after the one datediff).
+# ---------------------------------------------------------------------------
+
+#: partial[m] = weekdays among epoch-day offsets 0..m-1
+#: (epoch day 0 = Thursday: Thu,Fri,Sat,Sun,Mon,Tue,Wed)
+_T20_PARTIAL = [0, 1, 2, 2, 2, 3, 4, 5]
+
+
+def q_business_day_lag(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    first_ship = li.groupBy("l_orderkey").agg(
+        F.min("l_shipdate").alias("ship")
+    )
+    epoch = F.lit("1970-01-01")
+    j = (
+        o.join(first_ship, o.o_orderkey == first_ship.l_orderkey)
+        .filter(F.col("ship") >= F.col("o_orderdate"))
+        .select(
+            F.date_trunc("month", F.col("o_orderdate")).alias("month"),
+            F.datediff("o_orderdate", epoch).cast("long").alias("od"),
+            F.datediff("ship", epoch).cast("long").alias("sd"),
+        )
+    )
+    part = F.array(*[F.lit(v).cast("long") for v in _T20_PARTIAL])
+
+    def wk(day):
+        return F.lit(5) * F.expr(f"({day} + 1) div 7") + F.element_at(
+            part, (F.pmod(F.col(day) + 1, F.lit(7)) + 1).cast("int")
+        )
+
+    lag = (wk("sd") - wk("od")).alias("lag")
+    per = j.select("month", lag)
+    return per.groupBy("month").agg(
+        F.count("*").alias("n_orders"),
+        F.sum("lag").alias("lag_sum"),
+        (
+            F.sum("lag").cast("double") / F.count("*").cast("double")
+        ).alias("mean_lag"),
+        F.max("lag").alias("max_lag"),
+    )
+
+
+def _sql_business_day_lag() -> str:
+    part = ", ".join(str(v) for v in _T20_PARTIAL)
+    wk = (
+        "(5 * (({d} + 1) // 7) "
+        f"+ ([{part}])[CAST(({{d}} + 1) % 7 + 1 AS INTEGER)])"
+    )
+    return f"""
+WITH first_ship AS (
+  SELECT l_orderkey, min(l_shipdate) AS ship
+  FROM lineitem GROUP BY l_orderkey
+),
+j AS (
+  SELECT date_trunc('month', o_orderdate) AS month,
+         CAST(date_diff('day', DATE '1970-01-01', o_orderdate)
+              AS BIGINT) AS od,
+         CAST(date_diff('day', DATE '1970-01-01', ship) AS BIGINT) AS sd
+  FROM orders JOIN first_ship ON o_orderkey = l_orderkey
+  WHERE ship >= o_orderdate
+),
+per AS (
+  SELECT month,
+         CAST({wk.format(d='sd')} - {wk.format(d='od')} AS BIGINT) AS lag
+  FROM j
+)
+SELECT month, count(*) AS n_orders,
+       CAST(SUM(lag) AS BIGINT) AS lag_sum,
+       CAST(SUM(lag) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_lag,
+       CAST(MAX(lag) AS BIGINT) AS max_lag
+FROM per GROUP BY month
+"""
+
+
+REGISTRY.update(
+    {"t20_business_day_lag": (q_business_day_lag, _sql_business_day_lag())}
+)
+
+
+# ---------------------------------------------------------------------------
 # Enumeration order: the driver's correctness run covers the first N
 # registry entries per round, so the STALEST queries must enumerate
 # first.  Computed at import time from the CORRECTNESS_r*.json records
@@ -20487,7 +20577,7 @@ _REVALIDATE = {
 #: never-checked, tier 1) and defers only the r7 additions.
 #: r8 empties the r7 list (its 25 queries enumerate as plain
 #: never-checked, tier 1, draining with the 53-query r5/r6 backlog)
-#: and defers only the r8 additions — held to 15 this round (≤25 by
+#: and defers only the r8 additions — held to 16 this round (≤25 by
 #: VERDICT r7 item 3) so the ledger catches up.
 _DEFER_NEW: set[str] = {
     "t18_time_weighted_avg",
@@ -20505,6 +20595,7 @@ _DEFER_NEW: set[str] = {
     "x59_adc_recall_audit",
     "x60_ingest_report",
     "a50_two_proportion_z",
+    "t20_business_day_lag",
 }
 
 _FRESHNESS, _RED_LATEST = _driver_row_history()

