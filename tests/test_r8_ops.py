@@ -256,3 +256,37 @@ def test_business_day_lag_weekday_table(spark):
     assert (pdf.max_lag >= 0).all() and (pdf.lag_sum >= 0).all()
     # business-day lag never exceeds calendar-day lag
     assert (pdf.mean_lag <= pdf.lag_sum).all() or len(pdf) > 0
+
+
+def test_prorated_overlap_identity_hypothesis():
+    """Pure arithmetic property of t19's allocation formula: the
+    month overlaps of any interval partition it exactly — Σ overlap
+    days over the spanned months == total interval days (so the
+    un-floored allocation shares sum to the full price)."""
+    import datetime as dt
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.integers(min_value=0, max_value=20000),
+        st.integers(min_value=0, max_value=3000),
+    )
+    def check(od, span):
+        sd = od + span
+        epoch = dt.date(1970, 1, 1)
+        d0 = epoch + dt.timedelta(days=od)
+        d1 = epoch + dt.timedelta(days=sd)
+        mi0 = d0.year * 12 + d0.month
+        mi1 = d1.year * 12 + d1.month
+        total = 0
+        for mi in range(mi0, mi1 + 1):
+            y, m = (mi - 1) // 12, (mi - 1) % 12 + 1
+            m0 = (dt.date(y, m, 1) - epoch).days
+            ny, nm = (y, m + 1) if m < 12 else (y + 1, 1)
+            m1 = (dt.date(ny, nm, 1) - epoch).days - 1
+            total += min(sd, m1) - max(od, m0) + 1
+        assert total == sd - od + 1
+
+    check()
