@@ -83,8 +83,10 @@ def run_scale(spark, sf_dir: str) -> dict:
                 .filter(F.col("doc_id") >= boot_hi)
                 .count()
             )
+            # stream partitions are checkpoint-id + 1 (batch_id=0 is
+            # reserved for the snapshot bootstrap)
             dups = spark.read.parquet(
-                f"{dirs['dup']}/batch_id={i}"
+                f"{dirs['dup']}/batch_id={i + 1}"
             ).count()
             out["steady"].append(
                 {

@@ -17870,27 +17870,34 @@ def q_recall_nprobe_curve(spark, sf_dir):
     # sf0.1).  Each config then only explodes its own top-n_probe
     # cells and re-joins.
     centroids = S.seed_centroids(emb, "vec_id", "embedding", IVF_CENTROIDS)
-    cent_lits = F.array(
-        *[F.array(*[F.lit(x) for x in ctr]) for ctr in centroids]
+    c = S._with_centroid_col(
+        emb.select("vec_id", S.as_double_vec("embedding").alias("c_vec")),
+        centroids,
     )
-    c = emb.select("vec_id", S.as_double_vec("embedding").alias("c_vec"))
-    c_d = F.transform(cent_lits, lambda ctr: S._sqdist(F.col("c_vec"), ctr))
+    c_d = F.transform(
+        F.col("__cents"), lambda ctr: S._sqdist(F.col("c_vec"), ctr)
+    )
     assigned = (
         c.withColumn("d", c_d)
         .withColumn("cell", S._nearest_cells("c_vec", "d", 1)[0])
-        .drop("d")
+        .drop("d", "__cents")
         .withColumn("c_nrm", S._norm(F.col("c_vec")))
         .localCheckpoint()
     )
-    p = probes.select(
-        "probe_id", S.as_double_vec("embedding").alias("p_vec")
-    ).withColumn("p_nrm", S._norm(F.col("p_vec")))
-    p_d = F.transform(cent_lits, lambda ctr: S._sqdist(F.col("p_vec"), ctr))
+    p = S._with_centroid_col(
+        probes.select(
+            "probe_id", S.as_double_vec("embedding").alias("p_vec")
+        ).withColumn("p_nrm", S._norm(F.col("p_vec"))),
+        centroids,
+    )
+    p_d = F.transform(
+        F.col("__cents"), lambda ctr: S._sqdist(F.col("p_vec"), ctr)
+    )
     max_np = max(_V15_NPROBES)
     p = (
         p.withColumn("d", p_d)
         .withColumn("cells", S._nearest_cells("p_vec", "d", max_np))
-        .drop("d")
+        .drop("d", "__cents")
         .localCheckpoint()
     )
     out = None
@@ -19149,7 +19156,10 @@ def q_whitespace_scrub(spark, sf_dir):
         .otherwise(F.col("text"))
     )
     d = docs.select("source", dirty.alias("dirty"))
-    clean = F.regexp_replace(F.trim(F.col("dirty")), r"\s+", " ")
+    # collapse runs FIRST, then trim (ADVICE r8): trim() strips only
+    # spaces, so trailing '\t\t' would otherwise collapse to one
+    # trailing space and survive the "scrub"
+    clean = F.trim(F.regexp_replace(F.col("dirty"), r"\s+", " "))
     scrubbed = d.select(
         "source",
         (F.col("dirty") != clean).cast("long").alias("changed"),
@@ -19177,10 +19187,10 @@ WITH d AS (
 ),
 s AS (
   SELECT source,
-         CAST(dirty <> regexp_replace(trim(dirty), '\\s+', ' ', 'g')
+         CAST(dirty <> trim(regexp_replace(dirty, '\\s+', ' ', 'g'))
               AS BIGINT) AS changed,
          CAST(length(dirty)
-              - length(regexp_replace(trim(dirty), '\\s+', ' ', 'g'))
+              - length(trim(regexp_replace(dirty, '\\s+', ' ', 'g')))
               AS BIGINT) AS removed
   FROM d
 )

@@ -59,12 +59,20 @@ def _key(sf_dir: str) -> str:
     ).lstrip("_.")
 
 
-def _fresh_this_session(spark: SparkSession, path: str) -> bool:
-    k = (spark.sparkContext.applicationId, path)
-    if _MATERIALIZED.get(k):
-        return True
-    _MATERIALIZED[k] = True
-    return False
+def _already_materialized(spark: SparkSession, path: str) -> bool:
+    """True iff this artifact was fully built earlier in this Spark
+    session.  Pure check — callers build when False and then call
+    `_mark_materialized` AFTER the write succeeds, so a failed or
+    interrupted build never leaves the session flag set against a
+    missing/partial artifact (it would silently serve wrong probes
+    for the rest of the session)."""
+    return bool(
+        _MATERIALIZED.get((spark.sparkContext.applicationId, path))
+    )
+
+
+def _mark_materialized(spark: SparkSession, path: str) -> None:
+    _MATERIALIZED[(spark.sparkContext.applicationId, path)] = True
 
 
 def dedup_index_dir(
@@ -81,10 +89,11 @@ def dedup_index_dir(
     from stampede_to_fresco_etl_spark.operators.dedup import band_signatures
 
     path = f"{_scratch()}/index_store/dedup/{_key(sf_dir)}"
-    if not _fresh_this_session(spark, path):
+    if not _already_materialized(spark, path):
         band_signatures(indexed_sigs, num_hashes, bands).write.mode(
             "overwrite"
         ).parquet(f"{path}/batch_id=0")
+        _mark_materialized(spark, path)
     return path
 
 
@@ -108,13 +117,14 @@ def ann_index_dirs(
     from stampede_to_fresco_etl_spark.operators.similarity import (
         _nearest_cells,
         _sqdist,
+        _with_centroid_col,
         as_double_vec,
         seed_centroids,
     )
 
     base = f"{_scratch()}/index_store/ann/{_key(sf_dir)}"
     index_dir, centroids_dir = f"{base}/index", f"{base}/centroids"
-    if not _fresh_this_session(spark, base):
+    if not _already_materialized(spark, base):
         cents = seed_centroids(
             indexed_emb, "vec_id", "embedding", n_centroids
         )
@@ -122,22 +132,25 @@ def ann_index_dirs(
             [(i, c) for i, c in enumerate(cents)],
             "cell int, cv array<double>",
         ).coalesce(1).write.mode("overwrite").parquet(centroids_dir)
-        cent_lits = F.array(
-            *[F.array(*[F.lit(x) for x in c]) for c in cents]
-        )
         assigned = (
-            indexed_emb.select(
-                "vec_id", as_double_vec("embedding").alias("v")
+            _with_centroid_col(
+                indexed_emb.select(
+                    "vec_id", as_double_vec("embedding").alias("v")
+                ),
+                cents,
             )
             .withColumn(
                 "d",
-                F.transform(cent_lits, lambda c: _sqdist(F.col("v"), c)),
+                F.transform(
+                    F.col("__cents"), lambda c: _sqdist(F.col("v"), c)
+                ),
             )
             .select(
                 "vec_id", "v", _nearest_cells("v", "d", 1)[0].alias("cell")
             )
         )
         assigned.write.mode("overwrite").parquet(f"{index_dir}/batch_id=0")
+        _mark_materialized(spark, base)
     return index_dir, centroids_dir
 
 
@@ -178,7 +191,12 @@ def text_index_dirs(
     — BM25 probes (catalog x57) read ONLY their query terms'
     postings (predicate pushdown on token; at cluster scale the
     postings are partitioned/bucketed BY TOKEN so a probe touches a
-    handful of files), never the corpus.  Returns
+    handful of files), never the corpus.  Postings and doclen are
+    written under ``batch_id=0`` exactly like the other four
+    artifacts, so `streaming.text_index_stream` can grow a
+    snapshot-bootstrapped dir with ``batch_id=N`` partitions without
+    mixing partitioned and unpartitioned files (which Spark rejects
+    with "Conflicting directory structures").  Returns
     ``(postings_dir, doclen_dir, totals_dir)``."""
     base = f"{_scratch()}/index_store/text/{_key(sf_dir)}"
     postings, doclen, totals = (
@@ -186,7 +204,7 @@ def text_index_dirs(
         f"{base}/doclen",
         f"{base}/totals",
     )
-    if not _fresh_this_session(spark, base):
+    if not _already_materialized(spark, base):
         toks = docs.select(
             "doc_id",
             F.explode(F.split(F.trim("text"), r"\s+")).alias("token"),
@@ -194,15 +212,16 @@ def text_index_dirs(
         td = toks.groupBy("token", "doc_id").agg(
             F.count("*").cast("long").alias("tf")
         )
-        td.write.mode("overwrite").parquet(postings)
+        td.write.mode("overwrite").parquet(f"{postings}/batch_id=0")
         dl = toks.groupBy("doc_id").agg(
             F.count("*").cast("long").alias("dl")
         )
-        dl.write.mode("overwrite").parquet(doclen)
+        dl.write.mode("overwrite").parquet(f"{doclen}/batch_id=0")
         dl.agg(
             F.count("*").cast("long").alias("n_docs"),
             F.sum("dl").cast("long").alias("dl_sum"),
         ).coalesce(1).write.mode("overwrite").parquet(totals)
+        _mark_materialized(spark, base)
     return postings, doclen, totals
 
 
@@ -216,10 +235,11 @@ def exact_fp_dir(
     (32-byte keys; at cluster scale bucketed by fp so the probe
     shuffles only the batch side)."""
     path = f"{_scratch()}/index_store/exact_fp/{_key(sf_dir)}"
-    if not _fresh_this_session(spark, path):
+    if not _already_materialized(spark, path):
         indexed_docs.groupBy(F.md5("text").alias("fp")).agg(
             F.count("*").cast("long").alias("n_docs")
         ).write.mode("overwrite").parquet(f"{path}/batch_id=0")
+        _mark_materialized(spark, path)
     return path
 
 
@@ -245,8 +265,9 @@ def pq_codes_dir(
     ADC search (catalog v17) scans ONLY this table — at 10⁹ vectors
     the raw embeddings never leave cold storage."""
     path = f"{_scratch()}/index_store/pq_codes/{_key(sf_dir)}"
-    if not _fresh_this_session(spark, path):
+    if not _already_materialized(spark, path):
         codes.write.mode("overwrite").parquet(f"{path}/batch_id=0")
+        _mark_materialized(spark, path)
     return path
 
 

@@ -254,6 +254,44 @@ def _sqdist(a: Column, b: Column) -> Column:
     )
 
 
+#: Above this many centroids the inlined-literal expression tree
+#: blows whole-stage codegen (measured: 64 literal 64-dim centroids
+#: = 10× slower plans — SCALE.md r8); larger centroid sets ride a
+#: broadcast row instead.
+_LITERAL_CENTROID_MAX = 16
+
+
+def _with_centroid_col(
+    df: DataFrame, centroids: list[list[float]], col: str = "__cents"
+) -> DataFrame:
+    """Attach the frozen centroid table to every row as an
+    ``array<array<double>>`` column.
+
+    ≤ `_LITERAL_CENTROID_MAX` centroids: inline literals — the tree
+    stays small enough for whole-stage codegen and the plan is
+    self-contained.  Above that, the SAME values are shipped as ONE
+    broadcast row (a single-row DataFrame broadcast-cross-joined):
+    the centroid payload becomes data instead of expression tree, so
+    the plan compiles in O(1) regardless of cell count, and no
+    data-sized exchange is added (BroadcastNestedLoopJoin of a 1-row
+    build side).  Every downstream fold (`_sqdist`,
+    `_nearest_cells`) consumes identical doubles either way, so the
+    two paths are bit-exact twins (pinned by
+    tests/test_similarity.py)."""
+    if len(centroids) <= _LITERAL_CENTROID_MAX:
+        return df.withColumn(
+            col,
+            F.array(
+                *[F.array(*[F.lit(x) for x in c]) for c in centroids]
+            ),
+        )
+    cent_df = df.sparkSession.createDataFrame(
+        [([[float(x) for x in c] for c in centroids],)],
+        f"{col} array<array<double>>",
+    )
+    return df.crossJoin(F.broadcast(cent_df))
+
+
 def ivf_topk(
     corpus: DataFrame,
     probes: DataFrame,
@@ -287,24 +325,33 @@ def ivf_topk(
     cells.
     """
     centroids = seed_centroids(corpus, id_col, vec_col, n_centroids)
-    cent_lits = F.array(
-        *[F.array(*[F.lit(x) for x in ctr]) for ctr in centroids]
-    )
 
-    c = corpus.select(
-        F.col(id_col), as_double_vec(vec_col).alias("c_vec")
+    c = _with_centroid_col(
+        corpus.select(
+            F.col(id_col), as_double_vec(vec_col).alias("c_vec")
+        ),
+        centroids,
     )
-    c_dists = F.transform(cent_lits, lambda ctr: _sqdist(F.col("c_vec"), ctr))
+    c_dists = F.transform(
+        F.col("__cents"), lambda ctr: _sqdist(F.col("c_vec"), ctr)
+    )
     assigned = (
         c.withColumn("d", c_dists)
         .withColumn("cell", _nearest_cells("c_vec", "d", 1)[0])
-        .drop("d")
+        .drop("d", "__cents")
     )
 
-    p = probes.select(
-        F.col(probe_id_col), as_double_vec(vec_col).alias("p_vec")
-    ).withColumn("p_nrm", _norm(F.col("p_vec")))  # once, BEFORE explode
-    p_dists = F.transform(cent_lits, lambda ctr: _sqdist(F.col("p_vec"), ctr))
+    p = _with_centroid_col(
+        probes.select(
+            F.col(probe_id_col), as_double_vec(vec_col).alias("p_vec")
+        ).withColumn(
+            "p_nrm", _norm(F.col("p_vec"))
+        ),  # norm once, BEFORE explode
+        centroids,
+    )
+    p_dists = F.transform(
+        F.col("__cents"), lambda ctr: _sqdist(F.col("p_vec"), ctr)
+    )
     p = p.withColumn("d", p_dists).withColumn(
         "cells", _nearest_cells("p_vec", "d", n_probe)
     )
@@ -348,13 +395,15 @@ def ivf_probe_stored(
     cluster scale the index side is already bucketed by cell — only
     the batch moves).  Pass True only for a handful of serving
     queries."""
-    cent_lits = F.array(
-        *[F.array(*[F.lit(x) for x in ctr]) for ctr in centroids]
+    p = _with_centroid_col(
+        probes.select(
+            F.col(probe_id_col), as_double_vec(vec_col).alias("p_vec")
+        ).withColumn("p_nrm", _norm(F.col("p_vec"))),
+        centroids,
     )
-    p = probes.select(
-        F.col(probe_id_col), as_double_vec(vec_col).alias("p_vec")
-    ).withColumn("p_nrm", _norm(F.col("p_vec")))
-    p_dists = F.transform(cent_lits, lambda ctr: _sqdist(F.col("p_vec"), ctr))
+    p_dists = F.transform(
+        F.col("__cents"), lambda ctr: _sqdist(F.col("p_vec"), ctr)
+    )
     p = (
         p.withColumn("d", p_dists)
         .withColumn("cells", _nearest_cells("p_vec", "d", n_probe))

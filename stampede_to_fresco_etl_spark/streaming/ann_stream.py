@@ -37,6 +37,7 @@ from pyspark.sql.utils import AnalysisException
 from stampede_to_fresco_etl_spark.operators.similarity import (
     _nearest_cells,
     _sqdist,
+    _with_centroid_col,
     as_double_vec,
     ivf_probe_stored,
     seed_centroids,
@@ -91,13 +92,11 @@ def apply_ann_batch(
     cents = _load_or_seed_centroids(
         spark, batch_df, batch_id, centroids_dir, n_centroids
     )
-    cent_lits = F.array(
-        *[F.array(*[F.lit(x) for x in c]) for c in cents]
-    )
-    b = batch_df.select(
-        "vec_id", as_double_vec("embedding").alias("v")
+    b = _with_centroid_col(
+        batch_df.select("vec_id", as_double_vec("embedding").alias("v")),
+        cents,
     ).withColumn(
-        "d", F.transform(cent_lits, lambda c: _sqdist(F.col("v"), c))
+        "d", F.transform(F.col("__cents"), lambda c: _sqdist(F.col("v"), c))
     )
     assigned = b.select(
         "vec_id", "v", _nearest_cells("v", "d", 1)[0].alias("cell")
@@ -159,11 +158,13 @@ def run_incremental_ann(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(landing_dir)
+    # batch id + 1: batch_id=0 is reserved for the snapshot
+    # bootstrap (index_store) — see dedup_stream.run_incremental_dedup
     writer = stream.writeStream.foreachBatch(
         lambda df, bid: apply_ann_batch(
             spark,
             df,
-            bid,
+            bid + 1,
             index_dir,
             matches_dir,
             centroids_dir,

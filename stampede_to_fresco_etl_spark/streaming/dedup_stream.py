@@ -140,11 +140,16 @@ def run_incremental_dedup(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(landing_dir)
+    # partition id = checkpoint batch id + 1: ``batch_id=0`` is
+    # reserved for the snapshot bootstrap (index_store), so a fresh
+    # daemon pointed at a bootstrapped artifact never overwrites the
+    # snapshot with its first micro-batch.  Replay still converges —
+    # the offset is a pure function of the checkpoint's id.
     writer = stream.writeStream.foreachBatch(
         lambda df, bid: apply_dedup_batch(
             spark,
             df,
-            bid,
+            bid + 1,
             index_dir,
             matches_dir,
             num_hashes=num_hashes,

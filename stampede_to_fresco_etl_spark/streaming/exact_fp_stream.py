@@ -51,8 +51,10 @@ def run_exact_fp_stream(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(landing_dir)
+    # batch id + 1: batch_id=0 is reserved for the snapshot
+    # bootstrap (index_store) — see dedup_stream.run_incremental_dedup
     writer = stream.writeStream.foreachBatch(
-        lambda df, bid: apply_exact_fp_batch(spark, df, bid, fp_dir)
+        lambda df, bid: apply_exact_fp_batch(spark, df, bid + 1, fp_dir)
     ).option("checkpointLocation", checkpoint_dir)
     if available_now:
         writer = writer.trigger(availableNow=True)

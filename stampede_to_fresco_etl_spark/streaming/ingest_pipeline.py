@@ -181,11 +181,13 @@ def run_ingest_pipeline(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(landing_dir)
+    # batch id + 1: batch_id=0 is reserved for the snapshot
+    # bootstrap (index_store) — see dedup_stream.run_incremental_dedup
     writer = stream.writeStream.foreachBatch(
         lambda df, bid: apply_ingest_batch(
             spark,
             df,
-            bid,
+            bid + 1,
             drop_dir,
             dup_dir,
             admitted_dir,

@@ -93,9 +93,11 @@ def run_text_index_stream(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(landing_dir)
+    # batch id + 1: batch_id=0 is reserved for the snapshot
+    # bootstrap (index_store) — see dedup_stream.run_incremental_dedup
     writer = stream.writeStream.foreachBatch(
         lambda df, bid: apply_text_index_batch(
-            spark, df, bid, postings_dir, doclen_dir
+            spark, df, bid + 1, postings_dir, doclen_dir
         )
     ).option("checkpointLocation", checkpoint_dir)
     if available_now:

@@ -151,3 +151,146 @@ def test_ann_stream_on_batch_built_artifact(spark, tmp_path):
     )
     self_hits = top.filter(F.col("vec_id") == F.col("new_id")).count()
     assert self_hits == probes.count()
+
+
+def test_artifact_isolation_and_fresh_overwrite(spark, tmp_path):
+    """Two sf_dirs in one session must get DISTINCT artifacts, and a
+    'fresh session' (no materialized flag) must overwrite a stale
+    on-disk artifact — the regenerated-testdata contract."""
+    docs_a = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "doc_id long, text string"
+    )
+    docs_b = spark.createDataFrame(
+        [(3, "gamma"), (4, "delta"), (5, "gamma")],
+        "doc_id long, text string",
+    )
+    key_a = str(tmp_path / "corpus_a")
+    key_b = str(tmp_path / "corpus_b")
+    p_a = index_store.exact_fp_dir(spark, key_a, docs_a)
+    p_b = index_store.exact_fp_dir(spark, key_b, docs_b)
+    assert p_a != p_b
+    assert index_store.read_exact_fp(spark, p_a).count() == 2
+    assert index_store.read_exact_fp(spark, p_b).count() == 2  # gamma x2
+
+    # same key again in-session: reuse, NOT rebuild (content pinned
+    # to the first build even though we pass different docs)
+    p_a2 = index_store.exact_fp_dir(spark, key_a, docs_b)
+    assert p_a2 == p_a
+    assert index_store.read_exact_fp(spark, p_a).count() == 2
+
+    # simulate a fresh session: clear the flag -> next touch rebuilds
+    # from the new corpus (overwrite, no stale leak)
+    index_store._MATERIALIZED.pop(
+        (spark.sparkContext.applicationId, p_a)
+    )
+    index_store.exact_fp_dir(spark, key_a, docs_b)
+    fps = {
+        r["fp"]: r["n_docs"]
+        for r in index_store.read_exact_fp(spark, p_a).collect()
+    }
+    assert len(fps) == 2 and 2 in fps.values()  # gamma twice
+
+
+def test_failed_build_does_not_mark_materialized(spark, tmp_path):
+    """A build that throws must NOT set the session flag: the next
+    call must build for real instead of probing a missing artifact
+    (ADVICE r8)."""
+    import pytest
+
+    key = str(tmp_path / "corpus_fail")
+    bad = spark.createDataFrame([(1,)], "doc_id long")  # no text col
+    with pytest.raises(Exception):
+        index_store.exact_fp_dir(spark, key, bad)
+    good = spark.createDataFrame(
+        [(1, "alpha")], "doc_id long, text string"
+    )
+    path = index_store.exact_fp_dir(spark, key, good)
+    assert index_store.read_exact_fp(spark, path).count() == 1
+
+
+def _grow_dedup(spark, tmp_path, docs):
+    idx = str(tmp_path / "idx")
+    matches = str(tmp_path / "m")
+    for i in range(3):
+        apply_dedup_batch(
+            spark,
+            docs.filter(F.col("doc_id") % 3 == i),
+            i,
+            idx,
+            matches,
+            num_hashes=MINHASH_K,
+            bands=MINHASH_BANDS,
+        )
+    return idx, lambda: {
+        tuple(r)
+        for r in spark.read.option("basePath", idx)
+        .parquet(idx)
+        .drop("batch_id")
+        .collect()
+    }
+
+
+def _grow_ann(spark, tmp_path, _docs):
+    emb = load(spark, SF, "embeddings").select("vec_id", "embedding")
+    idx = str(tmp_path / "idx")
+    matches = str(tmp_path / "m")
+    cents = str(tmp_path / "c")
+    for i in range(3):
+        apply_ann_batch(
+            spark,
+            emb.filter(F.col("vec_id") % 3 == i),
+            i,
+            idx,
+            matches,
+            cents,
+            n_centroids=V16_CENTROIDS,
+            n_probe=V16_NPROBE,
+        )
+    return idx, lambda: {
+        (r["vec_id"], tuple(r["v"]), r["cell"])
+        for r in index_store.read_ann_index(spark, idx).collect()
+    }
+
+
+def _grow_exact_fp(spark, tmp_path, docs):
+    from stampede_to_fresco_etl_spark.streaming.exact_fp_stream import (
+        apply_exact_fp_batch,
+    )
+
+    idx = str(tmp_path / "fps")
+    for i in range(3):
+        apply_exact_fp_batch(
+            spark, docs.filter(F.col("doc_id") % 3 == i), i, idx
+        )
+    return idx, lambda: {
+        (r["fp"], r["n_docs"])
+        for r in index_store.read_exact_fp(spark, idx).collect()
+    }
+
+
+import pytest  # noqa: E402
+
+
+@pytest.mark.parametrize(
+    "grow", [_grow_dedup, _grow_ann, _grow_exact_fp],
+    ids=["dedup_bands", "ann_index", "exact_fp"],
+)
+def test_compact_index_all_artifact_families(spark, tmp_path, grow):
+    """grow (3 stream batches) -> compact -> probe-visible content
+    identical, one batch_id=0 partition left — for each stored-index
+    family (their layouts differ: band rows vs (vec_id, v, cell) vs
+    (fp, n_docs))."""
+    docs = load(spark, SF, "documents").select("doc_id", "text")
+    path, read = grow(spark, tmp_path, docs)
+    before = read()
+    index_store.compact_index(spark, path)
+    after = read()
+    assert before == after and len(after) > 0
+    bids = (
+        spark.read.option("basePath", path)
+        .parquet(path)
+        .select("batch_id")
+        .distinct()
+        .collect()
+    )
+    assert [r["batch_id"] for r in bids] == [0]

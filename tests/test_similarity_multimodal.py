@@ -301,3 +301,64 @@ def test_sample_frames_uniform_and_malformed(spark):
         assert len(by_id[mid]) == 1
         r = by_id[mid][0]
         assert r["frame_idx"] is None and r["frame"] is None
+
+
+def test_centroid_broadcast_table_path_bit_exact(spark, monkeypatch):
+    """Above `_LITERAL_CENTROID_MAX` the centroid table must ride ONE
+    broadcast row instead of inlined literals (the measured >16-cell
+    codegen cliff — SCALE.md r8) and produce bit-identical results:
+    a 64-cell config now runs without the 10x literal-tree penalty,
+    and the two paths share every downstream fold."""
+    from stampede_to_fresco_etl_spark.operators import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    probes = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    assert S._LITERAL_CENTROID_MAX < 64
+    table_df = S.ivf_topk(emb, probes, k=5, n_centroids=64, n_probe=4)
+    # plan canary: the 1-row centroid side must come in as a broadcast
+    # (BroadcastNestedLoopJoin), never a data-sized Exchange
+    plan = table_df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+    table = table_df.collect()
+
+    monkeypatch.setattr(S, "_LITERAL_CENTROID_MAX", 10_000)
+    lit = S.ivf_topk(emb, probes, k=5, n_centroids=64, n_probe=4).collect()
+    assert sorted(map(tuple, table)) == sorted(map(tuple, lit))
+    assert len(table) == 15  # k per probe
+
+
+def test_ivf_probe_stored_broadcast_table_path(spark, monkeypatch):
+    """Same two-path equivalence on the stored-index probe kernel
+    (shared by v16 and ann_stream)."""
+    from stampede_to_fresco_etl_spark.operators import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = S.seed_centroids(emb, "vec_id", "embedding", 24)
+    assigned = (
+        S._with_centroid_col(
+            emb.select(
+                "vec_id", S.as_double_vec("embedding").alias("v")
+            ),
+            cents,
+        )
+        .withColumn(
+            "d",
+            F.transform(
+                F.col("__cents"), lambda c: S._sqdist(F.col("v"), c)
+            ),
+        )
+        .select(
+            "vec_id", "v", S._nearest_cells("v", "d", 1)[0].alias("cell")
+        )
+        .localCheckpoint()
+    )
+    probes = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    table = S.ivf_probe_stored(assigned, cents, probes, k=5).collect()
+    monkeypatch.setattr(S, "_LITERAL_CENTROID_MAX", 10_000)
+    lit = S.ivf_probe_stored(assigned, cents, probes, k=5).collect()
+    assert sorted(map(tuple, table)) == sorted(map(tuple, lit))
+    assert len(table) == 15

@@ -83,7 +83,9 @@ def test_two_waves_match_batch_kernels(spark, dirs):
     n_docs = len(WAVE1) + len(WAVE2)
     assert idx.select("doc").distinct().count() == n_docs
     assert idx.count() == n_docs * 3  # 3 bands per doc
-    assert set(idx.select("batch_id").distinct().toPandas()["batch_id"]) == {0, 1}
+    # partitions are checkpoint-id + 1 — batch_id=0 is reserved for
+    # the snapshot bootstrap (index_store)
+    assert set(idx.select("batch_id").distinct().toPandas()["batch_id"]) == {1, 2}
 
 
 def test_replay_converges(spark, dirs):

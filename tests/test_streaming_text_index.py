@@ -128,35 +128,46 @@ def test_exact_fp_stream_equals_snapshot(spark, tmp_path):
     assert grown == snap and len(grown) > 0
 
 
-def test_compact_index_folds_partitions(spark, tmp_path):
-    """Growing an artifact over three batches then compacting must
-    leave one batch_id=0 snapshot with identical probe-visible
-    content."""
-    from stampede_to_fresco_etl_spark.streaming.exact_fp_stream import (
-        apply_exact_fp_batch,
-    )
-
+def test_stream_grows_snapshot_bootstrapped_text_index(spark, tmp_path):
+    """The batch↔stream interop the artifact matrix advertises, on
+    the text family (ADVICE r8): bootstrap the postings/doclen
+    artifact from half the corpus via `index_store.text_index_dirs`
+    (batch_id=0), then point the streaming daemon AT THAT DIRECTORY
+    with the other half — the read must not hit 'Conflicting
+    directory structures', the union must equal the full-corpus
+    tokenization, and the daemon's partitions must sit beside the
+    snapshot (batch ids ≥ 1)."""
     docs = load(spark, SF, "documents").select("doc_id", "text")
-    fp_dir = str(tmp_path / "fps")
-    for i in range(3):
-        apply_exact_fp_batch(
-            spark, docs.filter(F.col("doc_id") % 3 == i), i, fp_dir
-        )
-    before = {
-        (r["fp"], r["n_docs"])
-        for r in index_store.read_exact_fp(spark, fp_dir).collect()
-    }
-    index_store.compact_index(spark, fp_dir)
-    after = {
-        (r["fp"], r["n_docs"])
-        for r in index_store.read_exact_fp(spark, fp_dir).collect()
-    }
-    assert before == after and len(after) > 0
-    bids = (
-        spark.read.option("basePath", fp_dir)
-        .parquet(fp_dir)
-        .select("batch_id")
-        .distinct()
-        .collect()
+    half1 = docs.filter(F.col("doc_id") % 2 == 0)
+    half2 = docs.filter(F.col("doc_id") % 2 == 1)
+    # a per-test snapshot key: sf_dir is only an artifact cache key
+    snap_p, snap_l, _snap_t = index_store.text_index_dirs(
+        spark, str(tmp_path / "corpus"), half1
     )
-    assert [r["batch_id"] for r in bids] == [0]
+    landing = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    half2.write.mode("append").parquet(landing)
+    run_text_index_stream(
+        spark, landing, snap_p, snap_l, ckpt
+    ).awaitTermination(120)
+
+    grown = spark.read.parquet(snap_p)
+    expected = _postings_set(
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.trim("text"), r"\s+")).alias("token"),
+        )
+        .groupBy("token", "doc_id")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    assert _postings_set(grown) == expected
+
+    bids = {
+        r["batch_id"]
+        for r in grown.select("batch_id").distinct().collect()
+    }
+    assert 0 in bids and all(b >= 0 for b in bids) and len(bids) > 1
+
+    tot = read_text_totals(spark, snap_l).collect()[0]
+    assert tot["n_docs"] == len({d for (_t, d, _tf) in expected})
+    assert tot["dl_sum"] == sum(tf for (_t, _d, tf) in expected)
