@@ -1882,7 +1882,9 @@ def q_ivf_topk(spark, sf_dir):
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
-def _sql_ivf_topk() -> str:
+def _sql_ivf_topk(
+    n_centroids: int = IVF_CENTROIDS, n_probe: int = IVF_NPROBE
+) -> str:
     sq_cs = _D_SQDIST.format(a="e.v", b="s.cv")
     sq_ps = _D_SQDIST.format(a="p.pv", b="s.cv")
     pair_dot = _D_DOT.format(a="pc.pv", b="a.v")
@@ -1893,7 +1895,7 @@ WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 seeds AS (
   SELECT CAST(row_number() OVER (ORDER BY h) - 1 AS INTEGER) AS cell, v AS cv
   FROM (SELECT v, md5(CAST(vec_id AS VARCHAR)) AS h
-        FROM e ORDER BY h LIMIT {IVF_CENTROIDS})
+        FROM e ORDER BY h LIMIT {n_centroids})
 ),
 assigned AS (
   SELECT vec_id, v, cell FROM (
@@ -1913,7 +1915,7 @@ pcells AS (
     FROM (SELECT vec_id AS probe_id, v AS pv
           FROM e WHERE vec_id < {N_PROBES}) p
     CROSS JOIN seeds s
-  ) WHERE rn <= {IVF_NPROBE}
+  ) WHERE rn <= {n_probe}
 ),
 s AS (
   SELECT pc.probe_id, a.vec_id,
@@ -20075,29 +20077,62 @@ REGISTRY.update(
 # ---------------------------------------------------------------------------
 
 
-def q_adc_recall_audit(spark, sf_dir):
+def adc_recall_audit(
+    spark, sf_dir, probe_sample_mod: int = 1, exact_engine: str = "column"
+):
+    """Parameterized kernel behind x59 — the exact arm's two
+    deployment knobs (VERDICT r8 item 3a; the exact leg is inherently
+    probes × corpus, linear in the corpus by definition of an exact
+    audit):
+
+    - `probe_sample_mod`: audit every mod-th probe (deterministic
+      vec_id stride — reproducible in any engine, no RNG); cost
+      scales with 1/mod.
+    - `exact_engine="arrow"`: the probes×corpus distance fold as a
+      numpy gram matrix per Arrow batch
+      (`similarity.exact_l2_topk_arrow`) instead of the interpreted
+      higher-order-function fold — measured ~5× on this arm at sf1
+      (SCALE.md r9); d² may differ ~1 ulp from the left fold, so the
+      oracle-gated registry entry stays on "column".
+
+    The registry pins mod=1 + column (full audit, oracle-exact)."""
     from stampede_to_fresco_etl_spark.operators.similarity import (
         _sqdist,
         as_double_vec,
+        exact_l2_topk_arrow,
         partial_topk,
     )
 
     emb = load(spark, sf_dir, "embeddings")
-    probes = emb.filter(F.col("vec_id") < _V17_PROBES).select(
+    is_probe = F.col("vec_id") < _V17_PROBES
+    if probe_sample_mod > 1:
+        is_probe = is_probe & (F.col("vec_id") % probe_sample_mod == 0)
+    probes = emb.filter(is_probe).select(
         F.col("vec_id").alias("probe_id"),
         as_double_vec("embedding").alias("pv"),
     )
     corpus = emb.select(
         "vec_id", as_double_vec("embedding").alias("cv")
     )
-    scored = corpus.join(F.broadcast(probes)).select(
-        "probe_id",
-        "vec_id",
-        (-_sqdist(F.col("pv"), F.col("cv"))).alias("cos_sim"),
-    )
-    exact = partial_topk(scored, "probe_id", "vec_id", _V17_TOPK).select(
-        "probe_id", "vec_id"
-    )
+    if exact_engine == "arrow":
+        probe_rows = [
+            (r["probe_id"], [float(x) for x in r["pv"]])
+            for r in probes.collect()  # bounded: audit probes only
+        ]
+        exact = exact_l2_topk_arrow(
+            corpus, probe_rows, k=_V17_TOPK
+        ).select("probe_id", "vec_id")
+    elif exact_engine == "column":
+        scored = corpus.join(F.broadcast(probes)).select(
+            "probe_id",
+            "vec_id",
+            (-_sqdist(F.col("pv"), F.col("cv"))).alias("cos_sim"),
+        )
+        exact = partial_topk(
+            scored, "probe_id", "vec_id", _V17_TOPK
+        ).select("probe_id", "vec_id")
+    else:
+        raise ValueError(f"unknown exact_engine {exact_engine!r}")
     adc = q_pq_adc_topk(spark, sf_dir).select("probe_id", "vec_id")
     hits = exact.join(adc, ["probe_id", "vec_id"]).groupBy(
         "probe_id"
@@ -20112,13 +20147,22 @@ def q_adc_recall_audit(spark, sf_dir):
     )
 
 
-def _sql_adc_recall_audit() -> str:
+def q_adc_recall_audit(spark, sf_dir):
+    return adc_recall_audit(spark, sf_dir, probe_sample_mod=1)
+
+
+def _sql_adc_recall_audit(probe_sample_mod: int = 1) -> str:
     d2 = _D_SQDIST.format(a="p.pv", b="c.cv")
+    stride = (
+        f" AND vec_id % {probe_sample_mod} = 0"
+        if probe_sample_mod > 1
+        else ""
+    )
     return f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 probes AS (
   SELECT vec_id AS probe_id, v AS pv FROM e
-  WHERE vec_id < {_V17_PROBES}
+  WHERE vec_id < {_V17_PROBES}{stride}
 ),
 corpus AS (SELECT vec_id, v AS cv FROM e),
 exact AS (
@@ -20472,6 +20516,134 @@ REGISTRY.update(
 
 
 # ---------------------------------------------------------------------------
+# V18 — IVF top-k at 64 cells: v4's dataflow through the BROADCAST
+# centroid-table path (`similarity._with_centroid_col` — above 16
+# centroids the frozen table rides one broadcast row instead of
+# inlined literals, the measured r8 codegen cliff).  Same oracle
+# family as v4, parametrized; this entry makes the driver's gate
+# prove the new path bit-exact every round.  n_probe=8 keeps recall
+# comparable while the cell grid is 4× finer — the shape a 10⁹-vector
+# index actually runs (cells ∝ √n, always ≫ 16).
+# ---------------------------------------------------------------------------
+
+_V18_CENTROIDS = 64
+_V18_NPROBE = 8
+
+
+def q_ivf_cellgrid_topk(spark, sf_dir):
+    from stampede_to_fresco_etl_spark.operators.similarity import ivf_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    out = ivf_topk(
+        emb,
+        probes,
+        k=TOPK_K,
+        n_centroids=_V18_CENTROIDS,
+        n_probe=_V18_NPROBE,
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+REGISTRY.update(
+    {
+        "v18_ivf_cellgrid_topk": (
+            q_ivf_cellgrid_topk,
+            _sql_ivf_topk(
+                n_centroids=_V18_CENTROIDS, n_probe=_V18_NPROBE
+            ),
+        )
+    }
+)
+
+
+# ---------------------------------------------------------------------------
+# X61 — the SAMPLED deployment shape of x59's recall audit: audit
+# every 2nd probe (deterministic vec_id stride).  x59 stays the full
+# audit; this entry driver-gates the sampling knob itself — the
+# stride must select exactly the strided probes and leave each
+# surviving probe's (n_hits, recall) untouched.
+# ---------------------------------------------------------------------------
+
+
+def q_sampled_adc_audit(spark, sf_dir):
+    return adc_recall_audit(spark, sf_dir, probe_sample_mod=2)
+
+
+REGISTRY.update(
+    {
+        "x61_sampled_adc_audit": (
+            q_sampled_adc_audit,
+            _sql_adc_recall_audit(probe_sample_mod=2),
+        )
+    }
+)
+
+
+# ---------------------------------------------------------------------------
+# D17 — d16's stored-fingerprint probe against a COMPACTED artifact:
+# grow the fp index exactly as the streaming daemon would (three
+# accreted ``batch_id=N`` partitions via the stream's own foreachBatch
+# body), fold them with `index_store.compact_index`, then run the d16
+# probe.  Compaction is content-preserving by construction
+# (read_exact_fp sums copies across partitions either way), so the
+# oracle is d16's — and the driver's hash gate proves the maintenance
+# pass end-to-end every round, not just in pytest.
+# ---------------------------------------------------------------------------
+
+
+def q_compacted_exact_probe(spark, sf_dir):
+    from stampede_to_fresco_etl_spark import index_store
+    from stampede_to_fresco_etl_spark.functions import md5_int63
+    from stampede_to_fresco_etl_spark.streaming.exact_fp_stream import (
+        apply_exact_fp_batch,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    is_idx = md5_int63("doc_id", salt=INGEST_SPLIT_SALT) < F.lit(
+        INGEST_IDX_BOUND
+    )
+    path = (
+        f"{_SCRATCH}/index_store/exact_fp_compacted/"
+        f"{index_store._key(sf_dir)}"
+    )
+    if not index_store._already_materialized(spark, path):
+        for i in range(3):
+            apply_exact_fp_batch(
+                spark,
+                docs.filter(is_idx & (F.col("doc_id") % 3 == i)),
+                i,
+                path,
+            )
+        index_store.compact_index(spark, path)
+        index_store._mark_materialized(spark, path)
+    idx = index_store.read_exact_fp(spark, path)
+    new = docs.filter(~is_idx).select(
+        "doc_id", F.md5("text").alias("fp")
+    )
+    return new.join(idx, "fp", "left").select(
+        "doc_id",
+        "fp",
+        F.col("n_docs").isNotNull().cast("long").alias("known"),
+        F.coalesce("n_docs", F.lit(0).cast("long")).alias(
+            "n_known_copies"
+        ),
+    )
+
+
+REGISTRY.update(
+    {
+        "d17_compacted_exact_probe": (
+            q_compacted_exact_probe,
+            _sql_incremental_exact_dedup(),
+        )
+    }
+)
+
+
+# ---------------------------------------------------------------------------
 # Enumeration order: the driver's correctness run covers the first N
 # registry entries per round, so the STALEST queries must enumerate
 # first.  Computed at import time from the CORRECTNESS_r*.json records
@@ -20556,27 +20728,22 @@ def _driver_row_history() -> tuple[dict[str, int], set[str]]:
 #: other 16 are never-checked (tier 1), so none need this tier for
 #: sampling; listed here are only queries with a PRIOR GREEN driver
 #: row whose operator/oracle changed this round.
+#: r9: the r8 HUGEINT-cast cohort that drew driver slots is green
+#: (w5/w5b/x42/x36/s31/a36/g3/x35/u6/x40/d13 — CORRECTNESS_r08);
+#: the 6 still-unchecked cast-fixed oracles stay listed so the
+#: tier-1 sub-priority samples them FIRST (VERDICT r8 item 1).
+#: v4/v10 have prior green rows and their IVF kernel changed this
+#: round (broadcast-centroid-table path) — they re-validate.
 _REVALIDATE = {
-    "w5_analytic_windows",
-    # The 16 cast-fixed never-checked oracles (tier 1 already —
-    # listed per VERDICT r7 item 3 so any that gain a driver row
-    # before the code settles re-sample rather than going stale).
-    "w5b_analytic_windows_kernel",
+    "v4_ivf_topk",
+    "v10_ivf_recall_audit",
+    # never-checked ex-HUGEINT six — tier-1 front of the line:
     "a45_kaplan_meier",
-    "x42_dedup_token_budget",
-    "x36_mixture_plan",
-    "s31_compaction_plan",
     "w18_longest_streak",
     "k4_hll_cumulative",
     "g4_source_modularity",
     "w21_seasonal_dow",
     "x51_threshold_sweep",
-    "a36_robust_trend",
-    "g3_pagerank_int",
-    "x35_lsh_sensitivity_audit",
-    "u6_except_all_bag",
-    "x40_e2e_corpus_build",
-    "d13_cross_source_dups",
 }
 
 #: Queries FIRST ADDED this round: they are never-checked too, but the
@@ -20589,24 +20756,12 @@ _REVALIDATE = {
 #: never-checked, tier 1, draining with the 53-query r5/r6 backlog)
 #: and defers only the r8 additions — held to 16 this round (≤25 by
 #: VERDICT r7 item 3) so the ledger catches up.
-_DEFER_NEW: set[str] = {
-    "t18_time_weighted_avg",
-    "w22_value_windows",
-    "a48_cuped",
-    "f19_url_parse",
-    "f20_whitespace_scrub",
-    "k6_bloom_fpr_audit",
-    "t19_prorated_allocation",
-    "x58_quota_redistribute",
-    "g5_label_propagation",
-    "x57_bm25_stored_index",
-    "d16_incremental_exact_dedup",
-    "v17_pq_adc_topk",
-    "x59_adc_recall_audit",
-    "x60_ingest_report",
-    "a50_two_proportion_z",
-    "t20_business_day_lag",
-}
+#: r9 empties the r8 list AND defers nothing: the whole backlog (45
+#: never-checked) plus the 3 r9 additions plus the 2 _REVALIDATE
+#: green-row queries is exactly the driver's 50-slot window
+#: (VERDICT r8 item 1 — drain to ZERO), so the r9 additions ride
+#: tier 1's tail by insertion order instead of waiting a round.
+_DEFER_NEW: set[str] = set()
 
 _FRESHNESS, _RED_LATEST = _driver_row_history()
 _NEWEST_CHECKED = max(_FRESHNESS.values(), default=0)
@@ -20635,7 +20790,10 @@ def _enum_rank(name: str) -> tuple[int, int]:
         return (0, 0)
     fresh = _FRESHNESS.get(name)
     if fresh is None and name not in _DEFER_NEW:
-        return (1, 0)
+        # sub-priority 0: never-checked queries ALSO flagged for
+        # revalidation (r9: the six cast-fixed ex-HUGEINT oracles)
+        # sample ahead of the plain backlog — VERDICT r8 item 1.
+        return (1, 0 if name in _REVALIDATE else 1)
     if name in _REVALIDATE:
         return (2, 0)
     if fresh is not None and fresh < _NEWEST_CHECKED:

@@ -427,6 +427,69 @@ def ivf_probe_stored(
     return partial_topk(scored, probe_id_col, "vec_id", k)
 
 
+def exact_l2_topk_arrow(
+    corpus: DataFrame,
+    probe_rows: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "cv",
+    probe_id_col: str = "probe_id",
+    k: int = 10,
+) -> DataFrame:
+    """Exact L2 top-k with the probes×corpus distance fold done as a
+    numpy gram matrix per Arrow batch — the fast engine for audit
+    arms (x59) whose exact leg is inherently linear in the corpus.
+
+    Same two-stage shape as `partial_topk`: each Arrow batch emits
+    its own lexsort-(d², id) top-k per probe (a superset of any
+    global top-k member, ties included), and one tiny window re-ranks
+    the ≤ batches × k survivors.  ~8× over the interpreted
+    higher-order-function fold on this exact shape (SCALE.md's v3c
+    measurement) — but d² comes from BLAS pairwise summation, so it
+    can differ ~1 ulp from the left-fold `_sqdist`: keep the column
+    engine wherever bit-exactness against a SQL oracle matters.
+
+    `probe_rows` is driver-side state — audits probe a handful of
+    vectors (the bounded-collect calibration-table pattern).
+
+    Output: (probe_id, vec_id, negd2, rank), rank ∈ [1, k]."""
+    import numpy as np
+    import pandas as pd
+
+    pids = [int(i) for i, _ in probe_rows]
+    P = np.array([v for _, v in probe_rows], dtype=np.float64)
+    p_sq = (P * P).sum(axis=1)
+
+    def per_batch(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            C = np.stack(pdf[vec_col].values).astype(np.float64)
+            ids = pdf[id_col].values
+            d2 = (
+                (C * C).sum(axis=1)[:, None]
+                + p_sq[None, :]
+                - 2.0 * (C @ P.T)
+            )
+            out = {probe_id_col: [], id_col: [], "negd2": []}
+            for j, pid in enumerate(pids):
+                order = np.lexsort((ids, d2[:, j]))[:k]
+                out[probe_id_col].extend([pid] * len(order))
+                out[id_col].extend(ids[order])
+                out["negd2"].extend(-d2[order, j])
+            yield pd.DataFrame(out)
+
+    survivors = corpus.select(id_col, vec_col).mapInPandas(
+        per_batch, f"{probe_id_col} long, {id_col} long, negd2 double"
+    )
+    w = Window.partitionBy(probe_id_col).orderBy(
+        F.col("negd2").desc(), F.col(id_col)
+    )
+    return (
+        survivors.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def recommended_planes(
     n_rows: int,
     target_bucket_rows: int = 1024,

@@ -253,9 +253,10 @@ def test_business_day_lag_weekday_table(spark):
             acc += 1
         assert F_of(d) == acc, d
     pdf = _q("t20_business_day_lag")(spark, SF).toPandas()
+    assert len(pdf) > 0
     assert (pdf.max_lag >= 0).all() and (pdf.lag_sum >= 0).all()
-    # business-day lag never exceeds calendar-day lag
-    assert (pdf.mean_lag <= pdf.lag_sum).all() or len(pdf) > 0
+    # a group mean never exceeds the group sum of non-negative lags
+    assert (pdf.mean_lag <= pdf.lag_sum).all()
 
 
 def test_prorated_overlap_identity_hypothesis():
@@ -290,3 +291,27 @@ def test_prorated_overlap_identity_hypothesis():
         assert total == sd - od + 1
 
     check()
+
+
+def test_adc_recall_audit_knobs(spark):
+    """x59's deployment knobs: the arrow exact engine must reproduce
+    the column engine's audit rows (top-k sets match; d² ulp noise
+    cannot flip a set on this data), and probe sampling must return
+    exactly the strided probe subset with unchanged per-probe rows."""
+    from stampede_to_fresco_etl_spark.catalog import adc_recall_audit
+
+    sf = "/root/testdata/sf0.001"
+    full = {
+        (r["probe_id"], r["n_hits"], r["recall"])
+        for r in adc_recall_audit(spark, sf).collect()
+    }
+    arrow = {
+        (r["probe_id"], r["n_hits"], r["recall"])
+        for r in adc_recall_audit(spark, sf, exact_engine="arrow").collect()
+    }
+    assert arrow == full and len(full) == 3
+    sampled = {
+        (r["probe_id"], r["n_hits"], r["recall"])
+        for r in adc_recall_audit(spark, sf, probe_sample_mod=2).collect()
+    }
+    assert sampled == {t for t in full if t[0] % 2 == 0}
