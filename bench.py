@@ -138,6 +138,28 @@ EXTENSION = [
     "f20_whitespace_scrub",  # new r8: normalization accounting
     "x58_quota_redistribute",  # new r8: shortfall second pass
     "t20_business_day_lag",  # new r8: weekday-arithmetic SLA metric
+    "v18_ivf_cellgrid_topk",  # new r9: 64-cell broadcast-centroid IVF
+    "x61_sampled_adc_audit",  # new r9: strided recall-audit shape
+    "d17_compacted_exact_probe",  # new r9: probe of a compacted artifact
+]
+
+# CORE_V2 (frozen r9, VERDICT r8 item 2): CORE plus the stored-
+# artifact steady-state serving surface, so the cross-round chain
+# covers the shape a deployment actually runs (index probes, stored
+# postings/codes, the ingest capstone).  v1's total stays reported
+# alongside — the unbroken r4-comparable chain.  Do not add to
+# CORE_V2 either; future additions rotate through EXTENSION.
+CORE_V2 = CORE + [
+    "d15_incremental_dedup",
+    "v16_incremental_ann",
+    "d16_incremental_exact_dedup",
+    "x57_bm25_stored_index",
+    "v17_pq_adc_topk",
+    "x60_ingest_report",
+    "w20_rolling_wau",
+    "x53_inverted_index",
+    "j17_salted_hot_join",
+    "t19_prorated_allocation",
 ]
 
 HEADLINE = CORE + EXTENSION
@@ -303,6 +325,9 @@ def main() -> None:
     core_total = round(
         sum(timings[n] for n in CORE if n in timings), 3
     )
+    core_v2_total = round(
+        sum(timings[n] for n in CORE_V2 if n in timings), 3
+    )
     out = {
         "metric": "headline_queries_total_wall",
         "value": total,
@@ -321,6 +346,8 @@ def main() -> None:
         "round": rnd,
         "core_total": core_total,
         "core_n": len(CORE),
+        "core_v2_total": core_v2_total,
+        "core_v2_n": len(CORE_V2),
     }
     if io:
         side["io"] = io
@@ -332,10 +359,29 @@ def main() -> None:
         # round's tail capture failed — r3 — so fall back to the raw)
         prev = prev.get("parsed") or prev
         if prev.get("sf") == sf:
+            prev_q = dict(prev.get("queries", {}))
+            # Bracket medians beat single runs as baselines (VERDICT
+            # r8 item 8): where the previous round recorded a 3-run
+            # bracket for a query (BENCH_BRACKET_r{N}*.json), its
+            # median replaces that round's single timing so vs_prev
+            # measures drift, not which side of the noise the one
+            # run landed on.
+            here = os.path.dirname(os.path.abspath(__file__))
+            for bp in glob.glob(
+                os.path.join(here, f"BENCH_BRACKET_r{_rnum(prev_path)}*.json")
+            ):
+                try:
+                    with open(bp) as f:
+                        bq = json.load(f).get("queries", {})
+                    for name, rec in bq.items():
+                        if name in prev_q and "median" in rec:
+                            prev_q[name] = rec["median"]
+                except (OSError, ValueError, TypeError):
+                    pass
             side["vs_prev"] = {
-                name: round(t - prev["queries"][name], 3)
+                name: round(t - prev_q[name], 3)
                 for name, t in timings.items()
-                if name in prev.get("queries", {})
+                if name in prev_q
             }
             # io moved to the BENCH_IO_r{N} side file in r4 — read the
             # previous round's side file, falling back to the embedded

@@ -17064,7 +17064,7 @@ def q_kmeans_refine(spark, sf_dir):
                 "__d",
                 F.transform(c0, lambda ctr: S._sqdist(F.col("v"), ctr)),
             )
-            .withColumn("cell", S._nearest_cells("v", "__d", 1)[0])
+            .withColumn("cell", S._nearest_cell("__d"))
             .drop("__d")
             .persist()
         )
@@ -17111,7 +17111,7 @@ def q_kmeans_refine(spark, sf_dir):
         emb.withColumn(
             "__d", F.transform(c1, lambda ctr: S._sqdist(F.col("v"), ctr))
         )
-        .withColumn("__idx", S._nearest_cells("v", "__d", 1)[0])
+        .withColumn("__idx", S._nearest_cell("__d"))
         .select(
             F.element_at(cell_ids, F.col("__idx") + 1).alias("cell"),
             F.element_at(F.col("__d"), F.col("__idx") + 1).alias("dist"),
@@ -17881,7 +17881,7 @@ def q_recall_nprobe_curve(spark, sf_dir):
     )
     assigned = (
         c.withColumn("d", c_d)
-        .withColumn("cell", S._nearest_cells("c_vec", "d", 1)[0])
+        .withColumn("cell", S._nearest_cell("d"))
         .drop("d", "__cents")
         .withColumn("c_nrm", S._norm(F.col("c_vec")))
         .localCheckpoint()

@@ -115,7 +115,7 @@ def ann_index_dirs(
     layout `streaming.ann_stream.apply_ann_batch` grows.  Returns
     ``(index_dir, centroids_dir)``."""
     from stampede_to_fresco_etl_spark.operators.similarity import (
-        _nearest_cells,
+        _nearest_cell,
         _sqdist,
         _with_centroid_col,
         as_double_vec,
@@ -146,7 +146,7 @@ def ann_index_dirs(
                 ),
             )
             .select(
-                "vec_id", "v", _nearest_cells("v", "d", 1)[0].alias("cell")
+                "vec_id", "v", _nearest_cell("d").alias("cell")
             )
         )
         assigned.write.mode("overwrite").parquet(f"{index_dir}/batch_id=0")

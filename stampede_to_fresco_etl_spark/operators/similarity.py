@@ -206,10 +206,34 @@ def lsh_topk(
     return partial_topk(scored, probe_id_col, id_col, k)
 
 
+def _nearest_cell(dist_col: str) -> Column:
+    """Index of the SINGLE nearest centroid, ties → lowest index:
+    argmin as ``array_position(d, array_min(d)) - 1``.  Semantically
+    identical to ``_nearest_cells(_, d, 1)[0]`` (array_position
+    returns the FIRST occurrence, i.e. the lowest index on an exact
+    tie) but references the distance array only twice instead of
+    sorting a struct array with an interpreted comparator.
+
+    Why it exists (measured, SCALE.md r9): when the assignment is a
+    join input, Catalyst inlines the distance-array expression into
+    its consumers, and the comparator sort then re-evaluates the
+    whole array per comparison — at 64 cells the fused 'assign + cell
+    equi-join' stage went 57 s where the same join with argmin runs
+    1.95 s (sf0.1, local[32]).  Every n=1 corpus/batch assignment
+    must use this; `_nearest_cells` stays for the n_probe>1 PROBE
+    side, which is calibration-sized."""
+    return (
+        F.array_position(F.col(dist_col), F.array_min(dist_col)) - 1
+    ).cast("int")
+
+
 def _nearest_cells(vec_col: str, dist_col: str, n: int) -> Column:
     """Indexes of the `n` nearest centroids given a per-centroid
     distance array, ties broken by centroid index — deterministic and
-    reproducible in SQL (`row_number OVER (ORDER BY dist, cell)`)."""
+    reproducible in SQL (`row_number OVER (ORDER BY dist, cell)`).
+    For n=1 on a DATA-SIZED side use `_nearest_cell` (argmin) — the
+    interpreted comparator sort is a measured 30× cliff when the
+    distance array gets inlined at join-key position."""
     return F.expr(
         f"slice(transform(array_sort("
         f"transform(sequence(0, size({dist_col}) - 1), "
@@ -337,7 +361,7 @@ def ivf_topk(
     )
     assigned = (
         c.withColumn("d", c_dists)
-        .withColumn("cell", _nearest_cells("c_vec", "d", 1)[0])
+        .withColumn("cell", _nearest_cell("d"))
         .drop("d", "__cents")
     )
 

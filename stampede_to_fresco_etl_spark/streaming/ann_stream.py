@@ -35,7 +35,7 @@ from pyspark.sql.types import StructType
 from pyspark.sql.utils import AnalysisException
 
 from stampede_to_fresco_etl_spark.operators.similarity import (
-    _nearest_cells,
+    _nearest_cell,
     _sqdist,
     _with_centroid_col,
     as_double_vec,
@@ -99,7 +99,7 @@ def apply_ann_batch(
         "d", F.transform(F.col("__cents"), lambda c: _sqdist(F.col("v"), c))
     )
     assigned = b.select(
-        "vec_id", "v", _nearest_cells("v", "d", 1)[0].alias("cell")
+        "vec_id", "v", _nearest_cell("d").alias("cell")
     ).localCheckpoint()
 
     index = None
