@@ -348,6 +348,11 @@ def main() -> None:
         "core_n": len(CORE),
         "core_v2_total": core_v2_total,
         "core_v2_n": len(CORE_V2),
+        # full timings in the side file: the driver's BENCH_r{N} tail
+        # capture truncates the stdout line once the query dict grows
+        # past ~2 kB (r8's record has parsed: null), and vs_prev dies
+        # with it — the side file is written by THIS process, whole.
+        "queries": timings,
     }
     if io:
         side["io"] = io
@@ -357,16 +362,40 @@ def main() -> None:
             prev = json.load(f)
         # the driver wraps our JSON line under "parsed" (null when the
         # round's tail capture failed — r3 — so fall back to the raw)
-        prev = prev.get("parsed") or prev
+        parsed = prev.get("parsed")
+        if isinstance(parsed, dict):
+            prev = parsed
         if prev.get("sf") == sf:
             prev_q = dict(prev.get("queries", {}))
+            here = os.path.dirname(os.path.abspath(__file__))
+            if not prev_q:
+                # driver tail truncation (r8: parsed null, only the
+                # line's tail survives) — best-recovery order: the
+                # previous round's side file (complete, written by
+                # that bench process itself), then name:seconds pairs
+                # regex-scraped from the surviving tail fragment.
+                try:
+                    with open(
+                        os.path.join(
+                            here, f"BENCH_IO_r{_rnum(prev_path)}.json"
+                        )
+                    ) as f:
+                        prev_q = dict(json.load(f).get("queries", {}))
+                except (OSError, ValueError):
+                    pass
+            if not prev_q:
+                tail = prev.get("tail", "") or ""
+                for name, sec in re.findall(
+                    r'"([a-z0-9_]+)":\s*([0-9.]+)', tail
+                ):
+                    if name in REGISTRY:
+                        prev_q[name] = float(sec)
             # Bracket medians beat single runs as baselines (VERDICT
             # r8 item 8): where the previous round recorded a 3-run
             # bracket for a query (BENCH_BRACKET_r{N}*.json), its
             # median replaces that round's single timing so vs_prev
             # measures drift, not which side of the noise the one
             # run landed on.
-            here = os.path.dirname(os.path.abspath(__file__))
             for bp in glob.glob(
                 os.path.join(here, f"BENCH_BRACKET_r{_rnum(prev_path)}*.json")
             ):
