@@ -278,10 +278,14 @@ def _sqdist(a: Column, b: Column) -> Column:
     )
 
 
-#: Above this many centroids the inlined-literal expression tree
-#: blows whole-stage codegen (measured: 64 literal 64-dim centroids
-#: = 10× slower plans — SCALE.md r8); larger centroid sets ride a
-#: broadcast row instead.
+#: Above this many centroids the centroid table rides a broadcast
+#: row instead of inlined literals.  (r9 re-attribution, SCALE.md:
+#: r8's "literal cliff" was really the interpreted comparator sort
+#: in `_nearest_cells` — at 64 cells literal evaluation itself is
+#: still fine — but the literal TREE grows as cells × dim, and at
+#: real cell counts (√n: thousands) plan analysis/serialization and
+#: codegen method limits are the hard wall, so the data-shipped form
+#: stays the scale path.)
 _LITERAL_CENTROID_MAX = 16
 
 
@@ -292,16 +296,15 @@ def _with_centroid_col(
     ``array<array<double>>`` column.
 
     ≤ `_LITERAL_CENTROID_MAX` centroids: inline literals — the tree
-    stays small enough for whole-stage codegen and the plan is
-    self-contained.  Above that, the SAME values are shipped as ONE
-    broadcast row (a single-row DataFrame broadcast-cross-joined):
-    the centroid payload becomes data instead of expression tree, so
-    the plan compiles in O(1) regardless of cell count, and no
-    data-sized exchange is added (BroadcastNestedLoopJoin of a 1-row
-    build side).  Every downstream fold (`_sqdist`,
-    `_nearest_cells`) consumes identical doubles either way, so the
-    two paths are bit-exact twins (pinned by
-    tests/test_similarity.py)."""
+    stays small and the plan is self-contained.  Above that, the
+    SAME values are shipped as ONE broadcast row (a single-row
+    DataFrame broadcast-cross-joined): the centroid payload becomes
+    data instead of expression tree, so the plan stays O(1) in cell
+    count, and no data-sized exchange is added
+    (BroadcastNestedLoopJoin of a 1-row build side).  Every
+    downstream fold (`_sqdist`, `_nearest_cell`) consumes identical
+    doubles either way, so the two paths are bit-exact twins (pinned
+    by tests/test_similarity_multimodal.py)."""
     if len(centroids) <= _LITERAL_CENTROID_MAX:
         return df.withColumn(
             col,
