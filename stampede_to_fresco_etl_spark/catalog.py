@@ -11606,43 +11606,31 @@ _PQ_DIMS = 16  # dims per subspace (m × dims = 64)
 
 
 def q_pq_codes(spark, sf_dir):
+    from stampede_to_fresco_etl_spark.operators.similarity import (
+        pq_encode,
+    )
+
     emb = load(spark, sf_dir, "embeddings")
-    seeds = sorted(
+    seeds = pq_seed_codebook(emb)
+    # encode via the shared kernel (`similarity.pq_encode`) — the
+    # same expressions the streaming codes daemon applies per batch,
+    # so batch ≡ stream on the codes artifact is structural
+    return pq_encode(
+        emb, seeds, m=_PQ_M, dims=_PQ_DIMS
+    )
+
+
+def pq_seed_codebook(emb) -> list[list[float]]:
+    """The frozen PQ codebook as full-dimension vectors: the _PQ_K
+    smallest vec_ids (deterministic; a bounded 16-row collect —
+    dimension data, same class as an IVF seed)."""
+    rows = sorted(
         emb.filter(F.col("vec_id") < _PQ_K)
         .select("vec_id", "embedding")
         .collect(),
         key=lambda r: r.vec_id,
     )
-    code_cols, err_cols = [], []
-    for s in range(_PQ_M):
-        sub = F.transform(
-            F.slice("embedding", s * _PQ_DIMS + 1, _PQ_DIMS),
-            lambda x: x.cast("double"),
-        )
-        dists = []
-        for j in range(_PQ_K):
-            cvec = F.array(
-                *[
-                    F.lit(float(v))
-                    for v in seeds[j].embedding[
-                        s * _PQ_DIMS : (s + 1) * _PQ_DIMS
-                    ]
-                ]
-            )
-            diffs = F.zip_with(sub, cvec, lambda a, b: (a - b) * (a - b))
-            dists.append(
-                F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
-            )
-        arr = F.array(*dists)
-        best = F.array_min(arr)
-        code_cols.append(
-            (F.array_position(arr, best) - 1).cast("int").alias(f"code{s}")
-        )
-        err_cols.append(best)
-    recon = err_cols[0]
-    for c in err_cols[1:]:
-        recon = recon + c
-    return emb.select("vec_id", *code_cols, recon.alias("recon_err"))
+    return [[float(x) for x in r.embedding] for r in rows]
 
 
 def _sql_pq_codes() -> str:
@@ -20737,6 +20725,10 @@ def _driver_row_history() -> tuple[dict[str, int], set[str]]:
 _REVALIDATE = {
     "v4_ivf_topk",
     "v10_ivf_recall_audit",
+    # v11's encode body moved to the shared kernel
+    # (`similarity.pq_encode`, the pq_codes_stream twin) — sweep-
+    # exact, but the green r8 row predates the motion.
+    "v11_pq_codes",
     # never-checked ex-HUGEINT six — tier-1 front of the line:
     "a45_kaplan_meier",
     "w18_longest_streak",

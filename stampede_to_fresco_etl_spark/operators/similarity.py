@@ -703,6 +703,62 @@ def _near_dups_arrow(
     )
 
 
+def pq_encode(
+    df: DataFrame,
+    seed_vectors: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    dims: int = 16,
+) -> DataFrame:
+    """Product-quantization ENCODE against a frozen codebook — the
+    shared kernel behind the batch code build (catalog v11) and the
+    streaming codes daemon (`streaming.pq_codes_stream`): split each
+    (m·dims)-dim vector into m subvectors, pick each subspace's
+    nearest codeword (L2², argmin via array_min + array_position —
+    ties → lowest code, `_nearest_cell`'s argument), emit the m codes
+    plus the summed reconstruction error.
+
+    `seed_vectors` is the codebook as FULL-dimension vectors (entry j
+    supplies codeword j of every subspace — the v11 seeding
+    convention); k = len(seed_vectors) codewords per subspace.
+    Codebook values ride as literals: k·m·dims doubles is
+    calibration-sized (the IVF-seed precedent), and the per-subspace
+    argmin references each distance array exactly twice.
+
+    In-row Column arithmetic throughout — no join, no shuffle, no
+    UDF; fold order matches the DuckDB list_reduce oracle exactly
+    (v11's parity).  Output: (id_col, code0..code{m-1}, recon_err)."""
+    code_cols, err_cols = [], []
+    for s in range(m):
+        sub = F.transform(
+            F.slice(vec_col, s * dims + 1, dims),
+            lambda x: x.cast("double"),
+        )
+        dists = []
+        for j in range(len(seed_vectors)):
+            cvec = F.array(
+                *[
+                    F.lit(float(v))
+                    for v in seed_vectors[j][s * dims : (s + 1) * dims]
+                ]
+            )
+            diffs = F.zip_with(sub, cvec, lambda a, b: (a - b) * (a - b))
+            dists.append(
+                F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+            )
+        arr = F.array(*dists)
+        best = F.array_min(arr)
+        code_cols.append(
+            (F.array_position(arr, best) - 1).cast("int").alias(f"code{s}")
+        )
+        err_cols.append(best)
+    recon = err_cols[0]
+    for c in err_cols[1:]:
+        recon = recon + c
+    return df.select(F.col(id_col), *code_cols, recon.alias("recon_err"))
+
+
 def quantize_int8(
     df: DataFrame, id_col: str, vec_col: str, err_scale: int = 10**12
 ) -> DataFrame:
