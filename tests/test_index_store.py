@@ -268,12 +268,30 @@ def _grow_exact_fp(spark, tmp_path, docs):
     }
 
 
+def _grow_pq_codes(spark, tmp_path, _docs):
+    from stampede_to_fresco_etl_spark.streaming.pq_codes_stream import (
+        apply_pq_codes_batch,
+    )
+
+    emb = load(spark, SF, "embeddings").select("vec_id", "embedding")
+    codes = str(tmp_path / "codes")
+    book = str(tmp_path / "codebook")
+    for i in range(3):
+        apply_pq_codes_batch(
+            spark, emb.filter(F.col("vec_id") % 3 == i), i, codes, book
+        )
+    return codes, lambda: {
+        tuple(r)
+        for r in index_store.read_pq_codes(spark, codes).collect()
+    }
+
+
 import pytest  # noqa: E402
 
 
 @pytest.mark.parametrize(
-    "grow", [_grow_dedup, _grow_ann, _grow_exact_fp],
-    ids=["dedup_bands", "ann_index", "exact_fp"],
+    "grow", [_grow_dedup, _grow_ann, _grow_exact_fp, _grow_pq_codes],
+    ids=["dedup_bands", "ann_index", "exact_fp", "pq_codes"],
 )
 def test_compact_index_all_artifact_families(spark, tmp_path, grow):
     """grow (3 stream batches) -> compact -> probe-visible content
