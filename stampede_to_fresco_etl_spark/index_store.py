@@ -323,14 +323,71 @@ def compact_index(
         .partitionBy("batch_id")
         .parquet(tmp_s)
     )
+    _swap_in(spark, path, tmp_s)
+    return n_files
+
+
+def _swap_in(spark: SparkSession, live_s: str, tmp_s: str) -> None:
+    """Hadoop-FS rename swap with rollback (compact_parquet's
+    contract): move the live dir aside, rename the staged dir in,
+    delete the backup — or restore the live dir if the swap fails.
+    Single-writer: call from a maintenance window only."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    live = jvm.org.apache.hadoop.fs.Path(live_s)
+    fs = live.getFileSystem(conf)
     tmp = jvm.org.apache.hadoop.fs.Path(tmp_s)
+    bak_s = live_s.rstrip("/") + "__swap_bak"
     bak = jvm.org.apache.hadoop.fs.Path(bak_s)
     if fs.exists(bak):
         fs.delete(bak, True)
-    if not fs.rename(live, bak):
-        raise IOError(f"compact_index: could not move {path} aside")
+    had_live = fs.exists(live)
+    if had_live and not fs.rename(live, bak):
+        raise IOError(f"swap: could not move {live_s} aside")
     if not fs.rename(tmp, live):
-        fs.rename(bak, live)  # roll back
-        raise IOError(f"compact_index: could not swap in {tmp_s}")
+        if had_live:
+            fs.rename(bak, live)  # roll back
+        raise IOError(f"swap: could not swap in {tmp_s}")
     fs.delete(bak, True)
-    return n_files
+
+
+def refresh_pq_codes(
+    spark: SparkSession,
+    codes_dir: str,
+    codebook_dir: str,
+    emb: DataFrame,
+    new_seeds: list[list[float]],
+    m: int = 4,
+    dims: int = 16,
+) -> None:
+    """Codebook REFRESH — the one PQ maintenance pass that cannot be
+    incremental: codes are meaningless across codebooks, so a refresh
+    is a full re-encode of the corpus (the raw embeddings' one pass
+    out of cold storage) against the new codebook, landed as a fresh
+    ``batch_id=0`` snapshot.  Completes the PQ artifact lifecycle:
+    build (v11) → serve (v17's ADC scan) → grow
+    (`streaming.pq_codes_stream`) → fold (`compact_index`) →
+    refresh (here).
+
+    Both artifacts swap via the Hadoop-FS rename protocol
+    (`_swap_in`), codes first and codebook second, so a reader that
+    races the window sees either the old pair or — for the one
+    rename-width gap — new codes with the old codebook; run from a
+    maintenance window with the daemon stopped (compact_index's
+    single-writer contract), then restart the daemon with a fresh
+    checkpoint so its partitions begin at 1 again."""
+    from stampede_to_fresco_etl_spark.operators.similarity import (
+        pq_encode,
+    )
+
+    codes_tmp = codes_dir.rstrip("/") + "__refresh_tmp"
+    book_tmp = codebook_dir.rstrip("/") + "__refresh_tmp"
+    pq_encode(
+        emb.select("vec_id", "embedding"), new_seeds, m=m, dims=dims
+    ).write.mode("overwrite").parquet(f"{codes_tmp}/batch_id=0")
+    spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(new_seeds)],
+        "code int, cv array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(book_tmp)
+    _swap_in(spark, codes_dir, codes_tmp)
+    _swap_in(spark, codebook_dir, book_tmp)

@@ -111,3 +111,46 @@ def test_first_batch_seeds_codebook_and_replay_converges(
     probe = {r[0]: r for r in codes1}
     seed_ids = sorted(probe)[:16]
     assert all(probe[vid][5] == 0.0 for vid in seed_ids)
+
+
+def test_codebook_refresh_swaps_codes_and_book(spark, tmp_path):
+    """refresh_pq_codes: grow codes under codebook A, refresh to
+    codebook B — afterwards the artifacts hold exactly
+    pq_encode(corpus, B) as one batch_id=0 snapshot plus B as the
+    companion, with the A-era growth partitions gone."""
+    emb = load(spark, SF, "embeddings").select("vec_id", "embedding")
+    codes_dir = str(tmp_path / "codes")
+    book_dir = str(tmp_path / "codebook")
+    for i in (1, 2):
+        apply_pq_codes_batch(
+            spark, emb.filter(F.col("vec_id") % 2 == i - 1), i,
+            codes_dir, book_dir,
+        )
+    # codebook B: a different deterministic sample (next 16 ids)
+    rows = (
+        emb.filter((F.col("vec_id") >= 16) & (F.col("vec_id") < 32))
+        .orderBy("vec_id")
+        .collect()
+    )
+    seeds_b = [[float(x) for x in r["embedding"]] for r in rows]
+    index_store.refresh_pq_codes(
+        spark, codes_dir, book_dir, emb, seeds_b
+    )
+    got = _code_set(index_store.read_pq_codes(spark, codes_dir))
+    want = _code_set(pq_encode(emb, seeds_b))
+    assert got == want and len(want) > 0
+    bids = {
+        r["batch_id"]
+        for r in spark.read.parquet(codes_dir)
+        .select("batch_id")
+        .distinct()
+        .collect()
+    }
+    assert bids == {0}
+    book = sorted(
+        (r["code"], tuple(r["cv"]))
+        for r in spark.read.parquet(book_dir).collect()
+    )
+    assert book == sorted(
+        (i, tuple(v)) for i, v in enumerate(seeds_b)
+    )
