@@ -19880,18 +19880,57 @@ REGISTRY.update(
 _V17_PROBES = 3
 _V17_TOPK = 10
 
-#: (applicationId, sf_dir) -> (distance tables, codes artifact dir) —
-#: probe-calibration state (M·K·P doubles) + the snapshot codes path,
-#: collected/materialized once per session (the _KM_CACHE pattern):
-#: a repeat search pays only the codes-parquet scan + TakeOrdered.
-_V17_CACHE: dict = {}
+#: (applicationId, sf_dir, n_probes) -> ADC distance tables —
+#: probe-calibration state (M·K·P doubles), collected once per
+#: session (the _KM_CACHE pattern): a repeat search pays only the
+#: codes-parquet scan + TakeOrdered.  Shared by v17 (full-corpus ADC)
+#: and v19 (cell-restricted IVF-PQ ADC).
+_PQ_LUT_CACHE: dict = {}
+
+#: (applicationId, sf_dir) -> codes artifact dir; pq_codes_dir is
+#: already once-per-session on the WRITE, but constructing the codes
+#: frame re-collects the 16-row seed codebook — cache the path too.
+_PQ_CODES_DIR_CACHE: dict = {}
+
+
+def _pq_codes_dir_cached(spark, sf_dir) -> str:
+    from stampede_to_fresco_etl_spark import index_store
+
+    ck = (spark.sparkContext.applicationId, sf_dir)
+    path = _PQ_CODES_DIR_CACHE.get(ck)
+    if path is None:
+        path = index_store.pq_codes_dir(
+            spark, sf_dir, q_pq_codes(spark, sf_dir)
+        )
+        _PQ_CODES_DIR_CACHE[ck] = path
+    return path
+
+
+def _adc_expr(tab, p: int):
+    """The ADC score of one probe as a fixed-order column expression:
+    M lookup-table element_at's summed left-to-right — the exact
+    association the oracle's ``t0.d2 + t1.d2 + ...`` uses."""
+    adc = None
+    for s in range(_PQ_M):
+        lut = F.array(*[F.lit(v) for v in tab[(p, s)]])
+        term = F.element_at(lut, F.col(f"code{s}") + 1)
+        adc = term if adc is None else adc + term
+    return adc
 
 
 def q_pq_adc_topk(spark, sf_dir):
-    ck = (spark.sparkContext.applicationId, sf_dir)
-    cached = _V17_CACHE.get(ck)
+    tab = _pq_dist_tables(spark, sf_dir, _V17_PROBES)
+    return _pq_adc_from(spark, tab, _pq_codes_dir_cached(spark, sf_dir))
+
+
+def _pq_dist_tables(spark, sf_dir, n_probes: int):
+    """(probe, subspace) -> K-list of probe-subvector↔codebook d² —
+    the ADC lookup tables, built engine-side (one bounded collect of
+    P·M·K rows) and cached per session."""
+    ck = (spark.sparkContext.applicationId, sf_dir, n_probes)
+    cached = _PQ_LUT_CACHE.get(ck)
     if cached is not None:
-        return _pq_adc_from(spark, *cached)
+        return cached
     emb = load(spark, sf_dir, "embeddings")
     # distance tables, engine-side: (probe, subspace, code, d2)
     subs = []
@@ -19911,7 +19950,7 @@ def q_pq_adc_topk(spark, sf_dir):
         cents = part if cents is None else cents.unionAll(part)
     probes = None
     for s in range(_PQ_M):
-        part = emb.filter(F.col("vec_id") < _V17_PROBES).select(
+        part = emb.filter(F.col("vec_id") < n_probes).select(
             F.col("vec_id").alias("probe_id"),
             F.lit(s).alias("pss"),
             subs[s].alias("psub"),
@@ -19938,20 +19977,15 @@ def q_pq_adc_topk(spark, sf_dir):
         tab.setdefault(
             (int(r["probe_id"]), int(r["ss"])), [0.0] * _PQ_K
         )[int(r["code"])] = float(r["d2"])
+    _PQ_LUT_CACHE[ck] = tab
+    return tab
+
+
+def _pq_adc_from(spark, tab, codes_dir):
     # the code table is a STORED snapshot artifact (v11's build,
     # materialized once per session via index_store — M bytes of
     # payload per vector); every search call scans only the codes
     # parquet
-    from stampede_to_fresco_etl_spark import index_store
-
-    codes_dir = index_store.pq_codes_dir(
-        spark, sf_dir, q_pq_codes(spark, sf_dir)
-    )
-    _V17_CACHE[ck] = (tab, codes_dir)
-    return _pq_adc_from(spark, tab, codes_dir)
-
-
-def _pq_adc_from(spark, tab, codes_dir):
     from stampede_to_fresco_etl_spark import index_store
 
     codes = index_store.read_pq_codes(spark, codes_dir).select(
@@ -19959,16 +19993,11 @@ def _pq_adc_from(spark, tab, codes_dir):
     )
     outs = []
     for p in range(_V17_PROBES):
-        adc = None
-        for s in range(_PQ_M):
-            lut = F.array(*[F.lit(v) for v in tab[(p, s)]])
-            term = F.element_at(lut, F.col(f"code{s}") + 1)
-            adc = term if adc is None else adc + term
         outs.append(
             codes.select(
                 F.lit(p).cast("long").alias("probe_id"),
                 "vec_id",
-                adc.alias("adc_dist"),
+                _adc_expr(tab, p).alias("adc_dist"),
             )
             .orderBy(F.col("adc_dist").asc(), "vec_id")
             .limit(_V17_TOPK)
@@ -20632,6 +20661,213 @@ REGISTRY.update(
 
 
 # ---------------------------------------------------------------------------
+# V19 — IVF-PQ: the composed ANN serving shape (FAISS IVF-ADC).  The
+# two stored artifacts this round's predecessors built separately —
+# v16's frozen-centroid IVF assignment of the indexed corpus and
+# v11/v17's PQ code table — are joined ONCE per snapshot into the
+# cell-partitioned serving layout (`index_store.ivfpq_dir`: inverted
+# lists of codes).  A search then (1) routes each probe to its
+# n_probe nearest cells (calibration-sized: centroid table ×
+# probes), (2) scans ONLY those cells' code partitions — directory-
+# level partition pruning, no query-time join, raw embeddings never
+# touched — and (3) scores candidates by M ADC table lookups (v17's
+# LUTs, shared `_pq_dist_tables`).  Search cost per probe is
+# n_probe/n_cells of the codes table × M element_at's: the shape
+# that serves 10⁹ vectors.  Oracle: v16's split/seed/assign CTEs
+# composed with v17's codebook/LUT CTEs, candidates restricted to
+# the probes' cells, fixed-order ADC sum, top-k per probe.
+# ---------------------------------------------------------------------------
+
+_V19_NPROBE = 2
+_V19_TOPK = 10
+
+
+def q_ivfpq_topk(spark, sf_dir):
+    from stampede_to_fresco_etl_spark import index_store
+    from stampede_to_fresco_etl_spark.functions import md5_int63
+    from stampede_to_fresco_etl_spark.operators.similarity import (
+        _nearest_cells,
+        _sqdist,
+        _with_centroid_col,
+        as_double_vec,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    h = md5_int63("vec_id", salt=INGEST_SPLIT_SALT)
+    idx = emb.filter(h < F.lit(INGEST_IDX_BOUND))
+    index_dir, cent_dir = index_store.ann_index_dirs(
+        spark, sf_dir, idx, V16_CENTROIDS
+    )
+    serving = index_store.ivfpq_dir(
+        spark,
+        sf_dir,
+        index_store.read_ann_index(spark, index_dir),
+        index_store.read_pq_codes(
+            spark, _pq_codes_dir_cached(spark, sf_dir)
+        ).select("vec_id", *[f"code{s}" for s in range(_PQ_M)]),
+    )
+    # probe routing: n_probe nearest frozen cells per probe — probes ×
+    # centroids is calibration-sized, and the collected (probe, cell)
+    # pairs become partition-pruning literals on the serving scan
+    cents = index_store.read_ann_centroids(spark, cent_dir)
+    probes = emb.filter(F.col("vec_id") < _V17_PROBES).select(
+        "vec_id", as_double_vec("embedding").alias("pv")
+    )
+    pc_rows = (
+        _with_centroid_col(probes, cents)
+        .withColumn(
+            "d",
+            F.transform(
+                F.col("__cents"), lambda c: _sqdist(F.col("pv"), c)
+            ),
+        )
+        .select(
+            "vec_id",
+            F.explode(_nearest_cells("pv", "d", _V19_NPROBE)).alias(
+                "cell"
+            ),
+        )
+        .collect()
+    )
+    cells_of: dict[int, list[int]] = {}
+    for r in pc_rows:
+        cells_of.setdefault(int(r["vec_id"]), []).append(int(r["cell"]))
+    tab = _pq_dist_tables(spark, sf_dir, _V17_PROBES)
+    ivfpq = index_store.read_ivfpq(spark, serving)
+    outs = []
+    for p in sorted(cells_of):
+        outs.append(
+            ivfpq.filter(F.col("cell").isin(cells_of[p]))
+            .select(
+                F.lit(p).cast("long").alias("probe_id"),
+                "vec_id",
+                _adc_expr(tab, p).alias("adc_dist"),
+            )
+            .orderBy(F.col("adc_dist").asc(), "vec_id")
+            .limit(_V19_TOPK)
+        )
+    out = outs[0]
+    for t in outs[1:]:
+        out = out.unionAll(t)
+    return out
+
+
+def _sql_ivfpq_topk() -> str:
+    h = md5_int63_sql("CAST(vec_id AS VARCHAR)", salt=INGEST_SPLIT_SALT)
+    sq_cs = _D_SQDIST.format(a="e.v", b="s.cv")
+    sq_ps = _D_SQDIST.format(a="p.pv", b="s.cv")
+    d2 = (
+        "list_reduce(list_transform(range(1, {n} + 1), "
+        "i -> (ae.v[{off} + i] - c.cv[i]) * (ae.v[{off} + i] - c.cv[i])), "
+        "(x, y) -> x + y)"
+    )
+    pd2 = (
+        "list_reduce(list_transform(range(1, {n} + 1), "
+        "i -> (p.pv[{off} + i] - c.cv[i]) * (p.pv[{off} + i] - c.cv[i])), "
+        "(x, y) -> x + y)"
+    )
+    code_cols = ",\n         ".join(
+        f"CAST(MAX(CASE WHEN ss = {s} THEN code END) AS INTEGER)"
+        f" AS code{s}"
+        for s in range(_PQ_M)
+    )
+    adc = " + ".join(f"t{s}.d2" for s in range(_PQ_M))
+    tjoins = "\n".join(
+        f"JOIN tbl t{s} ON t{s}.probe_id = cand.probe_id"
+        f" AND t{s}.ss = {s} AND t{s}.code = cand.code{s}"
+        for s in range(_PQ_M)
+    )
+    return f"""
+WITH alle AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+split AS (
+  SELECT vec_id, v,
+         CASE WHEN {h} < {INGEST_IDX_BOUND} THEN 1 ELSE 0 END AS is_idx
+  FROM alle
+),
+e AS (SELECT vec_id, v FROM split WHERE is_idx = 1),
+seeds AS (
+  SELECT CAST(row_number() OVER (ORDER BY h) - 1 AS INTEGER) AS cell, v AS cv
+  FROM (SELECT v, md5(CAST(vec_id AS VARCHAR)) AS h
+        FROM e ORDER BY h LIMIT {V16_CENTROIDS})
+),
+assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, s.cell,
+           row_number() OVER (
+             PARTITION BY e.vec_id ORDER BY {sq_cs}, s.cell
+           ) AS rn
+    FROM e CROSS JOIN seeds s
+  ) WHERE rn = 1
+),
+pcents AS (
+  SELECT s.range AS ss, seed.vec_id AS code,
+         seed.v[s.range * {_PQ_DIMS} + 1 :
+                (s.range + 1) * {_PQ_DIMS}] AS cv
+  FROM range(0, {_PQ_M}) s, (SELECT vec_id, v FROM alle
+                             WHERE vec_id < {_PQ_K}) seed
+),
+cpairs AS (
+  SELECT ae.vec_id, c.ss, c.code,
+         {d2.format(n=_PQ_DIMS, off="c.ss * " + str(_PQ_DIMS))} AS d2
+  FROM alle ae, pcents c
+),
+csel AS (
+  SELECT vec_id, ss, code FROM (
+    SELECT vec_id, ss, code,
+           row_number() OVER (PARTITION BY vec_id, ss
+                              ORDER BY d2, code) AS rn
+    FROM cpairs
+  ) WHERE rn = 1
+),
+k AS (
+  SELECT vec_id,
+         {code_cols}
+  FROM csel GROUP BY vec_id
+),
+pcells AS (
+  SELECT probe_id, cell FROM (
+    SELECT p.vec_id AS probe_id, s.cell,
+           row_number() OVER (
+             PARTITION BY p.vec_id ORDER BY {sq_ps}, s.cell
+           ) AS rn
+    FROM (SELECT vec_id, v AS pv FROM alle
+          WHERE vec_id < {_V17_PROBES}) p
+    CROSS JOIN seeds s
+  ) WHERE rn <= {_V19_NPROBE}
+),
+tbl AS (
+  SELECT p.vec_id AS probe_id, c.ss, c.code,
+         {pd2.format(n=_PQ_DIMS, off="c.ss * " + str(_PQ_DIMS))} AS d2
+  FROM (SELECT vec_id, v AS pv FROM alle
+        WHERE vec_id < {_V17_PROBES}) p, pcents c
+),
+cand AS (
+  SELECT pc.probe_id, a.vec_id,
+         k.code0, k.code1, k.code2, k.code3
+  FROM pcells pc
+  JOIN assigned a ON a.cell = pc.cell
+  JOIN k ON k.vec_id = a.vec_id
+),
+scored AS (
+  SELECT cand.probe_id, cand.vec_id, {adc} AS adc_dist
+  FROM cand
+  {tjoins}
+)
+SELECT CAST(probe_id AS BIGINT) AS probe_id, vec_id, adc_dist FROM (
+  SELECT probe_id, vec_id, adc_dist,
+         row_number() OVER (PARTITION BY probe_id
+                            ORDER BY adc_dist, vec_id) AS rn
+  FROM scored
+) WHERE rn <= {_V19_TOPK}
+"""
+
+
+REGISTRY.update(
+    {"v19_ivfpq_topk": (q_ivfpq_topk, _sql_ivfpq_topk())}
+)
+
+
+# ---------------------------------------------------------------------------
 # Enumeration order: the driver's correctness run covers the first N
 # registry entries per round, so the STALEST queries must enumerate
 # first.  Computed at import time from the CORRECTNESS_r*.json records
@@ -20749,10 +20985,12 @@ _REVALIDATE = {
 #: and defers only the r8 additions — held to 16 this round (≤25 by
 #: VERDICT r7 item 3) so the ledger catches up.
 #: r9 empties the r8 list AND defers nothing: the whole backlog (45
-#: never-checked) plus the 3 r9 additions plus the 2 _REVALIDATE
-#: green-row queries is exactly the driver's 50-slot window
-#: (VERDICT r8 item 1 — drain to ZERO), so the r9 additions ride
-#: tier 1's tail by insertion order instead of waiting a round.
+#: never-checked) plus the 4 r9 additions (v18/x61/d17/v19) is 49 —
+#: inside the driver's 50-slot window (VERDICT r8 item 1 — drain to
+#: ZERO), so the r9 additions ride tier 1's tail by insertion order
+#: instead of waiting a round.  The 50th slot re-validates v4; v10
+#: and v11 (sweep-exact, green-row, kernel-touched) head tier 2 into
+#: r10's window.
 _DEFER_NEW: set[str] = set()
 
 _FRESHNESS, _RED_LATEST = _driver_row_history()

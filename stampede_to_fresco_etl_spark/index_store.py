@@ -275,6 +275,42 @@ def read_pq_codes(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path).drop("batch_id")
 
 
+def ivfpq_dir(
+    spark: SparkSession,
+    sf_dir: str,
+    assigned: DataFrame,
+    codes: DataFrame,
+) -> str:
+    """The IVF-PQ SERVING layout — FAISS's inverted lists of codes
+    as parquet partitioned BY CELL: the stored IVF assignment rows
+    joined to the stored PQ codes ONCE per snapshot.  An n_probe
+    search then reads only its cells' partitions (directory-level
+    partition pruning) and pays zero query-time joins — at 10⁹
+    vectors a 2-of-16-cell probe touches ~an eighth of the code
+    files and none of the raw embeddings.  This is a DERIVED
+    artifact: the streams grow the two SOURCE artifacts
+    (`ann_index_dirs`, `pq_codes_dir`); a deployment re-derives this
+    layout at snapshot/compaction time, exactly like `compact_index`
+    folds batch partitions."""
+    path = f"{_scratch()}/index_store/ivfpq/{_key(sf_dir)}"
+    if not _already_materialized(spark, path):
+        (
+            assigned.select("vec_id", "cell")
+            .join(codes, "vec_id")
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(path)
+        )
+        _mark_materialized(spark, path)
+    return path
+
+
+def read_ivfpq(spark: SparkSession, path: str) -> DataFrame:
+    """The cell-partitioned inverted code lists; filter on ``cell``
+    prunes at the directory level."""
+    return spark.read.parquet(path)
+
+
 def compact_index(
     spark: SparkSession,
     path: str,

@@ -312,3 +312,84 @@ def test_compact_index_all_artifact_families(spark, tmp_path, grow):
         .collect()
     )
     assert [r["batch_id"] for r in bids] == [0]
+
+
+def test_ivfpq_serving_artifact_and_cell_restriction(spark):
+    """v19's serving artifact is the FAISS layout: one row per
+    INDEXED vector (assignment ⋈ codes), parquet-partitioned by
+    cell — and every search hit comes from its probe's n_probe
+    nearest cells, with the ADC score v17 assigns to the same
+    (probe, vec) pair on the unrestricted full-corpus scan."""
+    import os
+
+    from stampede_to_fresco_etl_spark.catalog import (
+        _V17_PROBES,
+        _V19_NPROBE,
+        V16_CENTROIDS,
+        q_ivfpq_topk,
+        q_pq_adc_topk,
+    )
+    from stampede_to_fresco_etl_spark.operators.similarity import (
+        _nearest_cells,
+        _sqdist,
+        _with_centroid_col,
+        as_double_vec,
+    )
+
+    out = q_ivfpq_topk(spark, SF).collect()
+    assert len(out) > 0
+
+    # artifact shape: cell=N directories, one row per indexed vector
+    path = f"{index_store._scratch()}/index_store/ivfpq/{index_store._key(SF)}"
+    cells_on_disk = [d for d in os.listdir(path) if d.startswith("cell=")]
+    assert 1 <= len(cells_on_disk) <= V16_CENTROIDS
+    emb = load(spark, SF, "embeddings")
+    idx, _new = _split(emb, "vec_id")
+    serving = index_store.read_ivfpq(spark, path)
+    assert serving.count() == idx.count()
+    assert serving.select("vec_id").distinct().count() == idx.count()
+
+    # every hit's vector sits in one of its probe's n_probe cells
+    _idx_dir, cent_dir = index_store.ann_index_dirs(
+        spark, SF, idx, V16_CENTROIDS
+    )
+    cents = index_store.read_ann_centroids(spark, cent_dir)
+    probes = emb.filter(F.col("vec_id") < _V17_PROBES).select(
+        "vec_id", as_double_vec("embedding").alias("pv")
+    )
+    pc = (
+        _with_centroid_col(probes, cents)
+        .withColumn(
+            "d",
+            F.transform(
+                F.col("__cents"), lambda c: _sqdist(F.col("pv"), c)
+            ),
+        )
+        .select(
+            "vec_id",
+            F.explode(_nearest_cells("pv", "d", _V19_NPROBE)).alias("cell"),
+        )
+        .collect()
+    )
+    probe_cells = {}
+    for r in pc:
+        probe_cells.setdefault(int(r["vec_id"]), set()).add(int(r["cell"]))
+    vec_cell = {
+        int(r["vec_id"]): int(r["cell"])
+        for r in serving.select("vec_id", "cell").collect()
+    }
+    for r in out:
+        assert vec_cell[int(r["vec_id"])] in probe_cells[int(r["probe_id"])]
+
+    # ADC scores agree with v17's unrestricted scan on shared pairs
+    full = {
+        (int(r["probe_id"]), int(r["vec_id"])): r["adc_dist"]
+        for r in q_pq_adc_topk(spark, SF).collect()
+    }
+    shared = 0
+    for r in out:
+        k = (int(r["probe_id"]), int(r["vec_id"]))
+        if k in full:
+            assert r["adc_dist"] == full[k]
+            shared += 1
+    assert shared > 0
