@@ -311,6 +311,30 @@ def read_ivfpq(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+#: source-artifact families the ivfpq layout derives from — a
+#: maintenance pass over ``…/index_store/<family>/<key>…`` makes the
+#: session-cached ``…/index_store/ivfpq/<key>`` stale
+_IVFPQ_SOURCE_RE = re.compile(
+    r"(.*)/index_store/(?:ann|pq_codes)/([^/]+)"
+)
+
+
+def _invalidate_derived(spark: SparkSession, source_path: str) -> None:
+    """Clear the session materialized flag of any DERIVED layout
+    whose source a maintenance pass just rewrote: `compact_index` /
+    `refresh_pq_codes` change the ANN-assignment or PQ-codes
+    artifacts in place, and a session-cached `ivfpq_dir` join of the
+    OLD sources would keep serving stale inverted lists for the rest
+    of the session.  The next consumer re-derives (overwrite) from
+    the refreshed sources."""
+    m = _IVFPQ_SOURCE_RE.match(source_path.rstrip("/"))
+    if m:
+        derived = f"{m.group(1)}/index_store/ivfpq/{m.group(2)}"
+        _MATERIALIZED.pop(
+            (spark.sparkContext.applicationId, derived), None
+        )
+
+
 def compact_index(
     spark: SparkSession,
     path: str,
@@ -360,6 +384,7 @@ def compact_index(
         .parquet(tmp_s)
     )
     _swap_in(spark, path, tmp_s)
+    _invalidate_derived(spark, path)
     return n_files
 
 
@@ -427,3 +452,4 @@ def refresh_pq_codes(
     ).coalesce(1).write.mode("overwrite").parquet(book_tmp)
     _swap_in(spark, codes_dir, codes_tmp)
     _swap_in(spark, codebook_dir, book_tmp)
+    _invalidate_derived(spark, codes_dir)

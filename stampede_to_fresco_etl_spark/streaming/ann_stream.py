@@ -139,6 +139,12 @@ def apply_ann_batch(
     assigned.write.mode("overwrite").parquet(
         f"{index_dir}/batch_id={batch_id}"
     )
+    # growth makes any session-cached DERIVED serving layout stale
+    from stampede_to_fresco_etl_spark.index_store import (
+        _invalidate_derived,
+    )
+
+    _invalidate_derived(spark, index_dir)
 
 
 def run_incremental_ann(

@@ -90,6 +90,12 @@ def apply_pq_codes_batch(
     pq_encode(
         batch_df.select("vec_id", "embedding"), seeds, m=m, dims=dims
     ).write.mode("overwrite").parquet(f"{codes_dir}/batch_id={batch_id}")
+    # growth makes any session-cached DERIVED serving layout stale
+    from stampede_to_fresco_etl_spark.index_store import (
+        _invalidate_derived,
+    )
+
+    _invalidate_derived(spark, codes_dir)
 
 
 def run_pq_codes_stream(

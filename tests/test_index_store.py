@@ -393,3 +393,38 @@ def test_ivfpq_serving_artifact_and_cell_restriction(spark):
             assert r["adc_dist"] == full[k]
             shared += 1
     assert shared > 0
+
+
+def test_maintenance_invalidates_derived_ivfpq(spark):
+    """A maintenance pass over a SOURCE artifact (here: compacting
+    the PQ codes) must clear the derived ivfpq layout's session flag
+    so the next search re-derives it — a session-cached join of the
+    old sources would serve stale inverted lists.  Compaction is
+    content-preserving, so the re-derived probe must return exactly
+    the pre-maintenance rows."""
+    from stampede_to_fresco_etl_spark.catalog import q_ivfpq_topk
+
+    out1 = sorted(tuple(r) for r in q_ivfpq_topk(spark, SF).collect())
+    ivfpq_path = (
+        f"{index_store._scratch()}/index_store/ivfpq/"
+        f"{index_store._key(SF)}"
+    )
+    codes_path = (
+        f"{index_store._scratch()}/index_store/pq_codes/"
+        f"{index_store._key(SF)}"
+    )
+    assert index_store._already_materialized(spark, ivfpq_path)
+    index_store.compact_index(spark, codes_path)
+    assert not index_store._already_materialized(spark, ivfpq_path)
+    out2 = sorted(tuple(r) for r in q_ivfpq_topk(spark, SF).collect())
+    assert out1 == out2 and len(out2) > 0
+    assert index_store._already_materialized(spark, ivfpq_path)
+
+    # the ANN-source and stream-growth paths ride the same hook:
+    # both source families map to the same derived key
+    ann_index_dir = (
+        f"{index_store._scratch()}/index_store/ann/"
+        f"{index_store._key(SF)}/index"
+    )
+    index_store._invalidate_derived(spark, ann_index_dir)
+    assert not index_store._already_materialized(spark, ivfpq_path)
