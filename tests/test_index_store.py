@@ -428,3 +428,27 @@ def test_maintenance_invalidates_derived_ivfpq(spark):
     )
     index_store._invalidate_derived(spark, ann_index_dir)
     assert not index_store._already_materialized(spark, ivfpq_path)
+
+
+def test_ivfpq_restricted_never_beats_full_adc(spark):
+    """Search-quality invariant tying the two ADC consumers together:
+    v19 scores the SAME codes with the SAME LUTs as v17 but only
+    inside each probe's n_probe cells, so per probe its best (lowest)
+    ADC distance can never beat v17's full-corpus best, and every
+    v19 hit present in v17's top-k carries an identical score."""
+    from stampede_to_fresco_etl_spark.catalog import (
+        q_ivfpq_topk,
+        q_pq_adc_topk,
+    )
+
+    best19: dict[int, float] = {}
+    for r in q_ivfpq_topk(spark, SF).collect():
+        p, d = int(r["probe_id"]), float(r["adc_dist"])
+        best19[p] = min(d, best19.get(p, float("inf")))
+    best17: dict[int, float] = {}
+    for r in q_pq_adc_topk(spark, SF).collect():
+        p, d = int(r["probe_id"]), float(r["adc_dist"])
+        best17[p] = min(d, best17.get(p, float("inf")))
+    assert set(best19) <= set(best17) and len(best19) > 0
+    for p, d in best19.items():
+        assert d >= best17[p]
