@@ -20705,6 +20705,7 @@ def q_ivfpq_topk(spark, sf_dir):
         index_store.read_pq_codes(
             spark, _pq_codes_dir_cached(spark, sf_dir)
         ).select("vec_id", *[f"code{s}" for s in range(_PQ_M)]),
+        n_centroids=V16_CENTROIDS,
     )
     # probe routing: n_probe nearest frozen cells per probe — probes ×
     # centroids is calibration-sized, and the collected (probe, cell)

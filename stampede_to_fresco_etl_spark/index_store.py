@@ -122,7 +122,9 @@ def ann_index_dirs(
         seed_centroids,
     )
 
-    base = f"{_scratch()}/index_store/ann/{_key(sf_dir)}"
+    # the cell count is part of the artifact's identity: two configs
+    # in one session must never share (and silently mis-serve) a path
+    base = f"{_scratch()}/index_store/ann/{_key(sf_dir)}_{n_centroids}c"
     index_dir, centroids_dir = f"{base}/index", f"{base}/centroids"
     if not _already_materialized(spark, base):
         cents = seed_centroids(
@@ -280,6 +282,7 @@ def ivfpq_dir(
     sf_dir: str,
     assigned: DataFrame,
     codes: DataFrame,
+    n_centroids: int = 16,
 ) -> str:
     """The IVF-PQ SERVING layout — FAISS's inverted lists of codes
     as parquet partitioned BY CELL: the stored IVF assignment rows
@@ -292,7 +295,7 @@ def ivfpq_dir(
     (`ann_index_dirs`, `pq_codes_dir`); a deployment re-derives this
     layout at snapshot/compaction time, exactly like `compact_index`
     folds batch partitions."""
-    path = f"{_scratch()}/index_store/ivfpq/{_key(sf_dir)}"
+    path = f"{_scratch()}/index_store/ivfpq/{_key(sf_dir)}_{n_centroids}c"
     if not _already_materialized(spark, path):
         (
             assigned.select("vec_id", "cell")
@@ -313,9 +316,12 @@ def read_ivfpq(spark: SparkSession, path: str) -> DataFrame:
 
 #: source-artifact families the ivfpq layout derives from — a
 #: maintenance pass over ``…/index_store/<family>/<key>…`` makes the
-#: session-cached ``…/index_store/ivfpq/<key>`` stale
+#: session-cached ``…/index_store/ivfpq/<key>…`` stale.  ANN keys
+#: carry a ``_{n}c`` config suffix the codes key lacks, so matching
+#: is by sf-key PREFIX: a codes refresh invalidates every cell-count
+#: variant derived from that corpus.
 _IVFPQ_SOURCE_RE = re.compile(
-    r"(.*)/index_store/(?:ann|pq_codes)/([^/]+)"
+    r"(.*)/index_store/(?:ann|pq_codes)/([^/]+?)(?:_\d+c)?(?:/|$)"
 )
 
 
@@ -327,12 +333,17 @@ def _invalidate_derived(spark: SparkSession, source_path: str) -> None:
     OLD sources would keep serving stale inverted lists for the rest
     of the session.  The next consumer re-derives (overwrite) from
     the refreshed sources."""
-    m = _IVFPQ_SOURCE_RE.match(source_path.rstrip("/"))
-    if m:
-        derived = f"{m.group(1)}/index_store/ivfpq/{m.group(2)}"
-        _MATERIALIZED.pop(
-            (spark.sparkContext.applicationId, derived), None
-        )
+    m = _IVFPQ_SOURCE_RE.match(source_path.rstrip("/") + "/")
+    if not m:
+        return
+    prefix = f"{m.group(1)}/index_store/ivfpq/{m.group(2)}"
+    app = spark.sparkContext.applicationId
+    for k in [
+        k
+        for k in _MATERIALIZED
+        if k[0] == app and k[1].startswith(prefix)
+    ]:
+        _MATERIALIZED.pop(k, None)
 
 
 def compact_index(

@@ -108,7 +108,7 @@ def test_ann_stream_on_batch_built_artifact(spark, tmp_path):
     }
 
     base = (
-        f"{index_store._scratch()}/index_store/ann/{index_store._key(SF)}"
+        f"{index_store._scratch()}/index_store/ann/{index_store._key(SF)}_16c"
     )
     idx_dir = str(tmp_path / "index")
     cent_dir = str(tmp_path / "centroids")
@@ -340,7 +340,7 @@ def test_ivfpq_serving_artifact_and_cell_restriction(spark):
     assert len(out) > 0
 
     # artifact shape: cell=N directories, one row per indexed vector
-    path = f"{index_store._scratch()}/index_store/ivfpq/{index_store._key(SF)}"
+    path = f"{index_store._scratch()}/index_store/ivfpq/{index_store._key(SF)}_16c"
     cells_on_disk = [d for d in os.listdir(path) if d.startswith("cell=")]
     assert 1 <= len(cells_on_disk) <= V16_CENTROIDS
     emb = load(spark, SF, "embeddings")
@@ -407,7 +407,7 @@ def test_maintenance_invalidates_derived_ivfpq(spark):
     out1 = sorted(tuple(r) for r in q_ivfpq_topk(spark, SF).collect())
     ivfpq_path = (
         f"{index_store._scratch()}/index_store/ivfpq/"
-        f"{index_store._key(SF)}"
+        f"{index_store._key(SF)}_16c"
     )
     codes_path = (
         f"{index_store._scratch()}/index_store/pq_codes/"
@@ -424,7 +424,7 @@ def test_maintenance_invalidates_derived_ivfpq(spark):
     # both source families map to the same derived key
     ann_index_dir = (
         f"{index_store._scratch()}/index_store/ann/"
-        f"{index_store._key(SF)}/index"
+        f"{index_store._key(SF)}_16c/index"
     )
     index_store._invalidate_derived(spark, ann_index_dir)
     assert not index_store._already_materialized(spark, ivfpq_path)
