@@ -20683,6 +20683,14 @@ _V19_TOPK = 10
 
 
 def q_ivfpq_topk(spark, sf_dir):
+    return _ivfpq_topk(spark, sf_dir, V16_CENTROIDS, _V19_NPROBE)
+
+
+def _ivfpq_topk(spark, sf_dir, n_centroids: int, n_probe: int):
+    """The serving dataflow with the cell count as a parameter — v19
+    pins the oracle-gated 16-cell config; `scripts/` rehearsals
+    measure the same plan at production cell counts (the per-probe
+    scan shrinks as n_probe/n_cells of the codes table)."""
     from stampede_to_fresco_etl_spark import index_store
     from stampede_to_fresco_etl_spark.functions import md5_int63
     from stampede_to_fresco_etl_spark.operators.similarity import (
@@ -20696,7 +20704,7 @@ def q_ivfpq_topk(spark, sf_dir):
     h = md5_int63("vec_id", salt=INGEST_SPLIT_SALT)
     idx = emb.filter(h < F.lit(INGEST_IDX_BOUND))
     index_dir, cent_dir = index_store.ann_index_dirs(
-        spark, sf_dir, idx, V16_CENTROIDS
+        spark, sf_dir, idx, n_centroids
     )
     serving = index_store.ivfpq_dir(
         spark,
@@ -20705,7 +20713,7 @@ def q_ivfpq_topk(spark, sf_dir):
         index_store.read_pq_codes(
             spark, _pq_codes_dir_cached(spark, sf_dir)
         ).select("vec_id", *[f"code{s}" for s in range(_PQ_M)]),
-        n_centroids=V16_CENTROIDS,
+        n_centroids=n_centroids,
     )
     # probe routing: n_probe nearest frozen cells per probe — probes ×
     # centroids is calibration-sized, and the collected (probe, cell)
@@ -20724,7 +20732,7 @@ def q_ivfpq_topk(spark, sf_dir):
         )
         .select(
             "vec_id",
-            F.explode(_nearest_cells("pv", "d", _V19_NPROBE)).alias(
+            F.explode(_nearest_cells("pv", "d", n_probe)).alias(
                 "cell"
             ),
         )
