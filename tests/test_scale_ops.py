@@ -552,3 +552,19 @@ def test_r5c_window_ops_shuffle_budget(spark):
         got = plan.count("- Exchange (")
         assert got <= max_shuffles, (name, got, max_shuffles)
         assert "SortMergeJoin" not in plan, name
+
+
+def test_ivfpq_probe_plan_prunes_partitions_no_exchange(spark):
+    """v19's serving probe must be the FAISS read path: each
+    per-probe branch is a partition-pruned parquet scan
+    (PartitionFilters on `cell`) feeding a codegen ADC projection
+    into TakeOrderedAndProject — no Exchange, no join anywhere in
+    the query-time plan (the one corpus shuffle happened at
+    snapshot-derive time inside `index_store.ivfpq_dir`)."""
+    from stampede_to_fresco_etl_spark.catalog import q_ivfpq_topk
+
+    plan = _plan(q_ivfpq_topk(spark, "/root/testdata/sf0.001"))
+    assert "PartitionFilters: [cell" in plan
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "TakeOrderedAndProject" in plan
