@@ -401,8 +401,15 @@ def main() -> None:
             ):
                 try:
                     with open(bp) as f:
-                        bq = json.load(f).get("queries", {})
-                    for name, rec in bq.items():
+                        brec = json.load(f)
+                    # a bracket taken at a different scale factor
+                    # must not replace a same-sf single timing
+                    bsf = brec.get("sf_dir") or brec.get("sf")
+                    if bsf is not None and str(bsf).rstrip("/") != str(
+                        sf_dir
+                    ).rstrip("/"):
+                        continue
+                    for name, rec in brec.get("queries", {}).items():
                         if name in prev_q and "median" in rec:
                             prev_q[name] = rec["median"]
                 except (OSError, ValueError, TypeError):

@@ -20686,13 +20686,15 @@ def q_ivfpq_topk(spark, sf_dir):
     return _ivfpq_topk(spark, sf_dir, V16_CENTROIDS, _V19_NPROBE)
 
 
-def _ivfpq_topk(spark, sf_dir, n_centroids: int, n_probe: int):
-    """The serving dataflow with the cell count as a parameter — v19
-    pins the oracle-gated 16-cell config; `scripts/` rehearsals
-    measure the same plan at production cell counts (the per-probe
-    scan shrinks as n_probe/n_cells of the codes table)."""
+def _ivfpq_probe_cells(
+    spark, emb, cent_dir: str, n_probe: int
+) -> dict[int, list[int]]:
+    """Probe routing: each probe's n_probe nearest frozen cells —
+    probes × centroids is calibration-sized, and the collected
+    (probe, cell) pairs become partition-pruning literals on the
+    serving scan.  Shared by the query and the cell-count rehearsal
+    (`scripts/ivfpq_cellcount_probe.py`)."""
     from stampede_to_fresco_etl_spark import index_store
-    from stampede_to_fresco_etl_spark.functions import md5_int63
     from stampede_to_fresco_etl_spark.operators.similarity import (
         _nearest_cells,
         _sqdist,
@@ -20700,24 +20702,6 @@ def _ivfpq_topk(spark, sf_dir, n_centroids: int, n_probe: int):
         as_double_vec,
     )
 
-    emb = load(spark, sf_dir, "embeddings")
-    h = md5_int63("vec_id", salt=INGEST_SPLIT_SALT)
-    idx = emb.filter(h < F.lit(INGEST_IDX_BOUND))
-    index_dir, cent_dir = index_store.ann_index_dirs(
-        spark, sf_dir, idx, n_centroids
-    )
-    serving = index_store.ivfpq_dir(
-        spark,
-        sf_dir,
-        index_store.read_ann_index(spark, index_dir),
-        index_store.read_pq_codes(
-            spark, _pq_codes_dir_cached(spark, sf_dir)
-        ).select("vec_id", *[f"code{s}" for s in range(_PQ_M)]),
-        n_centroids=n_centroids,
-    )
-    # probe routing: n_probe nearest frozen cells per probe — probes ×
-    # centroids is calibration-sized, and the collected (probe, cell)
-    # pairs become partition-pruning literals on the serving scan
     cents = index_store.read_ann_centroids(spark, cent_dir)
     probes = emb.filter(F.col("vec_id") < _V17_PROBES).select(
         "vec_id", as_double_vec("embedding").alias("pv")
@@ -20741,6 +20725,37 @@ def _ivfpq_topk(spark, sf_dir, n_centroids: int, n_probe: int):
     cells_of: dict[int, list[int]] = {}
     for r in pc_rows:
         cells_of.setdefault(int(r["vec_id"]), []).append(int(r["cell"]))
+    return cells_of
+
+
+def _ivfpq_topk(spark, sf_dir, n_centroids: int, n_probe: int):
+    """The serving dataflow with the cell count as a parameter — v19
+    pins the oracle-gated 16-cell config; `scripts/` rehearsals
+    measure the same plan at production cell counts (the per-probe
+    scan shrinks as n_probe/n_cells of the codes table)."""
+    from stampede_to_fresco_etl_spark import index_store
+    from stampede_to_fresco_etl_spark.functions import md5_int63
+
+    emb = load(spark, sf_dir, "embeddings")
+    h = md5_int63("vec_id", salt=INGEST_SPLIT_SALT)
+    idx = emb.filter(h < F.lit(INGEST_IDX_BOUND))
+    index_dir, cent_dir = index_store.ann_index_dirs(
+        spark, sf_dir, idx, n_centroids
+    )
+    serving = index_store.ivfpq_dir(
+        spark,
+        sf_dir,
+        index_store.read_ann_index(spark, index_dir),
+        index_store.read_pq_codes(
+            spark, _pq_codes_dir_cached(spark, sf_dir)
+        ).select("vec_id", *[f"code{s}" for s in range(_PQ_M)]),
+        n_centroids=n_centroids,
+    )
+    cells_of = _ivfpq_probe_cells(spark, emb, cent_dir, n_probe)
+    if not cells_of:
+        return spark.createDataFrame(
+            [], "probe_id long, vec_id long, adc_dist double"
+        )
     tab = _pq_dist_tables(spark, sf_dir, _V17_PROBES)
     ivfpq = index_store.read_ivfpq(spark, serving)
     outs = []
@@ -20852,7 +20867,7 @@ tbl AS (
 ),
 cand AS (
   SELECT pc.probe_id, a.vec_id,
-         k.code0, k.code1, k.code2, k.code3
+         {", ".join(f"k.code{s}" for s in range(_PQ_M))}
   FROM pcells pc
   JOIN assigned a ON a.cell = pc.cell
   JOIN k ON k.vec_id = a.vec_id

@@ -75,6 +75,22 @@ def _mark_materialized(spark: SparkSession, path: str) -> None:
     _MATERIALIZED[(spark.sparkContext.applicationId, path)] = True
 
 
+def _fresh_dir(spark: SparkSession, path: str) -> str:
+    """Delete `path` before a first-session snapshot build and return
+    it.  The snapshot writes land under ``<path>/batch_id=0``, whose
+    per-partition overwrite does NOT clear sibling ``batch_id>=1``
+    partitions a PRIOR session's daemon (or test) grew — without
+    this, a regenerated corpus would rebuild the snapshot next to
+    stale grown partitions and every probe would read both (the
+    cross-session leak the module docstring promises can't happen)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(p):
+        fs.delete(p, True)
+    return path
+
+
 def dedup_index_dir(
     spark: SparkSession,
     sf_dir: str,
@@ -90,6 +106,7 @@ def dedup_index_dir(
 
     path = f"{_scratch()}/index_store/dedup/{_key(sf_dir)}"
     if not _already_materialized(spark, path):
+        _fresh_dir(spark, path)
         band_signatures(indexed_sigs, num_hashes, bands).write.mode(
             "overwrite"
         ).parquet(f"{path}/batch_id=0")
@@ -127,6 +144,7 @@ def ann_index_dirs(
     base = f"{_scratch()}/index_store/ann/{_key(sf_dir)}_{n_centroids}c"
     index_dir, centroids_dir = f"{base}/index", f"{base}/centroids"
     if not _already_materialized(spark, base):
+        _fresh_dir(spark, base)
         cents = seed_centroids(
             indexed_emb, "vec_id", "embedding", n_centroids
         )
@@ -207,6 +225,7 @@ def text_index_dirs(
         f"{base}/totals",
     )
     if not _already_materialized(spark, base):
+        _fresh_dir(spark, base)
         toks = docs.select(
             "doc_id",
             F.explode(F.split(F.trim("text"), r"\s+")).alias("token"),
@@ -238,6 +257,7 @@ def exact_fp_dir(
     shuffles only the batch side)."""
     path = f"{_scratch()}/index_store/exact_fp/{_key(sf_dir)}"
     if not _already_materialized(spark, path):
+        _fresh_dir(spark, path)
         indexed_docs.groupBy(F.md5("text").alias("fp")).agg(
             F.count("*").cast("long").alias("n_docs")
         ).write.mode("overwrite").parquet(f"{path}/batch_id=0")
@@ -268,6 +288,7 @@ def pq_codes_dir(
     the raw embeddings never leave cold storage."""
     path = f"{_scratch()}/index_store/pq_codes/{_key(sf_dir)}"
     if not _already_materialized(spark, path):
+        _fresh_dir(spark, path)
         codes.write.mode("overwrite").parquet(f"{path}/batch_id=0")
         _mark_materialized(spark, path)
     return path
@@ -275,6 +296,12 @@ def pq_codes_dir(
 
 def read_pq_codes(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path).drop("batch_id")
+
+
+def ivfpq_path(sf_dir: str, n_centroids: int) -> str:
+    """The one place the ivfpq layout's path scheme lives — shared by
+    the builder, the rehearsal script, and the tests."""
+    return f"{_scratch()}/index_store/ivfpq/{_key(sf_dir)}_{n_centroids}c"
 
 
 def ivfpq_dir(
@@ -295,7 +322,7 @@ def ivfpq_dir(
     (`ann_index_dirs`, `pq_codes_dir`); a deployment re-derives this
     layout at snapshot/compaction time, exactly like `compact_index`
     folds batch partitions."""
-    path = f"{_scratch()}/index_store/ivfpq/{_key(sf_dir)}_{n_centroids}c"
+    path = ivfpq_path(sf_dir, n_centroids)
     if not _already_materialized(spark, path):
         (
             assigned.select("vec_id", "cell")
@@ -392,7 +419,6 @@ def compact_index(
     size = fs.getContentSummary(live).getLength()
     n_files = max(1, -(-int(size) // int(target_file_bytes)))
     tmp_s = path.rstrip("/") + "__compact_tmp"
-    bak_s = path.rstrip("/") + "__compact_bak"
     (
         df.repartition(n_files)
         .write.mode("overwrite")
@@ -453,7 +479,22 @@ def refresh_pq_codes(
     rename-width gap — new codes with the old codebook; run from a
     maintenance window with the daemon stopped (compact_index's
     single-writer contract), then restart the daemon with a fresh
-    checkpoint so its partitions begin at 1 again."""
+    checkpoint so its partitions begin at 1 again.
+
+    Domain fence: this targets DAEMON-managed (codes_dir,
+    codebook_dir) pairs.  The catalog's snapshot artifact
+    (`pq_codes_dir`) has no codebook companion — its codebook is
+    definitionally the deterministic vec_id seed (v11/v17/v19's
+    oracle contract, and the source of the session ADC lookup
+    tables), so "refreshing" it would silently desynchronize stored
+    codes from every consumer's distance tables; refuse it."""
+    if re.search(r"/index_store/pq_codes/[^/]+$", codes_dir.rstrip("/")):
+        raise ValueError(
+            "refresh_pq_codes refuses the catalog-managed snapshot "
+            "artifact: its codebook is pinned by the v11 oracle "
+            "contract (and by session ADC tables); refresh applies "
+            "to daemon-managed codes/codebook dir pairs"
+        )
     from stampede_to_fresco_etl_spark.operators.similarity import (
         pq_encode,
     )

@@ -70,6 +70,12 @@ def _load_or_seed_centroids(
     except AnalysisException:
         pass
     cents = seed_centroids(batch_df, "vec_id", "embedding", n_centroids)
+    if not cents:
+        # an EMPTY first batch must not freeze (and publish) an empty
+        # centroid table — later batches would read it back, never
+        # reseed, and every assignment would land a NULL cell.  Defer
+        # seeding to the first batch that carries vectors.
+        return []
     spark.createDataFrame(
         [(i, c) for i, c in enumerate(cents)],
         "cell int, cv array<double>",
@@ -92,6 +98,11 @@ def apply_ann_batch(
     cents = _load_or_seed_centroids(
         spark, batch_df, batch_id, centroids_dir, n_centroids
     )
+    if not cents:
+        # no centroids yet (empty first batch/es): nothing to assign
+        # or probe — defer all artifact writes to the first batch
+        # that carries vectors
+        return
     b = _with_centroid_col(
         batch_df.select("vec_id", as_double_vec("embedding").alias("v")),
         cents,

@@ -66,6 +66,13 @@ def _load_or_seed_codebook(
         .limit(k)
         .collect()
     ]
+    if not seeds:
+        # an EMPTY first batch must not freeze (and publish) an empty
+        # codebook — later batches would read it back, skip reseeding
+        # forever, and pq_encode against zero codewords would land
+        # all-NULL codes in the artifact.  Defer seeding to the first
+        # batch that actually carries vectors.
+        return []
     spark.createDataFrame(
         [(i, v) for i, v in enumerate(seeds)],
         "code int, cv array<double>",
@@ -87,6 +94,11 @@ def apply_pq_codes_batch(
     batch, append as the batch's own partition (idempotent
     overwrite)."""
     seeds = _load_or_seed_codebook(spark, batch_df, codebook_dir, k)
+    if not seeds:
+        # no codebook yet (empty first batch/es): nothing to encode —
+        # the batch carries no rows, and writing an empty partition
+        # would add an empty dir per replay for no content
+        return
     pq_encode(
         batch_df.select("vec_id", "embedding"), seeds, m=m, dims=dims
     ).write.mode("overwrite").parquet(f"{codes_dir}/batch_id={batch_id}")

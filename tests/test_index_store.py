@@ -340,7 +340,7 @@ def test_ivfpq_serving_artifact_and_cell_restriction(spark):
     assert len(out) > 0
 
     # artifact shape: cell=N directories, one row per indexed vector
-    path = f"{index_store._scratch()}/index_store/ivfpq/{index_store._key(SF)}_16c"
+    path = index_store.ivfpq_path(SF, 16)
     cells_on_disk = [d for d in os.listdir(path) if d.startswith("cell=")]
     assert 1 <= len(cells_on_disk) <= V16_CENTROIDS
     emb = load(spark, SF, "embeddings")
@@ -405,10 +405,7 @@ def test_maintenance_invalidates_derived_ivfpq(spark):
     from stampede_to_fresco_etl_spark.catalog import q_ivfpq_topk
 
     out1 = sorted(tuple(r) for r in q_ivfpq_topk(spark, SF).collect())
-    ivfpq_path = (
-        f"{index_store._scratch()}/index_store/ivfpq/"
-        f"{index_store._key(SF)}_16c"
-    )
+    ivfpq_path = index_store.ivfpq_path(SF, 16)
     codes_path = (
         f"{index_store._scratch()}/index_store/pq_codes/"
         f"{index_store._key(SF)}"
@@ -452,3 +449,33 @@ def test_ivfpq_restricted_never_beats_full_adc(spark):
     assert set(best19) <= set(best17) and len(best19) > 0
     for p, d in best19.items():
         assert d >= best17[p]
+
+
+def test_fresh_session_rebuild_clears_stale_grown_partitions(spark):
+    """A NEW session's snapshot rebuild must not leave a prior
+    session's daemon-grown ``batch_id>=1`` partitions beside the
+    fresh ``batch_id=0`` (the cross-session leak `_fresh_dir`
+    exists to prevent): simulate the old session by injecting a
+    stale partition and clearing the session flag."""
+    docs = load(spark, SF, "documents").select("doc_id", "text")
+    idx, _new = _split(docs, "doc_id")
+    path = index_store.exact_fp_dir(spark, SF, idx)
+    canonical = sorted(
+        map(tuple, index_store.read_exact_fp(spark, path).collect())
+    )
+
+    # "prior session's daemon" grew a partition; then the session
+    # ended (flag gone) and the corpus was regenerated
+    spark.createDataFrame(
+        [("deadbeef", 7)], "fp string, n_docs long"
+    ).write.mode("overwrite").parquet(f"{path}/batch_id=99")
+    index_store._MATERIALIZED.pop(
+        (spark.sparkContext.applicationId, path), None
+    )
+
+    path2 = index_store.exact_fp_dir(spark, SF, idx)
+    rebuilt = sorted(
+        map(tuple, index_store.read_exact_fp(spark, path2).collect())
+    )
+    assert path2 == path and rebuilt == canonical
+    assert ("deadbeef", 7) not in rebuilt

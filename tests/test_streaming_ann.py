@@ -110,3 +110,27 @@ def test_ann_replay_converges(spark, dirs):
         F.col("batch_id") == 0
     )
     assert m0.count() == 0
+
+
+def test_empty_first_batch_defers_centroid_seeding(spark, dirs):
+    """An EMPTY first batch must not freeze (and publish) an empty
+    centroid table — the first batch carrying vectors seeds it, and
+    the grown index matches the never-empty run exactly."""
+    import os
+
+    w1, _w2 = _waves(spark)
+    empty = w1.filter(F.lit(False))
+    apply_ann_batch(
+        spark, empty, 1, dirs["index"], dirs["matches"], dirs["cents"]
+    )
+    assert not os.path.exists(dirs["cents"])
+    assert not os.path.exists(dirs["index"])
+
+    apply_ann_batch(
+        spark, w1, 2, dirs["index"], dirs["matches"], dirs["cents"]
+    )
+    cents = spark.read.parquet(dirs["cents"]).count()
+    assert cents > 0
+    assigned = spark.read.parquet(dirs["index"])
+    assert assigned.filter(F.col("cell").isNull()).count() == 0
+    assert assigned.count() == w1.count()

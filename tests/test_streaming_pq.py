@@ -154,3 +154,51 @@ def test_codebook_refresh_swaps_codes_and_book(spark, tmp_path):
     assert book == sorted(
         (i, tuple(v)) for i, v in enumerate(seeds_b)
     )
+
+
+def test_empty_first_batch_defers_codebook_seeding(spark, tmp_path):
+    """An EMPTY first batch must not freeze (and publish) an empty
+    codebook — the first batch that carries vectors seeds it, and
+    codes come out identical to the never-empty run."""
+    import os
+
+    emb = load(spark, SF, "embeddings").select("vec_id", "embedding")
+    batch = emb.filter(F.col("vec_id") % 4 == 0)
+    empty = batch.filter(F.lit(False))
+    codes_dir = str(tmp_path / "codes")
+    codebook_dir = str(tmp_path / "codebook")
+
+    apply_pq_codes_batch(spark, empty, 1, codes_dir, codebook_dir)
+    assert not os.path.exists(codebook_dir)
+    assert not os.path.exists(codes_dir)
+
+    apply_pq_codes_batch(spark, batch, 2, codes_dir, codebook_dir)
+    grown = _code_set(spark.read.parquet(codes_dir).drop("batch_id"))
+
+    ref_codes = str(tmp_path / "ref_codes")
+    ref_book = str(tmp_path / "ref_book")
+    apply_pq_codes_batch(spark, batch, 1, ref_codes, ref_book)
+    assert grown == _code_set(
+        spark.read.parquet(ref_codes).drop("batch_id")
+    )
+
+
+def test_refresh_refuses_catalog_snapshot_artifact(spark, tmp_path):
+    """The catalog-managed codes snapshot is pinned to the v11 seed
+    codebook (oracle contract + session ADC tables) — refresh must
+    refuse it and leave daemon-managed pairs as its domain."""
+    import pytest
+
+    emb = load(spark, SF, "embeddings").select("vec_id", "embedding")
+    catalog_path = (
+        f"{index_store._scratch()}/index_store/pq_codes/"
+        f"{index_store._key(SF)}"
+    )
+    with pytest.raises(ValueError, match="refuses the catalog"):
+        index_store.refresh_pq_codes(
+            spark,
+            catalog_path,
+            str(tmp_path / "book"),
+            emb,
+            pq_seed_codebook(emb),
+        )

@@ -140,10 +140,20 @@ def test_stream_grows_snapshot_bootstrapped_text_index(spark, tmp_path):
     docs = load(spark, SF, "documents").select("doc_id", "text")
     half1 = docs.filter(F.col("doc_id") % 2 == 0)
     half2 = docs.filter(F.col("doc_id") % 2 == 1)
-    # a per-test snapshot key: sf_dir is only an artifact cache key
-    snap_p, snap_l, _snap_t = index_store.text_index_dirs(
-        spark, str(tmp_path / "corpus"), half1
-    )
+    # keep the per-test artifact inside tmp_path: sf_dir is only a
+    # cache KEY, so without rerooting the scratch dir every pytest
+    # run would leak a new orphaned tree into <repo>/.scratch
+    import stampede_to_fresco_etl_spark.catalog as _cat
+    import pytest as _pytest
+
+    mp = _pytest.MonkeyPatch()
+    mp.setattr(_cat, "_SCRATCH", str(tmp_path / "scratch"))
+    try:
+        snap_p, snap_l, _snap_t = index_store.text_index_dirs(
+            spark, str(tmp_path / "corpus"), half1
+        )
+    finally:
+        mp.undo()
     landing = str(tmp_path / "landing")
     ckpt = str(tmp_path / "ckpt")
     half2.write.mode("append").parquet(landing)
