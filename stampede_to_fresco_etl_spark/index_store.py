@@ -331,7 +331,8 @@ def ivfpq_dir(
             # task writes a sliver into EVERY cell dir (cells × tasks
             # files) and the per-probe scan drowns in file listing —
             # measured at 64 cells/sf1: 2048 files, probe medians
-            # noisy 1.8–8.2 s; repartitioned: 64 files, flat ~0.5 s
+            # noisy 1.8–8.2 s; repartitioned: 64 files, 1.4–2.2 s
+            # (SCALE.md r9 cell-count table)
             .repartition(F.col("cell"))
             .write.mode("overwrite")
             .partitionBy("cell")
