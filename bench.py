@@ -141,6 +141,7 @@ EXTENSION = [
     "v18_ivf_cellgrid_topk",  # new r9: 64-cell broadcast-centroid IVF
     "x61_sampled_adc_audit",  # new r9: strided recall-audit shape
     "d17_compacted_exact_probe",  # new r9: probe of a compacted artifact
+    "v19_ivfpq_topk",  # new r9: IVF-PQ cell-pruned ADC serving
 ]
 
 # CORE_V2 (frozen r9, VERDICT r8 item 2): CORE plus the stored-
