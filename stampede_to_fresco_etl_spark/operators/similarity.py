@@ -431,6 +431,13 @@ def ivf_probe_stored(
     p_dists = F.transform(
         F.col("__cents"), lambda ctr: _sqdist(F.col("p_vec"), ctr)
     )
+    # the probe side can be a data-sized ingest batch, but the
+    # comparator-sort routing STAYS: the n=1 argmin win does NOT
+    # generalize to n>1 — an iterated masked argmin re-evaluates its
+    # outer position reference per array ELEMENT inside the zip_with
+    # lambda (no cross-lambda subexpression sharing), measured 22 s
+    # vs 2 s on the sf1 ingest batch at n_probe=2 and unboundedly
+    # worse as n grows (SCALE.md r9 negative result)
     p = (
         p.withColumn("d", p_dists)
         .withColumn("cells", _nearest_cells("p_vec", "d", n_probe))
