@@ -142,6 +142,7 @@ EXTENSION = [
     "x61_sampled_adc_audit",  # new r9: strided recall-audit shape
     "d17_compacted_exact_probe",  # new r9: probe of a compacted artifact
     "v19_ivfpq_topk",  # new r9: IVF-PQ cell-pruned ADC serving
+    "v20_ivfpq_grown_probe",  # new r9: the same serving after growth
 ]
 
 # CORE_V2 (frozen r9, VERDICT r8 item 2): CORE plus the stored-

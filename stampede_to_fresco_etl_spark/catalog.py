@@ -20751,6 +20751,14 @@ def _ivfpq_topk(spark, sf_dir, n_centroids: int, n_probe: int):
         ).select("vec_id", *[f"code{s}" for s in range(_PQ_M)]),
         n_centroids=n_centroids,
     )
+    return _ivfpq_probe(spark, sf_dir, emb, serving, cent_dir, n_probe)
+
+
+def _ivfpq_probe(spark, sf_dir, emb, serving, cent_dir, n_probe):
+    """Route → cell-pruned scan → ADC → per-probe top-k, off a given
+    serving layout — shared by v19 (snapshot) and v20 (grown)."""
+    from stampede_to_fresco_etl_spark import index_store
+
     cells_of = _ivfpq_probe_cells(spark, emb, cent_dir, n_probe)
     if not cells_of:
         return spark.createDataFrame(
@@ -20776,8 +20784,13 @@ def _ivfpq_topk(spark, sf_dir, n_centroids: int, n_probe: int):
     return out
 
 
-def _sql_ivfpq_topk() -> str:
+def _sql_ivfpq_topk(grown: bool = False) -> str:
+    """v19's oracle; with `grown`, the INDEXED set additionally holds
+    every 3rd held-out vector (v20's deterministic ingest wave) while
+    the centroid seeds stay frozen on the original 80% — exactly the
+    frozen-centroid growth the ann daemon applies."""
     h = md5_int63_sql("CAST(vec_id AS VARCHAR)", salt=INGEST_SPLIT_SALT)
+    extra = " OR (is_idx = 0 AND vec_id % 3 = 0)" if grown else ""
     sq_cs = _D_SQDIST.format(a="e.v", b="s.cv")
     sq_ps = _D_SQDIST.format(a="p.pv", b="s.cv")
     d2 = (
@@ -20809,6 +20822,7 @@ split AS (
   FROM alle
 ),
 e AS (SELECT vec_id, v FROM split WHERE is_idx = 1),
+eidx AS (SELECT vec_id, v FROM split WHERE is_idx = 1{extra}),
 seeds AS (
   SELECT CAST(row_number() OVER (ORDER BY h) - 1 AS INTEGER) AS cell, v AS cv
   FROM (SELECT v, md5(CAST(vec_id AS VARCHAR)) AS h
@@ -20820,7 +20834,7 @@ assigned AS (
            row_number() OVER (
              PARTITION BY e.vec_id ORDER BY {sq_cs}, s.cell
            ) AS rn
-    FROM e CROSS JOIN seeds s
+    FROM eidx e CROSS JOIN seeds s
   ) WHERE rn = 1
 ),
 pcents AS (
@@ -20888,6 +20902,76 @@ SELECT CAST(probe_id AS BIGINT) AS probe_id, vec_id, adc_dist FROM (
 
 REGISTRY.update(
     {"v19_ivfpq_topk": (q_ivfpq_topk, _sql_ivfpq_topk())}
+)
+
+
+# ---------------------------------------------------------------------------
+# V20 — the IVF-PQ serving layout AFTER the index GROWS: the 80%
+# snapshot bootstraps a tagged ann artifact (the shared v16/v19
+# artifact is never mutated), a deterministic ingest wave (every 3rd
+# held-out vector) arrives through the streaming daemon's OWN
+# foreachBatch body (`apply_ann_batch` — centroids stay frozen on
+# the snapshot's companion), growth invalidates the session-cached
+# derived layout, and the RE-DERIVED inverted lists serve the same
+# v19 probe.  Drives the grow → invalidate → re-derive lifecycle of
+# r9's derived-artifact machinery through the driver's hash gate
+# every round — d17's role (compaction) on the vector side (growth).
+# The codes side needs no growth: the PQ codes artifact is
+# content-addressed by vec_id and already covers the corpus.
+# ---------------------------------------------------------------------------
+
+
+def q_ivfpq_grown_probe(spark, sf_dir):
+    from stampede_to_fresco_etl_spark import index_store
+    from stampede_to_fresco_etl_spark.functions import md5_int63
+    from stampede_to_fresco_etl_spark.streaming.ann_stream import (
+        apply_ann_batch,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    h = md5_int63("vec_id", salt=INGEST_SPLIT_SALT)
+    idx = emb.filter(h < F.lit(INGEST_IDX_BOUND))
+    wave = emb.filter(
+        (h >= F.lit(INGEST_IDX_BOUND)) & (F.col("vec_id") % 3 == 0)
+    )
+    index_dir, cent_dir = index_store.ann_index_dirs(
+        spark, sf_dir, idx, V16_CENTROIDS, tag="grown"
+    )
+    grow_marker = f"{index_dir}@wave1"
+    if not index_store._already_materialized(spark, grow_marker):
+        apply_ann_batch(
+            spark,
+            wave,
+            1,
+            index_dir,
+            f"{_SCRATCH}/index_store/v20_matches/"
+            f"{index_store._key(sf_dir)}",
+            cent_dir,
+            n_centroids=V16_CENTROIDS,
+        )
+        index_store._mark_materialized(spark, grow_marker)
+    serving = index_store.ivfpq_dir(
+        spark,
+        sf_dir,
+        index_store.read_ann_index(spark, index_dir),
+        index_store.read_pq_codes(
+            spark, _pq_codes_dir_cached(spark, sf_dir)
+        ).select("vec_id", *[f"code{s}" for s in range(_PQ_M)]),
+        n_centroids=V16_CENTROIDS,
+        tag="grown",
+    )
+    return _ivfpq_probe(
+        spark, sf_dir, emb, serving, cent_dir, _V19_NPROBE
+    )
+
+
+REGISTRY.update(
+    {
+        "v20_ivfpq_grown_probe": (
+            q_ivfpq_grown_probe,
+            _sql_ivfpq_topk(grown=True),
+        )
+    }
 )
 
 
@@ -21009,12 +21093,11 @@ _REVALIDATE = {
 #: and defers only the r8 additions — held to 16 this round (≤25 by
 #: VERDICT r7 item 3) so the ledger catches up.
 #: r9 empties the r8 list AND defers nothing: the whole backlog (45
-#: never-checked) plus the 4 r9 additions (v18/x61/d17/v19) is 49 —
-#: inside the driver's 50-slot window (VERDICT r8 item 1 — drain to
+#: never-checked) plus the 5 r9 additions (v18/x61/d17/v19/v20) is
+#: exactly the driver's 50-slot window (VERDICT r8 item 1 — drain to
 #: ZERO), so the r9 additions ride tier 1's tail by insertion order
-#: instead of waiting a round.  The 50th slot re-validates v4; v10
-#: and v11 (sweep-exact, green-row, kernel-touched) head tier 2 into
-#: r10's window.
+#: instead of waiting a round.  v4/v10/v11 (sweep-exact, green-row,
+#: kernel-touched) head tier 2 into r10's window.
 _DEFER_NEW: set[str] = set()
 
 _FRESHNESS, _RED_LATEST = _driver_row_history()

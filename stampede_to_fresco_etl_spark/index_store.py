@@ -125,6 +125,7 @@ def ann_index_dirs(
     sf_dir: str,
     indexed_emb: DataFrame,
     n_centroids: int,
+    tag: str = "",
 ) -> tuple[str, str]:
     """Materialize (once per session) the frozen-centroid IVF index
     for a corpus snapshot: the centroid companion table plus the
@@ -139,9 +140,13 @@ def ann_index_dirs(
         seed_centroids,
     )
 
-    # the cell count is part of the artifact's identity: two configs
-    # in one session must never share (and silently mis-serve) a path
-    base = f"{_scratch()}/index_store/ann/{_key(sf_dir)}_{n_centroids}c"
+    # the cell count (and any caller tag, e.g. a growth variant) is
+    # part of the artifact's identity: two configs in one session
+    # must never share (and silently mis-serve) a path
+    base = (
+        f"{_scratch()}/index_store/ann/{_key(sf_dir)}_{n_centroids}c"
+        f"{('_' + tag) if tag else ''}"
+    )
     index_dir, centroids_dir = f"{base}/index", f"{base}/centroids"
     if not _already_materialized(spark, base):
         _fresh_dir(spark, base)
@@ -298,10 +303,13 @@ def read_pq_codes(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path).drop("batch_id")
 
 
-def ivfpq_path(sf_dir: str, n_centroids: int) -> str:
+def ivfpq_path(sf_dir: str, n_centroids: int, tag: str = "") -> str:
     """The one place the ivfpq layout's path scheme lives — shared by
     the builder, the rehearsal script, and the tests."""
-    return f"{_scratch()}/index_store/ivfpq/{_key(sf_dir)}_{n_centroids}c"
+    return (
+        f"{_scratch()}/index_store/ivfpq/{_key(sf_dir)}_{n_centroids}c"
+        f"{('_' + tag) if tag else ''}"
+    )
 
 
 def ivfpq_dir(
@@ -310,6 +318,7 @@ def ivfpq_dir(
     assigned: DataFrame,
     codes: DataFrame,
     n_centroids: int = 16,
+    tag: str = "",
 ) -> str:
     """The IVF-PQ SERVING layout — FAISS's inverted lists of codes
     as parquet partitioned BY CELL: the stored IVF assignment rows
@@ -322,7 +331,7 @@ def ivfpq_dir(
     (`ann_index_dirs`, `pq_codes_dir`); a deployment re-derives this
     layout at snapshot/compaction time, exactly like `compact_index`
     folds batch partitions."""
-    path = ivfpq_path(sf_dir, n_centroids)
+    path = ivfpq_path(sf_dir, n_centroids, tag)
     if not _already_materialized(spark, path):
         (
             assigned.select("vec_id", "cell")

@@ -479,3 +479,46 @@ def test_fresh_session_rebuild_clears_stale_grown_partitions(spark):
     )
     assert path2 == path and rebuilt == canonical
     assert ("deadbeef", 7) not in rebuilt
+
+
+def test_ivfpq_grown_serving_holds_snapshot_plus_wave(spark):
+    """v20's lifecycle: the tagged grown index = 80% snapshot + the
+    deterministic ingest wave, the shared v19 artifact is untouched,
+    and shared (probe, vec) hits score identically across the two
+    servings (same codes, same LUTs)."""
+    from pyspark.sql import functions as F2
+
+    from stampede_to_fresco_etl_spark.catalog import (
+        INGEST_IDX_BOUND,
+        INGEST_SPLIT_SALT,
+        q_ivfpq_grown_probe,
+        q_ivfpq_topk,
+    )
+
+    out20 = q_ivfpq_grown_probe(spark, SF).collect()
+    assert len(out20) > 0
+
+    emb = load(spark, SF, "embeddings")
+    h = md5_int63("vec_id", salt=INGEST_SPLIT_SALT)
+    idx_n = emb.filter(h < F2.lit(INGEST_IDX_BOUND)).count()
+    wave_n = emb.filter(
+        (h >= F2.lit(INGEST_IDX_BOUND)) & (F2.col("vec_id") % 3 == 0)
+    ).count()
+    grown = index_store.read_ivfpq(
+        spark, index_store.ivfpq_path(SF, 16, "grown")
+    )
+    assert grown.count() == idx_n + wave_n
+    snap = index_store.read_ivfpq(spark, index_store.ivfpq_path(SF, 16))
+    assert snap.count() == idx_n  # v19's artifact untouched by growth
+
+    by_pair20 = {
+        (int(r["probe_id"]), int(r["vec_id"])): r["adc_dist"]
+        for r in out20
+    }
+    shared = 0
+    for r in q_ivfpq_topk(spark, SF).collect():
+        k = (int(r["probe_id"]), int(r["vec_id"]))
+        if k in by_pair20:
+            assert r["adc_dist"] == by_pair20[k]
+            shared += 1
+    assert shared > 0
