@@ -90,7 +90,7 @@ def main() -> int:
             f"cells={n:4d} n_probe={_V19_NPROBE}: "
             f"median {walls[1]:.2f}s (runs {[round(w, 2) for w in walls]}), "
             f"rows scanned {scanned}/{total} "
-            f"({100.0 * scanned / total:.1f}% of corpus across "
+            f"({100.0 * scanned / (total or 1):.1f}% of corpus across "
             f"{_V17_PROBES} probes; cells probed {probe_cells})"
         )
     return 0

@@ -20937,8 +20937,8 @@ def q_ivfpq_grown_probe(spark, sf_dir):
     index_dir, cent_dir = index_store.ann_index_dirs(
         spark, sf_dir, idx, V16_CENTROIDS, tag="grown"
     )
-    grow_marker = f"{index_dir}@wave1"
-    if not index_store._already_materialized(spark, grow_marker):
+    grow_marker = f"{index_dir}#wave1"
+    if not index_store.session_marker(spark, grow_marker):
         apply_ann_batch(
             spark,
             wave,
@@ -20949,7 +20949,7 @@ def q_ivfpq_grown_probe(spark, sf_dir):
             cent_dir,
             n_centroids=V16_CENTROIDS,
         )
-        index_store._mark_materialized(spark, grow_marker)
+        index_store.mark_session(spark, grow_marker)
     serving = index_store.ivfpq_dir(
         spark,
         sf_dir,
@@ -21066,6 +21066,13 @@ def _driver_row_history() -> tuple[dict[str, int], set[str]]:
 #: tier-1 sub-priority samples them FIRST (VERDICT r8 item 1).
 #: v4/v10 have prior green rows and their IVF kernel changed this
 #: round (broadcast-centroid-table path) — they re-validate.
+#: r10: the six ex-HUGEINT oracles drew green r9 rows and drop out.
+#: v4/v10/v11 stay — their r9 kernel motion (argmin assignment,
+#: pq_encode extraction) still predates their newest green row, so
+#: they head tier 2 into r10's window (VERDICT r9 item 4).  v20's
+#: query body changed this round (grow-wave flag moved off the
+#: `_MATERIALIZED` pseudo-path onto `index_store.session_marker`,
+#: VERDICT r9 item 8) — no plan change, but the ledger confirms.
 _REVALIDATE = {
     "v4_ivf_topk",
     "v10_ivf_recall_audit",
@@ -21073,13 +21080,7 @@ _REVALIDATE = {
     # (`similarity.pq_encode`, the pq_codes_stream twin) — sweep-
     # exact, but the green r8 row predates the motion.
     "v11_pq_codes",
-    # never-checked ex-HUGEINT six — tier-1 front of the line:
-    "a45_kaplan_meier",
-    "w18_longest_streak",
-    "k4_hll_cumulative",
-    "g4_source_modularity",
-    "w21_seasonal_dow",
-    "x51_threshold_sweep",
+    "v20_ivfpq_grown_probe",
 }
 
 #: Queries FIRST ADDED this round: they are never-checked too, but the

@@ -44,6 +44,26 @@ from pyspark.sql import functions as F
 #: (applicationId, artifact dir) -> materialized this session
 _MATERIALIZED: dict[tuple[str, str], bool] = {}
 
+#: Non-path session lifecycle flags (e.g. "<index_dir>#wave1" — this
+#: growth wave was already applied in this session).  A SEPARATE map
+#: from `_MATERIALIZED` so artifact-flag keys stay real directories
+#: and path-prefix logic (`_invalidate_derived`) can never match a
+#: pseudo-path (VERDICT r9 watch item 3d).
+_SESSION_MARKS: dict[tuple[str, str], bool] = {}
+
+
+def session_marker(spark: SparkSession, key: str) -> bool:
+    """True iff `mark_session(spark, key)` ran earlier in this Spark
+    session.  For non-path lifecycle flags; artifact directories use
+    `_already_materialized` / `_mark_materialized` instead."""
+    return bool(
+        _SESSION_MARKS.get((spark.sparkContext.applicationId, key))
+    )
+
+
+def mark_session(spark: SparkSession, key: str) -> None:
+    _SESSION_MARKS[(spark.sparkContext.applicationId, key)] = True
+
 
 def _scratch() -> str:
     from stampede_to_fresco_etl_spark.catalog import _SCRATCH
@@ -82,7 +102,16 @@ def _fresh_dir(spark: SparkSession, path: str) -> str:
     partitions a PRIOR session's daemon (or test) grew — without
     this, a regenerated corpus would rebuild the snapshot next to
     stale grown partitions and every probe would read both (the
-    cross-session leak the module docstring promises can't happen)."""
+    cross-session leak the module docstring promises can't happen).
+
+    CONSTRAINT (ADVICE r9): because this deletes committed
+    ``batch_id>=1`` growth on a new session's first catalog touch, a
+    CHECKPOINTED streaming daemon must never target a catalog-scratch
+    index_store path — its checkpoint would prevent replaying the
+    deleted batches, losing the growth permanently.  Checkpointed
+    daemons own their index dirs outside the catalog scratch tree;
+    the catalog's session-lifecycle artifacts (v20/d17) are safe
+    because they re-apply their growth wave each session by design."""
     jvm = spark._jvm
     p = jvm.org.apache.hadoop.fs.Path(path)
     fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
@@ -381,10 +410,19 @@ def _invalidate_derived(spark: SparkSession, source_path: str) -> None:
         return
     prefix = f"{m.group(1)}/index_store/ivfpq/{m.group(2)}"
     app = spark.sparkContext.applicationId
+    # Anchor the match at the config-suffix boundary: a bare
+    # startswith would let corpora whose keys share a prefix
+    # (…sf0.1 vs …sf0.12) cross-invalidate each other's layouts
+    # (ADVICE r9) — safe direction but needless re-derivation.
+    # Derived ivfpq paths are exactly `<prefix>` or
+    # `<prefix>_<n>c[/…]`, so require end-of-string or `_<n>c`.
+    tail_ok = re.compile(r"(?:_\d+c)?(?:/.*)?$")
     for k in [
         k
         for k in _MATERIALIZED
-        if k[0] == app and k[1].startswith(prefix)
+        if k[0] == app
+        and k[1].startswith(prefix)
+        and tail_ok.fullmatch(k[1][len(prefix):])
     ]:
         _MATERIALIZED.pop(k, None)
 
