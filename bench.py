@@ -228,6 +228,42 @@ def _stage_totals(spark) -> dict[str, int] | None:
         return None
 
 
+def _bracketed_core_totals(rnd: int, sf_dir: str) -> dict[str, float]:
+    """Sum of 3-run bracket MEDIANS over CORE / CORE_V2, from this
+    round's committed core-bracket side files — absent keys when no
+    bracket covers the full core at this sf."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    meds: dict[str, float] = {}
+    # round-start bracket first, round-close second: later files
+    # override, so the medians that reach the record reflect the
+    # round's FINAL code (the close run)
+    for bp in sorted(
+        glob.glob(os.path.join(here, f"BENCH_BRACKET_r{rnd}_core*.json")),
+        key=lambda p: ("start" not in os.path.basename(p), p),
+    ):
+        try:
+            with open(bp) as f:
+                brec = json.load(f)
+        except (OSError, ValueError):
+            continue
+        bsf = brec.get("sf_dir")
+        if bsf is not None and str(bsf).rstrip("/") != str(sf_dir).rstrip(
+            "/"
+        ):
+            continue
+        for name, rec in brec.get("queries", {}).items():
+            if isinstance(rec, dict) and "median" in rec:
+                meds[name] = rec["median"]
+    out: dict[str, float] = {}
+    if all(n in meds for n in CORE):
+        out["core_total_bracket"] = round(sum(meds[n] for n in CORE), 3)
+    if all(n in meds for n in CORE_V2):
+        out["core_v2_total_bracket"] = round(
+            sum(meds[n] for n in CORE_V2), 3
+        )
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -350,6 +386,14 @@ def main() -> None:
         "core_n": len(CORE),
         "core_v2_total": core_v2_total,
         "core_v2_n": len(CORE_V2),
+        # Bracketed core totals (VERDICT r9 item 1): where this
+        # round recorded a 3-run core bracket
+        # (BENCH_BRACKET_r{N}_core*.json), the sum of per-query
+        # MEDIANS is the number the cross-round contract tracks —
+        # r9 proved single-run core totals swing ±16% on session
+        # noise alone (clean singles 20.71 s vs bracket medians
+        # 18.63 s with untouched code).
+        **_bracketed_core_totals(rnd, sf_dir),
         # full timings in the side file: the driver's BENCH_r{N} tail
         # capture truncates the stdout line once the query dict grows
         # past ~2 kB (r8's record has parsed: null), and vs_prev dies
