@@ -19910,9 +19910,13 @@ def _adc_expr(tab, p: int):
     """The ADC score of one probe as a fixed-order column expression:
     M lookup-table element_at's summed left-to-right — the exact
     association the oracle's ``t0.d2 + t1.d2 + ...`` uses."""
+    from stampede_to_fresco_etl_spark.operators.similarity import (
+        lit_double_vec,
+    )
+
     adc = None
     for s in range(_PQ_M):
-        lut = F.array(*[F.lit(v) for v in tab[(p, s)]])
+        lut = lit_double_vec([float(v) for v in tab[(p, s)]])
         term = F.element_at(lut, F.col(f"code{s}") + 1)
         adc = term if adc is None else adc + term
     return adc
@@ -20784,13 +20788,20 @@ def _ivfpq_probe(spark, sf_dir, emb, serving, cent_dir, n_probe):
     return out
 
 
-def _sql_ivfpq_topk(grown: bool = False) -> str:
+def _sql_ivfpq_topk(grown: bool = False, batch: bool = False) -> str:
     """v19's oracle; with `grown`, the INDEXED set additionally holds
     every 3rd held-out vector (v20's deterministic ingest wave) while
     the centroid seeds stay frozen on the original 80% — exactly the
-    frozen-centroid growth the ann daemon applies."""
+    frozen-centroid growth the ann daemon applies.  With `batch`, the
+    probe set is the WHOLE held-out 20% (v21's ingest-batch shape)
+    instead of the handful of serving probes."""
     h = md5_int63_sql("CAST(vec_id AS VARCHAR)", salt=INGEST_SPLIT_SALT)
     extra = " OR (is_idx = 0 AND vec_id % 3 = 0)" if grown else ""
+    probe_sel = (
+        "SELECT vec_id, v AS pv FROM split WHERE is_idx = 0"
+        if batch
+        else f"SELECT vec_id, v AS pv FROM alle WHERE vec_id < {_V17_PROBES}"
+    )
     sq_cs = _D_SQDIST.format(a="e.v", b="s.cv")
     sq_ps = _D_SQDIST.format(a="p.pv", b="s.cv")
     d2 = (
@@ -20868,16 +20879,14 @@ pcells AS (
            row_number() OVER (
              PARTITION BY p.vec_id ORDER BY {sq_ps}, s.cell
            ) AS rn
-    FROM (SELECT vec_id, v AS pv FROM alle
-          WHERE vec_id < {_V17_PROBES}) p
+    FROM ({probe_sel}) p
     CROSS JOIN seeds s
   ) WHERE rn <= {_V19_NPROBE}
 ),
 tbl AS (
   SELECT p.vec_id AS probe_id, c.ss, c.code,
          {pd2.format(n=_PQ_DIMS, off="c.ss * " + str(_PQ_DIMS))} AS d2
-  FROM (SELECT vec_id, v AS pv FROM alle
-        WHERE vec_id < {_V17_PROBES}) p, pcents c
+  FROM ({probe_sel}) p, pcents c
 ),
 cand AS (
   SELECT pc.probe_id, a.vec_id,
@@ -20970,6 +20979,170 @@ REGISTRY.update(
         "v20_ivfpq_grown_probe": (
             q_ivfpq_grown_probe,
             _sql_ivfpq_topk(grown=True),
+        )
+    }
+)
+
+
+# ---------------------------------------------------------------------------
+# V21 — BATCH-probe serving on the composed IVF-PQ artifact (VERDICT
+# r9 item 2 / watch item 3a): v16's ingest-batch shape lands on v19's
+# layout.  The whole held-out 20% arrives as ONE probe DataFrame,
+# routes to its n_probe nearest frozen cells engine-side (comparator
+# sort — the n>1 path; the masked argmin is a measured 10× cliff,
+# SCALE.md r9 negative result), carries its M per-subspace ADC lookup
+# tables as array columns built against the literal codebook
+# (K·M·dims bounded work per probe, materialized at the join's
+# exchange/broadcast boundary so it is paid once per routed row,
+# never per candidate pair), and EQUI-JOINS the cell-partitioned
+# inverted lists on the partition column — no driver-side per-probe
+# loop, no O(probes) plan growth (v19's `_ivfpq_probe` stays for the
+# handful-of-serving-probes shape).  The layout scan is additionally
+# pruned to the batch's probed-cell set (one bounded ≤ n_cells
+# collect → PartitionFilters literals: vacuous for a dense batch at
+# 16 cells, directory-level pruning at production cell counts where
+# a batch touches a sparse subset).  Scoring is M element_at lookups
+# per candidate pair (whole-stage codegen, no per-pair vector math)
+# and the top-k is the salted two-stage window ranking ASCENDING by
+# (adc_dist, vec_id).  Oracle: v19's CTE chain with the probe set
+# swapped to the held-out half.
+# ---------------------------------------------------------------------------
+
+
+def _pq_codebook(spark, sf_dir) -> list[list[list[float]]]:
+    """[subspace][code][dim] sub-centroid doubles — the PQ codebook
+    (the _PQ_K lowest-vec_id corpus vectors, v11/v17's seeds; code
+    value == seed vec_id == list position), one bounded collect per
+    session (K·M·dims doubles — calibration-sized, the _KM_CACHE
+    pattern)."""
+    ck = (spark.sparkContext.applicationId, sf_dir, "codebook")
+    cb = _PQ_LUT_CACHE.get(ck)
+    if cb is None:
+        from stampede_to_fresco_etl_spark.operators.similarity import (
+            as_double_vec,
+        )
+
+        emb = load(spark, sf_dir, "embeddings")
+        rows = (
+            emb.filter(F.col("vec_id") < _PQ_K)
+            .select("vec_id", as_double_vec("embedding").alias("v"))
+            .orderBy("vec_id")
+            .collect()
+        )
+        cb = [
+            [
+                [
+                    float(x)
+                    for x in r["v"][s * _PQ_DIMS : (s + 1) * _PQ_DIMS]
+                ]
+                for r in rows
+            ]
+            for s in range(_PQ_M)
+        ]
+        _PQ_LUT_CACHE[ck] = cb
+    return cb
+
+
+def q_ivfpq_batch_probe(spark, sf_dir):
+    from stampede_to_fresco_etl_spark import index_store
+    from stampede_to_fresco_etl_spark.functions import md5_int63
+    from stampede_to_fresco_etl_spark.operators.similarity import (
+        _nearest_cells,
+        _sqdist,
+        _with_centroid_col,
+        as_double_vec,
+        lit_double_matrix,
+        partial_topk,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    h = md5_int63("vec_id", salt=INGEST_SPLIT_SALT)
+    idx = emb.filter(h < F.lit(INGEST_IDX_BOUND))
+    index_dir, cent_dir = index_store.ann_index_dirs(
+        spark, sf_dir, idx, V16_CENTROIDS
+    )
+    serving = index_store.ivfpq_dir(
+        spark,
+        sf_dir,
+        index_store.read_ann_index(spark, index_dir),
+        index_store.read_pq_codes(
+            spark, _pq_codes_dir_cached(spark, sf_dir)
+        ).select("vec_id", *[f"code{s}" for s in range(_PQ_M)]),
+        n_centroids=V16_CENTROIDS,
+    )
+    cents = index_store.read_ann_centroids(spark, cent_dir)
+    cb = _pq_codebook(spark, sf_dir)
+    probes = emb.filter(h >= F.lit(INGEST_IDX_BOUND)).select(
+        F.col("vec_id").alias("probe_id"),
+        as_double_vec("embedding").alias("pv"),
+    )
+    # per-probe ADC lookup tables: lut_s[code] = d²(probe subvector,
+    # codebook sub-centroid) — the same left-fold assembly the v17
+    # LUT collect and the oracle's `tbl` CTE use, kept IN the plan
+    # (engine-side per batch row) instead of collected per probe.
+    # The subspace index binds via a factory closure, NOT a lambda
+    # default arg: `lambda c, _s=s:` has arity 2, which PySpark
+    # reads as transform's (element, index) BINARY lambda — the
+    # "default" silently becomes the array index and every subspace
+    # slices the wrong dims (measured: luts of 4 wrong values + 12
+    # nulls).
+    def _lut(s: int):
+        psub = F.slice("pv", s * _PQ_DIMS + 1, _PQ_DIMS)
+        return F.transform(
+            lit_double_matrix(cb[s]), lambda c: _sqdist(psub, c)
+        ).alias(f"lut{s}")
+
+    luts = [_lut(s) for s in range(_PQ_M)]
+    routed = (
+        _with_centroid_col(probes, cents)
+        .withColumn(
+            "d",
+            F.transform(
+                F.col("__cents"), lambda c: _sqdist(F.col("pv"), c)
+            ),
+        )
+        .withColumn("cells", _nearest_cells("pv", "d", _V19_NPROBE))
+        .select(
+            "probe_id", *luts, F.explode("cells").alias("cell")
+        )
+    )
+    # the batch's probed-cell set as partition-pruning literals —
+    # one bounded collect (≤ n_cells ints)
+    cells = sorted(
+        int(r["cell"])
+        for r in routed.select("cell").distinct().collect()
+    )
+    if not cells:
+        return spark.createDataFrame(
+            [], "probe_id long, vec_id long, adc_dist double"
+        )
+    ivfpq = index_store.read_ivfpq(spark, serving).filter(
+        F.col("cell").isin(cells)
+    )
+    adc = None
+    for s in range(_PQ_M):
+        term = F.element_at(
+            F.col(f"lut{s}"), F.col(f"code{s}") + 1
+        )
+        adc = term if adc is None else adc + term
+    scored = ivfpq.join(routed, "cell").select(
+        "probe_id", "vec_id", adc.alias("adc_dist")
+    )
+    return partial_topk(
+        scored,
+        "probe_id",
+        "vec_id",
+        _V19_TOPK,
+        sim_col="adc_dist",
+        ascending=True,
+    ).select("probe_id", "vec_id", "adc_dist")
+
+
+REGISTRY.update(
+    {
+        "v21_ivfpq_batch_probe": (
+            q_ivfpq_batch_probe,
+            _sql_ivfpq_topk(batch=True),
         )
     }
 )

@@ -74,6 +74,7 @@ def partial_topk(
     id_col: str,
     k: int,
     sim_col: str = "cos_sim",
+    ascending: bool = False,
 ) -> DataFrame:
     """Scale-safe top-k per probe: salted two-stage window.
 
@@ -98,8 +99,14 @@ def partial_topk(
     here are Tungsten radix sorts.
 
     Output: (probe_id, id, sim, rank), rank ∈ [1, k].
+
+    `ascending=True` ranks smallest-first (distance scores — v21's
+    ADC probe); the default ranks largest-first (similarities).
     """
-    order = [F.col(sim_col).desc(), F.col(id_col)]
+    order = [
+        F.col(sim_col).asc() if ascending else F.col(sim_col).desc(),
+        F.col(id_col),
+    ]
     w_shard = Window.partitionBy(probe_id_col, "__pid").orderBy(*order)
     survivors = (
         scored.withColumn("__pid", F.spark_partition_id())
@@ -289,6 +296,33 @@ def _sqdist(a: Column, b: Column) -> Column:
 _LITERAL_CENTROID_MAX = 16
 
 
+def lit_double_vec(vals: list[float]) -> Column:
+    """A literal ``array<double>`` as ONE parsed expression.
+
+    ``F.lit(list)`` (and per-element ``F.array(*map(F.lit, …))``)
+    costs a py4j round-trip per element — measured r10: ~1.5 s of
+    v21's plan CONSTRUCTION went to ~2 000 lit() calls for the
+    codebook/centroid matrices.  A repr-formatted SQL literal parses
+    JVM-side in one call and is bit-exact: Python repr() is the
+    shortest round-trip form and Double.parseDouble returns the
+    identical IEEE double (pinned by test)."""
+    return F.expr(
+        "array(" + ",".join(f"{float(x)!r}D" for x in vals) + ")"
+    )
+
+
+def lit_double_matrix(rows: list[list[float]]) -> Column:
+    """A literal ``array<array<double>>``; see `lit_double_vec`."""
+    return F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{float(x)!r}D" for x in c) + ")"
+            for c in rows
+        )
+        + ")"
+    )
+
+
 def _with_centroid_col(
     df: DataFrame, centroids: list[list[float]], col: str = "__cents"
 ) -> DataFrame:
@@ -306,12 +340,11 @@ def _with_centroid_col(
     doubles either way, so the two paths are bit-exact twins (pinned
     by tests/test_similarity_multimodal.py)."""
     if len(centroids) <= _LITERAL_CENTROID_MAX:
-        return df.withColumn(
-            col,
-            F.array(
-                *[F.array(*[F.lit(x) for x in c]) for c in centroids]
-            ),
-        )
+        # one parsed matrix literal, not cells×dim F.lit() calls:
+        # the per-element form costs a py4j round-trip per double
+        # and dominated v21's plan-CONSTRUCTION time (measured r10);
+        # the parsed literal is bit-identical (repr round-trip)
+        return df.withColumn(col, lit_double_matrix(centroids))
     cent_df = df.sparkSession.createDataFrame(
         [([[float(x) for x in c] for c in centroids],)],
         f"{col} array<array<double>>",

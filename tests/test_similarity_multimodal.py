@@ -362,3 +362,43 @@ def test_ivf_probe_stored_broadcast_table_path(spark, monkeypatch):
     lit = S.ivf_probe_stored(assigned, cents, probes, k=5).collect()
     assert sorted(map(tuple, table)) == sorted(map(tuple, lit))
     assert len(table) == 15
+
+
+def test_lit_double_helpers_bit_exact(spark):
+    """`lit_double_vec` / `lit_double_matrix` parse ONE SQL literal
+    instead of a py4j round-trip per element (~1.5 s of v21's plan
+    construction, measured r10) — and must be BIT-identical to the
+    per-element F.lit form: repr() is the shortest round-trip form
+    and Double.parseDouble returns the same IEEE double, including
+    subnormals, negatives and extreme exponents."""
+    import random
+    import struct
+
+    from stampede_to_fresco_etl_spark.operators.similarity import (
+        lit_double_matrix,
+        lit_double_vec,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        [
+            rng.uniform(-1e3, 1e3) * 10 ** rng.randint(-300, 300)
+            for _ in range(8)
+        ]
+        + [0.0, -0.0, 5e-324, 1.7976931348623157e308]
+        for _ in range(4)
+    ]
+    df = spark.range(1).select(
+        lit_double_matrix(rows).alias("m"),
+        lit_double_vec(rows[0]).alias("v"),
+        F.array(
+            *[F.array(*[F.lit(x) for x in c]) for c in rows]
+        ).alias("m0"),
+    )
+    assert df.schema["m"].dataType.simpleString() == "array<array<double>>"
+    r = df.collect()[0]
+    bits = lambda vals: [struct.pack("<d", x) for x in vals]  # noqa: E731
+    assert bits([x for c in r["m"] for x in c]) == bits(
+        [x for c in r["m0"] for x in c]
+    )
+    assert bits(r["v"]) == bits(rows[0])
