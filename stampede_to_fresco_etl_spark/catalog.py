@@ -19688,8 +19688,24 @@ def q_bm25_stored_index(spark, sf_dir):
     postings_dir, doclen_dir, totals_dir = index_store.text_index_dirs(
         spark, sf_dir, docs
     )
-    post = spark.read.parquet(postings_dir).filter(
-        F.col("token").isin(_X57_TERMS)
+    # directory-level pruning first (token_bucket partition literals
+    # from the driver-side hash twin — the probe lists/opens only its
+    # terms' bucket dirs), THEN the exact token membership inside the
+    # surviving buckets (row-group stats pushdown)
+    post = (
+        spark.read.parquet(postings_dir)
+        .filter(
+            F.col("token_bucket").isin(
+                sorted(
+                    {
+                        index_store.token_bucket_of(t)
+                        for t in _X57_TERMS
+                    }
+                )
+            )
+            & F.col("token").isin(_X57_TERMS)
+        )
+        .drop("token_bucket")
     )
     per_doc = post.groupBy("doc_id").agg(
         *[
@@ -21254,6 +21270,9 @@ _REVALIDATE = {
     # exact, but the green r8 row predates the motion.
     "v11_pq_codes",
     "v20_ivfpq_grown_probe",
+    # r10: postings layout went token-bucket-partitioned and the
+    # probe gained the bucket PartitionFilters (VERDICT r9 item 3).
+    "x57_bm25_stored_index",
 }
 
 #: Queries FIRST ADDED this round: they are never-checked too, but the

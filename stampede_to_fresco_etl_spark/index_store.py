@@ -38,7 +38,7 @@ from __future__ import annotations
 
 import re
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 #: (applicationId, artifact dir) -> materialized this session
@@ -234,6 +234,41 @@ def read_ann_index(spark: SparkSession, index_dir: str) -> DataFrame:
     return spark.read.parquet(index_dir).drop("batch_id")
 
 
+#: token-hash directory partitions for the postings artifact.  At
+#: this bucket count a B-term probe reads ≤ B of 16 directories; at
+#: cluster scale the same layout holds with B in the thousands (the
+#: bucket column is a stable md5 hash, so bucket counts can differ
+#: per deployment without changing probe code).
+TEXT_TOKEN_BUCKETS = 16
+
+_TOKEN_BUCKET_SALT = "tokbucket"
+
+
+def token_bucket_col(token_col) -> Column:
+    """The postings partition key: a stable md5-derived bucket of the
+    token (Spark side).  `token_bucket_of` is the driver-side twin
+    that turns a probe's terms into partition-pruning literals."""
+    from stampede_to_fresco_etl_spark.functions import md5_int63
+
+    return (
+        md5_int63(token_col, salt=_TOKEN_BUCKET_SALT)
+        % TEXT_TOKEN_BUCKETS
+    ).cast("int")
+
+
+def token_bucket_of(token: str) -> int:
+    """Driver-side twin of `token_bucket_col` (same md5 window)."""
+    import hashlib
+
+    h = int(
+        hashlib.md5(
+            f"{_TOKEN_BUCKET_SALT}:{token}".encode()
+        ).hexdigest()[:15],
+        16,
+    )
+    return h % TEXT_TOKEN_BUCKETS
+
+
 def text_index_dirs(
     spark: SparkSession, sf_dir: str, docs: DataFrame
 ) -> tuple[str, str, str]:
@@ -267,7 +302,22 @@ def text_index_dirs(
         td = toks.groupBy("token", "doc_id").agg(
             F.count("*").cast("long").alias("tf")
         )
-        td.write.mode("overwrite").parquet(f"{postings}/batch_id=0")
+        # postings partitioned BY TOKEN BUCKET (VERDICT r9 item 3):
+        # a B-term probe reads only its terms' directories — the
+        # directory-level pruning `ivfpq_dir` proved is worth real
+        # seconds, now on the text side.  One file per bucket
+        # (repartition on the partition column): without it every
+        # shuffle task writes a sliver into every bucket dir and the
+        # probe drowns in file listing (the r9 inverted-list lesson).
+        (
+            td.withColumn(
+                "token_bucket", token_bucket_col(F.col("token"))
+            )
+            .repartition(F.col("token_bucket"))
+            .write.mode("overwrite")
+            .partitionBy("token_bucket")
+            .parquet(f"{postings}/batch_id=0")
+        )
         dl = toks.groupBy("doc_id").agg(
             F.count("*").cast("long").alias("dl")
         )

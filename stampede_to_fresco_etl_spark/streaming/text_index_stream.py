@@ -48,6 +48,10 @@ def apply_text_index_batch(
     """One micro-batch: tokenize the batch, append its postings and
     doc lengths as its own partitions.  Idempotent — both writes
     overwrite this batch's own partition."""
+    from stampede_to_fresco_etl_spark.index_store import (
+        token_bucket_col,
+    )
+
     toks = batch_df.select(
         "doc_id",
         F.explode(F.split(F.trim("text"), r"\s+")).alias("token"),
@@ -55,8 +59,16 @@ def apply_text_index_batch(
     td = toks.groupBy("token", "doc_id").agg(
         F.count("*").cast("long").alias("tf")
     )
-    td.write.mode("overwrite").parquet(
-        f"{postings_dir}/batch_id={batch_id}"
+    # same token_bucket directory partitioning as the snapshot
+    # bootstrap (`index_store.text_index_dirs`): partition discovery
+    # requires a consistent depth across batch_id partitions, and the
+    # probe's directory pruning must keep holding as the index grows
+    (
+        td.withColumn("token_bucket", token_bucket_col(F.col("token")))
+        .repartition(F.col("token_bucket"))
+        .write.mode("overwrite")
+        .partitionBy("token_bucket")
+        .parquet(f"{postings_dir}/batch_id={batch_id}")
     )
     toks.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("dl")

@@ -181,3 +181,64 @@ def test_stream_grows_snapshot_bootstrapped_text_index(spark, tmp_path):
     tot = read_text_totals(spark, snap_l).collect()[0]
     assert tot["n_docs"] == len({d for (_t, d, _tf) in expected})
     assert tot["dl_sum"] == sum(tf for (_t, _d, tf) in expected)
+
+
+def test_postings_bucket_layout_and_probe_pruning(spark):
+    """VERDICT r9 item 3: the postings artifact is directory-
+    partitioned by token_bucket (one file per bucket per batch
+    partition — the sliver-file lesson), the Spark- and driver-side
+    bucket hashes agree on every stored token, and x57's probe scan
+    carries the bucket literals as PartitionFilters so only the
+    terms' directories are listed/opened."""
+    import contextlib
+    import io
+    import os
+
+    from stampede_to_fresco_etl_spark.catalog import (
+        _X57_TERMS,
+        q_bm25_stored_index,
+    )
+
+    docs = load(spark, SF, "documents").select("doc_id", "text")
+    postings, _dl, _tot = index_store.text_index_dirs(spark, SF, docs)
+
+    # layout: token_bucket=K dirs under batch_id=0, one file each
+    b0 = os.path.join(postings, "batch_id=0")
+    buckets = [d for d in os.listdir(b0) if d.startswith("token_bucket=")]
+    assert 1 <= len(buckets) <= index_store.TEXT_TOKEN_BUCKETS
+    for d in buckets:
+        files = [
+            f
+            for f in os.listdir(os.path.join(b0, d))
+            if f.endswith(".parquet")
+        ]
+        assert len(files) == 1
+
+    # engine bucket == driver twin on every stored token
+    rows = (
+        spark.read.parquet(postings)
+        .select("token", "token_bucket")
+        .distinct()
+        .collect()
+    )
+    assert len(rows) > 0
+    for r in rows:
+        assert int(r["token_bucket"]) == index_store.token_bucket_of(
+            r["token"]
+        )
+
+    # probe plan: bucket literals reach PartitionFilters
+    df = q_bm25_stored_index(spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    want = sorted({index_store.token_bucket_of(t) for t in _X57_TERMS})
+    seg = [
+        ln
+        for ln in plan.splitlines()
+        if "PartitionFilters" in ln and "token_bucket" in ln
+    ]
+    assert seg, plan
+    assert all(str(b) in seg[0] for b in want)
