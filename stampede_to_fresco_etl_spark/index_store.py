@@ -382,6 +382,65 @@ def read_pq_codes(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path).drop("batch_id")
 
 
+def pq_codes_index_dirs(
+    spark: SparkSession,
+    sf_dir: str,
+    indexed_emb: DataFrame,
+    tag: str = "",
+) -> tuple[str, str]:
+    """The GROWABLE twin of `pq_codes_dir`: ``(codes_dir,
+    codebook_dir)`` under one base — snapshot codes as ``batch_id=0``
+    plus the frozen codebook companion the streaming daemon
+    (`pq_codes_stream.apply_pq_codes_batch`) encodes later waves
+    against.  `pq_codes_dir` keeps the flat snapshot layout catalog
+    v11/v17 pin; THIS layout is for tagged growth variants (the
+    vector-ingest composition), which must never mutate the shared
+    serving snapshot (v20's rule).
+
+    Tag naming: when the artifact feeds a tagged `ivfpq_dir`
+    derivation, pass the layout's full key suffix (e.g.
+    ``"16c_vecingest"`` for a 16-cell derivation tagged
+    ``vecingest``) so `_invalidate_derived`'s key-prefix match
+    reaches the derived layout.  Codebook seeding: the snapshot's
+    _PQ_K smallest vec_ids (the streaming daemon's own first-batch
+    rule), so bootstrap and daemon are one convention."""
+    from stampede_to_fresco_etl_spark.operators.similarity import (
+        pq_encode,
+    )
+    from stampede_to_fresco_etl_spark.streaming.pq_codes_stream import (
+        PQ_DIMS,
+        PQ_K,
+        PQ_M,
+    )
+
+    base = (
+        f"{_scratch()}/index_store/pq_codes/{_key(sf_dir)}"
+        f"{('_' + tag) if tag else ''}"
+    )
+    codes_dir, codebook_dir = f"{base}/codes", f"{base}/codebook"
+    if not _already_materialized(spark, base):
+        _fresh_dir(spark, base)
+        seeds = [
+            [float(x) for x in r["embedding"]]
+            for r in indexed_emb.select("vec_id", "embedding")
+            .orderBy("vec_id")
+            .limit(PQ_K)
+            .collect()
+        ]
+        spark.createDataFrame(
+            [(i, v) for i, v in enumerate(seeds)],
+            "code int, cv array<double>",
+        ).coalesce(1).write.mode("overwrite").parquet(codebook_dir)
+        pq_encode(
+            indexed_emb.select("vec_id", "embedding"),
+            seeds,
+            m=PQ_M,
+            dims=PQ_DIMS,
+        ).write.mode("overwrite").parquet(f"{codes_dir}/batch_id=0")
+        _mark_materialized(spark, base)
+    return codes_dir, codebook_dir
+
+
 def ivfpq_path(sf_dir: str, n_centroids: int, tag: str = "") -> str:
     """The one place the ivfpq layout's path scheme lives — shared by
     the builder, the rehearsal script, and the tests."""

@@ -1,0 +1,261 @@
+"""The composed VECTOR ingest pipeline (VERDICT r9 item 5): one
+foreachBatch body drives fp-gate → ann growth → codes growth →
+derived-layout invalidation, so a wave of genuinely NEW vectors
+reaches the IVF-PQ serving layout end-to-end while exact re-crawls
+of indexed payloads are gated before any assignment work — and
+crash-replay of a batch converges."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from stampede_to_fresco_etl_spark import index_store
+from stampede_to_fresco_etl_spark.catalog import (
+    INGEST_IDX_BOUND,
+    INGEST_SPLIT_SALT,
+    load,
+)
+from stampede_to_fresco_etl_spark.functions import md5_int63
+from stampede_to_fresco_etl_spark.streaming.vector_ingest_pipeline import (
+    apply_vector_ingest_batch,
+    bootstrap_vector_fps,
+    run_vector_ingest_pipeline,
+    vector_fp,
+)
+
+SF = "/root/testdata/sf0.001"
+TAG = "vecingest"
+NEW_OFFSET = 2_000_000
+DUP_OFFSET = 1_000_000
+
+
+def _split(spark):
+    emb = load(spark, SF, "embeddings").select("vec_id", "embedding")
+    h = md5_int63("vec_id", salt=INGEST_SPLIT_SALT)
+    return (
+        emb.filter(h < F.lit(INGEST_IDX_BOUND)),
+        emb.filter(h >= F.lit(INGEST_IDX_BOUND)),
+    )
+
+
+def _bootstrap(spark, tmp_path):
+    """Snapshot artifacts: tagged ann + codes under the index_store
+    layout (so `_invalidate_derived`'s key-prefix matching reaches
+    the derived ivfpq layout), fp set in the test's own dir."""
+    idx, held = _split(spark)
+    index_dir, cent_dir = index_store.ann_index_dirs(
+        spark, SF, idx, 16, tag=TAG
+    )
+    codes_dir, codebook_dir = index_store.pq_codes_index_dirs(
+        spark, SF, idx, tag=f"16c_{TAG}"
+    )
+    fp_dir = str(tmp_path / "vec_fps")
+    bootstrap_vector_fps(spark, idx, fp_dir)
+    matches_dir = str(tmp_path / "matches")
+    return idx, held, fp_dir, index_dir, matches_dir, cent_dir, (
+        codes_dir
+    ), codebook_dir
+
+
+def _wave(spark, idx, held):
+    """A mixed wave: exact payload re-sends of indexed vectors under
+    FRESH ids (must be gated) + genuinely new vectors (held-out
+    payloads under out-of-corpus ids — must be admitted)."""
+    dups = idx.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + DUP_OFFSET).alias("vec_id"), "embedding"
+    )
+    new = held.select(
+        (F.col("vec_id") + NEW_OFFSET).alias("vec_id"), "embedding"
+    )
+    return dups.unionByName(new), dups.count(), new.count()
+
+
+def test_gate_growth_and_rederived_serving(spark, tmp_path):
+    (
+        idx,
+        held,
+        fp_dir,
+        index_dir,
+        matches_dir,
+        cent_dir,
+        codes_dir,
+        codebook_dir,
+    ) = _bootstrap(spark, tmp_path)
+    n_idx = idx.count()
+
+    # derive the serving layout BEFORE the wave (session-cached)
+    serving = index_store.ivfpq_dir(
+        spark,
+        SF,
+        index_store.read_ann_index(spark, index_dir),
+        index_store.read_pq_codes(spark, codes_dir).select(
+            "vec_id", "code0", "code1", "code2", "code3"
+        ),
+        n_centroids=16,
+        tag=TAG,
+    )
+    assert index_store.read_ivfpq(spark, serving).count() == n_idx
+    assert index_store._already_materialized(spark, serving)
+
+    wave, n_dups, n_new = _wave(spark, idx, held)
+    assert n_dups > 0 and n_new > 0
+    apply_vector_ingest_batch(
+        spark,
+        wave,
+        1,
+        fp_dir,
+        index_dir,
+        matches_dir,
+        cent_dir,
+        codes_dir,
+        codebook_dir,
+        n_centroids=16,
+    )
+
+    # gate: re-sent payloads never reach the index; new ids all do
+    grown = index_store.read_ann_index(spark, index_dir)
+    assert grown.count() == n_idx + n_new
+    assert (
+        grown.filter(
+            (F.col("vec_id") >= DUP_OFFSET)
+            & (F.col("vec_id") < NEW_OFFSET)
+        ).count()
+        == 0
+    )
+    codes = index_store.read_pq_codes(spark, codes_dir)
+    assert codes.count() == n_idx + n_new
+    assert codes.filter(F.col("code0").isNull()).count() == 0
+
+    # growth invalidated the session-cached derived layout…
+    assert not index_store._already_materialized(spark, serving)
+    # …and the re-derived layout equals assignment ⋈ codes (source
+    # truth), including every new vector
+    serving2 = index_store.ivfpq_dir(
+        spark,
+        SF,
+        grown,
+        codes.select("vec_id", "code0", "code1", "code2", "code3"),
+        n_centroids=16,
+        tag=TAG,
+    )
+    layout = index_store.read_ivfpq(spark, serving2)
+    assert layout.count() == n_idx + n_new
+    src = {
+        (int(r["vec_id"]), int(r["cell"]))
+        for r in grown.select("vec_id", "cell").collect()
+    }
+    derived = {
+        (int(r["vec_id"]), int(r["cell"]))
+        for r in layout.select("vec_id", "cell").collect()
+    }
+    assert derived == src
+
+
+def test_replay_converges_and_runner_drives_it(spark, tmp_path):
+    (
+        idx,
+        held,
+        fp_dir,
+        index_dir,
+        matches_dir,
+        cent_dir,
+        codes_dir,
+        codebook_dir,
+    ) = _bootstrap(spark, tmp_path)
+    wave, _n_dups, n_new = _wave(spark, idx, held)
+
+    def snapshot():
+        a = sorted(
+            (int(r["vec_id"]), int(r["cell"]))
+            for r in index_store.read_ann_index(spark, index_dir)
+            .select("vec_id", "cell")
+            .collect()
+        )
+        c = sorted(
+            tuple(r)
+            for r in index_store.read_pq_codes(spark, codes_dir)
+            .select("vec_id", "code0", "code1", "code2", "code3")
+            .collect()
+        )
+        f = sorted(
+            tuple(r)
+            for r in spark.read.parquet(fp_dir)
+            .select("fp", "n")
+            .collect()
+        )
+        return a, c, f
+
+    landing = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    wave.write.mode("append").parquet(landing)
+    run_vector_ingest_pipeline(
+        spark,
+        landing,
+        fp_dir,
+        index_dir,
+        matches_dir,
+        cent_dir,
+        codes_dir,
+        codebook_dir,
+        ckpt,
+        n_centroids=16,
+    ).awaitTermination(120)
+    first = snapshot()
+    assert (
+        index_store.read_ann_index(spark, index_dir).count()
+        == idx.count() + n_new
+    )
+
+    # crash-replay: re-applying the same batch id rewrites identical
+    # content in every sink
+    apply_vector_ingest_batch(
+        spark,
+        wave,
+        1,
+        fp_dir,
+        index_dir,
+        matches_dir,
+        cent_dir,
+        codes_dir,
+        codebook_dir,
+        n_centroids=16,
+    )
+    assert snapshot() == first
+
+    # a second wave that is ENTIRELY already-ingested payloads grows
+    # nothing (the gate now knows batch 1's fps too)
+    apply_vector_ingest_batch(
+        spark,
+        wave.select(
+            (F.col("vec_id") + 7_000_000).alias("vec_id"), "embedding"
+        ),
+        2,
+        fp_dir,
+        index_dir,
+        matches_dir,
+        cent_dir,
+        codes_dir,
+        codebook_dir,
+        n_centroids=16,
+    )
+    a2, c2, _f2 = snapshot()
+    assert a2 == first[0] and c2 == first[1]
+
+
+def test_vector_fp_type_normalized(spark):
+    """The gate fingerprint is identical for float- and double-typed
+    payloads of the same vector — corpus parquet (array<float>) and
+    stream batches (array<double>) must gate each other."""
+    emb = load(spark, SF, "embeddings").select(
+        "vec_id", "embedding"
+    ).limit(20)
+    as_f = emb.select("vec_id", vector_fp().alias("fp"))
+    as_d = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    ).select("vec_id", vector_fp().alias("fp"))
+    a = {(r["vec_id"], r["fp"]) for r in as_f.collect()}
+    b = {(r["vec_id"], r["fp"]) for r in as_d.collect()}
+    assert a == b and len(a) == 20
