@@ -143,6 +143,7 @@ EXTENSION = [
     "d17_compacted_exact_probe",  # new r9: probe of a compacted artifact
     "v19_ivfpq_topk",  # new r9: IVF-PQ cell-pruned ADC serving
     "v20_ivfpq_grown_probe",  # new r9: the same serving after growth
+    "v21_ivfpq_batch_probe",  # new r10: batch-probe join on the IVF-PQ layout
 ]
 
 # CORE_V2 (frozen r9, VERDICT r8 item 2): CORE plus the stored-
