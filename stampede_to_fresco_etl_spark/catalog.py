@@ -21165,6 +21165,547 @@ REGISTRY.update(
 
 
 # ---------------------------------------------------------------------------
+# X62 — tombstone DELETES, the stored-artifact lifecycle verb the
+# grow/fold/refresh trio was missing (takedown, GDPR erasure, corpus
+# pruning).  Deletes are two-phase: `index_store.apply_deletes_batch`
+# lands the keys as a replay-idempotent tombstone partition (logical
+# — probes hide them via one broadcast anti-join, O(tombstones) per
+# probe), and `compact_index(tombstone_keys=...)` applies them
+# PHYSICALLY at the maintenance fold and clears the set.  This query
+# drives the WHOLE lifecycle through the driver's hash gate every
+# round, d17-style: bootstrap the fp artifact → tombstone every
+# 7th indexed doc's fingerprint (a deterministic takedown list) →
+# compact-with-tombstones → run d16's probe against the live set
+# (`anti_tombstones` composes over the read; post-compaction the
+# cleared set makes it the identity).  The pre-compaction
+# logical-hide ≡ post-compaction physical-erase equivalence is
+# pinned by pytest.
+# Oracle: d16's with the deleted fingerprints anti-joined out of the
+# index side.
+# ---------------------------------------------------------------------------
+
+
+def q_tombstoned_exact_probe(spark, sf_dir):
+    from stampede_to_fresco_etl_spark import index_store
+    from stampede_to_fresco_etl_spark.functions import md5_int63
+
+    docs = load(spark, sf_dir, "documents")
+    is_idx = md5_int63("doc_id", salt=INGEST_SPLIT_SALT) < F.lit(
+        INGEST_IDX_BOUND
+    )
+    path = (
+        f"{_SCRATCH}/index_store/exact_fp_tombstoned/"
+        f"{index_store._key(sf_dir)}"
+    )
+    if not index_store._already_materialized(spark, path):
+        index_store._fresh_dir(spark, path)
+        docs.filter(is_idx).groupBy(
+            F.md5("text").alias("fp")
+        ).agg(F.count("*").cast("long").alias("n_docs")).write.mode(
+            "overwrite"
+        ).parquet(f"{path}/batch_id=0")
+        index_store.apply_deletes_batch(
+            spark,
+            path,
+            docs.filter(is_idx & (F.col("doc_id") % 7 == 0)).select(
+                F.md5("text").alias("fp")
+            ),
+            1,
+        )
+        index_store.compact_index(spark, path, tombstone_keys=["fp"])
+        index_store._mark_materialized(spark, path)
+    idx = index_store.anti_tombstones(
+        spark, index_store.read_exact_fp(spark, path), path, ["fp"]
+    )
+    new = docs.filter(~is_idx).select(
+        "doc_id", F.md5("text").alias("fp")
+    )
+    return new.join(idx, "fp", "left").select(
+        "doc_id",
+        "fp",
+        F.col("n_docs").isNotNull().cast("long").alias("known"),
+        F.coalesce("n_docs", F.lit(0).cast("long")).alias(
+            "n_known_copies"
+        ),
+    )
+
+
+def _sql_tombstoned_exact_probe() -> str:
+    h = md5_int63_sql("CAST(doc_id AS VARCHAR)", salt=INGEST_SPLIT_SALT)
+    return f"""
+WITH split AS (
+  SELECT doc_id, md5(text) AS fp,
+         CASE WHEN {h} < {INGEST_IDX_BOUND} THEN 1 ELSE 0 END AS is_idx
+  FROM documents
+),
+idx AS (
+  SELECT fp, count(*) AS n_docs FROM split WHERE is_idx = 1 GROUP BY fp
+),
+del AS (
+  SELECT DISTINCT fp FROM split WHERE is_idx = 1 AND doc_id % 7 = 0
+),
+live AS (
+  SELECT i.fp, i.n_docs FROM idx i
+  WHERE NOT EXISTS (SELECT 1 FROM del d WHERE d.fp = i.fp)
+)
+SELECT s.doc_id, s.fp,
+       CAST(l.fp IS NOT NULL AS BIGINT) AS known,
+       CAST(COALESCE(l.n_docs, 0) AS BIGINT) AS n_known_copies
+FROM split s LEFT JOIN live l ON s.fp = l.fp
+WHERE s.is_idx = 0
+"""
+
+
+REGISTRY.update(
+    {
+        "x62_tombstoned_exact_probe": (
+            q_tombstoned_exact_probe,
+            _sql_tombstoned_exact_probe(),
+        )
+    }
+)
+
+
+# ---------------------------------------------------------------------------
+# V22 — RESIDUAL-encoded IVF-PQ: FAISS IVFPQ's actual encoding
+# (Jégou et al., PAMI'11 §IV-A; faiss IndexIVFPQ by_residual=true).
+# v19 quantizes raw vectors, so every cell's codes waste codebook
+# capacity re-describing the cell centroid itself; encoding the
+# RESIDUAL x − centroid[cell] centers every inverted list at the
+# origin and spends all _PQ_K codewords on the within-cell geometry —
+# the classic recall-per-byte win (measured against v19 by
+# scripts/residual_recall_probe.py, SCALE.md r10).  Serving shape is
+# identical to v19 — same cell-partitioned inverted lists
+# (`ivfpq_dir`, tag "res"), same partition-pruned probe — except the
+# ADC lookup tables are per (probe, CELL): the query residual
+# q − centroid[cell] differs per probed cell, so each probe carries
+# n_probe LUT sets picked by a `CASE WHEN cell = …` branch (n_probe
+# branches, not a join).  LUTs are probes × n_probe × M × K doubles —
+# calibration-sized, built driver-side in exact IEEE arithmetic (the
+# same left folds the oracle's list_reduce uses).  Residual codebook
+# convention: the residuals of the _PQ_K smallest INDEXED vec_ids
+# (v11's deterministic-seed rule applied post-assignment).
+# ---------------------------------------------------------------------------
+
+_V22_TAG = "res"
+
+
+def _residual_seeds(
+    spark, assigned, cents
+) -> list[list[float]]:
+    """The frozen residual codebook as full-dimension vectors: the
+    _PQ_K smallest indexed vec_ids' residuals, computed driver-side
+    in IEEE doubles (bounded collect — K rows)."""
+    rows = (
+        assigned.select("vec_id", "v", "cell")
+        .orderBy("vec_id")
+        .limit(_PQ_K)
+        .collect()
+    )
+    return [
+        [
+            float(a) - float(b)
+            for a, b in zip(r["v"], cents[int(r["cell"])])
+        ]
+        for r in rows
+    ]
+
+
+def _residual_serving(spark, sf_dir):
+    """Materialize (once per session) the residual-encoded serving
+    layout and return (serving_path, cent_dir, cents, rseeds)."""
+    from stampede_to_fresco_etl_spark import index_store
+    from stampede_to_fresco_etl_spark.functions import md5_int63
+    from stampede_to_fresco_etl_spark.operators.similarity import (
+        lit_double_matrix,
+        pq_encode,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    h = md5_int63("vec_id", salt=INGEST_SPLIT_SALT)
+    idx = emb.filter(h < F.lit(INGEST_IDX_BOUND))
+    index_dir, cent_dir = index_store.ann_index_dirs(
+        spark, sf_dir, idx, V16_CENTROIDS
+    )
+    cents = index_store.read_ann_centroids(spark, cent_dir)
+    assigned = index_store.read_ann_index(spark, index_dir)
+    rseeds = _residual_seeds(spark, assigned, cents)
+    # in-plan residual: rv = v − centroid[cell] (one literal-matrix
+    # element_at per row), then the shared PQ kernel encodes rv
+    # against the residual codebook — no extra join, the embedding
+    # rides the assignment artifact
+    res = assigned.select(
+        "vec_id",
+        F.zip_with(
+            "v",
+            F.element_at(
+                lit_double_matrix(cents), F.col("cell") + 1
+            ),
+            lambda a, b: a - b,
+        ).alias("rv"),
+    )
+    codes = pq_encode(
+        res, rseeds, id_col="vec_id", vec_col="rv",
+        m=_PQ_M, dims=_PQ_DIMS,
+    ).select("vec_id", *[f"code{s}" for s in range(_PQ_M)])
+    serving = index_store.ivfpq_dir(
+        spark,
+        sf_dir,
+        assigned,
+        codes,
+        n_centroids=V16_CENTROIDS,
+        tag=_V22_TAG,
+    )
+    return serving, cent_dir, cents, rseeds
+
+
+def _residual_lut(
+    pv: list[float],
+    cell_cv: list[float],
+    rseeds: list[list[float]],
+    ss: int,
+) -> list[float]:
+    """One (probe, cell, subspace) ADC table in exact IEEE doubles —
+    the same left-fold order as the oracle's list_reduce sum and the
+    engine's F.aggregate (0.0 init is exact: squares are ≥ +0.0)."""
+    off = ss * _PQ_DIMS
+    lut = []
+    for seed in rseeds:
+        acc = 0.0
+        for i in range(_PQ_DIMS):
+            d = (pv[off + i] - cell_cv[off + i]) - seed[off + i]
+            acc = acc + d * d
+        lut.append(acc)
+    return lut
+
+
+def q_ivfpq_residual_topk(spark, sf_dir):
+    from stampede_to_fresco_etl_spark import index_store
+    from stampede_to_fresco_etl_spark.operators.similarity import (
+        as_double_vec,
+        lit_double_vec,
+    )
+
+    serving, cent_dir, cents, rseeds = _residual_serving(spark, sf_dir)
+    emb = load(spark, sf_dir, "embeddings")
+    cells_of = _ivfpq_probe_cells(spark, emb, cent_dir, _V19_NPROBE)
+    if not cells_of:
+        return spark.createDataFrame(
+            [], "probe_id long, vec_id long, adc_dist double"
+        )
+    pvec = {
+        int(r["vec_id"]): [float(x) for x in r["pv"]]
+        for r in emb.filter(F.col("vec_id") < _V17_PROBES)
+        .select("vec_id", as_double_vec("embedding").alias("pv"))
+        .collect()
+    }
+    ivfpq = index_store.read_ivfpq(spark, serving)
+    outs = []
+    for p in sorted(cells_of):
+        adc_by_cell = None
+        for c in cells_of[p]:
+            adc = None
+            for s in range(_PQ_M):
+                lut = lit_double_vec(
+                    _residual_lut(pvec[p], cents[c], rseeds, s)
+                )
+                term = F.element_at(lut, F.col(f"code{s}") + 1)
+                adc = term if adc is None else adc + term
+            cond = F.col("cell") == c
+            adc_by_cell = (
+                F.when(cond, adc)
+                if adc_by_cell is None
+                else adc_by_cell.when(cond, adc)
+            )
+        outs.append(
+            ivfpq.filter(F.col("cell").isin(cells_of[p]))
+            .select(
+                F.lit(p).cast("long").alias("probe_id"),
+                "vec_id",
+                adc_by_cell.alias("adc_dist"),
+            )
+            .orderBy(F.col("adc_dist").asc(), "vec_id")
+            .limit(_V19_TOPK)
+        )
+    out = outs[0]
+    for t in outs[1:]:
+        out = out.unionAll(t)
+    return out
+
+
+def _sql_ivfpq_residual_topk(batch: bool = False) -> str:
+    """v19's oracle with the encoding switched to residuals: codes
+    and LUTs are computed from x − centroid[assigned cell] (and
+    q − centroid[probed cell]), the LUT join keyed on (probe, CELL,
+    subspace, code).  With `batch`, the probe set is the whole
+    held-out 20% (v21's ingest-batch shape)."""
+    h = md5_int63_sql("CAST(vec_id AS VARCHAR)", salt=INGEST_SPLIT_SALT)
+    sq_cs = _D_SQDIST.format(a="e.v", b="s.cv")
+    sq_ps = _D_SQDIST.format(a="p.pv", b="s.cv")
+    rd2 = (
+        "list_reduce(list_transform(range(1, {n} + 1), "
+        "i -> (t.rv[{off} + i] - c.cv[i]) * (t.rv[{off} + i] - c.cv[i])), "
+        "(x, y) -> x + y)"
+    )
+    qd2 = (
+        "list_reduce(list_transform(range(1, {n} + 1), "
+        "i -> (q.qr[{off} + i] - c.cv[i]) * (q.qr[{off} + i] - c.cv[i])), "
+        "(x, y) -> x + y)"
+    )
+    code_cols = ",\n         ".join(
+        f"CAST(MAX(CASE WHEN ss = {s} THEN code END) AS INTEGER)"
+        f" AS code{s}"
+        for s in range(_PQ_M)
+    )
+    adc = " + ".join(f"t{s}.d2" for s in range(_PQ_M))
+    tjoins = "\n".join(
+        f"JOIN tbl t{s} ON t{s}.probe_id = cand.probe_id"
+        f" AND t{s}.cell = cand.cell"
+        f" AND t{s}.ss = {s} AND t{s}.code = cand.code{s}"
+        for s in range(_PQ_M)
+    )
+    ndim = _PQ_M * _PQ_DIMS
+    probe_sel = (
+        "SELECT vec_id, v AS pv FROM split WHERE is_idx = 0"
+        if batch
+        else f"SELECT vec_id, v AS pv FROM alle WHERE vec_id < {_V17_PROBES}"
+    )
+    return f"""
+WITH alle AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+split AS (
+  SELECT vec_id, v,
+         CASE WHEN {h} < {INGEST_IDX_BOUND} THEN 1 ELSE 0 END AS is_idx
+  FROM alle
+),
+e AS (SELECT vec_id, v FROM split WHERE is_idx = 1),
+seeds AS (
+  SELECT CAST(row_number() OVER (ORDER BY h) - 1 AS INTEGER) AS cell, v AS cv
+  FROM (SELECT v, md5(CAST(vec_id AS VARCHAR)) AS h
+        FROM e ORDER BY h LIMIT {V16_CENTROIDS})
+),
+assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, s.cell,
+           row_number() OVER (
+             PARTITION BY e.vec_id ORDER BY {sq_cs}, s.cell
+           ) AS rn
+    FROM e CROSS JOIN seeds s
+  ) WHERE rn = 1
+),
+resid AS (
+  SELECT a.vec_id, a.cell,
+         list_transform(range(1, {ndim} + 1),
+                        i -> e.v[i] - s.cv[i]) AS rv
+  FROM assigned a
+  JOIN e ON e.vec_id = a.vec_id
+  JOIN seeds s ON s.cell = a.cell
+),
+rseed AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+           AS code, rv
+  FROM (SELECT vec_id, rv FROM resid ORDER BY vec_id LIMIT {_PQ_K})
+),
+rcents AS (
+  SELECT s.range AS ss, r.code,
+         r.rv[s.range * {_PQ_DIMS} + 1 :
+              (s.range + 1) * {_PQ_DIMS}] AS cv
+  FROM range(0, {_PQ_M}) s, rseed r
+),
+cpairs AS (
+  SELECT t.vec_id, c.ss, c.code,
+         {rd2.format(n=_PQ_DIMS, off="c.ss * " + str(_PQ_DIMS))} AS d2
+  FROM resid t, rcents c
+),
+csel AS (
+  SELECT vec_id, ss, code FROM (
+    SELECT vec_id, ss, code,
+           row_number() OVER (PARTITION BY vec_id, ss
+                              ORDER BY d2, code) AS rn
+    FROM cpairs
+  ) WHERE rn = 1
+),
+k AS (
+  SELECT vec_id,
+         {code_cols}
+  FROM csel GROUP BY vec_id
+),
+probes AS (
+  {probe_sel}
+),
+pcells AS (
+  SELECT probe_id, cell FROM (
+    SELECT p.vec_id AS probe_id, s.cell,
+           row_number() OVER (
+             PARTITION BY p.vec_id ORDER BY {sq_ps}, s.cell
+           ) AS rn
+    FROM probes p
+    CROSS JOIN seeds s
+  ) WHERE rn <= {_V19_NPROBE}
+),
+qres AS (
+  SELECT pc.probe_id, pc.cell,
+         list_transform(range(1, {ndim} + 1),
+                        i -> p.pv[i] - s.cv[i]) AS qr
+  FROM pcells pc
+  JOIN probes p ON p.vec_id = pc.probe_id
+  JOIN seeds s ON s.cell = pc.cell
+),
+tbl AS (
+  SELECT q.probe_id, q.cell, c.ss, c.code,
+         {qd2.format(n=_PQ_DIMS, off="c.ss * " + str(_PQ_DIMS))} AS d2
+  FROM qres q, rcents c
+),
+cand AS (
+  SELECT pc.probe_id, pc.cell, a.vec_id,
+         {", ".join(f"k.code{s}" for s in range(_PQ_M))}
+  FROM pcells pc
+  JOIN assigned a ON a.cell = pc.cell
+  JOIN k ON k.vec_id = a.vec_id
+),
+scored AS (
+  SELECT cand.probe_id, cand.vec_id, {adc} AS adc_dist
+  FROM cand
+  {tjoins}
+)
+SELECT CAST(probe_id AS BIGINT) AS probe_id, vec_id, adc_dist FROM (
+  SELECT probe_id, vec_id, adc_dist,
+         row_number() OVER (PARTITION BY probe_id
+                            ORDER BY adc_dist, vec_id) AS rn
+  FROM scored
+) WHERE rn <= {_V19_TOPK}
+"""
+
+
+REGISTRY.update(
+    {
+        "v22_ivfpq_residual_topk": (
+            q_ivfpq_residual_topk,
+            _sql_ivfpq_residual_topk(),
+        )
+    }
+)
+
+
+# ---------------------------------------------------------------------------
+# V23 — the BATCH-probe shape (v21's) on the RESIDUAL layout (v22's):
+# an ingest batch ANN-searches the residual-encoded inverted lists as
+# ONE declarative plan.  The residual twist on v21: the ADC lookup
+# tables depend on (probe, CELL) — the query residual
+# qr = pv − centroid[cell] differs per probed cell — so the routing
+# explode happens FIRST and the per-(probe, cell) qr and LUT array
+# columns are computed on the exploded rows, materialized at the cell
+# join's exchange boundary exactly like v21's per-probe LUTs.  No
+# driver loop, plan size O(1) in probes; scan pruned to the batch's
+# probed cells.
+# ---------------------------------------------------------------------------
+
+
+def q_ivfpq_residual_batch_probe(spark, sf_dir):
+    from stampede_to_fresco_etl_spark import index_store
+    from stampede_to_fresco_etl_spark.functions import md5_int63
+    from stampede_to_fresco_etl_spark.operators.similarity import (
+        _nearest_cells,
+        _sqdist,
+        _with_centroid_col,
+        as_double_vec,
+        lit_double_matrix,
+        partial_topk,
+    )
+
+    serving, cent_dir, cents, rseeds = _residual_serving(spark, sf_dir)
+    emb = load(spark, sf_dir, "embeddings")
+    h = md5_int63("vec_id", salt=INGEST_SPLIT_SALT)
+    probes = emb.filter(h >= F.lit(INGEST_IDX_BOUND)).select(
+        F.col("vec_id").alias("probe_id"),
+        as_double_vec("embedding").alias("pv"),
+    )
+    # route, THEN explode, THEN build qr + LUTs per (probe, cell) row
+    routed = (
+        _with_centroid_col(probes, cents)
+        .withColumn(
+            "d",
+            F.transform(
+                F.col("__cents"), lambda c: _sqdist(F.col("pv"), c)
+            ),
+        )
+        .select(
+            "probe_id",
+            "pv",
+            F.explode(
+                _nearest_cells("pv", "d", _V19_NPROBE)
+            ).alias("cell"),
+        )
+        .withColumn(
+            "qr",
+            F.zip_with(
+                "pv",
+                F.element_at(
+                    lit_double_matrix(cents), F.col("cell") + 1
+                ),
+                lambda a, b: a - b,
+            ),
+        )
+    )
+
+    # per-subspace residual-codebook matrices (K × dims each), one
+    # parsed literal per subspace; the subspace binds via a factory
+    # closure (v21's lambda-arity lesson)
+    def _lut(s: int):
+        rsub = lit_double_matrix(
+            [
+                seed[s * _PQ_DIMS : (s + 1) * _PQ_DIMS]
+                for seed in rseeds
+            ]
+        )
+        qsub = F.slice("qr", s * _PQ_DIMS + 1, _PQ_DIMS)
+        return F.transform(
+            rsub, lambda c: _sqdist(qsub, c)
+        ).alias(f"lut{s}")
+
+    routed = routed.select(
+        "probe_id", "cell", *[_lut(s) for s in range(_PQ_M)]
+    )
+    cells = sorted(
+        int(r["cell"])
+        for r in routed.select("cell").distinct().collect()
+    )
+    if not cells:
+        return spark.createDataFrame(
+            [], "probe_id long, vec_id long, adc_dist double"
+        )
+    ivfpq = index_store.read_ivfpq(spark, serving).filter(
+        F.col("cell").isin(cells)
+    )
+    adc = None
+    for s in range(_PQ_M):
+        term = F.element_at(
+            F.col(f"lut{s}"), F.col(f"code{s}") + 1
+        )
+        adc = term if adc is None else adc + term
+    scored = ivfpq.join(routed, "cell").select(
+        "probe_id", "vec_id", adc.alias("adc_dist")
+    )
+    return partial_topk(
+        scored,
+        "probe_id",
+        "vec_id",
+        _V19_TOPK,
+        sim_col="adc_dist",
+        ascending=True,
+    ).select("probe_id", "vec_id", "adc_dist")
+
+
+REGISTRY.update(
+    {
+        "v23_ivfpq_residual_batch_probe": (
+            q_ivfpq_residual_batch_probe,
+            _sql_ivfpq_residual_topk(batch=True),
+        )
+    }
+)
+
+
+# ---------------------------------------------------------------------------
 # Enumeration order: the driver's correctness run covers the first N
 # registry entries per round, so the STALEST queries must enumerate
 # first.  Computed at import time from the CORRECTNESS_r*.json records

@@ -536,10 +536,83 @@ def _invalidate_derived(spark: SparkSession, source_path: str) -> None:
         _MATERIALIZED.pop(k, None)
 
 
+def tombstone_dir(path: str) -> str:
+    """The DELETE-set companion of a batch-partitioned artifact — a
+    sibling directory (never inside `path`: its schema is the key
+    columns only, and an in-tree subdir would pollute every artifact
+    scan).  Itself ``batch_id=N``-partitioned so streaming delete
+    waves replay-converge exactly like the grow waves."""
+    return path.rstrip("/") + "__tombstones"
+
+
+def apply_deletes_batch(
+    spark: SparkSession,
+    path: str,
+    keys_df: DataFrame,
+    batch_id: int,
+) -> None:
+    """One micro-batch of DELETES against a stored artifact — the
+    lifecycle verb the grow/fold/refresh trio was missing (takedown,
+    GDPR erasure, corpus pruning).  Deletes are LOGICAL first: the
+    key rows land as a tombstone partition (per-batch overwrite →
+    crash-replay converges), probes hide them via `anti_tombstones`,
+    and `compact_index(tombstone_keys=...)` later applies them
+    PHYSICALLY and clears the set.  Two-phase because rewriting a
+    10⁹-row artifact per takedown is not a per-batch cost — hiding
+    is O(tombstones) at probe time, erasing is the maintenance
+    window's one fold.
+
+    Derived layouts (the session-cached `ivfpq_dir` join) are
+    invalidated immediately: a serving layout must stop returning a
+    deleted vector as soon as the delete commits, not at compaction."""
+    keys_df.distinct().write.mode("overwrite").parquet(
+        f"{tombstone_dir(path)}/batch_id={batch_id}"
+    )
+    _invalidate_derived(spark, path)
+
+
+def read_tombstones(
+    spark: SparkSession, path: str
+) -> DataFrame | None:
+    """The artifact's current delete set (distinct keys across all
+    tombstone batches), or None when no delete is pending (the common
+    case — probes skip the anti-join entirely).  Existence is checked
+    via the Hadoop FS, not a thrown AnalysisException: the no-delete
+    path is every probe's hot path and must not log a spurious
+    missing-dir stack per call."""
+    ts = tombstone_dir(path)
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(ts)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        return None
+    return (
+        spark.read.parquet(ts).drop("batch_id").distinct()
+    )
+
+
+def anti_tombstones(
+    spark: SparkSession, df: DataFrame, path: str, key_cols: list[str]
+) -> DataFrame:
+    """`df` minus the artifact's tombstoned keys — the delete-aware
+    read every serving probe composes over `read_*`.  One left_anti
+    equi-join on the key columns: the tombstone side is the small
+    side by construction (delete sets are takedown-sized), so at
+    cluster scale this broadcasts; when no delete exists the plan is
+    untouched."""
+    t = read_tombstones(spark, path)
+    if t is None:
+        return df
+    return df.join(
+        F.broadcast(t.select(*key_cols)), key_cols, "left_anti"
+    )
+
+
 def compact_index(
     spark: SparkSession,
     path: str,
     target_file_bytes: int = 256 * 1024 * 1024,
+    tombstone_keys: list[str] | None = None,
 ) -> int:
     """Fold a batch-partitioned artifact's accreted ``batch_id=N``
     partitions into one consolidated ``batch_id=0`` snapshot — the
@@ -554,7 +627,13 @@ def compact_index(
     the exclusion and `read_*`'s aggregate semantics (contents are
     unioned either way).  Run it from the maintenance window, never
     concurrently with the daemon (compact_parquet's swap contract).
-    Returns the new file count."""
+
+    With ``tombstone_keys`` (the artifact's key columns), the fold
+    also APPLIES the pending delete set physically — tombstoned rows
+    are dropped from the consolidated snapshot and the tombstone dir
+    is cleared (after the swap commits, so a crash between the two
+    leaves deletes pending-but-hidden, never resurrected).  Returns
+    the new file count."""
     from stampede_to_fresco_etl_spark.sources.writers import (
         compact_parquet,
     )
@@ -564,6 +643,16 @@ def compact_index(
         .parquet(path)
         .withColumn("batch_id", F.lit(0))
     )
+    had_tombstones = False
+    if tombstone_keys is not None:
+        t = read_tombstones(spark, path)
+        if t is not None:
+            df = df.join(
+                F.broadcast(t.select(*tombstone_keys)),
+                tombstone_keys,
+                "left_anti",
+            )
+            had_tombstones = True
     # materialize the folded rows BEFORE the swap deletes their
     # source files (compact_parquet re-reads the live path; here the
     # input and output are the same dir, so stage through lineage-
@@ -584,6 +673,14 @@ def compact_index(
         .parquet(tmp_s)
     )
     _swap_in(spark, path, tmp_s)
+    if had_tombstones:
+        # the delete set is now physically applied — clear it so
+        # future probes' anti-join is a no-op and a later compaction
+        # doesn't re-filter long-gone keys.  After the swap: a crash
+        # here re-runs compaction with the (idempotent) anti-join.
+        ts = jvm.org.apache.hadoop.fs.Path(tombstone_dir(path))
+        if fs.exists(ts):
+            fs.delete(ts, True)
     _invalidate_derived(spark, path)
     return n_files
 

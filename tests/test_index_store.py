@@ -589,3 +589,239 @@ def test_ivfpq_batch_probe_shape_and_plan(spark):
     # deterministic: a second run returns the identical result
     again = sorted(tuple(r) for r in q_ivfpq_batch_probe(spark, SF).collect())
     assert sorted(tuple(r) for r in out) == again
+
+
+# ---------------------------------------------------------------------------
+# Tombstone deletes (r10): the lifecycle verb grow/fold/refresh was
+# missing.  Logical phase: `apply_deletes_batch` lands keys as a
+# replay-idempotent tombstone partition and probes hide them via
+# `anti_tombstones`.  Physical phase: `compact_index(tombstone_keys=
+# ...)` drops the rows at the fold and clears the set.  The two
+# phases must be probe-equivalent.
+# ---------------------------------------------------------------------------
+
+
+def _fp_deletes(spark, docs):
+    return docs.filter(F.col("doc_id") % 5 == 0).select(
+        F.md5("text").alias("fp")
+    )
+
+
+def _vec_deletes(spark, _docs):
+    return (
+        load(spark, SF, "embeddings")
+        .filter(F.col("vec_id") % 5 == 0)
+        .select("vec_id")
+    )
+
+
+def _read_fp_df(spark, path):
+    return index_store.read_exact_fp(spark, path)
+
+
+def _read_ann_df(spark, path):
+    return index_store.read_ann_index(spark, path).withColumn(
+        "v", F.col("v").cast("string")
+    )
+
+
+def _read_codes_df(spark, path):
+    return index_store.read_pq_codes(spark, path)
+
+
+@pytest.mark.parametrize(
+    "grow,key_cols,deletes,read_df",
+    [
+        (_grow_exact_fp, ["fp"], _fp_deletes, _read_fp_df),
+        (_grow_ann, ["vec_id"], _vec_deletes, _read_ann_df),
+        (_grow_pq_codes, ["vec_id"], _vec_deletes, _read_codes_df),
+    ],
+    ids=["exact_fp", "ann_index", "pq_codes"],
+)
+def test_tombstone_hide_equals_erase(
+    spark, tmp_path, grow, key_cols, deletes, read_df
+):
+    """grow -> tombstone a deterministic takedown set -> the
+    anti-joined (logical) probe view excludes exactly the deleted
+    keys; compact-with-tombstones then makes that view PHYSICAL
+    (rows gone from the artifact, tombstone dir cleared) without
+    changing probe-visible content.  All comparisons go through the
+    family's own aggregate reader: for exact_fp a duplicate text can
+    span grow batches, so raw rows are not comparable pre/post fold."""
+    docs = load(spark, SF, "documents").select("doc_id", "text")
+    path, _read = grow(spark, tmp_path, docs)
+
+    def snap(df):
+        cols = df.columns
+        return {tuple(r[c] for c in cols) for r in df.collect()}
+
+    full = snap(read_df(spark, path))
+    del_df = deletes(spark, docs)
+    del_keys = {
+        tuple(r[c] for c in key_cols) for r in del_df.collect()
+    }
+    assert del_keys  # the takedown set is non-empty at this sf
+
+    index_store.apply_deletes_batch(spark, path, del_df, 10)
+
+    key_idx = [read_df(spark, path).columns.index(c) for c in key_cols]
+    logical = snap(
+        index_store.anti_tombstones(
+            spark, read_df(spark, path), path, key_cols
+        )
+    )
+    expect = {
+        t
+        for t in full
+        if tuple(t[i] for i in key_idx) not in del_keys
+    }
+    assert logical == expect and len(logical) < len(full)
+
+    index_store.compact_index(spark, path, tombstone_keys=key_cols)
+    # physically gone: the RAW read (no anti-join) matches the
+    # logical view, and no tombstones remain
+    assert snap(read_df(spark, path)) == expect
+    assert index_store.read_tombstones(spark, path) is None
+    import os
+
+    assert not os.path.exists(index_store.tombstone_dir(path))
+
+
+def test_tombstone_replay_and_accretion(spark, tmp_path):
+    """Replaying a delete batch converges (per-batch overwrite);
+    distinct delete batches accrete (the set is the union)."""
+    docs = load(spark, SF, "documents").select("doc_id", "text")
+    path, _read = _grow_exact_fp(spark, tmp_path, docs)
+    d1 = docs.filter(F.col("doc_id") % 5 == 0).select(
+        F.md5("text").alias("fp")
+    )
+    d2 = docs.filter(F.col("doc_id") % 7 == 0).select(
+        F.md5("text").alias("fp")
+    )
+    index_store.apply_deletes_batch(spark, path, d1, 10)
+    once = {
+        r["fp"] for r in index_store.read_tombstones(spark, path).collect()
+    }
+    index_store.apply_deletes_batch(spark, path, d1, 10)  # replay
+    again = {
+        r["fp"] for r in index_store.read_tombstones(spark, path).collect()
+    }
+    assert once == again
+    index_store.apply_deletes_batch(spark, path, d2, 11)
+    both = {
+        r["fp"] for r in index_store.read_tombstones(spark, path).collect()
+    }
+    assert both == once | {r["fp"] for r in d2.collect()}
+
+
+def test_tombstone_delete_invalidates_derived_ivfpq(spark):
+    """A delete against a SOURCE artifact (the catalog-scratch ann
+    index) must clear the session flag of the derived IVF-PQ layout
+    immediately — serving may not return a deleted vector until
+    compaction, so the next probe has to re-derive."""
+    from stampede_to_fresco_etl_spark.catalog import q_ivfpq_topk
+
+    q_ivfpq_topk(spark, SF).collect()  # materialize sources + layout
+    app = spark.sparkContext.applicationId
+    ann_base = (
+        f"{index_store._scratch()}/index_store/ann/"
+        f"{index_store._key(SF)}_{V16_CENTROIDS}c"
+    )
+    derived = [
+        k
+        for k in index_store._MATERIALIZED
+        if k[0] == app and "/index_store/ivfpq/" in k[1]
+    ]
+    assert derived, "layout should be session-materialized"
+    empty = spark.createDataFrame([(int(-1),)], "vec_id long")
+    index_store.apply_deletes_batch(
+        spark, f"{ann_base}/index", empty, 99
+    )
+    still = [k for k in derived if k in index_store._MATERIALIZED]
+    assert not still, "delete must invalidate the derived layout"
+    # clean up the tombstone so later ivfpq consumers in this session
+    # (v19/v20/v21 queries, other tests) see the artifact undeleted
+    import shutil as _sh
+
+    _sh.rmtree(
+        index_store.tombstone_dir(f"{ann_base}/index"),
+        ignore_errors=True,
+    )
+
+
+def test_residual_batch_probe_shape_and_plan(spark):
+    """v23: v21's one-declarative-plan canaries hold with the
+    RESIDUAL encoding's per-(probe, cell) LUTs — routing explode
+    before LUT construction must not introduce a cartesian/nested-
+    loop join, and the inverted-list scan stays pruned to the
+    batch's probed cells."""
+    import contextlib
+    import io
+
+    from stampede_to_fresco_etl_spark.catalog import (
+        _V19_TOPK,
+        q_ivfpq_residual_batch_probe,
+    )
+
+    df = q_ivfpq_residual_batch_probe(spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "PartitionFilters" in plan and "cell" in plan
+    assert any(
+        j in plan
+        for j in (
+            "SortMergeJoin",
+            "ShuffledHashJoin",
+            "BroadcastHashJoin",
+        )
+    )
+
+    out = df.collect()
+    assert len(out) > 0
+    emb = load(spark, SF, "embeddings")
+    h = md5_int63("vec_id", salt=INGEST_SPLIT_SALT)
+    held = {
+        int(r["vec_id"])
+        for r in emb.filter(h >= F.lit(INGEST_IDX_BOUND))
+        .select("vec_id")
+        .collect()
+    }
+    per_probe = {}
+    for r in out:
+        per_probe.setdefault(int(r["probe_id"]), []).append(r)
+    assert set(per_probe) <= held and len(per_probe) == len(held)
+    for rows in per_probe.values():
+        assert 1 <= len(rows) <= _V19_TOPK
+        dists = [r["adc_dist"] for r in rows]
+        assert dists == sorted(dists)
+    again = sorted(
+        tuple(r)
+        for r in q_ivfpq_residual_batch_probe(spark, SF).collect()
+    )
+    assert sorted(tuple(r) for r in out) == again
+
+
+def test_residual_encoding_exact_for_codebook_members(spark):
+    """The residual encoding's defining property, pinned: a probe
+    whose residual IS a codebook entry reconstructs exactly — its
+    ADC self-distance is 0.0 to the bit.  Probe 0 is indexed (md5
+    split is sf-independent for a given vec_id), is among the _PQ_K
+    smallest indexed vec_ids (so its residual seeds the codebook),
+    and its nearest cell is its assigned cell — so (0, 0, 0.0) must
+    be v22's first hit.  Raw encoding (v19) has no such guarantee
+    for assigned vectors in general: it spends codewords describing
+    cell centroids, which is the recall-per-byte argument for v22."""
+    from stampede_to_fresco_etl_spark.catalog import (
+        q_ivfpq_residual_topk,
+    )
+
+    rows = {
+        (int(r["probe_id"]), int(r["vec_id"])): float(r["adc_dist"])
+        for r in q_ivfpq_residual_topk(spark, SF).collect()
+    }
+    assert rows[(0, 0)] == 0.0
