@@ -144,6 +144,9 @@ EXTENSION = [
     "v19_ivfpq_topk",  # new r9: IVF-PQ cell-pruned ADC serving
     "v20_ivfpq_grown_probe",  # new r9: the same serving after growth
     "v21_ivfpq_batch_probe",  # new r10: batch-probe join on the IVF-PQ layout
+    "x62_tombstoned_exact_probe",  # new r10: delete lifecycle (tombstone+compact)
+    "v22_ivfpq_residual_topk",  # new r10: residual-encoded IVF-PQ serving
+    "v23_ivfpq_residual_batch_probe",  # new r10: batch probe, residual layout
 ]
 
 # CORE_V2 (frozen r9, VERDICT r8 item 2): CORE plus the stored-
