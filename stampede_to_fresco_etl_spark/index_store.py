@@ -523,9 +523,14 @@ def _invalidate_derived(spark: SparkSession, source_path: str) -> None:
     # startswith would let corpora whose keys share a prefix
     # (…sf0.1 vs …sf0.12) cross-invalidate each other's layouts
     # (ADVICE r9) — safe direction but needless re-derivation.
-    # Derived ivfpq paths are exactly `<prefix>` or
-    # `<prefix>_<n>c[/…]`, so require end-of-string or `_<n>c`.
-    tail_ok = re.compile(r"(?:_\d+c)?(?:/.*)?$")
+    # Derived ivfpq paths are `<prefix>`, `<prefix>_<n>c[/…]`, or
+    # `<prefix>_<n>c_<tag>[/…]` (r10: the residual layout `…_16c_res`
+    # derives from the same UNTAGGED sources as the raw one, so
+    # source maintenance must clear it too — the original anchor
+    # stopped at `_<n>c` and left tagged layouts serving stale lists;
+    # a tag layout whose source is itself tagged re-derives
+    # needlessly under this rule, which is the safe direction).
+    tail_ok = re.compile(r"(?:_\d+c(?:_[A-Za-z0-9_]+)?)?(?:/.*)?$")
     for k in [
         k
         for k in _MATERIALIZED

@@ -553,7 +553,12 @@ def test_ivfpq_batch_probe_shape_and_plan(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     # the inverted-list scan is directory-pruned to the probed cells
+    # at RUNTIME: dynamic partition pruning off the cell join (r10 —
+    # replaced the distinct-cells pre-collect, which re-executed the
+    # whole routing plan).  If DPP stopped firing the plan would
+    # silently degrade to a full-layout scan; this line is the guard.
     assert "PartitionFilters" in plan and "cell" in plan
+    assert "dynamicpruning" in plan.lower()
     # the serving join is the cell equi-join (either shuffle or
     # broadcast strategy is acceptable; both materialize the probe
     # side's LUT columns at the exchange boundary)
@@ -719,9 +724,16 @@ def test_tombstone_delete_invalidates_derived_ivfpq(spark):
     index) must clear the session flag of the derived IVF-PQ layout
     immediately — serving may not return a deleted vector until
     compaction, so the next probe has to re-derive."""
-    from stampede_to_fresco_etl_spark.catalog import q_ivfpq_topk
+    from stampede_to_fresco_etl_spark.catalog import (
+        q_ivfpq_residual_topk,
+        q_ivfpq_topk,
+    )
 
     q_ivfpq_topk(spark, SF).collect()  # materialize sources + layout
+    # the residual layout derives from the SAME untagged sources, so
+    # the delete must clear it too (r10: the `_16c_res` tag escaped
+    # the original `_<n>c`-anchored invalidation match)
+    q_ivfpq_residual_topk(spark, SF).collect()
     app = spark.sparkContext.applicationId
     ann_base = (
         f"{index_store._scratch()}/index_store/ann/"
@@ -733,6 +745,9 @@ def test_tombstone_delete_invalidates_derived_ivfpq(spark):
         if k[0] == app and "/index_store/ivfpq/" in k[1]
     ]
     assert derived, "layout should be session-materialized"
+    assert any(
+        k[1].rstrip("/").endswith("_res") for k in derived
+    ), "residual layout should be among the derived"
     empty = spark.createDataFrame([(int(-1),)], "vec_id long")
     index_store.apply_deletes_batch(
         spark, f"{ann_base}/index", empty, 99
@@ -772,6 +787,7 @@ def test_residual_batch_probe_shape_and_plan(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "PartitionFilters" in plan and "cell" in plan
+    assert "dynamicpruning" in plan.lower()
     assert any(
         j in plan
         for j in (
