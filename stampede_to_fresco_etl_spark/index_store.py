@@ -117,6 +117,13 @@ def _fresh_dir(spark: SparkSession, path: str) -> str:
     fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
     if fs.exists(p):
         fs.delete(p, True)
+    # the delete set travels with the artifact: a snapshot rebuilt
+    # from a regenerated corpus must not inherit a PRIOR session's
+    # tombstones (r10 — the sibling dir is outside `path`, so the
+    # rebuild deletion above does not reach it)
+    ts = jvm.org.apache.hadoop.fs.Path(tombstone_dir(path))
+    if fs.exists(ts):
+        fs.delete(ts, True)
     return path
 
 

@@ -841,3 +841,32 @@ def test_residual_encoding_exact_for_codebook_members(spark):
         for r in q_ivfpq_residual_topk(spark, SF).collect()
     }
     assert rows[(0, 0)] == 0.0
+
+
+def test_fresh_rebuild_clears_stale_tombstones(spark, tmp_path):
+    """A snapshot rebuilt by a fresh session (`_fresh_dir`) must not
+    inherit the PRIOR session's tombstones: the delete set lives in a
+    sibling dir the artifact deletion alone would miss."""
+    import os
+
+    docs = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "doc_id long, text string"
+    )
+    key = str(tmp_path / "corpus_ts")
+    path = index_store.exact_fp_dir(spark, key, docs)
+    index_store.apply_deletes_batch(
+        spark, path, docs.select(F.md5("text").alias("fp")), 1
+    )
+    assert os.path.exists(index_store.tombstone_dir(path))
+    # fresh session: clear the flag -> next touch rebuilds via
+    # _fresh_dir, which must also clear the stale delete set
+    index_store._MATERIALIZED.pop(
+        (spark.sparkContext.applicationId, path)
+    )
+    index_store.exact_fp_dir(spark, key, docs)
+    assert not os.path.exists(index_store.tombstone_dir(path))
+    assert index_store.read_tombstones(spark, path) is None
+    live = index_store.anti_tombstones(
+        spark, index_store.read_exact_fp(spark, path), path, ["fp"]
+    )
+    assert live.count() == 2
