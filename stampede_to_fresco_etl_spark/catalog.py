@@ -20828,15 +20828,22 @@ def _ivfpq_probe(spark, sf_dir, emb, serving, cent_dir, n_probe):
     return out
 
 
-def _sql_ivfpq_topk(grown: bool = False, batch: bool = False) -> str:
+def _sql_ivfpq_topk(
+    grown: bool = False, batch: bool = False, deleted: bool = False
+) -> str:
     """v19's oracle; with `grown`, the INDEXED set additionally holds
     every 3rd held-out vector (v20's deterministic ingest wave) while
     the centroid seeds stay frozen on the original 80% — exactly the
     frozen-centroid growth the ann daemon applies.  With `batch`, the
     probe set is the WHOLE held-out 20% (v21's ingest-batch shape)
-    instead of the handful of serving probes."""
+    instead of the handful of serving probes.  With `deleted`, every
+    7th indexed vector is REMOVED from the served set (v24's takedown
+    wave) while seeds stay frozen on the full original 80% — exactly
+    the tombstone-then-compact lifecycle."""
     h = md5_int63_sql("CAST(vec_id AS VARCHAR)", salt=INGEST_SPLIT_SALT)
     extra = " OR (is_idx = 0 AND vec_id % 3 = 0)" if grown else ""
+    if deleted:
+        extra = " AND vec_id % 7 != 0"
     probe_sel = (
         "SELECT vec_id, v AS pv FROM split WHERE is_idx = 0"
         if batch
@@ -21730,6 +21737,75 @@ REGISTRY.update(
         "v23_ivfpq_residual_batch_probe": (
             q_ivfpq_residual_batch_probe,
             _sql_ivfpq_residual_topk(batch=True),
+        )
+    }
+)
+
+
+# ---------------------------------------------------------------------------
+# V24 — IVF-PQ serving after a TAKEDOWN: x62's delete lifecycle on
+# the vector side, composed with the serving layout.  A tagged ann
+# artifact bootstraps from the 80% snapshot; a deterministic delete
+# wave (every 7th indexed vector — a takedown list) lands as
+# tombstones via `apply_deletes_batch` (which immediately
+# invalidates the derived layout: serving must stop returning a
+# deleted vector the moment the delete commits);
+# `compact_index(tombstone_keys=["vec_id"])` then erases the rows
+# physically; and the RE-DERIVED inverted lists serve the v19 probe.
+# Centroids stay frozen on the full original snapshot (deletion, like
+# growth, never moves cells — the re-cluster is `refresh_pq_codes`-
+# class maintenance).  Erasing the ASSIGNMENT rows removes the
+# vectors from serving because the layout is assignment ⋈ codes; a
+# full GDPR erase also tombstones the codes/fp artifacts with the
+# same verbs (x62's parametrized test covers each family).  v20's
+# driver-gated lifecycle role (growth) — now for deletes.
+# Oracle: v19's CTE chain with every 7th indexed vector removed from
+# the served set, seeds unchanged.
+# ---------------------------------------------------------------------------
+
+
+def q_ivfpq_deleted_probe(spark, sf_dir):
+    from stampede_to_fresco_etl_spark import index_store
+    from stampede_to_fresco_etl_spark.functions import md5_int63
+
+    emb = load(spark, sf_dir, "embeddings")
+    h = md5_int63("vec_id", salt=INGEST_SPLIT_SALT)
+    idx = emb.filter(h < F.lit(INGEST_IDX_BOUND))
+    index_dir, cent_dir = index_store.ann_index_dirs(
+        spark, sf_dir, idx, V16_CENTROIDS, tag="del"
+    )
+    del_marker = f"{index_dir}#takedown1"
+    if not index_store.session_marker(spark, del_marker):
+        index_store.apply_deletes_batch(
+            spark,
+            index_dir,
+            idx.filter(F.col("vec_id") % 7 == 0).select("vec_id"),
+            1,
+        )
+        index_store.compact_index(
+            spark, index_dir, tombstone_keys=["vec_id"]
+        )
+        index_store.mark_session(spark, del_marker)
+    serving = index_store.ivfpq_dir(
+        spark,
+        sf_dir,
+        index_store.read_ann_index(spark, index_dir),
+        index_store.read_pq_codes(
+            spark, _pq_codes_dir_cached(spark, sf_dir)
+        ).select("vec_id", *[f"code{s}" for s in range(_PQ_M)]),
+        n_centroids=V16_CENTROIDS,
+        tag="del",
+    )
+    return _ivfpq_probe(
+        spark, sf_dir, emb, serving, cent_dir, _V19_NPROBE
+    )
+
+
+REGISTRY.update(
+    {
+        "v24_ivfpq_deleted_probe": (
+            q_ivfpq_deleted_probe,
+            _sql_ivfpq_topk(deleted=True),
         )
     }
 )

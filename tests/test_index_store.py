@@ -870,3 +870,46 @@ def test_fresh_rebuild_clears_stale_tombstones(spark, tmp_path):
         spark, index_store.read_exact_fp(spark, path), path, ["fp"]
     )
     assert live.count() == 2
+
+
+def test_ivfpq_deleted_probe_lifecycle(spark):
+    """v24: the takedown lifecycle on the serving side — deleted
+    vectors are PHYSICALLY absent from the re-derived layout (not
+    merely unreturned), the tombstone set is cleared by the compact,
+    and the shared untagged v19 artifact is untouched."""
+    import os
+
+    from stampede_to_fresco_etl_spark.catalog import (
+        V16_CENTROIDS,
+        q_ivfpq_deleted_probe,
+        q_ivfpq_topk,
+    )
+
+    out = q_ivfpq_deleted_probe(spark, SF).collect()
+    assert len(out) > 0
+    assert all(int(r["vec_id"]) % 7 != 0 for r in out)
+
+    ann_base = (
+        f"{index_store._scratch()}/index_store/ann/"
+        f"{index_store._key(SF)}_{V16_CENTROIDS}c_del"
+    )
+    layout = index_store.read_ivfpq(
+        spark,
+        index_store.ivfpq_path(SF, V16_CENTROIDS, tag="del"),
+    )
+    assert layout.filter(F.col("vec_id") % 7 == 0).count() == 0
+    remaining = index_store.read_ann_index(
+        spark, f"{ann_base}/index"
+    )
+    assert remaining.filter(F.col("vec_id") % 7 == 0).count() == 0
+    assert not os.path.exists(
+        index_store.tombstone_dir(f"{ann_base}/index")
+    )
+
+    # the shared untagged serving artifact still holds the vectors
+    full = q_ivfpq_topk(spark, SF).collect()
+    shared = index_store.read_ivfpq(
+        spark, index_store.ivfpq_path(SF, V16_CENTROIDS)
+    )
+    assert shared.filter(F.col("vec_id") % 7 == 0).count() > 0
+    assert len(full) > 0
