@@ -620,6 +620,29 @@ def anti_tombstones(
     )
 
 
+def _partition_cols_of(spark: SparkSession, path: str) -> list[str]:
+    """The artifact's directory-partition columns, outermost first,
+    discovered by walking the first ``name=value`` child chain (all
+    leaves share one layout by construction — every writer here uses
+    the same partitionBy)."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    cols: list[str] = []
+    while True:
+        sub = None
+        for st in fs.listStatus(p):
+            name = st.getPath().getName()
+            if st.isDirectory() and "=" in name:
+                sub = st.getPath()
+                cols.append(name.split("=", 1)[0])
+                break
+        if sub is None:
+            return cols
+        p = sub
+
+
 def compact_index(
     spark: SparkSession,
     path: str,
@@ -650,6 +673,14 @@ def compact_index(
         compact_parquet,
     )
 
+    # preserve the artifact's FULL directory layout: some families
+    # nest probe-pruning partitions under the batch dirs (postings:
+    # batch_id/token_bucket) — rewriting with partitionBy("batch_id")
+    # alone would silently flatten them and every probe would lose
+    # its directory pruning (r10 review find; test-pinned on the
+    # postings family)
+    pcols = _partition_cols_of(spark, path) or ["batch_id"]
+    inner = [c for c in pcols if c != "batch_id"]
     df = (
         spark.read.option("basePath", path)
         .parquet(path)
@@ -677,11 +708,19 @@ def compact_index(
     size = fs.getContentSummary(live).getLength()
     n_files = max(1, -(-int(size) // int(target_file_bytes)))
     tmp_s = path.rstrip("/") + "__compact_tmp"
+    # with inner partitions, distribute BY them (one file per inner
+    # dir — the sliver-file lesson: a size-based repartition would
+    # spray every task's rows into every inner dir); flat artifacts
+    # keep the size-based file count
+    staged = (
+        df.repartition(*[F.col(c) for c in inner])
+        if inner
+        else df.repartition(n_files)
+    )
     (
-        df.repartition(n_files)
-        .write.mode("overwrite")
+        staged.write.mode("overwrite")
         .option("compression", "zstd")
-        .partitionBy("batch_id")
+        .partitionBy("batch_id", *inner)
         .parquet(tmp_s)
     )
     _swap_in(spark, path, tmp_s)
@@ -694,7 +733,7 @@ def compact_index(
         if fs.exists(ts):
             fs.delete(ts, True)
     _invalidate_derived(spark, path)
-    return n_files
+    return int(fs.getContentSummary(live).getFileCount())
 
 
 def _swap_in(spark: SparkSession, live_s: str, tmp_s: str) -> None:

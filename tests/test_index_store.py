@@ -289,9 +289,33 @@ def _grow_pq_codes(spark, tmp_path, _docs):
 import pytest  # noqa: E402
 
 
+def _grow_text_postings(spark, tmp_path, docs):
+    from stampede_to_fresco_etl_spark.streaming.text_index_stream import (
+        apply_text_index_batch,
+    )
+
+    postings = str(tmp_path / "postings")
+    doclen = str(tmp_path / "doclen")
+    for i in range(3):
+        apply_text_index_batch(
+            spark, docs.filter(F.col("doc_id") % 3 == i), i,
+            postings, doclen,
+        )
+    return postings, lambda: {
+        (r["token"], r["doc_id"], r["tf"])
+        for r in spark.read.option("basePath", postings)
+        .parquet(postings)
+        .select("token", "doc_id", "tf")
+        .collect()
+    }
+
+
 @pytest.mark.parametrize(
-    "grow", [_grow_dedup, _grow_ann, _grow_exact_fp, _grow_pq_codes],
-    ids=["dedup_bands", "ann_index", "exact_fp", "pq_codes"],
+    "grow",
+    [_grow_dedup, _grow_ann, _grow_exact_fp, _grow_pq_codes,
+     _grow_text_postings],
+    ids=["dedup_bands", "ann_index", "exact_fp", "pq_codes",
+         "text_postings"],
 )
 def test_compact_index_all_artifact_families(spark, tmp_path, grow):
     """grow (3 stream batches) -> compact -> probe-visible content
@@ -913,3 +937,35 @@ def test_ivfpq_deleted_probe_lifecycle(spark):
     )
     assert shared.filter(F.col("vec_id") % 7 == 0).count() > 0
     assert len(full) > 0
+
+
+def test_compact_preserves_inner_partition_layout(spark, tmp_path):
+    """Compacting the postings artifact must keep the token_bucket
+    directory partitions (the probe's directory pruning) and leave
+    ONE file per bucket — a batch_id-only rewrite would silently
+    flatten the layout and a size-based repartition would spray
+    sliver files into every bucket dir."""
+    import os
+
+    docs = load(spark, SF, "documents").select("doc_id", "text")
+    path, read = _grow_text_postings(spark, tmp_path, docs)
+    before = read()
+    index_store.compact_index(spark, path)
+    assert read() == before and len(before) > 0
+    root = os.path.join(path, "batch_id=0")
+    buckets = sorted(
+        d for d in os.listdir(root) if d.startswith("token_bucket=")
+    )
+    assert buckets, "token_bucket dirs must survive the fold"
+    for b in buckets:
+        files = [
+            f
+            for f in os.listdir(os.path.join(root, b))
+            if f.endswith(".parquet")
+        ]
+        assert len(files) == 1, (b, files)
+    # and the probe's pruning still works off the folded layout
+    some = spark.read.parquet(path).filter(
+        F.col("token_bucket") == int(buckets[0].split("=")[1])
+    )
+    assert some.count() > 0
