@@ -1,0 +1,68 @@
+"""Streaming DELETE maintenance — the tombstone verb's stream twin
+(r10), completing the lifecycle matrix: every stored artifact now
+has grow daemons (dedup/ann/text/exact-fp/pq-codes streams) AND a
+delete daemon, both replay-idempotent per-batch partition writes.
+
+A takedown feed (GDPR erasure requests, moderation lists, corpus
+pruning decisions) lands as files of key rows; each micro-batch
+becomes one tombstone partition of the target artifact via
+`index_store.apply_deletes_batch` — so probes hide the keys from
+the moment the batch commits (the batch applier also invalidates
+any session-cached derived serving layout), and the next
+maintenance-window `compact_index(tombstone_keys=…)` erases them
+physically and clears the set.
+
+Exactly-once: `apply_deletes_batch` writes ``batch_id=N`` overwrite
+partitions keyed by the checkpoint's batch id — replaying a batch
+rewrites its own partition with identical content, and tombstone
+READS are distinct-unions over all partitions, so duplicates across
+batches are harmless by construction.
+
+Scale: per-batch cost is O(batch keys) — one small parquet write;
+nothing scans the artifact.  The probe-side cost model is
+`anti_tombstones`' (SCALE.md r10): one broadcast anti-join,
+identity when no delete is pending.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.types import StructType
+
+from stampede_to_fresco_etl_spark.index_store import (
+    apply_deletes_batch,
+)
+
+
+def run_delete_stream(
+    spark: SparkSession,
+    landing_dir: str,
+    artifact_path: str,
+    key_cols: list[str],
+    checkpoint_dir: str,
+    schema: StructType | str,
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Tail a takedown-feed directory and tombstone each batch's
+    keys against `artifact_path`.  ``batch_id`` starts at 1 —
+    ``batch_id=0`` stays reserved for artifact bootstraps (the other
+    daemons' convention), though tombstone dirs have no bootstrap."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option(
+            "maxFilesPerTrigger", max_files_per_trigger
+        )
+    stream = reader.parquet(landing_dir)
+    writer = stream.writeStream.foreachBatch(
+        lambda df, bid: apply_deletes_batch(
+            spark,
+            artifact_path,
+            df.select(*key_cols),
+            bid + 1,
+        )
+    ).option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
