@@ -79,6 +79,33 @@ def _key(sf_dir: str) -> str:
     ).lstrip("_.")
 
 
+def guard_daemon_dirs(*paths: str | None) -> None:
+    """Refuse catalog-scratch ``index_store`` paths for CHECKPOINTED
+    daemons (ADVICE r9, now enforced rather than documented):
+    `_fresh_dir` deletes a scratch artifact's grown ``batch_id>=1``
+    partitions on a new session's first catalog touch, and a
+    checkpointed daemon targeting that artifact could never REPLAY
+    the deleted batches — its checkpoint says they are committed —
+    so the growth would be lost permanently.  Raising at daemon
+    start turns that silent data-loss race into an immediate error.
+    Daemons own their artifact dirs OUTSIDE the catalog scratch
+    tree (every test/rehearsal already does); the catalog's own
+    session-lifecycle queries (v20/d17/v24) call the ``apply_*``
+    batch bodies directly, never a checkpointed runner, so they are
+    unaffected."""
+    bad = f"{_scratch()}/index_store/"
+    for p in paths:
+        if p and str(p).startswith(bad):
+            raise ValueError(
+                f"checkpointed daemons must not target catalog-scratch "
+                f"index_store paths (got {p!r}): the catalog deletes "
+                f"grown batch partitions there on a new session's "
+                f"first touch, and the daemon's checkpoint would "
+                f"prevent replaying them — own the artifact dir "
+                f"outside {bad!r}"
+            )
+
+
 def _already_materialized(spark: SparkSession, path: str) -> bool:
     """True iff this artifact was fully built earlier in this Spark
     session.  Pure check — callers build when False and then call
@@ -108,10 +135,13 @@ def _fresh_dir(spark: SparkSession, path: str) -> str:
     ``batch_id>=1`` growth on a new session's first catalog touch, a
     CHECKPOINTED streaming daemon must never target a catalog-scratch
     index_store path — its checkpoint would prevent replaying the
-    deleted batches, losing the growth permanently.  Checkpointed
-    daemons own their index dirs outside the catalog scratch tree;
-    the catalog's session-lifecycle artifacts (v20/d17) are safe
-    because they re-apply their growth wave each session by design."""
+    deleted batches, losing the growth permanently.  ENFORCED: every
+    ``run_*`` daemon entrypoint calls `guard_daemon_dirs` and refuses
+    such paths at start.  Checkpointed daemons own their index dirs
+    outside the catalog scratch tree; the catalog's session-lifecycle
+    artifacts (v20/d17/v24) are safe because they call the ``apply_*``
+    batch bodies directly and re-apply their wave each session by
+    design."""
     jvm = spark._jvm
     p = jvm.org.apache.hadoop.fs.Path(path)
     fs = p.getFileSystem(spark._jsc.hadoopConfiguration())

@@ -136,6 +136,9 @@ def run_incremental_dedup(
     """Continuous ingest-dedup daemon.  `available_now=True` drains
     the current backlog and stops (the batch-catchup mode used by
     tests); False runs until `stop()`."""
+    from stampede_to_fresco_etl_spark.index_store import guard_daemon_dirs
+
+    guard_daemon_dirs(index_dir, matches_dir)
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)

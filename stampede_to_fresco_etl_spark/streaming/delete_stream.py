@@ -49,6 +49,11 @@ def run_delete_stream(
     keys against `artifact_path`.  ``batch_id`` starts at 1 —
     ``batch_id=0`` stays reserved for artifact bootstraps (the other
     daemons' convention), though tombstone dirs have no bootstrap."""
+    from stampede_to_fresco_etl_spark.index_store import (
+        guard_daemon_dirs,
+    )
+
+    guard_daemon_dirs(artifact_path)
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option(

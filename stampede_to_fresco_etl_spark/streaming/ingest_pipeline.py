@@ -177,6 +177,9 @@ def run_ingest_pipeline(
     max_files_per_trigger: int | None = None,
     available_now: bool = True,
 ) -> StreamingQuery:
+    from stampede_to_fresco_etl_spark.index_store import guard_daemon_dirs
+
+    guard_daemon_dirs(index_dir)
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)

@@ -122,6 +122,9 @@ def run_pq_codes_stream(
 ) -> StreamingQuery:
     """Continuous codes-maintenance daemon (availableNow=True drains
     the backlog and stops — the batch-catchup mode)."""
+    from stampede_to_fresco_etl_spark.index_store import guard_daemon_dirs
+
+    guard_daemon_dirs(codes_dir, codebook_dir)
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)

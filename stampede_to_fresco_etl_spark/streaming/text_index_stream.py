@@ -101,6 +101,9 @@ def run_text_index_stream(
 ) -> StreamingQuery:
     """Continuous postings-maintenance daemon (availableNow=True
     drains the backlog and stops — the batch-catchup mode)."""
+    from stampede_to_fresco_etl_spark.index_store import guard_daemon_dirs
+
+    guard_daemon_dirs(postings_dir, doclen_dir)
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)

@@ -159,6 +159,14 @@ def run_vector_ingest_pipeline(
     max_files_per_trigger: int | None = None,
     available_now: bool = True,
 ) -> StreamingQuery:
+    from stampede_to_fresco_etl_spark.index_store import (
+        guard_daemon_dirs,
+    )
+
+    guard_daemon_dirs(
+        fp_dir, index_dir, matches_dir, centroids_dir,
+        codes_dir, codebook_dir,
+    )
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)

@@ -969,3 +969,55 @@ def test_compact_preserves_inner_partition_layout(spark, tmp_path):
         F.col("token_bucket") == int(buckets[0].split("=")[1])
     )
     assert some.count() > 0
+
+
+def test_daemon_runners_refuse_catalog_scratch_paths(spark, tmp_path):
+    """ADVICE r9, enforced: a CHECKPOINTED daemon pointed at a
+    catalog-scratch index_store artifact would permanently lose
+    committed growth on the next session's snapshot rebuild
+    (`_fresh_dir` deletes batch_id>=1 partitions; the checkpoint
+    prevents replay).  Every run_* entrypoint must refuse such paths
+    at start — BEFORE any checkpoint state exists."""
+    from stampede_to_fresco_etl_spark.streaming.delete_stream import (
+        run_delete_stream,
+    )
+    from stampede_to_fresco_etl_spark.streaming.dedup_stream import (
+        run_incremental_dedup,
+    )
+    from stampede_to_fresco_etl_spark.streaming.pq_codes_stream import (
+        run_pq_codes_stream,
+    )
+
+    scratch_artifact = (
+        f"{index_store._scratch()}/index_store/exact_fp/anything"
+    )
+    land, ckpt = str(tmp_path / "land"), str(tmp_path / "ckpt")
+    with pytest.raises(ValueError, match="catalog-scratch"):
+        run_delete_stream(
+            spark, land, scratch_artifact, ["fp"], ckpt, "fp string"
+        )
+    with pytest.raises(ValueError, match="catalog-scratch"):
+        run_incremental_dedup(
+            spark,
+            land,
+            f"{index_store._scratch()}/index_store/dedup/x",
+            str(tmp_path / "m"),
+            ckpt,
+        )
+    with pytest.raises(ValueError, match="catalog-scratch"):
+        run_pq_codes_stream(
+            spark,
+            land,
+            str(tmp_path / "codes"),
+            f"{index_store._scratch()}/index_store/pq_codes/x/codebook",
+            ckpt,
+        )
+    # guard fired before any stream started: no checkpoint dir exists
+    import os
+
+    assert not os.path.exists(ckpt)
+    # non-scratch dirs pass the guard (the no-raise contract every
+    # existing streaming test exercises end-to-end)
+    index_store.guard_daemon_dirs(
+        str(tmp_path / "fine"), None, str(tmp_path / "also_fine")
+    )
