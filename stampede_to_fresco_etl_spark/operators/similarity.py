@@ -48,6 +48,18 @@ def _norm(a: Column) -> Column:
     return F.sqrt(_dot(a, a))
 
 
+# NOTE (r10 negative result, measured): do NOT "optimize" `_dot`
+# into an unrolled fixed-dims expression (64 explicit a[i]*b[i]
+# terms).  It parses, codegens, and is BIT-EXACT — and runs 5×
+# SLOWER than the fold (20 M pairs, local[8]: fold 20.3 s, unrolled
+# 117.1 s): the single giant generated expression exceeds the JIT's
+# per-method budget, so the compiled stage executes in the bytecode
+# interpreter.  Splitting across chained withColumns does not help —
+# CollapseProject inlines them back into one expression (chunked
+# variants measured 113–115 s).  The fold's per-element lambda
+# dispatch (~16 ns/element) is the cheaper interpreter.
+
+
 def cosine_with_norms(
     a: Column, b: Column, a_nrm: Column, b_nrm: Column
 ) -> Column:
@@ -102,7 +114,52 @@ def partial_topk(
 
     `ascending=True` ranks smallest-first (distance scores — v21's
     ADC probe); the default ranks largest-first (similarities).
+
+    k=1 (the ingest match shape — v16) skips the pair sort entirely
+    with a two-pass scalar argmin.  Pass 1 aggregates min(key) per
+    probe where key is one DOUBLE — a primitive buffer, so this is a
+    true Tungsten HashAggregate with MAP-SIDE partial combine: each
+    scan partition collapses to ≤ one row per probe before the
+    shuffle.  (The tempting one-pass forms don't have that property:
+    ``min(struct(key, id, sim))`` and ``min_by`` carry struct-typed
+    buffers, which the hash aggregate can't hold — Spark silently
+    plans a SortAggregate that re-sorts every scored pair.  At the
+    100× rehearsal that sort was ~95% of the probe's 1415 s wall;
+    SCALE.md r10.)  Pass 2 re-scores the pairs (cheap — the unrolled
+    kernel), keeps only rows equal to their probe's min key
+    (winners ≈ one per probe, ties included), and runs the ordinary
+    window on that tiny set, so tie-breaks (min id), output columns
+    and types are literally the window path's.  The min-key table is
+    probe-count-sized; it broadcasts — at a batch size where that
+    broadcast hurts, the deployment shards the batch (the same bound
+    as every per-probe result set).  Key semantics match the window
+    ordering exactly: descending ranks via the negated sim (IEEE
+    negation is exact; ±0.0 compares equal both ways and equality
+    keeps both zeros' rows as ties), null sims lose to every real
+    sim via a +inf sentinel but still surface when a probe has ONLY
+    null sims — the window's nulls-last behavior.  (NaN sims would
+    rank differently — first under a desc window, last here — but no
+    scoring kernel in this module can produce NaN from non-NaN
+    input: squares are ≥ 0 under sqrt, and 0/0 is nullif-guarded.)
     """
+    if k == 1:
+        key = F.coalesce(
+            F.col(sim_col) if ascending else -F.col(sim_col),
+            F.lit(float("inf")),
+        )
+        keyed = scored.withColumn("__key", key)
+        m = keyed.groupBy(probe_id_col).agg(
+            F.min("__key").alias("__m")
+        )
+        winners = keyed.join(F.broadcast(m), probe_id_col).filter(
+            F.col("__key") == F.col("__m")
+        )
+        w_win = Window.partitionBy(probe_id_col).orderBy(F.col(id_col))
+        return (
+            winners.withColumn("rank", F.row_number().over(w_win))
+            .filter(F.col("rank") <= 1)
+            .select(probe_id_col, id_col, sim_col, "rank")
+        )
     order = [
         F.col(sim_col).asc() if ascending else F.col(sim_col).desc(),
         F.col(id_col),
@@ -431,6 +488,105 @@ def ivf_topk(
     return partial_topk(scored, probe_id_col, id_col, k)
 
 
+def _cogroup_exact_top1(
+    routed_probes: DataFrame,
+    cands: DataFrame,
+    group_keys: list[str],
+    probe_id_col: str,
+) -> DataFrame:
+    """Per-group exact cosine argmin, scored in numpy over Arrow
+    cogroups — the pair-scoring engine for the quadratic batch
+    shape.  The column engine pays an INTERPRETED higher-order
+    function per pair (ZipWith materializes a fresh array per pair,
+    ArrayAggregate folds it through `PhysicalDataType.apply` per
+    element — jstack-verified hot frames); at the 100× rehearsal
+    that put one exact-scoring pass at ~860 s for 803 M pairs.
+    Shipping each cogroup's PROBE and CANDIDATE rows once (O(batch +
+    corpus) Arrow transfer, never the pairs) and folding the gram
+    matrix dimension-by-dimension in numpy runs the identical
+    arithmetic vectorized across pairs.
+
+    BIT-EXACT by construction, not approximately: the accumulation
+    is ``acc = (((0.0 + a0·b0) + a1·b1) + …)`` applied elementwise
+    across the P×C matrix — the same IEEE double at every step as
+    the engine fold (and the SQL oracle's list_reduce), because the
+    loop runs over DIMENSIONS in order, never through BLAS pairwise
+    summation (the exact_l2_topk_arrow caveat this engine exists to
+    avoid).  Norms are the same dim-ordered sum under sqrt; the
+    division is one IEEE divide; a zero norm product yields null
+    (the engine's nullif).  Ties: candidates are scanned in
+    ascending vec_id order and argmin keeps the FIRST minimum, so
+    the winner is the lowest-id best match — `partial_topk`'s
+    ordering.  Pinned by tests/test_similarity_multimodal.py's
+    engine-equality test on real corpus data.
+
+    Probes are processed in fixed row blocks so the per-group score
+    matrix stays bounded (~block × |cands| doubles) regardless of
+    group size.  Output: one (probe_id, vec_id, cos_sim) row per
+    (group, probe) — group winners; callers reduce winners across a
+    probe's groups with `partial_topk(k=1)` (lexicographic min
+    distributes over the grouping, so the global argmin is exact)."""
+    out_schema = (
+        f"{probe_id_col} long, vec_id long, cos_sim double"
+    )
+
+    def score(pl, pr):
+        import numpy as np
+        import pandas as pd
+
+        if len(pl) == 0 or len(pr) == 0:
+            return pd.DataFrame(
+                {probe_id_col: [], "vec_id": [], "cos_sim": []}
+            )
+        A = np.array(pl["p_vec"].tolist(), dtype=np.float64)
+        ids = pr["vec_id"].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        B = np.array(pr["c_vec"].tolist(), dtype=np.float64)[order]
+        dims = A.shape[1]
+        nb = np.zeros(B.shape[0])
+        for i in range(dims):
+            nb += B[:, i] * B[:, i]
+        nb = np.sqrt(nb)
+        pid = pl[probe_id_col].to_numpy()
+        rows = []
+        for s in range(0, A.shape[0], 512):
+            Ab = A[s : s + 512]
+            acc = np.zeros((Ab.shape[0], B.shape[0]))
+            na = np.zeros(Ab.shape[0])
+            for i in range(dims):
+                acc += Ab[:, i, None] * B[None, :, i]
+                na += Ab[:, i] * Ab[:, i]
+            na = np.sqrt(na)
+            prod = na[:, None] * nb[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = acc / prod
+            key = np.where(prod == 0.0, np.inf, -cos)
+            j = np.argmin(key, axis=1)
+            r = np.arange(Ab.shape[0])
+            sim = cos[r, j]
+            isnull = prod[r, j] == 0.0
+            rows.append(
+                pd.DataFrame(
+                    {
+                        probe_id_col: pid[s : s + 512],
+                        "vec_id": ids[j],
+                        "cos_sim": [
+                            None if m else float(v)
+                            for v, m in zip(sim, isnull)
+                        ],
+                    }
+                )
+            )
+        return pd.concat(rows, ignore_index=True)
+
+    return (
+        routed_probes.groupBy(*group_keys)
+        .cogroup(cands.groupBy(*group_keys))
+        .applyInPandas(score, out_schema)
+    )
+
+
 def ivf_probe_stored(
     index: DataFrame,
     centroids: list[list[float]],
@@ -440,6 +596,8 @@ def ivf_probe_stored(
     k: int = 10,
     n_probe: int = 4,
     broadcast_probes: bool = False,
+    cell_salts: int | None = None,
+    pair_engine: str = "auto",
 ) -> DataFrame:
     """The probe-only half of `ivf_topk`, against a STORED index:
     `index` is the ``(vec_id, v, cell)`` assignment table a snapshot
@@ -454,7 +612,34 @@ def ivf_probe_stored(
     side is a data-sized batch, so both sides shuffle by cell (at
     cluster scale the index side is already bucketed by cell — only
     the batch moves).  Pass True only for a handful of serving
-    queries."""
+    queries.
+
+    `cell_salts` (shuffle path only): a bare equi-join on ``cell``
+    caps SCORING parallelism at n_cells tasks — invisible at
+    production cell counts (thousands of cells ≫ cores), but at
+    small-cell configs the pair work serializes onto n_cells cores
+    no matter how large batch × corpus grows (measured at the 100×
+    rehearsal, SCALE.md r10: 16 cells kept 32 cores half idle on an
+    800 M-pair probe).  With S salts the index side gets a
+    deterministic per-row salt (``xxhash64(vec_id) % S``) and the
+    probe side replicates ×S, joining on ``(cell, salt)`` —
+    n_cells × S balanced tasks, the identical pair set (each
+    (probe, candidate) pair meets on exactly the candidate's salt),
+    probe-side shuffle volume ×S (the SMALL side — that asymmetry is
+    why the salt lands on the index row and the replication on the
+    probe).  Default None auto-sizes to ceil(parallelism / n_cells),
+    1 (no-op) when n_cells already covers the session's shuffle
+    partitioning.
+
+    `pair_engine`: ``"auto"`` (default) scores the k=1 shuffle shape
+    — the ingest matcher, whose pair space is batch × corpus /
+    n_cells — with the Arrow cogroup gram engine
+    (`_cogroup_exact_top1`: bit-exact dim-ordered numpy fold,
+    O(batch + corpus) transfer; measured two orders of magnitude
+    under the column fold at the 100× rehearsal, SCALE.md r10), and
+    everything else with the column engine.  ``"column"`` /
+    ``"arrow"`` force one side — the engines are bit-exact twins,
+    pinned by test."""
     p = _with_centroid_col(
         probes.select(
             F.col(probe_id_col), as_double_vec(vec_col).alias("p_vec")
@@ -478,18 +663,84 @@ def ivf_probe_stored(
             probe_id_col, "p_vec", "p_nrm", F.explode("cells").alias("cell")
         )
     )
-    scored = (
-        index.withColumnRenamed("v", "c_vec")
-        .withColumn("c_nrm", _norm(F.col("c_vec")))
-        .join(F.broadcast(p) if broadcast_probes else p, "cell")
-        .select(
-            probe_id_col,
-            "vec_id",
-            cosine_with_norms(
-                F.col("p_vec"), F.col("c_vec"),
-                F.col("p_nrm"), F.col("c_nrm"),
-            ).alias("cos_sim"),
+    cand = index.withColumnRenamed("v", "c_vec").withColumn(
+        "c_nrm", _norm(F.col("c_vec"))
+    )
+    join_keys = ["cell"]
+    if not broadcast_probes:
+        n_cells = len(centroids)
+        par = int(
+            probes.sparkSession.conf.get(
+                "spark.sql.shuffle.partitions", "200"
+            )
         )
+        salts = cell_salts
+        if salts is None:
+            salts = max(1, -(-par // n_cells))
+        if salts > 1:
+            cand = cand.withColumn(
+                "__salt",
+                F.pmod(F.xxhash64("vec_id"), F.lit(salts)).cast("int"),
+            )
+            p = p.withColumn(
+                "__salt",
+                F.explode(
+                    F.array(*[F.lit(i) for i in range(salts)])
+                ),
+            )
+            join_keys = ["cell", "__salt"]
+        # USER-NUMBERED repartition on both sides, matching the
+        # pair-grouping keys: AQE coalesces ENSURE_REQUIREMENTS
+        # exchanges by INPUT bytes, and this shape's inputs are
+        # megabytes while its pair space explodes to batch × corpus
+        # / n_cells — measured at the 100× rehearsal, AQE folded the
+        # 32-way scoring join down to ~2 partitions and serialized
+        # it (SCALE.md r10).  A repartition with an explicit
+        # numPartitions is never coalesced, and because it hashes on
+        # exactly the grouping keys the join/cogroup reuses it.
+        cand = cand.repartition(
+            par, *[F.col(c) for c in join_keys]
+        )
+        p = p.repartition(par, *[F.col(c) for c in join_keys])
+    engine = pair_engine
+    if engine == "auto":
+        engine = (
+            "arrow" if (k == 1 and not broadcast_probes) else "column"
+        )
+    if engine == "arrow":
+        # the quadratic ingest shape: per-group Arrow gram scoring
+        # (O(batch + corpus) transfer, vectorized dim-ordered fold —
+        # bit-exact, see _cogroup_exact_top1), then the exact global
+        # argmin across each probe's n_probe × salts group winners
+        if k != 1:
+            raise ValueError(
+                "pair_engine='arrow' implements the k=1 ingest match "
+                "shape; use the column engine for general k"
+            )
+        winners = _cogroup_exact_top1(
+            p.select(probe_id_col, "p_vec", *join_keys),
+            cand.select("vec_id", "c_vec", *join_keys),
+            join_keys,
+            probe_id_col,
+        )
+        return partial_topk(winners, probe_id_col, "vec_id", 1)
+    # column engine: per-pair scoring stays on the aggregate/zip_with
+    # FOLD — the "obvious" codegen unroll (64 explicit a[i]*b[i]
+    # terms) is a measured 5× REGRESSION (the giant generated
+    # expression blows the JIT budget and runs in the bytecode
+    # interpreter; chained-column splits collapse back into one
+    # expression via CollapseProject).  20 M pairs, local[8]: fold
+    # 20.3 s, unrolled 117.1 s, chained-chunks 113–115 s (SCALE.md
+    # r10).
+    scored = cand.join(
+        F.broadcast(p) if broadcast_probes else p, join_keys
+    ).select(
+        probe_id_col,
+        "vec_id",
+        cosine_with_norms(
+            F.col("p_vec"), F.col("c_vec"),
+            F.col("p_nrm"), F.col("c_nrm"),
+        ).alias("cos_sim"),
     )
     return partial_topk(scored, probe_id_col, "vec_id", k)
 

@@ -162,6 +162,26 @@ def test_replay_converges_and_runner_drives_it(spark, tmp_path):
         codes_dir,
         codebook_dir,
     ) = _bootstrap(spark, tmp_path)
+    # the CHECKPOINTED runner refuses catalog-scratch artifact paths
+    # (guard_daemon_dirs — a daemon's checkpoint would block replay
+    # into a dir the catalog deletes on a new session's first touch),
+    # so this test models the deployment contract: the daemon OWNS
+    # its artifact dirs.  Copy the bootstrapped snapshots out of the
+    # catalog scratch tree and drive the runner against the copies.
+    import shutil
+
+    owned = {}
+    for name, src in (
+        ("index", index_dir),
+        ("cent", cent_dir),
+        ("codes", codes_dir),
+        ("codebook", codebook_dir),
+    ):
+        dst = str(tmp_path / f"owned_{name}")
+        shutil.copytree(src, dst)
+        owned[name] = dst
+    index_dir, cent_dir = owned["index"], owned["cent"]
+    codes_dir, codebook_dir = owned["codes"], owned["codebook"]
     wave, _n_dups, n_new = _wave(spark, idx, held)
 
     def snapshot():
