@@ -11,7 +11,11 @@ across replicas).
 Run:  python scripts/rehearse.py q1 [q2 ...]
       python scripts/rehearse.py --all        (every registry query —
                                               hours; prefer a list)
-Requires /root/repo/testdata_sf1 (make_sf_scaled.py default output).
+      python scripts/rehearse.py --scaled=/root/repo/testdata_sf10 q1 …
+          (compare sf0.1 against a DIFFERENT replica corpus — e.g.
+           the 100× proxy from `make_sf_scaled.py 100`)
+Requires /root/repo/testdata_sf1 (make_sf_scaled.py default output)
+or whatever --scaled points at.
 Driver heap is raised to 24g: local-mode Spark defaults to 1 GB and
 the heavier sf1 localCheckpoints (g1's shingle frame) exceed it.
 """
@@ -33,6 +37,11 @@ def main() -> int:
     from stampede_to_fresco_etl_spark.catalog import REGISTRY
 
     args = sys.argv[1:]
+    scaled = SF1
+    for a in list(args):
+        if a.startswith("--scaled="):
+            scaled = a.split("=", 1)[1]
+            args.remove(a)
     if not args:
         print(__doc__)
         return 2
@@ -61,9 +70,11 @@ def main() -> int:
             continue
         try:
             a = run(name, SF01)
-            b = run(name, SF1)
+            b = run(name, scaled)
+            tag = scaled.rstrip("/").rsplit("_", 1)[-1]
             print(
-                f"{name}: sf0.1 {a:.2f}s  sf1 {b:.2f}s  ratio {b / a:.2f}x",
+                f"{name}: sf0.1 {a:.2f}s  {tag} {b:.2f}s  "
+                f"ratio {b / a:.2f}x",
                 flush=True,
             )
         except Exception as ex:  # noqa: BLE001

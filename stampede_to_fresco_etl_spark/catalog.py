@@ -21920,6 +21920,11 @@ _REVALIDATE = {
     # r10: postings layout went token-bucket-partitioned and the
     # probe gained the bucket PartitionFilters (VERDICT r9 item 3).
     "x57_bm25_stored_index",
+    # r10 late: the k=1 ingest-match path moved to the two-pass
+    # scalar argmin + Arrow cogroup gram engine (the 100× rehearsal
+    # fixes) — sweep-exact and engine-equality-pinned, but the green
+    # r9 row predates the motion.
+    "v16_incremental_ann",
 }
 
 #: Queries FIRST ADDED this round: they are never-checked too, but the

@@ -402,3 +402,50 @@ def test_lit_double_helpers_bit_exact(spark):
         [x for c in r["m0"] for x in c]
     )
     assert bits(r["v"]) == bits(rows[0])
+
+
+def test_ivf_probe_stored_pair_engines_bit_exact(spark):
+    """The k=1 ingest-match shape's two pair engines — the column
+    fold join and the Arrow cogroup gram (`_cogroup_exact_top1`,
+    dim-ordered numpy fold) — must be BIT-exact twins on real corpus
+    data, including tie-breaks and ranks.  The arrow engine is the
+    auto default for this shape (the 100× rehearsal's pair-cost
+    fix); any drift between the engines would silently change v16
+    and the ann_stream matches."""
+    from stampede_to_fresco_etl_spark.operators import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    cents = S.seed_centroids(emb, "vec_id", "embedding", 16)
+    assigned = (
+        S._with_centroid_col(
+            emb.select(
+                "vec_id", S.as_double_vec("embedding").alias("v")
+            ),
+            cents,
+        )
+        .withColumn(
+            "d",
+            F.transform(
+                F.col("__cents"), lambda c: S._sqdist(F.col("v"), c)
+            ),
+        )
+        .select(
+            "vec_id", "v", S._nearest_cell("d").alias("cell")
+        )
+        .localCheckpoint()
+    )
+    probes = emb.filter(F.col("vec_id") % 3 == 0).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    kw = dict(probe_id_col="probe_id", k=1, n_probe=2)
+    arrow = S.ivf_probe_stored(
+        assigned, cents, probes, pair_engine="arrow", **kw
+    ).collect()
+    column = S.ivf_probe_stored(
+        assigned, cents, probes, pair_engine="column", **kw
+    ).collect()
+    assert len(arrow) == probes.count() > 0
+    assert sorted(map(tuple, arrow)) == sorted(map(tuple, column))
+    # auto routes this shape to arrow — same rows again
+    auto = S.ivf_probe_stored(assigned, cents, probes, **kw).collect()
+    assert sorted(map(tuple, auto)) == sorted(map(tuple, arrow))
