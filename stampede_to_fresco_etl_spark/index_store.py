@@ -36,6 +36,7 @@ parquet — the steady-state read path.
 
 from __future__ import annotations
 
+import os
 import re
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -92,10 +93,29 @@ def guard_daemon_dirs(*paths: str | None) -> None:
     tree (every test/rehearsal already does); the catalog's own
     session-lifecycle queries (v20/d17/v24) call the ``apply_*``
     batch bodies directly, never a checkpointed runner, so they are
-    unaffected."""
-    bad = f"{_scratch()}/index_store/"
+    unaffected.
+
+    Paths are NORMALIZED before the comparison (ADVICE r10): a raw
+    string-prefix check lets equivalently spelled paths — ``file:``
+    URIs, relative paths, ``//``/``./`` segments, symlinks, a
+    scratch root configured with a trailing slash — bypass a guard
+    whose failure mode is silent permanent data loss.  Both sides go
+    through ``os.path.realpath`` (scheme stripped first), so every
+    spelling of the same directory hits the same canonical form."""
+
+    def _canon(p: str) -> str:
+        p = str(p)
+        if p.startswith("file://"):
+            p = p[len("file://"):] or "/"
+        elif p.startswith("file:"):
+            p = p[len("file:"):]
+        return os.path.realpath(p)
+
+    bad = _canon(f"{_scratch()}/index_store")
     for p in paths:
-        if p and str(p).startswith(bad):
+        if p and (
+            _canon(p) == bad or _canon(p).startswith(bad + os.sep)
+        ):
             raise ValueError(
                 f"checkpointed daemons must not target catalog-scratch "
                 f"index_store paths (got {p!r}): the catalog deletes "

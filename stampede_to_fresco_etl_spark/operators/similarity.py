@@ -130,17 +130,27 @@ def partial_topk(
     (winners ≈ one per probe, ties included), and runs the ordinary
     window on that tiny set, so tie-breaks (min id), output columns
     and types are literally the window path's.  The min-key table is
-    probe-count-sized; it broadcasts — at a batch size where that
-    broadcast hurts, the deployment shards the batch (the same bound
-    as every per-probe result set).  Key semantics match the window
-    ordering exactly: descending ranks via the negated sim (IEEE
-    negation is exact; ±0.0 compares equal both ways and equality
-    keeps both zeros' rows as ties), null sims lose to every real
-    sim via a +inf sentinel but still surface when a probe has ONLY
-    null sims — the window's nulls-last behavior.  (NaN sims would
-    rank differently — first under a desc window, last here — but no
-    scoring kernel in this module can produce NaN from non-NaN
-    input: squares are ≥ 0 under sqrt, and 0/0 is nullif-guarded.)
+    probe-count-sized and carries one (key, id) pair per probe — a
+    sliver of the scored pairs — but it is NOT hint-broadcast: the
+    probe side can be a data-sized ingest batch (O(batch) rows), and
+    a static ``F.broadcast`` would force a driver collect with no
+    size check (the r7 plan invariant this module pins in
+    tests/test_r7_ops.py).  AQE sees the aggregate's runtime stats
+    and picks broadcast whenever the table is actually small — the
+    stats-based choice an unconditional hint can't beat and can only
+    lose to.  Key semantics match the window ordering exactly:
+    descending ranks via the negated sim (IEEE negation is exact;
+    ±0.0 compares equal both ways and equality keeps both zeros'
+    rows as ties).  Null sims lose to every real sim via a +inf
+    sentinel in BOTH directions but still surface when a probe has
+    ONLY null sims; the k≥2 window path pins the same contract with
+    ``asc_nulls_last`` (Spark's bare ``asc()`` is NULLS FIRST, which
+    would rank a null distance as the best match — and would diverge
+    from the DuckDB oracles, whose ASC default is NULLS LAST).  (NaN
+    sims would rank differently — first under a desc window, last
+    here — but no scoring kernel in this module can produce NaN from
+    non-NaN input: squares are ≥ 0 under sqrt, and 0/0 is
+    nullif-guarded.)
     """
     if k == 1:
         key = F.coalesce(
@@ -151,7 +161,7 @@ def partial_topk(
         m = keyed.groupBy(probe_id_col).agg(
             F.min("__key").alias("__m")
         )
-        winners = keyed.join(F.broadcast(m), probe_id_col).filter(
+        winners = keyed.join(m, probe_id_col).filter(
             F.col("__key") == F.col("__m")
         )
         w_win = Window.partitionBy(probe_id_col).orderBy(F.col(id_col))
@@ -161,7 +171,9 @@ def partial_topk(
             .select(probe_id_col, id_col, sim_col, "rank")
         )
     order = [
-        F.col(sim_col).asc() if ascending else F.col(sim_col).desc(),
+        F.col(sim_col).asc_nulls_last()
+        if ascending
+        else F.col(sim_col).desc(),
         F.col(id_col),
     ]
     w_shard = Window.partitionBy(probe_id_col, "__pid").orderBy(*order)
@@ -526,8 +538,24 @@ def _cogroup_exact_top1(
     (group, probe) — group winners; callers reduce winners across a
     probe's groups with `partial_topk(k=1)` (lexicographic min
     distributes over the grouping, so the global argmin is exact)."""
-    out_schema = (
-        f"{probe_id_col} long, vec_id long, cos_sim double"
+    # output id types DERIVED from the inputs (ADVICE r10): a
+    # hardcoded "long, long" schema would miscast or fail at Arrow
+    # serialization for a caller with string/int ids — the column
+    # engine this kernel twins handles any id type.  Tie-breaking
+    # for non-numeric ids still matches partial_topk: numpy's stable
+    # object-array sort compares Python strings by code point, the
+    # same total order as Spark's binary UTF-8 comparison.
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField(
+                probe_id_col,
+                routed_probes.schema[probe_id_col].dataType,
+            ),
+            StructField("vec_id", cands.schema["vec_id"].dataType),
+            StructField("cos_sim", DoubleType()),
+        ]
     )
 
     def score(pl, pr):

@@ -1021,3 +1021,29 @@ def test_daemon_runners_refuse_catalog_scratch_paths(spark, tmp_path):
     index_store.guard_daemon_dirs(
         str(tmp_path / "fine"), None, str(tmp_path / "also_fine")
     )
+
+
+def test_guard_daemon_dirs_normalizes_path_spellings(tmp_path):
+    """ADVICE r10: the guard compares realpaths, so equivalent
+    spellings of a catalog-scratch artifact — file: URIs, ./ and //
+    segments, relative paths, symlinks — cannot bypass a check whose
+    failure mode is silent permanent data loss."""
+    import os
+
+    scratch = index_store._scratch()
+    inside = f"{scratch}/index_store/exact_fp/x"
+    spellings = [
+        f"file://{inside}",
+        f"file:{inside}",
+        inside.replace("/index_store/", "//index_store/./"),
+        os.path.relpath(inside),
+    ]
+    link = tmp_path / "lnk"
+    os.makedirs(f"{scratch}/index_store", exist_ok=True)
+    link.symlink_to(f"{scratch}/index_store")
+    spellings.append(str(link / "exact_fp" / "x"))
+    for p in spellings:
+        with pytest.raises(ValueError, match="catalog-scratch"):
+            index_store.guard_daemon_dirs(p)
+    # a sibling whose name merely shares the prefix is NOT caught
+    index_store.guard_daemon_dirs(f"{scratch}/index_store_other/x")

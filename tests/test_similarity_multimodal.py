@@ -449,3 +449,92 @@ def test_ivf_probe_stored_pair_engines_bit_exact(spark):
     # auto routes this shape to arrow — same rows again
     auto = S.ivf_probe_stored(assigned, cents, probes, **kw).collect()
     assert sorted(map(tuple, auto)) == sorted(map(tuple, arrow))
+
+
+def test_partial_topk_null_ordering_consistent_across_k(spark):
+    """ADVICE r10: nulls-last is the contract in BOTH directions and
+    at EVERY k.  Spark's bare asc() is NULLS FIRST, so before the
+    asc_nulls_last pin the k=1 argmin (null -> +inf sentinel) and the
+    k>=2 window silently forked on null sims for ascending callers
+    (a null adc_dist would have won the window but lost the argmin).
+    Also pins: a probe with ONLY null sims still surfaces one row."""
+    from stampede_to_fresco_etl_spark.operators.similarity import (
+        partial_topk,
+    )
+
+    scored = spark.createDataFrame(
+        [
+            (1, 10, 0.5),
+            (1, 11, None),
+            (1, 12, 0.2),
+            (2, 20, None),
+            (2, 21, None),
+        ],
+        "probe_id long, vec_id long, sim double",
+    )
+    for asc in (True, False):
+        k1 = {
+            (r["probe_id"], r["vec_id"], r["sim"])
+            for r in partial_topk(
+                scored, "probe_id", "vec_id", 1,
+                sim_col="sim", ascending=asc,
+            ).collect()
+        }
+        kw = {
+            (r["probe_id"], r["vec_id"], r["sim"])
+            for r in partial_topk(
+                scored, "probe_id", "vec_id", 3,
+                sim_col="sim", ascending=asc,
+            ).filter(F.col("rank") == 1).collect()
+        }
+        best = (1, 12, 0.2) if asc else (1, 10, 0.5)
+        assert k1 == kw == {best, (2, 20, None)}
+
+
+def test_cogroup_exact_top1_derives_id_types(spark):
+    """ADVICE r10: the Arrow gram kernel must derive its output id
+    types from the inputs, not hardcode long — a string-id caller
+    through pair_engine='auto' (every k=1 non-broadcast
+    ivf_probe_stored) would otherwise fail at Arrow serialization
+    where the column engine handled any type.  Pins string ids
+    end-to-end and engine equality on them."""
+    from stampede_to_fresco_etl_spark.operators import similarity as S
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).limit(60)
+    cents = S.seed_centroids(emb, "vec_id", "embedding", 4)
+    assigned = (
+        S._with_centroid_col(
+            emb.select(
+                F.concat(F.lit("doc-"), F.col("vec_id")).alias("vec_id"),
+                S.as_double_vec("embedding").alias("v"),
+            ),
+            cents,
+        )
+        .withColumn(
+            "d",
+            F.transform(
+                F.col("__cents"), lambda c: S._sqdist(F.col("v"), c)
+            ),
+        )
+        .select("vec_id", "v", S._nearest_cell("d").alias("cell"))
+        .localCheckpoint()
+    )
+    probes = emb.limit(9).select(
+        F.concat(F.lit("p-"), F.col("vec_id")).alias("probe_id"),
+        "embedding",
+    )
+    kw = dict(probe_id_col="probe_id", k=1, n_probe=2)
+    arrow = S.ivf_probe_stored(
+        assigned, cents, probes, pair_engine="arrow", **kw
+    )
+    assert dict(arrow.dtypes)["probe_id"] == "string"
+    assert dict(arrow.dtypes)["vec_id"] == "string"
+    column = S.ivf_probe_stored(
+        assigned, cents, probes, pair_engine="column", **kw
+    )
+    a, c = sorted(map(tuple, arrow.collect())), sorted(
+        map(tuple, column.collect())
+    )
+    assert a == c and len(a) == 9
