@@ -148,6 +148,7 @@ EXTENSION = [
     "v22_ivfpq_residual_topk",  # new r10: residual-encoded IVF-PQ serving
     "v23_ivfpq_residual_batch_probe",  # new r10: batch probe, residual layout
     "v24_ivfpq_deleted_probe",  # new r10: serving after a takedown wave
+    "x63_entity_erase_audit",  # new r11: composed entity erase, all families
 ]
 
 # CORE_V2 (frozen r9, VERDICT r8 item 2): CORE plus the stored-

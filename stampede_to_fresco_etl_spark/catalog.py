@@ -19688,6 +19688,10 @@ def q_bm25_stored_index(spark, sf_dir):
     postings_dir, doclen_dir, totals_dir = index_store.text_index_dirs(
         spark, sf_dir, docs
     )
+    # layout gate (r11): refuse an artifact written under a different
+    # bucket count — its token_bucket values would make the literal
+    # pruning below silently read the wrong directories
+    index_store.assert_postings_layout(spark, postings_dir)
     # directory-level pruning first (token_bucket partition literals
     # from the driver-side hash twin — the probe lists/opens only its
     # terms' bucket dirs), THEN the exact token membership inside the
@@ -21812,6 +21816,272 @@ REGISTRY.update(
 
 
 # ---------------------------------------------------------------------------
+# X63 — ENTITY-level erase across EVERY artifact family (r11,
+# VERDICT r10 item 3): one takedown verb
+# (`index_store.erase_entities_batch` / `erase_entities_compact`)
+# tombstones a document-and-embedding entity everywhere it lives —
+# exact fingerprints, LSH dedup bands, postings+doclen (+the totals
+# aggregate), the IVF assignment, the PQ codes — then applies every
+# family's set physically in one maintenance fold and re-derives the
+# IVF-PQ serving layout from the erased sources.  x62/v24 proved the
+# verbs per-family; this query drives the COMPOSED erase through the
+# hash gate: erase every (doc_id % 17 == 3) entity, fold, and audit
+# the POST-COMPACTION raw state of all seven artifacts (count +
+# key checksum per family — a retained row in any family breaks the
+# hash).  The audit reads RAW parquet, never `anti_tombstones`, so a
+# logically-hidden-but-physically-retained row cannot pass.
+# Scale: the erase wave is O(entities) per family; the fold is each
+# family's one compaction; the audit is footer-cheap aggregates.
+# Oracle: each family's surviving rowset derived from the base
+# tables (bands = MINHASH_BANDS rows/doc; postings/doclen from the
+# shared tokenizer; fp rows removed outright when ANY erased doc
+# carries the text — the privacy-first rule in ENTITY_FAMILIES).
+# ---------------------------------------------------------------------------
+
+_X63_MOD = 17
+_X63_REM = 3
+
+
+def q_entity_erase_audit(spark, sf_dir):
+    from stampede_to_fresco_etl_spark import index_store
+    from stampede_to_fresco_etl_spark.operators.dedup import (
+        band_signatures,
+        minhash_signatures,
+    )
+    from stampede_to_fresco_etl_spark.operators.similarity import (
+        _nearest_cell,
+        _sqdist,
+        _with_centroid_col,
+        as_double_vec,
+        pq_encode,
+        seed_centroids,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    base = (
+        f"{_SCRATCH}/index_store/entity_erase/"
+        f"{index_store._key(sf_dir)}"
+    )
+    fams = {
+        f: f"{base}/{f}"
+        for f in (
+            "exact_fp", "dedup", "postings", "doclen", "ann",
+            "pq_codes",
+        )
+    }
+    totals_dir, derived_dir = f"{base}/totals", f"{base}/ivfpq"
+    if not index_store._already_materialized(spark, base):
+        index_store._fresh_dir(spark, base)
+        # --- bootstrap every family (the snapshot batch_id=0 form
+        # each grow daemon maintains) ---
+        docs.groupBy(F.md5("text").alias("fp")).agg(
+            F.count("*").cast("long").alias("n_docs")
+        ).write.mode("overwrite").parquet(
+            f"{fams['exact_fp']}/batch_id=0"
+        )
+        band_signatures(
+            minhash_signatures(docs, "doc_id", "text", MINHASH_K),
+            MINHASH_K,
+            MINHASH_BANDS,
+        ).write.mode("overwrite").parquet(
+            f"{fams['dedup']}/batch_id=0"
+        )
+        toks = docs.select(
+            "doc_id",
+            F.explode(F.split(F.trim("text"), r"\s+")).alias("token"),
+        )
+        (
+            toks.groupBy("token", "doc_id")
+            .agg(F.count("*").cast("long").alias("tf"))
+            .withColumn(
+                "token_bucket",
+                index_store.token_bucket_col(F.col("token")),
+            )
+            .repartition(F.col("token_bucket"))
+            .write.mode("overwrite")
+            .partitionBy("token_bucket")
+            .parquet(f"{fams['postings']}/batch_id=0")
+        )
+        dl = toks.groupBy("doc_id").agg(
+            F.count("*").cast("long").alias("dl")
+        )
+        dl.write.mode("overwrite").parquet(
+            f"{fams['doclen']}/batch_id=0"
+        )
+        dl.agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("dl").cast("long").alias("dl_sum"),
+        ).coalesce(1).write.mode("overwrite").parquet(totals_dir)
+        cents = seed_centroids(
+            emb, "vec_id", "embedding", V16_CENTROIDS
+        )
+        (
+            _with_centroid_col(
+                emb.select(
+                    "vec_id", as_double_vec("embedding").alias("v")
+                ),
+                cents,
+            )
+            .withColumn(
+                "d",
+                F.transform(
+                    F.col("__cents"),
+                    lambda c: _sqdist(F.col("v"), c),
+                ),
+            )
+            .select("vec_id", "v", _nearest_cell("d").alias("cell"))
+            .write.mode("overwrite")
+            .parquet(f"{fams['ann']}/batch_id=0")
+        )
+        pq_encode(
+            emb, pq_seed_codebook(emb), m=_PQ_M, dims=_PQ_DIMS
+        ).write.mode("overwrite").parquet(
+            f"{fams['pq_codes']}/batch_id=0"
+        )
+        # --- the composed erase: one entity spec, every family ---
+        e_docs = docs.filter(
+            F.col("doc_id") % _X63_MOD == _X63_REM
+        )
+        e_vecs = emb.filter(
+            F.col("vec_id") % _X63_MOD == _X63_REM
+        ).select("vec_id")
+        entities = e_docs.join(
+            e_vecs, e_docs["doc_id"] == e_vecs["vec_id"], "full"
+        ).select("doc_id", "text", "vec_id")
+        index_store.erase_entities_batch(spark, entities, fams, 1)
+        index_store.erase_entities_compact(
+            spark, fams, totals_dir=totals_dir
+        )
+        # --- re-derive the serving layout from the ERASED sources
+        # (the v24 rule: derived artifacts are rebuilt, not
+        # tombstoned) ---
+        (
+            spark.read.parquet(fams["ann"])
+            .select("vec_id", "cell")
+            .join(
+                spark.read.parquet(fams["pq_codes"]).select(
+                    "vec_id",
+                    *[f"code{s}" for s in range(_PQ_M)],
+                ),
+                "vec_id",
+            )
+            .repartition(F.col("cell"))
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(derived_dir)
+        )
+        index_store._mark_materialized(spark, base)
+
+    def fam_row(name, df, key_col):
+        key = (
+            F.sum(key_col).cast("long")
+            if key_col
+            else F.lit(None).cast("long")
+        )
+        return df.agg(
+            F.count("*").cast("long").alias("n_rows"),
+            key.alias("key_sum"),
+        ).select(F.lit(name).alias("family"), "n_rows", "key_sum")
+
+    read = spark.read.parquet
+    totals = read(totals_dir)
+    out = (
+        fam_row("exact_fp", read(fams["exact_fp"]), None)
+        .unionAll(fam_row("dedup", read(fams["dedup"]), "doc"))
+        .unionAll(
+            fam_row("postings", read(fams["postings"]), "doc_id")
+        )
+        .unionAll(fam_row("doclen", read(fams["doclen"]), "doc_id"))
+        .unionAll(
+            totals.select(
+                F.lit("totals").alias("family"),
+                F.col("n_docs").cast("long").alias("n_rows"),
+                F.col("dl_sum").cast("long").alias("key_sum"),
+            )
+        )
+        .unionAll(fam_row("ann", read(fams["ann"]), "vec_id"))
+        .unionAll(
+            fam_row("pq_codes", read(fams["pq_codes"]), "vec_id")
+        )
+        .unionAll(fam_row("ivfpq", read(derived_dir), "vec_id"))
+    )
+    return out.orderBy("family")
+
+
+def _sql_entity_erase_audit() -> str:
+    return f"""
+WITH kept_docs AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % {_X63_MOD} <> {_X63_REM}
+),
+del_fps AS (
+  SELECT DISTINCT md5(text) AS fp FROM documents
+  WHERE doc_id % {_X63_MOD} = {_X63_REM}
+),
+live_fps AS (
+  SELECT DISTINCT md5(text) AS fp FROM documents
+  WHERE md5(text) NOT IN (SELECT fp FROM del_fps)
+),
+kept_vecs AS (
+  SELECT vec_id FROM embeddings WHERE vec_id % {_X63_MOD} <> {_X63_REM}
+),
+toks AS (
+  SELECT doc_id, u.token
+  FROM kept_docs, UNNEST({_D_TOKS}) AS u(token)
+),
+td AS (SELECT token, doc_id FROM toks GROUP BY token, doc_id),
+dl AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+  FROM toks GROUP BY doc_id
+)
+SELECT * FROM (
+  SELECT 'exact_fp' AS family, CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(NULL AS BIGINT) AS key_sum
+  FROM live_fps
+  UNION ALL
+  SELECT 'dedup', CAST({MINHASH_BANDS} * count(*) AS BIGINT),
+         CAST({MINHASH_BANDS} * sum(doc_id) AS BIGINT)
+  FROM kept_docs
+  UNION ALL
+  SELECT 'postings', CAST(count(*) AS BIGINT),
+         CAST(sum(doc_id) AS BIGINT)
+  FROM td
+  UNION ALL
+  SELECT 'doclen', CAST(count(*) AS BIGINT),
+         CAST(sum(doc_id) AS BIGINT)
+  FROM dl
+  UNION ALL
+  SELECT 'totals', (SELECT CAST(count(*) AS BIGINT) FROM dl),
+         (SELECT CAST(sum(dl) AS BIGINT) FROM dl)
+  UNION ALL
+  SELECT 'ann', CAST(count(*) AS BIGINT),
+         CAST(sum(vec_id) AS BIGINT)
+  FROM kept_vecs
+  UNION ALL
+  SELECT 'pq_codes', CAST(count(*) AS BIGINT),
+         CAST(sum(vec_id) AS BIGINT)
+  FROM kept_vecs
+  UNION ALL
+  SELECT 'ivfpq', CAST(count(*) AS BIGINT),
+         CAST(sum(vec_id) AS BIGINT)
+  FROM kept_vecs
+) ORDER BY family
+"""
+
+
+REGISTRY.update(
+    {
+        "x63_entity_erase_audit": (
+            q_entity_erase_audit,
+            _sql_entity_erase_audit(),
+        )
+    }
+)
+
+
+# ---------------------------------------------------------------------------
 # Enumeration order: the driver's correctness run covers the first N
 # registry entries per round, so the STALEST queries must enumerate
 # first.  Computed at import time from the CORRECTNESS_r*.json records
@@ -21909,22 +22179,19 @@ def _driver_row_history() -> tuple[dict[str, int], set[str]]:
 #: query body changed this round (grow-wave flag moved off the
 #: `_MATERIALIZED` pseudo-path onto `index_store.session_marker`,
 #: VERDICT r9 item 8) — no plan change, but the ledger confirms.
+#: r11: the r10 cohort (v4/v10/v11/v20/x57/v16) drew green r10 rows
+#: and drops out.  This round's kernel motion: partial_topk lost the
+#: k=1 broadcast hint (the r10 red-canary fix) and gained
+#: asc_nulls_last in the ascending window path — v16 re-validates
+#: (the argmin consumer) and v21/v23 (the ascending k=10 ADC
+#: probes whose window ordering expression changed).
 _REVALIDATE = {
-    "v4_ivf_topk",
-    "v10_ivf_recall_audit",
-    # v11's encode body moved to the shared kernel
-    # (`similarity.pq_encode`, the pq_codes_stream twin) — sweep-
-    # exact, but the green r8 row predates the motion.
-    "v11_pq_codes",
-    "v20_ivfpq_grown_probe",
-    # r10: postings layout went token-bucket-partitioned and the
-    # probe gained the bucket PartitionFilters (VERDICT r9 item 3).
-    "x57_bm25_stored_index",
-    # r10 late: the k=1 ingest-match path moved to the two-pass
-    # scalar argmin + Arrow cogroup gram engine (the 100× rehearsal
-    # fixes) — sweep-exact and engine-equality-pinned, but the green
-    # r9 row predates the motion.
     "v16_incremental_ann",
+    "v21_ivfpq_batch_probe",
+    "v23_ivfpq_residual_batch_probe",
+    # r11: postings path keyed by bucket count + the layout-manifest
+    # gate on the probe (VERDICT r10 watch item 3a).
+    "x57_bm25_stored_index",
 }
 
 #: Queries FIRST ADDED this round: they are never-checked too, but the

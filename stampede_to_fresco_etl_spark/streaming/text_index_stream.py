@@ -47,10 +47,21 @@ def apply_text_index_batch(
 ) -> None:
     """One micro-batch: tokenize the batch, append its postings and
     doc lengths as its own partitions.  Idempotent — both writes
-    overwrite this batch's own partition."""
+    overwrite this batch's own partition.
+
+    Layout safety (r11): the batch REFUSES to grow a persisted
+    postings artifact whose layout manifest records a different
+    bucket count (`assert_postings_layout` — mixing bucket counts in
+    one directory tree would make every probe's directory pruning
+    silently wrong), and stamps the manifest after its own write so
+    daemon-grown artifacts carry it from the first batch."""
     from stampede_to_fresco_etl_spark.index_store import (
+        assert_postings_layout,
         token_bucket_col,
+        write_postings_layout,
     )
+
+    assert_postings_layout(spark, postings_dir)
 
     toks = batch_df.select(
         "doc_id",
@@ -75,6 +86,9 @@ def apply_text_index_batch(
     ).write.mode("overwrite").parquet(
         f"{doclen_dir}/batch_id={batch_id}"
     )
+    # idempotent (fixed content for a fixed bucket count); cheap —
+    # a one-row overwrite per batch, no read-modify-write
+    write_postings_layout(spark, postings_dir)
 
 
 def read_text_totals(spark: SparkSession, doclen_dir: str):

@@ -658,14 +658,36 @@ def _read_codes_df(spark, path):
     return index_store.read_pq_codes(spark, path)
 
 
+def _docid_deletes(spark, docs):
+    return docs.filter(F.col("doc_id") % 5 == 0).select("doc_id")
+
+
+def _read_postings_df(spark, path):
+    return (
+        spark.read.option("basePath", path)
+        .parquet(path)
+        .select("token", "doc_id", "tf")
+    )
+
+
 @pytest.mark.parametrize(
     "grow,key_cols,deletes,read_df",
     [
         (_grow_exact_fp, ["fp"], _fp_deletes, _read_fp_df),
         (_grow_ann, ["vec_id"], _vec_deletes, _read_ann_df),
         (_grow_pq_codes, ["vec_id"], _vec_deletes, _read_codes_df),
+        # text postings (VERDICT r10 item 3: the family was absent
+        # from this parametrization) — doc_id-keyed tombstones over
+        # the token_bucket-partitioned layout, whose inner dirs the
+        # compaction fold must preserve while erasing
+        (
+            _grow_text_postings,
+            ["doc_id"],
+            _docid_deletes,
+            _read_postings_df,
+        ),
     ],
-    ids=["exact_fp", "ann_index", "pq_codes"],
+    ids=["exact_fp", "ann_index", "pq_codes", "text_postings"],
 )
 def test_tombstone_hide_equals_erase(
     spark, tmp_path, grow, key_cols, deletes, read_df
@@ -694,10 +716,12 @@ def test_tombstone_hide_equals_erase(
     index_store.apply_deletes_batch(spark, path, del_df, 10)
 
     key_idx = [read_df(spark, path).columns.index(c) for c in key_cols]
+    # re-select the reader's column order: the anti-join moves its
+    # key columns first, which would scramble the tuple comparison
     logical = snap(
         index_store.anti_tombstones(
             spark, read_df(spark, path), path, key_cols
-        )
+        ).select(*read_df(spark, path).columns)
     )
     expect = {
         t
@@ -1047,3 +1071,222 @@ def test_guard_daemon_dirs_normalizes_path_spellings(tmp_path):
             index_store.guard_daemon_dirs(p)
     # a sibling whose name merely shares the prefix is NOT caught
     index_store.guard_daemon_dirs(f"{scratch}/index_store_other/x")
+
+
+# ---------------------------------------------------------------------------
+# Entity-level erase (r11): one verb tombstones an entity across
+# EVERY artifact family; the compact twin applies every family's
+# set physically and re-derives the totals aggregate.
+# ---------------------------------------------------------------------------
+
+
+def _build_entity_families(spark, tmp_path, docs, emb):
+    """Snapshot-bootstrap all six families under tmp_path via the
+    streaming batch appliers (the daemons' own write path)."""
+    from stampede_to_fresco_etl_spark.streaming.ann_stream import (
+        apply_ann_batch,
+    )
+    from stampede_to_fresco_etl_spark.streaming.exact_fp_stream import (
+        apply_exact_fp_batch,
+    )
+    from stampede_to_fresco_etl_spark.streaming.pq_codes_stream import (
+        apply_pq_codes_batch,
+    )
+    from stampede_to_fresco_etl_spark.streaming.text_index_stream import (
+        apply_text_index_batch,
+    )
+
+    fams = {
+        f: str(tmp_path / f)
+        for f in (
+            "exact_fp", "dedup", "postings", "doclen", "ann",
+            "pq_codes",
+        )
+    }
+    apply_exact_fp_batch(spark, docs, 0, fams["exact_fp"])
+    apply_dedup_batch(
+        spark, docs, 0, fams["dedup"], str(tmp_path / "m"),
+        num_hashes=MINHASH_K, bands=MINHASH_BANDS,
+    )
+    apply_text_index_batch(
+        spark, docs, 0, fams["postings"], fams["doclen"]
+    )
+    apply_ann_batch(
+        spark, emb, 0, fams["ann"], str(tmp_path / "am"),
+        str(tmp_path / "ac"), n_centroids=V16_CENTROIDS,
+        n_probe=V16_NPROBE,
+    )
+    apply_pq_codes_batch(
+        spark, emb, 0, fams["pq_codes"], str(tmp_path / "book")
+    )
+    return fams
+
+
+def _entity_family_keysets(spark, fams):
+    """Per family: the set of key values currently visible through
+    the delete-aware (anti-tombstoned) read."""
+    out = {}
+    reads = {
+        "exact_fp": (index_store.read_exact_fp, "fp"),
+        "dedup": (
+            lambda s, p: s.read.option("basePath", p).parquet(p),
+            "doc",
+        ),
+        "postings": (
+            lambda s, p: s.read.option("basePath", p).parquet(p),
+            "doc_id",
+        ),
+        "doclen": (
+            lambda s, p: s.read.option("basePath", p).parquet(p),
+            "doc_id",
+        ),
+        "ann": (index_store.read_ann_index, "vec_id"),
+        "pq_codes": (index_store.read_pq_codes, "vec_id"),
+    }
+    for fam, path in fams.items():
+        read, key = reads[fam]
+        df = index_store.anti_tombstones(
+            spark, read(spark, path), path,
+            index_store.ENTITY_FAMILIES[fam][0],
+        )
+        out[fam] = {r[key] for r in df.select(key).collect()}
+    return out
+
+
+def test_entity_erase_across_all_families(spark, tmp_path):
+    """erase_entities_batch must tombstone ONE entity spec in every
+    family at once (fp derived from text, band rows by doc, postings
+    and doclen by doc_id, ann and pq codes by vec_id) — and the
+    compact twin must make the erase physical everywhere AND refresh
+    the totals aggregate, which hiding alone cannot fix."""
+    docs = load(spark, SF, "documents").select("doc_id", "text")
+    emb = load(spark, SF, "embeddings").select("vec_id", "embedding")
+    fams = _build_entity_families(spark, tmp_path, docs, emb)
+    totals = str(tmp_path / "totals")
+    (
+        spark.read.parquet(fams["doclen"])
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("dl").cast("long").alias("dl_sum"),
+        )
+        .coalesce(1)
+        .write.parquet(totals)
+    )
+    before = _entity_family_keysets(spark, fams)
+
+    e_docs = docs.filter(F.col("doc_id") % 7 == 1)
+    e_vecs = emb.filter(F.col("vec_id") % 7 == 1).select("vec_id")
+    entities = e_docs.join(
+        e_vecs, e_docs["doc_id"] == e_vecs["vec_id"], "full"
+    ).select("doc_id", "text", "vec_id")
+    del_docs = {r["doc_id"] for r in e_docs.collect()}
+    del_fps = {
+        r["fp"]
+        for r in e_docs.select(F.md5("text").alias("fp")).collect()
+    }
+    del_vecs = {r["vec_id"] for r in e_vecs.collect()}
+    assert del_docs and del_vecs
+
+    index_store.erase_entities_batch(spark, entities, fams, 1)
+    hidden = _entity_family_keysets(spark, fams)
+    expect = {
+        "exact_fp": before["exact_fp"] - del_fps,
+        "dedup": before["dedup"] - del_docs,
+        "postings": before["postings"] - del_docs,
+        "doclen": before["doclen"] - del_docs,
+        "ann": before["ann"] - del_vecs,
+        "pq_codes": before["pq_codes"] - del_vecs,
+    }
+    assert hidden == expect
+    for fam in fams:
+        assert hidden[fam] < before[fam], fam  # every family shrank
+
+    index_store.erase_entities_compact(spark, fams, totals_dir=totals)
+    # physical: RAW reads (no anti-join) match, tombstones cleared
+    raw = {
+        fam: {
+            r[0]
+            for r in spark.read.option("basePath", p)
+            .parquet(p)
+            .select(index_store.ENTITY_FAMILIES[fam][0][0])
+            .collect()
+        }
+        for fam, p in fams.items()
+    }
+    assert raw == expect
+    for p in fams.values():
+        assert index_store.read_tombstones(spark, p) is None
+    # totals re-derived from the erased doclen
+    t = spark.read.parquet(totals).collect()[0]
+    live_dl = spark.read.parquet(fams["doclen"])
+    agg = live_dl.agg(
+        F.count("*").cast("long"), F.sum("dl").cast("long")
+    ).collect()[0]
+    assert (t["n_docs"], t["dl_sum"]) == (agg[0], agg[1])
+    assert t["n_docs"] == len(expect["doclen"])
+
+
+def test_entity_delete_stream_replay_converges(spark, tmp_path):
+    """The entity delete daemon: a takedown feed fans out to every
+    family's tombstones; replaying from a fresh checkpoint (same
+    feed) converges to the identical tombstone state in EVERY family
+    (per-batch overwrite idempotence).  Also pins the daemon guards:
+    catalog-scratch family paths and unknown family names refuse at
+    start."""
+    from stampede_to_fresco_etl_spark.streaming.delete_stream import (
+        run_entity_delete_stream,
+    )
+
+    docs = load(spark, SF, "documents").select("doc_id", "text")
+    emb = load(spark, SF, "embeddings").select("vec_id", "embedding")
+    fams = _build_entity_families(spark, tmp_path, docs, emb)
+    land = str(tmp_path / "landing")
+    entities = (
+        docs.filter(F.col("doc_id") % 9 == 2)
+        .join(
+            emb.filter(F.col("vec_id") % 9 == 2).select("vec_id"),
+            docs["doc_id"] == F.col("vec_id"),
+            "full",
+        )
+        .select("doc_id", "text", "vec_id")
+    )
+    entities.coalesce(1).write.parquet(land)
+
+    def tomb_state():
+        out = {}
+        for fam, p in fams.items():
+            t = index_store.read_tombstones(spark, p)
+            out[fam] = (
+                set()
+                if t is None
+                else {tuple(r) for r in t.collect()}
+            )
+        return out
+
+    run_entity_delete_stream(
+        spark, land, fams, str(tmp_path / "ck1")
+    ).awaitTermination()
+    first = tomb_state()
+    assert all(first[f] for f in fams)  # every family tombstoned
+    # replay: fresh checkpoint, same feed -> identical state
+    run_entity_delete_stream(
+        spark, land, fams, str(tmp_path / "ck2")
+    ).awaitTermination()
+    assert tomb_state() == first
+
+    with pytest.raises(ValueError, match="catalog-scratch"):
+        run_entity_delete_stream(
+            spark,
+            land,
+            {
+                "exact_fp": (
+                    f"{index_store._scratch()}/index_store/x/y"
+                )
+            },
+            str(tmp_path / "ck3"),
+        )
+    with pytest.raises(ValueError, match="unknown artifact family"):
+        run_entity_delete_stream(
+            spark, land, {"nope": str(tmp_path / "z")},
+            str(tmp_path / "ck4"),
+        )

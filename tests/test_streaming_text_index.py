@@ -242,3 +242,61 @@ def test_postings_bucket_layout_and_probe_pruning(spark):
     ]
     assert seg, plan
     assert all(str(b) in seg[0] for b in want)
+
+
+def test_postings_layout_manifest_gates_bucket_count(spark, tmp_path):
+    """VERDICT r10 watch item 3a: TEXT_TOKEN_BUCKETS is baked into
+    every stored token_bucket value, so a persisted artifact probed
+    (or grown) by a build with a different bucket count would
+    silently mis-prune.  Pins: the snapshot bootstrap and the daemon
+    batch both stamp the layout manifest; the artifact path is keyed
+    by the bucket count; a mismatched manifest refuses both the
+    probe-side assert and the daemon batch; an absent manifest
+    (pre-r11 artifact) passes."""
+    import pytest as _pytest
+
+    import stampede_to_fresco_etl_spark.catalog as _cat
+
+    docs = load(spark, SF, "documents").select("doc_id", "text").limit(20)
+    mp = _pytest.MonkeyPatch()
+    mp.setattr(_cat, "_SCRATCH", str(tmp_path / "scratch"))
+    try:
+        snap_p, _l, _t = index_store.text_index_dirs(
+            spark, str(tmp_path / "corpus"), docs
+        )
+    finally:
+        mp.undo()
+    # path keyed by bucket count (the _{n}c convention)
+    assert f"_{index_store.TEXT_TOKEN_BUCKETS}tb/" in snap_p
+    # bootstrap stamped the manifest with the current count
+    man = spark.read.parquet(
+        index_store.postings_layout_dir(snap_p)
+    ).collect()
+    assert [r["token_buckets"] for r in man] == [
+        index_store.TEXT_TOKEN_BUCKETS
+    ]
+    index_store.assert_postings_layout(spark, snap_p)  # no raise
+
+    # daemon batch stamps a fresh artifact's manifest too
+    dp, dl = str(tmp_path / "dp"), str(tmp_path / "dl")
+    apply_text_index_batch(spark, docs, 1, dp, dl)
+    assert spark.read.parquet(
+        index_store.postings_layout_dir(dp)
+    ).collect()[0]["token_buckets"] == index_store.TEXT_TOKEN_BUCKETS
+
+    # a manifest from a DIFFERENT bucket count refuses probe + grow
+    spark.createDataFrame(
+        [(8,)], "token_buckets int"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        index_store.postings_layout_dir(dp)
+    )
+    with _pytest.raises(ValueError, match="token_buckets=8"):
+        index_store.assert_postings_layout(spark, dp)
+    with _pytest.raises(ValueError, match="token_buckets=8"):
+        apply_text_index_batch(spark, docs, 2, dp, dl)
+
+    # absent manifest (pre-r11 artifact): passes
+    import shutil as _sh
+
+    _sh.rmtree(index_store.postings_layout_dir(dp))
+    index_store.assert_postings_layout(spark, dp)
