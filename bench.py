@@ -149,6 +149,8 @@ EXTENSION = [
     "v23_ivfpq_residual_batch_probe",  # new r10: batch probe, residual layout
     "v24_ivfpq_deleted_probe",  # new r10: serving after a takedown wave
     "x63_entity_erase_audit",  # new r11: composed entity erase, all families
+    "v25_ivfpq_trained_topk",  # new r11: Lloyd-trained residual serving
+    "x64_trained_recall_audit",  # new r11: trained-vs-md5 recall row
 ]
 
 # CORE_V2 (frozen r9, VERDICT r8 item 2): CORE plus the stored-

@@ -9,8 +9,12 @@ order-insensitive value-hash matches).  Non-empty enforced except for
 the documented small-sf exceptions (test_oracle_parity._MAY_BE_EMPTY).
 
 Run:  python scripts/sweep.py [sf_dir] [name_substring ...] [--shard=i/n]
+                              [--times]
 Default sf_dir: /root/testdata/sf0.01 (the driver's gate scale).
 Optional name substrings restrict the sweep to matching queries.
+--times prints a per-query wall breakdown (spark vs oracle seconds,
+sorted descending) after the sweep — the attribution tool for
+correctness-gate wall growth (VERDICT r10 item 6).
 
 Exit code 0 iff every swept query matches.
 """
@@ -32,11 +36,15 @@ def main() -> int:
     # sorted list — lets a caller with a bounded per-command window
     # cover the registry in pieces.
     shard = None
+    times = False
     for a in list(needles):
         if a.startswith("--shard"):
             needles.remove(a)
             i, n = a.split("=", 1)[1].split("/")
             shard = (int(i), int(n))
+        elif a == "--times":
+            needles.remove(a)
+            times = True
 
     import pandas as pd
     from pyspark.sql import SparkSession
@@ -61,11 +69,17 @@ def main() -> int:
         names = [q for j, q in enumerate(names) if j % n == i]
     t0 = time.time()
     ok, bad = 0, 0
+    walls: list[tuple[float, float, str]] = []
     for name in names:
         fn, sql = REGISTRY[name]
         try:
+            ts = time.time()
             got = P._normalize(fn(spark, sf_dir).toPandas())
+            ts = time.time() - ts
+            to = time.time()
             want = P._normalize(P._duck(sql))
+            to = time.time() - to
+            walls.append((ts, to, name))
             assert list(got.columns) == list(want.columns), (
                 list(got.columns), list(want.columns),
             )
@@ -79,6 +93,15 @@ def main() -> int:
         except Exception as ex:  # noqa: BLE001 — report and continue
             bad += 1
             print(f"FAIL {name}: {str(ex)[:300]}", flush=True)
+    if times:
+        print("--- per-query wall (spark_s oracle_s total_s) ---")
+        for ts, to, name in sorted(
+            walls, key=lambda w: -(w[0] + w[1])
+        ):
+            print(
+                f"{name}: {ts:.2f} {to:.2f} {ts + to:.2f}",
+                flush=True,
+            )
     # Representation lint (VERDICT r7 item 2): value comparison above
     # runs check_dtype=False, which is blind to DuckDB type widening
     # (HUGEINT/DECIMAL render as float in pandas while Spark emits

@@ -21428,14 +21428,17 @@ def _residual_lut(
     return lut
 
 
-def q_ivfpq_residual_topk(spark, sf_dir):
+def _residual_probe_topk(spark, sf_dir, serving, cent_dir, cents, rseeds):
+    """The residual serving probe (v22's shape), parameterized by the
+    serving tuple so the untrained (v22) and Lloyd-trained (v25)
+    layouts share one probe body — same per-(probe, cell) CASE-branch
+    LUTs, same cell-pruned scan, same ordering."""
     from stampede_to_fresco_etl_spark import index_store
     from stampede_to_fresco_etl_spark.operators.similarity import (
         as_double_vec,
         lit_double_vec,
     )
 
-    serving, cent_dir, cents, rseeds = _residual_serving(spark, sf_dir)
     emb = load(spark, sf_dir, "embeddings")
     cells_of = _ivfpq_probe_cells(spark, emb, cent_dir, _V19_NPROBE)
     if not cells_of:
@@ -21482,12 +21485,24 @@ def q_ivfpq_residual_topk(spark, sf_dir):
     return out
 
 
-def _sql_ivfpq_residual_topk(batch: bool = False) -> str:
+def q_ivfpq_residual_topk(spark, sf_dir):
+    return _residual_probe_topk(
+        spark, sf_dir, *_residual_serving(spark, sf_dir)
+    )
+
+
+def _sql_ivfpq_residual_topk(
+    batch: bool = False, trained: bool = False
+) -> str:
     """v19's oracle with the encoding switched to residuals: codes
     and LUTs are computed from x − centroid[assigned cell] (and
     q − centroid[probed cell]), the LUT join keyed on (probe, CELL,
     subspace, code).  With `batch`, the probe set is the whole
-    held-out 20% (v21's ingest-batch shape)."""
+    held-out 20% (v21's ingest-batch shape).  With `trained`, the
+    coarse quantizer is one Lloyd iteration over `_V25_CELLS`
+    md5-seeded cells (v14's floor-scaled exact means; an empty cell
+    keeps its seed) instead of the raw `V16_CENTROIDS` md5 seeds —
+    the v25 serving config."""
     h = md5_int63_sql("CAST(vec_id AS VARCHAR)", salt=INGEST_SPLIT_SALT)
     sq_cs = _D_SQDIST.format(a="e.v", b="s.cv")
     sq_ps = _D_SQDIST.format(a="p.pv", b="s.cv")
@@ -21519,6 +21534,44 @@ def _sql_ivfpq_residual_topk(batch: bool = False) -> str:
         if batch
         else f"SELECT vec_id, v AS pv FROM alle WHERE vec_id < {_V17_PROBES}"
     )
+    if trained:
+        cents_cte = f"""seeds0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY h) - 1 AS INTEGER) AS cell, v AS cv
+  FROM (SELECT v, md5(CAST(vec_id AS VARCHAR)) AS h
+        FROM e ORDER BY h LIMIT {_V25_CELLS})
+),
+a1 AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, s.cell,
+           row_number() OVER (
+             PARTITION BY e.vec_id ORDER BY {sq_cs}, s.cell
+           ) AS rn
+    FROM e CROSS JOIN seeds0 s
+  ) WHERE rn = 1
+),
+ex AS (
+  SELECT cell, CAST(r.i - 1 AS BIGINT) AS dim, v[r.i] AS x
+  FROM a1, UNNEST(range(1, len(v) + 1)) AS r(i)
+),
+kmeans AS (
+  SELECT cell, dim,
+         (CAST({FSUM.format(x='x')} AS DOUBLE) / 10000.0)
+           / CAST(count(*) AS DOUBLE) AS mx
+  FROM ex GROUP BY cell, dim
+),
+seeds AS (
+  SELECT s0.cell, COALESCE(m.cv, s0.cv) AS cv
+  FROM seeds0 s0
+  LEFT JOIN (SELECT cell, list(mx ORDER BY dim) AS cv
+             FROM kmeans GROUP BY cell) m
+    ON m.cell = s0.cell
+),"""
+    else:
+        cents_cte = f"""seeds AS (
+  SELECT CAST(row_number() OVER (ORDER BY h) - 1 AS INTEGER) AS cell, v AS cv
+  FROM (SELECT v, md5(CAST(vec_id AS VARCHAR)) AS h
+        FROM e ORDER BY h LIMIT {V16_CENTROIDS})
+),"""
     return f"""
 WITH alle AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 split AS (
@@ -21527,11 +21580,7 @@ split AS (
   FROM alle
 ),
 e AS (SELECT vec_id, v FROM split WHERE is_idx = 1),
-seeds AS (
-  SELECT CAST(row_number() OVER (ORDER BY h) - 1 AS INTEGER) AS cell, v AS cv
-  FROM (SELECT v, md5(CAST(vec_id AS VARCHAR)) AS h
-        FROM e ORDER BY h LIMIT {V16_CENTROIDS})
-),
+{cents_cte}
 assigned AS (
   SELECT vec_id, cell FROM (
     SELECT e.vec_id, s.cell,
@@ -21810,6 +21859,302 @@ REGISTRY.update(
         "v24_ivfpq_deleted_probe": (
             q_ivfpq_deleted_probe,
             _sql_ivfpq_topk(deleted=True),
+        )
+    }
+)
+
+
+# ---------------------------------------------------------------------------
+# V25 — Lloyd-TRAINED IVF-PQ residual serving (r11, VERDICT r10
+# item 4): the serving config for the regime where residual encoding
+# actually PAYS.  scripts/residual_recall_probe.py's r10 measurement
+# (SCALE.md) falsified the FAISS by_residual default under the
+# md5-seeded quantizer — residual is wash-or-worse there — and showed
+# it pays (7.5× distortion, 2.7× recall on structured corpora) only
+# with Lloyd-trained centroids at n_cells > K.  This composes that
+# regime as a servable layout: ONE Lloyd iteration (v14's kernel —
+# fixed iteration count and floor-scaled exact means keep the
+# quantizer deterministic and SQL-oracle-exact; an empty cell keeps
+# its seed so the cell table stays total) over _V25_CELLS = 64 >
+# K = 16 md5-seeded cells, then exactly v22's residual encode and
+# probe against the trained quantizer — tag "tr", its own inverted
+# lists, same per-(probe, cell) LUT CASE branches.
+# Scale: training is one extra assignment scan + a cells×dims mean
+# (calibration-sized state, the _KM_CACHE pattern); serving cost is
+# identical to v22's.  More Lloyd rounds = more of the same scan.
+# ---------------------------------------------------------------------------
+
+_V25_CELLS = 64
+_V25_TAG = "tr"
+
+#: (applicationId, sf_dir) -> trained centroid table (cells × dims
+#: doubles — calibration-sized, collected once per session).
+_TRAINED_CENTROID_CACHE: dict = {}
+
+#: (applicationId, sf_dir) -> (serving_path, cent_dir, cents,
+#: rseeds) — the trained layout's calibration state (the
+#: _RESIDUAL_SERVING_CACHE pattern).
+_TRAINED_SERVING_CACHE: dict = {}
+
+
+def _trained_centroids(spark, idx_emb, sf_dir) -> list[list[float]]:
+    """One Lloyd iteration over `_V25_CELLS` md5-seeded cells of the
+    indexed split: assign (argmin sqdist, ties by cell) -> per-cell
+    per-dim floor-scaled exact mean (v14's only cross-engine-exact
+    mean); an empty cell keeps its seed vector so the quantizer stays
+    total over cell ids.  Deterministic by construction — the fixed
+    iteration count is what makes a TRAINED quantizer oracle-exact
+    (the v14 precedent)."""
+    from stampede_to_fresco_etl_spark.operators import similarity as S
+
+    ck = (spark.sparkContext.applicationId, sf_dir)
+    cached = _TRAINED_CENTROID_CACHE.get(ck)
+    if cached is not None:
+        return cached
+    emb = idx_emb.select(
+        "vec_id", S.as_double_vec("embedding").alias("v")
+    )
+    seeds = S.seed_centroids(emb, "vec_id", "v", _V25_CELLS)
+    a1 = (
+        S._with_centroid_col(emb, seeds)
+        .withColumn(
+            "__d",
+            F.transform(
+                F.col("__cents"), lambda c: S._sqdist(F.col("v"), c)
+            ),
+        )
+        .withColumn("cell", S._nearest_cell("__d"))
+        .select("cell", "v")
+    )
+    mean_rows = (
+        a1.select("cell", F.posexplode("v").alias("dim", "x"))
+        .groupBy("cell", "dim")
+        .agg(
+            (
+                (fsum(F.col("x")).cast("double") / F.lit(10000.0))
+                / F.count("*").cast("double")
+            ).alias("mx")
+        )
+        .collect()
+    )
+    by_cell: dict = {}
+    for r in mean_rows:
+        by_cell.setdefault(int(r["cell"]), {})[int(r["dim"])] = float(
+            r["mx"]
+        )
+    trained = [
+        (
+            [by_cell[c][d] for d in sorted(by_cell[c])]
+            if c in by_cell
+            else seeds[c]
+        )
+        for c in range(_V25_CELLS)
+    ]
+    _TRAINED_CENTROID_CACHE[ck] = trained
+    return trained
+
+
+def _trained_residual_serving(spark, sf_dir):
+    """Materialize (once per session) the TRAINED residual serving
+    layout — `_residual_serving` with the Lloyd-refined quantizer and
+    its own tagged source/derived artifacts — and return
+    (serving_path, cent_dir, cents, rseeds)."""
+    from stampede_to_fresco_etl_spark import index_store
+    from stampede_to_fresco_etl_spark.functions import md5_int63
+    from stampede_to_fresco_etl_spark.operators.similarity import (
+        lit_double_matrix,
+        pq_encode,
+    )
+
+    ck = (spark.sparkContext.applicationId, sf_dir)
+    cached = _TRAINED_SERVING_CACHE.get(ck)
+    if cached is not None and index_store._already_materialized(
+        spark, cached[0]
+    ):
+        return cached
+
+    emb = load(spark, sf_dir, "embeddings")
+    h = md5_int63("vec_id", salt=INGEST_SPLIT_SALT)
+    idx = emb.filter(h < F.lit(INGEST_IDX_BOUND))
+    cents = _trained_centroids(spark, idx, sf_dir)
+    index_dir, cent_dir = index_store.ann_index_dirs(
+        spark, sf_dir, idx, _V25_CELLS, tag=_V25_TAG,
+        centroids=cents,
+    )
+    assigned = index_store.read_ann_index(spark, index_dir)
+    rseeds = _residual_seeds(spark, assigned, cents)
+    res = assigned.select(
+        "vec_id",
+        F.zip_with(
+            "v",
+            F.element_at(
+                lit_double_matrix(cents), F.col("cell") + 1
+            ),
+            lambda a, b: a - b,
+        ).alias("rv"),
+    )
+    codes = pq_encode(
+        res, rseeds, id_col="vec_id", vec_col="rv",
+        m=_PQ_M, dims=_PQ_DIMS,
+    ).select("vec_id", *[f"code{s}" for s in range(_PQ_M)])
+    serving = index_store.ivfpq_dir(
+        spark,
+        sf_dir,
+        assigned,
+        codes,
+        n_centroids=_V25_CELLS,
+        tag=_V25_TAG,
+    )
+    out = (serving, cent_dir, cents, rseeds)
+    _TRAINED_SERVING_CACHE[ck] = out
+    return out
+
+
+def q_ivfpq_trained_topk(spark, sf_dir):
+    return _residual_probe_topk(
+        spark, sf_dir, *_trained_residual_serving(spark, sf_dir)
+    )
+
+
+REGISTRY.update(
+    {
+        "v25_ivfpq_trained_topk": (
+            q_ivfpq_trained_topk,
+            _sql_ivfpq_residual_topk(trained=True),
+        )
+    }
+)
+
+
+# ---------------------------------------------------------------------------
+# X64 — trained-vs-untrained recall audit (r11): the measurement row
+# that justifies choosing v25's config over v22's, as an oracle-gated
+# query (the x59/v10 audit family).  Per audit probe and per serving
+# arm, recall@k of the residual layout against the EXACT L2 top-k
+# over the indexed corpus — 'residual_md5' is v22's untrained
+# quantizer, 'residual_trained' is v25's Lloyd-trained one.  On the
+# driver's isotropic synthetic embeddings both arms sit near the
+# noise floor (the r10 probe's honest caveat — no within-cell
+# structure to encode); the row exists so the comparison re-runs
+# against every corpus the engine is pointed at, where structured
+# data separates the arms.
+# ---------------------------------------------------------------------------
+
+
+def q_trained_recall_audit(spark, sf_dir):
+    from stampede_to_fresco_etl_spark.functions import md5_int63
+    from stampede_to_fresco_etl_spark.operators.similarity import (
+        _sqdist,
+        as_double_vec,
+        partial_topk,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    h = md5_int63("vec_id", salt=INGEST_SPLIT_SALT)
+    probes = emb.filter(F.col("vec_id") < _V17_PROBES).select(
+        F.col("vec_id").alias("probe_id"),
+        as_double_vec("embedding").alias("pv"),
+    )
+    corpus = emb.filter(h < F.lit(INGEST_IDX_BOUND)).select(
+        "vec_id", as_double_vec("embedding").alias("cv")
+    )
+    scored = corpus.join(F.broadcast(probes)).select(
+        "probe_id",
+        "vec_id",
+        (-_sqdist(F.col("pv"), F.col("cv"))).alias("cos_sim"),
+    )
+    exact = partial_topk(
+        scored, "probe_id", "vec_id", _V19_TOPK
+    ).select("probe_id", "vec_id")
+
+    def arm(name, served):
+        hits = exact.join(
+            served.select("probe_id", "vec_id"),
+            ["probe_id", "vec_id"],
+        ).groupBy("probe_id").agg(F.count("*").alias("n_hits"))
+        return (
+            probes.select("probe_id")
+            .join(hits, "probe_id", "left")
+            .select(
+                F.lit(name).alias("arm"),
+                "probe_id",
+                F.coalesce("n_hits", F.lit(0).cast("long")).alias(
+                    "n_hits"
+                ),
+                (
+                    F.coalesce("n_hits", F.lit(0)).cast("double")
+                    / F.lit(float(_V19_TOPK))
+                ).alias("recall"),
+            )
+        )
+
+    return (
+        arm("residual_md5", q_ivfpq_residual_topk(spark, sf_dir))
+        .unionAll(
+            arm(
+                "residual_trained",
+                q_ivfpq_trained_topk(spark, sf_dir),
+            )
+        )
+        .orderBy("arm", "probe_id")
+    )
+
+
+def _sql_trained_recall_audit() -> str:
+    h = md5_int63_sql("CAST(vec_id AS VARCHAR)", salt=INGEST_SPLIT_SALT)
+    d2 = _D_SQDIST.format(a="p.pv", b="c.cv")
+    return f"""
+WITH alle AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+probes AS (
+  SELECT vec_id AS probe_id, v AS pv FROM alle
+  WHERE vec_id < {_V17_PROBES}
+),
+corpus AS (
+  SELECT vec_id, v AS cv FROM alle WHERE {h} < {INGEST_IDX_BOUND}
+),
+exact AS (
+  SELECT probe_id, vec_id FROM (
+    SELECT p.probe_id, c.vec_id,
+           row_number() OVER (PARTITION BY p.probe_id
+                              ORDER BY {d2}, c.vec_id) AS rn
+    FROM probes p CROSS JOIN corpus c
+  ) WHERE rn <= {_V19_TOPK}
+),
+untrained AS (
+  SELECT probe_id, vec_id FROM ({_sql_ivfpq_residual_topk()})
+),
+trained AS (
+  SELECT probe_id, vec_id
+  FROM ({_sql_ivfpq_residual_topk(trained=True)})
+),
+arms AS (
+  SELECT 'residual_md5' AS arm, * FROM untrained
+  UNION ALL
+  SELECT 'residual_trained' AS arm, * FROM trained
+),
+hits AS (
+  SELECT a.arm, a.probe_id, count(*) AS n_hits
+  FROM arms a JOIN exact e
+    ON a.probe_id = e.probe_id AND a.vec_id = e.vec_id
+  GROUP BY a.arm, a.probe_id
+)
+SELECT g.arm, p.probe_id,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(COALESCE(h.n_hits, 0) AS DOUBLE)
+         / {float(_V19_TOPK)!r} AS recall
+FROM (SELECT 'residual_md5' AS arm UNION ALL
+      SELECT 'residual_trained') g
+CROSS JOIN probes p
+LEFT JOIN hits h ON h.arm = g.arm AND h.probe_id = p.probe_id
+ORDER BY g.arm, p.probe_id
+"""
+
+
+REGISTRY.update(
+    {
+        "x64_trained_recall_audit": (
+            q_trained_recall_audit,
+            _sql_trained_recall_audit(),
         )
     }
 )

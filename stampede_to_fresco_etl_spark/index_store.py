@@ -212,12 +212,18 @@ def ann_index_dirs(
     indexed_emb: DataFrame,
     n_centroids: int,
     tag: str = "",
+    centroids: list | None = None,
 ) -> tuple[str, str]:
     """Materialize (once per session) the frozen-centroid IVF index
     for a corpus snapshot: the centroid companion table plus the
     assigned ``(vec_id, v, cell)`` rows as ``batch_id=0`` — the
     layout `streaming.ann_stream.apply_ann_batch` grows.  Returns
-    ``(index_dir, centroids_dir)``."""
+    ``(index_dir, centroids_dir)``.
+
+    ``centroids`` overrides the default md5-seeded quantizer with an
+    explicit cell->vector table (r11: the Lloyd-TRAINED layouts —
+    the artifact machinery is identical, only the frozen companion's
+    values differ; pass a distinguishing ``tag``)."""
     from stampede_to_fresco_etl_spark.operators.similarity import (
         _nearest_cell,
         _sqdist,
@@ -236,8 +242,12 @@ def ann_index_dirs(
     index_dir, centroids_dir = f"{base}/index", f"{base}/centroids"
     if not _already_materialized(spark, base):
         _fresh_dir(spark, base)
-        cents = seed_centroids(
-            indexed_emb, "vec_id", "embedding", n_centroids
+        cents = (
+            [[float(x) for x in c] for c in centroids]
+            if centroids is not None
+            else seed_centroids(
+                indexed_emb, "vec_id", "embedding", n_centroids
+            )
         )
         spark.createDataFrame(
             [(i, c) for i, c in enumerate(cents)],
