@@ -151,6 +151,8 @@ EXTENSION = [
     "x63_entity_erase_audit",  # new r11: composed entity erase, all families
     "v25_ivfpq_trained_topk",  # new r11: Lloyd-trained residual serving
     "x64_trained_recall_audit",  # new r11: trained-vs-md5 recall row
+    "v26_ivfpq_trained_batch_probe",  # new r11: batch probe, trained layout
+    "x65_bm25_after_erase",  # new r11: BM25 serving after a takedown
 ]
 
 # CORE_V2 (frozen r9, VERDICT r8 item 2): CORE plus the stored-

@@ -19681,13 +19681,13 @@ _X57_TERMS = ["hash", "merge", "filter"]
 _X57_TOPK = 10
 
 
-def q_bm25_stored_index(spark, sf_dir):
+def _bm25_probe(spark, postings_dir, doclen_dir, totals_dir):
+    """The stored-index BM25 probe (x57's shape), parameterized by
+    the artifact dirs so the snapshot index (x57) and the
+    post-takedown index (x65) share one body — same bucket-literal
+    directory pruning, fixed-column rational scoring, TakeOrdered."""
     from stampede_to_fresco_etl_spark import index_store
 
-    docs = load(spark, sf_dir, "documents")
-    postings_dir, doclen_dir, totals_dir = index_store.text_index_dirs(
-        spark, sf_dir, docs
-    )
     # layout gate (r11): refuse an artifact written under a different
     # bucket count — its token_bucket values would make the literal
     # pruning below silently read the wrong directories
@@ -19757,7 +19757,18 @@ def q_bm25_stored_index(spark, sf_dir):
     )
 
 
-def _sql_bm25_stored_index() -> str:
+def q_bm25_stored_index(spark, sf_dir):
+    from stampede_to_fresco_etl_spark import index_store
+
+    docs = load(spark, sf_dir, "documents")
+    postings_dir, doclen_dir, totals_dir = index_store.text_index_dirs(
+        spark, sf_dir, docs
+    )
+    return _bm25_probe(spark, postings_dir, doclen_dir, totals_dir)
+
+
+def _sql_bm25_stored_index(erase_mod: int | None = None,
+                           erase_rem: int = 0) -> str:
     terms = ", ".join(f"'{t}'" for t in _X57_TERMS)
     tf_cols = ",\n         ".join(
         f"CAST(MAX(CASE WHEN token = '{t}' THEN tf ELSE 0 END) AS BIGINT)"
@@ -19781,10 +19792,16 @@ def _sql_bm25_stored_index() -> str:
         )
         parts.append(f"{idf} * ({tf} * ({_X39_K1} + 1.0)) / {denom}")
     score = " + ".join(parts)
+    src = (
+        "documents"
+        if erase_mod is None
+        else f"(SELECT * FROM documents"
+             f" WHERE doc_id % {erase_mod} <> {erase_rem})"
+    )
     return f"""
 WITH td AS (
   SELECT u.token, doc_id, count(*) AS tf
-  FROM documents, UNNEST({_D_TOKS}) AS u(token)
+  FROM {src}, UNNEST({_D_TOKS}) AS u(token)
   GROUP BY u.token, doc_id
 ),
 doclen AS (
@@ -21698,7 +21715,11 @@ REGISTRY.update(
 # ---------------------------------------------------------------------------
 
 
-def q_ivfpq_residual_batch_probe(spark, sf_dir):
+def _residual_batch_probe(spark, sf_dir, serving, cent_dir, cents, rseeds):
+    """The residual BATCH-probe plan (v23's shape), parameterized by
+    the serving tuple so the untrained (v23) and Lloyd-trained (v26)
+    layouts share one body — same routing explode, per-(probe, cell)
+    qr/LUT columns, DPP-pruned cell join, salted top-k."""
     from stampede_to_fresco_etl_spark import index_store
     from stampede_to_fresco_etl_spark.functions import md5_int63
     from stampede_to_fresco_etl_spark.operators.similarity import (
@@ -21710,7 +21731,6 @@ def q_ivfpq_residual_batch_probe(spark, sf_dir):
         partial_topk,
     )
 
-    serving, cent_dir, cents, rseeds = _residual_serving(spark, sf_dir)
     emb = load(spark, sf_dir, "embeddings")
     h = md5_int63("vec_id", salt=INGEST_SPLIT_SALT)
     probes = emb.filter(h >= F.lit(INGEST_IDX_BOUND)).select(
@@ -21783,6 +21803,12 @@ def q_ivfpq_residual_batch_probe(spark, sf_dir):
         sim_col="adc_dist",
         ascending=True,
     ).select("probe_id", "vec_id", "adc_dist")
+
+
+def q_ivfpq_residual_batch_probe(spark, sf_dir):
+    return _residual_batch_probe(
+        spark, sf_dir, *_residual_serving(spark, sf_dir)
+    )
 
 
 REGISTRY.update(
@@ -22155,6 +22181,118 @@ REGISTRY.update(
         "x64_trained_recall_audit": (
             q_trained_recall_audit,
             _sql_trained_recall_audit(),
+        )
+    }
+)
+
+
+# ---------------------------------------------------------------------------
+# V26 — the BATCH-probe shape (v21/v23's) on the TRAINED residual
+# layout (v25's): an ingest batch ANN-searches the Lloyd-trained
+# inverted lists as ONE declarative plan — v23's body (routing
+# explode first, per-(probe, cell) query residuals and LUT columns
+# materialized at the cell join's exchange boundary, DPP-pruned
+# scan) pointed at the trained serving tuple.  Completes the trained
+# config's serving surface: v25 is the per-probe serving path, this
+# is the ingest-batch path — a deployment that adopts the trained
+# quantizer needs both.
+# ---------------------------------------------------------------------------
+
+
+def q_ivfpq_trained_batch_probe(spark, sf_dir):
+    return _residual_batch_probe(
+        spark, sf_dir, *_trained_residual_serving(spark, sf_dir)
+    )
+
+
+REGISTRY.update(
+    {
+        "v26_ivfpq_trained_batch_probe": (
+            q_ivfpq_trained_batch_probe,
+            _sql_ivfpq_residual_topk(batch=True, trained=True),
+        )
+    }
+)
+
+
+# ---------------------------------------------------------------------------
+# X65 — BM25 serving AFTER a takedown: v24's lifecycle role on the
+# TEXT side.  A tagged postings/doclen artifact bootstraps from the
+# corpus, a deterministic takedown wave (every 11th doc ≡ 4) lands
+# through the entity verbs (`erase_entities_batch` on the postings +
+# doclen families), `erase_entities_compact` folds both physically
+# AND re-derives the totals companion (`refresh_text_totals` — the
+# aggregate hiding can't fix: BM25's idf/avgdl mis-weight every
+# score if a deleted doc's length stays baked in), and the x57 probe
+# serves from the erased index.  Oracle: x57's BM25 chain over the
+# kept documents only — so a single retained posting, doclen row, or
+# stale totals value breaks the hash.
+# ---------------------------------------------------------------------------
+
+_X65_MOD = 11
+_X65_REM = 4
+
+
+def q_bm25_after_erase(spark, sf_dir):
+    from stampede_to_fresco_etl_spark import index_store
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    base = (
+        f"{_SCRATCH}/index_store/text_erase/"
+        f"{index_store._key(sf_dir)}"
+        f"_{index_store.TEXT_TOKEN_BUCKETS}tb"
+    )
+    postings, doclen, totals = (
+        f"{base}/postings",
+        f"{base}/doclen",
+        f"{base}/totals",
+    )
+    if not index_store._already_materialized(spark, base):
+        index_store._fresh_dir(spark, base)
+        toks = docs.select(
+            "doc_id",
+            F.explode(F.split(F.trim("text"), r"\s+")).alias("token"),
+        )
+        (
+            toks.groupBy("token", "doc_id")
+            .agg(F.count("*").cast("long").alias("tf"))
+            .withColumn(
+                "token_bucket",
+                index_store.token_bucket_col(F.col("token")),
+            )
+            .repartition(F.col("token_bucket"))
+            .write.mode("overwrite")
+            .partitionBy("token_bucket")
+            .parquet(f"{postings}/batch_id=0")
+        )
+        dl = toks.groupBy("doc_id").agg(
+            F.count("*").cast("long").alias("dl")
+        )
+        dl.write.mode("overwrite").parquet(f"{doclen}/batch_id=0")
+        dl.agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("dl").cast("long").alias("dl_sum"),
+        ).coalesce(1).write.mode("overwrite").parquet(totals)
+        index_store.write_postings_layout(spark, postings)
+        entities = docs.filter(
+            F.col("doc_id") % _X65_MOD == _X65_REM
+        ).select("doc_id", "text", F.lit(None).cast("long").alias("vec_id"))
+        fams = {"postings": postings, "doclen": doclen}
+        index_store.erase_entities_batch(spark, entities, fams, 1)
+        index_store.erase_entities_compact(
+            spark, fams, totals_dir=totals
+        )
+        index_store._mark_materialized(spark, base)
+    return _bm25_probe(spark, postings, doclen, totals)
+
+
+REGISTRY.update(
+    {
+        "x65_bm25_after_erase": (
+            q_bm25_after_erase,
+            _sql_bm25_stored_index(
+                erase_mod=_X65_MOD, erase_rem=_X65_REM
+            ),
         )
     }
 )
