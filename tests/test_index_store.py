@@ -662,11 +662,25 @@ def _docid_deletes(spark, docs):
     return docs.filter(F.col("doc_id") % 5 == 0).select("doc_id")
 
 
+def _doc_deletes(spark, docs):
+    return docs.filter(F.col("doc_id") % 5 == 0).select(
+        F.col("doc_id").alias("doc")
+    )
+
+
 def _read_postings_df(spark, path):
     return (
         spark.read.option("basePath", path)
         .parquet(path)
         .select("token", "doc_id", "tf")
+    )
+
+
+def _read_bands_df(spark, path):
+    return (
+        spark.read.option("basePath", path)
+        .parquet(path)
+        .drop("batch_id")
     )
 
 
@@ -686,8 +700,14 @@ def _read_postings_df(spark, path):
             _docid_deletes,
             _read_postings_df,
         ),
+        # dedup bands (r11: the last family missing from this
+        # parametrization) — doc-keyed tombstones over band rows
+        (_grow_dedup, ["doc"], _doc_deletes, _read_bands_df),
     ],
-    ids=["exact_fp", "ann_index", "pq_codes", "text_postings"],
+    ids=[
+        "exact_fp", "ann_index", "pq_codes", "text_postings",
+        "dedup_bands",
+    ],
 )
 def test_tombstone_hide_equals_erase(
     spark, tmp_path, grow, key_cols, deletes, read_df
