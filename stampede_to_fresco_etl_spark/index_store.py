@@ -370,7 +370,16 @@ def assert_postings_layout(
     artifacts have none; catalog-scratch artifacts are additionally
     path-keyed by bucket count, so a stale-count artifact there is
     simply never found).  FS-existence check, not a caught
-    AnalysisException — this runs on the probe hot path."""
+    AnalysisException — this runs on the probe hot path.
+
+    The PASSED verdict is cached per (session, dir): the manifest is
+    immutable for a given bucket count (every writer stamps the same
+    value), so re-reading the one-row parquet per probe call would
+    tax every x57-class query with a ~0.2 s driver job for nothing —
+    measured in the r11 close bracket before this cache."""
+    key = f"{postings_dir}#layout_ok"
+    if session_marker(spark, key):
+        return
     d = postings_layout_dir(postings_dir)
     jvm = spark._jvm
     p = jvm.org.apache.hadoop.fs.Path(d)
@@ -378,6 +387,8 @@ def assert_postings_layout(
     if not fs.exists(p):
         return
     b = int(spark.read.parquet(d).collect()[0]["token_buckets"])
+    if b == TEXT_TOKEN_BUCKETS:
+        mark_session(spark, key)
     if b != TEXT_TOKEN_BUCKETS:
         raise ValueError(
             f"postings artifact {postings_dir!r} was written with "
