@@ -1362,3 +1362,90 @@ def test_trained_quantizer_moves_centroids_and_keeps_empty_seeds(
     # the stored centroid companion round-trips the trained table
     stored = index_store.read_ann_centroids(spark, cent_dir)
     assert stored == trained
+
+
+def test_trained_batch_probe_shape_and_plan(spark):
+    """v26: the one-declarative-plan canaries hold on the TRAINED
+    layout too — the 64-cell trained quantizer must not flip the
+    routing/LUT construction into a cartesian or nested-loop join,
+    the inverted-list scan stays dynamically pruned to the batch's
+    probed cells, and the plan carries the cell equi-join.  ONE
+    BroadcastNestedLoopJoin is expected and benign: at 64 cells the
+    frozen centroid table rides `_with_centroid_col`'s single-row
+    broadcast (the v18-pinned pattern — centroids as data, not
+    literals; a 1-row build side adds no data-sized exchange), so
+    the canary asserts the build side is that one-row broadcast
+    rather than banning the node.  Results: probes are exactly the
+    held-out split, per-probe hits ordered and bounded by k,
+    deterministic across calls."""
+    import contextlib
+    import io
+
+    from stampede_to_fresco_etl_spark.catalog import (
+        _V19_TOPK,
+        q_ivfpq_trained_batch_probe,
+    )
+
+    df = q_ivfpq_trained_batch_probe(spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+
+    assert "CartesianProduct" not in plan
+    # the ONLY BroadcastNestedLoopJoins are the benign one-row
+    # centroid attach (v18's shape) and its copy inside the DPP
+    # pruning subquery (dynamic pruning re-plans the probe routing):
+    # exactly two node headers, every tree occurrence a Cross
+    # BuildRight of the 1-row build side, centroid column present.
+    # A third node — or a non-BuildRight one — would mean a real
+    # join degraded to a nested loop.
+    import re
+
+    bnlj_nodes = re.findall(
+        r"^\(\d+\) BroadcastNestedLoopJoin", plan, re.M
+    )
+    assert len(bnlj_nodes) == 2, plan
+    tree_lines = [
+        ln for ln in plan.splitlines()
+        if "BroadcastNestedLoopJoin" in ln and "(" in ln
+        and not ln.lstrip().startswith("(")
+    ]
+    assert tree_lines and all(
+        "Cross BuildRight" in ln for ln in tree_lines
+    ), plan
+    assert "__cents" in plan
+    assert "PartitionFilters" in plan and "cell" in plan
+    assert "dynamicpruning" in plan.lower()
+    assert any(
+        j in plan
+        for j in (
+            "SortMergeJoin",
+            "ShuffledHashJoin",
+            "BroadcastHashJoin",
+        )
+    )
+
+    out = df.collect()
+    assert len(out) > 0
+    emb = load(spark, SF, "embeddings")
+    h = md5_int63("vec_id", salt=INGEST_SPLIT_SALT)
+    held = {
+        int(r["vec_id"])
+        for r in emb.filter(h >= F.lit(INGEST_IDX_BOUND))
+        .select("vec_id")
+        .collect()
+    }
+    per_probe = {}
+    for r in out:
+        per_probe.setdefault(int(r["probe_id"]), []).append(r)
+    assert set(per_probe) <= held and len(per_probe) == len(held)
+    for rows in per_probe.values():
+        assert 1 <= len(rows) <= _V19_TOPK
+        dists = [r["adc_dist"] for r in rows]
+        assert dists == sorted(dists)
+    again = sorted(
+        tuple(r)
+        for r in q_ivfpq_trained_batch_probe(spark, SF).collect()
+    )
+    assert sorted(tuple(r) for r in out) == again
