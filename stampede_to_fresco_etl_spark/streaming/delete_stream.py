@@ -18,6 +18,15 @@ rewrites its own partition with identical content, and tombstone
 READS are distinct-unions over all partitions, so duplicates across
 batches are harmless by construction.
 
+LIFECYCLE COUPLING (found by the r11 rehearsal, pinned there): the
+checkpoint and the tombstone dirs share one lifecycle.  Resetting
+the checkpoint while tombstones are PENDING restarts batch numbering
+at 1, so the next wave's per-batch overwrite silently replaces a
+pending wave's keys — lost deletes.  Rotate the checkpoint only
+after `compact_index(tombstone_keys=…)` has applied and cleared the
+pending set (the same maintenance-window rule as the grow daemons'
+compaction).
+
 Scale: per-batch cost is O(batch keys) — one small parquet write;
 nothing scans the artifact.  The probe-side cost model is
 `anti_tombstones`' (SCALE.md r10): one broadcast anti-join,
