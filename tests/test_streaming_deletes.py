@@ -83,3 +83,71 @@ def test_delete_stream_hides_then_compact_erases(spark, tmp_path):
     index_store.compact_index(spark, fp_dir, tombstone_keys=["fp"])
     assert _live_fps(spark, fp_dir) == full - deleted
     assert index_store.read_tombstones(spark, fp_dir) is None
+
+
+def test_checkpoint_reset_with_pending_tombstones_is_the_hazard(
+    spark, tmp_path
+):
+    """The checkpoint–tombstone lifecycle rule (r11, found by the
+    entity-delete rehearsal), pinned in both directions:
+
+    SAFE path — one checkpoint across waves: batch numbering
+    advances, each wave lands its own tombstone partition, the
+    pending set ACCRETES.
+
+    HAZARD path — resetting the checkpoint while tombstones are
+    pending restarts batch numbering at 1, so a NEW wave's per-batch
+    overwrite replaces a pending wave's partition and its keys are
+    silently lost.  This is inherent to replay-idempotent per-batch
+    overwrites (replay MUST rewrite its own partition); the rule is
+    operational: rotate the checkpoint only after a compact has
+    applied and cleared the set.  If this test ever fails on the
+    hazard leg, the overwrite semantics changed and the daemon
+    docstring must be rewritten."""
+    docs = load(spark, SF, "documents").select("doc_id", "text")
+    fp_dir = str(tmp_path / "fps")
+    apply_exact_fp_batch(spark, docs, 0, fp_dir)
+
+    def fps_of(flt):
+        return docs.filter(flt).select(F.md5("text").alias("fp"))
+
+    def pending():
+        t = index_store.read_tombstones(spark, fp_dir)
+        return set() if t is None else {r["fp"] for r in t.collect()}
+
+    w1, w2 = fps_of(F.col("doc_id") % 5 == 0), fps_of(
+        F.col("doc_id") % 5 == 1
+    )
+    s1 = {r["fp"] for r in w1.collect()}
+    s2 = {r["fp"] for r in w2.collect()}
+    assert s1 and s2 and s1 != s2
+
+    # SAFE: one landing dir, ONE checkpoint — waves accrete
+    land, ckpt = str(tmp_path / "land"), str(tmp_path / "ck")
+    w1.coalesce(1).write.mode("append").parquet(land)
+    run_delete_stream(
+        spark, land, fp_dir, ["fp"], ckpt, "fp string"
+    ).awaitTermination(120)
+    assert pending() == s1
+    w2.coalesce(1).write.mode("append").parquet(land)
+    run_delete_stream(
+        spark, land, fp_dir, ["fp"], ckpt, "fp string"
+    ).awaitTermination(120)
+    assert pending() == s1 | s2
+
+    # HAZARD: fresh checkpoint + fresh feed while tombstones pend —
+    # the new wave's batch_id=1 overwrite replaces wave 1's partition
+    w3 = fps_of(F.col("doc_id") % 5 == 2)
+    s3 = {r["fp"] for r in w3.collect()}
+    land3 = str(tmp_path / "land3")
+    w3.coalesce(1).write.parquet(land3)
+    run_delete_stream(
+        spark, land3, fp_dir, ["fp"], str(tmp_path / "ck3"),
+        "fp string",
+    ).awaitTermination(120)
+    after = pending()
+    assert s3 <= after
+    # wave 1's keys (batch_id=1 under the OLD checkpoint) were
+    # overwritten by wave 3's batch_id=1 — lost, exactly the hazard
+    assert not (s1 - s2 - s3) <= after
+    assert (s2 - s3) <= after  # wave 2's partition (batch_id=2) kept
