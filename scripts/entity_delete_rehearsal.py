@@ -15,6 +15,9 @@ physically; the rehearsal then verifies per-family that the RAW
 (post-compaction) key sets equal bootstrap-minus-takedown exactly.
 
 Run:  python scripts/entity_delete_rehearsal.py [wave_entities]
+      python scripts/entity_delete_rehearsal.py [wave_entities] \
+          --dirs=/root/testdata/sf0.1,/root/repo/testdata_sf10
+          (e.g. the 100× proxy)
 Prints one JSON line per scale:
   {"sf_dir": ..., "bootstrap_s": w, "families": 6,
    "waves": [{"entities": n, "wall_s": w}...], "compact_s": w,
@@ -31,8 +34,13 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
-WAVE_ENTITIES = int(sys.argv[1]) if len(sys.argv) > 1 else 120
+_args = sys.argv[1:]
 SF_DIRS = ("/root/testdata/sf0.1", "/root/repo/testdata_sf1")
+for _a in list(_args):
+    if _a.startswith("--dirs="):
+        SF_DIRS = tuple(_a.split("=", 1)[1].split(","))
+        _args.remove(_a)
+WAVE_ENTITIES = int(_args[0]) if _args else 120
 
 
 def run_scale(spark, sf_dir: str) -> dict:
