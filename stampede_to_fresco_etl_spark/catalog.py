@@ -21930,7 +21930,9 @@ def _trained_centroids(spark, idx_emb, sf_dir) -> list[list[float]]:
     mean); an empty cell keeps its seed vector so the quantizer stays
     total over cell ids.  Deterministic by construction — the fixed
     iteration count is what makes a TRAINED quantizer oracle-exact
-    (the v14 precedent)."""
+    (the v14 precedent).  Cache key is (session, sf_dir): `idx_emb`
+    is always the corpus's standard indexed split (the one caller's
+    contract), so the frame is not part of the key."""
     from stampede_to_fresco_etl_spark.operators import similarity as S
 
     ck = (spark.sparkContext.applicationId, sf_dir)

@@ -1045,11 +1045,21 @@ def erase_entities_compact(
     them, re-derive the stored totals companion from the erased
     doclen (`refresh_text_totals`) — the one text artifact that is an
     AGGREGATE of erased rows rather than a row set, so hiding can't
-    fix it and the fold must."""
+    fix it and the fold must.  Passing `totals_dir` WITHOUT a doclen
+    family is refused: silently skipping the refresh would leave the
+    caller believing their totals were re-derived while every BM25
+    probe keeps mis-weighting against stale n_docs/dl_sum."""
+    if totals_dir is not None and "doclen" not in family_paths:
+        raise ValueError(
+            "erase_entities_compact: totals_dir given but no "
+            "'doclen' family listed — totals derive from doclen, so "
+            "the refresh would silently not happen; list the doclen "
+            "family (or drop totals_dir)"
+        )
     for fam, path in family_paths.items():
         keys, _derive = ENTITY_FAMILIES[fam]
         compact_index(spark, path, tombstone_keys=keys)
-    if totals_dir is not None and "doclen" in family_paths:
+    if totals_dir is not None:
         refresh_text_totals(
             spark, family_paths["doclen"], totals_dir
         )

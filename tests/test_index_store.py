@@ -1449,3 +1449,16 @@ def test_trained_batch_probe_shape_and_plan(spark):
         for r in q_ivfpq_trained_batch_probe(spark, SF).collect()
     )
     assert sorted(tuple(r) for r in out) == again
+
+
+def test_erase_compact_refuses_totals_without_doclen(spark, tmp_path):
+    """r11 hardening: totals derive from doclen, so passing
+    totals_dir without listing the doclen family must refuse loudly —
+    a silent skip would leave stale totals mis-weighting every BM25
+    probe while the caller believes the refresh happened."""
+    with pytest.raises(ValueError, match="doclen"):
+        index_store.erase_entities_compact(
+            spark,
+            {"exact_fp": str(tmp_path / "x")},
+            totals_dir=str(tmp_path / "t"),
+        )
