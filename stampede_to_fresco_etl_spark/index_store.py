@@ -66,6 +66,15 @@ def mark_session(spark: SparkSession, key: str) -> None:
     _SESSION_MARKS[(spark.sparkContext.applicationId, key)] = True
 
 
+def unmark_session(spark: SparkSession, key: str) -> None:
+    """Invalidate a session lifecycle flag — called wherever the
+    state the flag certifies is rewritten (e.g. the postings layout
+    manifest), so a cached verdict can never outlive its evidence."""
+    _SESSION_MARKS.pop(
+        (spark.sparkContext.applicationId, key), None
+    )
+
+
 def _scratch() -> str:
     from stampede_to_fresco_etl_spark.catalog import _SCRATCH
 
@@ -105,10 +114,16 @@ def guard_daemon_dirs(*paths: str | None) -> None:
 
     def _canon(p: str) -> str:
         p = str(p)
-        if p.startswith("file://"):
-            p = p[len("file://"):] or "/"
-        elif p.startswith("file:"):
-            p = p[len("file:"):]
+        if p.startswith("file:"):
+            # parse the URI properly (ADVICE r11): bare prefix
+            # stripping turned 'file://localhost/x' into
+            # 'localhost/x', a RELATIVE path realpath'd against CWD
+            # — bypassing a guard whose failure mode is silent
+            # permanent data loss.  urlparse drops scheme AND
+            # authority, keeping only the path.
+            from urllib.parse import urlparse
+
+            p = urlparse(p).path or "/"
         return os.path.realpath(p)
 
     bad = _canon(f"{_scratch()}/index_store")
@@ -359,6 +374,11 @@ def write_postings_layout(
     ).coalesce(1).write.mode("overwrite").parquet(
         postings_layout_dir(postings_dir)
     )
+    # the manifest just changed on disk — a session-cached PASSED
+    # verdict (`assert_postings_layout`'s #layout_ok mark) would
+    # otherwise keep serving from evidence that no longer exists
+    # (ADVICE r11); the next probe re-reads the one-row manifest
+    unmark_session(spark, f"{postings_dir}#layout_ok")
 
 
 def assert_postings_layout(
@@ -386,7 +406,25 @@ def assert_postings_layout(
     fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
     if not fs.exists(p):
         return
-    b = int(spark.read.parquet(d).collect()[0]["token_buckets"])
+    try:
+        rows = spark.read.parquet(d).collect()
+    except Exception as ex:
+        raise ValueError(
+            f"postings layout manifest at {d!r} exists but is "
+            f"unreadable ({type(ex).__name__}) — likely a write "
+            f"interrupted mid-overwrite; re-stamp it with "
+            f"write_postings_layout (after verifying the stored "
+            f"token_bucket values) or remove the directory"
+        ) from ex
+    if not rows:
+        raise ValueError(
+            f"postings layout manifest at {d!r} exists but is "
+            f"empty — likely a write interrupted mid-overwrite; "
+            f"re-stamp it with write_postings_layout (after "
+            f"verifying the stored token_bucket values) or remove "
+            f"the directory"
+        )
+    b = int(rows[0]["token_buckets"])
     if b == TEXT_TOKEN_BUCKETS:
         mark_session(spark, key)
     if b != TEXT_TOKEN_BUCKETS:
@@ -398,6 +436,26 @@ def assert_postings_layout(
             f"drop matching postings — rebuild the artifact or run "
             f"a build with the matching bucket count"
         )
+
+
+def postings_layout_state(
+    spark: SparkSession, postings_dir: str
+) -> tuple[bool, bool]:
+    """(manifest exists, postings dir non-empty) — the two FS facts
+    the grow path's stamping decision needs (ADVICE r11): a daemon
+    may stamp the CURRENT bucket count only onto an artifact it is
+    creating; a non-empty artifact without a manifest may have been
+    written under a different count, and stamping it would certify a
+    mixed layout forever."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    man = jvm.org.apache.hadoop.fs.Path(
+        postings_layout_dir(postings_dir)
+    )
+    fs = man.getFileSystem(conf)
+    post = jvm.org.apache.hadoop.fs.Path(postings_dir)
+    nonempty = fs.exists(post) and len(fs.listStatus(post)) > 0
+    return bool(fs.exists(man)), bool(nonempty)
 
 
 def text_index_dirs(
@@ -711,10 +769,43 @@ def apply_deletes_batch(
 
     Derived layouts (the session-cached `ivfpq_dir` join) are
     invalidated immediately: a serving layout must stop returning a
-    deleted vector as soon as the delete commits, not at compaction."""
-    keys_df.distinct().write.mode("overwrite").parquet(
-        f"{tombstone_dir(path)}/batch_id={batch_id}"
-    )
+    deleted vector as soon as the delete commits, not at compaction.
+
+    LIFECYCLE ENFORCEMENT (r12, VERDICT r11 item 1): the checkpoint
+    and the tombstone dirs share one lifecycle — a fresh checkpoint
+    while tombstones are PENDING restarts batch numbering, so a new
+    wave's per-batch overwrite would silently replace an earlier
+    wave's keys (lost deletes, the one unacceptable failure class
+    for a takedown verb).  Rewriting an existing ``batch_id=N``
+    partition is therefore allowed ONLY when the content is
+    identical (crash-replay of the same wave, which MUST rewrite its
+    own partition); differing content raises with the
+    rotate-after-compact rule.  The check costs two bounded jobs on
+    takedown-sized frames and runs only when the partition already
+    exists — never on the steady-state append path."""
+    new_keys = keys_df.distinct()
+    part = f"{tombstone_dir(path)}/batch_id={batch_id}"
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(part)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(p):
+        old = spark.read.parquet(part).select(*new_keys.columns)
+        differs = (
+            not old.exceptAll(new_keys).isEmpty()
+            or not new_keys.exceptAll(old).isEmpty()
+        )
+        if differs:
+            raise ValueError(
+                f"tombstone partition {part!r} already exists with "
+                f"DIFFERENT keys: this write would silently replace "
+                f"an earlier takedown wave's pending deletes (batch "
+                f"numbering restarted — a fresh checkpoint over "
+                f"pending tombstones).  Rotate the checkpoint only "
+                f"AFTER compact_index(tombstone_keys=…) has applied "
+                f"and cleared the pending set; until then, resume "
+                f"the original checkpoint"
+            )
+    new_keys.write.mode("overwrite").parquet(part)
     _invalidate_derived(spark, path)
 
 
@@ -1015,6 +1106,19 @@ ENTITY_FAMILIES: dict = {
 }
 
 
+def family_dirs(path_or_paths) -> list:
+    """Normalize a family's artifact spec to a list of dirs — r12
+    (VERDICT r11 item 3): deployments keep MULTIPLE tagged layouts
+    of one family (the catalog itself holds untagged, ``_res`` and
+    ``_tr`` ann/codes layouts), and an entity living in two layouts
+    needed two erase calls — re-opening the forgotten-family hazard
+    the entity verbs exist to close.  Every entity verb now accepts
+    ``str | list[str]`` per family and fans the derived keys out."""
+    if isinstance(path_or_paths, str):
+        return [path_or_paths]
+    return list(path_or_paths)
+
+
 def erase_entities_batch(
     spark: SparkSession,
     entities: DataFrame,
@@ -1026,12 +1130,15 @@ def erase_entities_batch(
     that artifact's ``batch_id=N`` tombstone partition
     (`apply_deletes_batch` — replay-idempotent per-batch overwrite,
     derived serving layouts invalidated immediately).  `family_paths`
-    maps family name (an `ENTITY_FAMILIES` key) -> artifact dir; list
+    maps family name (an `ENTITY_FAMILIES` key) -> artifact dir OR
+    list of dirs (every tagged layout of that family — r12); list
     only the families the deployment maintains.  O(entities) work
-    per family — nothing scans any artifact."""
-    for fam, path in family_paths.items():
+    per family × layout — nothing scans any artifact."""
+    for fam, paths in family_paths.items():
         _keys, derive = ENTITY_FAMILIES[fam]
-        apply_deletes_batch(spark, path, derive(entities), batch_id)
+        keys_df = derive(entities)
+        for path in family_dirs(paths):
+            apply_deletes_batch(spark, path, keys_df, batch_id)
 
 
 def erase_entities_compact(
@@ -1056,12 +1163,23 @@ def erase_entities_compact(
             "the refresh would silently not happen; list the doclen "
             "family (or drop totals_dir)"
         )
-    for fam, path in family_paths.items():
+    if totals_dir is not None and len(
+        family_dirs(family_paths["doclen"])
+    ) != 1:
+        raise ValueError(
+            "erase_entities_compact: totals_dir with MULTIPLE "
+            "doclen layouts is ambiguous — a totals companion "
+            "belongs to one text artifact; pass a single doclen "
+            "dir here, or call refresh_text_totals per "
+            "(doclen, totals) pair after the fold"
+        )
+    for fam, paths in family_paths.items():
         keys, _derive = ENTITY_FAMILIES[fam]
-        compact_index(spark, path, tombstone_keys=keys)
+        for path in family_dirs(paths):
+            compact_index(spark, path, tombstone_keys=keys)
     if totals_dir is not None:
         refresh_text_totals(
-            spark, family_paths["doclen"], totals_dir
+            spark, family_dirs(family_paths["doclen"])[0], totals_dir
         )
 
 

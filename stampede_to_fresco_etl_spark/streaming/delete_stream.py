@@ -118,13 +118,17 @@ def run_entity_delete_stream(
         guard_daemon_dirs,
     )
 
+    from stampede_to_fresco_etl_spark.index_store import family_dirs
+
     for fam in family_paths:
         if fam not in ENTITY_FAMILIES:
             raise ValueError(
                 f"unknown artifact family {fam!r}; known: "
                 f"{sorted(ENTITY_FAMILIES)}"
             )
-    guard_daemon_dirs(*family_paths.values())
+    guard_daemon_dirs(
+        *[d for p in family_paths.values() for d in family_dirs(p)]
+    )
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option(

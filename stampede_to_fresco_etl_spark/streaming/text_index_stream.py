@@ -49,19 +49,45 @@ def apply_text_index_batch(
     doc lengths as its own partitions.  Idempotent — both writes
     overwrite this batch's own partition.
 
-    Layout safety (r11): the batch REFUSES to grow a persisted
-    postings artifact whose layout manifest records a different
-    bucket count (`assert_postings_layout` — mixing bucket counts in
-    one directory tree would make every probe's directory pruning
-    silently wrong), and stamps the manifest after its own write so
-    daemon-grown artifacts carry it from the first batch."""
+    Layout safety (r11, tightened r12/ADVICE r11): the batch REFUSES
+    to grow a persisted postings artifact whose layout manifest
+    records a different bucket count (`assert_postings_layout` —
+    mixing bucket counts in one directory tree would make every
+    probe's directory pruning silently wrong), and it REFUSES to
+    grow a NON-EMPTY artifact that has no manifest at all: such an
+    artifact may have been written under a different
+    TEXT_TOKEN_BUCKETS (a pre-manifest build), and stamping the
+    current count onto it would certify a mixed layout as consistent
+    forever — the exact failure the gate targets.  The manifest is
+    stamped only when this batch CREATES the artifact, and BEFORE
+    the partition write (so a crash between the two replays as
+    manifest-present, never as refuse-to-grow)."""
     from stampede_to_fresco_etl_spark.index_store import (
         assert_postings_layout,
+        postings_layout_state,
         token_bucket_col,
         write_postings_layout,
     )
 
     assert_postings_layout(spark, postings_dir)
+    has_manifest, nonempty = postings_layout_state(
+        spark, postings_dir
+    )
+    if not has_manifest:
+        if nonempty:
+            raise ValueError(
+                f"refusing to grow non-empty postings artifact "
+                f"{postings_dir!r}: it carries no layout manifest, "
+                f"so its stored token_bucket values may come from a "
+                f"different TEXT_TOKEN_BUCKETS than this build's — "
+                f"growing (and stamping) it would certify a mixed "
+                f"layout whose directory pruning silently drops "
+                f"postings.  Verify the stored bucket count and "
+                f"stamp it explicitly with write_postings_layout "
+                f"(a one-off migration step), then restart the "
+                f"daemon"
+            )
+        write_postings_layout(spark, postings_dir)
 
     toks = batch_df.select(
         "doc_id",
@@ -86,9 +112,6 @@ def apply_text_index_batch(
     ).write.mode("overwrite").parquet(
         f"{doclen_dir}/batch_id={batch_id}"
     )
-    # idempotent (fixed content for a fixed bucket count); cheap —
-    # a one-row overwrite per batch, no read-modify-write
-    write_postings_layout(spark, postings_dir)
 
 
 def read_text_totals(spark: SparkSession, doclen_dir: str):

@@ -1079,6 +1079,10 @@ def test_guard_daemon_dirs_normalizes_path_spellings(tmp_path):
     spellings = [
         f"file://{inside}",
         f"file:{inside}",
+        # an AUTHORITY component is legal URI spelling for the local
+        # FS (ADVICE r11): bare prefix-stripping turned this into the
+        # relative path 'localhost/…' and let it bypass the guard
+        f"file://localhost{inside}",
         inside.replace("/index_store/", "//index_store/./"),
         os.path.relpath(inside),
     ]
@@ -1246,6 +1250,84 @@ def test_entity_erase_across_all_families(spark, tmp_path):
     assert t["n_docs"] == len(expect["doclen"])
 
 
+def test_entity_erase_multi_layout_family(spark, tmp_path):
+    """r12 (VERDICT r11 item 3): a family given as a LIST of tagged
+    layouts is erased in every layout by one verb call — hide ≡
+    erase on BOTH — and `totals_dir` with multiple doclen layouts
+    refuses (a totals companion belongs to one text artifact)."""
+    emb = load(spark, SF, "embeddings").select("vec_id", "embedding")
+    p1, p2 = str(tmp_path / "ann"), str(tmp_path / "ann_tr")
+    for p, ncells in ((p1, 4), (p2, 8)):
+        from stampede_to_fresco_etl_spark.operators.similarity import (
+            _nearest_cell,
+            _sqdist,
+            _with_centroid_col,
+            as_double_vec,
+            seed_centroids,
+        )
+
+        cents = seed_centroids(emb, "vec_id", "embedding", ncells)
+        (
+            _with_centroid_col(
+                emb.select(
+                    "vec_id", as_double_vec("embedding").alias("v")
+                ),
+                cents,
+            )
+            .withColumn(
+                "d",
+                F.transform(
+                    F.col("__cents"),
+                    lambda c: _sqdist(F.col("v"), c),
+                ),
+            )
+            .select("vec_id", "v", _nearest_cell("d").alias("cell"))
+            .write.mode("overwrite")
+            .parquet(f"{p}/batch_id=0")
+        )
+    fams = {"ann": [p1, p2]}
+    all_vecs = {r["vec_id"] for r in emb.select("vec_id").collect()}
+    e_vecs = emb.filter(F.col("vec_id") % 9 == 2).select("vec_id")
+    del_vecs = {r["vec_id"] for r in e_vecs.collect()}
+    assert del_vecs
+    entities = e_vecs.select(
+        F.lit(None).cast("long").alias("doc_id"),
+        F.lit(None).cast("string").alias("text"),
+        "vec_id",
+    )
+    index_store.erase_entities_batch(spark, entities, fams, 1)
+    for p in (p1, p2):
+        hidden = {
+            r["vec_id"]
+            for r in index_store.anti_tombstones(
+                spark,
+                index_store.read_ann_index(spark, p),
+                p,
+                ["vec_id"],
+            ).collect()
+        }
+        assert hidden == all_vecs - del_vecs, p
+    index_store.erase_entities_compact(spark, fams)
+    for p in (p1, p2):
+        raw = {
+            r["vec_id"]
+            for r in spark.read.option("basePath", p)
+            .parquet(p)
+            .select("vec_id")
+            .collect()
+        }
+        assert raw == all_vecs - del_vecs, p
+        assert index_store.read_tombstones(spark, p) is None
+
+    # ambiguity guard: totals with multiple doclen layouts refuses
+    with pytest.raises(ValueError, match="MULTIPLE doclen"):
+        index_store.erase_entities_compact(
+            spark,
+            {"doclen": [str(tmp_path / "a"), str(tmp_path / "b")]},
+            totals_dir=str(tmp_path / "t"),
+        )
+
+
 def test_entity_delete_stream_replay_converges(spark, tmp_path):
     """The entity delete daemon: a takedown feed fans out to every
     family's tombstones; replaying from a fresh checkpoint (same
@@ -1362,6 +1444,64 @@ def test_trained_quantizer_moves_centroids_and_keeps_empty_seeds(
     # the stored centroid companion round-trips the trained table
     stored = index_store.read_ann_centroids(spark, cent_dir)
     assert stored == trained
+
+
+def test_residual_perprobe_serving_is_one_declarative_plan(spark):
+    """r12 (VERDICT r11 item 4): v22's PER-PROBE serving path rides
+    the same one-declarative-plan body as the batch path — plan
+    contains ONE Union-free job shape (no per-probe unionAll
+    chain), keeps the DPP-pruned cell equi-join, and its values
+    stay the v22 oracle's (driver-gated; here: shape, plan, and
+    per-probe bounds).  The canary that would catch a regression to
+    the driver-side loop: a per-probe union plan contains one Scan
+    per probe — this asserts exactly one parquet scan of the
+    serving layout and no Union node at all."""
+    import contextlib
+    import io
+
+    from stampede_to_fresco_etl_spark.catalog import (
+        _V19_TOPK,
+        q_ivfpq_residual_topk,
+        q_ivfpq_trained_topk,
+    )
+
+    for fn, layout in (
+        (q_ivfpq_residual_topk, "ivfpq"),
+        (q_ivfpq_trained_topk, "ivfpq"),
+    ):
+        df = fn(spark, SF)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        assert "Union" not in plan, plan
+        assert "CartesianProduct" not in plan
+        layout_scans = [
+            ln
+            for ln in plan.splitlines()
+            if ln.lstrip().startswith("Location")
+            and f"/{layout}/" in ln
+        ]
+        assert len(layout_scans) == 1, plan
+        assert "PartitionFilters" in plan and "cell" in plan
+        assert "dynamicpruning" in plan.lower()
+        out = df.collect()
+        assert out
+        per_probe = {}
+        for r in out:
+            per_probe.setdefault(int(r["probe_id"]), []).append(
+                float(r["adc_dist"])
+            )
+        for dists in per_probe.values():
+            assert len(dists) <= _V19_TOPK
+        # deterministic across calls
+        again = {
+            (int(r["probe_id"]), int(r["vec_id"]))
+            for r in fn(spark, SF).collect()
+        }
+        assert again == {
+            (int(r["probe_id"]), int(r["vec_id"])) for r in out
+        }
 
 
 def test_trained_batch_probe_shape_and_plan(spark):

@@ -7,6 +7,7 @@ checkpointed query."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from stampede_to_fresco_etl_spark import index_store
@@ -59,20 +60,25 @@ def test_delete_stream_hides_then_compact_erases(spark, tmp_path):
         deleted |= {r["fp"] for r in wave.collect()}
         assert _live_fps(spark, fp_dir) == full - deleted
 
-    # replay convergence: a fresh checkpoint re-delivers everything;
-    # tombstone content must not change
+    # a FRESH checkpoint over the same landing dir re-delivers the
+    # backlog as batch 1 with DIFFERENT content than wave 1's pending
+    # partition — r12 (VERDICT r11 item 1): the lifecycle guard now
+    # REFUSES the overwrite instead of silently renumbering, and the
+    # pending set is untouched
     before = {
         r["fp"]
         for r in index_store.read_tombstones(spark, fp_dir).collect()
     }
-    run_delete_stream(
+    q = run_delete_stream(
         spark,
         landing,
         fp_dir,
         ["fp"],
         str(tmp_path / "ckpt2"),
         "fp string",
-    ).awaitTermination(120)
+    )
+    with pytest.raises(Exception, match="Rotate the checkpoint"):
+        q.awaitTermination(120)
     after = {
         r["fp"]
         for r in index_store.read_tombstones(spark, fp_dir).collect()
@@ -97,13 +103,14 @@ def test_checkpoint_reset_with_pending_tombstones_is_the_hazard(
 
     HAZARD path — resetting the checkpoint while tombstones are
     pending restarts batch numbering at 1, so a NEW wave's per-batch
-    overwrite replaces a pending wave's partition and its keys are
-    silently lost.  This is inherent to replay-idempotent per-batch
-    overwrites (replay MUST rewrite its own partition); the rule is
-    operational: rotate the checkpoint only after a compact has
-    applied and cleared the set.  If this test ever fails on the
-    hazard leg, the overwrite semantics changed and the daemon
-    docstring must be rewritten."""
+    overwrite would replace a pending wave's partition and silently
+    lose its keys.  r12 (VERDICT r11 item 1): `apply_deletes_batch`
+    now REFUSES that overwrite at runtime — rewriting an existing
+    ``batch_id=N`` partition is allowed only with IDENTICAL content
+    (true crash-replay, which must rewrite its own partition);
+    differing content raises with the rotate-after-compact rule and
+    leaves the pending set untouched.  After the sanctioned rotation
+    (compact applies + clears the set), a fresh checkpoint is fine."""
     docs = load(spark, SF, "documents").select("doc_id", "text")
     fp_dir = str(tmp_path / "fps")
     apply_exact_fp_batch(spark, docs, 0, fp_dir)
@@ -136,18 +143,78 @@ def test_checkpoint_reset_with_pending_tombstones_is_the_hazard(
     assert pending() == s1 | s2
 
     # HAZARD: fresh checkpoint + fresh feed while tombstones pend —
-    # the new wave's batch_id=1 overwrite replaces wave 1's partition
+    # the new wave's batch_id=1 write would replace wave 1's
+    # partition; the runtime guard refuses and keeps the set intact
     w3 = fps_of(F.col("doc_id") % 5 == 2)
     s3 = {r["fp"] for r in w3.collect()}
     land3 = str(tmp_path / "land3")
     w3.coalesce(1).write.parquet(land3)
-    run_delete_stream(
+    q = run_delete_stream(
         spark, land3, fp_dir, ["fp"], str(tmp_path / "ck3"),
         "fp string",
+    )
+    with pytest.raises(Exception, match="Rotate the checkpoint"):
+        q.awaitTermination(120)
+    assert pending() == s1 | s2  # nothing lost, nothing applied
+
+    # SANCTIONED rotation: compact applies + clears the pending set,
+    # then the fresh checkpoint's wave lands as a new batch_id=1
+    index_store.compact_index(spark, fp_dir, tombstone_keys=["fp"])
+    assert pending() == set()
+    run_delete_stream(
+        spark, land3, fp_dir, ["fp"], str(tmp_path / "ck4"),
+        "fp string",
     ).awaitTermination(120)
-    after = pending()
-    assert s3 <= after
-    # wave 1's keys (batch_id=1 under the OLD checkpoint) were
-    # overwritten by wave 3's batch_id=1 — lost, exactly the hazard
-    assert not (s1 - s2 - s3) <= after
-    assert (s2 - s3) <= after  # wave 2's partition (batch_id=2) kept
+    assert pending() == s3
+    assert _live_after_erase(spark, fp_dir) is not None
+
+
+def _live_after_erase(spark, fp_dir):
+    """The erased artifact still reads cleanly (smoke for the
+    sanctioned-rotation leg)."""
+    return index_store.read_exact_fp(spark, fp_dir).count()
+
+
+def test_entity_delete_stream_refuses_checkpoint_reset(
+    spark, tmp_path
+):
+    """The ENTITY daemon inherits the lifecycle guard through
+    `erase_entities_batch` → `apply_deletes_batch`: a fresh
+    checkpoint over pending tombstones refuses in EVERY listed
+    family and no family's pending keys change."""
+    from stampede_to_fresco_etl_spark.streaming.delete_stream import (
+        run_entity_delete_stream,
+    )
+
+    docs = load(spark, SF, "documents").select("doc_id", "text")
+    fp_dir = str(tmp_path / "fps")
+    apply_exact_fp_batch(spark, docs, 0, fp_dir)
+    paths = {"exact_fp": fp_dir}
+
+    def entities(flt):
+        return docs.filter(flt).select(
+            "doc_id", "text", F.lit(None).cast("long").alias("vec_id")
+        )
+
+    land, ck = str(tmp_path / "land"), str(tmp_path / "ck")
+    entities(F.col("doc_id") % 5 == 0).coalesce(1).write.parquet(land)
+    run_entity_delete_stream(
+        spark, land, paths, ck
+    ).awaitTermination(120)
+    pend1 = {
+        r["fp"]
+        for r in index_store.read_tombstones(spark, fp_dir).collect()
+    }
+    assert pend1
+
+    land2 = str(tmp_path / "land2")
+    entities(F.col("doc_id") % 5 == 3).coalesce(1).write.parquet(land2)
+    q = run_entity_delete_stream(
+        spark, land2, paths, str(tmp_path / "ck2")
+    )
+    with pytest.raises(Exception, match="Rotate the checkpoint"):
+        q.awaitTermination(120)
+    assert {
+        r["fp"]
+        for r in index_store.read_tombstones(spark, fp_dir).collect()
+    } == pend1

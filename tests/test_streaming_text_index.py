@@ -295,8 +295,48 @@ def test_postings_layout_manifest_gates_bucket_count(spark, tmp_path):
     with _pytest.raises(ValueError, match="token_buckets=8"):
         apply_text_index_batch(spark, docs, 2, dp, dl)
 
-    # absent manifest (pre-r11 artifact): passes
+    # absent manifest (pre-r11 artifact): the PROBE passes …
     import shutil as _sh
 
     _sh.rmtree(index_store.postings_layout_dir(dp))
     index_store.assert_postings_layout(spark, dp)
+    # … but GROWING a non-empty manifest-less artifact refuses
+    # (ADVICE r11): the stored token_bucket values may come from a
+    # different count, and stamping the current one would certify a
+    # mixed layout forever
+    with _pytest.raises(ValueError, match="no layout manifest"):
+        apply_text_index_batch(spark, docs, 3, dp, dl)
+    # the explicit migration step (verify + stamp) re-enables growth
+    index_store.write_postings_layout(spark, dp)
+    apply_text_index_batch(spark, docs, 3, dp, dl)
+
+
+def test_postings_layout_mark_invalidation_and_empty_manifest(
+    spark, tmp_path
+):
+    """ADVICE r11: (a) a session-cached PASSED layout verdict must
+    not survive a manifest rewrite — `write_postings_layout` clears
+    the #layout_ok mark, so a later mismatched stamp is seen; (b) an
+    empty manifest (crash mid-overwrite) raises a clear error, not a
+    bare IndexError."""
+    import pytest as _pytest
+
+    dp, dl = str(tmp_path / "dp"), str(tmp_path / "dl")
+    docs = load(spark, SF, "documents").select("doc_id", "text").limit(5)
+    apply_text_index_batch(spark, docs, 1, dp, dl)
+    # cache the PASS verdict
+    index_store.assert_postings_layout(spark, dp)
+    assert index_store.session_marker(spark, f"{dp}#layout_ok")
+    # a manifest rewrite through the sanctioned writer invalidates it
+    index_store.write_postings_layout(spark, dp)
+    assert not index_store.session_marker(spark, f"{dp}#layout_ok")
+    # an empty manifest dir (interrupted overwrite) raises clearly
+    import shutil as _sh
+
+    man = index_store.postings_layout_dir(dp)
+    _sh.rmtree(man)
+    spark.createDataFrame(
+        [], "token_buckets int"
+    ).coalesce(1).write.mode("overwrite").parquet(man)
+    with _pytest.raises(ValueError, match="empty"):
+        index_store.assert_postings_layout(spark, dp)
