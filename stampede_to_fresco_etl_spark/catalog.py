@@ -20814,39 +20814,22 @@ def _ivfpq_topk(spark, sf_dir, n_centroids: int, n_probe: int):
     pins the oracle-gated 16-cell config; `scripts/` rehearsals
     measure the same plan at production cell counts (the per-probe
     scan shrinks as n_probe/n_cells of the codes table)."""
-    emb = load(spark, sf_dir, "embeddings")
     serving, cent_dir = _raw_ivfpq_serving(spark, sf_dir, n_centroids)
-    return _ivfpq_probe(spark, sf_dir, emb, serving, cent_dir, n_probe)
+    return _ivfpq_probe(spark, sf_dir, serving, cent_dir, n_probe)
 
 
-def _ivfpq_probe(spark, sf_dir, emb, serving, cent_dir, n_probe):
+def _ivfpq_probe(spark, sf_dir, serving, cent_dir, n_probe):
     """Route → cell-pruned scan → ADC → per-probe top-k, off a given
-    serving layout — shared by v19 (snapshot) and v20 (grown)."""
-    from stampede_to_fresco_etl_spark import index_store
-
-    cells_of = _ivfpq_probe_cells(spark, emb, cent_dir, n_probe)
-    if not cells_of:
-        return spark.createDataFrame(
-            [], "probe_id long, vec_id long, adc_dist double"
-        )
-    tab = _pq_dist_tables(spark, sf_dir, _V17_PROBES)
-    ivfpq = index_store.read_ivfpq(spark, serving)
-    outs = []
-    for p in sorted(cells_of):
-        outs.append(
-            ivfpq.filter(F.col("cell").isin(cells_of[p]))
-            .select(
-                F.lit(p).cast("long").alias("probe_id"),
-                "vec_id",
-                _adc_expr(tab, p).alias("adc_dist"),
-            )
-            .orderBy(F.col("adc_dist").asc(), "vec_id")
-            .limit(_V19_TOPK)
-        )
-    out = outs[0]
-    for t in outs[1:]:
-        out = out.unionAll(t)
-    return out
+    serving layout — shared by v19 (snapshot), v20 (grown), v24
+    (post-takedown) and v18's production cell counts.  r12 (VERDICT
+    r11 item 4's sweep finished): this is now the SAME one-
+    declarative plan as v21's batch path with the probe set swapped
+    to the serving probes — the per-probe CASE-branch loop and its
+    O(probes) unionAll chain are gone from the non-residual side
+    too.  Plan size O(1) in probes, one job, DPP-pruned cell scan."""
+    return _ivfpq_plan_probe(
+        spark, sf_dir, serving, cent_dir, n_probe, batch=False
+    )
 
 
 def _sql_ivfpq_topk(
@@ -21038,7 +21021,7 @@ def q_ivfpq_grown_probe(spark, sf_dir):
         tag="grown",
     )
     return _ivfpq_probe(
-        spark, sf_dir, emb, serving, cent_dir, _V19_NPROBE
+        spark, sf_dir, serving, cent_dir, _V19_NPROBE
     )
 
 
@@ -21115,6 +21098,22 @@ def _pq_codebook(spark, sf_dir) -> list[list[list[float]]]:
 
 
 def q_ivfpq_batch_probe(spark, sf_dir):
+    serving, cent_dir = _raw_ivfpq_serving(
+        spark, sf_dir, V16_CENTROIDS
+    )
+    return _ivfpq_plan_probe(
+        spark, sf_dir, serving, cent_dir, _V19_NPROBE, batch=True
+    )
+
+
+def _ivfpq_plan_probe(
+    spark, sf_dir, serving, cent_dir, n_probe, batch=True
+):
+    """The one-declarative IVF-PQ probe plan (v21's shape),
+    parameterized by serving layout, n_probe, and probe set —
+    ``batch=True`` probes with the held-out ingest split (v21),
+    ``batch=False`` with the serving probes ``vec_id <
+    _V17_PROBES`` (v19/v20/v24/v18's cell-count rehearsals)."""
     from stampede_to_fresco_etl_spark import index_store
     from stampede_to_fresco_etl_spark.functions import md5_int63
     from stampede_to_fresco_etl_spark.operators.similarity import (
@@ -21128,12 +21127,14 @@ def q_ivfpq_batch_probe(spark, sf_dir):
 
     emb = load(spark, sf_dir, "embeddings")
     h = md5_int63("vec_id", salt=INGEST_SPLIT_SALT)
-    serving, cent_dir = _raw_ivfpq_serving(
-        spark, sf_dir, V16_CENTROIDS
-    )
     cents = index_store.read_ann_centroids(spark, cent_dir)
     cb = _pq_codebook(spark, sf_dir)
-    probes = emb.filter(h >= F.lit(INGEST_IDX_BOUND)).select(
+    probe_pred = (
+        (h >= F.lit(INGEST_IDX_BOUND))
+        if batch
+        else (F.col("vec_id") < _V17_PROBES)
+    )
+    probes = emb.filter(probe_pred).select(
         F.col("vec_id").alias("probe_id"),
         as_double_vec("embedding").alias("pv"),
     )
@@ -21162,7 +21163,7 @@ def q_ivfpq_batch_probe(spark, sf_dir):
                 F.col("__cents"), lambda c: _sqdist(F.col("pv"), c)
             ),
         )
-        .withColumn("cells", _nearest_cells("pv", "d", _V19_NPROBE))
+        .withColumn("cells", _nearest_cells("pv", "d", n_probe))
         .select(
             "probe_id", *luts, F.explode("cells").alias("cell")
         )
@@ -21425,87 +21426,79 @@ def _residual_serving(spark, sf_dir):
     return out
 
 
-def _residual_lut(
-    pv: list[float],
-    cell_cv: list[float],
-    rseeds: list[list[float]],
-    ss: int,
-) -> list[float]:
-    """One (probe, cell, subspace) ADC table in exact IEEE doubles —
-    the same left-fold order as the oracle's list_reduce sum and the
-    engine's F.aggregate (0.0 init is exact: squares are ≥ +0.0)."""
-    off = ss * _PQ_DIMS
-    lut = []
-    for seed in rseeds:
-        acc = 0.0
-        for i in range(_PQ_DIMS):
-            d = (pv[off + i] - cell_cv[off + i]) - seed[off + i]
-            acc = acc + d * d
-        lut.append(acc)
-    return lut
-
-
-def _residual_probe_topk(spark, sf_dir, serving, cent_dir, cents, rseeds):
-    """The residual serving probe (v22's shape), parameterized by the
-    serving tuple so the untrained (v22) and Lloyd-trained (v25)
-    layouts share one probe body — same per-(probe, cell) CASE-branch
-    LUTs, same cell-pruned scan, same ordering."""
-    from stampede_to_fresco_etl_spark import index_store
-    from stampede_to_fresco_etl_spark.operators.similarity import (
-        as_double_vec,
-        lit_double_vec,
-    )
-
-    emb = load(spark, sf_dir, "embeddings")
-    cells_of = _ivfpq_probe_cells(spark, emb, cent_dir, _V19_NPROBE)
-    if not cells_of:
-        return spark.createDataFrame(
-            [], "probe_id long, vec_id long, adc_dist double"
-        )
-    pvec = {
-        int(r["vec_id"]): [float(x) for x in r["pv"]]
-        for r in emb.filter(F.col("vec_id") < _V17_PROBES)
-        .select("vec_id", as_double_vec("embedding").alias("pv"))
-        .collect()
-    }
-    ivfpq = index_store.read_ivfpq(spark, serving)
-    outs = []
-    for p in sorted(cells_of):
-        adc_by_cell = None
-        for c in cells_of[p]:
-            adc = None
-            for s in range(_PQ_M):
-                lut = lit_double_vec(
-                    _residual_lut(pvec[p], cents[c], rseeds, s)
-                )
-                term = F.element_at(lut, F.col(f"code{s}") + 1)
-                adc = term if adc is None else adc + term
-            cond = F.col("cell") == c
-            adc_by_cell = (
-                F.when(cond, adc)
-                if adc_by_cell is None
-                else adc_by_cell.when(cond, adc)
-            )
-        outs.append(
-            ivfpq.filter(F.col("cell").isin(cells_of[p]))
-            .select(
-                F.lit(p).cast("long").alias("probe_id"),
-                "vec_id",
-                adc_by_cell.alias("adc_dist"),
-            )
-            .orderBy(F.col("adc_dist").asc(), "vec_id")
-            .limit(_V19_TOPK)
-        )
-    out = outs[0]
-    for t in outs[1:]:
-        out = out.unionAll(t)
-    return out
-
-
 def q_ivfpq_residual_topk(spark, sf_dir):
-    return _residual_probe_topk(
-        spark, sf_dir, *_residual_serving(spark, sf_dir)
+    """r12 (VERDICT r11 item 4): the per-probe serving path rides the
+    SAME one-declarative-plan body as the batch path — the serving
+    probe set (``vec_id < _V17_PROBES``) replaces the held-out ingest
+    batch as the routed side; everything else (routing explode,
+    per-(probe, cell) query residuals and LUT columns, DPP-pruned
+    cell join, salted top-k) is `_residual_batch_probe`.  This
+    removed the last driver-side per-probe union loop in the serving
+    surface: plan size is O(1) in probes, one job, no per-probe
+    collect/union."""
+    return _residual_batch_probe(
+        spark, sf_dir, *_residual_serving(spark, sf_dir), batch=False
     )
+
+
+def _sql_trained_seeds_cte(
+    sq_cs: str, iters: int | None = None
+) -> str:
+    """The trained quantizer's CTE chain, generated for a FIXED
+    Lloyd iteration count (r12, VERDICT r11 item 5): iteration i
+    assigns ``e`` to the previous round's centroids (``a{i}``, ties
+    by cell), explodes dims (``ex{i}``), takes the floor-scaled
+    exact mean (``km{i}``), and keeps the previous vector for empty
+    cells — exactly `_trained_centroids`' loop, so Spark and DuckDB
+    train the identical quantizer at any count.  The final table is
+    named ``seeds`` (what the downstream assign/resid CTEs read)."""
+    iters = _V25_ITERS if iters is None else iters
+    blocks = [
+        f"""seeds0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY h) - 1 AS INTEGER) AS cell, v AS cv
+  FROM (SELECT v, md5(CAST(vec_id AS VARCHAR)) AS h
+        FROM e ORDER BY h LIMIT {_V25_CELLS})
+)"""
+    ]
+    prev = "seeds0"
+    for i in range(1, iters + 1):
+        name = "seeds" if i == iters else f"seeds{i}"
+        blocks.append(
+            f"""a{i} AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, s.cell,
+           row_number() OVER (
+             PARTITION BY e.vec_id ORDER BY {sq_cs}, s.cell
+           ) AS rn
+    FROM e CROSS JOIN {prev} s
+  ) WHERE rn = 1
+)"""
+        )
+        blocks.append(
+            f"""ex{i} AS (
+  SELECT cell, CAST(r.i - 1 AS BIGINT) AS dim, v[r.i] AS x
+  FROM a{i}, UNNEST(range(1, len(v) + 1)) AS r(i)
+)"""
+        )
+        blocks.append(
+            f"""km{i} AS (
+  SELECT cell, dim,
+         (CAST({FSUM.format(x='x')} AS DOUBLE) / 10000.0)
+           / CAST(count(*) AS DOUBLE) AS mx
+  FROM ex{i} GROUP BY cell, dim
+)"""
+        )
+        blocks.append(
+            f"""{name} AS (
+  SELECT s0.cell, COALESCE(m.cv, s0.cv) AS cv
+  FROM {prev} s0
+  LEFT JOIN (SELECT cell, list(mx ORDER BY dim) AS cv
+             FROM km{i} GROUP BY cell) m
+    ON m.cell = s0.cell
+)"""
+        )
+        prev = name
+    return ",\n".join(blocks) + ","
 
 
 def _sql_ivfpq_residual_topk(
@@ -21552,37 +21545,7 @@ def _sql_ivfpq_residual_topk(
         else f"SELECT vec_id, v AS pv FROM alle WHERE vec_id < {_V17_PROBES}"
     )
     if trained:
-        cents_cte = f"""seeds0 AS (
-  SELECT CAST(row_number() OVER (ORDER BY h) - 1 AS INTEGER) AS cell, v AS cv
-  FROM (SELECT v, md5(CAST(vec_id AS VARCHAR)) AS h
-        FROM e ORDER BY h LIMIT {_V25_CELLS})
-),
-a1 AS (
-  SELECT vec_id, v, cell FROM (
-    SELECT e.vec_id, e.v, s.cell,
-           row_number() OVER (
-             PARTITION BY e.vec_id ORDER BY {sq_cs}, s.cell
-           ) AS rn
-    FROM e CROSS JOIN seeds0 s
-  ) WHERE rn = 1
-),
-ex AS (
-  SELECT cell, CAST(r.i - 1 AS BIGINT) AS dim, v[r.i] AS x
-  FROM a1, UNNEST(range(1, len(v) + 1)) AS r(i)
-),
-kmeans AS (
-  SELECT cell, dim,
-         (CAST({FSUM.format(x='x')} AS DOUBLE) / 10000.0)
-           / CAST(count(*) AS DOUBLE) AS mx
-  FROM ex GROUP BY cell, dim
-),
-seeds AS (
-  SELECT s0.cell, COALESCE(m.cv, s0.cv) AS cv
-  FROM seeds0 s0
-  LEFT JOIN (SELECT cell, list(mx ORDER BY dim) AS cv
-             FROM kmeans GROUP BY cell) m
-    ON m.cell = s0.cell
-),"""
+        cents_cte = _sql_trained_seeds_cte(sq_cs)
     else:
         cents_cte = f"""seeds AS (
   SELECT CAST(row_number() OVER (ORDER BY h) - 1 AS INTEGER) AS cell, v AS cv
@@ -21715,11 +21678,18 @@ REGISTRY.update(
 # ---------------------------------------------------------------------------
 
 
-def _residual_batch_probe(spark, sf_dir, serving, cent_dir, cents, rseeds):
-    """The residual BATCH-probe plan (v23's shape), parameterized by
-    the serving tuple so the untrained (v23) and Lloyd-trained (v26)
-    layouts share one body — same routing explode, per-(probe, cell)
-    qr/LUT columns, DPP-pruned cell join, salted top-k."""
+def _residual_batch_probe(
+    spark, sf_dir, serving, cent_dir, cents, rseeds, batch=True
+):
+    """The residual probe plan (v23's shape), parameterized by the
+    serving tuple so the untrained (v22/v23) and Lloyd-trained
+    (v25/v26) layouts share one body — same routing explode,
+    per-(probe, cell) qr/LUT columns, DPP-pruned cell join, salted
+    top-k.  ``batch=True`` probes with the held-out ingest split
+    (v23/v26's shape); ``batch=False`` probes with the per-probe
+    serving set ``vec_id < _V17_PROBES`` (v22/v25's shape) — r12:
+    both paths are the SAME one-declarative plan, O(1) plan size in
+    probes, no driver-side per-probe unions."""
     from stampede_to_fresco_etl_spark import index_store
     from stampede_to_fresco_etl_spark.functions import md5_int63
     from stampede_to_fresco_etl_spark.operators.similarity import (
@@ -21733,7 +21703,12 @@ def _residual_batch_probe(spark, sf_dir, serving, cent_dir, cents, rseeds):
 
     emb = load(spark, sf_dir, "embeddings")
     h = md5_int63("vec_id", salt=INGEST_SPLIT_SALT)
-    probes = emb.filter(h >= F.lit(INGEST_IDX_BOUND)).select(
+    probe_pred = (
+        (h >= F.lit(INGEST_IDX_BOUND))
+        if batch
+        else (F.col("vec_id") < _V17_PROBES)
+    )
+    probes = emb.filter(probe_pred).select(
         F.col("vec_id").alias("probe_id"),
         as_double_vec("embedding").alias("pv"),
     )
@@ -21876,7 +21851,7 @@ def q_ivfpq_deleted_probe(spark, sf_dir):
         tag="del",
     )
     return _ivfpq_probe(
-        spark, sf_dir, emb, serving, cent_dir, _V19_NPROBE
+        spark, sf_dir, serving, cent_dir, _V19_NPROBE
     )
 
 
@@ -21912,6 +21887,13 @@ REGISTRY.update(
 
 _V25_CELLS = 64
 _V25_TAG = "tr"
+#: Fixed Lloyd iteration count for the trained quantizer — part of
+#: the oracle contract (the SQL runs the same N chained
+#: assign→mean rounds).  r12 (VERDICT r11 item 5): parameterized and
+#: measured on the clustered probe corpus
+#: (scripts/trained_config_probe.py --iters); see SCALE.md r12 for
+#: the recall-vs-iterations knee table that picked this value.
+_V25_ITERS = 1
 
 #: (applicationId, sf_dir) -> trained centroid table (cells × dims
 #: doubles — calibration-sized, collected once per session).
@@ -21923,63 +21905,71 @@ _TRAINED_CENTROID_CACHE: dict = {}
 _TRAINED_SERVING_CACHE: dict = {}
 
 
-def _trained_centroids(spark, idx_emb, sf_dir) -> list[list[float]]:
-    """One Lloyd iteration over `_V25_CELLS` md5-seeded cells of the
-    indexed split: assign (argmin sqdist, ties by cell) -> per-cell
+def _trained_centroids(
+    spark, idx_emb, sf_dir, iters: int | None = None
+) -> list[list[float]]:
+    """`iters` (default `_V25_ITERS`) Lloyd iterations over
+    `_V25_CELLS` md5-seeded cells of the indexed split: each round
+    assigns (argmin sqdist, ties by cell) then takes the per-cell
     per-dim floor-scaled exact mean (v14's only cross-engine-exact
-    mean); an empty cell keeps its seed vector so the quantizer stays
-    total over cell ids.  Deterministic by construction — the fixed
-    iteration count is what makes a TRAINED quantizer oracle-exact
-    (the v14 precedent).  Cache key is (session, sf_dir): `idx_emb`
-    is always the corpus's standard indexed split (the one caller's
+    mean); an empty cell keeps its PREVIOUS vector so the quantizer
+    stays total over cell ids.  Deterministic by construction — the
+    fixed iteration count is what makes a TRAINED quantizer
+    oracle-exact (the v14 precedent); each extra iteration is one
+    more assignment scan + a cells×dims mean (calibration-sized
+    state).  Cache key is (session, sf_dir, iters): `idx_emb` is
+    always the corpus's standard indexed split (the one caller's
     contract), so the frame is not part of the key."""
     from stampede_to_fresco_etl_spark.operators import similarity as S
 
-    ck = (spark.sparkContext.applicationId, sf_dir)
+    iters = _V25_ITERS if iters is None else iters
+    ck = (spark.sparkContext.applicationId, sf_dir, iters)
     cached = _TRAINED_CENTROID_CACHE.get(ck)
     if cached is not None:
         return cached
     emb = idx_emb.select(
         "vec_id", S.as_double_vec("embedding").alias("v")
     )
-    seeds = S.seed_centroids(emb, "vec_id", "v", _V25_CELLS)
-    a1 = (
-        S._with_centroid_col(emb, seeds)
-        .withColumn(
-            "__d",
-            F.transform(
-                F.col("__cents"), lambda c: S._sqdist(F.col("v"), c)
-            ),
+    cents = S.seed_centroids(emb, "vec_id", "v", _V25_CELLS)
+    for _ in range(iters):
+        a1 = (
+            S._with_centroid_col(emb, cents)
+            .withColumn(
+                "__d",
+                F.transform(
+                    F.col("__cents"),
+                    lambda c: S._sqdist(F.col("v"), c),
+                ),
+            )
+            .withColumn("cell", S._nearest_cell("__d"))
+            .select("cell", "v")
         )
-        .withColumn("cell", S._nearest_cell("__d"))
-        .select("cell", "v")
-    )
-    mean_rows = (
-        a1.select("cell", F.posexplode("v").alias("dim", "x"))
-        .groupBy("cell", "dim")
-        .agg(
+        mean_rows = (
+            a1.select("cell", F.posexplode("v").alias("dim", "x"))
+            .groupBy("cell", "dim")
+            .agg(
+                (
+                    (fsum(F.col("x")).cast("double") / F.lit(10000.0))
+                    / F.count("*").cast("double")
+                ).alias("mx")
+            )
+            .collect()
+        )
+        by_cell: dict = {}
+        for r in mean_rows:
+            by_cell.setdefault(int(r["cell"]), {})[
+                int(r["dim"])
+            ] = float(r["mx"])
+        cents = [
             (
-                (fsum(F.col("x")).cast("double") / F.lit(10000.0))
-                / F.count("*").cast("double")
-            ).alias("mx")
-        )
-        .collect()
-    )
-    by_cell: dict = {}
-    for r in mean_rows:
-        by_cell.setdefault(int(r["cell"]), {})[int(r["dim"])] = float(
-            r["mx"]
-        )
-    trained = [
-        (
-            [by_cell[c][d] for d in sorted(by_cell[c])]
-            if c in by_cell
-            else seeds[c]
-        )
-        for c in range(_V25_CELLS)
-    ]
-    _TRAINED_CENTROID_CACHE[ck] = trained
-    return trained
+                [by_cell[c][d] for d in sorted(by_cell[c])]
+                if c in by_cell
+                else cents[c]
+            )
+            for c in range(_V25_CELLS)
+        ]
+    _TRAINED_CENTROID_CACHE[ck] = cents
+    return cents
 
 
 def _trained_residual_serving(spark, sf_dir):
@@ -22039,8 +22029,9 @@ def _trained_residual_serving(spark, sf_dir):
 
 
 def q_ivfpq_trained_topk(spark, sf_dir):
-    return _residual_probe_topk(
-        spark, sf_dir, *_trained_residual_serving(spark, sf_dir)
+    return _residual_batch_probe(
+        spark, sf_dir, *_trained_residual_serving(spark, sf_dir),
+        batch=False,
     )
 
 
@@ -22357,6 +22348,13 @@ def q_entity_erase_audit(spark, sf_dir):
             "pq_codes",
         )
     }
+    # r12 (VERDICT r11 item 3): the ann family carries TWO tagged
+    # layouts — the deployment shape (the catalog itself keeps
+    # untagged/_res/_tr ann layouts), erased by ONE verb call via
+    # the family's list form; a second layout silently retaining
+    # the entity breaks the hash
+    ann_tagged = f"{base}/ann_tr"
+    fams["ann"] = [fams["ann"], ann_tagged]
     totals_dir, derived_dir = f"{base}/totals", f"{base}/ivfpq"
     if not index_store._already_materialized(spark, base):
         index_store._fresh_dir(spark, base)
@@ -22403,23 +22401,39 @@ def q_entity_erase_audit(spark, sf_dir):
         cents = seed_centroids(
             emb, "vec_id", "embedding", V16_CENTROIDS
         )
-        (
-            _with_centroid_col(
-                emb.select(
-                    "vec_id", as_double_vec("embedding").alias("v")
-                ),
-                cents,
+        def _assigned(cents):
+            return (
+                _with_centroid_col(
+                    emb.select(
+                        "vec_id",
+                        as_double_vec("embedding").alias("v"),
+                    ),
+                    cents,
+                )
+                .withColumn(
+                    "d",
+                    F.transform(
+                        F.col("__cents"),
+                        lambda c: _sqdist(F.col("v"), c),
+                    ),
+                )
+                .select(
+                    "vec_id", "v", _nearest_cell("d").alias("cell")
+                )
             )
-            .withColumn(
-                "d",
-                F.transform(
-                    F.col("__cents"),
-                    lambda c: _sqdist(F.col("v"), c),
-                ),
+
+        _assigned(cents).write.mode("overwrite").parquet(
+            f"{fams['ann'][0]}/batch_id=0"
+        )
+        # the second tagged layout: same corpus under a DIFFERENT
+        # quantizer config (2× the cells) — the deployment's
+        # `_res`/`_tr` shape; the entity must vanish from BOTH
+        _assigned(
+            seed_centroids(
+                emb, "vec_id", "embedding", 2 * V16_CENTROIDS
             )
-            .select("vec_id", "v", _nearest_cell("d").alias("cell"))
-            .write.mode("overwrite")
-            .parquet(f"{fams['ann']}/batch_id=0")
+        ).write.mode("overwrite").parquet(
+            f"{ann_tagged}/batch_id=0"
         )
         pq_encode(
             emb, pq_seed_codebook(emb), m=_PQ_M, dims=_PQ_DIMS
@@ -22444,7 +22458,7 @@ def q_entity_erase_audit(spark, sf_dir):
         # (the v24 rule: derived artifacts are rebuilt, not
         # tombstoned) ---
         (
-            spark.read.parquet(fams["ann"])
+            spark.read.parquet(fams["ann"][0])
             .select("vec_id", "cell")
             .join(
                 spark.read.parquet(fams["pq_codes"]).select(
@@ -22487,7 +22501,8 @@ def q_entity_erase_audit(spark, sf_dir):
                 F.col("dl_sum").cast("long").alias("key_sum"),
             )
         )
-        .unionAll(fam_row("ann", read(fams["ann"]), "vec_id"))
+        .unionAll(fam_row("ann", read(fams["ann"][0]), "vec_id"))
+        .unionAll(fam_row("ann_tr", read(fams["ann"][1]), "vec_id"))
         .unionAll(
             fam_row("pq_codes", read(fams["pq_codes"]), "vec_id")
         )
@@ -22542,6 +22557,10 @@ SELECT * FROM (
          (SELECT CAST(sum(dl) AS BIGINT) FROM dl)
   UNION ALL
   SELECT 'ann', CAST(count(*) AS BIGINT),
+         CAST(sum(vec_id) AS BIGINT)
+  FROM kept_vecs
+  UNION ALL
+  SELECT 'ann_tr', CAST(count(*) AS BIGINT),
          CAST(sum(vec_id) AS BIGINT)
   FROM kept_vecs
   UNION ALL
