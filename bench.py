@@ -274,8 +274,40 @@ def _bracketed_core_totals(rnd: int, sf_dir: str) -> dict[str, float]:
     return out
 
 
+#: 1-min loadavg ceiling for a `--record` run.  The io record is the
+#: cross-round perf contract and the protocol says idle-machine-only
+#: (twice-confirmed ±20% single-session windows on a loaded host,
+#: SCALE.md r11) — r12 (VERDICT r11 item 7) enforces it: above this,
+#: `--record` refuses unless `--force-record` overrides.  4.0 on a
+#: 32-thread host ≈ one eighth busy — anything already running at
+#: that level contaminates the medians the judge tracks.
+RECORD_MAX_LOAD1 = 4.0
+
+
+def check_record_load(argv: list[str]) -> list[float]:
+    """Refuse a `--record` run on a loaded host (returns the loadavg
+    triple for stamping into the side record)."""
+    load = list(os.getloadavg())
+    if "--record" in argv and "--force-record" not in argv:
+        max_load = float(
+            os.environ.get(
+                "SPARK_GRAFT_RECORD_MAX_LOAD", str(RECORD_MAX_LOAD1)
+            )
+        )
+        if load[0] > max_load:
+            raise SystemExit(
+                f"refusing --record: 1-min loadavg {load[0]:.2f} > "
+                f"{max_load:.2f} — the io record is idle-machine-only "
+                f"(loaded-host medians contaminated the r9 record); "
+                f"wait for idle, or pass --force-record / set "
+                f"SPARK_GRAFT_RECORD_MAX_LOAD to override"
+            )
+    return load
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    load_avg_start = check_record_load(sys.argv)
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
     # UI on for bench only: the REST status API is the per-stage
@@ -392,6 +424,11 @@ def main() -> None:
     side: dict[str, object] = {
         "sf": sf,
         "round": rnd,
+        # host-load stamps (VERDICT r11 item 7): start-of-run triple
+        # gates --record (check_record_load); end-of-run shows what
+        # the bench itself plus any interloper drove it to
+        "load_avg_start": [round(x, 2) for x in load_avg_start],
+        "load_avg_end": [round(x, 2) for x in os.getloadavg()],
         "core_total": core_total,
         "core_n": len(CORE),
         "core_v2_total": core_v2_total,

@@ -17,13 +17,27 @@ from stampede_to_fresco_etl_spark.catalog import REGISTRY, TABLES
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
 
 
+#: SF_DIR -> connection with the table views registered.  One
+#: connection + one view registration per scale dir instead of per
+#: QUERY (r12, VERDICT r11 item 6): the 303-query sweep's wall was
+#: dominated by a ~1 s/query floor, of which fresh-connection setup
+#: and 10 view registrations per call were the oracle side's share.
+#: Oracles are pure SELECTs over the views, so sharing a connection
+#: changes nothing semantically; keyed by SF_DIR because the sweep
+#: rebinds it (sweep.py sets P.SF_DIR).
+_DUCK_CONS: dict[str, duckdb.DuckDBPyConnection] = {}
+
+
 def _duck(sql: str) -> pd.DataFrame:
-    con = duckdb.connect()
-    for t in TABLES:
-        con.sql(
-            f"CREATE VIEW {t} AS "
-            f"SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
-        )
+    con = _DUCK_CONS.get(SF_DIR)
+    if con is None:
+        con = duckdb.connect()
+        for t in TABLES:
+            con.sql(
+                f"CREATE VIEW {t} AS "
+                f"SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+            )
+        _DUCK_CONS[SF_DIR] = con
     return con.sql(sql).df()
 
 
