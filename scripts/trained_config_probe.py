@@ -14,9 +14,16 @@ driver's isotropic synthetic embeddings put both arms at the noise
 floor, the documented r10 caveat).  Truth = exact L2 top-k over the
 indexed split for every held-out probe (`exact_l2_topk_arrow`).
 
-Run:  python scripts/trained_config_probe.py [n_vectors]
+Run:  python scripts/trained_config_probe.py [n_vectors] [--iters=1,2,5]
 Prints one JSON line per arm:
   {"arm": ..., "recall_at_10": r, "probes": P, "wall_warm_s": w}
+
+--iters (r12, VERDICT r11 item 5): additionally measure the trained
+arm at each listed Lloyd iteration count — the recall-vs-iterations
+knee table that picks `catalog._V25_ITERS`.  Each count trains and
+serves its own tagged artifact set (`tr{i}`), so the arms never
+share a layout; train wall (the extra assignment scans) is reported
+separately from the warm serve wall.
 """
 
 from __future__ import annotations
@@ -29,7 +36,13 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
-N = int(sys.argv[1]) if len(sys.argv) > 1 else 20000
+_args = sys.argv[1:]
+ITERS: list[int] = []
+for _a in list(_args):
+    if _a.startswith("--iters="):
+        ITERS = [int(x) for x in _a.split("=", 1)[1].split(",")]
+        _args.remove(_a)
+N = int(_args[0]) if _args else 20000
 
 
 def main() -> int:
@@ -81,11 +94,7 @@ def main() -> int:
         )
     probe_ids = set(truth)
 
-    arms = (
-        ("residual_md5_16c", C.q_ivfpq_residual_batch_probe),
-        ("residual_trained_64c", C.q_ivfpq_trained_batch_probe),
-    )
-    for name, fn in arms:
+    def run_arm(name, fn, train_s=None):
         fn(spark, corpus_dir).write.format("noop").mode(
             "overwrite"
         ).save()  # warm: artifact build charged here
@@ -107,7 +116,34 @@ def main() -> int:
             "probes": len(probe_ids),
             "wall_warm_s": wall,
         }
+        if train_s is not None:
+            rec["train_s"] = train_s
         print(json.dumps(rec), flush=True)
+
+    arms = (
+        ("residual_md5_16c", C.q_ivfpq_residual_batch_probe),
+        ("residual_trained_64c", C.q_ivfpq_trained_batch_probe),
+    )
+    for name, fn in arms:
+        run_arm(name, fn)
+
+    # the knee sweep: train+serve the trained config at each listed
+    # iteration count under its own tag, so layouts never collide
+    base_iters, base_tag = C._V25_ITERS, C._V25_TAG
+    for it in ITERS:
+        C._V25_ITERS, C._V25_TAG = it, f"tr{it}"
+        C._TRAINED_SERVING_CACHE.clear()
+        t0 = time.time()
+        # training cost in isolation: the centroid chain alone
+        emb_idx = emb.filter(h < F.lit(C.INGEST_IDX_BOUND))
+        C._trained_centroids(spark, emb_idx, corpus_dir, iters=it)
+        train_s = round(time.time() - t0, 2)
+        run_arm(
+            f"residual_trained_64c_it{it}",
+            C.q_ivfpq_trained_batch_probe,
+            train_s=train_s,
+        )
+    C._V25_ITERS, C._V25_TAG = base_iters, base_tag
     return 0
 
 

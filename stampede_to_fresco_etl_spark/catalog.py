@@ -20733,8 +20733,11 @@ def _ivfpq_probe_cells(
     """Probe routing: each probe's n_probe nearest frozen cells —
     probes × centroids is calibration-sized, and the collected
     (probe, cell) pairs become partition-pruning literals on the
-    serving scan.  Shared by the query and the cell-count rehearsal
-    (`scripts/ivfpq_cellcount_probe.py`)."""
+    serving scan.  r12: the serving queries route IN-PLAN now
+    (`_ivfpq_plan_probe`'s explode + DPP); this collected form
+    remains for the cell-count rehearsal
+    (`scripts/ivfpq_cellcount_probe.py`), which needs the routing
+    as driver-side data."""
     from stampede_to_fresco_etl_spark import index_store
     from stampede_to_fresco_etl_spark.operators.similarity import (
         _nearest_cells,
@@ -21365,9 +21368,15 @@ def _residual_seeds(
 _RESIDUAL_SERVING_CACHE: dict = {}
 
 
-def _residual_serving(spark, sf_dir):
+def _residual_serving(spark, sf_dir, emb=None, key=""):
     """Materialize (once per session) the residual-encoded serving
-    layout and return (serving_path, cent_dir, cents, rseeds)."""
+    layout and return (serving_path, cent_dir, cents, rseeds).
+
+    ``emb``/``key`` (r12, x66): serve the SAME config over a corpus
+    VARIANT — `emb` replaces the standard embeddings frame, `key`
+    namespaces the variant's artifacts (ann tag ``key``, ivfpq tag
+    ``res_{key}``) and its cache row so a variant can never collide
+    with (or silently mis-serve) the standard layout."""
     from stampede_to_fresco_etl_spark import index_store
     from stampede_to_fresco_etl_spark.functions import md5_int63
     from stampede_to_fresco_etl_spark.operators.similarity import (
@@ -21375,7 +21384,7 @@ def _residual_serving(spark, sf_dir):
         pq_encode,
     )
 
-    ck = (spark.sparkContext.applicationId, sf_dir)
+    ck = (spark.sparkContext.applicationId, sf_dir, key)
     cached = _RESIDUAL_SERVING_CACHE.get(ck)
     # honor derived-layout invalidation: a source delete/compact
     # clears the layout's session flag so the next consumer
@@ -21386,11 +21395,12 @@ def _residual_serving(spark, sf_dir):
     ):
         return cached
 
-    emb = load(spark, sf_dir, "embeddings")
+    if emb is None:
+        emb = load(spark, sf_dir, "embeddings")
     h = md5_int63("vec_id", salt=INGEST_SPLIT_SALT)
     idx = emb.filter(h < F.lit(INGEST_IDX_BOUND))
     index_dir, cent_dir = index_store.ann_index_dirs(
-        spark, sf_dir, idx, V16_CENTROIDS
+        spark, sf_dir, idx, V16_CENTROIDS, tag=key
     )
     cents = index_store.read_ann_centroids(spark, cent_dir)
     assigned = index_store.read_ann_index(spark, index_dir)
@@ -21419,7 +21429,7 @@ def _residual_serving(spark, sf_dir):
         assigned,
         codes,
         n_centroids=V16_CENTROIDS,
-        tag=_V22_TAG,
+        tag=_V22_TAG + (f"_{key}" if key else ""),
     )
     out = (serving, cent_dir, cents, rseeds)
     _RESIDUAL_SERVING_CACHE[ck] = out
@@ -21451,7 +21461,13 @@ def _sql_trained_seeds_cte(
     exact mean (``km{i}``), and keeps the previous vector for empty
     cells — exactly `_trained_centroids`' loop, so Spark and DuckDB
     train the identical quantizer at any count.  The final table is
-    named ``seeds`` (what the downstream assign/resid CTEs read)."""
+    named ``seeds`` (what the downstream assign/resid CTEs read).
+
+    The assign/seeds tables are MATERIALIZED: DuckDB inlines CTEs,
+    and the downstream chain references ``seeds`` several times —
+    at two Lloyd iterations the re-inlined training re-ran the
+    whole chain per reference (measured 50.6 s → 6.2 s on x66's
+    corpus with the hint; values unchanged by definition)."""
     iters = _V25_ITERS if iters is None else iters
     blocks = [
         f"""seeds0 AS (
@@ -21464,7 +21480,7 @@ def _sql_trained_seeds_cte(
     for i in range(1, iters + 1):
         name = "seeds" if i == iters else f"seeds{i}"
         blocks.append(
-            f"""a{i} AS (
+            f"""a{i} AS MATERIALIZED (
   SELECT vec_id, v, cell FROM (
     SELECT e.vec_id, e.v, s.cell,
            row_number() OVER (
@@ -21489,7 +21505,7 @@ def _sql_trained_seeds_cte(
 )"""
         )
         blocks.append(
-            f"""{name} AS (
+            f"""{name} AS MATERIALIZED (
   SELECT s0.cell, COALESCE(m.cv, s0.cv) AS cv
   FROM {prev} s0
   LEFT JOIN (SELECT cell, list(mx ORDER BY dim) AS cv
@@ -21502,17 +21518,22 @@ def _sql_trained_seeds_cte(
 
 
 def _sql_ivfpq_residual_topk(
-    batch: bool = False, trained: bool = False
+    batch: bool = False,
+    trained: bool = False,
+    source: str | None = None,
+    probe_max: int | None = None,
 ) -> str:
     """v19's oracle with the encoding switched to residuals: codes
     and LUTs are computed from x − centroid[assigned cell] (and
     q − centroid[probed cell]), the LUT join keyed on (probe, CELL,
     subspace, code).  With `batch`, the probe set is the whole
     held-out 20% (v21's ingest-batch shape).  With `trained`, the
-    coarse quantizer is one Lloyd iteration over `_V25_CELLS`
-    md5-seeded cells (v14's floor-scaled exact means; an empty cell
-    keeps its seed) instead of the raw `V16_CENTROIDS` md5 seeds —
-    the v25 serving config."""
+    coarse quantizer is `_V25_ITERS` Lloyd iterations over
+    `_V25_CELLS` md5-seeded cells (v14's floor-scaled exact means;
+    an empty cell keeps its previous vector) instead of the raw
+    `V16_CENTROIDS` md5 seeds — the v25 serving config.  `source`
+    replaces the ``alle`` corpus SELECT (x66's clustered variant);
+    `probe_max` widens the non-batch probe set."""
     h = md5_int63_sql("CAST(vec_id AS VARCHAR)", salt=INGEST_SPLIT_SALT)
     sq_cs = _D_SQDIST.format(a="e.v", b="s.cv")
     sq_ps = _D_SQDIST.format(a="p.pv", b="s.cv")
@@ -21542,7 +21563,10 @@ def _sql_ivfpq_residual_topk(
     probe_sel = (
         "SELECT vec_id, v AS pv FROM split WHERE is_idx = 0"
         if batch
-        else f"SELECT vec_id, v AS pv FROM alle WHERE vec_id < {_V17_PROBES}"
+        else (
+            f"SELECT vec_id, v AS pv FROM alle "
+            f"WHERE vec_id < {probe_max or _V17_PROBES}"
+        )
     )
     if trained:
         cents_cte = _sql_trained_seeds_cte(sq_cs)
@@ -21552,8 +21576,9 @@ def _sql_ivfpq_residual_topk(
   FROM (SELECT v, md5(CAST(vec_id AS VARCHAR)) AS h
         FROM e ORDER BY h LIMIT {V16_CENTROIDS})
 ),"""
+    src = source or "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings"
     return f"""
-WITH alle AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+WITH alle AS ({src}),
 split AS (
   SELECT vec_id, v,
          CASE WHEN {h} < {INGEST_IDX_BOUND} THEN 1 ELSE 0 END AS is_idx
@@ -21679,7 +21704,15 @@ REGISTRY.update(
 
 
 def _residual_batch_probe(
-    spark, sf_dir, serving, cent_dir, cents, rseeds, batch=True
+    spark,
+    sf_dir,
+    serving,
+    cent_dir,
+    cents,
+    rseeds,
+    batch=True,
+    emb=None,
+    probe_max=None,
 ):
     """The residual probe plan (v23's shape), parameterized by the
     serving tuple so the untrained (v22/v23) and Lloyd-trained
@@ -21689,7 +21722,9 @@ def _residual_batch_probe(
     (v23/v26's shape); ``batch=False`` probes with the per-probe
     serving set ``vec_id < _V17_PROBES`` (v22/v25's shape) — r12:
     both paths are the SAME one-declarative plan, O(1) plan size in
-    probes, no driver-side per-probe unions."""
+    probes, no driver-side per-probe unions.  ``emb`` swaps in a
+    corpus variant; ``probe_max`` widens the non-batch probe set
+    (x66's audit bands)."""
     from stampede_to_fresco_etl_spark import index_store
     from stampede_to_fresco_etl_spark.functions import md5_int63
     from stampede_to_fresco_etl_spark.operators.similarity import (
@@ -21701,12 +21736,13 @@ def _residual_batch_probe(
         partial_topk,
     )
 
-    emb = load(spark, sf_dir, "embeddings")
+    if emb is None:
+        emb = load(spark, sf_dir, "embeddings")
     h = md5_int63("vec_id", salt=INGEST_SPLIT_SALT)
     probe_pred = (
         (h >= F.lit(INGEST_IDX_BOUND))
         if batch
-        else (F.col("vec_id") < _V17_PROBES)
+        else (F.col("vec_id") < (probe_max or _V17_PROBES))
     )
     probes = emb.filter(probe_pred).select(
         F.col("vec_id").alias("probe_id"),
@@ -21889,11 +21925,15 @@ _V25_CELLS = 64
 _V25_TAG = "tr"
 #: Fixed Lloyd iteration count for the trained quantizer — part of
 #: the oracle contract (the SQL runs the same N chained
-#: assign→mean rounds).  r12 (VERDICT r11 item 5): parameterized and
-#: measured on the clustered probe corpus
-#: (scripts/trained_config_probe.py --iters); see SCALE.md r12 for
-#: the recall-vs-iterations knee table that picked this value.
-_V25_ITERS = 1
+#: assign→mean rounds).  r12 (VERDICT r11 item 5): measured on the
+#: clustered probe corpus (scripts/trained_config_probe.py --iters,
+#: N=20000, 512 probes): recall@10 = 0.0416 (md5) / 0.0803 (1 iter)
+#: / 0.1043 (2 iters) / 0.1033 (5 iters) — the knee is TWO
+#: iterations (+30% recall over one; five adds nothing for 2.1× the
+#: training scans).  Training cost is once-per-snapshot maintenance
+#: (one extra assignment scan vs r11); serving cost is unchanged.
+#: Full table in SCALE.md r12.
+_V25_ITERS = 2
 
 #: (applicationId, sf_dir) -> trained centroid table (cells × dims
 #: doubles — calibration-sized, collected once per session).
@@ -21906,7 +21946,7 @@ _TRAINED_SERVING_CACHE: dict = {}
 
 
 def _trained_centroids(
-    spark, idx_emb, sf_dir, iters: int | None = None
+    spark, idx_emb, sf_dir, iters: int | None = None, key: str = ""
 ) -> list[list[float]]:
     """`iters` (default `_V25_ITERS`) Lloyd iterations over
     `_V25_CELLS` md5-seeded cells of the indexed split: each round
@@ -21917,13 +21957,14 @@ def _trained_centroids(
     fixed iteration count is what makes a TRAINED quantizer
     oracle-exact (the v14 precedent); each extra iteration is one
     more assignment scan + a cells×dims mean (calibration-sized
-    state).  Cache key is (session, sf_dir, iters): `idx_emb` is
-    always the corpus's standard indexed split (the one caller's
-    contract), so the frame is not part of the key."""
+    state).  Cache key is (session, sf_dir, iters, key): `idx_emb`
+    is the corpus's standard indexed split unless the caller serves
+    a corpus VARIANT, in which case `key` names it (x66) — the frame
+    itself is never part of the key."""
     from stampede_to_fresco_etl_spark.operators import similarity as S
 
     iters = _V25_ITERS if iters is None else iters
-    ck = (spark.sparkContext.applicationId, sf_dir, iters)
+    ck = (spark.sparkContext.applicationId, sf_dir, iters, key)
     cached = _TRAINED_CENTROID_CACHE.get(ck)
     if cached is not None:
         return cached
@@ -21972,11 +22013,12 @@ def _trained_centroids(
     return cents
 
 
-def _trained_residual_serving(spark, sf_dir):
+def _trained_residual_serving(spark, sf_dir, emb=None, key=""):
     """Materialize (once per session) the TRAINED residual serving
     layout — `_residual_serving` with the Lloyd-refined quantizer and
     its own tagged source/derived artifacts — and return
-    (serving_path, cent_dir, cents, rseeds)."""
+    (serving_path, cent_dir, cents, rseeds).  ``emb``/``key``: serve
+    a corpus VARIANT under its own artifact namespace (x66)."""
     from stampede_to_fresco_etl_spark import index_store
     from stampede_to_fresco_etl_spark.functions import md5_int63
     from stampede_to_fresco_etl_spark.operators.similarity import (
@@ -21984,19 +22026,21 @@ def _trained_residual_serving(spark, sf_dir):
         pq_encode,
     )
 
-    ck = (spark.sparkContext.applicationId, sf_dir)
+    ck = (spark.sparkContext.applicationId, sf_dir, key)
     cached = _TRAINED_SERVING_CACHE.get(ck)
     if cached is not None and index_store._already_materialized(
         spark, cached[0]
     ):
         return cached
 
-    emb = load(spark, sf_dir, "embeddings")
+    tag = _V25_TAG + (f"_{key}" if key else "")
+    if emb is None:
+        emb = load(spark, sf_dir, "embeddings")
     h = md5_int63("vec_id", salt=INGEST_SPLIT_SALT)
     idx = emb.filter(h < F.lit(INGEST_IDX_BOUND))
-    cents = _trained_centroids(spark, idx, sf_dir)
+    cents = _trained_centroids(spark, idx, sf_dir, key=key)
     index_dir, cent_dir = index_store.ann_index_dirs(
-        spark, sf_dir, idx, _V25_CELLS, tag=_V25_TAG,
+        spark, sf_dir, idx, _V25_CELLS, tag=tag,
         centroids=cents,
     )
     assigned = index_store.read_ann_index(spark, index_dir)
@@ -22021,7 +22065,7 @@ def _trained_residual_serving(spark, sf_dir):
         assigned,
         codes,
         n_centroids=_V25_CELLS,
-        tag=_V25_TAG,
+        tag=tag,
     )
     out = (serving, cent_dir, cents, rseeds)
     _TRAINED_SERVING_CACHE[ck] = out
@@ -22586,6 +22630,287 @@ REGISTRY.update(
 
 
 # ---------------------------------------------------------------------------
+# X66 — trained-vs-md5 recall SEPARATION under the hash gate (r12,
+# VERDICT r11 item 2).  x64 re-measures both residual serving arms
+# every round, but on the driver's isotropic synthetic embeddings
+# both sit at the noise floor — the 1.93×-recall result that
+# justifies v25 lived only in scripts/trained_config_probe.py.  This
+# query builds a DETERMINISTIC clustered corpus from the driver's
+# own embeddings table (the x33/x35 fixture-from-tables pattern):
+# 64 md5-derived cluster centers on a dyadic grid (k/512 — exactly
+# representable, so the Spark literal and the DuckDB literal parse
+# to identical doubles), each vector relocated to
+# center[vec_id % 64] + 1/16 × its original embedding (the original
+# values become the within-cluster offsets).  Both serving configs
+# are then built and probed on that corpus THROUGH the registry's
+# own builders (`_residual_serving(emb=…, key="sep")` /
+# `_trained_residual_serving(emb=…, key="sep")` — own tagged
+# artifacts, same bodies v22/v25 serve with), and per probe band
+# (probe_id % 3) the audit reports exact-top-k hits of each arm plus
+# ``separated = hits_trained > hits_md5``.  The hash therefore
+# encodes the separation itself: if Lloyd training ever stops
+# beating the md5 quantizer on clustered data, the driver's gate
+# goes red — the adoption evidence re-proven every round.
+# Scale: the corpus transform is one map; the two builds are v22/v25
+# builds; the exact arm is probes × indexed split (audit-sized).
+# ---------------------------------------------------------------------------
+
+_X66_NCENTERS = 64
+_X66_KEY = "sep"
+_X66_PROBE_MAX = 48
+_X66_BANDS = 3
+#: replication factor: the driver table holds 500 embeddings — far
+#: too few for 64 clusters to have within-cluster structure (the
+#: regime where training pays).  Each original vector yields 16
+#: clustered vectors (vec_id' = 16·id + j), each offset by a j-step
+#: CYCLIC ROTATION of the original embedding — deterministic, exact
+#: integer index arithmetic in both engines, and rotations of
+#: distinct vectors stay diverse within a cluster.  4000 vectors /
+#: 64 clusters ≈ 62 members — enough within-cluster structure for
+#: the configs to separate (verified per band) at half the build
+#: cost of the probe script's 125-member geometry.
+_X66_REPL = 8
+
+
+def _x66_centers() -> list[list[float]]:
+    """64 × dim cluster centers: md5-derived integers on the dyadic
+    grid k/512 in [−4, 4] — exactly-representable doubles, so the
+    engine literal and the oracle literal are bit-identical."""
+    import hashlib
+
+    ndim = _PQ_M * _PQ_DIMS
+    rows = []
+    for c in range(_X66_NCENTERS):
+        row = []
+        for d in range(ndim):
+            h = int(
+                hashlib.md5(f"sep:{c}:{d}".encode()).hexdigest()[:15],
+                16,
+            )
+            row.append(((h % 4097) - 2048) / 512.0)
+        rows.append(row)
+    return rows
+
+
+_X66_CENTERS = _x66_centers()
+
+
+def _x66_corpus(spark, sf_dir):
+    """The clustered corpus variant: each original vector yields
+    `_X66_REPL` vectors ``vec_id' = R·id + j``, relocated to the
+    md5-derived center of cluster ``vec_id' % 64`` plus 1/16 of the
+    j-step cyclic rotation of the original embedding (dyadic scale
+    and integer index arithmetic — exact in both engines)."""
+    from stampede_to_fresco_etl_spark.operators.similarity import (
+        as_double_vec,
+        lit_double_matrix,
+    )
+
+    ndim = _PQ_M * _PQ_DIMS
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_vec("embedding").alias("e")
+    )
+    cmat = lit_double_matrix(_X66_CENTERS)
+    rep = emb.select(
+        "vec_id",
+        "e",
+        F.explode(
+            F.array(*[F.lit(j) for j in range(_X66_REPL)])
+        ).alias("__j"),
+    ).select(
+        (F.col("vec_id") * _X66_REPL + F.col("__j")).alias("vec_id"),
+        "e",
+    )
+    j = (F.col("vec_id") % _X66_REPL).cast("int")
+    cvec = F.element_at(
+        cmat, (F.col("vec_id") % _X66_NCENTERS).cast("int") + 1
+    )
+    return rep.select(
+        "vec_id",
+        F.transform(
+            cvec,
+            lambda c, i: c
+            + F.lit(0.0625)
+            * F.element_at(F.col("e"), ((i + j) % ndim) + 1),
+        ).alias("embedding"),
+    )
+
+
+def _x66_source_sql() -> str:
+    """The clustered corpus as the oracle's ``alle`` SELECT."""
+    vals = ",\n        ".join(
+        "({}, [{}]::DOUBLE[])".format(
+            c, ", ".join(repr(x) for x in row)
+        )
+        for c, row in enumerate(_X66_CENTERS)
+    )
+    ndim = _PQ_M * _PQ_DIMS
+    return f"""SELECT r.vec_id,
+       list_transform(range(1, {ndim} + 1),
+                      i -> c.cv[i]
+                           + CAST(0.0625 AS DOUBLE)
+                             * r.e[((i - 1 + r.j) % {ndim}) + 1]) AS v
+FROM (SELECT e.vec_id * {_X66_REPL} + j.j AS vec_id,
+             CAST(j.j AS INTEGER) AS j, e.v AS e
+      FROM (SELECT vec_id, embedding::DOUBLE[] AS v
+            FROM embeddings) e
+      CROSS JOIN (SELECT unnest(range({_X66_REPL})) AS j) j) r
+JOIN (VALUES
+        {vals}) c(cell, cv)
+  ON c.cell = r.vec_id % {_X66_NCENTERS}"""
+
+
+def q_trained_separation_audit(spark, sf_dir):
+    from stampede_to_fresco_etl_spark.functions import md5_int63
+    from stampede_to_fresco_etl_spark.operators.similarity import (
+        _sqdist,
+        partial_topk,
+    )
+
+    emb_c = _x66_corpus(spark, sf_dir)
+    h = md5_int63("vec_id", salt=INGEST_SPLIT_SALT)
+    probes = emb_c.filter(F.col("vec_id") < _X66_PROBE_MAX).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("pv"),
+    )
+    corpus = emb_c.filter(h < F.lit(INGEST_IDX_BOUND)).select(
+        "vec_id", F.col("embedding").alias("cv")
+    )
+    scored = corpus.join(F.broadcast(probes)).select(
+        "probe_id",
+        "vec_id",
+        (-_sqdist(F.col("pv"), F.col("cv"))).alias("cos_sim"),
+    )
+    exact = partial_topk(
+        scored, "probe_id", "vec_id", _V19_TOPK
+    ).select("probe_id", "vec_id")
+
+    served_md5 = _residual_batch_probe(
+        spark,
+        sf_dir,
+        *_residual_serving(spark, sf_dir, emb=emb_c, key=_X66_KEY),
+        batch=False,
+        emb=emb_c,
+        probe_max=_X66_PROBE_MAX,
+    )
+    served_tr = _residual_batch_probe(
+        spark,
+        sf_dir,
+        *_trained_residual_serving(
+            spark, sf_dir, emb=emb_c, key=_X66_KEY
+        ),
+        batch=False,
+        emb=emb_c,
+        probe_max=_X66_PROBE_MAX,
+    )
+
+    band = (F.col("probe_id") % _X66_BANDS).cast("long").alias("band")
+
+    def band_hits(served, name):
+        return (
+            exact.join(
+                served.select("probe_id", "vec_id"),
+                ["probe_id", "vec_id"],
+            )
+            .groupBy(band)
+            .agg(F.count("*").cast("long").alias(name))
+        )
+
+    spine = probes.groupBy(band).agg(
+        F.count("*").cast("long").alias("n_probes")
+    )
+    return (
+        spine.join(band_hits(served_md5, "hits_md5"), "band", "left")
+        .join(band_hits(served_tr, "hits_trained"), "band", "left")
+        .select(
+            "band",
+            "n_probes",
+            F.coalesce("hits_md5", F.lit(0).cast("long")).alias(
+                "hits_md5"
+            ),
+            F.coalesce("hits_trained", F.lit(0).cast("long")).alias(
+                "hits_trained"
+            ),
+            (
+                F.coalesce("hits_trained", F.lit(0))
+                > F.coalesce("hits_md5", F.lit(0))
+            ).alias("separated"),
+        )
+        .orderBy("band")
+    )
+
+
+def _sql_trained_separation_audit() -> str:
+    src = _x66_source_sql()
+    h = md5_int63_sql("CAST(vec_id AS VARCHAR)", salt=INGEST_SPLIT_SALT)
+    d2 = _D_SQDIST.format(a="p.pv", b="c.cv")
+    return f"""
+WITH alle AS ({src}),
+probes AS (
+  SELECT vec_id AS probe_id, v AS pv FROM alle
+  WHERE vec_id < {_X66_PROBE_MAX}
+),
+corpus AS (
+  SELECT vec_id, v AS cv FROM alle WHERE {h} < {INGEST_IDX_BOUND}
+),
+exact AS (
+  SELECT probe_id, vec_id FROM (
+    SELECT p.probe_id, c.vec_id,
+           row_number() OVER (PARTITION BY p.probe_id
+                              ORDER BY {d2}, c.vec_id) AS rn
+    FROM probes p CROSS JOIN corpus c
+  ) WHERE rn <= {_V19_TOPK}
+),
+untrained AS (
+  SELECT probe_id, vec_id FROM (
+    {_sql_ivfpq_residual_topk(source=src, probe_max=_X66_PROBE_MAX)}
+  )
+),
+trained AS (
+  SELECT probe_id, vec_id FROM (
+    {_sql_ivfpq_residual_topk(trained=True, source=src,
+                              probe_max=_X66_PROBE_MAX)}
+  )
+),
+hm AS (
+  SELECT e.probe_id % {_X66_BANDS} AS band, count(*) AS hits
+  FROM exact e JOIN untrained u
+    ON u.probe_id = e.probe_id AND u.vec_id = e.vec_id
+  GROUP BY 1
+),
+ht AS (
+  SELECT e.probe_id % {_X66_BANDS} AS band, count(*) AS hits
+  FROM exact e JOIN trained t
+    ON t.probe_id = e.probe_id AND t.vec_id = e.vec_id
+  GROUP BY 1
+),
+spine AS (
+  SELECT probe_id % {_X66_BANDS} AS band,
+         CAST(count(*) AS BIGINT) AS n_probes
+  FROM probes GROUP BY 1
+)
+SELECT CAST(s.band AS BIGINT) AS band, s.n_probes,
+       CAST(COALESCE(hm.hits, 0) AS BIGINT) AS hits_md5,
+       CAST(COALESCE(ht.hits, 0) AS BIGINT) AS hits_trained,
+       COALESCE(ht.hits, 0) > COALESCE(hm.hits, 0) AS separated
+FROM spine s
+LEFT JOIN hm ON hm.band = s.band
+LEFT JOIN ht ON ht.band = s.band
+ORDER BY band
+"""
+
+
+REGISTRY.update(
+    {
+        "x66_trained_separation_audit": (
+            q_trained_separation_audit,
+            _sql_trained_separation_audit(),
+        )
+    }
+)
+
+
+# ---------------------------------------------------------------------------
 # Enumeration order: the driver's correctness run covers the first N
 # registry entries per round, so the STALEST queries must enumerate
 # first.  Computed at import time from the CORRECTNESS_r*.json records
@@ -22689,13 +23014,26 @@ def _driver_row_history() -> tuple[dict[str, int], set[str]]:
 #: asc_nulls_last in the ascending window path — v16 re-validates
 #: (the argmin consumer) and v21/v23 (the ascending k=10 ADC
 #: probes whose window ordering expression changed).
+#: r12: the r11 cohort (v16/v21/v23/x57) drew green r11 rows and
+#: drops out.  This round's motion: every IVF-PQ per-probe serving
+#: path moved onto the one-declarative batch plan (v18/v19/v20/v22/
+#: v24/v25 — plan change, oracles unchanged) and the shared batch
+#: bodies were parameterized (v21/v23/v26 — code motion, plans
+#: pinned by canaries); the trained quantizer now runs TWO Lloyd
+#: iterations (v25/v26/x64 — oracle change); x63 erases a second
+#: tagged ann layout (oracle change).
 _REVALIDATE = {
-    "v16_incremental_ann",
+    "v18_ivf_cellgrid_topk",
+    "v19_ivfpq_topk",
+    "v20_ivfpq_grown_probe",
     "v21_ivfpq_batch_probe",
+    "v22_ivfpq_residual_topk",
     "v23_ivfpq_residual_batch_probe",
-    # r11: postings path keyed by bucket count + the layout-manifest
-    # gate on the probe (VERDICT r10 watch item 3a).
-    "x57_bm25_stored_index",
+    "v24_ivfpq_deleted_probe",
+    "v25_ivfpq_trained_topk",
+    "v26_ivfpq_trained_batch_probe",
+    "x63_entity_erase_audit",
+    "x64_trained_recall_audit",
 }
 
 #: Queries FIRST ADDED this round: they are never-checked too, but the
