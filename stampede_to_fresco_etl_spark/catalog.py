@@ -19943,22 +19943,6 @@ def _pq_codes_dir_cached(spark, sf_dir) -> str:
     return path
 
 
-def _adc_expr(tab, p: int):
-    """The ADC score of one probe as a fixed-order column expression:
-    M lookup-table element_at's summed left-to-right — the exact
-    association the oracle's ``t0.d2 + t1.d2 + ...`` uses."""
-    from stampede_to_fresco_etl_spark.operators.similarity import (
-        lit_double_vec,
-    )
-
-    adc = None
-    for s in range(_PQ_M):
-        lut = lit_double_vec([float(v) for v in tab[(p, s)]])
-        term = F.element_at(lut, F.col(f"code{s}") + 1)
-        adc = term if adc is None else adc + term
-    return adc
-
-
 def q_pq_adc_topk(spark, sf_dir):
     tab = _pq_dist_tables(spark, sf_dir, _V17_PROBES)
     return _pq_adc_from(spark, tab, _pq_codes_dir_cached(spark, sf_dir))
@@ -20026,27 +20010,48 @@ def _pq_adc_from(spark, tab, codes_dir):
     # the code table is a STORED snapshot artifact (v11's build,
     # materialized once per session via index_store — M bytes of
     # payload per vector); every search call scans only the codes
-    # parquet
+    # parquet.  r12: the per-probe branch loop (one scan +
+    # TakeOrdered PER PROBE, unioned) became ONE declarative plan —
+    # the LUTs ride a broadcast probe-row table (probes × M × K
+    # doubles as DATA, the same exact values the old
+    # per-probe branches inlined as literals), the codes scan happens ONCE for ALL probes, and the
+    # per-probe top-k is the salted partial_topk window.  At serving
+    # probe counts beyond a handful the old shape re-scanned the
+    # whole code table per probe; this is O(1) scans at any count.
     from stampede_to_fresco_etl_spark import index_store
+    from stampede_to_fresco_etl_spark.operators.similarity import (
+        partial_topk,
+    )
 
     codes = index_store.read_pq_codes(spark, codes_dir).select(
         "vec_id", *[f"code{s}" for s in range(_PQ_M)]
     )
-    outs = []
-    for p in range(_V17_PROBES):
-        outs.append(
-            codes.select(
-                F.lit(p).cast("long").alias("probe_id"),
-                "vec_id",
-                _adc_expr(tab, p).alias("adc_dist"),
+    probe_ids = sorted({p for (p, _s) in tab})
+    ldf = spark.createDataFrame(
+        [
+            tuple(
+                [p] + [[float(v) for v in tab[(p, s)]] for s in range(_PQ_M)]
             )
-            .orderBy(F.col("adc_dist").asc(), "vec_id")
-            .limit(_V17_TOPK)
-        )
-    out = outs[0]
-    for t in outs[1:]:
-        out = out.unionAll(t)
-    return out
+            for p in probe_ids
+        ],
+        "probe_id long, "
+        + ", ".join(f"lut{s} array<double>" for s in range(_PQ_M)),
+    )
+    adc = None
+    for s in range(_PQ_M):
+        term = F.element_at(F.col(f"lut{s}"), F.col(f"code{s}") + 1)
+        adc = term if adc is None else adc + term
+    scored = codes.crossJoin(F.broadcast(ldf)).select(
+        "probe_id", "vec_id", adc.alias("adc_dist")
+    )
+    return partial_topk(
+        scored,
+        "probe_id",
+        "vec_id",
+        _V17_TOPK,
+        sim_col="adc_dist",
+        ascending=True,
+    ).select("probe_id", "vec_id", "adc_dist")
 
 
 def _sql_pq_adc_topk() -> str:
@@ -23021,8 +23026,13 @@ def _driver_row_history() -> tuple[dict[str, int], set[str]]:
 #: bodies were parameterized (v21/v23/v26 — code motion, plans
 #: pinned by canaries); the trained quantizer now runs TWO Lloyd
 #: iterations (v25/v26/x64 — oracle change); x63 erases a second
-#: tagged ann layout (oracle change).
+#: tagged ann layout (oracle change); the flat-ADC per-probe branch
+#: loop became one broadcast-LUT scan (v17 and its recall-audit
+#: consumers x59/x61 — plan change, oracles unchanged).
 _REVALIDATE = {
+    "v17_pq_adc_topk",
+    "x59_adc_recall_audit",
+    "x61_sampled_adc_audit",
     "v18_ivf_cellgrid_topk",
     "v19_ivfpq_topk",
     "v20_ivfpq_grown_probe",

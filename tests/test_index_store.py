@@ -1513,6 +1513,38 @@ def test_residual_perprobe_serving_is_one_declarative_plan(spark):
         }
 
 
+def test_flat_adc_scan_is_one_declarative_plan(spark):
+    """r12: v17's flat-ADC search scans the stored code table ONCE
+    for all probes (broadcast LUT-row table × codes), instead of one
+    scan + TakeOrdered per probe unioned — at serving probe counts
+    beyond a handful the old shape re-read the whole artifact per
+    probe.  Values stay driver-gated by the v17 oracle."""
+    import contextlib
+    import io
+
+    from stampede_to_fresco_etl_spark.catalog import q_pq_adc_topk
+
+    df = q_pq_adc_topk(spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "Union" not in plan, plan
+    code_scans = [
+        ln
+        for ln in plan.splitlines()
+        if ln.lstrip().startswith("Location") and "/pq_codes/" in ln
+    ]
+    assert len(code_scans) == 1, plan
+    assert "BroadcastNestedLoopJoin" in plan  # the tiny LUT-row side
+    out = df.collect()
+    assert out
+    per_probe = {}
+    for r in out:
+        per_probe.setdefault(int(r["probe_id"]), []).append(r)
+    assert len(per_probe) == 3
+
+
 def test_trained_batch_probe_shape_and_plan(spark):
     """v26: the one-declarative-plan canaries hold on the TRAINED
     layout too — the 64-cell trained quantizer must not flip the
