@@ -56,7 +56,23 @@ TS_COLS = {
 }
 
 
+#: (applicationId, sf_dir, table) -> loaded DataFrame.  A DataFrame
+#: is an immutable logical plan, so handing the same object to every
+#: caller is safe — and each `load` costs two conf round-trips, a
+#: directory listing, and a footer schema read (~0.1-0.2 s of driver
+#: time), which the 304-query gate paid per QUERY (r12, VERDICT r11
+#: item 6: the sweep's floor is the Spark side now).  Corpus dirs
+#: are written once and read many (testdata is read-only; rehearsal
+#: tmp corpora are write-then-read), so a cached file listing can
+#: never go stale within a session.
+_LOAD_CACHE: dict = {}
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    ck = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _LOAD_CACHE.get(ck)
+    if cached is not None:
+        return cached
     # Driver-generated testdata has shipped two timestamp encodings:
     # TIMESTAMP(NANOS) (readable only as bigint via the legacy conf)
     # and plain micros with isAdjustedToUTC=false (reads as
@@ -64,6 +80,8 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # session so epoch math (unix_micros etc.) works in ANY
     # driver-built session; the oracle (DuckDB) treats the same values
     # as naive, so UTC keeps wall clocks identical on both sides.
+    # The confs persist for the session, so setting them on the first
+    # load per (session, dir, table) keeps every later plan correct.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -73,6 +91,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
         elif dtypes.get(c) == "timestamp_ntz":
             df = df.withColumn(c, F.col(c).cast("timestamp"))
+    _LOAD_CACHE[ck] = df
     return df
 
 
