@@ -9,12 +9,18 @@ order-insensitive value-hash matches).  Non-empty enforced except for
 the documented small-sf exceptions (test_oracle_parity._MAY_BE_EMPTY).
 
 Run:  python scripts/sweep.py [sf_dir] [name_substring ...] [--shard=i/n]
-                              [--times]
+                              [--times] [--parallel=n]
 Default sf_dir: /root/testdata/sf0.01 (the driver's gate scale).
 Optional name substrings restrict the sweep to matching queries.
 --times prints a per-query wall breakdown (spark vs oracle seconds,
 sorted descending) after the sweep — the attribution tool for
 correctness-gate wall growth (VERDICT r10 item 6).
+--parallel=n runs the registry as n concurrent --shard subprocesses
+(each an unmodified sequential sweep in its own JVM + DuckDB
+connection — per-query semantics identical, only the wall changes)
+and then runs the full-registry representation lint in the parent.
+The gate's floor is per-query driver round-trips (SCALE.md r12), so
+concurrent shards buy ~1/n wall on a mostly-idle local[32] host.
 
 Exit code 0 iff every swept query matches.
 """
@@ -29,6 +35,82 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0] + "/tests")
 sys.path.insert(0, __file__.rsplit("/", 2)[0] + "/scripts")
 
 
+def _parallel_sweep(
+    sf_dir: str, needles: list[str], n: int, times: bool
+) -> int:
+    """Run the sweep as n concurrent --shard subprocesses and the
+    full-registry representation lint in this process.  Each shard
+    is the unmodified sequential sweep — its own JVM, catalog
+    session caches, and DuckDB connection — so per-query comparison
+    semantics are byte-identical to a plain run; only the wall
+    changes.  ok/bad are aggregated from each shard's SWEEP line
+    (a shard that dies before printing one counts as failed)."""
+    import os
+    import re
+    import shutil
+    import subprocess
+    import tempfile
+
+    t0 = time.time()
+    cmd0 = [sys.executable, __file__, sf_dir, *needles]
+    if times:
+        cmd0.append("--times")
+    # Each shard gets a PRIVATE artifact scratch root: the session
+    # caches that make artifact builds once-per-session are
+    # in-process, so two shards sharing the default .scratch would
+    # both build and overwrite each other mid-read (observed:
+    # UNABLE_TO_INFER_SCHEMA on a dir being rewritten).
+    scratch = tempfile.mkdtemp(prefix="sweep_par_")
+    procs = [
+        subprocess.Popen(
+            [*cmd0, f"--shard={i}/{n}"],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL,
+            text=True,
+            env={
+                **os.environ,
+                "SPARK_GRAFT_SCRATCH": f"{scratch}/shard{i}",
+            },
+        )
+        for i in range(n)
+    ]
+    ok = bad = 0
+    summarized = 0
+    for i, p in enumerate(procs):
+        out, _ = p.communicate()
+        for line in out.splitlines():
+            if line.startswith(("FAIL", "LINT-FAIL")) or times:
+                print(line, flush=True)
+        m = re.search(r"SWEEP .*: (\d+)/(\d+) exact", out)
+        if m:
+            summarized += 1
+            ok += int(m.group(1))
+            bad += int(m.group(2)) - int(m.group(1))
+        else:
+            bad += 1
+            print(
+                f"FAIL shard {i}/{n}: exited {p.returncode} with no "
+                f"SWEEP summary",
+                flush=True,
+            )
+    shutil.rmtree(scratch, ignore_errors=True)
+    lint_bad = 0
+    if not needles:
+        from oracle_lint import lint as _rep_lint
+
+        banned, _dates = _rep_lint(sf_dir)
+        for qname, col, typ in banned:
+            lint_bad += 1
+            print(f"LINT-FAIL {qname}.{col}: {typ}", flush=True)
+    print(
+        f"SWEEP {sf_dir} (parallel={n}): {ok}/{ok + bad} exact, "
+        f"{lint_bad} representation-lint failures, "
+        f"in {time.time() - t0:.0f}s",
+        flush=True,
+    )
+    return 0 if bad == 0 and lint_bad == 0 and summarized == n else 1
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     needles = sys.argv[2:]
@@ -37,6 +119,7 @@ def main() -> int:
     # cover the registry in pieces.
     shard = None
     times = False
+    parallel = None
     for a in list(needles):
         if a.startswith("--shard"):
             needles.remove(a)
@@ -45,6 +128,12 @@ def main() -> int:
         elif a == "--times":
             needles.remove(a)
             times = True
+        elif a.startswith("--parallel"):
+            needles.remove(a)
+            parallel = int(a.split("=", 1)[1])
+
+    if parallel is not None and shard is None:
+        return _parallel_sweep(sf_dir, needles, parallel, times)
 
     import pandas as pd
     from pyspark.sql import SparkSession

@@ -2533,9 +2533,19 @@ REGISTRY.update(
 # (overwritten every run).
 # ===========================================================================
 
+import os as _os
 import pathlib as _pathlib
 
-_SCRATCH = str(_pathlib.Path(__file__).resolve().parent.parent / ".scratch")
+#: Session-artifact root.  A fixed path is correct for one process,
+#: but TWO processes sharing a checkout both decide "not built this
+#: session yet" and overwrite each other's half-written artifacts
+#: (observed: concurrent sweep shards reading a parquet dir mid-
+#: overwrite → UNABLE_TO_INFER_SCHEMA).  SPARK_GRAFT_SCRATCH gives
+#: each concurrent process its own root; the default (repo-local
+#: .scratch) is unchanged for the single-process case.
+_SCRATCH = _os.environ.get("SPARK_GRAFT_SCRATCH") or str(
+    _pathlib.Path(__file__).resolve().parent.parent / ".scratch"
+)
 
 
 def _roundtrip_agg(df):

@@ -36,3 +36,37 @@ def test_record_passes_idle_host(monkeypatch):
         0.4,
         0.3,
     ]
+
+
+def test_scratch_root_env_override():
+    """Concurrent processes sharing one checkout must be able to
+    take private artifact scratch roots (SPARK_GRAFT_SCRATCH — the
+    parallel sweep's isolation mechanism; without it two sessions
+    both decide "not built yet" and overwrite each other's
+    artifacts mid-read).  The override binds at import, so probe it
+    in a subprocess; the default stays repo-local."""
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    probe = (
+        "import sys; sys.path.insert(0, %r); "
+        "from stampede_to_fresco_etl_spark.catalog import _SCRATCH; "
+        "print(_SCRATCH)" % repo
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", probe],
+        env={**os.environ, "SPARK_GRAFT_SCRATCH": "/tmp/scratch_probe"},
+        capture_output=True,
+        text=True,
+        check=True,
+    ).stdout.strip()
+    assert out == "/tmp/scratch_probe"
+    out = subprocess.run(
+        [sys.executable, "-c", probe],
+        env={k: v for k, v in os.environ.items()
+             if k != "SPARK_GRAFT_SCRATCH"},
+        capture_output=True,
+        text=True,
+        check=True,
+    ).stdout.strip()
+    assert out == os.path.join(repo, ".scratch")
