@@ -154,6 +154,7 @@ EXTENSION = [
     "v26_ivfpq_trained_batch_probe",  # new r11: batch probe, trained layout
     "x65_bm25_after_erase",  # new r11: BM25 serving after a takedown
     "x66_trained_separation_audit",  # new r12: separation on clustered corpus
+    "v27_ivfpq_trained_grown_probe",  # new r12: trained layout after ingest growth
 ]
 
 # CORE_V2 (frozen r9, VERDICT r8 item 2): CORE plus the stored-

@@ -21556,6 +21556,7 @@ def _sql_ivfpq_residual_topk(
     trained: bool = False,
     source: str | None = None,
     probe_max: int | None = None,
+    grown: bool = False,
 ) -> str:
     """v19's oracle with the encoding switched to residuals: codes
     and LUTs are computed from x − centroid[assigned cell] (and
@@ -21567,7 +21568,14 @@ def _sql_ivfpq_residual_topk(
     an empty cell keeps its previous vector) instead of the raw
     `V16_CENTROIDS` md5 seeds — the v25 serving config.  `source`
     replaces the ``alle`` corpus SELECT (x66's clustered variant);
-    `probe_max` widens the non-batch probe set."""
+    `probe_max` widens the non-batch probe set.  With `grown`, the
+    SERVED set additionally holds every 3rd held-out vector (v20's
+    deterministic ingest wave) while the quantizer stays FROZEN on
+    the original indexed split — the trained chain, the cell seeds,
+    and the residual codebook all still derive from ``e`` (is_idx=1)
+    only; grown rows are assigned and residual-encoded with those
+    frozen tables, exactly the daemon's frozen-centroid growth
+    (v27's shape)."""
     h = md5_int63_sql("CAST(vec_id AS VARCHAR)", salt=INGEST_SPLIT_SALT)
     sq_cs = _D_SQDIST.format(a="e.v", b="s.cv")
     sq_ps = _D_SQDIST.format(a="p.pv", b="s.cv")
@@ -21611,6 +21619,27 @@ def _sql_ivfpq_residual_topk(
         FROM e ORDER BY h LIMIT {V16_CENTROIDS})
 ),"""
     src = source or "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings"
+    # `grown`: the quantizer CTEs keep reading `e` (idx-only), while
+    # assignment/encoding read the served superset — and the residual
+    # codebook restricts back to idx rows, matching the Spark side's
+    # `_residual_seeds` over the pre-growth snapshot.
+    corpus = "served" if grown else "e"
+    served_cte = (
+        """served AS (
+  SELECT vec_id, v FROM split
+  WHERE is_idx = 1 OR (is_idx = 0 AND vec_id % 3 = 0)
+),
+"""
+        if grown
+        else ""
+    )
+    rseed_src = (
+        f"""SELECT r.vec_id, r.rv AS rv FROM resid r
+        JOIN split sp ON sp.vec_id = r.vec_id AND sp.is_idx = 1
+        ORDER BY r.vec_id LIMIT {_PQ_K}"""
+        if grown
+        else f"SELECT vec_id, rv FROM resid ORDER BY vec_id LIMIT {_PQ_K}"
+    )
     return f"""
 WITH alle AS ({src}),
 split AS (
@@ -21619,14 +21648,14 @@ split AS (
   FROM alle
 ),
 e AS (SELECT vec_id, v FROM split WHERE is_idx = 1),
-{cents_cte}
+{served_cte}{cents_cte}
 assigned AS (
   SELECT vec_id, cell FROM (
     SELECT e.vec_id, s.cell,
            row_number() OVER (
              PARTITION BY e.vec_id ORDER BY {sq_cs}, s.cell
            ) AS rn
-    FROM e CROSS JOIN seeds s
+    FROM {corpus} e CROSS JOIN seeds s
   ) WHERE rn = 1
 ),
 resid AS (
@@ -21634,13 +21663,13 @@ resid AS (
          list_transform(range(1, {ndim} + 1),
                         i -> e.v[i] - s.cv[i]) AS rv
   FROM assigned a
-  JOIN e ON e.vec_id = a.vec_id
+  JOIN {corpus} e ON e.vec_id = a.vec_id
   JOIN seeds s ON s.cell = a.cell
 ),
 rseed AS (
   SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
            AS code, rv
-  FROM (SELECT vec_id, rv FROM resid ORDER BY vec_id LIMIT {_PQ_K})
+  FROM ({rseed_src})
 ),
 rcents AS (
   SELECT s.range AS ss, r.code,
@@ -22939,6 +22968,107 @@ REGISTRY.update(
         "x66_trained_separation_audit": (
             q_trained_separation_audit,
             _sql_trained_separation_audit(),
+        )
+    }
+)
+
+
+# ---------------------------------------------------------------------------
+# V27 — ingest GROWTH of the trained serving layout (r12).  The
+# trained config is the one this repo recommends adopting (x66's
+# hash-pinned separation), but until now only the md5 layouts had a
+# demonstrated growth path (v20) — an operator adopting v25 would
+# lose ingest growth until the next training snapshot.  This query
+# drives the missing lifecycle through the hash gate: the SAME
+# daemon verb (`apply_ann_batch`) grows a trained layout because it
+# reads whatever centroid companion is stored — the Lloyd-refined
+# cells stay FROZEN (no reseed, no retrain), the wave (v20's
+# deterministic every-3rd-held-out ingest) is assigned with them,
+# and the grown rows are residual-encoded with the SNAPSHOT's frozen
+# codebook (`_residual_seeds` over the pre-growth indexed split).
+# Serving rides the same one-declarative residual probe as v25 on a
+# separately-tagged layout (`tr_grown`), so the snapshot layout v25
+# serves is untouched.  Training stays at snapshot cadence; growth
+# is O(wave) — the trained config now has the full grow/serve/erase
+# lifecycle the untrained one has.
+# Oracle: the residual chain with the served set widened to the
+# wave while every quantizer table still derives from the original
+# indexed split (`_sql_ivfpq_residual_topk(trained=True,
+# grown=True)`).
+# ---------------------------------------------------------------------------
+
+
+def q_ivfpq_trained_grown_probe(spark, sf_dir):
+    from stampede_to_fresco_etl_spark import index_store
+    from stampede_to_fresco_etl_spark.functions import md5_int63
+    from stampede_to_fresco_etl_spark.operators.similarity import (
+        lit_double_matrix,
+        pq_encode,
+    )
+    from stampede_to_fresco_etl_spark.streaming.ann_stream import (
+        apply_ann_batch,
+    )
+
+    # the snapshot serving build is the source of the FROZEN
+    # quantizer tables (trained cells + residual codebook) — the
+    # grown layout must quantize with exactly what v25 serves
+    _, _, cents, rseeds = _trained_residual_serving(spark, sf_dir)
+    tag = _V25_TAG + "_grown"
+    emb = load(spark, sf_dir, "embeddings")
+    h = md5_int63("vec_id", salt=INGEST_SPLIT_SALT)
+    idx = emb.filter(h < F.lit(INGEST_IDX_BOUND))
+    wave = emb.filter(
+        (h >= F.lit(INGEST_IDX_BOUND)) & (F.col("vec_id") % 3 == 0)
+    )
+    index_dir, cent_dir = index_store.ann_index_dirs(
+        spark, sf_dir, idx, _V25_CELLS, tag=tag, centroids=cents
+    )
+    grow_marker = f"{index_dir}#wave1"
+    if not index_store.session_marker(spark, grow_marker):
+        apply_ann_batch(
+            spark,
+            wave,
+            1,
+            index_dir,
+            f"{_SCRATCH}/index_store/v27_matches/"
+            f"{index_store._key(sf_dir)}",
+            cent_dir,
+            n_centroids=_V25_CELLS,
+        )
+        index_store.mark_session(spark, grow_marker)
+    assigned = index_store.read_ann_index(spark, index_dir)
+    res = assigned.select(
+        "vec_id",
+        F.zip_with(
+            "v",
+            F.element_at(
+                lit_double_matrix(cents), F.col("cell") + 1
+            ),
+            lambda a, b: a - b,
+        ).alias("rv"),
+    )
+    codes = pq_encode(
+        res, rseeds, id_col="vec_id", vec_col="rv",
+        m=_PQ_M, dims=_PQ_DIMS,
+    ).select("vec_id", *[f"code{s}" for s in range(_PQ_M)])
+    serving = index_store.ivfpq_dir(
+        spark,
+        sf_dir,
+        assigned,
+        codes,
+        n_centroids=_V25_CELLS,
+        tag=tag,
+    )
+    return _residual_batch_probe(
+        spark, sf_dir, serving, cent_dir, cents, rseeds, batch=False
+    )
+
+
+REGISTRY.update(
+    {
+        "v27_ivfpq_trained_grown_probe": (
+            q_ivfpq_trained_grown_probe,
+            _sql_ivfpq_residual_topk(trained=True, grown=True),
         )
     }
 )

@@ -1545,6 +1545,85 @@ def test_flat_adc_scan_is_one_declarative_plan(spark):
     assert len(per_probe) == 3
 
 
+def test_trained_layout_grows_with_frozen_quantizer(spark):
+    """v27's lifecycle (r12): the daemon verb grows a TRAINED layout
+    with its quantizer frozen — the on-disk centroid companion is
+    the trained table bit-for-bit after the wave (no reseed, no
+    retrain: `_load_or_seed_centroids` reads whatever companion is
+    stored, so Lloyd cells ride growth unchanged), the grown serving
+    set = snapshot + v20's deterministic wave while v25's snapshot
+    layout is untouched, and shared (probe, vec) hits score
+    identically across the two servings (same frozen residual
+    codebook)."""
+    from pyspark.sql import functions as F2
+
+    from stampede_to_fresco_etl_spark.catalog import (
+        _V25_CELLS,
+        _V25_TAG,
+        _trained_residual_serving,
+        q_ivfpq_trained_grown_probe,
+        q_ivfpq_trained_topk,
+    )
+
+    out27 = q_ivfpq_trained_grown_probe(spark, SF).collect()
+    assert len(out27) > 0
+
+    _, _, cents, _rseeds = _trained_residual_serving(spark, SF)
+    tag = _V25_TAG + "_grown"
+    emb = load(spark, SF, "embeddings")
+    h = md5_int63("vec_id", salt=INGEST_SPLIT_SALT)
+    idx = emb.filter(h < F2.lit(INGEST_IDX_BOUND))
+    index_dir, cent_dir = index_store.ann_index_dirs(
+        spark, SF, idx, _V25_CELLS, tag=tag, centroids=cents
+    )
+    # read the companion STRAIGHT off parquet (read_ann_centroids
+    # session-caches, which would mask an on-disk rewrite)
+    stored = [
+        [float(x) for x in r["cv"]]
+        for r in spark.read.parquet(cent_dir).orderBy("cell").collect()
+    ]
+    assert stored == cents  # frozen through growth, bit-for-bit
+
+    idx_n = idx.count()
+    wave_ids = {
+        int(r["vec_id"])
+        for r in emb.filter(
+            (h >= F2.lit(INGEST_IDX_BOUND))
+            & (F2.col("vec_id") % 3 == 0)
+        )
+        .select("vec_id")
+        .collect()
+    }
+    grown = index_store.read_ivfpq(
+        spark, index_store.ivfpq_path(SF, _V25_CELLS, tag)
+    )
+    assert grown.count() == idx_n + len(wave_ids)
+    grown_ids = {
+        int(r["vec_id"]) for r in grown.select("vec_id").collect()
+    }
+    assert wave_ids <= grown_ids
+    snap = index_store.read_ivfpq(
+        spark, index_store.ivfpq_path(SF, _V25_CELLS, _V25_TAG)
+    )
+    assert snap.count() == idx_n  # v25's artifact untouched
+    snap_ids = {
+        int(r["vec_id"]) for r in snap.select("vec_id").collect()
+    }
+    assert not (wave_ids & snap_ids)
+
+    by_pair27 = {
+        (int(r["probe_id"]), int(r["vec_id"])): r["adc_dist"]
+        for r in out27
+    }
+    shared = 0
+    for r in q_ivfpq_trained_topk(spark, SF).collect():
+        k = (int(r["probe_id"]), int(r["vec_id"]))
+        if k in by_pair27:
+            assert r["adc_dist"] == by_pair27[k]
+            shared += 1
+    assert shared > 0
+
+
 def test_trained_batch_probe_shape_and_plan(spark):
     """v26: the one-declarative-plan canaries hold on the TRAINED
     layout too — the 64-cell trained quantizer must not flip the
