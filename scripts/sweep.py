@@ -61,23 +61,55 @@ def _parallel_sweep(
     # both build and overwrite each other mid-read (observed:
     # UNABLE_TO_INFER_SCHEMA on a dir being rewritten).
     scratch = tempfile.mkdtemp(prefix="sweep_par_")
-    procs = [
-        subprocess.Popen(
-            [*cmd0, f"--shard={i}/{n}"],
-            stdout=subprocess.PIPE,
-            stderr=subprocess.DEVNULL,
-            text=True,
-            env={
-                **os.environ,
-                "SPARK_GRAFT_SCRATCH": f"{scratch}/shard{i}",
-            },
+    # shard output goes to FILES, not pipes: the parent waits on
+    # shards one at a time, and a still-running shard blocked on a
+    # full 64 KiB pipe (Spark's stderr alone overflows one) would
+    # deadlock the whole sweep.
+    procs = []
+    for i in range(n):
+        out_f = open(f"{scratch}/shard{i}.out", "w+")
+        err_f = open(f"{scratch}/shard{i}.err", "w+")
+        procs.append(
+            (
+                subprocess.Popen(
+                    [*cmd0, f"--shard={i}/{n}"],
+                    stdout=out_f,
+                    stderr=err_f,
+                    text=True,
+                    env={
+                        **os.environ,
+                        "SPARK_GRAFT_SCRATCH": f"{scratch}/shard{i}",
+                    },
+                ),
+                out_f,
+                err_f,
+            )
         )
-        for i in range(n)
-    ]
+
+    def _shard_size(i: int) -> int:
+        # only needed on the rare dead-shard path: count the
+        # registry queries round-robin-assigned to shard i so the
+        # summary's denominator states how many were NEVER swept
+        # instead of hiding them behind a single failure.
+        from stampede_to_fresco_etl_spark.catalog import REGISTRY
+
+        names = [
+            q
+            for q in sorted(REGISTRY)
+            if not needles or any(s in q for s in needles)
+        ]
+        return sum(1 for j in range(len(names)) if j % n == i)
+
     ok = bad = 0
     summarized = 0
-    for i, p in enumerate(procs):
-        out, _ = p.communicate()
+    for i, (p, out_f, err_f) in enumerate(procs):
+        p.wait()
+        out_f.seek(0)
+        out = out_f.read()
+        out_f.close()
+        err_f.seek(0)
+        err = err_f.read()
+        err_f.close()
         for line in out.splitlines():
             if line.startswith(("FAIL", "LINT-FAIL")) or times:
                 print(line, flush=True)
@@ -87,21 +119,17 @@ def _parallel_sweep(
             ok += int(m.group(1))
             bad += int(m.group(2)) - int(m.group(1))
         else:
-            bad += 1
+            unswept = _shard_size(i)
+            bad += unswept
+            tail = "\n".join(err.strip().splitlines()[-5:])
             print(
                 f"FAIL shard {i}/{n}: exited {p.returncode} with no "
-                f"SWEEP summary",
+                f"SWEEP summary — its {unswept} assigned queries "
+                f"were never swept; stderr tail:\n{tail}",
                 flush=True,
             )
     shutil.rmtree(scratch, ignore_errors=True)
-    lint_bad = 0
-    if not needles:
-        from oracle_lint import lint as _rep_lint
-
-        banned, _dates = _rep_lint(sf_dir)
-        for qname, col, typ in banned:
-            lint_bad += 1
-            print(f"LINT-FAIL {qname}.{col}: {typ}", flush=True)
+    lint_bad = _run_lint(sf_dir) if not needles else 0
     print(
         f"SWEEP {sf_dir} (parallel={n}): {ok}/{ok + bad} exact, "
         f"{lint_bad} representation-lint failures, "
@@ -111,26 +139,52 @@ def _parallel_sweep(
     return 0 if bad == 0 and lint_bad == 0 and summarized == n else 1
 
 
+def _run_lint(sf_dir: str) -> int:
+    """Full-registry representation lint (VERDICT r7 item 2), shared
+    by the sequential and parallel paths so the two modes can never
+    drift in what they ban or how they report it."""
+    from oracle_lint import lint as _rep_lint
+
+    lint_bad = 0
+    banned, _dates = _rep_lint(sf_dir)
+    for qname, col, typ in banned:
+        lint_bad += 1
+        print(f"LINT-FAIL {qname}.{col}: {typ}", flush=True)
+    return lint_bad
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    needles = sys.argv[2:]
-    # --shard i/n selects names round-robin (j % n == i) from the
-    # sorted list — lets a caller with a bounded per-command window
-    # cover the registry in pieces.
+    # flags may appear ANYWHERE (the documented invocations omit
+    # sf_dir: `sweep.py --parallel=4`); positionals are sf_dir then
+    # name substrings.  A malformed flag exits with usage instead of
+    # an IndexError traceback.
+    args = sys.argv[1:]
     shard = None
     times = False
     parallel = None
-    for a in list(needles):
-        if a.startswith("--shard"):
-            needles.remove(a)
-            i, n = a.split("=", 1)[1].split("/")
-            shard = (int(i), int(n))
-        elif a == "--times":
-            needles.remove(a)
-            times = True
-        elif a.startswith("--parallel"):
-            needles.remove(a)
-            parallel = int(a.split("=", 1)[1])
+    pos: list[str] = []
+    for a in args:
+        try:
+            if a.startswith("--shard"):
+                i, n = a.split("=", 1)[1].split("/")
+                shard = (int(i), int(n))
+            elif a == "--times":
+                times = True
+            elif a.startswith("--parallel"):
+                parallel = int(a.split("=", 1)[1])
+            elif a.startswith("--"):
+                raise ValueError(f"unknown flag {a!r}")
+            else:
+                pos.append(a)
+        except (IndexError, ValueError) as ex:
+            print(
+                f"bad argument {a!r} ({ex}); see the module "
+                f"docstring for usage",
+                flush=True,
+            )
+            return 2
+    sf_dir = pos[0] if pos else "/root/testdata/sf0.01"
+    needles = pos[1:]
 
     if parallel is not None and shard is None:
         return _parallel_sweep(sf_dir, needles, parallel, times)
@@ -198,14 +252,9 @@ def main() -> int:
     # lint DESCRIBEs every oracle and fails the sweep on any banned
     # output type, full-registry only (a needle-restricted run keeps
     # its narrow scope).
-    lint_bad = 0
-    if not needles and shard is None:
-        from oracle_lint import lint as _rep_lint
-
-        banned, _dates = _rep_lint(sf_dir)
-        for qname, col, typ in banned:
-            lint_bad += 1
-            print(f"LINT-FAIL {qname}.{col}: {typ}", flush=True)
+    lint_bad = (
+        _run_lint(sf_dir) if not needles and shard is None else 0
+    )
     print(
         f"SWEEP {sf_dir}: {ok}/{ok + bad} exact, "
         f"{lint_bad} representation-lint failures, "

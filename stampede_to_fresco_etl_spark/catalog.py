@@ -21402,6 +21402,49 @@ def _residual_seeds(
 _RESIDUAL_SERVING_CACHE: dict = {}
 
 
+def _residual_encode_serving(
+    spark, sf_dir, assigned, cents, rseeds, n_centroids, tag
+):
+    """Residual-encode an assigned `(vec_id, v, cell)` frame with a
+    FROZEN quantizer and materialize the cell-partitioned IVF-PQ
+    serving layout — the one tail every residual layout builder
+    shares (untrained v22, trained v25, trained-grown v27, the x66
+    corpus variants), so an encoding fix can never reach one layout
+    and miss another that must score identically with it.  In-plan
+    residual: rv = v − centroid[cell] (one literal-matrix element_at
+    per row), then the shared PQ kernel encodes rv against the
+    residual codebook — no extra join, the embedding rides the
+    assignment artifact."""
+    from stampede_to_fresco_etl_spark import index_store
+    from stampede_to_fresco_etl_spark.operators.similarity import (
+        lit_double_matrix,
+        pq_encode,
+    )
+
+    res = assigned.select(
+        "vec_id",
+        F.zip_with(
+            "v",
+            F.element_at(
+                lit_double_matrix(cents), F.col("cell") + 1
+            ),
+            lambda a, b: a - b,
+        ).alias("rv"),
+    )
+    codes = pq_encode(
+        res, rseeds, id_col="vec_id", vec_col="rv",
+        m=_PQ_M, dims=_PQ_DIMS,
+    ).select("vec_id", *[f"code{s}" for s in range(_PQ_M)])
+    return index_store.ivfpq_dir(
+        spark,
+        sf_dir,
+        assigned,
+        codes,
+        n_centroids=n_centroids,
+        tag=tag,
+    )
+
+
 def _residual_serving(spark, sf_dir, emb=None, key=""):
     """Materialize (once per session) the residual-encoded serving
     layout and return (serving_path, cent_dir, cents, rseeds).
@@ -21413,10 +21456,6 @@ def _residual_serving(spark, sf_dir, emb=None, key=""):
     with (or silently mis-serve) the standard layout."""
     from stampede_to_fresco_etl_spark import index_store
     from stampede_to_fresco_etl_spark.functions import md5_int63
-    from stampede_to_fresco_etl_spark.operators.similarity import (
-        lit_double_matrix,
-        pq_encode,
-    )
 
     ck = (spark.sparkContext.applicationId, sf_dir, key)
     cached = _RESIDUAL_SERVING_CACHE.get(ck)
@@ -21439,31 +21478,9 @@ def _residual_serving(spark, sf_dir, emb=None, key=""):
     cents = index_store.read_ann_centroids(spark, cent_dir)
     assigned = index_store.read_ann_index(spark, index_dir)
     rseeds = _residual_seeds(spark, assigned, cents)
-    # in-plan residual: rv = v − centroid[cell] (one literal-matrix
-    # element_at per row), then the shared PQ kernel encodes rv
-    # against the residual codebook — no extra join, the embedding
-    # rides the assignment artifact
-    res = assigned.select(
-        "vec_id",
-        F.zip_with(
-            "v",
-            F.element_at(
-                lit_double_matrix(cents), F.col("cell") + 1
-            ),
-            lambda a, b: a - b,
-        ).alias("rv"),
-    )
-    codes = pq_encode(
-        res, rseeds, id_col="vec_id", vec_col="rv",
-        m=_PQ_M, dims=_PQ_DIMS,
-    ).select("vec_id", *[f"code{s}" for s in range(_PQ_M)])
-    serving = index_store.ivfpq_dir(
-        spark,
-        sf_dir,
-        assigned,
-        codes,
-        n_centroids=V16_CENTROIDS,
-        tag=_V22_TAG + (f"_{key}" if key else ""),
+    serving = _residual_encode_serving(
+        spark, sf_dir, assigned, cents, rseeds,
+        V16_CENTROIDS, _V22_TAG + (f"_{key}" if key else ""),
     )
     out = (serving, cent_dir, cents, rseeds)
     _RESIDUAL_SERVING_CACHE[ck] = out
@@ -22084,10 +22101,6 @@ def _trained_residual_serving(spark, sf_dir, emb=None, key=""):
     a corpus VARIANT under its own artifact namespace (x66)."""
     from stampede_to_fresco_etl_spark import index_store
     from stampede_to_fresco_etl_spark.functions import md5_int63
-    from stampede_to_fresco_etl_spark.operators.similarity import (
-        lit_double_matrix,
-        pq_encode,
-    )
 
     ck = (spark.sparkContext.applicationId, sf_dir, key)
     cached = _TRAINED_SERVING_CACHE.get(ck)
@@ -22108,27 +22121,8 @@ def _trained_residual_serving(spark, sf_dir, emb=None, key=""):
     )
     assigned = index_store.read_ann_index(spark, index_dir)
     rseeds = _residual_seeds(spark, assigned, cents)
-    res = assigned.select(
-        "vec_id",
-        F.zip_with(
-            "v",
-            F.element_at(
-                lit_double_matrix(cents), F.col("cell") + 1
-            ),
-            lambda a, b: a - b,
-        ).alias("rv"),
-    )
-    codes = pq_encode(
-        res, rseeds, id_col="vec_id", vec_col="rv",
-        m=_PQ_M, dims=_PQ_DIMS,
-    ).select("vec_id", *[f"code{s}" for s in range(_PQ_M)])
-    serving = index_store.ivfpq_dir(
-        spark,
-        sf_dir,
-        assigned,
-        codes,
-        n_centroids=_V25_CELLS,
-        tag=tag,
+    serving = _residual_encode_serving(
+        spark, sf_dir, assigned, cents, rseeds, _V25_CELLS, tag
     )
     out = (serving, cent_dir, cents, rseeds)
     _TRAINED_SERVING_CACHE[ck] = out
@@ -23001,10 +22995,6 @@ REGISTRY.update(
 def q_ivfpq_trained_grown_probe(spark, sf_dir):
     from stampede_to_fresco_etl_spark import index_store
     from stampede_to_fresco_etl_spark.functions import md5_int63
-    from stampede_to_fresco_etl_spark.operators.similarity import (
-        lit_double_matrix,
-        pq_encode,
-    )
     from stampede_to_fresco_etl_spark.streaming.ann_stream import (
         apply_ann_batch,
     )
@@ -23037,27 +23027,8 @@ def q_ivfpq_trained_grown_probe(spark, sf_dir):
         )
         index_store.mark_session(spark, grow_marker)
     assigned = index_store.read_ann_index(spark, index_dir)
-    res = assigned.select(
-        "vec_id",
-        F.zip_with(
-            "v",
-            F.element_at(
-                lit_double_matrix(cents), F.col("cell") + 1
-            ),
-            lambda a, b: a - b,
-        ).alias("rv"),
-    )
-    codes = pq_encode(
-        res, rseeds, id_col="vec_id", vec_col="rv",
-        m=_PQ_M, dims=_PQ_DIMS,
-    ).select("vec_id", *[f"code{s}" for s in range(_PQ_M)])
-    serving = index_store.ivfpq_dir(
-        spark,
-        sf_dir,
-        assigned,
-        codes,
-        n_centroids=_V25_CELLS,
-        tag=tag,
+    serving = _residual_encode_serving(
+        spark, sf_dir, assigned, cents, rseeds, _V25_CELLS, tag
     )
     return _residual_batch_probe(
         spark, sf_dir, serving, cent_dir, cents, rseeds, batch=False

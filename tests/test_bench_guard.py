@@ -47,7 +47,12 @@ def test_scratch_root_env_override():
     in a subprocess; the default stays repo-local."""
     import subprocess
 
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # resolve() to match catalog's Path(...).resolve() default — an
+    # abspath-based expectation fails spuriously on a symlinked
+    # checkout
+    import pathlib
+
+    repo = str(pathlib.Path(__file__).resolve().parent.parent)
     probe = (
         "import sys; sys.path.insert(0, %r); "
         "from stampede_to_fresco_etl_spark.catalog import _SCRATCH; "
