@@ -21421,6 +21421,19 @@ def _residual_encode_serving(
         pq_encode,
     )
 
+    # already materialized this session: skip the encode-plan
+    # construction entirely — `pq_encode`'s per-code lambda tree
+    # costs seconds of py4j round-trips (qprofile r12: ~4 s of
+    # v27's warm call built a plan `ivfpq_dir` then threw away).
+    # Same freshness contract as `ivfpq_dir`'s own check: a
+    # maintenance pass that stales the layout clears the flag
+    # (`_invalidate_derived`) and the next call rebuilds.
+    path = index_store.ivfpq_path(
+        sf_dir, n_centroids=n_centroids, tag=tag
+    )
+    if index_store._already_materialized(spark, path):
+        return path
+
     res = assigned.select(
         "vec_id",
         F.zip_with(
@@ -21828,7 +21841,15 @@ def _residual_batch_probe(
         F.col("vec_id").alias("probe_id"),
         as_double_vec("embedding").alias("pv"),
     )
-    # route, THEN explode, THEN build qr + LUTs per (probe, cell) row
+    # route, THEN explode, THEN build qr + LUTs per (probe, cell) row.
+    # qr reuses the SAME `__cents` table the routing attached (r12):
+    # re-inlining `lit_double_matrix(cents)` here put a second
+    # cells×dims literal tree in the plan — at the 64-cell trained
+    # layouts that is 4096 double literals to analyze and codegen
+    # per plan instance, while `__cents` is either the identical
+    # literal (≤16 cells) or the one-row broadcast the plan already
+    # carries (identical doubles either way — `_with_centroid_col`'s
+    # bit-exact-twins contract).
     routed = (
         _with_centroid_col(probes, cents)
         .withColumn(
@@ -21840,6 +21861,7 @@ def _residual_batch_probe(
         .select(
             "probe_id",
             "pv",
+            "__cents",
             F.explode(
                 _nearest_cells("pv", "d", _V19_NPROBE)
             ).alias("cell"),
@@ -21848,9 +21870,7 @@ def _residual_batch_probe(
             "qr",
             F.zip_with(
                 "pv",
-                F.element_at(
-                    lit_double_matrix(cents), F.col("cell") + 1
-                ),
+                F.element_at(F.col("__cents"), F.col("cell") + 1),
                 lambda a, b: a - b,
             ),
         )
@@ -22187,34 +22207,51 @@ def q_trained_recall_audit(spark, sf_dir):
         scored, "probe_id", "vec_id", _V19_TOPK
     ).select("probe_id", "vec_id")
 
-    def arm(name, served):
-        hits = exact.join(
-            served.select("probe_id", "vec_id"),
-            ["probe_id", "vec_id"],
-        ).groupBy("probe_id").agg(F.count("*").alias("n_hits"))
-        return (
-            probes.select("probe_id")
-            .join(hits, "probe_id", "left")
-            .select(
-                F.lit(name).alias("arm"),
+    # ONE tagged union of both served arms against ONE exact subtree
+    # (r12 optimization): the per-arm join form instantiated the
+    # exact top-k twice in the plan — the broadcast scoring join and
+    # its two-stage window ran once per arm (qprofile r12: 19 jobs).
+    # Joining the union once halves the exact arm; values unchanged
+    # (same per-(arm, probe) counts, same left-join spine, same
+    # types) — the oracle's own `arms` CTE shape.
+    served = (
+        q_ivfpq_residual_topk(spark, sf_dir)
+        .select(
+            F.lit("residual_md5").alias("arm"), "probe_id", "vec_id"
+        )
+        .unionAll(
+            q_ivfpq_trained_topk(spark, sf_dir).select(
+                F.lit("residual_trained").alias("arm"),
                 "probe_id",
-                F.coalesce("n_hits", F.lit(0).cast("long")).alias(
-                    "n_hits"
-                ),
-                (
-                    F.coalesce("n_hits", F.lit(0)).cast("double")
-                    / F.lit(float(_V19_TOPK))
-                ).alias("recall"),
+                "vec_id",
             )
         )
-
+    )
+    hits = (
+        exact.join(served, ["probe_id", "vec_id"])
+        .groupBy("arm", "probe_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
     return (
-        arm("residual_md5", q_ivfpq_residual_topk(spark, sf_dir))
-        .unionAll(
-            arm(
-                "residual_trained",
-                q_ivfpq_trained_topk(spark, sf_dir),
-            )
+        probes.select(
+            F.explode(
+                F.array(
+                    F.lit("residual_md5"), F.lit("residual_trained")
+                )
+            ).alias("arm"),
+            "probe_id",
+        )
+        .join(hits, ["arm", "probe_id"], "left")
+        .select(
+            "arm",
+            "probe_id",
+            F.coalesce("n_hits", F.lit(0).cast("long")).alias(
+                "n_hits"
+            ),
+            (
+                F.coalesce("n_hits", F.lit(0)).cast("double")
+                / F.lit(float(_V19_TOPK))
+            ).alias("recall"),
         )
         .orderBy("arm", "probe_id")
     )
@@ -22759,15 +22796,24 @@ def _x66_corpus(spark, sf_dir):
     j-step cyclic rotation of the original embedding (dyadic scale
     and integer index arithmetic — exact in both engines)."""
     from stampede_to_fresco_etl_spark.operators.similarity import (
+        _with_centroid_col,
         as_double_vec,
-        lit_double_matrix,
     )
 
     ndim = _PQ_M * _PQ_DIMS
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", as_double_vec("embedding").alias("e")
     )
-    cmat = lit_double_matrix(_X66_CENTERS)
+    # Parallelize BEFORE the replicate+relocate transform and the
+    # downstream exact-arm scoring (r12): the source table is one
+    # parquet file at bench scale, so the whole corpus subtree —
+    # higher-order-function chains that evaluate interpreted, not
+    # codegen — ran as ONE task (measured: a single 5.35 s task was
+    # 60% of x66's wall).  One round-robin exchange of the raw rows
+    # (vec_id + embedding, KBs here) spreads every downstream eval
+    # across the session's cores; count = defaultParallelism, which
+    # scales with the cluster rather than pinning a local constant.
+    emb = emb.repartition(spark.sparkContext.defaultParallelism)
     rep = emb.select(
         "vec_id",
         "e",
@@ -22778,9 +22824,17 @@ def _x66_corpus(spark, sf_dir):
         (F.col("vec_id") * _X66_REPL + F.col("__j")).alias("vec_id"),
         "e",
     )
+    # the 64 × 64 center table rides `_with_centroid_col`'s one-row
+    # broadcast (r12): as an inline literal matrix it was 4096 double
+    # literals that the corpus subtree — which appears once per
+    # consumer arm in x66's plan — re-paid in analysis and codegen
+    # each time; the broadcast row carries identical doubles
+    # (`_with_centroid_col`'s bit-exact-twins contract).
+    rep = _with_centroid_col(rep, _X66_CENTERS, col="__sepc")
     j = (F.col("vec_id") % _X66_REPL).cast("int")
     cvec = F.element_at(
-        cmat, (F.col("vec_id") % _X66_NCENTERS).cast("int") + 1
+        F.col("__sepc"),
+        (F.col("vec_id") % _X66_NCENTERS).cast("int") + 1,
     )
     return rep.select(
         "vec_id",
@@ -22863,22 +22917,41 @@ def q_trained_separation_audit(spark, sf_dir):
 
     band = (F.col("probe_id") % _X66_BANDS).cast("long").alias("band")
 
-    def band_hits(served, name):
-        return (
-            exact.join(
-                served.select("probe_id", "vec_id"),
-                ["probe_id", "vec_id"],
+    # ONE tagged union of both served arms against ONE exact subtree
+    # (r12 optimization, x64's restructure): the per-arm `band_hits`
+    # join form instantiated the exact top-k — the broadcast scoring
+    # join over the clustered corpus plus its two-stage window —
+    # TWICE in the plan (qprofile r12: 23 jobs, ~12 s warm).  The
+    # union + conditional count computes the same per-band hit
+    # counts with the exact arm evaluated once; absent bands still
+    # coalesce to 0 on the spine's left join.
+    served = (
+        served_md5.select(
+            F.lit(0).alias("__arm"), "probe_id", "vec_id"
+        ).unionAll(
+            served_tr.select(
+                F.lit(1).alias("__arm"), "probe_id", "vec_id"
             )
-            .groupBy(band)
-            .agg(F.count("*").cast("long").alias(name))
         )
+    )
+    hits = (
+        exact.join(served, ["probe_id", "vec_id"])
+        .groupBy(band)
+        .agg(
+            F.count(F.when(F.col("__arm") == 0, True))
+            .cast("long")
+            .alias("hits_md5"),
+            F.count(F.when(F.col("__arm") == 1, True))
+            .cast("long")
+            .alias("hits_trained"),
+        )
+    )
 
     spine = probes.groupBy(band).agg(
         F.count("*").cast("long").alias("n_probes")
     )
     return (
-        spine.join(band_hits(served_md5, "hits_md5"), "band", "left")
-        .join(band_hits(served_tr, "hits_trained"), "band", "left")
+        spine.join(hits, "band", "left")
         .select(
             "band",
             "n_probes",
@@ -22992,12 +23065,30 @@ REGISTRY.update(
 # ---------------------------------------------------------------------------
 
 
+#: (applicationId, sf_dir) -> (serving, cent_dir, cents, rseeds) for
+#: the GROWN trained layout — the `_RESIDUAL_SERVING_CACHE` pattern:
+#: without it every warm v27 call re-ran the grow bookkeeping
+#: (ann_index_dirs/read_ann_index plan builds) before reaching the
+#: probe (qprofile r12: ~2 s/call).  Same invalidation contract: the
+#: tuple serves only while the layout's session flag is set.
+_V27_SERVING_CACHE: dict = {}
+
+
 def q_ivfpq_trained_grown_probe(spark, sf_dir):
     from stampede_to_fresco_etl_spark import index_store
     from stampede_to_fresco_etl_spark.functions import md5_int63
     from stampede_to_fresco_etl_spark.streaming.ann_stream import (
         apply_ann_batch,
     )
+
+    ck = (spark.sparkContext.applicationId, sf_dir)
+    cached = _V27_SERVING_CACHE.get(ck)
+    if cached is not None and index_store._already_materialized(
+        spark, cached[0]
+    ):
+        return _residual_batch_probe(
+            spark, sf_dir, *cached, batch=False
+        )
 
     # the snapshot serving build is the source of the FROZEN
     # quantizer tables (trained cells + residual codebook) — the
@@ -23030,6 +23121,7 @@ def q_ivfpq_trained_grown_probe(spark, sf_dir):
     serving = _residual_encode_serving(
         spark, sf_dir, assigned, cents, rseeds, _V25_CELLS, tag
     )
+    _V27_SERVING_CACHE[ck] = (serving, cent_dir, cents, rseeds)
     return _residual_batch_probe(
         spark, sf_dir, serving, cent_dir, cents, rseeds, batch=False
     )

@@ -155,6 +155,11 @@ def _already_materialized(spark: SparkSession, path: str) -> bool:
 
 def _mark_materialized(spark: SparkSession, path: str) -> None:
     _MATERIALIZED[(spark.sparkContext.applicationId, path)] = True
+    # a (re)build just landed: any cached reader DataFrame holds the
+    # OLD file listing — drop it so the next read lists fresh
+    _IVFPQ_READ_CACHE.pop(
+        (spark.sparkContext.applicationId, path), None
+    )
 
 
 def _fresh_dir(spark: SparkSession, path: str) -> str:
@@ -689,10 +694,36 @@ def ivfpq_dir(
     return path
 
 
+#: (applicationId, path) -> the serving layout's reader DataFrame.
+#: `spark.read.parquet` costs a schema-inference + file-listing
+#: round-trip (~0.35 s measured per call, qprofile r12) that every
+#: serving probe paid per CALL; the listing is immutable between the
+#: lifecycle events that rewrite the layout, so the reader is cached
+#: per session and dropped at exactly those events:
+#: `_mark_materialized` (a rebuild just landed), `_swap_in` (an
+#: in-place compaction/erase fold swapped the files), and
+#: `_invalidate_derived` (a source maintenance pass staled the
+#: layout).  Only the PLAN object is reused — every execution still
+#: scans the parquet files.
+_IVFPQ_READ_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def read_ivfpq(spark: SparkSession, path: str) -> DataFrame:
     """The cell-partitioned inverted code lists; filter on ``cell``
-    prunes at the directory level."""
-    return spark.read.parquet(path)
+    prunes at the directory level.  The reader DataFrame is cached
+    per session ONLY while the session's own builder flag for the
+    path is set (`_already_materialized`) — a path this session
+    never built/verified keeps today's fresh-listing read, so
+    foreign lifecycles (tests writing directly, prior-session
+    artifacts) are unaffected."""
+    if not _already_materialized(spark, path):
+        return spark.read.parquet(path)
+    k = (spark.sparkContext.applicationId, path)
+    df = _IVFPQ_READ_CACHE.get(k)
+    if df is None:
+        df = spark.read.parquet(path)
+        _IVFPQ_READ_CACHE[k] = df
+    return df
 
 
 #: source-artifact families the ivfpq layout derives from — a
@@ -739,6 +770,7 @@ def _invalidate_derived(spark: SparkSession, source_path: str) -> None:
         and tail_ok.fullmatch(k[1][len(prefix):])
     ]:
         _MATERIALIZED.pop(k, None)
+        _IVFPQ_READ_CACHE.pop(k, None)
 
 
 def tombstone_dir(path: str) -> str:
@@ -967,6 +999,11 @@ def _swap_in(spark: SparkSession, live_s: str, tmp_s: str) -> None:
     contract): move the live dir aside, rename the staged dir in,
     delete the backup — or restore the live dir if the swap fails.
     Single-writer: call from a maintenance window only."""
+    # the files under live_s are about to change — drop any cached
+    # reader (its file listing would serve the pre-swap snapshot)
+    _IVFPQ_READ_CACHE.pop(
+        (spark.sparkContext.applicationId, live_s), None
+    )
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
     live = jvm.org.apache.hadoop.fs.Path(live_s)
