@@ -113,12 +113,27 @@ def main() -> int:
                 for j in _jobs(spark)
                 if j["jobId"] not in before_jobs
             ]
+            import datetime
+
+            def _ts(s):
+                return datetime.datetime.strptime(
+                    s[:23], "%Y-%m-%dT%H:%M:%S.%f"
+                )
+
             job_breakdowns.append(
                 [
                     (
                         j.get("jobId"),
+                        round(
+                            (
+                                _ts(j["completionTime"])
+                                - _ts(j["submissionTime"])
+                            ).total_seconds(),
+                            2,
+                        )
+                        if j.get("completionTime")
+                        else None,
                         j.get("numTasks"),
-                        j.get("description", "")[:40],
                     )
                     for j in sorted(new, key=lambda j: j["jobId"])
                 ]
@@ -132,6 +147,9 @@ def main() -> int:
                     "explain_s": round(t_explain, 3),
                     "exec_walls_s": [round(w, 3) for w in walls],
                     "n_jobs_last_run": len(job_breakdowns[-1])
+                    if job_breakdowns
+                    else None,
+                    "jobs_last_run": job_breakdowns[-1]
                     if job_breakdowns
                     else None,
                 }
