@@ -45,6 +45,21 @@ def get_spark(
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE's coalesce floor (default 1m) binds whenever a stage's
+        # total shuffle bytes < cores x floor, and a 1 MB partition of
+        # zstd-compressed narrow columns holds ~0.5M rows — window /
+        # scan-heavy stages over such data run 1-2 tasks while their
+        # per-ROW compute, not their bytes, is the cost (t9 0.86->0.44 s,
+        # o2 1.10->0.58 s, a45/w5/w22 -30..-37%, nothing slower;
+        # OPTIMIZATION_r12.md).  256k keeps partitions >=~100k rows so
+        # tiny-task overhead stays amortized; the floor is scale-neutral
+        # (it only matters when a stage's shuffle is smaller than
+        # cores x 1 MB — on a big cluster exactly the same
+        # under-parallelization), and env-overridable for re-tuning.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_MIN_COALESCE_PARTITION_SIZE", "256k"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config(
             "spark.sql.shuffle.partitions",
