@@ -8297,6 +8297,13 @@ def q_gap_fill_interpolate(spark, sf_dir):
     spans = b.groupBy("user_id").agg(
         F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
     )
+    # key-hash spread of the pre-explode spans (r12): same byte-blind
+    # explode fan-out (and same deliberate 4x-cores offset count, so
+    # the exchange is not elided as redundant) as resample_ffill —
+    # see the comment there
+    spans = spans.repartition(
+        4 * spark.sparkContext.defaultParallelism, "user_id"
+    )
     grid = spans.select(
         "user_id",
         F.explode(
@@ -9773,7 +9780,10 @@ def q_grid_proximity_join(spark, sf_dir):
     Coordinates are md5-derived integers, reproduced bit-for-bit by
     the oracle, whose brute-force inequality join is the
     independence check."""
-    pts = load(spark, sf_dir, "events").select(
+    # spread the one-split bench scan (r12): both sides' md5
+    # coordinate kernels and the join itself otherwise run as single
+    # tasks; no-op at real corpus sizes (load_spread docstring)
+    pts = load_spread(spark, sf_dir, "events").select(
         "event_id",
         F.pmod(
             md5_int63(F.concat(F.lit("x"), F.col("event_id").cast("string"))),
@@ -9808,8 +9818,11 @@ def q_grid_proximity_join(spark, sf_dir):
             (F.col("pcy") + F.col("dy")).alias("cy"),
         )
     )
+    # home on the LEFT so the planner's build side is the UN-exploded
+    # end (200k rows, not the 9x probe explosion) — same inner join,
+    # 9x smaller hash relation (r12; guide §3.1 "check the build side")
     return (
-        probe.join(home, ["cx", "cy"])
+        home.join(probe, ["cx", "cy"])
         .filter(
             (F.col("id_a") < F.col("id_b"))
             & (F.abs(F.col("xa") - F.col("xb")) <= _GEO_CELL)
@@ -19436,12 +19449,21 @@ def q_prorated_allocation(spark, sf_dir):
     # calendar month in the data span — bounded state).  The first
     # form did timestamp INTERVAL arithmetic per exploded row:
     # measured 51 s → this form 13 s at sf1 (88M exploded rows).
-    li = load(spark, sf_dir, "lineitem").select(
-        "l_orderkey",
-        "l_shipdate",
-        F.floor(F.col("l_extendedprice") * F.lit(100.0))
-        .cast("long")
-        .alias("pc"),
+    # spread the narrow projection before the 28x explode (r12): the
+    # scan's split count (3 row groups at bench scale) capped the
+    # whole explode+partial-agg stage at 3 tasks while the exploded
+    # row count — not the scanned bytes — is the cost; the exchange
+    # moves 3 integer columns per line item once
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select(
+            "l_orderkey",
+            "l_shipdate",
+            F.floor(F.col("l_extendedprice") * F.lit(100.0))
+            .cast("long")
+            .alias("pc"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     epoch = F.lit("1970-01-01")
@@ -21221,9 +21243,23 @@ def _ivfpq_plan_probe(
         if batch
         else (F.col("vec_id") < _V17_PROBES)
     )
-    probes = emb.filter(probe_pred).select(
-        F.col("vec_id").alias("probe_id"),
-        as_double_vec("embedding").alias("pv"),
+    # fan the probe batch across the session's cores BEFORE the
+    # vector cast and the routing/LUT kernel (r12): the batch filter
+    # rides the source scan's split count (ONE split at bench scale),
+    # and everything per-probe — the double cast, 64 interpreted cell
+    # distances, M×K LUT entries — is compute-bound per row, so it
+    # ran as a single 1.0 s task (stageprof r12).  The exchange moves
+    # only the filtered batch's raw rows (small by the definition of
+    # a probe batch) and sits UPSTREAM of the projections so the map
+    # side does no per-probe math; count follows the cluster, not a
+    # local constant.
+    probes = (
+        emb.filter(probe_pred)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            F.col("vec_id").alias("probe_id"),
+            as_double_vec("embedding").alias("pv"),
+        )
     )
     # per-probe ADC lookup tables: lut_s[code] = d²(probe subvector,
     # codebook sub-centroid) — the same left-fold assembly the v17
@@ -21887,9 +21923,16 @@ def _residual_batch_probe(
         if batch
         else (F.col("vec_id") < (probe_max or _V17_PROBES))
     )
-    probes = emb.filter(probe_pred).select(
-        F.col("vec_id").alias("probe_id"),
-        as_double_vec("embedding").alias("pv"),
+    # fan the probe batch across the cores before the vector cast and
+    # the routing/qr/LUT kernel — same serial-single-task fix as
+    # `_ivfpq_plan_probe` (r12, see the comment there)
+    probes = (
+        emb.filter(probe_pred)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            F.col("vec_id").alias("probe_id"),
+            as_double_vec("embedding").alias("pv"),
+        )
     )
     # route, THEN explode, THEN build qr + LUTs per (probe, cell) row.
     # qr reuses the SAME `__cents` table the routing attached (r12):
@@ -22928,7 +22971,7 @@ def q_trained_separation_audit(spark, sf_dir):
         partial_topk,
     )
 
-    emb_c = _x66_corpus(spark, sf_dir)
+    emb_c = _x66_corpus(spark, sf_dir).localCheckpoint()
     h = md5_int63("vec_id", salt=INGEST_SPLIT_SALT)
     probes = emb_c.filter(F.col("vec_id") < _X66_PROBE_MAX).select(
         F.col("vec_id").alias("probe_id"),

@@ -218,6 +218,25 @@ def resample_ffill(
     spans = b.groupBy(*key_cols).agg(
         F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
     )
+    # explicit key-hash spread of the SPANS before the grid explode
+    # (r12): AQE sizes the post-agg exchange by the tiny spans
+    # table's bytes and cannot see the sequence-explode fan-out (one
+    # row per key -> one row per grid bucket), so the explode + join
+    # + window all ran as 1-2 tasks at any spans size (measured: a
+    # 971 ms single task carried the whole window pass at sf0.1).
+    # Repartitioning the PRE-explode spans moves only one row per key
+    # and fans the generator itself out; keying by the entity
+    # satisfies the window's clustering (no later exchange).  The
+    # count is 4x cores ON PURPOSE: at exactly the session's
+    # shuffle-partition count the exchange is provably redundant with
+    # the spans agg's partitioning and the optimizer elides it,
+    # collapsing the stage back to the spans sizing (observed); the
+    # offset count also bounds per-task grid length.  The same
+    # byte-blind fan-out exists at every scale — spans are one row
+    # per KEY while the grid is span/step rows.
+    spans = spans.repartition(
+        4 * df.sparkSession.sparkContext.defaultParallelism, *key_cols
+    )
     grid = spans.select(
         *key_cols,
         F.explode(

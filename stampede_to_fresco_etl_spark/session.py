@@ -61,6 +61,23 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_MIN_COALESCE_PARTITION_SIZE", "256k"),
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # InferFiltersFromGenerate turns every explode(expr) into an
+        # inferred `size(expr)>0 AND isnotnull(expr)` filter that
+        # predicate pushdown then copies BELOW exchanges — for the
+        # ANN serving plans that filter embeds the whole 64-centroid
+        # routing expression (a 4096-literal matrix + per-row argsort)
+        # and re-evaluates it on the serial scan-side map task
+        # (measured: v21 2.2 -> 0.96 s at sf0.1, r12).  Every
+        # generator in this engine yields fixed-arity non-empty
+        # arrays (routing cells, band structs, offset grids), so the
+        # inferred empty-prune can never drop a row here — at any
+        # scale it is pure duplicated compute; text/window families
+        # measured flat without it (OPTIMIZATION_r12.md).
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer."
+            "InferFiltersFromGenerate",
+        )
         .config(
             "spark.sql.shuffle.partitions",
             str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),

@@ -216,6 +216,25 @@ def test_simhash_pairs_planted_near_dup(spark):
     assert (1, 3) not in got and (2, 3) not in got
 
 
+def test_simhash_pairs_multiband_collision_unique(spark):
+    """A pair whose signatures match in EVERY band (identical docs)
+    meets in all max_hamming+1 bands — the candidate dedup (full-row
+    distinct since r12; ha/hb are functions of the ids) must still
+    emit exactly ONE row for it, with hamming 0."""
+    from stampede_to_fresco_etl_spark.operators.dedup import simhash_pairs
+
+    text = "identical content repeated for signature stability " * 4
+    df = spark.createDataFrame(
+        [(1, text), (2, text)], "doc_id long, text string"
+    )
+    rows = simhash_pairs(
+        df, "doc_id", "text", bits=32, max_hamming=3
+    ).collect()
+    assert [(r["doc_a"], r["doc_b"], r["hamming"]) for r in rows] == [
+        (1, 2, 0)
+    ]
+
+
 def test_dedup_keep_best_picks_highest_quality(spark):
     """Planted near-dup trio: the survivor is the max-quality member
     (NOT the min id); singletons always survive."""

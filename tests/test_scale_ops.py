@@ -531,7 +531,10 @@ def test_r5c_window_ops_shuffle_budget(spark):
     from stampede_to_fresco_etl_spark.catalog import REGISTRY
 
     budget = {
-        "t11_gap_fill_interpolate": 2,   # pool agg + grid window
+        "t11_gap_fill_interpolate": 3,   # pool agg + grid window +
+        #   the r12 pre-explode spans spread (one row per KEY — the
+        #   deliberate exchange that fans the grid explode out of the
+        #   byte-blind post-agg sizing; see q_gap_fill_interpolate)
         "t12_ohlc_downsample": 1,        # one (user,bucket) sort
         "w10_mad_outliers": 6,           # 2 median passes × (cnt agg
         #                                  + offset window) + re-derive
