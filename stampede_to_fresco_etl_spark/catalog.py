@@ -103,7 +103,13 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 _SPREAD_MAX_BYTES = 64 * 1024 * 1024
 
 
-def load_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_spread(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    key: str | None = None,
+    pin: bool = False,
+) -> DataFrame:
     """`load()`, round-robin-spread across the session's cores when —
     and only when — the table is too small for the scan to split
     (r12 optimization).  The bench-scale tables are single-row-group
@@ -115,10 +121,27 @@ def load_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     and no exchange is added; when it fires, the exchange moves only
     the small table's raw rows once.  Use ONLY under partitioning-
     agnostic consumers (aggregations / joins / salted top-k) — never
-    above `order_stats`' pinned-layout kernels."""
-    ck = (spark.sparkContext.applicationId, sf_dir, name, "spread")
+    above `order_stats`' pinned-layout kernels.
+
+    Pass a unique-id `key` column where one exists: hash partitioning
+    skips round-robin's sortBeforeRepartition local sort of every
+    scan split (the dominant map-side cost on wide rows), and a
+    unique key spreads as evenly as round-robin.
+
+    `pin=True` additionally wraps the spread frame in a LAZY
+    localCheckpoint, per CALL (never cached — each bench run pays its
+    own materialization, so no cross-run result reuse): when a query
+    consumes the table through two arms, predicate/column pushdown
+    differentiates the two exchange subtrees and ReuseExchange cannot
+    fire, so the serial one-split scan ran once PER ARM; the pinned
+    RDD materializes once and both arms read its blocks.  Only
+    meaningful (and only applied) when the spread branch fires — at
+    production sizes the table is returned un-pinned."""
+    ck = (spark.sparkContext.applicationId, sf_dir, name, "spread", key)
     cached = _LOAD_CACHE.get(ck)
     if cached is not None:
+        if pin and getattr(cached, "_spread_fired", False):
+            return cached.localCheckpoint(eager=False)
         return cached
     import os
 
@@ -136,9 +159,14 @@ def load_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         )
     except OSError:
         nbytes = None
-    if nbytes is not None and nbytes < _SPREAD_MAX_BYTES:
-        df = df.repartition(spark.sparkContext.defaultParallelism)
+    fired = nbytes is not None and nbytes < _SPREAD_MAX_BYTES
+    if fired:
+        n = spark.sparkContext.defaultParallelism
+        df = df.repartition(n, key) if key else df.repartition(n)
+        df._spread_fired = True
     _LOAD_CACHE[ck] = df
+    if pin and fired:
+        return df.localCheckpoint(eager=False)
     return df
 
 
@@ -636,7 +664,11 @@ GROUP BY l_orderkey, o_orderdate, o_orderpriority
 # ---------------------------------------------------------------------------
 
 def q_fresco_wide(spark, sf_dir):
-    e = load(spark, sf_dir, "events")
+    # spread the one-split bench scan (r12): the broadcast interval
+    # join + minute-bucket midpoint math + partial agg all ran in the
+    # scan's single map task (0.4 s serial, stage profile); no-op at
+    # real corpus sizes (load_spread docstring)
+    e = load_spread(spark, sf_dir, "events", key="event_id")
     jobs = _jobs(spark, sf_dir)
     j = interval_join(
         e, jobs,
@@ -3109,6 +3141,10 @@ def q_keyword_topk(spark, sf_dir):
     two-stage top-k per doc."""
     from stampede_to_fresco_etl_spark.operators.text import keyword_topk
 
+    # examined r12: a pinned spread of the one-split scan moved the
+    # two 0.2 s serial arm scans onto 33-task jobs but the wall was
+    # FLAT (parallel-stage overhead ate the win at this size) — kept
+    # the simpler no-exchange plan
     docs = load(spark, sf_dir, "documents")
     return keyword_topk(docs, "doc_id", "text", k=3)
 
@@ -4556,7 +4592,14 @@ def q_bloom_membership(spark, sf_dir):
         bloom_sketch,
     )
 
-    e = load(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    # pinned spread scan (r12): each parity half's sketch — k salted
+    # md5 positions per row — ran as its own serial single-task job
+    # off the one-split bench scan (2 × 0.26 s, qprofile); the pinned
+    # blocks materialize once and both halves hash in parallel.
+    # No-op at real corpus sizes (load_spread docstring).
+    e = load_spread(spark, sf_dir, "events", key="event_id", pin=True).filter(
+        F.col("user_id").isNotNull()
+    )
     halves = [
         bloom_sketch(h, ["event_type"], "user_id", _B1_HASHES, _B1_BITS)
         for h in _parity_halves(e)
@@ -4994,8 +5037,16 @@ def q_winnow(spark, sf_dir):
         winnow_fingerprints,
     )
 
+    # spread the one-split bench scan (r12): the whole rolling-hash
+    # kernel — per-row shingle md5s, windowed mins, distinct — ran
+    # as ONE 0.9 s task; no-op at real corpus sizes (load_spread
+    # docstring)
     return winnow_fingerprints(
-        load(spark, sf_dir, "documents"), "doc_id", "text", k=3, w=4
+        load_spread(spark, sf_dir, "documents", key="doc_id"),
+        "doc_id",
+        "text",
+        k=3,
+        w=4,
     )
 
 
@@ -9783,7 +9834,7 @@ def q_grid_proximity_join(spark, sf_dir):
     # spread the one-split bench scan (r12): both sides' md5
     # coordinate kernels and the join itself otherwise run as single
     # tasks; no-op at real corpus sizes (load_spread docstring)
-    pts = load_spread(spark, sf_dir, "events").select(
+    pts = load_spread(spark, sf_dir, "events", key="event_id", pin=True).select(
         "event_id",
         F.pmod(
             md5_int63(F.concat(F.lit("x"), F.col("event_id").cast("string"))),
@@ -14511,7 +14562,6 @@ def q_abc_pareto(spark, sf_dir):
             "rev_i"
         )
     )
-    tot = rev.agg(F.sum("rev_i").alias("tot"))
     scanned = prefix_sum_with_running_min(
         rev.withColumn("neg_rev", -F.col("rev_i")),
         group_cols=[],
@@ -14519,6 +14569,14 @@ def q_abc_pareto(spark, sf_dir):
         value_col="rev_i",
         out_sum="cum",
     )
+    # total revenue = the LAST cumulative value of the scan — derived
+    # from the kernel's checkpointed frame instead of a second
+    # `rev` aggregation, which re-ran the whole lineitem scan + part
+    # agg (the scan kernel's eager checkpoint blocks subtree reuse;
+    # two 3-task scan jobs measured, r12).  max(cum) over the
+    # unsigned running sum is exactly sum(rev_i): BIGINT, total
+    # order complete (l_partkey tiebreak).
+    tot = scanned.agg(F.max("cum").alias("tot"))
     classed = scanned.crossJoin(F.broadcast(tot)).select(
         "rev_i",
         F.when(
@@ -19453,7 +19511,11 @@ def q_prorated_allocation(spark, sf_dir):
     # scan's split count (3 row groups at bench scale) capped the
     # whole explode+partial-agg stage at 3 tasks while the exploded
     # row count — not the scanned bytes — is the cost; the exchange
-    # moves 3 integer columns per line item once
+    # moves 3 integer columns per line item once.  HASH partitioning
+    # by the fine-grained order key, not round-robin: round-robin
+    # pays sortBeforeRepartition's local sort of every scan split
+    # (measured 0.67 s vs 0.35 s for this 3-task map stage), hash
+    # does not, and the key is unskewed by the data contract
     li = (
         load(spark, sf_dir, "lineitem")
         .select(
@@ -19463,7 +19525,9 @@ def q_prorated_allocation(spark, sf_dir):
             .cast("long")
             .alias("pc"),
         )
-        .repartition(spark.sparkContext.defaultParallelism)
+        .repartition(
+            spark.sparkContext.defaultParallelism, "l_orderkey"
+        )
     )
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     epoch = F.lit("1970-01-01")
@@ -19483,9 +19547,28 @@ def q_prorated_allocation(spark, sf_dir):
         )
     )
     # month dim: every calendar month the data span touches, with
-    # integer first/last epoch days — bounded by the span, broadcast
-    bounds = j.agg(
-        F.min("om").alias("lo"), F.max("sm").alias("hi")
+    # integer first/last epoch days — bounded by the span, broadcast.
+    # Bounds come from the BASE tables, not from `j` (r12): deriving
+    # them from the join re-ran the whole lineitem scan + spread
+    # exchange a second time (two 0.6 s map stages in the plan, no
+    # exchange reuse because column pruning differentiates the
+    # subtrees).  min over ALL orders / max over ALL ship dates is a
+    # SUPERSET of the joined span, and the dim is only ever
+    # inner-joined on mi — unmatched months drop out, so the result
+    # is identical while the dim stays bounded by the calendar span.
+    bounds = load(spark, sf_dir, "orders").agg(
+        (F.year(F.min("o_orderdate")) * 12 + F.month(F.min("o_orderdate")))
+        .cast("long")
+        .alias("lo")
+    ).crossJoin(
+        load(spark, sf_dir, "lineitem").agg(
+            (
+                F.year(F.max("l_shipdate")) * 12
+                + F.month(F.max("l_shipdate"))
+            )
+            .cast("long")
+            .alias("hi")
+        )
     ).select(
         F.explode(F.sequence("lo", "hi")).alias("mi")
     ).select(
@@ -20697,7 +20780,7 @@ def q_ivf_cellgrid_topk(spark, sf_dir):
     # spread the one-split bench scan (r12): the per-call IVF build's
     # assignment kernel ran as ONE 1.56 s task off the single-file
     # scan; no-op at real corpus sizes (load_spread docstring)
-    emb = load_spread(spark, sf_dir, "embeddings")
+    emb = load_spread(spark, sf_dir, "embeddings", key="vec_id", pin=True)
     probes = emb.filter(F.col("vec_id") < N_PROBES).select(
         F.col("vec_id").alias("probe_id"), "embedding"
     )
@@ -21227,11 +21310,11 @@ def _ivfpq_plan_probe(
     from stampede_to_fresco_etl_spark.functions import md5_int63
     from stampede_to_fresco_etl_spark.operators.similarity import (
         _nearest_cells,
-        _sqdist,
         _with_centroid_col,
         as_double_vec,
-        lit_double_matrix,
+        lit_double_matrix_sql,
         partial_topk,
+        sqdist_sql,
     )
 
     emb = load(spark, sf_dir, "embeddings")
@@ -21265,26 +21348,23 @@ def _ivfpq_plan_probe(
     # codebook sub-centroid) — the same left-fold assembly the v17
     # LUT collect and the oracle's `tbl` CTE use, kept IN the plan
     # (engine-side per batch row) instead of collected per probe.
-    # The subspace index binds via a factory closure, NOT a lambda
-    # default arg: `lambda c, _s=s:` has arity 2, which PySpark
-    # reads as transform's (element, index) BINARY lambda — the
-    # "default" silently becomes the array index and every subspace
-    # slices the wrong dims (measured: luts of 4 wrong values + 12
-    # nulls).
+    # Each LUT (and the routing distance array) is ONE parsed SQL
+    # expression (r12): the Column form converted three Python
+    # lambdas per _sqdist × K codes' trees over py4j, which was the
+    # dominant per-call plan-construction cost of the serving family
+    # — the parsed trees are identical (sqdist_sql's bit-exact fold).
     def _lut(s: int):
-        psub = F.slice("pv", s * _PQ_DIMS + 1, _PQ_DIMS)
-        return F.transform(
-            lit_double_matrix(cb[s]), lambda c: _sqdist(psub, c)
+        psub = f"slice(pv, {s * _PQ_DIMS + 1}, {_PQ_DIMS})"
+        return F.expr(
+            f"transform({lit_double_matrix_sql(cb[s])}, "
+            f"c -> {sqdist_sql(psub, 'c')})"
         ).alias(f"lut{s}")
 
     luts = [_lut(s) for s in range(_PQ_M)]
     routed = (
         _with_centroid_col(probes, cents)
         .withColumn(
-            "d",
-            F.transform(
-                F.col("__cents"), lambda c: _sqdist(F.col("pv"), c)
-            ),
+            "d", F.expr(f"transform(__cents, c -> {sqdist_sql('pv', 'c')})")
         )
         .withColumn("cells", _nearest_cells("pv", "d", n_probe))
         .select(
@@ -21908,11 +21988,11 @@ def _residual_batch_probe(
     from stampede_to_fresco_etl_spark.functions import md5_int63
     from stampede_to_fresco_etl_spark.operators.similarity import (
         _nearest_cells,
-        _sqdist,
         _with_centroid_col,
         as_double_vec,
-        lit_double_matrix,
+        lit_double_matrix_sql,
         partial_topk,
+        sqdist_sql,
     )
 
     if emb is None:
@@ -21946,10 +22026,7 @@ def _residual_batch_probe(
     routed = (
         _with_centroid_col(probes, cents)
         .withColumn(
-            "d",
-            F.transform(
-                F.col("__cents"), lambda c: _sqdist(F.col("pv"), c)
-            ),
+            "d", F.expr(f"transform(__cents, c -> {sqdist_sql('pv', 'c')})")
         )
         .select(
             "probe_id",
@@ -21961,27 +22038,26 @@ def _residual_batch_probe(
         )
         .withColumn(
             "qr",
-            F.zip_with(
-                "pv",
-                F.element_at(F.col("__cents"), F.col("cell") + 1),
-                lambda a, b: a - b,
+            F.expr(
+                "zip_with(pv, element_at(__cents, cell + 1), "
+                "(a, b) -> a - b)"
             ),
         )
     )
 
-    # per-subspace residual-codebook matrices (K × dims each), one
-    # parsed literal per subspace; the subspace binds via a factory
-    # closure (v21's lambda-arity lesson)
+    # per-subspace residual-codebook matrices (K × dims each), each
+    # LUT one parsed SQL expression — same py4j-chatter cut as
+    # `_ivfpq_plan_probe._lut` (r12, see the comment there)
     def _lut(s: int):
-        rsub = lit_double_matrix(
+        rsub = lit_double_matrix_sql(
             [
                 seed[s * _PQ_DIMS : (s + 1) * _PQ_DIMS]
                 for seed in rseeds
             ]
         )
-        qsub = F.slice("qr", s * _PQ_DIMS + 1, _PQ_DIMS)
-        return F.transform(
-            rsub, lambda c: _sqdist(qsub, c)
+        qsub = f"slice(qr, {s * _PQ_DIMS + 1}, {_PQ_DIMS})"
+        return F.expr(
+            f"transform({rsub}, c -> {sqdist_sql(qsub, 'c')})"
         ).alias(f"lut{s}")
 
     routed = routed.select(
@@ -21990,12 +22066,11 @@ def _residual_batch_probe(
     # dynamic partition pruning on the cell join (v21's mechanism):
     # runtime directory pruning, no distinct-cells pre-pass
     ivfpq = index_store.read_ivfpq(spark, serving)
-    adc = None
-    for s in range(_PQ_M):
-        term = F.element_at(
-            F.col(f"lut{s}"), F.col(f"code{s}") + 1
+    adc = F.expr(
+        " + ".join(
+            f"element_at(lut{s}, code{s} + 1)" for s in range(_PQ_M)
         )
-        adc = term if adc is None else adc + term
+    )
     scored = ivfpq.join(routed, "cell").select(
         "probe_id", "vec_id", adc.alias("adc_dist")
     )
@@ -22282,7 +22357,13 @@ def q_trained_recall_audit(spark, sf_dir):
         partial_topk,
     )
 
-    emb = load(spark, sf_dir, "embeddings")
+    # ONE pinned spread scan of embeddings shared by all four
+    # consumer arms (r12): the exact arm's probes + corpus and each
+    # served arm's probe set re-ran the one-split scan serially
+    # (three 0.22-0.25 s single-task jobs, qprofile); the pinned RDD
+    # materializes once and every arm filters its blocks in parallel.
+    # No-op at real corpus sizes (load_spread docstring).
+    emb = load_spread(spark, sf_dir, "embeddings", key="vec_id", pin=True)
     h = md5_int63("vec_id", salt=INGEST_SPLIT_SALT)
     probes = emb.filter(F.col("vec_id") < _V17_PROBES).select(
         F.col("vec_id").alias("probe_id"),
@@ -22308,12 +22389,24 @@ def q_trained_recall_audit(spark, sf_dir):
     # (same per-(arm, probe) counts, same left-join spine, same
     # types) — the oracle's own `arms` CTE shape.
     served = (
-        q_ivfpq_residual_topk(spark, sf_dir)
+        _residual_batch_probe(
+            spark,
+            sf_dir,
+            *_residual_serving(spark, sf_dir),
+            batch=False,
+            emb=emb,
+        )
         .select(
             F.lit("residual_md5").alias("arm"), "probe_id", "vec_id"
         )
         .unionAll(
-            q_ivfpq_trained_topk(spark, sf_dir).select(
+            _residual_batch_probe(
+                spark,
+                sf_dir,
+                *_trained_residual_serving(spark, sf_dir),
+                batch=False,
+                emb=emb,
+            ).select(
                 F.lit("residual_trained").alias("arm"),
                 "probe_id",
                 "vec_id",

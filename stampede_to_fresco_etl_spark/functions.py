@@ -221,6 +221,19 @@ def minhash_slot_sql(expr: str, j: int) -> str:
     return f"(('0x' || substr(md5({inner}), {1 + 15 * win}, 15))::BIGINT)"
 
 
+def minhash_slot_expr(expr: str, j: int) -> str:
+    """Spark-SQL-string twin of minhash_slot: the same parsed
+    expression tree, built in ONE py4j round trip instead of ~8
+    Column calls per slot (the serving-path plan-construction wall —
+    see the simhash F.expr fix's measurement)."""
+    salt_idx, win = divmod(j, 2)
+    return (
+        f"cast(conv(substring(md5(concat('{salt_idx}:', "
+        f"cast({expr} as string))), {1 + 15 * win}, 15), 16, 10)"
+        " as bigint)"
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.11 legacy-draft per-row formulas (rough-drafts/
 # rough_transform_stampede_to_fresco_ts_data.py) — documented

@@ -20,7 +20,10 @@ from pyspark.sql import Column, DataFrame, Observation, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from stampede_to_fresco_etl_spark.functions import md5_int63, minhash_slot
+from stampede_to_fresco_etl_spark.functions import (
+    md5_int63,
+    minhash_slot_expr,
+)
 from stampede_to_fresco_etl_spark.operators.text import tokens, word_shingles
 
 
@@ -104,16 +107,19 @@ def minhash_signatures(
     # CSE across aggregate expressions, so inlined minhash_slot would
     # recompute each salted md5 per slot instead of ceil(k/2) times
     # total (the same trap simhash hit — see that fix's measurement)
-    sh = sh.select(
+    # slots and min-aggregates as parsed SQL strings, not Column
+    # chains: one py4j round trip per expression instead of ~8 per
+    # slot — the per-CALL plan-construction wall sits on the ingest/
+    # report paths that rebuild batch signatures every call (r12;
+    # same measurement as the simhash F.expr fix)
+    sh = sh.selectExpr(
         "doc",
         *[
-            minhash_slot(F.col("shingle"), j).alias(f"__h{j}")
+            f"{minhash_slot_expr('shingle', j)} as __h{j}"
             for j in range(num_hashes)
         ],
     )
-    aggs = [
-        F.min(F.col(f"__h{j}")).alias(f"mh{j}") for j in range(num_hashes)
-    ]
+    aggs = [F.expr(f"min(__h{j})").alias(f"mh{j}") for j in range(num_hashes)]
     return sh.groupBy("doc").agg(*aggs)
 
 

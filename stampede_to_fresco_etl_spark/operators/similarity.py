@@ -354,6 +354,18 @@ def _sqdist(a: Column, b: Column) -> Column:
     )
 
 
+def sqdist_sql(a: str, b: str) -> str:
+    """Spark-SQL-string twin of `_sqdist`: the same zip_with +
+    left-fold tree (identical fold order — bit-exact), parsed in ONE
+    py4j round trip instead of three Python lambda conversions.  Use
+    on per-call serving paths where plan CONSTRUCTION is on the wall
+    (r12; same measurement class as the simhash F.expr fix)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+        "0.0D, (acc, x) -> acc + x)"
+    )
+
+
 #: Above this many centroids the centroid table rides a broadcast
 #: row instead of inlined literals.  (r9 re-attribution, SCALE.md:
 #: r8's "literal cliff" was really the interpreted comparator sort
@@ -380,9 +392,10 @@ def lit_double_vec(vals: list[float]) -> Column:
     )
 
 
-def lit_double_matrix(rows: list[list[float]]) -> Column:
-    """A literal ``array<array<double>>``; see `lit_double_vec`."""
-    return F.expr(
+def lit_double_matrix_sql(rows: list[list[float]]) -> str:
+    """The SQL text of a literal ``array<array<double>>`` — for
+    embedding into larger single-parse expressions."""
+    return (
         "array("
         + ",".join(
             "array(" + ",".join(f"{float(x)!r}D" for x in c) + ")"
@@ -390,6 +403,11 @@ def lit_double_matrix(rows: list[list[float]]) -> Column:
         )
         + ")"
     )
+
+
+def lit_double_matrix(rows: list[list[float]]) -> Column:
+    """A literal ``array<array<double>>``; see `lit_double_vec`."""
+    return F.expr(lit_double_matrix_sql(rows))
 
 
 def _with_centroid_col(

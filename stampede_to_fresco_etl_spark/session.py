@@ -73,6 +73,12 @@ def get_spark(
         # inferred empty-prune can never drop a row here — at any
         # scale it is pure duplicated compute; text/window families
         # measured flat without it (OPTIMIZATION_r12.md).
+        # per-DataFrame-call Python call-site capture (error-message
+        # context only) costs a conf round trip + origin set/clear on
+        # EVERY DataFrame method; measured ~0.2-0.4 s of the heavy
+        # serving/report queries' per-call plan construction (r12).
+        # Purely diagnostic — plans and results are unaffected.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config(
             "spark.sql.optimizer.excludedRules",
             "org.apache.spark.sql.catalyst.optimizer."
