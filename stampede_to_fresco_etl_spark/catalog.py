@@ -18169,7 +18169,7 @@ INGEST_SPLIT_SALT = "ingest"
 INGEST_IDX_BOUND = int(0.8 * (1 << 60))
 
 
-def q_incremental_dedup(spark, sf_dir):
+def q_incremental_dedup(spark, sf_dir, docs=None):
     """D15 — candidate near-dup pairs between the incoming 20% batch
     and the indexed 80% corpus (d2's MinHash config: k=6, 3 bands).
     Output (new_doc, indexed_doc, est_jaccard): each new doc's
@@ -18190,7 +18190,15 @@ def q_incremental_dedup(spark, sf_dir):
         minhash_signatures,
     )
 
-    docs = load(spark, sf_dir, "documents")
+    # pinned spread scan (r12): the per-call batch-side signature
+    # kernel (shingle explode + salted md5 slots) rode the one-split
+    # bench scan as a single ~0.6 s task, and the first-call index
+    # build re-scanned the same file; composition queries (x60) pass
+    # their own shared frame in.  No-op at real corpus sizes.
+    if docs is None:
+        docs = load_spread(
+            spark, sf_dir, "documents", key="doc_id", pin=True
+        )
     is_idx = md5_int63("doc_id", salt=INGEST_SPLIT_SALT) < F.lit(
         INGEST_IDX_BOUND
     )
@@ -20030,11 +20038,16 @@ REGISTRY.update(
 # ---------------------------------------------------------------------------
 
 
-def q_incremental_exact_dedup(spark, sf_dir):
+def q_incremental_exact_dedup(spark, sf_dir, docs=None):
     from stampede_to_fresco_etl_spark import index_store
     from stampede_to_fresco_etl_spark.functions import md5_int63
 
-    docs = load(spark, sf_dir, "documents")
+    # pinned spread scan shared with composition callers — same
+    # rationale as q_incremental_dedup (r12)
+    if docs is None:
+        docs = load_spread(
+            spark, sf_dir, "documents", key="doc_id", pin=True
+        )
     is_idx = md5_int63("doc_id", salt=INGEST_SPLIT_SALT) < F.lit(
         INGEST_IDX_BOUND
     )
@@ -20459,7 +20472,12 @@ def q_ingest_report(spark, sf_dir):
         DUP_THRESHOLD,
     )
 
-    docs = load(spark, sf_dir, "documents")
+    # ONE pinned spread scan shared by the gate arm, the exact-fp
+    # arm, the near-dup arm and the batch spine (r12): each arm's
+    # per-call batch kernel otherwise re-ran the one-split scan
+    # serially (a 0.61 s single-task signature job plus three ~0.2 s
+    # scans, gap profile).  No-op at real corpus sizes.
+    docs = load_spread(spark, sf_dir, "documents", key="doc_id", pin=True)
     is_idx = md5_int63("doc_id", salt=INGEST_SPLIT_SALT) < F.lit(
         INGEST_IDX_BOUND
     )
@@ -20470,12 +20488,12 @@ def q_ingest_report(spark, sf_dir):
         .select("doc_id")
     )
     exact = (
-        q_incremental_exact_dedup(spark, sf_dir)
+        q_incremental_exact_dedup(spark, sf_dir, docs=docs)
         .filter(F.col("known") == 1)
         .select("doc_id")
     )
     near = (
-        q_incremental_dedup(spark, sf_dir)
+        q_incremental_dedup(spark, sf_dir, docs=docs)
         .filter(F.col("est_jaccard") >= F.lit(DUP_THRESHOLD))
         .select(F.col("new_doc").alias("doc_id"))
         .distinct()
