@@ -1296,7 +1296,13 @@ def mmr_select(
             "__ida", "__idb",
             cosine(F.col("__va"), F.col("__vb")).alias("__sim"),
         )
-        .localCheckpoint()
+        # lazy (r12): the checkpoint still materializes exactly one
+        # P×P pairs frame (deterministic inputs, so even a concurrent
+        # first-use double-compute yields identical blocks), but the
+        # barrier job moves out of plan construction and into the one
+        # timed action — k−1 eager construct-time jobs become stages
+        # of the final job.
+        .localCheckpoint(eager=False)
     )
     rel = pool.select(
         F.col(id_col).alias("__id"), F.col(rel_col).alias("__rel")
@@ -1309,7 +1315,7 @@ def mmr_select(
             F.col("__rel").alias("__score"),
             F.lit(1).cast("long").alias("sel_rank"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     for i in range(2, k + 1):
         msim = (
@@ -1334,7 +1340,10 @@ def mmr_select(
             .limit(1)
             .withColumn("sel_rank", F.lit(i).cast("long"))
         )
-        selected = selected.unionByName(pick).localCheckpoint()
+        # lazy per round: each round's plan still reads the PREVIOUS
+        # round's checkpointed RDD (no plan blow-up — planning cost
+        # per round is unchanged), only the eager barrier job is gone
+        selected = selected.unionByName(pick).localCheckpoint(eager=False)
     return selected.select(
         "sel_rank",
         F.col("__id").alias(id_col),
