@@ -103,7 +103,14 @@ def positional_select(
         .sortWithinPartitions(*gcols, value_col)
         .drop("__salt")
         .withColumn("__mid", F.monotonically_increasing_id())
-        .localCheckpoint()
+        # lazy (r12): one realization still holds — Spark persists
+        # every partition of a lazily-marked local checkpoint at the
+        # end of the FIRST action before truncating lineage, and the
+        # pipeline is deterministic (scan splits → pre-shuffle salt →
+        # range bounds from per-partition-index seeds → unique local
+        # sort), so consumers read identical frozen ids while the
+        # construct-time barrier job folds into the timed action.
+        .localCheckpoint(eager=False)
     )
     part = part.withColumn("__pid", F.shiftright("__mid", 33))
     cnts = part.groupBy("__pid", *gcols).agg(
@@ -186,7 +193,11 @@ def row_ranks(
         df.repartitionByRange(num_partitions, *gcols, *ocols)
         .sortWithinPartitions(*gcols, *ocols)
         .withColumn("__mid", F.monotonically_increasing_id())
-        .localCheckpoint()
+        # lazy (r12): same one-realization argument as
+        # positional_select — order_cols totally order each group, so
+        # the frozen ids are a pure function of deterministic shuffle
+        # output; the barrier job folds into the timed action
+        .localCheckpoint(eager=False)
         .withColumn("__pid", F.shiftright("__mid", 33))
     )
     cnts = part.groupBy("__pid", *gcols).agg(
@@ -266,7 +277,8 @@ def prefix_sum_with_running_min(
         df.repartitionByRange(num_partitions, *gcols, *ocols)
         .sortWithinPartitions(*gcols, *ocols)
         .withColumn("__mid", F.monotonically_increasing_id())
-        .localCheckpoint()
+        # lazy (r12): same one-realization argument as row_ranks
+        .localCheckpoint(eager=False)
         .withColumn("__pid", F.shiftright("__mid", 33))
     )
     # pass 1: local prefix sum + local running min, one window spec
