@@ -17090,7 +17090,10 @@ def q_mmr_diverse_topk(spark, sf_dir):
     pool = (
         scored.orderBy(F.col("rel").desc(), "vec_id")
         .limit(_MMR_POOL)
-        .localCheckpoint()
+        # lazy (r12): same one-realization argument as mmr_select's
+        # round checkpoints — the P-row pool materializes once at the
+        # first action instead of as a construct-time barrier job
+        .localCheckpoint(eager=False)
     )
     return mmr_select(
         pool, "vec_id", "v", "rel", k=_MMR_K, lam=_MMR_LAM
@@ -23091,7 +23094,12 @@ def q_trained_separation_audit(spark, sf_dir):
         partial_topk,
     )
 
-    emb_c = _x66_corpus(spark, sf_dir).localCheckpoint()
+    # lazy (r12): the clustered corpus still materializes once for
+    # its five consumer arms (deterministic transform — md5 centers,
+    # dyadic offsets — so any concurrent first-use compute is
+    # identical), but the construct-time barrier job folds into the
+    # first action
+    emb_c = _x66_corpus(spark, sf_dir).localCheckpoint(eager=False)
     h = md5_int63("vec_id", salt=INGEST_SPLIT_SALT)
     probes = emb_c.filter(F.col("vec_id") < _X66_PROBE_MAX).select(
         F.col("vec_id").alias("probe_id"),
