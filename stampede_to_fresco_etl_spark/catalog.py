@@ -19882,12 +19882,26 @@ _X57_TERMS = ["hash", "merge", "filter"]
 _X57_TOPK = 10
 
 
-def _bm25_probe(spark, postings_dir, doclen_dir, totals_dir):
+def _bm25_probe(spark, postings_dir, doclen_dir, totals_dir, guard=None):
     """The stored-index BM25 probe (x57's shape), parameterized by
     the artifact dirs so the snapshot index (x57) and the
     post-takedown index (x65) share one body — same bucket-literal
-    directory pruning, fixed-column rational scoring, TakeOrdered."""
+    directory pruning, fixed-column rational scoring, TakeOrdered.
+
+    ``guard`` (r12): a base dir whose session materialization flag
+    pins the artifacts immutable — the three reads then ride the
+    session reader cache (`index_store.read_materialized`) instead
+    of re-paying per-call listing + footer jobs.  x65 passes its
+    erase base (nothing rewrites it after the guarded build); x57
+    passes NOTHING deliberately — its snapshot dir can be GROWN by
+    `streaming.text_index_stream` within a session, and growth does
+    not invalidate reader caches, so x57 keeps fresh listings."""
     from stampede_to_fresco_etl_spark import index_store
+
+    def _read(p):
+        if guard is None:
+            return spark.read.parquet(p)
+        return index_store.read_materialized(spark, p, guard=guard)
 
     # layout gate (r11): refuse an artifact written under a different
     # bucket count — its token_bucket values would make the literal
@@ -19898,7 +19912,7 @@ def _bm25_probe(spark, postings_dir, doclen_dir, totals_dir):
     # terms' bucket dirs), THEN the exact token membership inside the
     # surviving buckets (row-group stats pushdown)
     post = (
-        spark.read.parquet(postings_dir)
+        _read(postings_dir)
         .filter(
             F.col("token_bucket").isin(
                 sorted(
@@ -19933,8 +19947,8 @@ def _bm25_probe(spark, postings_dir, doclen_dir, totals_dir):
             for i, t in enumerate(_X57_TERMS)
         ]
     )
-    totals = spark.read.parquet(totals_dir)
-    dl = spark.read.parquet(doclen_dir)
+    totals = _read(totals_dir)
+    dl = _read(doclen_dir)
     base = (
         per_doc.join(dl, "doc_id")
         .crossJoin(F.broadcast(df_row))
@@ -22630,7 +22644,7 @@ def q_bm25_after_erase(spark, sf_dir):
             spark, fams, totals_dir=totals
         )
         index_store._mark_materialized(spark, base)
-    return _bm25_probe(spark, postings, doclen, totals)
+    return _bm25_probe(spark, postings, doclen, totals, guard=base)
 
 
 REGISTRY.update(
@@ -22839,7 +22853,14 @@ def q_entity_erase_audit(spark, sf_dir):
             key.alias("key_sum"),
         ).select(F.lit(name).alias("family"), "n_rows", "key_sum")
 
-    read = spark.read.parquet
+    # session reader cache gated on the audit base's materialization
+    # flag (r12): the nine family reads re-paid a per-call listing +
+    # footer-schema 1-task job each (the gap profile's serial ~30 ms
+    # jobs) although nothing rewrites the tree after the guarded
+    # build; plan objects only — every run still scans the parquet
+    def read(p):
+        return index_store.read_materialized(spark, p, guard=base)
+
     totals = read(totals_dir)
     out = (
         fam_row("exact_fp", read(fams["exact_fp"]), None)

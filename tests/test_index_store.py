@@ -1722,3 +1722,40 @@ def test_erase_compact_refuses_totals_without_doclen(spark, tmp_path):
             {"exact_fp": str(tmp_path / "x")},
             totals_dir=str(tmp_path / "t"),
         )
+
+
+def test_read_materialized_guard_cache_lifecycle(spark, tmp_path):
+    """r12: `read_materialized` reuses the reader PLAN only while the
+    session's own materialization flag for the guard dir is set, and
+    every lifecycle event that can change the tree (a re-mark after a
+    rebuild, a `_fresh_dir` teardown) drops cached subtree readers —
+    so a cached listing can never outlive the files it lists."""
+    base = str(tmp_path / "audit_base")
+    fam = f"{base}/fam"
+    spark.range(5).write.mode("overwrite").parquet(fam)
+
+    # unguarded: fresh reader objects, nothing cached
+    r1 = index_store.read_materialized(spark, fam, guard=base)
+    r2 = index_store.read_materialized(spark, fam, guard=base)
+    assert r1 is not r2
+    app = spark.sparkContext.applicationId
+    assert (app, fam) not in index_store._IVFPQ_READ_CACHE
+
+    # guard marked: the same plan object is reused (files still
+    # scanned per execution — only the listing/schema is reused)
+    index_store._mark_materialized(spark, base)
+    r3 = index_store.read_materialized(spark, fam, guard=base)
+    r4 = index_store.read_materialized(spark, fam, guard=base)
+    assert r3 is r4
+    assert r3.count() == 5
+
+    # a re-mark of the BASE (a rebuild just landed) drops SUBTREE
+    # readers, not just the exact path
+    index_store._mark_materialized(spark, base)
+    assert (app, fam) not in index_store._IVFPQ_READ_CACHE
+    r5 = index_store.read_materialized(spark, fam, guard=base)
+    assert r5 is not r4
+
+    # _fresh_dir teardown drops the cached subtree readers too
+    index_store._fresh_dir(spark, base)
+    assert (app, fam) not in index_store._IVFPQ_READ_CACHE
