@@ -70,7 +70,7 @@ def main() -> int:
     warm_shared_frames(spark, SF_DIR)
 
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    plans_dir = os.path.join(here, "plans", "r12")
+    plans_dir = os.path.join(here, "plans", "r13")
     os.makedirs(plans_dir, exist_ok=True)
 
     for name in names:

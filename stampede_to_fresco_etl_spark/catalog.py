@@ -17070,11 +17070,11 @@ def q_mmr_diverse_topk(spark, sf_dir):
     pool for probe vec_id=0 (TakeOrdered — map-side partial top-k,
     never a global sort), then `operators.similarity.mmr_select`
     greedily re-ranks 5 picks by λ·rel − (1−λ)·max-sim-to-selected.
-    The greedy loop is k−1 rounds of anti-join + max-agg + 1-row
-    TakeOrdered on the P-row pool — iterative compute no single SQL
-    window expresses, yet bit-reproducible (the oracle unrolls the
-    rounds as chained CTEs).  At 100 TB only the pool stage touches
-    the corpus; MMR is O(k·P)."""
+    The greedy loop runs driver-side over the collected P-row pool
+    (r13 — bit-parity with the r12 distributed rounds pinned by
+    test; the oracle unrolls the rounds as chained CTEs).  At 100 TB
+    only the pool stage touches the corpus; MMR is O(k·P²) on a
+    bounded P."""
     from stampede_to_fresco_etl_spark.operators.similarity import (
         as_double_vec, cosine, mmr_select,
     )
@@ -17087,13 +17087,11 @@ def q_mmr_diverse_topk(spark, sf_dir):
         "vec_id", "v",
         cosine(F.col("v"), F.col("qv")).alias("rel"),
     )
-    pool = (
-        scored.orderBy(F.col("rel").desc(), "vec_id")
-        .limit(_MMR_POOL)
-        # lazy (r12): same one-realization argument as mmr_select's
-        # round checkpoints — the P-row pool materializes once at the
-        # first action instead of as a construct-time barrier job
-        .localCheckpoint(eager=False)
+    # no checkpoint (r13): mmr_select's single pool collect is the
+    # only consumer — the r12 lazy checkpoint shared the pool across
+    # its k−1 distributed rounds, which are now driver-side
+    pool = scored.orderBy(F.col("rel").desc(), "vec_id").limit(
+        _MMR_POOL
     )
     return mmr_select(
         pool, "vec_id", "v", "rel", k=_MMR_K, lam=_MMR_LAM
@@ -20232,12 +20230,15 @@ def _pq_adc_from(spark, tab, codes_dir):
     # payload per vector); every search call scans only the codes
     # parquet.  r12: the per-probe branch loop (one scan +
     # TakeOrdered PER PROBE, unioned) became ONE declarative plan —
-    # the LUTs ride a broadcast probe-row table (probes × M × K
-    # doubles as DATA, the same exact values the old
-    # per-probe branches inlined as literals), the codes scan happens ONCE for ALL probes, and the
-    # per-probe top-k is the salted partial_topk window.  At serving
-    # probe counts beyond a handful the old shape re-scanned the
-    # whole code table per probe; this is O(1) scans at any count.
+    # the codes scan happens ONCE for ALL probes.  r13: the LUTs ride
+    # as ONE parsed `inline(array(struct(probe_id, adc), …))` literal
+    # expression (probes × M × K doubles — M·K = 64 per probe,
+    # serving-bounded) instead of a `createDataFrame` broadcast: the
+    # Python-rows frame planned as a Scan ExistingRDD whose
+    # BroadcastExchange re-ran a Python-worker job on EVERY execution
+    # (plans/r13/v17_pq_adc_topk_before.txt node (3)); the literal
+    # form is pure expression tree — no broadcast, no Python worker,
+    # same left-fold add chain on identical repr-round-trip doubles.
     from stampede_to_fresco_etl_spark import index_store
     from stampede_to_fresco_etl_spark.operators.similarity import (
         partial_topk,
@@ -20247,23 +20248,23 @@ def _pq_adc_from(spark, tab, codes_dir):
         "vec_id", *[f"code{s}" for s in range(_PQ_M)]
     )
     probe_ids = sorted({p for (p, _s) in tab})
-    ldf = spark.createDataFrame(
-        [
-            tuple(
-                [p] + [[float(v) for v in tab[(p, s)]] for s in range(_PQ_M)]
-            )
-            for p in probe_ids
-        ],
-        "probe_id long, "
-        + ", ".join(f"lut{s} array<double>" for s in range(_PQ_M)),
+
+    def _adc_sql(p: int) -> str:
+        acc = None
+        for s in range(_PQ_M):
+            lut = ",".join(f"{float(v)!r}D" for v in tab[(p, s)])
+            term = f"element_at(array({lut}), code{s} + 1)"
+            acc = term if acc is None else f"({acc} + {term})"
+        return acc
+
+    structs = ",".join(
+        f"struct(CAST({p} AS BIGINT) AS probe_id, "
+        f"{_adc_sql(p)} AS adc_dist)"
+        for p in probe_ids
     )
-    adc = None
-    for s in range(_PQ_M):
-        term = F.element_at(F.col(f"lut{s}"), F.col(f"code{s}") + 1)
-        adc = term if adc is None else adc + term
-    scored = codes.crossJoin(F.broadcast(ldf)).select(
-        "probe_id", "vec_id", adc.alias("adc_dist")
-    )
+    scored = codes.select(
+        "vec_id", F.expr(f"inline(array({structs}))")
+    ).select("probe_id", "vec_id", "adc_dist")
     return partial_topk(
         scored,
         "probe_id",

@@ -31,22 +31,19 @@ from stampede_to_fresco_etl_spark.functions import md5_int63
 def _partial_min_n(
     df: DataFrame, group_col: str, id_col: str, rank_col: str, n: int
 ) -> DataFrame:
-    """Salted two-stage bottom-n by (rank, id) per group: rank within
-    (group, input-partition) first — Tungsten sort, every group
-    spread over all reducers — then re-rank the ≤ shards × n
-    survivors.  Same shape as similarity.partial_topk (and chosen for
-    the same measured reason: collect_list+array_sort truncation is
-    ~60× slower on big groups).  All-long sort keys → exact order."""
+    """Bottom-n by (rank, id) per group as ONE rank window: the
+    ``row_number() ≤ n`` filter gets Spark's ``WindowGroupLimit``
+    Partial prune below the exchange, so each map task ships only its
+    local bottom-n per group — the same reducer-side load as the
+    r4–r12 hand-rolled salted two-stage form, minus its redundant
+    (group, spark_partition_id()) exchange round (see
+    similarity.partial_topk, r13).  Chosen over collect_list+
+    array_sort truncation for the same measured reason as there
+    (~60× slower on big groups).  All-long sort keys → exact order."""
     order = [F.col(rank_col), F.col(id_col)]
-    w_shard = Window.partitionBy(group_col, "__pid").orderBy(*order)
-    survivors = (
-        df.withColumn("__pid", F.spark_partition_id())
-        .withColumn("__r", F.row_number().over(w_shard))
-        .filter(F.col("__r") <= n)
-    )
     w_final = Window.partitionBy(group_col).orderBy(*order)
     return (
-        survivors.withColumn(
+        df.withColumn(
             "sample_rank", F.row_number().over(w_final).cast("long")
         )
         .filter(F.col("sample_rank") <= n)

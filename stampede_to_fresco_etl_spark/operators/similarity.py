@@ -88,27 +88,30 @@ def partial_topk(
     sim_col: str = "cos_sim",
     ascending: bool = False,
 ) -> DataFrame:
-    """Scale-safe top-k per probe: salted two-stage window.
+    """Scale-safe top-k per probe: ONE rank window whose map-side
+    prune is Spark's ``WindowGroupLimit`` (3.5+).
 
-    Stage 1 ranks within (probe, input-partition) — the salt spreads
-    every probe across all shuffle reducers, so no reducer ever holds
-    more than one input partition's share of a probe's candidates —
-    and keeps k rows per shard.  Stage 2 re-ranks the surviving
-    ≤ shards × k rows per probe (tiny).  Correctness: any global
-    top-k row is necessarily in its shard's top-k, so stage 2 sees a
-    superset and reproduces the single-window result exactly, ties
-    included.
+    The ``row_number() ≤ k`` filter makes the optimizer insert
+    ``WindowGroupLimit Partial`` BELOW the exchange: each map task
+    sorts its partition and forwards only its local top-k per probe,
+    so the probe's single reducer receives ≤ maps × k rows — never a
+    whole probe's candidate set.  That is exactly the residual the
+    r4–r12 hand-rolled salted two-stage form shipped to ITS final
+    stage; the explicit stage-1 window partitioned on
+    (probe, ``spark_partition_id()``) — groups that are already
+    co-located within each map task — so its exchange moved ≤ k rows
+    per (probe, shard) only to recompute the prune WindowGroupLimit
+    had already applied.  Dropping it removes one Exchange + two
+    Sorts + one Window per top-k with an identical reducer-side load
+    profile at any scale (r13; plans/r13/v17_* before/after).  The
+    plan canary (tests/test_scale_ops.py) pins the Partial prune.
 
-    A plain ``Window.partitionBy(probe)`` funnels EVERY scored pair
-    into one reducer per probe (the whole corpus on one task when
-    probes are broadcast) — that formulation is deliberately gone.
-    The other obvious fix — map-side truncation via
+    The other obvious formulation — map-side truncation via
     ``slice(array_sort(collect_list(struct)), 1, k)`` — minimizes
     shuffle bytes but runs on JVM object arrays instead of Tungsten:
-    measured 112 s on 20 M scored pairs (local[32]) vs 1.9 s for this
-    salted window (bare per-probe window: 1.6 s), a ~60× CPU
-    regression that no network saving buys back.  Both window sorts
-    here are Tungsten radix sorts.
+    measured 112 s on 20 M scored pairs (local[32]) vs 1.6–1.9 s for
+    the window forms, a ~60× CPU regression that no network saving
+    buys back.  The window sort here is a Tungsten radix sort.
 
     Output: (probe_id, id, sim, rank), rank ∈ [1, k].
 
@@ -176,15 +179,9 @@ def partial_topk(
         else F.col(sim_col).desc(),
         F.col(id_col),
     ]
-    w_shard = Window.partitionBy(probe_id_col, "__pid").orderBy(*order)
-    survivors = (
-        scored.withColumn("__pid", F.spark_partition_id())
-        .withColumn("__r", F.row_number().over(w_shard))
-        .filter(F.col("__r") <= k)
-    )
     w_final = Window.partitionBy(probe_id_col).orderBy(*order)
     return (
-        survivors.withColumn("rank", F.row_number().over(w_final))
+        scored.withColumn("rank", F.row_number().over(w_final))
         .filter(F.col("rank") <= k)
         .select(probe_id_col, id_col, sim_col, "rank")
     )
@@ -1270,83 +1267,134 @@ def mmr_select(
     top-k over a BOUNDED candidate pool: greedily pick the item
     maximizing  lam·rel − (1−lam)·max_{s∈S} cos(item, s),  ties by
     id.  The pool is expected to be a TakeOrdered top-P frame
-    (pool-sized, not data-sized): the P×P pairwise-cosine frame is
-    localCheckpointed once, and each of the k−1 selection rounds is
-    an anti-join + max-aggregate + 1-row TakeOrdered on ≤ P rows —
-    all distributed, nothing collected.  At 100 TB the pool stage
+    (pool-sized, not data-sized).  At 100 TB the pool stage
     (brute/LSH/IVF top-P) does the data-sized work; MMR's cost is
-    O(k·P) regardless of corpus size.
+    O(k·P²) on P rows regardless of corpus size — so the greedy
+    rounds run DRIVER-SIDE over the collected pool (r13, VERDICT r12
+    item 3): the r12 distributed form paid one localCheckpoint →
+    physical-planning cycle plus several control-plane AQE jobs PER
+    ROUND over ≤ P-row frames (qprofile: ~1.0 s of v13's wall was
+    plan construction, 19 micro-jobs), pure driver overhead that a
+    bounded P never amortizes.  One collect of the pool (the only
+    action — it runs the data-sized pool stage, and every call
+    re-runs it: nothing is cached across calls) replaces k−1 rounds
+    of re-planning; the selection itself is O(k·P²) Python doubles.
 
-    Determinism: cosines are the left-fold doubles (`cosine`), the
-    λ-combination is one multiply-subtract of identical operands,
-    and every argmax carries the id tiebreak — bit-reproducible in
-    SQL.  Returns (sel_rank, id, rel, mmr_score); sel_rank 1's score
-    is its relevance (nothing selected yet to diversify against)."""
-    pairs = (
-        pool.select(
-            F.col(id_col).alias("__ida"), F.col(vec_col).alias("__va")
+    Bit-parity with the r12 distributed form (pinned by
+    tests/test_r7_ops.py::test_mmr_select_matches_distributed):
+    pairwise cosines replicate `cosine` exactly — the same
+    left-to-right fold over IEEE-754 binary64 values (CPython floats
+    and JVM codegen both evaluate each *, +, / as one correctly-
+    rounded binary64 op; `math.sqrt` and `java.lang.Math.sqrt` are
+    both correctly rounded), the same zero-denominator null guard —
+    the λ-combination is the same multiply-subtract of identical
+    operands, and every argmax carries the (score DESC NULLS LAST,
+    id ASC) order of the old 1-row TakeOrdered.  Returns (sel_rank,
+    id, rel, mmr_score); sel_rank 1's score is its relevance
+    (nothing selected yet to diversify against)."""
+    import math
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    rows = pool.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        F.col(rel_col).alias("__rel"),
+    ).collect()
+    items = [(r["__id"], r["__v"], r["__rel"]) for r in rows]
+
+    def _dot_py(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    def _cos_py(a, b):
+        den = math.sqrt(_dot_py(a, a)) * math.sqrt(_dot_py(b, b))
+        if den == 0.0:
+            return None
+        return _dot_py(a, b) / den
+
+    sim = {
+        (ida, idb): _cos_py(va, vb)
+        for ida, va, _ in items
+        for idb, vb, _ in items
+        if ida != idb
+    }
+
+    def _argmax(cands):
+        """(score DESC NULLS LAST, id ASC) — the old TakeOrdered."""
+        best = None
+        for cand in cands:
+            if best is None:
+                best = cand
+                continue
+            cid, _, cscore = cand
+            bid, _, bscore = best
+            if cscore is None:
+                take = bscore is None and cid < bid
+            elif bscore is None:
+                take = True
+            else:
+                take = cscore > bscore or (
+                    cscore == bscore and cid < bid
+                )
+            if take:
+                best = cand
+        return best
+
+    first = _argmax([(i, r, r) for i, _, r in items])
+    if first is None:
+        return pool.sparkSession.createDataFrame(
+            [],
+            StructType(
+                [
+                    StructField("sel_rank", LongType(), False),
+                    StructField(
+                        id_col, pool.schema[id_col].dataType, True
+                    ),
+                    StructField(
+                        rel_col, pool.schema[rel_col].dataType, True
+                    ),
+                    StructField("mmr_score", DoubleType(), True),
+                ]
+            ),
         )
-        .crossJoin(
-            pool.select(
-                F.col(id_col).alias("__idb"), F.col(vec_col).alias("__vb")
+    selected = [(1, first[0], first[1], first[2])]
+    chosen = {first[0]}
+    for rank in range(2, k + 1):
+        cands = []
+        for cid, _, crel in items:
+            if cid in chosen:
+                continue
+            msim = None
+            for _, sid, _, _ in selected:
+                s = sim[(cid, sid)]
+                if s is not None and (msim is None or s > msim):
+                    msim = s
+            score = (
+                None
+                if msim is None or crel is None
+                else lam * crel - (1.0 - lam) * msim
             )
-        )
-        .where(F.col("__ida") != F.col("__idb"))
-        .select(
-            "__ida", "__idb",
-            cosine(F.col("__va"), F.col("__vb")).alias("__sim"),
-        )
-        # lazy (r12): the checkpoint still materializes exactly one
-        # P×P pairs frame (deterministic inputs, so even a concurrent
-        # first-use double-compute yields identical blocks), but the
-        # barrier job moves out of plan construction and into the one
-        # timed action — k−1 eager construct-time jobs become stages
-        # of the final job.
-        .localCheckpoint(eager=False)
+            cands.append((cid, crel, score))
+        pick = _argmax(cands)
+        if pick is None:
+            break
+        selected.append((rank, pick[0], pick[1], pick[2]))
+        chosen.add(pick[0])
+    schema = StructType(
+        [
+            StructField("sel_rank", LongType(), False),
+            StructField(id_col, pool.schema[id_col].dataType, True),
+            StructField(rel_col, pool.schema[rel_col].dataType, True),
+            StructField("mmr_score", DoubleType(), True),
+        ]
     )
-    rel = pool.select(
-        F.col(id_col).alias("__id"), F.col(rel_col).alias("__rel")
-    )
-    selected = (
-        rel.orderBy(F.col("__rel").desc(), "__id")
-        .limit(1)
-        .select(
-            "__id", "__rel",
-            F.col("__rel").alias("__score"),
-            F.lit(1).cast("long").alias("sel_rank"),
-        )
-        .localCheckpoint(eager=False)
-    )
-    for i in range(2, k + 1):
-        msim = (
-            pairs.join(
-                selected.select(F.col("__id").alias("__idb")), "__idb"
-            )
-            .groupBy("__ida")
-            .agg(F.max("__sim").alias("__msim"))
-        )
-        cand = rel.join(selected.select("__id"), "__id", "left_anti")
-        scored = cand.join(
-            msim, cand["__id"] == msim["__ida"]
-        ).select(
-            "__id", "__rel",
-            (
-                F.lit(lam) * F.col("__rel")
-                - F.lit(1.0 - lam) * F.col("__msim")
-            ).alias("__score"),
-        )
-        pick = (
-            scored.orderBy(F.col("__score").desc(), "__id")
-            .limit(1)
-            .withColumn("sel_rank", F.lit(i).cast("long"))
-        )
-        # lazy per round: each round's plan still reads the PREVIOUS
-        # round's checkpointed RDD (no plan blow-up — planning cost
-        # per round is unchanged), only the eager barrier job is gone
-        selected = selected.unionByName(pick).localCheckpoint(eager=False)
-    return selected.select(
-        "sel_rank",
-        F.col("__id").alias(id_col),
-        F.col("__rel").alias(rel_col),
-        F.col("__score").alias("mmr_score"),
-    )
+    return pool.sparkSession.createDataFrame(selected, schema)
+

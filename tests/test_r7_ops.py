@@ -292,6 +292,104 @@ def test_mmr_vs_numpy_greedy(spark):
     assert (got.mmr_score.iloc[1:] <= got.rel.iloc[1:] + 1e-12).all()
 
 
+def test_mmr_select_matches_distributed(spark):
+    """Bit-parity pin for the r13 driver-side greedy: mmr_select must
+    reproduce the r12 DISTRIBUTED formulation exactly — same picks,
+    same doubles — because the Python replay uses the same left-fold
+    IEEE ops as the engine's `cosine`.  The distributed form is
+    re-created inline here as the oracle."""
+    from pyspark.sql import Row
+
+    from stampede_to_fresco_etl_spark.operators.similarity import (
+        as_double_vec,
+        cosine,
+        mmr_select,
+    )
+
+    pool = (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .select("vec_id", as_double_vec("embedding").alias("v"))
+        .orderBy("vec_id")
+        .limit(12)
+        .withColumn(
+            "rel",
+            cosine(
+                F.col("v"),
+                F.expr(
+                    "transform(v, x -> CAST(0.5 AS DOUBLE) * x)"
+                ),
+            ),
+        )
+    )
+    k, lam = 5, 0.7
+    got = [
+        tuple(r)
+        for r in mmr_select(pool, "vec_id", "v", "rel", k=k, lam=lam)
+        .orderBy("sel_rank")
+        .collect()
+    ]
+
+    # the r12 distributed rounds, inline (eager checkpoints for
+    # simplicity — values are what matters)
+    pairs = (
+        pool.select(F.col("vec_id").alias("__ida"), F.col("v").alias("__va"))
+        .crossJoin(
+            pool.select(
+                F.col("vec_id").alias("__idb"), F.col("v").alias("__vb")
+            )
+        )
+        .where(F.col("__ida") != F.col("__idb"))
+        .select(
+            "__ida",
+            "__idb",
+            cosine(F.col("__va"), F.col("__vb")).alias("__sim"),
+        )
+        .localCheckpoint()
+    )
+    rel = pool.select(
+        F.col("vec_id").alias("__id"), F.col("rel").alias("__rel")
+    )
+    selected = (
+        rel.orderBy(F.col("__rel").desc(), "__id")
+        .limit(1)
+        .select(
+            "__id",
+            "__rel",
+            F.col("__rel").alias("__score"),
+            F.lit(1).cast("long").alias("sel_rank"),
+        )
+        .localCheckpoint()
+    )
+    for i in range(2, k + 1):
+        msim = (
+            pairs.join(
+                selected.select(F.col("__id").alias("__idb")), "__idb"
+            )
+            .groupBy("__ida")
+            .agg(F.max("__sim").alias("__msim"))
+        )
+        cand = rel.join(selected.select("__id"), "__id", "left_anti")
+        scored = cand.join(msim, cand["__id"] == msim["__ida"]).select(
+            "__id",
+            "__rel",
+            (
+                F.lit(lam) * F.col("__rel")
+                - F.lit(1.0 - lam) * F.col("__msim")
+            ).alias("__score"),
+        )
+        pick = (
+            scored.orderBy(F.col("__score").desc(), "__id")
+            .limit(1)
+            .withColumn("sel_rank", F.lit(i).cast("long"))
+        )
+        selected = selected.unionByName(pick).localCheckpoint()
+    want = [
+        (r["sel_rank"], r["__id"], r["__rel"], r["__score"])
+        for r in selected.orderBy("sel_rank").collect()
+    ]
+    assert got == want  # ids AND doubles, bit-exact
+
+
 def test_kmeans_refine_improves_balance_and_counts(spark):
     from stampede_to_fresco_etl_spark.catalog import _KM_CELLS, REGISTRY
 

@@ -119,20 +119,21 @@ def test_scan_pushdown(spark):
     assert "In(event_type" in plan  # membership filter reached the scan
 
 
-def test_topk_plan_is_salted_two_stage_window(spark):
-    # The scale-killer bare Window.partitionBy(probe) must stay gone:
-    # the FIRST (big) window partitions on (probe, shard) so no
-    # reducer holds a whole probe; only the k-survivor re-rank
-    # partitions on the probe alone.
+def test_topk_plan_has_mapside_group_limit(spark):
+    # The scale-killer un-pruned Window.partitionBy(probe) must stay
+    # gone: the rank window's map side must carry a WindowGroupLimit
+    # Partial prune, so each map task forwards only its local top-k
+    # per probe and the probe's reducer sees ≤ maps × k rows (r13 —
+    # this replaced the r4 hand-rolled salted two-stage form, whose
+    # extra (probe, spark_partition_id()) exchange re-grouped rows
+    # that were already co-located).
     from stampede_to_fresco_etl_spark.catalog import REGISTRY
 
     for name in ("v1_cosine_topk", "v2_lsh_topk", "v4_ivf_topk"):
         df = REGISTRY[name][0](spark, "/root/testdata/sf0.001")
         plan = _plan(df)
-        # two window stages, the big one keyed by (probe, __pid) salt
-        assert plan.count("Window") >= 2, name
-        assert "__pid" in plan, name
-        assert "SPARK_PARTITION_ID" in plan, name
+        assert "WindowGroupLimit" in plan, name
+        assert "Partial" in plan, name
 
 
 def test_partial_topk_equals_window_topk(spark):
@@ -180,14 +181,22 @@ def test_asof_and_sessionize_single_keyed_shuffle(spark):
     assert plan.count("Exchange hashpartitioning") <= 2  # window + rollup
 
 
-def test_new_topk_ops_use_salted_two_stage(spark):
-    # KMV order statistics, keyword top-k, heavy hitters all reuse
-    # the salted two-stage window — no per-group mega-partition.
+def test_new_topk_ops_prune_mapside(spark):
+    # KMV order statistics keep the salted two-stage (dense_rank has
+    # no WindowGroupLimit row_number shortcut for its copy-keeping
+    # stage-1); keyword top-k and heavy hitters ride partial_topk's
+    # WindowGroupLimit Partial prune (r13) — either way, no un-pruned
+    # per-group mega-partition.
     from stampede_to_fresco_etl_spark.catalog import REGISTRY
 
-    for name in ("k1_kmv_distinct", "x6_keyword_topk", "x7_heavy_hitters"):
+    plan = _plan(
+        REGISTRY["k1_kmv_distinct"][0](spark, "/root/testdata/sf0.001")
+    )
+    assert "SPARK_PARTITION_ID" in plan
+    for name in ("x6_keyword_topk", "x7_heavy_hitters"):
         plan = _plan(REGISTRY[name][0](spark, "/root/testdata/sf0.001"))
-        assert "SPARK_PARTITION_ID" in plan, name
+        assert "WindowGroupLimit" in plan, name
+        assert "Partial" in plan, name
 
 
 def test_keyword_topk_broadcasts_dims(spark):
