@@ -21343,6 +21343,41 @@ def q_ivfpq_batch_probe(spark, sf_dir):
     )
 
 
+#: (applicationId, body, serving, cent_dir, …variant) → (composed
+#: probe-plan DataFrame, the serving reader object it embeds).  The
+#: serving-probe bodies below are pure compositions over parquet
+#: readers (no checkpoints, no collected state beyond the session-
+#: cached serving tuples), yet re-building one costs ~0.25–0.4 s of
+#: py4j plan construction per CALL (qprofile r13) — the dominant wall
+#: of the v19–v27 family after the r12 cuts.  Same class as
+#: `_IVFPQ_READ_CACHE` / `_LOAD_CACHE`: PLAN objects only, every
+#: execution rescans the parquet.  Staleness is impossible by
+#: construction: the entry is keyed to the serving layout's cached
+#: reader OBJECT, and every lifecycle event that can change the
+#: layout (`_mark_materialized` rebuild, `_swap_in` compaction/erase
+#: fold, `_invalidate_derived` source maintenance, `_fresh_dir`) pops
+#: that reader from `_IVFPQ_READ_CACHE` — the identity check then
+#: fails and the plan is rebuilt from a fresh listing.
+_PROBE_PLAN_CACHE: dict = {}
+
+
+def _cached_probe_plan(spark, serving, key, build):
+    from stampede_to_fresco_etl_spark import index_store
+
+    app = spark.sparkContext.applicationId
+    rk = (app, serving)
+    ck = (app,) + key
+    ent = _PROBE_PLAN_CACHE.get(ck)
+    reader = index_store._IVFPQ_READ_CACHE.get(rk)
+    if ent is not None and reader is not None and ent[1] is reader:
+        return ent[0]
+    df = build()
+    reader = index_store._IVFPQ_READ_CACHE.get(rk)
+    if reader is not None:
+        _PROBE_PLAN_CACHE[ck] = (df, reader)
+    return df
+
+
 def _ivfpq_plan_probe(
     spark, sf_dir, serving, cent_dir, n_probe, batch=True
 ):
@@ -21350,7 +21385,23 @@ def _ivfpq_plan_probe(
     parameterized by serving layout, n_probe, and probe set —
     ``batch=True`` probes with the held-out ingest split (v21),
     ``batch=False`` with the serving probes ``vec_id <
-    _V17_PROBES`` (v19/v20/v24/v18's cell-count rehearsals)."""
+    _V17_PROBES`` (v19/v20/v24/v18's cell-count rehearsals).
+    The composed plan is session-cached per layout variant
+    (`_PROBE_PLAN_CACHE`)."""
+    key = ("pq", serving, cent_dir, n_probe, bool(batch))
+    return _cached_probe_plan(
+        spark,
+        serving,
+        key,
+        lambda: _ivfpq_plan_probe_build(
+            spark, sf_dir, serving, cent_dir, n_probe, batch
+        ),
+    )
+
+
+def _ivfpq_plan_probe_build(
+    spark, sf_dir, serving, cent_dir, n_probe, batch
+):
     from stampede_to_fresco_etl_spark import index_store
     from stampede_to_fresco_etl_spark.functions import md5_int63
     from stampede_to_fresco_etl_spark.operators.similarity import (
@@ -22028,7 +22079,58 @@ def _residual_batch_probe(
     both paths are the SAME one-declarative plan, O(1) plan size in
     probes, no driver-side per-probe unions.  ``emb`` swaps in a
     corpus variant; ``probe_max`` widens the non-batch probe set
-    (x66's audit bands)."""
+    (x66's audit bands).  With the default corpus (``emb=None``) the
+    composed plan is session-cached per layout variant
+    (`_PROBE_PLAN_CACHE`); an explicit ``emb`` (x66's relocated
+    corpus, a per-call checkpointed frame) is never cached."""
+    if emb is None:
+        key = (
+            "res",
+            serving,
+            cent_dir,
+            bool(batch),
+            int(probe_max or 0),
+        )
+        return _cached_probe_plan(
+            spark,
+            serving,
+            key,
+            lambda: _residual_batch_probe_build(
+                spark,
+                sf_dir,
+                serving,
+                cent_dir,
+                cents,
+                rseeds,
+                batch,
+                None,
+                probe_max,
+            ),
+        )
+    return _residual_batch_probe_build(
+        spark,
+        sf_dir,
+        serving,
+        cent_dir,
+        cents,
+        rseeds,
+        batch,
+        emb,
+        probe_max,
+    )
+
+
+def _residual_batch_probe_build(
+    spark,
+    sf_dir,
+    serving,
+    cent_dir,
+    cents,
+    rseeds,
+    batch,
+    emb,
+    probe_max,
+):
     from stampede_to_fresco_etl_spark import index_store
     from stampede_to_fresco_etl_spark.functions import md5_int63
     from stampede_to_fresco_etl_spark.operators.similarity import (
@@ -22433,13 +22535,20 @@ def q_trained_recall_audit(spark, sf_dir):
     # Joining the union once halves the exact arm; values unchanged
     # (same per-(arm, probe) counts, same left-join spine, same
     # types) — the oracle's own `arms` CTE shape.
+    # r13: the served arms take the DEFAULT corpus (emb=None) so both
+    # ride the session probe-plan cache — v22/v25's own plans.  The
+    # r12 shared pinned scan bought the arms' probe side one shared
+    # materialization, but re-paying ~0.5 s of per-call arm
+    # CONSTRUCTION for it was the worse trade (qprofile r13); the
+    # arms' probe reads are pushdown-pruned vec_id<3 slices.  The
+    # pinned scan still serves the exact arm's probes+corpus and the
+    # final probes explode.
     served = (
         _residual_batch_probe(
             spark,
             sf_dir,
             *_residual_serving(spark, sf_dir),
             batch=False,
-            emb=emb,
         )
         .select(
             F.lit("residual_md5").alias("arm"), "probe_id", "vec_id"
@@ -22450,7 +22559,6 @@ def q_trained_recall_audit(spark, sf_dir):
                 sf_dir,
                 *_trained_residual_serving(spark, sf_dir),
                 batch=False,
-                emb=emb,
             ).select(
                 F.lit("residual_trained").alias("arm"),
                 "probe_id",
@@ -23109,19 +23217,55 @@ JOIN (VALUES
   ON c.cell = r.vec_id % {_X66_NCENTERS}"""
 
 
+def _x66_corpus_dir(spark, sf_dir) -> str:
+    """Materialize the clustered separation corpus ONCE PER SESSION
+    as a parquet artifact (r13) — the same index_store lifecycle as
+    every serving layout: a new session rebuilds it (overwrite) from
+    the driver's embeddings table, so nothing persists across runs
+    beyond the session-guarded artifact pattern the ann/pq layouts
+    already use.  This replaces the r12 per-call localCheckpoint:
+    the checkpoint re-paid a ~0.3 s physical-planning cycle plus a
+    materialization job on EVERY call, pinned per-call RDD blocks,
+    and — being an RDD — gave its five consumer arms neither column
+    pruning nor predicate pushdown; the parquet artifact gives both,
+    and its guarded reader makes the whole audit plan session-
+    memoizable (`_X66_PLAN_CACHE`)."""
+    from stampede_to_fresco_etl_spark import index_store
+
+    base = (
+        f"{_SCRATCH}/index_store/sep_corpus/"
+        f"{index_store._key(sf_dir)}"
+    )
+    if not index_store._already_materialized(spark, base):
+        index_store._fresh_dir(spark, base)
+        _x66_corpus(spark, sf_dir).write.mode("overwrite").parquet(
+            base
+        )
+        index_store._mark_materialized(spark, base)
+    return base
+
+
+#: (applicationId, sf_dir) -> (x66's composed audit plan, the corpus
+#: reader object it embeds) — the `_PROBE_PLAN_CACHE` pattern: plan
+#: object only, rebuilt whenever the corpus reader is invalidated.
+_X66_PLAN_CACHE: dict = {}
+
+
 def q_trained_separation_audit(spark, sf_dir):
+    from stampede_to_fresco_etl_spark import index_store
     from stampede_to_fresco_etl_spark.functions import md5_int63
     from stampede_to_fresco_etl_spark.operators.similarity import (
         _sqdist,
         partial_topk,
     )
 
-    # lazy (r12): the clustered corpus still materializes once for
-    # its five consumer arms (deterministic transform — md5 centers,
-    # dyadic offsets — so any concurrent first-use compute is
-    # identical), but the construct-time barrier job folds into the
-    # first action
-    emb_c = _x66_corpus(spark, sf_dir).localCheckpoint(eager=False)
+    corpus_dir = _x66_corpus_dir(spark, sf_dir)
+    reader = index_store.read_materialized(spark, corpus_dir)
+    ck = (spark.sparkContext.applicationId, sf_dir)
+    ent = _X66_PLAN_CACHE.get(ck)
+    if ent is not None and ent[1] is reader:
+        return ent[0]
+    emb_c = reader.select("vec_id", "embedding")
     h = md5_int63("vec_id", salt=INGEST_SPLIT_SALT)
     probes = emb_c.filter(F.col("vec_id") < _X66_PROBE_MAX).select(
         F.col("vec_id").alias("probe_id"),
@@ -23193,7 +23337,7 @@ def q_trained_separation_audit(spark, sf_dir):
     spine = probes.groupBy(band).agg(
         F.count("*").cast("long").alias("n_probes")
     )
-    return (
+    out = (
         spine.join(hits, "band", "left")
         .select(
             "band",
@@ -23211,6 +23355,8 @@ def q_trained_separation_audit(spark, sf_dir):
         )
         .orderBy("band")
     )
+    _X66_PLAN_CACHE[ck] = (out, reader)
+    return out
 
 
 def _sql_trained_separation_audit() -> str:
@@ -23578,3 +23724,75 @@ REGISTRY = dict(
         ),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Session plan memo for pure-composition queries (r13).  Plan
+# CONSTRUCTION — hundreds of py4j round trips per call — was the
+# single largest driver-bound cost class left after r12 (qprofile:
+# x28 0.80 s, v3c 0.42 s of sub-second queries' walls), and the
+# 8-vs-32-core scaling block pins it as serial driver work.  For a
+# query whose construction is a PURE function of (session, sf_dir) —
+# no per-call checkpoints or pins, no index_store artifacts that a
+# lifecycle verb could rewrite mid-session, only immutable testdata
+# parquet — two constructs yield byte-identical physical plans, so
+# memoizing the DataFrame object is exactly that pure function's
+# memo.  PLAN objects only: every execution re-scans the parquet
+# (nothing in these plans is persisted/checkpointed, enforced by the
+# ExistingRDD scan below and pinned per query by
+# tests/test_plan_cache.py's construct-identity check).  Artifact-
+# backed probes are NOT listed here — their bodies ride the guarded
+# `_PROBE_PLAN_CACHE`/`read_materialized` caches with lifecycle
+# invalidation instead.
+_QUERY_PLAN_CACHE: dict = {}
+
+#: Queries verified construct-pure (identical plans across fresh
+#: constructs, no ExistingRDD scans, no mutable artifacts) — the
+#: r13 audit; membership is pinned by tests/test_plan_cache.py.
+_PLAN_CACHED_QUERIES = (
+    "v3_embedding_near_dups",
+    "v3c_near_dups_auto",
+    "v12_hybrid_rrf",
+    "d11_strip_dup_spans",
+    "t19_prorated_allocation",
+    "k1_kmv_distinct",
+    "k1b_kmv_sketch_only",
+    "k4_hll_cumulative",
+    "k6_bloom_fpr_audit",
+    "w18_longest_streak",
+    "w20_rolling_wau",
+    "s30_zorder_layout",
+    "j11_nearest_event_join",
+    "j17_salted_hot_join",
+    "x6_keyword_topk",
+    "x16_decontaminate",
+    "x28_ann_recall_audit",
+    "x50_source_tv_shift",
+    "x56_target_encoding",
+    "t18_time_weighted_avg",
+    "a15_retention_cohorts",
+    "a44_attribution",
+    "a45_kaplan_meier",
+    "a48_cuped",
+)
+
+
+def _session_plan_cached(name, fn):
+    def wrapped(spark, sf_dir):
+        ck = (spark.sparkContext.applicationId, sf_dir, name)
+        df = _QUERY_PLAN_CACHE.get(ck)
+        if df is None:
+            df = fn(spark, sf_dir)
+            _QUERY_PLAN_CACHE[ck] = df
+        return df
+
+    wrapped.__name__ = fn.__name__
+    wrapped.__doc__ = fn.__doc__
+    wrapped.__wrapped__ = fn
+    return wrapped
+
+
+for _n in _PLAN_CACHED_QUERIES:
+    _fn, _sql = REGISTRY[_n]
+    REGISTRY[_n] = (_session_plan_cached(_n, _fn), _sql)
+del _n, _fn, _sql

@@ -416,22 +416,34 @@ def _with_centroid_col(
     ≤ `_LITERAL_CENTROID_MAX` centroids: inline literals — the tree
     stays small and the plan is self-contained.  Above that, the
     SAME values are shipped as ONE broadcast row (a single-row
-    DataFrame broadcast-cross-joined): the centroid payload becomes
-    data instead of expression tree, so the plan stays O(1) in cell
-    count, and no data-sized exchange is added
-    (BroadcastNestedLoopJoin of a 1-row build side).  Every
+    DataFrame broadcast-cross-joined): the centroid payload rides the
+    broadcast instead of being re-evaluated per data row, and no
+    data-sized exchange is added (BroadcastNestedLoopJoin of a 1-row
+    build side).  r13: the one-row build side is ``range(1)`` +
+    the parsed matrix literal — a JVM-only subtree — where the
+    r9–r12 form was a ``createDataFrame`` Python-rows frame whose
+    BroadcastExchange re-ran a Python-worker ExistingRDD job on
+    EVERY execution (qprofile r13: a serial 1-task ~0.2 s job in
+    each trained-layout probe).  The literal is guarded by a
+    row-dependent ``when(id = 0, …)`` so it is NOT a foldable alias:
+    unguarded, FoldablePropagation inlines the whole matrix into
+    every downstream consumer expression, multiplying the plan tree
+    by cell count — exactly the blowup the broadcast form exists to
+    avoid; guarded, the matrix appears ONCE (in the 1-row build
+    projection) and downstream sees a plain data column.  Every
     downstream fold (`_sqdist`, `_nearest_cell`) consumes identical
-    doubles either way, so the two paths are bit-exact twins (pinned
-    by tests/test_similarity_multimodal.py)."""
+    doubles either way — repr round-trip, the same twin contract
+    (pinned by tests/test_similarity_multimodal.py)."""
     if len(centroids) <= _LITERAL_CENTROID_MAX:
         # one parsed matrix literal, not cells×dim F.lit() calls:
         # the per-element form costs a py4j round-trip per double
         # and dominated v21's plan-CONSTRUCTION time (measured r10);
         # the parsed literal is bit-identical (repr round-trip)
         return df.withColumn(col, lit_double_matrix(centroids))
-    cent_df = df.sparkSession.createDataFrame(
-        [([[float(x) for x in c] for c in centroids],)],
-        f"{col} array<array<double>>",
+    cent_df = df.sparkSession.range(1).select(
+        F.when(F.col("id") == 0, lit_double_matrix(centroids)).alias(
+            col
+        )
     )
     return df.crossJoin(F.broadcast(cent_df))
 

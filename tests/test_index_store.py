@@ -563,11 +563,14 @@ def test_ivfpq_batch_probe_shape_and_plan(spark):
     import contextlib
     import io
 
+    from stampede_to_fresco_etl_spark import catalog
     from stampede_to_fresco_etl_spark.catalog import (
         _V19_TOPK,
         q_ivfpq_batch_probe,
     )
 
+    # fresh construct for the plan canary (r13 probe-plan memo)
+    catalog._PROBE_PLAN_CACHE.clear()
     df = q_ivfpq_batch_probe(spark, SF)
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
@@ -841,11 +844,14 @@ def test_residual_batch_probe_shape_and_plan(spark):
     import contextlib
     import io
 
+    from stampede_to_fresco_etl_spark import catalog
     from stampede_to_fresco_etl_spark.catalog import (
         _V19_TOPK,
         q_ivfpq_residual_batch_probe,
     )
 
+    # fresh construct for the plan canary (r13 probe-plan memo)
+    catalog._PROBE_PLAN_CACHE.clear()
     df = q_ivfpq_residual_batch_probe(spark, SF)
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
@@ -1468,12 +1474,17 @@ def test_residual_perprobe_serving_is_one_declarative_plan(spark):
     import contextlib
     import io
 
+    from stampede_to_fresco_etl_spark import catalog
     from stampede_to_fresco_etl_spark.catalog import (
         _V19_TOPK,
         q_ivfpq_residual_topk,
         q_ivfpq_trained_topk,
     )
 
+    # This canary inspects the CONSTRUCTED plan: drop the session
+    # probe-plan memo (r13) so explain() sees a fresh construct, not
+    # the AQE final plan of a DataFrame an earlier test executed.
+    catalog._PROBE_PLAN_CACHE.clear()
     for fn, layout in (
         (q_ivfpq_residual_topk, "ivfpq"),
         (q_ivfpq_trained_topk, "ivfpq"),
@@ -1515,10 +1526,14 @@ def test_residual_perprobe_serving_is_one_declarative_plan(spark):
 
 def test_flat_adc_scan_is_one_declarative_plan(spark):
     """r12: v17's flat-ADC search scans the stored code table ONCE
-    for all probes (broadcast LUT-row table × codes), instead of one
-    scan + TakeOrdered per probe unioned — at serving probe counts
-    beyond a handful the old shape re-read the whole artifact per
-    probe.  Values stay driver-gated by the v17 oracle."""
+    for all probes, instead of one scan + TakeOrdered per probe
+    unioned — at serving probe counts beyond a handful the old shape
+    re-read the whole artifact per probe.  r13: the per-probe LUT
+    rows ride an exploded literal expression (the tables are a
+    bounded session-side collect already), so the plan is fully
+    self-contained — no join at all, not even the former one-row
+    BroadcastNestedLoopJoin.  Values stay driver-gated by the v17
+    oracle."""
     import contextlib
     import io
 
@@ -1536,7 +1551,9 @@ def test_flat_adc_scan_is_one_declarative_plan(spark):
         if ln.lstrip().startswith("Location") and "/pq_codes/" in ln
     ]
     assert len(code_scans) == 1, plan
-    assert "BroadcastNestedLoopJoin" in plan  # the tiny LUT-row side
+    # r13: LUTs are inline literals — any join node would mean the
+    # serving path regressed to a broadcast/shuffle of LUT rows
+    assert "Join" not in plan, plan
     out = df.collect()
     assert out
     per_probe = {}
@@ -1641,11 +1658,14 @@ def test_trained_batch_probe_shape_and_plan(spark):
     import contextlib
     import io
 
+    from stampede_to_fresco_etl_spark import catalog
     from stampede_to_fresco_etl_spark.catalog import (
         _V19_TOPK,
         q_ivfpq_trained_batch_probe,
     )
 
+    # fresh construct for the plan canary (see the perprobe test)
+    catalog._PROBE_PLAN_CACHE.clear()
     df = q_ivfpq_trained_batch_probe(spark, SF)
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
