@@ -5888,8 +5888,9 @@ def q_analytic_windows_kernel(spark, sf_dir):
     arithmetic on bounded frames.
 
       1. range-partition on (type, day, event_id) + local sort +
-         frozen monotonic id (order_stats' skeleton, one realization
-         via localCheckpoint) — the only full-data exchange;
+         frozen monotonic id (order_stats' skeleton; the unique sort
+         key makes every evaluation agree, no checkpoint) — the only
+         full-data exchange;
       2. per-(pid, type) LOCAL windows (bounded by rows/P): running
          sum, lag, lead;
       3. a P·G stats frame chains partition totals into rank/sum
@@ -5917,20 +5918,18 @@ def q_analytic_windows_kernel(spark, sf_dir):
     )
     from pyspark.sql import Window as W
 
-    # lazy checkpoint (r12): the frozen-id contract only needs ONE
-    # realization of __mid that every consumer reads — the lazy form
-    # still materializes the RDD exactly once (and the pipeline is
-    # deterministic end-to-end: range bounds are sampled with
-    # per-partition-index seeds over deterministic scan splits, the
-    # local sort key (type, day, event_id) is unique, and __mid is a
-    # pure function of partition index and local row order — so even
-    # a concurrent first-use double-compute yields identical blocks),
-    # but the construct-time barrier job moves into the timed action.
+    # no checkpoint (r13, order_stats module docstring step 1): the
+    # local sort key (type, day, event_id) is unique, so __mid is a
+    # pure function of the deterministic shuffle output — every
+    # evaluation of the post-shuffle sort+stamp agrees, and the range
+    # exchange itself is shared by both consumers via ReuseExchange/
+    # AQE stage reuse.  Dropping the r7–r12 localCheckpoint removes
+    # the pinned non-replayable blocks and makes the whole plan a
+    # pure composition (session plan memo eligible).
     part = (
         base.repartitionByRange(P, "event_type", "day", "event_id")
         .sortWithinPartitions("event_type", "day", "event_id")
         .withColumn("__mid", F.monotonically_increasing_id())
-        .localCheckpoint(eager=False)
         .withColumn("__pid", F.shiftright("__mid", 33))
     )
     w_loc = W.partitionBy("__pid", "event_type").orderBy("__mid")
@@ -5984,11 +5983,35 @@ def q_analytic_windows_kernel(spark, sf_dir):
         .alias("next_vi"),
         "__n",
     )
-    dayf = rows.groupBy("event_type", "day").agg(
-        F.min("__rn").alias("__rnk"), F.count("*").alias("__dc")
-    )
+    # (type, day) tie-frame from BASE, not from `rows` (r13): rows
+    # are globally ordered by (type, day, event_id), so a day's
+    # min rank = 1 + the count of the type's earlier-day rows — a
+    # cumulative count over the calendar-bounded (type, day) frame.
+    # Deriving it from `rows` consumed the kernel subtree a second
+    # time, and AQE's stage cache does not match the re-aliased
+    # duplicate (measured r13: two range-exchange materializations,
+    # two sampling jobs); from `base` it is one cheap pre-kernel
+    # aggregate.  BIGINT-exact: counts, not ranks.
     w_day = W.partitionBy("event_type").orderBy("day")
-    dayf = dayf.withColumn("__drnk", F.row_number().over(w_day))
+    dayf = (
+        base.groupBy("event_type", "day")
+        .agg(F.count("*").alias("__dc"))
+        .select(
+            "event_type",
+            "day",
+            "__dc",
+            (
+                F.coalesce(
+                    F.sum("__dc").over(
+                        w_day.rowsBetween(W.unboundedPreceding, -1)
+                    ),
+                    F.lit(0),
+                )
+                + 1
+            ).alias("__rnk"),
+            F.row_number().over(w_day).alias("__drnk"),
+        )
+    )
     out = rows.join(F.broadcast(dayf), ["event_type", "day"])
     # SQL ntile(k): first (n mod k) buckets hold ceil(n/k) rows
     n, r_ = F.col("__n"), F.col("__n") % 4
@@ -14578,14 +14601,15 @@ def q_abc_pareto(spark, sf_dir):
         value_col="rev_i",
         out_sum="cum",
     )
-    # total revenue = the LAST cumulative value of the scan — derived
-    # from the kernel's checkpointed frame instead of a second
-    # `rev` aggregation, which re-ran the whole lineitem scan + part
-    # agg (the scan kernel's eager checkpoint blocks subtree reuse;
-    # two 3-task scan jobs measured, r12).  max(cum) over the
-    # unsigned running sum is exactly sum(rev_i): BIGINT, total
-    # order complete (l_partkey tiebreak).
-    tot = scanned.agg(F.max("cum").alias("tot"))
+    # total revenue from the PRE-kernel frame: sum(rev_i) over `rev`
+    # is exactly max(cum) (BIGINT running sum, total order complete).
+    # r12 derived it from the kernel output because the kernel's
+    # checkpoint made re-reading cum free; r13 removed the checkpoint
+    # (order_stats step 1), so max(cum) would re-evaluate the whole
+    # scan kernel (range shuffle + window + offsets) — while `rev`'s
+    # own agg exchange is deduplicated by AQE stage reuse (uncached
+    # parquet base), leaving only the one-row total agg extra.
+    tot = rev.agg(F.sum("rev_i").alias("tot"))
     classed = scanned.crossJoin(F.broadcast(tot)).select(
         "rev_i",
         F.when(
@@ -15763,7 +15787,13 @@ def q_token_weighted_median(spark, sf_dir):
         pd_, group_cols=["lang"], order_cols=["ratio", "doc_id"],
         value_col="w", out_sum="cum",
     )
-    tot = scanned.groupBy("lang").agg(F.max("cum").alias("wtot"))
+    # per-lang total from the PRE-kernel frame: sum(w) = max(cum)
+    # (BIGINT, complete order).  r13: with the kernel checkpoint gone,
+    # max(cum) would re-evaluate the whole scan kernel — and the
+    # persisted shared token frame under `pd_` defeats AQE exchange
+    # reuse (TableCacheQueryStage subtrees don't hit the stage cache,
+    # measured r13), so the duplicate would really run twice.
+    tot = pd_.groupBy("lang").agg(F.sum("w").alias("wtot"))
     hit = (
         scanned.join(tot, "lang")
         .filter(F.lit(2) * F.col("cum") >= F.col("wtot"))
@@ -23774,6 +23804,28 @@ _PLAN_CACHED_QUERIES = (
     "a44_attribution",
     "a45_kaplan_meier",
     "a48_cuped",
+    # r13: the order-stats kernel consumers became construct-pure
+    # when the kernels dropped their localCheckpoints (order_stats
+    # module docstring step 1) — no ExistingRDD left in any of these
+    # plans.  x47 embeds the session's shared token-frame
+    # InMemoryTableScan (the r7 cross-query warm frame, protected by
+    # the bench) — still a pure plan object; the persist decision
+    # lives with the shared frame, not this memo.
+    "a16_exact_median",
+    "a26_exact_percentiles",
+    "a30_weekly_latency_bands",
+    "a35_abc_pareto",
+    "a37_gini",
+    "a38_ks_two_sample",
+    "a39_rank_auc",
+    "a40_spearman",
+    "o2_global_sort",
+    "w12_seasonal_residuals",
+    "w5b_analytic_windows_kernel",
+    "x25_iqr_outliers",
+    "x31_winsorize",
+    "x45_pps_sample",
+    "x47_token_weighted_median",
 )
 
 

@@ -21,11 +21,22 @@ full-data shuffle:
    partition by the same key, and stamp
    ``monotonically_increasing_id`` — whose documented layout is
    (partition id << 33) | row-index-within-partition, i.e. a frozen
-   (pid, local position in the group/value order).  A
-   ``localCheckpoint`` materializes one realization so both
-   consumers below read identical ids (tie order among equal values
-   is then fixed — and could not change the selected values anyway:
-   rank boundaries inside a run of equal values select that value).
+   (pid, local position in the group/value order).  Both consumers
+   below share the ONE range exchange (ReuseExchange / AQE stage
+   reuse dedupes the identical subtree within the action), so the
+   shuffle runs once and only the post-shuffle sort+stamp evaluates
+   per consumer.  The two evaluations may order ties differently —
+   equal (group, value) rows have no intra-partition tiebreak — but
+   every quantity the kernel exchanges between consumers is
+   tie-PERMUTATION-INVARIANT (a tie permutation only relabels __mid
+   among rows of the same (pid, group, value)): per-(pid, group)
+   min-id/count are set properties, and whichever row of a tie run
+   lands on a selected rank carries the same value.  r13: this
+   replaces the r7–r12 ``localCheckpoint`` — the pinned one-
+   realization blocks bought nothing the invariance argument does
+   not, and cost a non-replayable lineage (executor loss kills the
+   job at cluster scale), a data-sized block-manager write, and a
+   plan the session plan memo could never cache.
 2. **Per-(partition, group) counts** — one aggregate whose map-side
    partial reduction leaves ≤ P·G rows to shuffle; each group's
    rank offset per partition is a running sum over partition ids (a
@@ -102,15 +113,16 @@ def positional_select(
         .repartitionByRange(num_partitions, *gcols, value_col, "__salt")
         .sortWithinPartitions(*gcols, value_col)
         .drop("__salt")
+        # no checkpoint (r13, module docstring step 1): __salt is
+        # dropped before the local sort, so equal (group, value) rows
+        # have NO deterministic intra-partition order and separate
+        # evaluations may permute __mid among ties — but everything
+        # downstream is tie-permutation-invariant (__m0/__c are per-
+        # (pid, group) set properties, and a tie run's rows all carry
+        # the selected value), so the consumers need no shared
+        # realization; the range exchange itself is deduplicated by
+        # ReuseExchange/AQE stage reuse.
         .withColumn("__mid", F.monotonically_increasing_id())
-        # lazy (r12): one realization still holds — Spark persists
-        # every partition of a lazily-marked local checkpoint at the
-        # end of the FIRST action before truncating lineage, and the
-        # pipeline is deterministic (scan splits → pre-shuffle salt →
-        # range bounds from per-partition-index seeds → unique local
-        # sort), so consumers read identical frozen ids while the
-        # construct-time barrier job folds into the timed action.
-        .localCheckpoint(eager=False)
     )
     part = part.withColumn("__pid", F.shiftright("__mid", 33))
     cnts = part.groupBy("__pid", *gcols).agg(
@@ -168,11 +180,13 @@ def row_ranks(
 
     Same skeleton as :func:`positional_select`: range-partition +
     local sort freezes the order into ``monotonically_increasing_id``
-    (one realization via localCheckpoint), a per-(partition, group)
-    count frame (≤ P·G rows) recovers each partition's rank offset as
-    a running sum over partition ids, and the global rank is pure
-    arithmetic after a broadcast join — no WindowExec ever touches
-    the data (the only windows run on the P·G count frame).
+    (order_cols totally order each group, so every evaluation of the
+    post-shuffle sort+stamp yields the same ids — no checkpoint
+    needed, r13), a per-(partition, group) count frame (≤ P·G rows)
+    recovers each partition's rank offset as a running sum over
+    partition ids, and the global rank is pure arithmetic after a
+    broadcast join — no WindowExec ever touches the data (the only
+    windows run on the P·G count frame).
 
     ``order_cols`` must totally order each group (include a unique
     tiebreak): a RangePartitioner never splits equal keys, and rank
@@ -192,12 +206,11 @@ def row_ranks(
     part = (
         df.repartitionByRange(num_partitions, *gcols, *ocols)
         .sortWithinPartitions(*gcols, *ocols)
+        # no checkpoint (r13): order_cols totally order each group,
+        # so the frozen ids are a pure function of the deterministic
+        # shuffle output — every evaluation agrees; the shared range
+        # exchange is deduplicated by ReuseExchange/AQE stage reuse
         .withColumn("__mid", F.monotonically_increasing_id())
-        # lazy (r12): same one-realization argument as
-        # positional_select — order_cols totally order each group, so
-        # the frozen ids are a pure function of deterministic shuffle
-        # output; the barrier job folds into the timed action
-        .localCheckpoint(eager=False)
         .withColumn("__pid", F.shiftright("__mid", 33))
     )
     cnts = part.groupBy("__pid", *gcols).agg(
@@ -276,9 +289,9 @@ def prefix_sum_with_running_min(
     part = (
         df.repartitionByRange(num_partitions, *gcols, *ocols)
         .sortWithinPartitions(*gcols, *ocols)
+        # no checkpoint (r13): same total-order determinism argument
+        # as row_ranks
         .withColumn("__mid", F.monotonically_increasing_id())
-        # lazy (r12): same one-realization argument as row_ranks
-        .localCheckpoint(eager=False)
         .withColumn("__pid", F.shiftright("__mid", 33))
     )
     # pass 1: local prefix sum + local running min, one window spec

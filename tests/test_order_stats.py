@@ -106,15 +106,22 @@ def test_quantile_family_never_ranks_raw_table(spark):
     """a16/x25/x31/w12 plan canary: no ranking window over the data —
     the only Window nodes sit above the (pid, group) count aggregate
     (bounded by P·G rows), the data side reaches its final aggregate
-    through a BroadcastHashJoin, and no SortMergeJoin appears."""
+    through a BroadcastHashJoin, and no SortMergeJoin appears.
+
+    Exchange budgets are STATIC-plan counts: since r13 removed the
+    kernel's localCheckpoint, the range exchange appears once per
+    consumer in the static tree (two consumers → +2 over the r12
+    budget) but AQE's stage cache deduplicates the identical
+    subtrees at runtime — the executed shuffle count is unchanged
+    (uncached parquet bases; verified r13)."""
     from stampede_to_fresco_etl_spark.catalog import REGISTRY
 
     sf = "/root/testdata/sf0.001"
     budgets = {
-        "a16_exact_median": 3,
-        "x25_iqr_outliers": 4,
-        "x31_winsorize": 3,
-        "w12_seasonal_residuals": 3,
+        "a16_exact_median": 5,
+        "x25_iqr_outliers": 6,
+        "x31_winsorize": 5,
+        "w12_seasonal_residuals": 5,
     }
     for name, max_ex in budgets.items():
         df = REGISTRY[name][0](spark, sf)
