@@ -16,10 +16,13 @@ Default: /root/repo/testdata_sf1 at 16 and 64 cells.
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
 
 
 def main() -> int:

@@ -26,9 +26,12 @@ Default: 10 → /root/repo/testdata_sf1 (gitignored).
 
 from __future__ import annotations
 
+import os
 import sys
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
 
 from pyspark.sql import functions as F  # noqa: E402
 

@@ -20,9 +20,12 @@ Exit 0 iff no banned output types anywhere in the registry.
 
 from __future__ import annotations
 
+import os
 import sys
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
 
 BANNED = ("HUGEINT", "UHUGEINT", "DECIMAL")
 

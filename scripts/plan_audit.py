@@ -17,9 +17,12 @@ plan-build collects (IVF seeds, kmeans calibration).
 from __future__ import annotations
 
 import re
+import os
 import sys
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
 
 
 def main() -> int:

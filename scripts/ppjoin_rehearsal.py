@@ -51,10 +51,13 @@ from __future__ import annotations
 
 import json
 import random
+import os
 import sys
 import time
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
 
 from stampede_to_fresco_etl_spark.operators.dedup import (  # noqa: E402
     ngram_jaccard_pairs,

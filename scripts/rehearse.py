@@ -22,10 +22,13 @@ the heavier sf1 localCheckpoints (g1's shingle frame) exceed it.
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
 
 SF01 = "/root/testdata/sf0.1"
 SF1 = "/root/repo/testdata_sf1"

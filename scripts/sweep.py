@@ -27,12 +27,14 @@ Exit code 0 iff every swept query matches.
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
-sys.path.insert(0, __file__.rsplit("/", 2)[0] + "/tests")
-sys.path.insert(0, __file__.rsplit("/", 2)[0] + "/scripts")
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+sys.path.insert(0, os.path.join(_REPO, "tests"))
+sys.path.insert(0, os.path.join(_REPO, "scripts"))
 
 
 def _parallel_sweep(

@@ -19820,11 +19820,56 @@ REGISTRY.update(
 _G5_ITERS = 3
 
 
+#: small-graph fast-path bound for g5's vote rounds — the same
+#: driver-resolution threshold class as
+#: `dedup.connected_components(small_graph_edges=…)`: below it the
+#: distributed sweeps are pure fixed overhead (job scheduling +
+#: joins + broadcasts over a few hundred edges — measured ~1 s for
+#: 590 symmetrized edges at sf0.1, r13) and the identical integer
+#: vote arithmetic resolves on the driver in milliseconds.
+_G5_SMALL_EDGES = 50_000
+
+
 def q_label_propagation(spark, sf_dir):
+    from pyspark.sql import Observation
+
     pairs = _jaccard_pairs_005(spark, sf_dir).select("doc_a", "doc_b")
-    sym = pairs.selectExpr("doc_a AS src", "doc_b AS dst").unionAll(
-        pairs.selectExpr("doc_b AS src", "doc_a AS dst")
-    ).localCheckpoint()
+    # edge count rides the checkpoint's own materializing action via
+    # Observation (connected_components' trick) — no extra count job
+    _n_obs = Observation()
+    sym = (
+        pairs.selectExpr("doc_a AS src", "doc_b AS dst")
+        .unionAll(
+            pairs.selectExpr("doc_b AS src", "doc_a AS dst")
+        )
+        .observe(_n_obs, F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
+    )
+    if _n_obs.get["n"] <= _G5_SMALL_EDGES:
+        # Driver fast path (r13): the SAME _G5_ITERS vote rounds in
+        # integer arithmetic — per round each node takes the label
+        # maximizing (neighbor-count, -label), i.e. max_by(label,
+        # struct(cnt, -label)) — so the result is bit-identical to
+        # the distributed loop (and driver-gated by g5's oracle).
+        adj: dict[int, list[int]] = {}
+        for r in sym.collect():
+            adj.setdefault(r["src"], []).append(r["dst"])
+        labels = {n: n for n in adj}
+        for _ in range(_G5_ITERS):
+            new = {}
+            for node, nbrs in adj.items():
+                cnt: dict[int, int] = {}
+                for d in nbrs:
+                    lbl = labels[d]
+                    cnt[lbl] = cnt.get(lbl, 0) + 1
+                new[node] = max(
+                    cnt.items(), key=lambda kv: (kv[1], -kv[0])
+                )[0]
+            labels = new
+        return spark.createDataFrame(
+            [(int(n), int(lb)) for n, lb in sorted(labels.items())],
+            "doc_id bigint, label bigint",
+        )
     labels = sym.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
@@ -20849,13 +20894,36 @@ _V18_CENTROIDS = 64
 _V18_NPROBE = 8
 
 
+#: (appId, sf_dir, n) -> v18's seed-centroid list — deterministic
+#: (md5-ordered corpus sample), bounded (n×dim doubles), collected
+#: once per session instead of per plan construction (the collect is
+#: a full-corpus sort job; it was ~40% of v18's per-call construct
+#: wall, r13).  The `_PQ_LUT_CACHE` class: driver-side derived
+#: state, rebuilt every session.
+_V18_CENT_CACHE: dict = {}
+
+
 def q_ivf_cellgrid_topk(spark, sf_dir):
-    from stampede_to_fresco_etl_spark.operators.similarity import ivf_topk
+    from stampede_to_fresco_etl_spark.operators.similarity import (
+        ivf_topk,
+        seed_centroids,
+    )
 
     # spread the one-split bench scan (r12): the per-call IVF build's
     # assignment kernel ran as ONE 1.56 s task off the single-file
-    # scan; no-op at real corpus sizes (load_spread docstring)
-    emb = load_spread(spark, sf_dir, "embeddings", key="vec_id", pin=True)
+    # scan; no-op at real corpus sizes (load_spread docstring).
+    # r13: UN-pinned — with the centroid collect session-cached the
+    # spread frame has exactly two consumers (corpus arm, probes
+    # arm), the probes arm's scan is pushdown-pruned to vec_id <
+    # N_PROBES rows, and dropping the per-call localCheckpoint makes
+    # the plan a pure composition (session plan memo: construct was
+    # 1.6 s of v18's 1.9 s wall).
+    emb = load_spread(spark, sf_dir, "embeddings", key="vec_id")
+    ck = (spark.sparkContext.applicationId, sf_dir, _V18_CENTROIDS)
+    cents = _V18_CENT_CACHE.get(ck)
+    if cents is None:
+        cents = seed_centroids(emb, "vec_id", "embedding", _V18_CENTROIDS)
+        _V18_CENT_CACHE[ck] = cents
     probes = emb.filter(F.col("vec_id") < N_PROBES).select(
         F.col("vec_id").alias("probe_id"), "embedding"
     )
@@ -20865,6 +20933,7 @@ def q_ivf_cellgrid_topk(spark, sf_dir):
         k=TOPK_K,
         n_centroids=_V18_CENTROIDS,
         n_probe=_V18_NPROBE,
+        centroids=cents,
     )
     return out.withColumn("rank", F.col("rank").cast("long"))
 
@@ -21395,7 +21464,9 @@ def _cached_probe_plan(spark, serving, key, build):
     from stampede_to_fresco_etl_spark import index_store
 
     app = spark.sparkContext.applicationId
-    rk = (app, serving)
+    # the reader cache keys on canonical path spellings (r13,
+    # index_store._ckey) — look up the same way
+    rk = (app, index_store._ckey(serving))
     ck = (app,) + key
     ent = _PROBE_PLAN_CACHE.get(ck)
     reader = index_store._IVFPQ_READ_CACHE.get(rk)
@@ -23826,6 +23897,14 @@ _PLAN_CACHED_QUERIES = (
     "x31_winsorize",
     "x45_pps_sample",
     "x47_token_weighted_median",
+    # r13: v18 became construct-pure when its spread lost the
+    # per-call pin and the seed-centroid collect moved to a session
+    # cache (the collected list is a pure function of the corpus, so
+    # repeated constructs embed identical literals).
+    "v18_ivf_cellgrid_topk",
+    # r13: d6 became construct-pure when simhash_pairs dropped its
+    # eager signature checkpoint.
+    "d6_simhash_pairs",
 )
 
 

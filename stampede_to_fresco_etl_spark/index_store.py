@@ -141,6 +141,17 @@ def guard_daemon_dirs(*paths: str | None) -> None:
             )
 
 
+def _ckey(path: str) -> str:
+    """Canonical cache-key spelling of an artifact path (ADVICE r12):
+    collapse doubled slashes (outside a URI scheme) and drop any
+    trailing slash, applied at EVERY flag/reader-cache insertion and
+    lookup — so an equivalent path spelled differently can neither
+    create a second cache entry nor dodge a prefix invalidation."""
+    m = re.match(r"^([A-Za-z][A-Za-z0-9+.-]*://)(.*)$", path)
+    scheme, rest = (m.group(1), m.group(2)) if m else ("", path)
+    return scheme + re.sub(r"/{2,}", "/", rest).rstrip("/")
+
+
 def _already_materialized(spark: SparkSession, path: str) -> bool:
     """True iff this artifact was fully built earlier in this Spark
     session.  Pure check — callers build when False and then call
@@ -149,18 +160,20 @@ def _already_materialized(spark: SparkSession, path: str) -> bool:
     missing/partial artifact (it would silently serve wrong probes
     for the rest of the session)."""
     return bool(
-        _MATERIALIZED.get((spark.sparkContext.applicationId, path))
+        _MATERIALIZED.get(
+            (spark.sparkContext.applicationId, _ckey(path))
+        )
     )
 
 
 def _mark_materialized(spark: SparkSession, path: str) -> None:
-    _MATERIALIZED[(spark.sparkContext.applicationId, path)] = True
+    _MATERIALIZED[(spark.sparkContext.applicationId, _ckey(path))] = True
     # a (re)build just landed: any cached reader DataFrame holds the
     # OLD file listing — drop it, including readers of SUBTREE dirs
     # (guard-cached family readers under an audit base, r12)
     app = spark.sparkContext.applicationId
-    _IVFPQ_READ_CACHE.pop((app, path), None)
-    pre = path.rstrip("/") + "/"
+    _IVFPQ_READ_CACHE.pop((app, _ckey(path)), None)
+    pre = _ckey(path) + "/"
     for k in [
         k
         for k in _IVFPQ_READ_CACHE
@@ -193,11 +206,11 @@ def _fresh_dir(spark: SparkSession, path: str) -> str:
     # of a subdir (belt-and-braces — the materialization flag gating
     # already prevents caching a path this session hasn't built)
     app = spark.sparkContext.applicationId
-    pre = path.rstrip("/") + "/"
+    pre = _ckey(path) + "/"
     for k in [
         k
         for k in _IVFPQ_READ_CACHE
-        if k[0] == app and (k[1] == path or k[1].startswith(pre))
+        if k[0] == app and (k[1] == _ckey(path) or k[1].startswith(pre))
     ]:
         _IVFPQ_READ_CACHE.pop(k, None)
     jvm = spark._jvm
@@ -741,7 +754,7 @@ def read_materialized(
     session never built keeps the fresh-listing read."""
     if not _already_materialized(spark, guard or path):
         return spark.read.parquet(path)
-    k = (spark.sparkContext.applicationId, path)
+    k = (spark.sparkContext.applicationId, _ckey(path))
     df = _IVFPQ_READ_CACHE.get(k)
     if df is None:
         df = spark.read.parquet(path)
@@ -759,7 +772,7 @@ def read_ivfpq(spark: SparkSession, path: str) -> DataFrame:
     artifacts) are unaffected."""
     if not _already_materialized(spark, path):
         return spark.read.parquet(path)
-    k = (spark.sparkContext.applicationId, path)
+    k = (spark.sparkContext.applicationId, _ckey(path))
     df = _IVFPQ_READ_CACHE.get(k)
     if df is None:
         df = spark.read.parquet(path)
@@ -786,7 +799,7 @@ def _invalidate_derived(spark: SparkSession, source_path: str) -> None:
     OLD sources would keep serving stale inverted lists for the rest
     of the session.  The next consumer re-derives (overwrite) from
     the refreshed sources."""
-    m = _IVFPQ_SOURCE_RE.match(source_path.rstrip("/") + "/")
+    m = _IVFPQ_SOURCE_RE.match(_ckey(source_path) + "/")
     if not m:
         return
     prefix = f"{m.group(1)}/index_store/ivfpq/{m.group(2)}"
@@ -1043,7 +1056,7 @@ def _swap_in(spark: SparkSession, live_s: str, tmp_s: str) -> None:
     # the files under live_s are about to change — drop any cached
     # reader (its file listing would serve the pre-swap snapshot)
     _IVFPQ_READ_CACHE.pop(
-        (spark.sparkContext.applicationId, live_s), None
+        (spark.sparkContext.applicationId, _ckey(live_s)), None
     )
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()

@@ -914,11 +914,17 @@ def simhash_pairs(
     signed long).
     """
     bands = max_hamming + 1
-    # materialize the (small: one row per doc) signature table so the
-    # band self-join does not recompute the token-explode + popcount
-    # aggregation once per side — same rationale as
-    # lsh_candidate_pairs (measured 2x there)
-    sig = simhash(df, id_col, text_col, bits).localCheckpoint()
+    # no checkpoint (r13): the band self-join's two sides duplicate
+    # the signature subtree in the static plan, but the signature
+    # aggregation's exchange is one canonical subtree that AQE's
+    # stage cache materializes once per action (uncached parquet
+    # base), so the explode+popcount work is NOT paid per side — and
+    # the eager checkpoint was worse on every axis: it ran the whole
+    # signature build as a serial construct-time job (~0.7 s of d6's
+    # wall), pinned non-replayable blocks, and made the plan
+    # unmemoizable.  Results are deterministic (md5 signatures), so
+    # even an un-reused double evaluation is value-identical.
+    sig = simhash(df, id_col, text_col, bits)
     width = bits // bands
     cuts = [
         (i * width, width if i < bands - 1 else bits - i * width)

@@ -87,6 +87,7 @@ def partial_topk(
     k: int,
     sim_col: str = "cos_sim",
     ascending: bool = False,
+    small_input: bool = False,
 ) -> DataFrame:
     """Scale-safe top-k per probe: ONE rank window whose map-side
     prune is Spark's ``WindowGroupLimit`` (3.5+).
@@ -154,8 +155,18 @@ def partial_topk(
     here — but no scoring kernel in this module can produce NaN from
     non-NaN input: squares are ≥ 0 under sqrt, and 0/0 is
     nullif-guarded.)
+
+    ``small_input=True`` asserts the caller already reduced `scored`
+    to O(groups) rows (e.g. the Arrow cogroup's per-group winners) —
+    then k=1 takes the plain window path: the two-pass scalar
+    argmin's pass 2 RE-EVALUATES the scored subtree, which is cheap
+    for the column kernel it was designed around but re-runs the
+    whole FlatMapCoGroupsInPandas stage for an Arrow input
+    (measured r13: v16 paid its ~0.45 s cogroup twice).  The two
+    paths' tie/null contracts are identical (see above), so this is
+    a physical-plan knob only.
     """
-    if k == 1:
+    if k == 1 and not small_input:
         key = F.coalesce(
             F.col(sim_col) if ascending else -F.col(sim_col),
             F.lit(float("inf")),
@@ -458,6 +469,7 @@ def ivf_topk(
     n_centroids: int = 16,
     n_probe: int = 4,
     broadcast_probes: bool = True,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: partition the corpus
     into cells around deterministic seed centroids, assign every
@@ -479,8 +491,15 @@ def ivf_topk(
     instead of broadcasting gigabytes: exactly how a partitioned IVF
     layout absorbs a batch, each batch vector routed to its n_probe
     cells.
+
+    ``centroids`` short-circuits the seed collect for callers that
+    session-cache the (bounded, deterministic) centroid list — the
+    collect is a full corpus sort job re-paid per plan construction
+    otherwise (r13; the list must equal
+    ``seed_centroids(corpus, id_col, vec_col, n_centroids)``).
     """
-    centroids = seed_centroids(corpus, id_col, vec_col, n_centroids)
+    if centroids is None:
+        centroids = seed_centroids(corpus, id_col, vec_col, n_centroids)
 
     c = _with_centroid_col(
         corpus.select(
@@ -778,7 +797,12 @@ def ivf_probe_stored(
             join_keys,
             probe_id_col,
         )
-        return partial_topk(winners, probe_id_col, "vec_id", 1)
+        # winners is O(probes × n_probe × salts) — small_input takes
+        # the window path so the cogroup stage runs ONCE (the scalar
+        # argmin's pass 2 would re-run FlatMapCoGroupsInPandas; r13)
+        return partial_topk(
+            winners, probe_id_col, "vec_id", 1, small_input=True
+        )
     # column engine: per-pair scoring stays on the aggregate/zip_with
     # FOLD — the "obvious" codegen unroll (64 explicit a[i]*b[i]
     # terms) is a measured 5× REGRESSION (the giant generated

@@ -124,7 +124,10 @@ def test_quantile_family_never_ranks_raw_table(spark):
         "w12_seasonal_residuals": 5,
     }
     for name, max_ex in budgets.items():
-        df = REGISTRY[name][0](spark, sf)
+        fn = REGISTRY[name][0]
+        # bypass the r13 session plan memo: inspect a FRESH construct,
+        # never an earlier test's executed (AQE-final) plan
+        df = getattr(fn, "__wrapped__", fn)(spark, sf)
         plan = df._sc._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), "formatted"
         )

@@ -52,7 +52,10 @@ def test_o2_no_single_partition_window(spark):
     explicit partition key, and the rank is join-recovered."""
     from stampede_to_fresco_etl_spark.catalog import REGISTRY
 
-    df = REGISTRY["o2_global_sort"][0](spark, SF)
+    fn = REGISTRY["o2_global_sort"][0]
+    # fresh construct (bypass the r13 session plan memo) — see the
+    # w5b canary below
+    df = getattr(fn, "__wrapped__", fn)(spark, SF)
     plan = _plan(df)
     specs = re.findall(r"windowspecdefinition\([^)]*\)", plan)
     assert specs, "offset frame window expected"
@@ -87,7 +90,10 @@ def test_w5b_plan_canary(spark):
     calendar-bounded day frame; joins back are broadcast."""
     from stampede_to_fresco_etl_spark.catalog import REGISTRY
 
-    df = REGISTRY["w5b_analytic_windows_kernel"][0](spark, SF)
+    fn = REGISTRY["w5b_analytic_windows_kernel"][0]
+    # bypass the r13 session plan memo: the canary inspects a FRESH
+    # construct, not the AQE final plan of an earlier test's execution
+    df = getattr(fn, "__wrapped__", fn)(spark, SF)
     plan = _plan(df)
     specs = re.findall(r"windowspecdefinition\([^)]*\)", plan)
     assert specs
