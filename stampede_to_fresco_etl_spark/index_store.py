@@ -238,12 +238,20 @@ def dedup_index_dir(
     """Materialize (once per session) the stored LSH band table for a
     corpus snapshot and return its directory — the same layout
     `streaming.dedup_stream.apply_dedup_batch` appends to, with the
-    snapshot bootstrap as ``batch_id=0``."""
+    snapshot bootstrap as ``batch_id=0``.
+
+    ``indexed_sigs`` may be a 0-arg callable returning the frame
+    (r13): it is only consumed on the session's FIRST call (the
+    build), and constructing the signature plan eagerly taxed every
+    steady-state probe call with ~0.1 s of py4j for a frame that was
+    immediately discarded."""
     from stampede_to_fresco_etl_spark.operators.dedup import band_signatures
 
     path = f"{_scratch()}/index_store/dedup/{_key(sf_dir)}"
     if not _already_materialized(spark, path):
         _fresh_dir(spark, path)
+        if callable(indexed_sigs):
+            indexed_sigs = indexed_sigs()
         band_signatures(indexed_sigs, num_hashes, bands).write.mode(
             "overwrite"
         ).parquet(f"{path}/batch_id=0")
@@ -253,8 +261,11 @@ def dedup_index_dir(
 
 def read_dedup_index(spark: SparkSession, path: str) -> DataFrame:
     """The stored band table across all its batch partitions (the
-    probe side of `lsh_pairs_between(indexed_bands=...)`)."""
-    return spark.read.parquet(path).drop("batch_id")
+    probe side of `lsh_pairs_between(indexed_bands=...)`).  Reader
+    plan cached under the session's own build flag (r13, the
+    `read_ivfpq` rule); every growth verb (`apply_dedup_batch`)
+    drops the cached listing via `invalidate_readers`."""
+    return _guarded_artifact_read(spark, path).drop("batch_id")
 
 
 def ann_index_dirs(
@@ -348,8 +359,13 @@ def read_ann_centroids(
 
 def read_ann_index(spark: SparkSession, index_dir: str) -> DataFrame:
     """The stored ``(vec_id, v, cell)`` assignment rows across all
-    batch partitions."""
-    return spark.read.parquet(index_dir).drop("batch_id")
+    batch partitions.  Reader plan cached under the session's own
+    build flag (r13): `ann_index_dirs` flags the ENCLOSING base (the
+    index/centroids pair share one lifecycle), so the guard is the
+    parent dir; growth (`apply_ann_batch`) pops the cached listing
+    via `invalidate_readers`, daemon-owned dirs (never flagged) keep
+    the fresh-listing read."""
+    return _guarded_artifact_read(spark, index_dir).drop("batch_id")
 
 
 #: token-hash directory partitions for the postings artifact.  At
@@ -589,9 +605,12 @@ def read_exact_fp(spark: SparkSession, path: str) -> DataFrame:
     """(fp, n_docs) aggregated across batch partitions — one fp can
     appear in several batches of a stream-grown artifact
     (`streaming.exact_fp_stream`), so copies are summed on read; for
-    the one-partition snapshot bootstrap this is the identity."""
+    the one-partition snapshot bootstrap this is the identity.
+    Reader plan cached under the session's own build flag (r13);
+    growth (`apply_exact_fp_batch`) pops it via
+    `invalidate_readers`."""
     return (
-        spark.read.parquet(path)
+        _guarded_artifact_read(spark, path)
         .groupBy("fp")
         .agg(F.sum("n_docs").cast("long").alias("n_docs"))
     )
@@ -615,7 +634,13 @@ def pq_codes_dir(
 
 
 def read_pq_codes(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.parquet(path).drop("batch_id")
+    """Reader plan cached under the session's own build flag (r13):
+    `pq_codes_dir` flags the path itself, the growable twin
+    (`pq_codes_index_dirs`) flags the enclosing base — both guards
+    are tried; growth (`apply_pq_codes_batch`) pops the cached
+    listing via `invalidate_readers`, `refresh_pq_codes`' swap pops
+    it in `_swap_in`."""
+    return _guarded_artifact_read(spark, path).drop("batch_id")
 
 
 def pq_codes_index_dirs(
@@ -760,6 +785,44 @@ def read_materialized(
         df = spark.read.parquet(path)
         _IVFPQ_READ_CACHE[k] = df
     return df
+
+
+def _guarded_artifact_read(spark: SparkSession, path: str) -> DataFrame:
+    """`read_materialized` with the artifact families' two guard
+    conventions tried in order (r13): the snapshot builders flag the
+    artifact PATH itself (`pq_codes_dir`, `exact_fp_dir`,
+    `dedup_index_dir`), the paired builders flag the ENCLOSING base
+    (`ann_index_dirs`, `pq_codes_index_dirs` — index/centroids and
+    codes/codebook share one lifecycle).  A path neither this session
+    built nor whose parent it built keeps the fresh-listing read, so
+    daemon-owned and test-owned dirs are unaffected.  Every growth
+    verb that appends under a guarded dir outside the
+    `_fresh_dir`/`_mark_materialized`/`_swap_in` lifecycle calls
+    `invalidate_readers`, so a cached listing can never outlive the
+    files it lists."""
+    if _already_materialized(spark, path):
+        return read_materialized(spark, path, guard=path)
+    c = _ckey(path)
+    parent = c[: c.rfind("/")] if "/" in c else c
+    return read_materialized(spark, path, guard=parent)
+
+
+def invalidate_readers(spark: SparkSession, path: str) -> None:
+    """Drop any session-cached reader of `path` or of a subtree —
+    the growth-verb side of the reader-cache contract
+    (`_guarded_artifact_read`): `apply_*_batch` writes a new
+    ``batch_id=N`` partition under a dir whose enclosing guard flag
+    stays set, so the reader must be popped here for the next read
+    to re-list."""
+    app = spark.sparkContext.applicationId
+    c = _ckey(path)
+    pre = c + "/"
+    for k in [
+        k
+        for k in _IVFPQ_READ_CACHE
+        if k[0] == app and (k[1] == c or k[1].startswith(pre))
+    ]:
+        _IVFPQ_READ_CACHE.pop(k, None)
 
 
 def read_ivfpq(spark: SparkSession, path: str) -> DataFrame:

@@ -150,12 +150,15 @@ def apply_ann_batch(
     assigned.write.mode("overwrite").parquet(
         f"{index_dir}/batch_id={batch_id}"
     )
-    # growth makes any session-cached DERIVED serving layout stale
+    # growth makes any session-cached DERIVED serving layout stale,
+    # and any session-cached reader of the grown dir itself (r13)
     from stampede_to_fresco_etl_spark.index_store import (
         _invalidate_derived,
+        invalidate_readers,
     )
 
     _invalidate_derived(spark, index_dir)
+    invalidate_readers(spark, index_dir)
 
 
 def run_incremental_ann(

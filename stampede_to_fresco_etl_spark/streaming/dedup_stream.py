@@ -119,6 +119,13 @@ def apply_dedup_batch(
     band_signatures(sigs, num_hashes, bands).write.mode(
         "overwrite"
     ).parquet(f"{index_dir}/batch_id={batch_id}")
+    # growth: a session-cached reader of this dir holds the pre-grow
+    # file listing — drop it (r13 reader-cache contract)
+    from stampede_to_fresco_etl_spark.index_store import (
+        invalidate_readers,
+    )
+
+    invalidate_readers(spark, index_dir)
 
 
 def run_incremental_dedup(

@@ -36,6 +36,12 @@ def apply_exact_fp_batch(
     batch_df.groupBy(F.md5("text").alias("fp")).agg(
         F.count("*").cast("long").alias("n_docs")
     ).write.mode("overwrite").parquet(f"{fp_dir}/batch_id={batch_id}")
+    # growth: drop any session-cached reader of the grown dir (r13)
+    from stampede_to_fresco_etl_spark.index_store import (
+        invalidate_readers,
+    )
+
+    invalidate_readers(spark, fp_dir)
 
 
 def run_exact_fp_stream(

@@ -162,6 +162,12 @@ def apply_ingest_batch(
     band_signatures(admitted_sigs, num_hashes, bands).write.mode(
         "overwrite"
     ).parquet(f"{index_dir}/batch_id={batch_id}")
+    # growth: drop any session-cached reader of the grown dir (r13)
+    from stampede_to_fresco_etl_spark.index_store import (
+        invalidate_readers,
+    )
+
+    invalidate_readers(spark, index_dir)
 
 
 def run_ingest_pipeline(

@@ -102,12 +102,15 @@ def apply_pq_codes_batch(
     pq_encode(
         batch_df.select("vec_id", "embedding"), seeds, m=m, dims=dims
     ).write.mode("overwrite").parquet(f"{codes_dir}/batch_id={batch_id}")
-    # growth makes any session-cached DERIVED serving layout stale
+    # growth makes any session-cached DERIVED serving layout stale,
+    # and any session-cached reader of the grown dir itself (r13)
     from stampede_to_fresco_etl_spark.index_store import (
         _invalidate_derived,
+        invalidate_readers,
     )
 
     _invalidate_derived(spark, codes_dir)
+    invalidate_readers(spark, codes_dir)
 
 
 def run_pq_codes_stream(

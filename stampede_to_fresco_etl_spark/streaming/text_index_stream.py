@@ -112,6 +112,13 @@ def apply_text_index_batch(
     ).write.mode("overwrite").parquet(
         f"{doclen_dir}/batch_id={batch_id}"
     )
+    # growth: drop any session-cached reader of the grown dirs (r13)
+    from stampede_to_fresco_etl_spark.index_store import (
+        invalidate_readers,
+    )
+
+    invalidate_readers(spark, postings_dir)
+    invalidate_readers(spark, doclen_dir)
 
 
 def read_text_totals(spark: SparkSession, doclen_dir: str):

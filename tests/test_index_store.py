@@ -1779,3 +1779,100 @@ def test_read_materialized_guard_cache_lifecycle(spark, tmp_path):
     # _fresh_dir teardown drops the cached subtree readers too
     index_store._fresh_dir(spark, base)
     assert (app, fam) not in index_store._IVFPQ_READ_CACHE
+
+
+def test_growth_pops_cached_readers(spark, tmp_path):
+    """r13 session 2: the artifact readers (`read_exact_fp` & co) ride
+    the guard-cached reader plan, and every growth verb pops the
+    cached listing (`invalidate_readers`) — so a guarded cached
+    reader can never serve the pre-grow file set."""
+    from stampede_to_fresco_etl_spark.streaming.exact_fp_stream import (
+        apply_exact_fp_batch,
+    )
+
+    fp_dir = str(tmp_path / "fp")
+    docs = spark.createDataFrame(
+        [(1, "aa"), (2, "bb"), (3, "aa")], "doc_id long, text string"
+    )
+    apply_exact_fp_batch(spark, docs, 0, fp_dir)
+    index_store._mark_materialized(spark, fp_dir)
+    app = spark.sparkContext.applicationId
+
+    assert index_store.read_exact_fp(spark, fp_dir).count() == 2
+    k = (app, index_store._ckey(fp_dir))
+    assert k in index_store._IVFPQ_READ_CACHE
+    cached = index_store._IVFPQ_READ_CACHE[k]
+
+    # growth pops the cached reader; the next read lists the new
+    # batch partition and the aggregate reflects both batches
+    grown = spark.createDataFrame(
+        [(4, "cc"), (5, "aa")], "doc_id long, text string"
+    )
+    apply_exact_fp_batch(spark, grown, 1, fp_dir)
+    assert k not in index_store._IVFPQ_READ_CACHE
+    post = index_store.read_exact_fp(spark, fp_dir)
+    assert post.count() == 3  # fps: aa, bb, cc
+    assert index_store._IVFPQ_READ_CACHE.get(k) is not cached
+    total = {
+        r["fp"]: r["n_docs"] for r in post.collect()
+    }
+    assert sorted(total.values()) == [1, 1, 3]
+
+
+def test_probe_plan_cache_rebuilds_when_any_reader_pops(
+    spark, tmp_path
+):
+    """r13 session 2: `_cached_probe_plan` keys a composed plan to
+    the IDENTITY of every serving path's cached reader — popping ANY
+    of them (growth, swap, rebuild) fails the check and the plan is
+    rebuilt from fresh listings."""
+    from stampede_to_fresco_etl_spark import catalog
+
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    spark.range(3).write.mode("overwrite").parquet(a)
+    spark.range(4).write.mode("overwrite").parquet(b)
+    index_store._mark_materialized(spark, a)
+    index_store._mark_materialized(spark, b)
+
+    builds = []
+
+    def build():
+        df = index_store.read_materialized(spark, a, guard=a).unionAll(
+            index_store.read_materialized(spark, b, guard=b)
+        )
+        builds.append(df)
+        return df
+
+    key = ("test_multi", a, b)
+    p1 = catalog._cached_probe_plan(spark, (a, b), key, build)
+    p2 = catalog._cached_probe_plan(spark, (a, b), key, build)
+    assert p1 is p2 and len(builds) == 1
+    assert p2.count() == 7
+
+    # popping ONE of the two readers forces a rebuild
+    index_store.invalidate_readers(spark, b)
+    p3 = catalog._cached_probe_plan(spark, (a, b), key, build)
+    assert p3 is not p2 and len(builds) == 2
+    catalog._PROBE_PLAN_CACHE.pop(
+        (spark.sparkContext.applicationId,) + key, None
+    )
+
+
+def test_v16_probe_plan_memo_reuses_plan_object(spark):
+    """v16's composed probe rides the reader-guarded plan memo (r13
+    session 2): repeat calls return the same DataFrame object, and
+    the cached plan embeds no per-call state (results match a fresh
+    construct)."""
+    from stampede_to_fresco_etl_spark.catalog import REGISTRY
+
+    fn, _sql = REGISTRY["v16_incremental_ann"]
+    d1 = fn(spark, SF)
+    d2 = fn(spark, SF)
+    assert d1 is d2
+    rows = {
+        (r["new_id"], r["indexed_id"]) for r in d1.collect()
+    }
+    assert rows == {
+        (r["new_id"], r["indexed_id"]) for r in d2.collect()
+    }
+    assert len(rows) > 0
