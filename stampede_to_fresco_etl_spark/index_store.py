@@ -956,6 +956,11 @@ def apply_deletes_batch(
             )
     new_keys.write.mode("overwrite").parquet(part)
     _invalidate_derived(spark, path)
+    # the artifact's delete-aware VIEW just changed: pop any cached
+    # reader (and thereby any probe plan keyed to it) so a memoized
+    # anti_tombstones composition can never serve the pre-wave
+    # delete set (r13)
+    invalidate_readers(spark, path)
 
 
 def read_tombstones(
