@@ -8884,8 +8884,21 @@ def _med_mad_by_type(spark, sf_dir):
             for r in med.join(mad, "event_type").collect()
         )
         _MED_MAD_CACHE[key] = rows
-    return spark.createDataFrame(
-        rows, "event_type string, med2 long, mad2 long"
+    # literal VALUES relation, not createDataFrame (r13 session 2):
+    # the Python-rows form planned as Scan ExistingRDD and re-ran a
+    # Python-worker job inside w10/w11's broadcast on EVERY
+    # execution; VALUES is a LocalTableScan of literals, keeping the
+    # consumers construct-pure.  event_type values are controlled
+    # identifiers; the quote-escape below keeps the literal form
+    # total anyway.
+    vals = ",".join(
+        "('{}',{},{})".format(str(t).replace("'", "''"), m, d)
+        for t, m, d in rows
+    )
+    return spark.sql(
+        f"SELECT CAST(t AS STRING) AS event_type, "
+        f"CAST(m AS BIGINT) AS med2, CAST(d AS BIGINT) AS mad2 "
+        f"FROM VALUES {vals} AS v(t, m, d)"
     )
 
 
@@ -9124,9 +9137,15 @@ def q_cusum_drift(spark, sf_dir):
 
     e = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     vi = F.floor(F.col("value") * F.lit(10000.0)).cast("long")
-    base = e.select(
-        "event_id", "event_type", "ts", vi.alias("v")
-    ).localCheckpoint()
+    # r13 session 2: the eager localCheckpoint is gone — it ran a
+    # full-width scan + block write per CALL just so the branch
+    # count below could read cached blocks.  The count is now a
+    # column-pruned scan job, the branch decision is a pure function
+    # of (session, sf_dir), and with no ExistingRDD left w11 rides
+    # the session plan memo (the count runs once per session).  The
+    # kernel branch re-evaluates its input deterministically, the
+    # same replayability trade the order-stats kernels made.
+    base = e.select("event_id", "event_type", "ts", vi.alias("v"))
     cal = _med_mad_by_type(spark, sf_dir)
     y = base.join(F.broadcast(cal), "event_type").withColumn(
         "y2", F.col("v") * 2 - F.col("med2") - F.col("mad2")
@@ -17295,8 +17314,16 @@ def q_kmeans_refine(spark, sf_dir):
             F.element_at(F.col("__d"), F.col("__idx") + 1).alias("dist"),
         )
     )
-    n1 = spark.createDataFrame(
-        n1_rows, schema="cell long, n_iter1 long"
+    # literal VALUES relation, not createDataFrame (r13 session 2):
+    # the Python-rows frame planned as Scan ExistingRDD whose
+    # evaluation re-ran a Python-worker job on EVERY execution (the
+    # v17-LUT pathology); VALUES plans as a LocalTableScan of
+    # literals — no Python worker, and v14 becomes construct-pure
+    # (plan-memoized).
+    n1_vals = ",".join(f"({c},{n})" for c, n in sorted(n1_rows))
+    n1 = spark.sql(
+        f"SELECT CAST(c AS BIGINT) AS cell, CAST(n AS BIGINT) AS "
+        f"n_iter1 FROM VALUES {n1_vals} AS t(c, n)"
     )
     n2 = a2.groupBy("cell").agg(
         F.count("*").alias("n_iter2"),
@@ -24129,6 +24156,14 @@ _PLAN_CACHED_QUERIES = (
     "x20_winnow_fingerprint",
     "x54_pii_redaction",
     "x58_quota_redistribute",
+    # r13 (session 2): w11 became pure when its per-call eager
+    # checkpoint was dropped (the adaptive branch count is a pure
+    # function of the corpus); v14 when its iter-1 counts frame
+    # became a literal VALUES relation (session-cached calibration,
+    # the _MED_MAD_CACHE pattern).
+    "w11_cusum_drift",
+    "v14_kmeans_refine",
+    "w10_mad_outliers",
 )
 
 

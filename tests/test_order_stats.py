@@ -204,7 +204,10 @@ def test_w11_adaptive_scan_both_paths(spark, monkeypatch):
         .sort_index()
     )
     monkeypatch.setattr(C, "_W11_SERIAL_MAX_ROWS", 0)
-    df = C.REGISTRY["w11_cusum_drift"][0](spark, sf)
+    # fresh construct (bypass the session plan memo): the memo key is
+    # (session, sf_dir, name) — legitimately blind to a monkeypatched
+    # threshold — and this canary needs the kernel-path PLAN
+    df = C.REGISTRY["w11_cusum_drift"][0].__wrapped__(spark, sf)
     plan = df._sc._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "formatted"
     )
