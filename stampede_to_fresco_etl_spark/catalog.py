@@ -4592,12 +4592,15 @@ def q_bloom_membership(spark, sf_dir):
         bloom_sketch,
     )
 
-    # pinned spread scan (r12): each parity half's sketch — k salted
-    # md5 positions per row — ran as its own serial single-task job
-    # off the one-split bench scan (2 × 0.26 s, qprofile); the pinned
-    # blocks materialize once and both halves hash in parallel.
-    # No-op at real corpus sizes (load_spread docstring).
-    e = load_spread(spark, sf_dir, "events", key="event_id", pin=True).filter(
+    # spread scan (r12), UN-pinned since r13 session 2: the spread
+    # keeps each parity half's salted-md5 kernel off the one-split
+    # serial scan (the r12 fix, still in force — the repartition IS
+    # the spread), while dropping the per-call checkpoint makes b1
+    # construct-pure: the 0.4 s per-call construct is gone (plan
+    # memo) and the two halves' scans run concurrently inside the
+    # one timed action.  No-op at real corpus sizes (load_spread
+    # docstring).
+    e = load_spread(spark, sf_dir, "events", key="event_id").filter(
         F.col("user_id").isNotNull()
     )
     halves = [
@@ -24164,6 +24167,9 @@ _PLAN_CACHED_QUERIES = (
     "w11_cusum_drift",
     "v14_kmeans_refine",
     "w10_mad_outliers",
+    # r13 (session 2): became construct-pure when its spread lost the
+    # per-call pin (the spread exchange itself stays).
+    "b1_bloom_membership",
 )
 
 
