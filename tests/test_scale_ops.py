@@ -18,6 +18,16 @@ from stampede_to_fresco_etl_spark.operators.skew import (
 from stampede_to_fresco_etl_spark.sources.writers import write_bucketed_table
 
 
+def _q(name):
+    """Plan-canary constructor: bypass the session plan memo (an
+    already-executed memoized DataFrame explains as the AQE FINAL
+    plan — materialized query stages, doubled node sections — which
+    is not what a construct canary pins; r13 canary policy)."""
+    from stampede_to_fresco_etl_spark.catalog import REGISTRY
+
+    fn = REGISTRY[name][0]
+    return getattr(fn, "__wrapped__", fn)
+
 def _plan(df) -> str:
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
@@ -173,11 +183,11 @@ def test_asof_and_sessionize_single_keyed_shuffle(spark):
     # window — never a nested-loop join.  sessionize: one Exchange.
     from stampede_to_fresco_etl_spark.catalog import REGISTRY
 
-    plan = _plan(REGISTRY["j6_asof_join"][0](spark, "/root/testdata/sf0.001"))
+    plan = _plan(_q("j6_asof_join")(spark, "/root/testdata/sf0.001"))
     assert "NestedLoop" not in plan
     assert plan.count("Exchange hashpartitioning") <= 2
 
-    plan = _plan(REGISTRY["t7_sessionize"][0](spark, "/root/testdata/sf0.001"))
+    plan = _plan(_q("t7_sessionize")(spark, "/root/testdata/sf0.001"))
     assert plan.count("Exchange hashpartitioning") <= 2  # window + rollup
 
 
@@ -221,7 +231,7 @@ def test_keyword_topk_broadcasts_dims(spark):
 def test_tpch_q10_is_take_ordered(spark):
     from stampede_to_fresco_etl_spark.catalog import REGISTRY
 
-    plan = _plan(REGISTRY["tpch_q10"][0](spark, "/root/testdata/sf0.001"))
+    plan = _plan(_q("tpch_q10")(spark, "/root/testdata/sf0.001"))
     assert "TakeOrderedAndProject" in plan  # distributed partial top-20
     assert "BroadcastHashJoin" in plan      # dims broadcast
 
@@ -229,12 +239,12 @@ def test_tpch_q10_is_take_ordered(spark):
 def test_mixture_and_redact_are_shuffle_free(spark):
     from stampede_to_fresco_etl_spark.catalog import REGISTRY
 
-    plan = _plan(REGISTRY["x10_mixture_sample"][0](
+    plan = _plan(_q("x10_mixture_sample")(
         spark, "/root/testdata/sf0.001"
     ))
     assert "Exchange" not in plan  # scan + filter only
 
-    plan = _plan(REGISTRY["x8_redact"][0](spark, "/root/testdata/sf0.001"))
+    plan = _plan(_q("x8_redact")(spark, "/root/testdata/sf0.001"))
     assert "Exchange" not in plan  # per-row column expressions only
 
 
@@ -294,7 +304,7 @@ def test_bucketed_interval_join_skew_invariant(spark):
 def test_tpch_q6_filters_reach_scan(spark):
     from stampede_to_fresco_etl_spark.catalog import REGISTRY
 
-    plan = _plan(REGISTRY["tpch_q6"][0](spark, "/root/testdata/sf0.001"))
+    plan = _plan(_q("tpch_q6")(spark, "/root/testdata/sf0.001"))
     # all three range predicates push into the parquet scan
     assert "PushedFilters:" in plan
     assert "GreaterThanOrEqual(l_discount,0.05" in plan
@@ -307,7 +317,7 @@ def test_tpch_second_batch_broadcasts_part(spark):
     from stampede_to_fresco_etl_spark.catalog import REGISTRY
 
     for name in ("tpch_q14", "tpch_q16", "tpch_q19"):
-        plan = _plan(REGISTRY[name][0](spark, "/root/testdata/sf0.001"))
+        plan = _plan(_q(name)(spark, "/root/testdata/sf0.001"))
         assert "BroadcastHashJoin" in plan, name
         assert "SortMergeJoin" not in plan, name
 
@@ -321,16 +331,16 @@ def test_r5_join_plans(spark):
 
     sf = "/root/testdata/sf0.001"
     for name in ("tpch_q17", "tpch_q21", "tpch_q22", "x16_decontaminate"):
-        plan = _plan(REGISTRY[name][0](spark, sf))
+        plan = _plan(_q(name)(spark, sf))
         assert "NestedLoop" not in plan.replace(
             "BroadcastNestedLoopJoin", ""
         ), name
-    q21 = _plan(REGISTRY["tpch_q21"][0](spark, sf))
+    q21 = _plan(_q("tpch_q21")(spark, sf))
     assert "SortMergeJoin" not in q21
     assert "BroadcastHashJoin" in q21
-    q17 = _plan(REGISTRY["tpch_q17"][0](spark, sf))
+    q17 = _plan(_q("tpch_q17")(spark, sf))
     assert "BroadcastHashJoin" in q17
-    x16 = _plan(REGISTRY["x16_decontaminate"][0](spark, sf))
+    x16 = _plan(_q("x16_decontaminate")(spark, sf))
     assert "BroadcastHashJoin" in x16
 
 
@@ -339,11 +349,11 @@ def test_x18_no_shuffle_and_t8_single_window(spark):
 
     sf = "/root/testdata/sf0.001"
     # x18 is pure per-row arithmetic: zero Exchange in the plan
-    x18 = _plan(REGISTRY["x18_repetition"][0](spark, sf))
+    x18 = _plan(_q("x18_repetition")(spark, sf))
     assert "Exchange" not in x18
     # t8's forward fill is ONE running window over the grid (the
     # formatted plan prints each node twice: tree + detail section)
-    t8 = _plan(REGISTRY["t8_resample_ffill"][0](spark, sf))
+    t8 = _plan(_q("t8_resample_ffill")(spark, sf))
     assert t8.count("Window (") == 1
 
 
@@ -355,19 +365,19 @@ def test_tpch_completion_plans(spark):
     from stampede_to_fresco_etl_spark.catalog import REGISTRY
 
     sf = "/root/testdata/sf0.001"
-    q3 = _plan(REGISTRY["tpch_q3"][0](spark, sf))
+    q3 = _plan(_q("tpch_q3")(spark, sf))
     assert "TakeOrderedAndProject" in q3
     for name in (
         "tpch_q3", "tpch_q5", "tpch_q7", "tpch_q8",
         "tpch_q9", "tpch_q11", "tpch_q15", "tpch_q20",
     ):
-        plan = _plan(REGISTRY[name][0](spark, sf))
+        plan = _plan(_q(name)(spark, sf))
         assert "NestedLoop" not in plan.replace(
             "BroadcastNestedLoopJoin", ""
         ), name
-    q15 = _plan(REGISTRY["tpch_q15"][0](spark, sf))
+    q15 = _plan(_q("tpch_q15")(spark, sf))
     assert "SortMergeJoin" not in q15
-    q20 = _plan(REGISTRY["tpch_q20"][0](spark, sf))
+    q20 = _plan(_q("tpch_q20")(spark, sf))
     assert "LeftSemi" in q20
 
 
@@ -377,11 +387,11 @@ def test_w5_single_exchange_and_s16_partition_pruning(spark):
     sf = "/root/testdata/sf0.001"
     # every analytic function shares ONE partitioning: exactly one
     # Exchange feeds the whole window chain
-    w5 = _plan(REGISTRY["w5_analytic_windows"][0](spark, sf))
+    w5 = _plan(_q("w5_analytic_windows")(spark, sf))
     assert w5.count("Exchange (") == 1
     # the day filter must resolve against the directory layout, not
     # row-level filters: PartitionFilters carries the range
-    s16 = _plan(REGISTRY["s16_partitioned_pruning"][0](spark, sf))
+    s16 = _plan(_q("s16_partitioned_pruning")(spark, sf))
     assert "PartitionFilters" in s16
     assert "event_day" in s16
 
@@ -456,7 +466,7 @@ def test_single_partitioning_window_ops(spark):
 
     sf = "/root/testdata/sf0.001"
     for name in ("s19_upsert_latest", "t9_scd2_intervals"):
-        plan = _plan(REGISTRY[name][0](spark, sf))
+        plan = _plan(_q(name)(spark, sf))
         assert plan.count("Exchange (") == 1, name
         assert "SortMergeJoin" not in plan, name
 
@@ -464,7 +474,7 @@ def test_single_partitioning_window_ops(spark):
 def test_unpivot_is_one_expand_not_union(spark):
     from stampede_to_fresco_etl_spark.catalog import REGISTRY
 
-    plan = _plan(REGISTRY["a17_unpivot"][0](spark, "/root/testdata/sf0.001"))
+    plan = _plan(_q("a17_unpivot")(spark, "/root/testdata/sf0.001"))
     assert plan.count("Expand (") == 1
     assert "Union" not in plan
 
@@ -524,7 +534,7 @@ def test_fuzzy_pairs_bucketing_matches_bruteforce(spark):
 def test_fuzzy_pairs_plan_is_equijoin(spark):
     from stampede_to_fresco_etl_spark.catalog import REGISTRY
 
-    plan = _plan(REGISTRY["d8_fuzzy_pairs"][0](spark, "/root/testdata/sf0.001"))
+    plan = _plan(_q("d8_fuzzy_pairs")(spark, "/root/testdata/sf0.001"))
     assert "NestedLoop" not in plan
 
 
