@@ -634,14 +634,18 @@ def connected_components(
         # When the edge list is below `small_graph_edges`, the
         # iterative distributed sweeps are pure fixed overhead and a
         # driver union-find resolves the same labels in milliseconds.
-        # The edge count rides the checkpoint's OWN materializing
-        # action via Observation (the sweep loop's trick) — no
-        # separate count job (VERDICT r5 item 7).
-        _n_obs = Observation()
-        sym = sym.observe(
-            _n_obs, F.count(F.lit(1)).alias("n")
-        ).localCheckpoint()
-        small = _n_obs.get["n"] <= small_graph_edges
+        # r13 session 2: the smallness probe IS the edge collect —
+        # `limit(cap+1).collect()` is one incremental job (CollectLimit
+        # short-circuits partitions once cap+1 rows arrive), and a
+        # result within the cap is by definition the COMPLETE edge
+        # set, so the small path pays neither the r12 shape's
+        # checkpoint write nor its separate collect job.  Only a
+        # big graph (probe truncated) pays the checkpoint, which the
+        # sweep loop wants anyway for lineage truncation.
+        rows = sym.limit(small_graph_edges + 1).collect()
+        small = len(rows) <= small_graph_edges
+        if not small:
+            sym = sym.localCheckpoint()
         if small:
             # Small-graph FAST PATH: union-find on the driver.  The
             # threshold bounds what `.collect()` materializes as
@@ -657,7 +661,6 @@ def connected_components(
             # bit-identical (every node labeled with its component
             # MINIMUM); the distributed sweep loop below remains the
             # big-graph path and the materialize=False debug path.
-            rows = sym.collect()
             parent: dict = {}
 
             def find(x):
